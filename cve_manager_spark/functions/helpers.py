@@ -1,0 +1,91 @@
+"""Tiny expression helpers.
+
+Two families:
+
+1. Reference-parity scalar semantics (SURVEY §2.3) — the reference is
+   Python + Postgres, whose string/bool spellings differ from Spark's:
+   - ``pybool_str``: Python ``str(True)`` == ``'True'`` (cve_manager.py:258,
+     298) vs Spark's ``cast('string')`` == ``'true'``.
+   - ``strip_charset_prefix``: Python ``lstrip('CWE-')`` strips any of the
+     *characters* C,W,E,- from the left (cve_manager.py:416), not the
+     literal prefix — charset semantics, reproduced exactly.
+   - ``is_digits``: ``str.isdigit`` gate before the CWE lookup join
+     (cve_manager.py:417).
+   - ``normalize_ws``: CR/LF/TAB → space in descriptions
+     (cve_manager.py:254-256).
+
+2. Exact-decimal aggregation (engine-wide rule). Floating-point SUM is
+   order-dependent; on a 1000-executor cluster the partial-aggregation
+   order is nondeterministic run to run, so a double SUM is not even equal
+   to *itself* across runs, let alone to an oracle. Every money/measure
+   aggregate therefore casts to DECIMAL (exact, associative), aggregates,
+   and casts the final scalar back to double. This costs nothing
+   observable (decimal sum is still whole-stage-codegen'd, map-side
+   partial aggregation still applies) and buys bitwise-deterministic
+   results at any scale.
+
+All helpers return Column expressions built from ``pyspark.sql.functions``
+only — they stay inside whole-stage codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pybool_str(c: Column) -> Column:
+    """Boolean → Python-spelled string: True→'True', False→'False', NULL→NULL."""
+    return F.when(c.isNull(), F.lit(None).cast("string")).when(c, "True").otherwise("False")
+
+
+def strip_charset_prefix(c: Column, charset: str = "CWE-") -> Column:
+    """Exact ``str.lstrip(charset)`` semantics: strip any leading run of the
+    given characters ('CWE-89'→'89', 'NVD-CWE-noinfo' unchanged only in the
+    intended-prefix reading — lstrip actually eats chars; we reproduce
+    lstrip, per cve_manager.py:416)."""
+    # Escape regex metacharacters inside a character class: only '-' and
+    # ']' and '\\' and '^' matter; keep '-' last.
+    inner = "".join(ch for ch in charset if ch != "-").replace("\\", "\\\\").replace("]", "\\]")
+    if "-" in charset:
+        inner += "-"
+    return F.regexp_replace(c, f"^[{inner}]+", "")
+
+
+def is_digits(c: Column) -> Column:
+    """``str.isdigit`` over ASCII: non-empty all-digit string."""
+    return c.rlike("^[0-9]+$")
+
+
+def normalize_ws(c: Column) -> Column:
+    """Replace CR, LF, TAB with single spaces (cve_manager.py:254-256)."""
+    return F.translate(c, "\r\n\t", "   ")
+
+
+# ---------------------------------------------------------------------------
+# Exact-decimal aggregation
+# ---------------------------------------------------------------------------
+
+def dec(c: Column, scale: int = 4, precision: int = 18) -> Column:
+    """Cast a double measure to exact decimal for associative aggregation."""
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def dec_sum(c: Column, scale: int = 4, precision: int = 18) -> Column:
+    """Order-independent SUM of a double column: sum as decimal, emit double."""
+    return F.sum(dec(c, scale, precision)).cast("double")
+
+
+def dec_mul_sum(a: Column, b: Column, scale: int = 4, precision: int = 18) -> Column:
+    """SUM(a*b) with both factors decimal-cast first: the product is exact
+    (scale adds), the sum is exact, the final double is deterministic."""
+    return F.sum(dec(a, scale, precision) * dec(b, scale, precision)).cast("double")
+
+
+def dec_avg(c: Column, scale: int = 4, precision: int = 18) -> Column:
+    """Order-independent AVG: exact decimal sum divided by count, in double.
+
+    Both operands of the final division are exactly reproducible, so the
+    double quotient is bitwise deterministic (unlike built-in avg(double)).
+    """
+    return (F.sum(dec(c, scale, precision)).cast("double") / F.count(c)).cast("double")

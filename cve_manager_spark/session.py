@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the analytics engine.
+
+The reference delegates all execution to PostgreSQL with an index-free
+schema (cve_manager.py:22-91) — every query is a sequential scan. Here the
+"server" is a Spark cluster; this module centralizes the session settings
+that make Catalyst do the work the reference never could:
+
+- AQE on (runtime join-strategy switch, skew splitting, partition coalesce)
+- nested-schema pruning on (prunes the huge NVD struct to accessed leaves)
+- UTC session timezone (deterministic timestamp semantics vs the DuckDB
+  oracle and across clusters)
+- Arrow on (fast toPandas / pandas_udf batches)
+
+At 100 TB these are cluster-level defaults; ``tune`` applies the
+runtime-settable subset to an externally provided session (the driver
+harness passes its own SparkSession to `__spark_entry__.entry`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs (safe on a live session).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local[32] testing: 32 shuffle partitions ≈ one per core. On a real
+    # cluster this is sized to ~2-3× total cores (or left to AQE's
+    # coalescing with a high initial value).
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_session(app_name: str = "cve_manager_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune(spark)
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Used on the driver-provided session so query semantics (timezone,
+    AQE, pruning) do not depend on who built the session.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-runtime-settable in this deployment — keep going; every
+            # conf above is runtime-settable on stock Spark 3.5/4.x.
+            pass
+    return spark
