@@ -1,0 +1,193 @@
+"""Deduplication operators (SURVEY §2.8 N1/N2): exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+Scale design:
+- exact dedup is a hash aggregate on a content digest — one shuffle on
+  the digest, map-side partial; the digest (sha256) is computed JVM-side.
+- n-gram Jaccard is the exact pairwise path: explode shingles → self-join
+  on shingle → count. The shingle join key bounds the pair space to
+  documents sharing at least one shingle — still quadratic in the worst
+  case, which is why the LSH paths exist.
+- MinHash+LSH (`pyspark.ml.feature.MinHashLSH`) and SimHash bucket the
+  corpus so candidate pairs are only generated within buckets: at 100 TB
+  the band/bucket id is the shuffle key and the quadratic blow-up is
+  confined to per-bucket groups (salt oversized buckets if skewed).
+
+All built-in expressions; the only ML-lib dependency is MinHashLSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cve_manager_spark.operators.text import words
+
+
+def content_digest(text: Column) -> Column:
+    """sha256 hex digest of exact content (JVM-side)."""
+    return F.sha2(text, 256)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical content; keep the smallest id (deterministic keep
+    rule — dropDuplicates picks an arbitrary row, which is not replayable
+    on a cluster)."""
+    return (
+        df.groupBy(content_digest(F.col(text_col)).alias("content_sha"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    toks = words(F.lower(text))
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array().cast("array<string>")))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity ≥ threshold.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) with integer counts, so the
+    double division is bitwise deterministic.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = ex.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = ex.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return common.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def simhash64(text: Column, n: int = 2) -> Column:
+    """64-bit SimHash over word n-gram shingles, fully JVM-side.
+
+    Each shingle is hashed with xxhash64; bit i of the fingerprint is the
+    sign of sum(±1) of that bit across shingle hashes. Near-duplicate
+    documents differ in few bits (compare with bit_count(a ^ b)).
+    """
+    sh = word_shingles(text, n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # One mask per bit; bit 63 is the sign bit in two's complement.
+    masks = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("bigint") for b in range(64)]
+    )
+    bits = F.transform(
+        masks,
+        lambda m: F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    signed = F.zip_with(
+        bits, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))
+    )
+    return F.aggregate(signed, F.lit(0).cast("bigint"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs via banding: split the 64-bit fingerprint
+    into 64/band_bits bands; a pair is a candidate iff it collides on at
+    least one band (pigeonhole guarantees recall for small Hamming
+    distance), then verify with exact bit_count.
+    """
+    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    n_bands = 64 // band_bits
+    bands = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "key")
+    b = bands.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    jaccard_threshold: float = 0.5,
+):
+    """MinHash+LSH near-dup pairs via pyspark.ml (HashingTF → MinHashLSH
+    approxSimilarityJoin). Returns (pairs_df, model). Nondeterministic
+    across Spark versions (hash seeds) → rows-only check in the driver.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42)
+    model = lsh.fit(feat)
+    pairs = (
+        model.approxSimilarityJoin(feat, feat, 1.0 - jaccard_threshold, distCol="jaccard_dist")
+        .where(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            (F.lit(1.0) - F.col("jaccard_dist")).alias("est_jaccard"),
+        )
+    )
+    return pairs, model

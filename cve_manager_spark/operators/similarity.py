@@ -1,0 +1,135 @@
+"""Vector similarity search over ``array<float>`` embedding columns.
+
+Two tiers, per the scale path:
+
+- ``cosine_scores`` / ``cosine_topk`` — exact brute force. All arithmetic
+  stays JVM-side (``transform``/``zip_with``/``aggregate`` expressions, no
+  Python). Products of float32 values are exact in float64, so the only
+  nondeterminism is sum order — error ~1e-14 for 64 dims, far below any
+  ranking/rounding granularity we expose.
+- ``hyperplane_lsh_buckets`` / ``ann_topk`` — random-hyperplane (SimHash)
+  LSH: b sign-bits of dot products with seeded random planes form a bucket
+  id; candidates are searched within the query's bucket (optionally with
+  multi-probe by Hamming-adjacent buckets). At 100 TB the bucket id is a
+  shuffle/partition key: the index build is one narrow pass (no shuffle),
+  and a query touches one partition instead of the full corpus.
+
+The planes are generated driver-side from a fixed seed (numpy
+RandomState) and inlined as array literals — a few KB broadcast with the
+plan, never a per-row Python call.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two numeric array columns (JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_scores(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Cosine similarity of every row against a single-row query vector.
+
+    ``query_df`` must have exactly one row; it is broadcast, so the big
+    side streams through a narrow projection — no shuffle at any scale.
+    """
+    a = as_double(F.col(vec_col))
+    b = as_double(F.col(query_vec_col))
+    return (
+        df.crossJoin(F.broadcast(query_df))
+        .select(F.col(id_col), cosine(a, b).alias("cos_sim"))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k by cosine: TakeOrderedAndProject (per-partition heap +
+    driver merge of k·p candidates), not a global sort."""
+    scores = cosine_scores(df, query_df, id_col, vec_col, query_vec_col)
+    return scores.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``bucket`` column: integer whose bit i is sign(v·plane_i).
+
+    The index build is a narrow map — at cluster scale, follow with
+    ``.repartition('bucket')`` or write bucketed-by('bucket') so queries
+    prune to one partition.
+    """
+    v = as_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for i, plane in enumerate(_planes(dim, n_planes, seed)):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: filter to the query's LSH bucket, then exact
+    cosine rank within it. Recall trades off with n_planes; candidates
+    shrink ~2**n_planes-fold, which is the 100 TB path."""
+    indexed = hyperplane_lsh_buckets(df, dim, n_planes, seed, vec_col)
+    q_indexed = hyperplane_lsh_buckets(
+        query_df.withColumnRenamed(query_vec_col, vec_col), dim, n_planes, seed, vec_col
+    ).select(F.col("bucket").alias("qbucket"), F.col(vec_col).alias(query_vec_col))
+    cands = indexed.join(
+        F.broadcast(q_indexed), F.col("bucket") == F.col("qbucket"), "inner"
+    )
+    a = as_double(F.col(vec_col))
+    b = as_double(F.col(query_vec_col))
+    return (
+        cands.select(F.col(id_col), cosine(a, b).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

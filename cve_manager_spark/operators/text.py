@@ -1,0 +1,135 @@
+"""Text analysis operators over a document corpus (SURVEY §2.8 N4).
+
+All expressions are built-in `pyspark.sql.functions` — they run inside
+whole-stage codegen with zero Python in the hot path, so they scale to a
+100 TB corpus as pure narrow map work (no shuffle except the explicit
+aggregations).
+
+Operators:
+- tokenize / token counts (whitespace + a BPE-ish regex segmentation)
+- quality scoring (length, word stats, punctuation/stopword ratios)
+- language-ID (marker-word ratio heuristic; deterministic formula)
+- document fingerprinting (polynomial rolling hash, engine-agnostic)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small English stopword core; enough for ratio features.
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+# BPE-ish segmentation: letter runs | digit runs | single non-space symbol.
+BPE_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+FINGERPRINT_MOD = 2147483647  # 2^31 - 1, fits exactly in a long product
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens removed."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Token count under the BPE-ish regex segmentation."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_REGEX), F.lit(0)))
+
+
+def stopword_count(text: Column) -> Column:
+    return F.size(F.filter(words(F.lower(text)), _is_stopword))
+
+
+def _is_stopword(tok: Column) -> Column:
+    cond = tok == F.lit(STOPWORDS[0])
+    for s in STOPWORDS[1:]:
+        cond = cond | (tok == F.lit(s))
+    return cond
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add length/word/punct/stopword quality features.
+
+    Ratios divide doubles derived from exact integer counts → bitwise
+    deterministic across engines and runs.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    w = words(t)
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(words(F.lower(t)), _is_stopword))
+    n_punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", ""))
+    return (
+        df.withColumn("q_n_chars", n_chars)
+        .withColumn("q_n_words", n_words)
+        .withColumn(
+            "q_avg_word_len",
+            F.when(
+                n_words > 0,
+                F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_words,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "q_punct_ratio",
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "q_stop_ratio",
+            F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+# Marker words per language for the n-gram/marker heuristic. The corpus is
+# synthetic (same vocabulary across langs), so this demonstrates the
+# operator shape: per-language marker ratios + deterministic argmax.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "la", "los", "de"),
+}
+
+
+def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
+    def is_marker(tok: Column) -> Column:
+        cond = tok == F.lit(markers[0])
+        for m in markers[1:]:
+            cond = cond | (tok == F.lit(m))
+        return cond
+
+    return F.size(F.filter(toks, is_marker))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: highest marker-word ratio wins; ties and
+    zero-evidence rows fall back to 'und'. Deterministic tie-break by
+    fixed language order (en, de, fr, es)."""
+    toks = words(F.lower(F.col(text_col)))
+    counts = {lang: _marker_count(toks, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    # reversed so earlier languages win ties via later .when overwrite order
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(pred)
+    return df.withColumn("pred_lang", pred)
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over characters, mod 2^31-1.
+
+    Engine-agnostic (same formula runs in DuckDB via list_reduce), so it
+    serves as a portable content fingerprint for dedup bucketing.
+    """
+    codes = F.transform(
+        F.filter(F.split(text, ""), lambda c: c != ""), lambda c: F.ascii(c).cast("bigint")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )

@@ -1,0 +1,120 @@
+"""Event-stream-shaped queries over the ``events`` table (SURVEY §2.7).
+
+The reference has no streaming at all — its refresh model is re-download +
+TRUNCATE + reload (cve_manager.py:376). These are the batch-checkable
+equivalents of the Structured Streaming operators in
+``cve_manager_spark/streaming/``: the same ``F.window`` / ``session_window``
+expressions work unchanged under ``readStream`` with a watermark.
+
+Scale notes: time-windowed aggregation shuffles on (window, key) — bounded
+cardinality; session windows shuffle on user_id and sort within partitions
+(Spark's session-window exec merges adjacent sessions without a global
+sort). At 100 TB the events table would be partitioned by date so window
+queries prune to the scanned time range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cve_manager_spark.functions.helpers import dec_sum
+from cve_manager_spark.plans.spec import QuerySpec
+from cve_manager_spark.sources.testdata import load_table
+
+SPECS: list[QuerySpec] = []
+
+
+def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        SPECS.append(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags))
+        return fn
+
+    return deco
+
+
+@_register(
+    "window_tumbling",
+    "SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+    doc="T1 tumbling 1h window aggregate via F.window (epoch-aligned, so the "
+    "window start equals date_trunc('hour')).",
+)
+def window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+_SESSION_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@_register(
+    "window_session",
+    _SESSION_ORACLE,
+    doc="T2 session window (30-minute gap). Spark session_window start is the "
+    "earliest event's time, matching the gaps-and-islands oracle.",
+)
+def window_session(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+@_register(
+    "dedup_keyed",
+    "SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n_dups "
+    "FROM events GROUP BY user_id, event_type",
+    doc="T4 keyed dedup, batch form: keep the first event per (user, type). "
+    "Deterministic keep-rule (MIN id) instead of dropDuplicates' arbitrary "
+    "row pick; the streaming twin is dropDuplicatesWithinWatermark.",
+)
+def dedup_keyed(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+@_register(
+    "event_type_share",
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS share "
+    "FROM events GROUP BY event_type",
+    doc="Rate-style metric: per-type share of total events (scalar subquery / "
+    "broadcast of a 1-row aggregate).",
+)
+def event_type_share(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+    )

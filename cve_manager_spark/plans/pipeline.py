@@ -1,0 +1,296 @@
+"""Training-data-pipeline queries: dedup, similarity search, text analysis
+(SURVEY §2.8, BASELINE.json north_star) over ``documents``/``embeddings``.
+
+Oracle-checked where DuckDB can express the same deterministic formula;
+LSH/MinHash paths are rows-only (hash-seed dependent) by design — the
+deterministic exact paths (`dedup_exact`, `dedup_ngram_jaccard`,
+`knn_cosine`) gate correctness, the LSH paths gate scalability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cve_manager_spark.operators import dedup as D
+from cve_manager_spark.operators import similarity as S
+from cve_manager_spark.operators import text as T
+from cve_manager_spark.plans.spec import QuerySpec
+from cve_manager_spark.sources.testdata import load_table
+
+SPECS: list[QuerySpec] = []
+
+
+def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        SPECS.append(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    "SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "
+    "FROM documents GROUP BY sha256(text)",
+    doc="N1 exact dedup on a content digest; deterministic keep rule (min id).",
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf, "documents"))
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 2
+           THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+           ELSE [] END) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
+FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+GROUP BY a.id, b.id, a.n_sh, b.n_sh
+HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.5
+"""
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    _JACCARD_ORACLE,
+    doc="N2-exact: pairwise word-2-gram Jaccard ≥ 0.5 via shingle self-join. "
+    "Integer-count arithmetic → deterministic; the LSH variants below are "
+    "the at-scale approximations of exactly this result.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=2, threshold=0.5)
+
+
+@_register(
+    "dedup_simhash",
+    None,
+    doc="N2: SimHash near-dup pairs (banded LSH + Hamming verify). Rows-only: "
+    "depends on Spark's xxhash64 — not portable to a DuckDB formula.",
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash_near_dups(load_table(spark, sf, "documents"), max_hamming=10)
+
+
+@_register(
+    "dedup_minhash",
+    None,
+    doc="N2: MinHash LSH near-dup pairs via pyspark.ml approxSimilarityJoin. "
+    "Rows-only: hash-seed dependent.",
+)
+def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    pairs, _model = D.minhash_near_dups(load_table(spark, sf, "documents"), n=2, jaccard_threshold=0.5)
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)) AS dot,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+         SUM(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)) AS nb
+  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+FROM d
+ORDER BY dot / (SQRT(na) * SQRT(nb)) DESC, vec_id
+LIMIT 10
+"""
+
+
+@_register(
+    "knn_cosine",
+    _KNN_ORACLE,
+    doc="N3 exact top-10 cosine against the vec_id=0 query vector. Float32 "
+    "products are exact in float64, so cross-engine error is ~1e-14 — far "
+    "inside the 1e-6 rounding granularity exposed.",
+)
+def knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    topk = S.cosine_topk(emb, q, k=10)
+    return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_COS_THRESHOLD_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)) AS dot,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+         SUM(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)) AS nb
+  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+FROM d WHERE vec_id <> 0 AND dot / (SQRT(na) * SQRT(nb)) >= 0.2
+"""
+
+
+@_register(
+    "cosine_threshold",
+    _COS_THRESHOLD_ORACLE,
+    doc="N3 range variant: all vectors with cosine ≥ 0.2 to the query "
+    "(embedding near-dup shape: same plan with a high threshold).",
+)
+def cosine_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scores = S.cosine_scores(emb, q)
+    return (
+        scores.where((F.col("vec_id") != 0) & (F.col("cos_sim") >= 0.2))
+        .select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+@_register(
+    "ann_lsh",
+    None,
+    doc="N3 scale path: random-hyperplane LSH bucketed ANN top-10. Rows-only "
+    "(approximate by construction); recall is asserted against the exact "
+    "result in tests/test_similarity.py.",
+)
+def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return S.ann_topk(emb, q, dim=64, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@_register(
+    "text_tokenize_count",
+    "SELECT token, COUNT(*) AS n FROM ("
+    "  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token"
+    "  FROM documents) GROUP BY token",
+    doc="N4 corpus word frequency: explode + hash aggregate (map-side combine "
+    "makes this linear-shuffle in distinct tokens, not corpus size).",
+)
+def text_tokenize_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(T.words(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS wl
+  FROM documents
+)
+SELECT doc_id,
+  length(text) AS q_n_chars,
+  len(w) AS q_n_words,
+  CASE WHEN len(w) > 0
+       THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w)
+       ELSE 0.0 END AS q_avg_word_len,
+  CASE WHEN length(text) > 0
+       THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+       ELSE 0.0 END AS q_punct_ratio,
+  CASE WHEN len(w) > 0
+       THEN CAST(len(list_filter(wl, x -> x IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE) / len(w)
+       ELSE 0.0 END AS q_stop_ratio
+FROM t
+"""
+
+
+@_register(
+    "text_quality",
+    _QUALITY_ORACLE,
+    doc="N4 quality scoring: char/word counts, avg word length, punctuation "
+    "and stopword ratios — integer-count arithmetic, deterministic.",
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return T.quality_features(docs).select(
+        "doc_id", "q_n_chars", "q_n_words", "q_avg_word_len", "q_punct_ratio", "q_stop_ratio"
+    )
+
+
+_LANG_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS c_en,
+    len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS c_de,
+    len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS c_fr,
+    len(list_filter(toks, x -> x IN ('el','la','los','de'))) AS c_es
+  FROM t
+)
+SELECT doc_id, CASE
+  WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+  WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+  WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+  WHEN c_es > 0 THEN 'es'
+  ELSE 'und' END AS pred_lang
+FROM c
+"""
+
+
+@_register(
+    "text_lang_id",
+    _LANG_ORACLE,
+    doc="N4 language ID: marker-word ratio argmax with deterministic "
+    "tie-break (en > de > fr > es), 'und' on zero evidence.",
+)
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return T.lang_id(docs).select("doc_id", "pred_lang")
+
+
+@_register(
+    "token_count",
+    "SELECT doc_id, "
+    "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens, "
+    "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens "
+    "FROM documents",
+    doc="N4 token counting: whitespace tokens + BPE-ish regex segmentation.",
+)
+def token_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("ws_tokens"),
+        T.token_count_bpe(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    "SELECT doc_id, list_reduce("
+    "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, x) -> (acc * 31 + x) % 2147483647) AS fp FROM documents",
+    doc="N4 document fingerprint: polynomial rolling hash mod 2^31-1 — an "
+    "engine-agnostic content fingerprint (same formula runs on DuckDB).",
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))

@@ -33,6 +33,9 @@ RUNTIME_CONF = {
     # cluster this is sized to ~2-3× total cores (or left to AQE's
     # coalescing with a high initial value).
     "spark.sql.shuffle.partitions": "32",
+    # events.parquet stores TIMESTAMP(NANOS); read as long + explicit
+    # conversion in sources.testdata.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

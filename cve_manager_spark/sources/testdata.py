@@ -46,9 +46,25 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Applies engine session confs first so
-    timestamp semantics are deterministic (UTC) regardless of caller."""
+    timestamp semantics are deterministic (UTC) regardless of caller.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as raw nanos
+    (legacy.parquet.nanosAsLong) and convert with integer division — a
+    double division would lose precision at 1.7e18 ns — truncating to
+    microseconds exactly like DuckDB/Arrow do. Emitted as TIMESTAMP_NTZ
+    under the UTC session so semantics don't depend on cluster timezone.
+    """
     tune(spark)
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql import functions as F
+
+    for field, dtype in df.dtypes:
+        if name == "events" and field == "ts" and dtype == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
