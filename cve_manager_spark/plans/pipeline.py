@@ -49,8 +49,8 @@ WITH toks AS (
   FROM documents
 ), sh AS (
   SELECT doc_id,
-         list_distinct(CASE WHEN len(w) >= 2
-           THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
            ELSE [] END) AS shingles
   FROM toks
 ), ex AS (
@@ -59,20 +59,21 @@ WITH toks AS (
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+           AND a.n_sh * 0.3 <= b.n_sh AND b.n_sh * 0.3 <= a.n_sh
 GROUP BY a.id, b.id, a.n_sh, b.n_sh
-HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.5
+HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.3
 """
 
 
 @_register(
     "dedup_ngram_jaccard",
     _JACCARD_ORACLE,
-    doc="N2-exact: pairwise word-2-gram Jaccard ≥ 0.5 via shingle self-join. "
-    "Integer-count arithmetic → deterministic; the LSH variants below are "
-    "the at-scale approximations of exactly this result.",
+    doc="N2-exact: pairwise word-3-gram Jaccard ≥ 0.3 via shingle self-join "
+    "with size-ratio pruning. Integer-count arithmetic → deterministic; the "
+    "LSH variants below are the at-scale approximations of this result.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=2, threshold=0.5)
+    return D.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.3)
 
 
 @_register(
