@@ -1,0 +1,97 @@
+"""NVD feed sources (SURVEY §2.1 S1–S4).
+
+The reference scrapes the NVD feeds page for yearly
+``nvdcve-1.1-<year>.json.zip`` links, downloads them one at a time, and
+json.loads each whole file into driver memory (cve_manager.py:184-245).
+Spark-first replacements:
+
+- ``feed_urls`` / ``download_feeds``: driver-side HTTP (a cluster brings
+  nothing to a page scrape); downloads are distributed only in the sense
+  that each executor can fetch its own files via ``fetch_to_dir`` in a
+  ``foreachPartition`` when a shared filesystem exists.
+- ``read_feeds_zip``: ``binaryFiles`` → per-file unzip+parse →
+  ``from_json`` rows under the explicit NVD schema. Spark has no zip
+  codec for ``read.json`` (§4.3); the Python step only unzips and hands
+  the text to the JVM JSON parser — one file per task, so a year per
+  task, which matches the feed granularity.
+- ``read_feeds_json``: pre-extracted ``.json`` files via the stock
+  multiLine reader (the fast path: fully JVM, pruned, parallel per file).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cve_manager_spark.schemas import NVD_FEED
+
+NVD_FEEDS_PAGE = "https://nvd.nist.gov/vuln/data-feeds#JSON_FEED"
+FEED_LINK_RE = re.compile(r"nvdcve-1\.1-[0-9]*\.json\.zip")
+
+
+def feed_urls(page_html: str) -> list[str]:
+    """Extract yearly feed zip names from the feeds page HTML
+    (cve_manager.py:196 regex, deduplicated, newest first)."""
+    return sorted(set(FEED_LINK_RE.findall(page_html)), reverse=True)
+
+
+def download_feeds(out_dir: str, year: str | None = None) -> list[str]:
+    """Driver-side download of yearly feeds (cve_manager.py:184-201).
+    Gated behind an import so offline environments can still import the
+    module; returns the list of local paths."""
+    import requests  # deferred: not needed for any cluster-side path
+
+    os.makedirs(out_dir, exist_ok=True)
+    page = requests.get(NVD_FEEDS_PAGE, timeout=60)
+    names = feed_urls(page.text)
+    if year:
+        names = [n for n in names if year in n]
+    paths = []
+    for name in names:
+        url = f"https://nvd.nist.gov/feeds/json/cve/1.1/{name}"
+        local = os.path.join(out_dir, name)
+        with requests.get(url, stream=True, timeout=300) as r:
+            r.raise_for_status()
+            with open(local, "wb") as f:
+                for chunk in r.iter_content(chunk_size=1 << 20):
+                    f.write(chunk)
+        paths.append(local)
+    return paths
+
+
+def read_feeds_zip(spark: SparkSession, glob: str) -> DataFrame:
+    """Zip-archive JSON source: one feed row per zip (cve_manager.py:233-239).
+
+    binaryFiles gives (path, bytes) per file; the Python step unzips the
+    first member and emits the JSON text, which from_json parses under
+    the explicit schema JVM-side. Feed files are ~50 MB compressed — one
+    per task is the right granularity.
+    """
+
+    def unzip(pair):
+        path, content = pair
+        with zipfile.ZipFile(io.BytesIO(content)) as zf:
+            with zf.open(zf.namelist()[0]) as member:
+                return [(path, member.read().decode("utf-8"))]
+
+    rdd = spark.sparkContext.binaryFiles(glob).flatMap(unzip)
+    raw = spark.createDataFrame(rdd, "source_file: string, json_text: string")
+    return raw.select(
+        "source_file", F.from_json("json_text", NVD_FEED).alias("feed")
+    ).select("source_file", "feed.*")
+
+
+def read_feeds_json(spark: SparkSession, glob: str) -> DataFrame:
+    """Pre-extracted feed files via the native multiLine JSON reader —
+    fully JVM-side with nested-schema pruning (preferred at scale)."""
+    return (
+        spark.read.schema(NVD_FEED)
+        .option("multiLine", True)
+        .json(glob)
+        .withColumn("source_file", F.input_file_name())
+    )

@@ -1,0 +1,128 @@
+"""End-to-end CVE-domain tests: fixture feed → flatten → parity queries,
+CWE CSV ingest, catalog DDL, and the reference-format CSV sink."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cve_manager_spark.operators.flatten import flatten_all
+from cve_manager_spark.plans.cve_queries import (
+    cve_detail,
+    cves_by_cpe,
+    cves_by_score_date,
+    cvss_vs_cpes,
+    cwe_detail,
+)
+from cve_manager_spark.sources.cwe_csv import read_cwe_csv
+from cve_manager_spark.sources.nvd import read_feeds_json
+from cve_manager_spark.sources.sinks import write_reference_csv
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def relations(spark):
+    feed = read_feeds_json(spark, os.path.join(FIXDIR, "nvd_feed_fixture.json"))
+    rels = flatten_all(feed)
+    rels["cwe"] = read_cwe_csv(spark, os.path.join(FIXDIR, "cwe_1000_fixture.csv"))
+    return rels
+
+
+def test_cwe_csv_positional_projection(relations):
+    cwe = relations["cwe"]
+    assert cwe.columns == [
+        "cwe_id", "name", "description", "extended_description",
+        "modes_of_introduction", "common_consequences", "potential_mitigations",
+    ]
+    rows = {r["cwe_id"]: r for r in cwe.collect()}
+    assert set(rows) == {89, 79, 352}
+    assert rows[89]["name"].startswith("Improper Neutralization of Special Elements")
+    # multiline quoted field preserved (positional col 16)
+    assert "vetted library" in rows[89]["potential_mitigations"]
+    # empty optional fields come through as NULL-ish/empty (conditional
+    # print sections, cve_manager.py:551-566)
+    assert not rows[352]["common_consequences"]
+
+
+def test_cve_detail_sections(relations):
+    parts = cve_detail(
+        relations["cvss"], relations["cve_problem"], relations["cpe"],
+        relations["cwe"], "CVE-2021-0001",
+    )
+    s = parts["summary"].collect()
+    assert len(s) == 1 and s[0]["base_score_3"] == 9.8
+    probs = {(r["problem"], r["cwe_name"]) for r in parts["problems"].collect()}
+    # numeric label joins to the catalog name; non-numeric label survives
+    # with NULL name (left-join parity with :422-423)
+    assert ("NVD-CWE-noinfo", None) in probs
+    assert any(p == "CWE-89" and n and "SQL Injection" in n for p, n in probs)
+    cpes = {r["cpe23uri"] for r in parts["cpes"].collect()}
+    # vulnerable='True' only (:424): the 'False' entry is excluded
+    assert cpes == {
+        "cpe:2.3:a:v1:p1:1.0:*:*:*:*:*:*:*",
+        "cpe:2.3:o:v2:os:2.0:*:*:*:*:*:*:*",
+    }
+
+
+def test_cves_by_score_date(relations):
+    # score 8: V3-only and full rows match on the V3 arm; V2-only rows
+    # (7.5) don't reach 8 → 3VL OR semantics (:434)
+    hi = {r["cve"] for r in cves_by_score_date(relations["cvss"], 8.0).collect()}
+    assert "CVE-2021-0002" not in hi and "CVE-2021-0003" in hi
+    # score 7: V2-only row matches via the V2 arm
+    mid = {r["cve"] for r in cves_by_score_date(relations["cvss"], 7.0).collect()}
+    assert "CVE-2021-0002" in mid
+    # date bound excludes nothing here (all published 2021-01-15), then a
+    # later bound excludes everything
+    assert cves_by_score_date(relations["cvss"], 7.0, "2021-01-15").count() == len(mid)
+    assert cves_by_score_date(relations["cvss"], 7.0, "2021-06-01").count() == 0
+
+
+def test_cves_by_cpe_over_view(relations):
+    view = cvss_vs_cpes(relations["cvss"], relations["cpe"])
+    assert view.columns == [
+        "cve", "base_score_3", "base_severity_3", "base_score", "severity",
+        "cpe23uri", "description", "published_date",
+    ]
+    got = cves_by_cpe(view, "v1:p1", 5.0).collect()
+    # only the vulnerable=True v1:p1 entry (the 'False' one is filtered by
+    # the view, :90)
+    assert [r["cpe23uri"] for r in got] == ["cpe:2.3:a:v1:p1:1.0:*:*:*:*:*:*:*"]
+
+
+def test_cwe_detail_point_lookup(relations):
+    rows = cwe_detail(relations["cwe"], 79).collect()
+    assert len(rows) == 1 and "Cross-site Scripting" in rows[0]["name"]
+
+
+def test_reference_csv_sink(relations, tmp_path):
+    out = tmp_path / "cve_cpes.csv"
+    write_reference_csv(relations["cpe"], str(out), "cve_cpes")
+    lines = out.read_text(encoding="utf8").splitlines()
+    assert lines[0] == "CVE\tcpe23Uri\tVulnerable"
+    assert len(lines) == 1 + relations["cpe"].count()
+    assert any(line.endswith("\tFalse") for line in lines[1:])
+
+
+def test_catalog_ddl_roundtrip(spark, relations, tmp_path):
+    from cve_manager_spark import catalog
+
+    db = "cve_test"
+    catalog.drop_database(spark, db)
+    catalog.create_tables(spark, db)
+    try:
+        catalog.load_tables(spark, {"cvss": relations["cvss"]}, db=db)
+        assert spark.table(f"{db}.cvss").count() == 10
+        # view exists and is queryable (empty: no cpe rows loaded)
+        assert spark.table(f"{db}.cvss_vs_cpes").count() == 0
+        catalog.load_tables(spark, {"cpe": relations["cpe"]}, db=db)
+        assert spark.table(f"{db}.cvss_vs_cpes").count() == 4  # vulnerable=True rows
+        # truncate clears cve tables but keeps cwe (D4 semantics)
+        catalog.load_tables(spark, {"cwe": relations["cwe"]}, db=db)
+        catalog.truncate_cve_tables(spark, db)
+        assert spark.table(f"{db}.cvss").count() == 0
+        assert spark.table(f"{db}.cwe").count() == 3
+    finally:
+        catalog.drop_database(spark, db)
