@@ -1,0 +1,118 @@
+"""Multimodal columns (SURVEY §2.8 N5): image/audio/video as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` UDFs.
+
+The Spark-side plumbing is real and tested — schemas, batch iteration,
+partition-preserving transforms; the actual media decode is stubbed
+(image/audio libraries are not in this environment) behind
+``decode_stub``: pass ``real_decoder=...`` to plug in PIL/librosa/etc.
+Everything else (batching, schema contract, deterministic fallback
+features) is exactly what a production pipeline runs.
+
+Scale notes: binary payloads ride through shuffles, so feature extraction
+happens BEFORE any wide op (narrow mapInPandas over the scan), and the
+payload column is dropped as soon as features exist. Batch size is
+controlled by spark.sql.execution.arrow.maxRecordsPerBatch — size it so
+batch_bytes ≈ payload × records fits executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, content_sha string, head_hex string"
+)
+
+THUMB_SCHEMA = "doc_id bigint, width int, height int, thumb binary"
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Demo payload: UTF-8 bytes of a text column as the opaque binary
+    (the testdata has no media table; the column type and everything
+    downstream is identical for real payloads)."""
+    return df.select(
+        F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("data")
+    )
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", data_col: str = "data") -> DataFrame:
+    """Deterministic per-blob features via mapInPandas: byte length,
+    sha256, first-8-bytes hex. Arrow-batched; no Python per-row calls
+    outside the vectorized loop."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = pdf[data_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": data.map(len).astype("int32"),
+                    "content_sha": data.map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "head_hex": data.map(lambda b: bytes(b[:8]).hex()),
+                }
+            )
+
+    return df.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def decode_stub(data: bytes, target: tuple[int, int] = (32, 32)) -> bytes:
+    """Placeholder for the media decode+resize step. Replace with a real
+    decoder (PIL.Image.open(...).resize(target).tobytes()); this fake is
+    deterministic so plumbing tests have stable expectations."""
+    h = hashlib.sha256(data).digest()
+    n = target[0] * target[1]
+    return (h * (n // len(h) + 1))[:n]
+
+
+def decode_resize(
+    df: DataFrame,
+    target: tuple[int, int] = (32, 32),
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    real_decoder=None,
+) -> DataFrame:
+    """Decode/resize pipeline shape: mapInPandas producing fixed-size
+    thumbnails + dimensions. ``real_decoder(bytes, target) -> bytes``
+    plugs in an actual image library; default is the deterministic stub."""
+    decoder = real_decoder or decode_stub
+    w, h = target
+
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": w,
+                    "height": h,
+                    "thumb": pdf[data_col].map(lambda b: decoder(bytes(b), target)),
+                }
+            )
+
+    return df.mapInPandas(thumbs, schema=THUMB_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, every_n: int = 10, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """Video frame-sampling shape: one input blob → many output rows
+    (frame index + frame payload). The stub slices the blob; a real
+    implementation decodes containers per batch."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for i, b in zip(pdf[id_col], pdf[data_col]):
+                blob = bytes(b)
+                for k, off in enumerate(range(0, len(blob), every_n)):
+                    ids.append(i)
+                    idxs.append(k)
+                    payloads.append(blob[off : off + every_n])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": payloads})
+
+    return df.mapInPandas(frames, schema="doc_id bigint, frame_idx int, frame binary")

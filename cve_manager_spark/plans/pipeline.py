@@ -284,6 +284,22 @@ def token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_features",
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS content_sha "
+    "FROM documents",
+    doc="N5 multimodal plumbing: opaque binary column → Arrow-batched "
+    "mapInPandas feature extraction (byte length + content digest). The "
+    "payload here is UTF-8 text bytes; real media payloads ride the same "
+    "schema/batch path with a pluggable decoder (operators.multimodal).",
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.multimodal import attach_binary, extract_features
+
+    docs = load_table(spark, sf, "documents")
+    return extract_features(attach_binary(docs)).select("doc_id", "n_bytes", "content_sha")
+
+
+@_register(
     "doc_fingerprint",
     "SELECT doc_id, list_reduce("
     "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), "

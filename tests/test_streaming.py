@@ -1,0 +1,93 @@
+"""Streaming tests (SURVEY §5.2.5): stream==batch equivalence over the
+testdata events via availableNow, plus a rate-source watermark smoke."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from cve_manager_spark.plans.events import window_session, window_tumbling
+from cve_manager_spark.sources.testdata import load_table
+from cve_manager_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+from tests.conftest import SF_SMALL
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File streaming sources need a directory, not a bare file."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMALL}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    run_to_memory(tumbling_agg(stream), "t_tumble", output_mode="complete")
+    got = spark.table("t_tumble")
+    want = window_tumbling(spark, SF_SMALL)
+    cols = ["win_start", "event_type", "n", "sum_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_stream_session_equals_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(session_agg(stream), "t_sess", output_mode="complete")
+    got = spark.table("t_sess")
+    want = window_session(spark, SF_SMALL)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_stream_dedup_drops_duplicate_ids(spark, events_dir):
+    events = load_table(spark, SF_SMALL, "events")
+    # double the input: every event_id appears twice
+    doubled = events.unionByName(events)
+    stream_like_batch = stream_dedup(doubled)  # batch fallback path
+    assert stream_like_batch.count() == events.count()
+
+    stream = read_events_stream(spark, events_dir)
+    dd = stream_dedup(stream)
+    assert dd.isStreaming
+    run_to_memory(dd, "t_dedup")
+    assert spark.table("t_dedup").count() == events.count()
+
+
+def test_rate_source_watermark_smoke(spark):
+    """T3 smoke: watermarked windowed agg over the rate source produces
+    rows and terminates cleanly."""
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .withColumn("event_type", (F.col("value") % 3).cast("string"))
+        .withColumn("ts", F.col("timestamp"))
+        .withColumn("value", F.col("value").cast("double"))
+    )
+    agg = tumbling_agg(rate, window="1 second", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("t_rate").count() == 0:
+            time.sleep(0.5)
+        assert spark.table("t_rate").columns == ["win_start", "event_type", "n", "sum_value"]
+        assert spark.table("t_rate").count() > 0
+    finally:
+        q.stop()
