@@ -506,3 +506,158 @@ def set_ops(spark: SparkSession, sf: str) -> DataFrame:
     a = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     b = orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# Coverage extensions beyond the reference (SURVEY §2.5 absent-join note,
+# §2.6 X-table): semi/anti joins, cube, pivot, stats, range-predicate join.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "join_semi",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+    "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')",
+    doc="Left-semi join (existence): customers having at least one 'F' order. "
+    "Semi joins ship only the key column of the probe side — at scale the "
+    "build side reduces to a distinct-key exchange.",
+)
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    f_orders = orders.where(F.col("o_orderstatus") == "F")
+    return cust.join(
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "join_anti",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    doc="Left-anti join (absence): customers with no orders at all.",
+)
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "join_range_pred",
+    "SELECT o.o_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate "
+    "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate >= o.o_orderdate "
+    "AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY",
+    doc="Equi+range join: lineitems shipped within 30 days of their order. "
+    "The equi key carries the shuffle; the range predicate evaluates "
+    "post-match (no quadratic blowup).",
+)
+def join_range_pred(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 30 DAY"))
+    )
+    return orders.join(li, cond).select(
+        "o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate"
+    )
+
+
+@_register(
+    "agg_cube",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+    doc="X4 cube: all grouping-set combinations.",
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "agg_stats",
+    "SELECT event_type, COUNT(*) AS n, "
+    "MIN(value) AS min_v, MAX(value) AS max_v, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_v "
+    "FROM events GROUP BY event_type",
+    doc="Basic stats per key; avg via exact-decimal sum (order-independent).",
+)
+def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        (F.sum(dec(F.col("value"))).cast("double") / F.count("value")).alias("avg_v"),
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "agg_pivot",
+    "SELECT user_id, "
+    + ", ".join(
+        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _PIVOT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+    doc="Pivot (wide aggregation): per-user counts by event type. Explicit "
+    "value list → single-pass plan, no extra distinct-values job.",
+)
+def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PIVOT_TYPES)
+    )
+
+
+@_register(
+    "agg_approx_distinct",
+    None,
+    doc="X3 approx count-distinct (HLL++): rows-only check — the estimate is "
+    "engine-specific by design; exactness is covered by agg_distinct.",
+)
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )
+
+
+@_register(
+    "window_ntile",
+    "SELECT o_orderkey, o_totalprice, "
+    "NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile "
+    "FROM orders",
+    doc="X5 variant: ntile bucketing over a total order. NOTE: single "
+    "unpartitioned window — fine for ranked reporting outputs, not for "
+    "100 TB facts (use partitioned rank there).",
+)
+def window_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@_register(
+    "set_except",
+    "SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F' "
+    "EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'",
+    doc="X8 set difference (distinct semantics).",
+)
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = orders.where(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct() if False else a.subtract(b)
