@@ -118,3 +118,40 @@ def event_type_share(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("total")).alias("share"),
         )
     )
+
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT MAX(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+       AS asof_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+@_register(
+    "join_asof",
+    _ASOF_ORACLE,
+    doc="As-of join: each purchase paired with the user's most recent click "
+    "at-or-before it. Union+window formulation (operators.asof) — one "
+    "shuffle on the key; the oracle's correlated subquery states the "
+    "semantics (per-row probes would not scale).",
+)
+def join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as FX
+
+    from cve_manager_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.where(FX.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(FX.col("event_type") == "click")
+        .select("user_id", "ts", FX.col("ts").alias("click_ts"))
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", value_cols=["click_ts"], tie_break="click_ts"
+    ).select(
+        "event_id", "user_id", "ts", FX.col("asof_click_ts")
+    )

@@ -311,3 +311,65 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+_EMB_NEARDUP_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding,
+         SQRT((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) FROM unnest(embedding) t(e))) AS nrm
+  FROM embeddings
+),
+d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) AS dot,
+         ANY_VALUE(a.nrm) AS na, ANY_VALUE(b.nrm) AS nb
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  CROSS JOIN range(1, 65) t(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, ROUND(dot / (na * nb), 6) AS cos_sim
+FROM d WHERE dot / (na * nb) >= 0.35
+"""
+
+
+@_register(
+    "dedup_embedding",
+    _EMB_NEARDUP_ORACLE,
+    doc="N2 embedding-cosine near-dup: all pairs with cosine ≥ 0.35. Exact "
+    "pairwise form (oracle-checkable); the at-scale path buckets by "
+    "hyperplane LSH first (operators.similarity.hyperplane_lsh_buckets) "
+    "so the quadratic stays within buckets.",
+)
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.similarity import as_double, dot, l2_norm
+
+    emb = load_table(spark, sf, "embeddings")
+    v = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("e"),
+    ).withColumn("nrm", l2_norm(F.col("e")))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+@_register(
+    "agg_percentile",
+    "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
+    "quantile_cont(value, 0.9) AS p90 FROM events GROUP BY event_type",
+    doc="Exact percentiles (continuous interpolation — identical definition "
+    "in Spark `percentile` and DuckDB `quantile_cont`). The at-scale "
+    "variant is approx_percentile (t-digest), rows-only like HLL.",
+)
+def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+    )

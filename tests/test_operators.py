@@ -1,0 +1,102 @@
+"""Operator-level unit tests: expression helpers vs exact Python
+semantics, as-of join tie handling, ANN invariants, SimHash properties."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cve_manager_spark.functions.helpers import is_digits, pybool_str, strip_charset_prefix
+from cve_manager_spark.operators.asof import asof_join
+from cve_manager_spark.operators.dedup import simhash64
+from cve_manager_spark.operators.similarity import ann_topk, cosine_topk
+from cve_manager_spark.sources.testdata import load_table
+from tests.conftest import SF_SMALL
+
+LSTRIP_CASES = [
+    "CWE-89", "NVD-CWE-noinfo", "CWE-", "89", "", "WECWE-12", "-CWE", "C", "xCWE-1",
+    "CWECWE---89C", "noinfo",
+]
+
+
+def test_strip_charset_prefix_matches_python_lstrip(spark):
+    df = spark.createDataFrame([(s,) for s in LSTRIP_CASES], "s: string")
+    got = {r["s"]: r["out"] for r in df.select("s", strip_charset_prefix(F.col("s"), "CWE-").alias("out")).collect()}
+    for s in LSTRIP_CASES:
+        assert got[s] == s.lstrip("CWE-"), s
+
+
+def test_is_digits_matches_python_isdigit_ascii(spark):
+    cases = ["89", "0", "", "a1", "1a", "12 3", "-1", "007"]
+    df = spark.createDataFrame([(s,) for s in cases], "s: string")
+    got = {r["s"]: r["out"] for r in df.select("s", is_digits(F.col("s")).alias("out")).collect()}
+    for s in cases:
+        assert got[s] == s.isdigit(), s
+
+
+def test_pybool_str_spelling(spark):
+    df = spark.createDataFrame([(True,), (False,), (None,)], "b: boolean")
+    got = [r["out"] for r in df.select(pybool_str(F.col("b")).alias("out")).collect()]
+    assert sorted(got, key=str) == ["False", None, "True"] or set(got) == {"True", "False", None}
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01 10:00:00"), lid=100),
+            Row(k=1, ts=_ts("2024-01-01 12:00:00"), lid=101),
+            Row(k=2, ts=_ts("2024-01-01 09:00:00"), lid=200),  # no right row before
+            Row(k=3, ts=_ts("2024-01-01 10:00:00"), lid=300),  # exact-ts tie
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01 09:30:00"), v=1),
+            Row(k=1, ts=_ts("2024-01-01 11:00:00"), v=2),
+            Row(k=2, ts=_ts("2024-01-01 09:30:00"), v=3),  # after left's 09:00
+            Row(k=3, ts=_ts("2024-01-01 10:00:00"), v=4),  # equal ts → inclusive
+        ]
+    )
+    out = {r["lid"]: r["asof_v"] for r in asof_join(left, right, on="k", value_cols=["v"], tie_break="v").collect()}
+    assert out[100] == 1      # most recent at-or-before 10:00 is 09:30
+    assert out[101] == 2      # 11:00 beats 09:30
+    assert out[200] is None   # nothing at-or-before
+    assert out[300] == 4      # equal-ts right row included (<= semantics)
+
+
+def test_ann_contains_query_vector_and_is_sorted(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    rows = ann_topk(emb, q, dim=64, k=10, n_planes=6).collect()
+    # the query vector shares its own bucket: must be rank 1 with cos ~ 1
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["cos_sim"] - 1.0) < 1e-9
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # every ANN hit is scored identically to the exact path (same expression)
+    exact = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(emb, q, k=500).collect()}
+    for r in rows:
+        assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-9
+
+
+def test_simhash_properties(spark):
+    # SimHash needs a non-trivial shingle population to be stable: use
+    # ~100-word docs; near-dup differs in one word, far doc shares nothing.
+    base = " ".join(f"word{i} token{i % 7} item{i % 13}" for i in range(35))
+    near = base.replace("word17", "changed17")
+    far = " ".join(f"alpha{i} beta{i % 5} gamma{i % 11}" for i in range(35))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id: int, text: string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", simhash64(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]  # determinism / identity
+    ham_near = bin(fps[1] ^ fps[3]).count("1")
+    ham_far = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+    assert ham_near <= 16

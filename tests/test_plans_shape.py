@@ -1,0 +1,103 @@
+"""Physical-plan regression tests: the properties that make these queries
+scale are asserted, not assumed — predicate pushdown into the parquet
+scan, column pruning, broadcast dimension joins, partial aggregation,
+top-k without global sort, and exchange-free joins on bucketed tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cve_manager_spark.plans.registry import collect
+from tests.conftest import SF_ORACLE
+
+SPECS = collect()
+
+
+def plan_of(spark, name: str) -> str:
+    df = SPECS[name].build(spark, SF_ORACLE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "filter_conjunction")
+    assert "StringContains(o_orderpriority,URGENT)" in plan
+    assert "GreaterThanOrEqual(o_totalprice" in plan
+    # pruned read: only the 4 referenced columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string>" in plan
+
+
+def test_column_pruning_on_projection(spark):
+    plan = plan_of(spark, "project_cols")
+    assert "l_returnflag" not in plan  # untouched columns never read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "join_star_detail")
+    # three joins, each listed in tree + detail sections of the plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "ShuffleExchange" not in plan
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = plan_of(spark, "agg_groupby")
+    # partial (before exchange) + final (after): map-side combine active
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "sort_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "join_semi")
+    assert "LeftSemi" in plan
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Co-located join: writing both sides bucketed by the join key lets
+    the sort-merge join run with ZERO exchanges — the at-scale recipe for
+    repeated large-fact joins (SURVEY §4.2 partitioning note)."""
+    from cve_manager_spark.sources.testdata import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets_test")
+    try:
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("buckets_test.li_b")
+        )
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("buckets_test.ord_b")
+        )
+        # AQE would still plan a broadcast at this size; disable it and force
+        # SMJ so the assertion targets the bucketing property itself.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            joined = spark.table("buckets_test.li_b").join(
+                spark.table("buckets_test.ord_b"),
+                spark.table("buckets_test.li_b").l_orderkey
+                == spark.table("buckets_test.ord_b").o_orderkey,
+            )
+            plan = joined._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucketing removed the shuffle
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buckets_test CASCADE")
