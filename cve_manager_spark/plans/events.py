@@ -155,3 +155,34 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "event_id", "user_id", "ts", FX.col("asof_click_ts")
     )
+
+
+_SLIDING_ORACLE = """
+WITH w AS (
+  SELECT event_type, value,
+         unnest([
+           TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
+           TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)
+         ]) AS win_start
+  FROM events
+)
+SELECT win_start, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM w GROUP BY win_start, event_type
+"""
+
+
+@_register(
+    "window_sliding",
+    _SLIDING_ORACLE,
+    doc="T1 sliding/hopping window: 1h windows every 30min — each event lands "
+    "in two windows (F.window with slide). The oracle materializes the same "
+    "two epoch-aligned window starts per event.",
+)
+def window_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
