@@ -661,3 +661,33 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
     a = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     b = orders.where(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
     return a.exceptAll(b).distinct() if False else a.subtract(b)
+
+
+@_register(
+    "agg_salted",
+    "SELECT l_returnflag, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
+    "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+    doc="Skew-safe two-phase aggregation (operators.skew.salted_agg): "
+    "groupBy(key, salt) partials then groupBy(key) combine. The oracle is "
+    "the PLAIN aggregation — salting must be result-invariant, and with "
+    "exact-decimal sums the match is bitwise. Deterministic salt (hash of "
+    "a unique column, not rand()) keeps retries/speculation safe.",
+)
+def agg_salted(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf, "lineitem")
+    out = salted_agg(
+        li.withColumn("__rowid", F.concat_ws("-", "l_orderkey", "l_linenumber")),
+        keys=["l_returnflag"],
+        unique_col="__rowid",
+        aggs={
+            "sum_qty_dec": lambda: F.sum(dec(F.col("l_quantity"))),
+            "n": lambda: F.count(F.lit(1)),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag", F.col("sum_qty_dec").cast("double").alias("sum_qty"), "n"
+    )

@@ -126,3 +126,24 @@ def test_catalog_ddl_roundtrip(spark, relations, tmp_path):
         assert spark.table(f"{db}.cwe").count() == 3
     finally:
         catalog.drop_database(spark, db)
+
+
+def test_sql_surface_over_views(spark, relations):
+    """The spark.sql surface works over registered views — the engine's
+    equivalent of the reference's psql access path."""
+    for name in ("cvss", "cpe", "cve_problem", "cwe"):
+        relations[name].createOrReplaceTempView(name)
+    got = spark.sql(
+        """
+        SELECT c.cve, c.base_score_3, p.cpe23uri
+        FROM cvss c JOIN cpe p ON c.cve = p.cve
+        WHERE p.vulnerable = 'True' AND c.base_score_3 >= 9
+        ORDER BY c.cve, p.cpe23uri
+        """
+    ).collect()
+    assert [(r["cve"], r["cpe23uri"]) for r in got] == [
+        ("CVE-2021-0001", "cpe:2.3:a:v1:p1:1.0:*:*:*:*:*:*:*"),
+        ("CVE-2021-0001", "cpe:2.3:o:v2:os:2.0:*:*:*:*:*:*:*"),
+        ("CVE-2021-0008", "cpe:2.3:a:v3:p3:3.0:*:*:*:*:*:*:*"),
+        ("CVE-2021-0009", "cpe:2.3:a:v4:child:1.0:*:*:*:*:*:*:*"),
+    ]
