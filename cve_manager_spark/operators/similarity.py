@@ -115,14 +115,38 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qvec",
+    multi_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: filter to the query's LSH bucket, then exact
-    cosine rank within it. Recall trades off with n_planes; candidates
-    shrink ~2**n_planes-fold, which is the 100 TB path."""
+    """Approximate top-k: filter to the query's LSH bucket(s), then exact
+    cosine rank within them. Recall trades off with n_planes; candidates
+    shrink ~2**n_planes-fold, which is the 100 TB path.
+
+    multi_probe: also search buckets within this Hamming distance of the
+    query's bucket (multi_probe=1 → n_planes+1 buckets). A query vector
+    near a hyperplane lands its neighbors on the other side of exactly
+    one sign bit, so probing adjacent buckets recovers most of the recall
+    a single probe loses — still touching ~(n_planes+1)/2**n_planes of
+    the corpus instead of all of it.
+    """
     indexed = hyperplane_lsh_buckets(df, dim, n_planes, seed, vec_col)
-    q_indexed = hyperplane_lsh_buckets(
+    q_bucketed = hyperplane_lsh_buckets(
         query_df.withColumnRenamed(query_vec_col, vec_col), dim, n_planes, seed, vec_col
-    ).select(F.col("bucket").alias("qbucket"), F.col(vec_col).alias(query_vec_col))
+    )
+    probes = [F.col("bucket")]
+    if multi_probe >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    if multi_probe >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    q_indexed = q_bucketed.select(
+        F.explode(F.array(*probes)).alias("qbucket"),
+        F.col(vec_col).alias(query_vec_col),
+    )
     cands = indexed.join(
         F.broadcast(q_indexed), F.col("bucket") == F.col("qbucket"), "inner"
     )

@@ -166,14 +166,14 @@ def cosine_threshold(spark: SparkSession, sf: str) -> DataFrame:
 @_register(
     "ann_lsh",
     None,
-    doc="N3 scale path: random-hyperplane LSH bucketed ANN top-10. Rows-only "
-    "(approximate by construction); recall is asserted against the exact "
-    "result in tests/test_similarity.py.",
+    doc="N3 scale path: random-hyperplane LSH bucketed ANN top-10 with "
+    "Hamming-2 multi-probe. Rows-only (approximate by construction); "
+    "invariants asserted against the exact path in tests/test_operators.py.",
 )
 def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    return S.ann_topk(emb, q, dim=64, k=10, n_planes=6)
+    return S.ann_topk(emb, q, dim=64, k=10, n_planes=6, multi_probe=2)
 
 
 # ---------------------------------------------------------------------------
@@ -372,4 +372,68 @@ def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("p50"),
         F.percentile("value", 0.9).alias("p90"),
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS dfreq FROM tok GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token,
+       ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfreq), 6) AS tfidf
+FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+"""
+
+
+@_register(
+    "text_tfidf",
+    _TFIDF_ORACLE,
+    doc="N4 TF-IDF term weighting, pure relational form: per-doc term counts "
+    "⋈ document frequencies ⋈ corpus size. Two hash aggregates + one "
+    "broadcast-able join on token; ln over identical doubles is "
+    "bit-reproducible (rounded to 6dp for cross-engine safety).",
+)
+def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("dfreq")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@_register(
+    "text_top_terms",
+    "SELECT token, COUNT(*) AS n FROM ("
+    "  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token"
+    "  FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 20",
+    doc="N4 heavy hitters: top-20 corpus terms with a deterministic "
+    "tie-break; TakeOrderedAndProject over the token aggregate.",
+)
+def text_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(T.words(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
     )

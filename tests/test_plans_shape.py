@@ -101,3 +101,26 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     finally:
         spark.sql("DROP DATABASE IF EXISTS buckets_test CASCADE")
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Date-partitioned layout + date filter → the scan lists only the
+    matching partition directories (PartitionFilters), which is how the
+    events table prunes to the queried time range at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from cve_manager_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    df = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    n_days = ev.select("day").distinct().count()
+    assert df.count() * n_days < ev.count() * 2  # actually pruned, not full scan
