@@ -691,3 +691,46 @@ def agg_salted(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "l_returnflag", F.col("sum_qty_dec").cast("double").alias("sum_qty"), "n"
     )
+
+
+_CDC_ORACLE = """
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+         o_orderdate, o_orderpriority, 2 AS version
+  FROM orders WHERE o_orderstatus = 'P'
+), unioned AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, 1 AS version FROM orders
+  UNION ALL SELECT * FROM changes
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority, version
+FROM unioned
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+"""
+
+
+@_register(
+    "cdc_upsert",
+    _CDC_ORACLE,
+    doc="CDC upsert / MERGE-INTO emulation without a table format: union "
+    "base + change batch, keep the highest-version row per key via a "
+    "ranking window (the anti-join+union+window recipe; with Delta/Iceberg "
+    "this is a real MERGE with file skipping). Here 'P'-status orders get "
+    "a 10% price update.",
+)
+def cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    base = orders.withColumn("version", F.lit(1))
+    changes = (
+        orders.where(F.col("o_orderstatus") == "P")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("version", F.lit(2))
+    )
+    unioned = base.unionByName(changes)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

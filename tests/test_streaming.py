@@ -91,3 +91,24 @@ def test_rate_source_watermark_smoke(spark):
         assert spark.table("t_rate").count() > 0
     finally:
         q.stop()
+
+
+def test_stateful_running_totals_equals_batch(spark, events_dir):
+    """Custom stateful operator (applyInPandasWithState): after one
+    availableNow pass the per-user state equals the batch aggregate."""
+    from cve_manager_spark.streaming.stateful import running_user_totals
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(running_user_totals(stream), "t_state", output_mode="update")
+    got = {
+        r["user_id"]: (r["n"], round(r["sum_value"], 6))
+        for r in spark.table("t_state").collect()
+    }
+    batch = load_table(spark, SF_SMALL, "events")
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
