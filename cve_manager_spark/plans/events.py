@@ -186,3 +186,34 @@ def window_sliding(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dec_sum(F.col("value")).alias("sum_value"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
     )
+
+
+@_register(
+    "json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+    doc="Semi-structured projection: extract a field from a JSON string "
+    "column (get_json_object — JVM-side JSON path, no Python). The "
+    "schema-on-read twin of the NVD nested-struct projection (P1).",
+)
+def json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@_register(
+    "json_schema_infer",
+    "SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, COUNT(*) AS n "
+    "FROM events GROUP BY 1",
+    doc="Aggregate over a JSON-extracted field via from_json with an "
+    "explicit schema (the scale path: parse once, typed column out).",
+)
+def json_schema_infer(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    parsed = ev.select(F.from_json("props", "k int").alias("p"))
+    return (
+        parsed.select((F.col("p.k") % 10).alias("k_mod"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
