@@ -217,3 +217,51 @@ def json_schema_infer(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("k_mod")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@_register(
+    "grouped_median_pandas",
+    "SELECT event_type, quantile_cont(value, 0.5) AS median_v FROM events GROUP BY event_type",
+    doc="Grouped-map UDF surface (SURVEY §2.10): applyInPandas computing the "
+    "per-group median. Median is a selection/mean-of-two-middles — identical "
+    "operands in pandas and quantile_cont, so it oracle-checks exactly "
+    "(unlike order-dependent float sums). One shuffle on the group key; "
+    "each group becomes one Arrow batch.",
+)
+def grouped_median_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf, "events")
+
+    def median(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "median_v": [pdf["value"].median()]}
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        median, schema="event_type string, median_v double"
+    )
+
+
+@_register(
+    "argmax_per_key",
+    "SELECT user_id, event_id AS top_event, value AS top_value FROM events "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1",
+    doc="Argmax (whole-row max per key): ranking window with a deterministic "
+    "tie-break — the pattern behind keep-newest dedup and best-candidate "
+    "selection. (max_by would pick arbitrarily on value ties.)",
+)
+def argmax_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("top_event"),
+            F.col("value").alias("top_value"),
+        )
+    )
