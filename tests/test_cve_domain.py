@@ -147,3 +147,28 @@ def test_sql_surface_over_views(spark, relations):
         ("CVE-2021-0008", "cpe:2.3:a:v3:p3:3.0:*:*:*:*:*:*:*"),
         ("CVE-2021-0009", "cpe:2.3:a:v4:child:1.0:*:*:*:*:*:*:*"),
     ]
+
+
+def test_run_refresh_pipeline(spark):
+    """Library-level refresh: feeds → flatten → catalog, truncate-keeps-cwe
+    across two refreshes (the reference's -tr + -p -idb cycle)."""
+    import os
+
+    from cve_manager_spark import catalog, refresh
+
+    db = "cve_refresh_test"
+    catalog.drop_database(spark, db)
+    try:
+        counts = refresh.run_refresh(
+            spark, os.path.join(FIXDIR, "nvd_feed_fixture.json"), db=db
+        )
+        assert counts == {"cvss": 10, "cve_problem": 13, "cpe": 5}
+        # second refresh: truncate + reload, not append-duplication
+        counts2 = refresh.run_refresh(
+            spark, os.path.join(FIXDIR, "nvd_feed_fixture.json"), db=db
+        )
+        assert counts2 == counts
+        # view queryable after refresh
+        assert spark.table(f"{db}.cvss_vs_cpes").count() == 4
+    finally:
+        catalog.drop_database(spark, db)

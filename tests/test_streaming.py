@@ -112,3 +112,23 @@ def test_stateful_running_totals_equals_batch(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_foreach_batch_sink_idempotent(spark, events_dir, tmp_path):
+    """foreachBatch parquet sink: rows land once; a restarted query with
+    the same checkpoint does not duplicate them."""
+    from cve_manager_spark.streaming.sinks import foreach_batch_parquet
+
+    out = str(tmp_path / "sinkout")
+    stream = read_events_stream(spark, events_dir)
+    q = foreach_batch_parquet(stream.select("event_id", "user_id", "value"), out)
+    q.awaitTermination()
+    n_src = load_table(spark, SF_SMALL, "events").count()
+    first = spark.read.option("basePath", out).parquet(out + "/_batch_id=*")
+    assert first.count() == n_src
+
+    # restart against the same checkpoint: no new data → no duplication
+    q2 = foreach_batch_parquet(read_events_stream(spark, events_dir).select("event_id", "user_id", "value"), out)
+    q2.awaitTermination()
+    again = spark.read.option("basePath", out).parquet(out + "/_batch_id=*")
+    assert again.count() == n_src
