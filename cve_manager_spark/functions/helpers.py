@@ -89,3 +89,26 @@ def dec_avg(c: Column, scale: int = 4, precision: int = 18) -> Column:
     double quotient is bitwise deterministic (unlike built-in avg(double)).
     """
     return (F.sum(dec(c, scale, precision)).cast("double") / F.count(c)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Parallelism guard for compute-bound operators
+# ---------------------------------------------------------------------------
+
+def fan_out(df, target: int | None = None):
+    """Repartition up to the cluster's parallelism when the input has too
+    few partitions.
+
+    Small parquet files scan as ONE partition (a 600 KB documents file =
+    one row group), so a compute-heavy narrow operator (shingling,
+    fingerprinting, per-row vector math) runs single-threaded on a
+    many-core executor — measured 2.8× on the Jaccard pipeline. At real
+    scale inputs carry enough partitions and this is a no-op; the
+    round-robin shuffle of raw rows is only paid when parallelism is
+    actually missing.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

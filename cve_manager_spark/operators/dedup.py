@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cve_manager_spark.functions.helpers import fan_out
 from cve_manager_spark.operators.text import words
 
 
@@ -82,7 +83,7 @@ def ngram_jaccard_pairs(
       → more selective buckets). Worst-case skew (a stop-shingle shared
       by everything) is the reason the MinHash/SimHash LSH paths exist.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
     # Join on a 64-bit hash of the shingle, not the string: sorting/probing
@@ -164,7 +165,7 @@ def simhash_fingerprints(
     whole-stage-codegen instead of interpreted higher-order lambdas —
     measured ~30× faster, and the shape Spark scales (hash aggregate on
     the doc id, map-side partials)."""
-    ex = df.select(
+    ex = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
     ).select("id", F.xxhash64("sh").alias("h"))
@@ -247,7 +248,7 @@ def minhash_near_dups(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
     ).where(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cve_manager_spark.operators import dedup as D
 from cve_manager_spark.operators import similarity as S
+from cve_manager_spark.functions.helpers import fan_out
 from cve_manager_spark.operators import text as T
 from cve_manager_spark.plans.spec import QuerySpec
 from cve_manager_spark.sources.testdata import load_table
@@ -130,7 +131,7 @@ LIMIT 10
     "inside the 1e-6 rounding granularity exposed.",
 )
 def knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+    emb = fan_out(load_table(spark, sf, "embeddings"))
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     topk = S.cosine_topk(emb, q, k=10)
     return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
@@ -158,7 +159,7 @@ FROM d WHERE vec_id <> 0 AND dot / (SQRT(na) * SQRT(nb)) >= 0.2
     "(embedding near-dup shape: same plan with a high threshold).",
 )
 def cosine_threshold(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+    emb = fan_out(load_table(spark, sf, "embeddings"))
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     scores = S.cosine_scores(emb, q)
     return (
@@ -193,7 +194,7 @@ def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     "makes this linear-shuffle in distinct tokens, not corpus size).",
 )
 def text_tokenize_count(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out(load_table(spark, sf, "documents"))
     return (
         docs.select(F.explode(T.words(F.lower(F.col("text")))).alias("token"))
         .groupBy("token")
@@ -231,7 +232,7 @@ FROM t
     "and stopword ratios — integer-count arithmetic, deterministic.",
 )
 def text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out(load_table(spark, sf, "documents"))
     return T.quality_features(docs).select(
         "doc_id", "q_n_chars", "q_n_words", "q_avg_word_len", "q_punct_ratio", "q_stop_ratio"
     )
@@ -266,7 +267,7 @@ FROM c
     "tie-break (en > de > fr > es), 'und' on zero evidence.",
 )
 def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out(load_table(spark, sf, "documents"))
     return T.lang_id(docs).select("doc_id", "pred_lang")
 
 
@@ -299,7 +300,7 @@ def token_count(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.multimodal import attach_binary, extract_features
 
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out(load_table(spark, sf, "documents"))
     return extract_features(attach_binary(docs)).select("doc_id", "n_bytes", "content_sha")
 
 
@@ -313,7 +314,7 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     "engine-agnostic content fingerprint (same formula runs on DuckDB).",
 )
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out(load_table(spark, sf, "documents"))
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -347,7 +348,7 @@ FROM d WHERE dot / (na * nb) >= 0.35
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.similarity import as_double, dot, l2_norm
 
-    emb = load_table(spark, sf, "embeddings")
+    emb = fan_out(load_table(spark, sf, "embeddings"))
     v = emb.select(
         "vec_id",
         as_double(F.col("embedding")).alias("e"),
@@ -404,7 +405,7 @@ FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
     "bit-reproducible (rounded to 6dp for cross-engine safety).",
 )
 def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out(load_table(spark, sf, "documents"))
     tok = docs.select(
         "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("token")
     )
