@@ -22,6 +22,7 @@ plan, never a per-row Python call.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -156,4 +157,35 @@ def ann_topk(
         cands.select(F.col(id_col), cosine(a, b).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def cosine_scores_pandas(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Cosine scores via an Arrow-batched pandas UDF (numpy matrix math).
+
+    The expression path (``cosine_scores``) folds zip_with/aggregate per
+    row — interpreted, ~64 lambda evals per vector. Here each Arrow batch
+    becomes one numpy (batch × dim) matrix and the scores are one GEMV —
+    the per-core throughput path for billion-vector corpora. Same numbers
+    (float64 accumulation, error ~1e-14), same broadcast plan shape.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_batch(vecs: pd.Series, qvecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        q = np.array(qvecs.iloc[0], dtype=np.float64)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1)) * np.sqrt(q @ q)
+        return pd.Series(dots / norms)
+
+    return (
+        df.crossJoin(F.broadcast(query_df))
+        .select(F.col(id_col), cos_batch(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"))
     )

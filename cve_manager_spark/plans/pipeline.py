@@ -442,3 +442,21 @@ def text_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+@_register(
+    "knn_cosine_pandas",
+    _KNN_ORACLE,
+    doc="N3 at-scale variant of knn_cosine: Arrow-batched numpy GEMV pandas "
+    "UDF instead of interpreted zip_with folds — same oracle, same top-10 "
+    "(float64 accumulation both ways).",
+)
+def knn_cosine_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf, "embeddings"))
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scores = S.cosine_scores_pandas(emb, q)
+    return (
+        scores.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
