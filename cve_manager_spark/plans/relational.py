@@ -734,3 +734,21 @@ def cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@_register(
+    "unpivot_melt",
+    "SELECT l_orderkey, l_linenumber, measure, val FROM lineitem "
+    "UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))",
+    doc="Unpivot/melt (wide→long reshape): three measure columns become "
+    "(measure, val) rows — the inverse of agg_pivot. Narrow op, output "
+    "3× rows, no shuffle.",
+)
+def unpivot_melt(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
