@@ -460,3 +460,29 @@ def knn_cosine_pandas(spark: SparkSession, sf: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+@_register(
+    "dedup_clusters",
+    "SELECT doc_id AS node, MIN(doc_id) OVER (PARTITION BY lang) AS component FROM documents",
+    doc="Dedup clustering: connected components over near-dup edges "
+    "(operators.graph, min-label + pointer jumping, O(log n) rounds). "
+    "Edges here chain consecutive doc_ids within a language, so every "
+    "component is exactly its language group and the oracle reduces to a "
+    "window MIN — a real differential test: iterative distributed "
+    "propagation vs a closed-form answer, including ~200-hop chains.",
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cve_manager_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    edges = (
+        docs.select("doc_id", "lang")
+        .withColumn("next_id", F.lead("doc_id").over(w))
+        .where(F.col("next_id").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), F.col("next_id").alias("id_b"))
+    )
+    return connected_components(edges)

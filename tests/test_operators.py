@@ -100,3 +100,27 @@ def test_simhash_properties(spark):
     ham_far = bin(fps[1] ^ fps[4]).count("1")
     assert ham_near < ham_far  # near-dup closer than unrelated
     assert ham_near <= 16
+
+
+def test_connected_components_hand_graph(spark):
+    from cve_manager_spark.operators.graph import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (triangle)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a: bigint, id_b: bigint",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_keep_one_per_cluster(spark):
+    from cve_manager_spark.operators.graph import dedup_keep_one_per_cluster
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id: bigint, text: string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a: bigint, id_b: bigint")
+    kept = sorted(r["doc_id"] for r in dedup_keep_one_per_cluster(df, pairs).collect())
+    # cluster {0,3,5} keeps 0; singletons 1,2,4 keep themselves
+    assert kept == [0, 1, 2, 4]
