@@ -189,3 +189,60 @@ def cosine_scores_pandas(
         df.crossJoin(F.broadcast(query_df))
         .select(F.col(id_col), cos_batch(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"))
     )
+
+
+def ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: KMeans centroids + per-row list assignment.
+
+    Returns (indexed_df with 'list_id', model). At scale the indexed
+    table is written partitioned/bucketed by list_id so a query scans
+    only its probed lists — the IVF analogue of the LSH bucket key.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("__features", array_to_vector(as_double(F.col(vec_col))))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__features", predictionCol="list_id").fit(feat)
+    return model.transform(feat).drop("__features"), model
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to n_lists KMeans cells,
+    rank cells by centroid distance to the query, exact-search the
+    n_probe nearest cells. Recall/cost dial: n_probe/n_lists of the
+    corpus is scanned."""
+    import numpy as np
+
+    indexed, model = ivf_index(df, n_lists, seed, vec_col)
+    qvec = np.asarray(
+        query_df.select(query_vec_col).first()[0], dtype=np.float64
+    )
+    centers = model.clusterCenters()
+    order = np.argsort([np.linalg.norm(np.asarray(c) - qvec) for c in centers])
+    probe_lists = [int(i) for i in order[:n_probe]]
+
+    cands = indexed.where(F.col("list_id").isin(probe_lists))
+    q = query_df.select(F.col(query_vec_col))
+    a = as_double(F.col(vec_col))
+    b = as_double(F.col(query_vec_col))
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cosine(a, b).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

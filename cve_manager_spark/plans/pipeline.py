@@ -486,3 +486,16 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("doc_id").alias("id_a"), F.col("next_id").alias("id_b"))
     )
     return connected_components(edges)
+
+
+@_register(
+    "ann_ivf",
+    None,
+    doc="N3 scale path #2: IVF — KMeans coarse quantizer, search the "
+    "n_probe nearest cells (scans n_probe/n_lists of the corpus). "
+    "Rows-only: KMeans assignment is seed/init dependent.",
+)
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return S.ivf_topk(emb, q, k=10, n_lists=16, n_probe=4)
