@@ -499,3 +499,91 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     return S.ivf_topk(emb, q, k=10, n_lists=16, n_probe=4)
+
+
+_CLEAN_ORACLE = """
+WITH q AS (
+  SELECT doc_id, text, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_words
+  FROM documents
+), d AS (
+  SELECT doc_id, lang, n_words,
+         MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+  FROM q
+  WHERE n_words >= 20 AND lang IN ('en', 'de')
+)
+SELECT doc_id, lang, n_words FROM d WHERE doc_id = keep_id
+"""
+
+
+@_register(
+    "corpus_clean",
+    _CLEAN_ORACLE,
+    doc="Pipeline composition: quality filter (≥20 words) ∧ language filter "
+    "∧ exact dedup (keep min id per content hash) in one declarative plan "
+    "— the canonical pretraining-corpus cleaning pass. Catalyst fuses the "
+    "filters into the scan; the only shuffle is the dedup window.",
+)
+def corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    n_words = F.size(T.words(F.col("text")))
+    filtered = docs.withColumn("n_words", n_words).where(
+        (F.col("n_words") >= 20) & F.col("lang").isin("en", "de")
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    return (
+        filtered.withColumn("keep_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "n_words")
+    )
+
+
+_KNN_PER_LABEL_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, e.label,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)) AS dot,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+         SUM(CAST(q.qe[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)) AS nb
+  FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+  GROUP BY e.vec_id, e.label
+)
+SELECT label, vec_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim FROM (
+  SELECT label, vec_id, dot, na, nb,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dot / (SQRT(na) * SQRT(nb)) DESC, vec_id) AS rn
+  FROM d
+) WHERE rn <= 3
+"""
+
+
+@_register(
+    "knn_per_label",
+    _KNN_PER_LABEL_ORACLE,
+    doc="Grouped vector search: top-3 nearest to the query within EACH "
+    "label (per-class retrieval). Scores via the broadcast plan; ranking "
+    "via a label-partitioned window — one shuffle on label.",
+)
+def knn_per_label(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = fan_out(load_table(spark, sf, "embeddings"))
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scores = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            "vec_id",
+            S.cosine(
+                S.as_double(F.col("embedding")), S.as_double(F.col("qvec"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("label", "vec_id", F.round("cos", 6).alias("cos_sim"))
+    )
