@@ -141,3 +141,22 @@ def test_feed_urls_regex():
     urls = feed_urls(html)
     assert urls[0] == "nvdcve-1.1-2021.json.zip"
     assert len([u for u in urls if "2021" in u]) == 1
+
+
+def test_pruned_feed_schemas_match_full(spark, feed):
+    """Per-relation pruned read schemas produce identical outputs to the
+    full schema (JSON parse-cost optimization, schemas.feed_schema_for)."""
+    from cve_manager_spark.operators.flatten import flatten_cpe as fc
+    from cve_manager_spark.operators.flatten import flatten_cvss as fv
+    from cve_manager_spark.operators.flatten import flatten_problems as fp
+    from cve_manager_spark.schemas import feed_schema_for
+
+    for rel, flatten in (("cvss", fv), ("cve_problem", fp), ("cpe", fc)):
+        schema = feed_schema_for(rel)
+        pruned_feed = read_feeds_json(spark, FIXTURE, schema=schema)
+        a = sorted(map(tuple, flatten(pruned_feed).collect()))
+        b = sorted(map(tuple, flatten(feed).collect()))
+        assert a == b, rel
+    # the problems schema really is narrow
+    s = str(feed_schema_for("cve_problem"))
+    assert "impact" not in s and "configurations" not in s
