@@ -60,6 +60,21 @@ def cmd_process(spark: SparkSession, args) -> None:
     zips = any(f.endswith(".zip") for f in os.listdir(args.input))
     glob = os.path.join(args.input, "*.zip" if zips else "*.json")
     feed = read_feeds_zip(spark, glob) if zips else read_feeds_json(spark, glob)
+    # per-file header report (E3 parity, cve_manager.py:240-244)
+    for r in (
+        feed.select(
+            "source_file", "CVE_data_timestamp", "CVE_data_version",
+            "CVE_data_format", "CVE_data_numberOfCVEs", "CVE_data_type",
+        )
+        .orderBy("source_file")
+        .collect()
+    ):
+        print("\nProcessing", os.path.basename(r["source_file"]))
+        print("CVE_data_timestamp: " + str(r["CVE_data_timestamp"]))
+        print("CVE_data_version: " + str(r["CVE_data_version"]))
+        print("CVE_data_format: " + str(r["CVE_data_format"]))
+        print("CVE_data_number of CVEs: " + str(r["CVE_data_numberOfCVEs"]))
+        print("CVE_data_type: " + str(r["CVE_data_type"]))
     relations = flatten_all(feed)
     if args.csv_file:
         os.makedirs(args.results, exist_ok=True)
