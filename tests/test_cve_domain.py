@@ -172,3 +172,70 @@ def test_run_refresh_pipeline(spark):
         assert spark.table(f"{db}.cvss_vs_cpes").count() == 4
     finally:
         catalog.drop_database(spark, db)
+
+
+def test_incremental_refresh(spark, tmp_path):
+    """File-level incremental refresh: new feed files append; already
+    loaded files are skipped (refresh_log anti-join)."""
+    import json
+    import shutil
+
+    from cve_manager_spark import catalog, refresh
+
+    db = "cve_incr_test"
+    catalog.drop_database(spark, db)
+    d = tmp_path / "feeds"
+    d.mkdir()
+    shutil.copy(os.path.join(FIXDIR, "nvd_feed_fixture.json"), d / "nvdcve-1.1-2021.json")
+    try:
+        c1 = refresh.run_refresh(spark, f"{d}/*.json", db=db, incremental=True)
+        assert c1["cvss"] == 10
+        # re-run with no new files: nothing appended
+        c2 = refresh.run_refresh(spark, f"{d}/*.json", db=db, incremental=True)
+        assert c2 == c1
+        # add a second (distinct-ids) feed file: only its rows append
+        feed = json.load(open(os.path.join(FIXDIR, "nvd_feed_fixture.json")))
+        for item in feed["CVE_Items"]:
+            item["cve"]["CVE_data_meta"]["ID"] = item["cve"]["CVE_data_meta"]["ID"].replace(
+                "CVE-2021", "CVE-2022"
+            )
+        (d / "nvdcve-1.1-2022.json").write_text(json.dumps(feed))
+        c3 = refresh.run_refresh(spark, f"{d}/*.json", db=db, incremental=True)
+        assert c3["cvss"] == 20 and c3["cve_problem"] == 26
+        # full refresh resets and reloads everything exactly once
+        c4 = refresh.run_refresh(spark, f"{d}/*.json", db=db, incremental=False)
+        assert c4["cvss"] == 20
+    finally:
+        catalog.drop_database(spark, db)
+
+
+def test_flattener_runs_under_structured_streaming(spark, tmp_path):
+    """The SAME flattener expressions run under readStream: feed files
+    arriving in a directory incrementally flatten into relations."""
+    import shutil
+
+    from cve_manager_spark.operators.flatten import flatten_problems
+    from cve_manager_spark.schemas import NVD_FEED
+    from cve_manager_spark.sources.nvd import read_feeds_json
+
+    d = tmp_path / "stream_feeds"
+    d.mkdir()
+    shutil.copy(os.path.join(FIXDIR, "nvd_feed_fixture.json"), d / "nvdcve-1.1-2021.json")
+    stream = (
+        spark.readStream.schema(NVD_FEED).option("multiLine", True).json(str(d))
+    )
+    out = flatten_problems(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_flat_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("t_flat_stream").collect()))
+    want = sorted(
+        map(tuple, flatten_problems(read_feeds_json(spark, str(d / "*.json"))).collect())
+    )
+    assert got == want and len(got) == 13
