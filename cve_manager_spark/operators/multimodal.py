@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, content_sha string, head_hex string"
+    "doc_id bigint, n_bytes bigint, content_sha string, head_hex string"
 )
 
 THUMB_SCHEMA = "doc_id bigint, width int, height int, thumb binary"
@@ -52,7 +52,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", data_col: str = "dat
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": data.map(len).astype("int32"),
+                    "n_bytes": data.map(len).astype("int64"),
                     "content_sha": data.map(lambda b: hashlib.sha256(b).hexdigest()),
                     "head_hex": data.map(lambda b: bytes(b[:8]).hex()),
                 }

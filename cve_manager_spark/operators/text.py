@@ -64,8 +64,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(F.filter(words(F.lower(t)), _is_stopword))
     n_punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", ""))
     return (
-        df.withColumn("q_n_chars", n_chars)
-        .withColumn("q_n_words", n_words)
+        df.withColumn("q_n_chars", n_chars.cast("bigint"))
+        .withColumn("q_n_words", n_words.cast("bigint"))
         .withColumn(
             "q_avg_word_len",
             F.when(

@@ -283,8 +283,8 @@ def token_count(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select(
         "doc_id",
-        T.token_count_ws(F.col("text")).alias("ws_tokens"),
-        T.token_count_bpe(F.col("text")).alias("bpe_tokens"),
+        T.token_count_ws(F.col("text")).cast("bigint").alias("ws_tokens"),
+        T.token_count_bpe(F.col("text")).cast("bigint").alias("bpe_tokens"),
     )
 
 
@@ -529,7 +529,7 @@ def corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     n_words = F.size(T.words(F.col("text")))
-    filtered = docs.withColumn("n_words", n_words).where(
+    filtered = docs.withColumn("n_words", n_words.cast("bigint")).where(
         (F.col("n_words") >= 20) & F.col("lang").isin("en", "de")
     )
     w = Window.partitionBy(F.sha2(F.col("text"), 256))

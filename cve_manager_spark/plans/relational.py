@@ -452,7 +452,7 @@ def window_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         orders.select(
-            "o_orderpriority", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+            "o_orderpriority", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("bigint").alias("rn")
         )
         .where(F.col("rn") <= 3)
     )
@@ -646,7 +646,7 @@ def window_ntile(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return orders.select(
-        "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile")
+        "o_orderkey", "o_totalprice", F.ntile(4).over(w).cast("bigint").alias("quartile")
     )
 
 

@@ -51,3 +51,29 @@ def test_registry_consistency():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert q, "registry is empty"
+
+
+# spark dtype → acceptable DuckDB type names; the driver's gate records a
+# schema comparison, so width mismatches (int vs BIGINT) are treated as
+# failures here too.
+_TYPE_MAP = {
+    "bigint": {"BIGINT"}, "int": {"INTEGER"}, "smallint": {"SMALLINT"},
+    "double": {"DOUBLE"}, "float": {"FLOAT"}, "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"}, "date": {"DATE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(n for n in SPECS if SPECS[n].oracle))
+def test_schema_types_align_with_oracle(spark, con, name):
+    spec = SPECS[name]
+    sdt = dict(spec.build(spark, SF_ORACLE).dtypes)
+    rel = con.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
+    ddt = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    problems = [
+        f"{col}: spark={st} duck={ddt.get(col)}"
+        for col, st in sdt.items()
+        if ddt.get(col) not in _TYPE_MAP.get(st, set())
+    ]
+    assert not problems, f"{name}: " + "; ".join(problems)
