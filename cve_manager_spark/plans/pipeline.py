@@ -587,3 +587,18 @@ def knn_per_label(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("label", "vec_id", F.round("cos", 6).alias("cos_sim"))
     )
+
+
+@_register(
+    "sample_hash",
+    "SELECT doc_id, lang FROM documents "
+    "WHERE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 4 = 0",
+    doc="Deterministic hash sampling: a stable ~25% shard keyed on md5 of "
+    "the id — reproducible across engines, runs, and cluster layouts "
+    "(unlike TABLESAMPLE/rand()), which is what training-data sharding "
+    "needs. md5 is the one hash both engines share bit-for-bit.",
+)
+def sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 4
+    return docs.where(bucket == 0).select("doc_id", "lang")
