@@ -107,8 +107,14 @@ def fan_out(df, target: int | None = None):
     round-robin shuffle of raw rows is only paid when parallelism is
     actually missing.
     """
-    sc = df.sparkSession.sparkContext
-    target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        sc = df.sparkSession.sparkContext
+        target = target or sc.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect has no sparkContext/rdd access; there the session
+        # is remote and scan parallelism is the server's concern.
+        return df
+    if n < target:
         return df.repartition(target)
     return df

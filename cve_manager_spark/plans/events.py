@@ -265,3 +265,29 @@ def argmax_per_key(spark: SparkSession, sf: str) -> DataFrame:
             F.col("value").alias("top_value"),
         )
     )
+
+
+@_register(
+    "window_range_frame",
+    "SELECT event_id, user_id, ts, "
+    "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour "
+    "FROM events",
+    doc="Time-based RANGE window frame: per event, how many of the user's "
+    "events fall in the trailing hour (inclusive). Spark range frames "
+    "need a numeric order key, so the frame is expressed over exact epoch "
+    "microseconds — identical inclusive bounds to the INTERVAL form.",
+)
+def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
