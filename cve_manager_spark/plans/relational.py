@@ -752,3 +752,22 @@ def unpivot_melt(spark: SparkSession, sf: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@_register(
+    "explode_outer_nulls",
+    "SELECT doc_id, unnest(CASE WHEN n_chars >= 300 THEN [CAST(NULL AS VARCHAR)] "
+    "ELSE list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') END) AS token "
+    "FROM documents",
+    doc="explode_outer: rows with an empty/absent array survive with a NULL "
+    "element instead of disappearing — the left-join flavor of E1 (long "
+    "docs here stand in for the empty-array case).",
+)
+def explode_outer_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    from cve_manager_spark.operators.text import words
+
+    arr = F.when(
+        F.col("n_chars") < 300, words(F.lower(F.col("text")))
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode_outer(arr).alias("token"))
