@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cve_manager_spark.functions.helpers import dec, dec_sum, is_digits, strip_charset_prefix
+from cve_manager_spark.functions.helpers import dec, dec_sum, fan_out, is_digits, strip_charset_prefix
 from cve_manager_spark.plans.spec import QuerySpec
 from cve_manager_spark.sources.testdata import load_table
 
@@ -378,7 +378,9 @@ GROUP BY l_returnflag, l_linestatus
     "→ order-independent, cluster-deterministic; partial aggregation map-side.",
 )
 def agg_groupby(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
+    # single-row-group local files decode on one core; fan_out is a no-op
+    # once the scan carries real parallelism (see helpers.fan_out)
+    li = fan_out(load_table(spark, sf, "lineitem"))
     disc_price = dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount")))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dec_sum(F.col("l_quantity")).alias("sum_qty"),
@@ -410,7 +412,7 @@ def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     doc="X4 rollup (grouping sets).",
 )
 def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
+    li = fan_out(load_table(spark, sf, "lineitem"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), dec_sum(F.col("l_quantity")).alias("sum_qty")
     )
