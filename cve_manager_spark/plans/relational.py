@@ -535,14 +535,18 @@ def join_semi(spark: SparkSession, sf: str) -> DataFrame:
 @_register(
     "join_anti",
     "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
-    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
-    doc="Left-anti join (absence): customers with no orders at all.",
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderpriority = '1-URGENT')",
+    doc="Left-anti join (absence): customers with no URGENT orders — the "
+    "filtered build side keeps the result non-trivial at every scale "
+    "factor (an unfiltered anti join is empty: every customer has orders).",
 )
 def join_anti(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
