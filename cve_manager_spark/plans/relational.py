@@ -777,3 +777,18 @@ def explode_outer_nulls(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_chars") < 300, words(F.lower(F.col("text")))
     ).otherwise(F.array().cast("array<string>"))
     return docs.select("doc_id", F.explode_outer(arr).alias("token"))
+
+
+@_register(
+    "agg_approx_percentile",
+    None,
+    doc="X3 companion: approx_percentile (t-digest-style sketch) — the "
+    "at-scale quantile path. Rows-only: sketch estimates are "
+    "engine-specific; exactness is covered by agg_percentile.",
+)
+def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_approx"),
+    )
