@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-sc", "--score", dest="score", default=0.0, type=float)
     p.add_argument("-dt", "--date", dest="date", default=None)
     p.add_argument("-master", dest="master", default="local[*]")
+    p.add_argument("-explain", action="store_true", dest="explain",
+                   help="Print the physical plan instead of executing the query.")
     return p
 
 
@@ -131,6 +133,9 @@ def cmd_score_date(spark: SparkSession, args) -> None:
     from cve_manager_spark.sources.sinks import export_results
 
     df = cves_by_score_date(_read(spark, args, "cvss"), args.score, args.date)
+    if args.explain:
+        df.explain("formatted")
+        return
     header = "CVE \t\tCVSSv3.x Score CVSSv3.x Vector String \t\t\tCVSSv2 Score CVSSv2 Vector String"
     print(header + ("\t\t\t Published Date" if args.date else ""))
     for r in df.collect():
@@ -145,6 +150,9 @@ def cmd_cpe(spark: SparkSession, args) -> None:
 
     view = cvss_vs_cpes(_read(spark, args, "cvss"), _read(spark, args, "cpe"))
     df = cves_by_cpe(view, args.cpe, args.score, args.date)
+    if args.explain:
+        df.explain("formatted")
+        return
     print("CPE\t\t\t\t\t\t\tCVE\t\tCVSSv3.x CVSSv2\t Published Date")
     for r in df.collect():
         print(r["cpe23uri"], r["cve"], r["base_score_3"], "\t", r["base_score"], "\t", r["published_date"])
