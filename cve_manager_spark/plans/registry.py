@@ -10,25 +10,33 @@ from __future__ import annotations
 from cve_manager_spark.plans.spec import Builder, QuerySpec
 
 
+# Every query family the registry must expose. A missing module is a hard
+# error: silently dropping a family would shrink queries()/oracle_sql() with
+# no signal and under-report coverage (numpy/pandas/pyspark.ml are baked into
+# the runtime, so an ImportError here is always a real defect).
+#
+# Order matters: the driver's correctness gate samples a prefix of the
+# registry, so the flagship pipeline (dedup/similarity/text/multimodal) and
+# events families come FIRST; the relational micro-queries — all driver-green
+# in round 1 — rotate to the back.
+EXPECTED_QUERY_COUNT = 79
+
+
 def _all_specs() -> list[QuerySpec]:
-    # Import lazily so a syntax error in one family surfaces as a normal
-    # import error during tests, and module import order stays explicit.
+    from cve_manager_spark.plans import events as events_mod
+    from cve_manager_spark.plans import pipeline as pipeline_mod
     from cve_manager_spark.plans import relational
 
     specs: list[QuerySpec] = []
+    specs += pipeline_mod.SPECS
+    specs += events_mod.SPECS
     specs += relational.SPECS
-    try:
-        from cve_manager_spark.plans import events as events_mod
-
-        specs += events_mod.SPECS
-    except ImportError:
-        pass
-    try:
-        from cve_manager_spark.plans import pipeline as pipeline_mod
-
-        specs += pipeline_mod.SPECS
-    except ImportError:
-        pass
+    if len(specs) != EXPECTED_QUERY_COUNT:
+        raise RuntimeError(
+            f"registry expected {EXPECTED_QUERY_COUNT} queries, found {len(specs)} — "
+            "a module silently lost specs (update EXPECTED_QUERY_COUNT only with "
+            "an intentional registry change)"
+        )
     return specs
 
 

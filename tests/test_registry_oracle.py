@@ -53,6 +53,22 @@ def test_registry_consistency():
     assert q, "registry is empty"
 
 
+def test_registry_complete_and_ordered():
+    """Guards VERDICT r1 findings: (a) no silent family drop — the exact
+    query count is asserted; (b) the driver's correctness gate samples a
+    prefix of the registry, so the pipeline + events families (the r1
+    blind spot) must precede the relational block."""
+    from cve_manager_spark.plans import registry
+    from cve_manager_spark.plans import events, pipeline
+
+    names = list(registry.queries())
+    assert len(names) == registry.EXPECTED_QUERY_COUNT
+    head = names[: len(pipeline.SPECS) + len(events.SPECS)]
+    assert head == [s.name for s in pipeline.SPECS] + [s.name for s in events.SPECS]
+    # every flagship family fits the driver's 50-entry window
+    assert len(head) <= 50
+
+
 # spark dtype → acceptable DuckDB type names; the driver's gate records a
 # schema comparison, so width mismatches (int vs BIGINT) are treated as
 # failures here too.
