@@ -39,6 +39,12 @@ HEADLINE = [
     "text_tokenize_count",
     "text_quality",
     "doc_fingerprint",
+    # r2 breadth: north-star pipeline + ordered-join headliners
+    "text_tfidf",
+    "corpus_clean",
+    "dedup_clusters",
+    "cdc_upsert",
+    "join_asof",
 ]
 
 

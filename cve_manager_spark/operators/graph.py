@@ -31,11 +31,24 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    jumps_per_round: int = 2,
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
     Deterministic: min-label is order-independent. Raises if not converged
-    within max_iter (2**25 ≈ 33M-hop chains — unreachable in practice).
+    within max_iter rounds.
+
+    Round-count engineering (the wall-clock driver for iterative Spark —
+    each round pays fixed job/shuffle scheduling overhead regardless of
+    data size): ``jumps_per_round`` pointer jumps run inside ONE
+    checkpointed round, so reach grows ~2**jumps_per_round× per round
+    (default 4×) at the cost of one extra join per jump in the plan —
+    a 500-hop chain converges in ~5 rounds instead of ~9. Convergence is
+    detected by the label-sum invariant: labels are monotone
+    non-increasing, so an unchanged SUM(label) (exact decimal — no
+    overflow at any id range) means no label moved — one narrow aggregate
+    on the just-checkpointed relation instead of a join against the
+    previous round.
     """
     undirected = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -46,40 +59,38 @@ def connected_components(
         undirected.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("label"))
     ).localCheckpoint(eager=True)
 
+    def label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             undirected.join(labels, undirected.v == labels.node)
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        stepped = (
+        cur = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             )
         )
-        # pointer jumping: label <- label(label)
-        parent = stepped.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        jumped = (
-            stepped.join(parent, stepped.label == parent.p_node, "left")
-            .select(
+        # pointer jumping: label <- label(label), jumps_per_round times
+        for _j in range(jumps_per_round):
+            parent = cur.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            cur = cur.join(parent, cur.label == parent.p_node, "left").select(
                 "node",
                 F.least(F.col("label"), F.coalesce("p_label", F.col("label"))).alias("label"),
             )
-        ).localCheckpoint(eager=True)
+        labels = cur.localCheckpoint(eager=True)
 
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
             return labels.select("node", F.col("label").alias("component"))
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 
