@@ -31,6 +31,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input", dest="input", default="nvd/", help="NVD feed directory (default: nvd/)")
     p.add_argument("-o", "--output", dest="results", default="results/", help="CSV output directory (default: results/)")
     p.add_argument("-w", "--warehouse", dest="warehouse", default="warehouse/", help="Parquet warehouse directory")
+    # DB connection surface (cve_manager.py:622-627). The engine is
+    # storage-agnostic: these route -idb/-icwe through the JDBC sink when a
+    # jdbc: URL is supplied (via -jdbc, or -server/-host holding a jdbc: URL);
+    # otherwise the parquet warehouse is the storage and they are inert.
+    p.add_argument("-u", "--user", dest="user", default="postgres", help="The user to connect to the database.")
+    p.add_argument("-ow", "--owner", dest="owner", default=None, help="The owner of the database (if different from the connected user).")
+    p.add_argument("-host", "--host", dest="host", default=None, help="Database host for the query commands.")
+    p.add_argument("-server", "--server", dest="server", default="localhost", help="The hostname or IP of the database server (or a full jdbc: URL).")
+    p.add_argument("-db", "--database", dest="database", default="postgres", help="The name of the database.")
+    p.add_argument("-jdbc", "--jdbc_url", dest="jdbc_url", default=None, help="Full JDBC URL; routes -idb/-icwe loads through the JDBC sink.")
     p.add_argument("-cd", "--create_database", action="store_true", dest="cd")
     p.add_argument("-dd", "--drop_database", action="store_true", dest="dd")
     p.add_argument("-ct", "--create_tables", action="store_true", dest="ct")
@@ -48,6 +58,27 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _warehouse_path(args, name: str) -> str:
     return os.path.join(args.warehouse, name)
+
+
+def _jdbc_url(args) -> str | None:
+    """JDBC routing: an explicit -jdbc URL wins; -server/-host holding a
+    jdbc: URL also routes (the reference's server/host split maps onto
+    load/query paths). A bare hostname stays in parquet-warehouse mode —
+    never guess a DB out of the reference's localhost defaults."""
+    for cand in (args.jdbc_url, args.server, args.host):
+        if cand and cand.startswith("jdbc:"):
+            return cand
+    return None
+
+
+def _store(df: "DataFrame", args, name: str) -> None:
+    url = _jdbc_url(args)
+    if url is not None:
+        from cve_manager_spark.sources.sinks import write_jdbc
+
+        write_jdbc(df, url, name, user=None if url.startswith("jdbc:derby") else args.user, mode="overwrite")
+    else:
+        df.write.mode("overwrite").parquet(_warehouse_path(args, name))
 
 
 def _read(spark: SparkSession, args, name: str) -> DataFrame:
@@ -85,13 +116,13 @@ def cmd_process(spark: SparkSession, args) -> None:
             write_reference_csv(df, os.path.join(args.results, names[rel] + ".csv"), names[rel])
     if args.idb:
         for rel, df in relations.items():
-            df.write.mode("overwrite").parquet(_warehouse_path(args, rel))
+            _store(df, args, rel)
 
 
 def cmd_import_cwe(spark: SparkSession, args) -> None:
     from cve_manager_spark.sources.cwe_csv import read_cwe_csv
 
-    read_cwe_csv(spark, args.icwe).write.mode("overwrite").parquet(_warehouse_path(args, "cwe"))
+    _store(read_cwe_csv(spark, args.icwe), args, "cwe")
 
 
 def cmd_cve(spark: SparkSession, args) -> None:

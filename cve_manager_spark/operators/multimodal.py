@@ -79,8 +79,22 @@ def decode_resize(
 ) -> DataFrame:
     """Decode/resize pipeline shape: mapInPandas producing fixed-size
     thumbnails + dimensions. ``real_decoder(bytes, target) -> bytes``
-    plugs in an actual image library; default is the deterministic stub."""
-    decoder = real_decoder or decode_stub
+    plugs in an actual image library; default is the deterministic stub.
+
+    The default decoder is a NESTED copy of ``decode_stub``, not a
+    reference to it: a module-level function would be pickled by module
+    path and force every executor worker to import cve_manager_spark —
+    which fails when the driver process found the package via sys.path
+    manipulation rather than an installed distribution. Nested functions
+    are pickled by value, so the closure ships self-contained."""
+    if real_decoder is None:
+
+        def real_decoder(data: bytes, t: tuple[int, int] = target) -> bytes:
+            dg = hashlib.sha256(data).digest()
+            n = t[0] * t[1]
+            return (dg * (n // len(dg) + 1))[:n]
+
+    decoder = real_decoder
     w, h = target
 
     def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -593,3 +593,280 @@ def sample_hash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 4
     return docs.where(bucket == 0).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# r2 additions: sampling, masking, corpus stats, cohorts, multimodal oracles
+# ---------------------------------------------------------------------------
+
+_STRATIFIED_ORACLE = """
+WITH rates(lang, pct) AS (VALUES ('en', 2), ('de', 5), ('fr', 10), ('es', 20))
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) % 20 < r.pct
+"""
+
+
+@_register(
+    "stratified_sample",
+    _STRATIFIED_ORACLE,
+    doc="Language-balanced deterministic sampling: per-stratum keep rates "
+    "(en 10%, de 25%, fr 50%, es 100% of 20 hash buckets) via a broadcast "
+    "join against the tiny rates dim — the language-rebalancing pass of a "
+    "pretraining mix. Same md5 shard key as sample_hash, so shards are "
+    "stable across engines and cluster layouts; langs absent from the "
+    "rates table drop out (inner join).",
+)
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    rates = spark.createDataFrame(
+        [("en", 2), ("de", 5), ("fr", 10), ("es", 20)], "lang string, pct int"
+    )
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 20
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("pct"))
+        .select("doc_id", "lang")
+    )
+
+
+@_register(
+    "text_pii_mask",
+    "SELECT doc_id, regexp_replace(regexp_replace(text, "
+    "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'), "
+    "'[0-9]{4,}', '<NUM>', 'g') AS masked FROM documents",
+    doc="PII-style masking: emails then 4+-digit runs replaced with typed "
+    "placeholders — two JVM-side regexp_replace passes (narrow map, no "
+    "Python). Patterns restricted to the regex subset Java and RE2 agree "
+    "on (no backrefs/lookaround), so the oracle runs the same expressions.",
+)
+def text_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+        r"[0-9]{4,}",
+        "<NUM>",
+    )
+    return docs.select("doc_id", masked.alias("masked"))
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+       CASE WHEN len(w) > 0
+            THEN ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+            ELSE 0.0 END AS distinct_ratio
+FROM t
+"""
+
+
+@_register(
+    "text_repetition_ratio",
+    _REPETITION_ORACLE,
+    doc="N4 repetition quality signal: distinct-token ratio per document "
+    "(low ratio = boilerplate/spam — a standard pretraining filter "
+    "feature). array_distinct/size are codegen expressions; integer "
+    "counts divide deterministically.",
+)
+def text_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    w = T.words(F.lower(F.col("text")))
+    n = F.size(w).cast("bigint")
+    nd = F.size(F.array_distinct(w)).cast("bigint")
+    ratio = F.when(n > 0, F.round(nd.cast("double") / n, 6)).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id", n.alias("n_tokens"), nd.alias("n_distinct"), ratio.alias("distinct_ratio")
+    )
+
+
+@_register(
+    "doc_length_histogram",
+    "SELECT n_chars // 100 AS bucket, COUNT(*) AS n, "
+    "MIN(n_chars) AS lo, MAX(n_chars) AS hi "
+    "FROM documents GROUP BY 1",
+    doc="Corpus length histogram (100-char buckets): the shape check run "
+    "before/after every filter stage of a data pipeline. One hash "
+    "aggregate over a derived key; bucket count is bounded, so the "
+    "shuffle is tiny at any corpus size.",
+)
+def doc_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy((F.col("n_chars") / 100).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )
+
+
+@_register(
+    "group_sample_topn",
+    "SELECT doc_id, lang FROM ("
+    "  SELECT doc_id, lang, ROW_NUMBER() OVER ("
+    "    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn"
+    "  FROM documents) WHERE rn <= 3",
+    doc="Deterministic per-group sample: 3 docs per language, ordered by "
+    "md5 of the id (a seedless reproducible shuffle) — per-stratum "
+    "eyeball samples that don't change between runs. One window shuffle "
+    "on lang; rows beyond rank 3 never leave the partition.",
+)
+def group_sample_topn(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 3)
+        .select("doc_id", "lang")
+    )
+
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+    ELSE [] END) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+@_register(
+    "text_ngram_freq",
+    _BIGRAM_ORACLE,
+    doc="N4 n-gram language statistics: top-20 word bigrams with a "
+    "deterministic tie-break. Bigrams via zip_with over two array slices "
+    "(codegen, no Python), then explode → hash aggregate → "
+    "TakeOrderedAndProject.",
+)
+def text_ngram_freq(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    w = T.words(F.lower(F.col("text")))
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+_RETENTION_ORACLE = """
+WITH hu AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+)
+SELECT a.h AS hour, COUNT(*) AS active,
+       COUNT(b.user_id) AS retained,
+       ROUND(CAST(COUNT(b.user_id) AS DOUBLE) / COUNT(*), 6) AS retention
+FROM hu a LEFT JOIN hu b
+  ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
+GROUP BY a.h
+"""
+
+
+@_register(
+    "events_retention",
+    _RETENTION_ORACLE,
+    doc="Hour-over-hour retention cohort: of the users active in hour h, "
+    "the share also active in h+1 — the engagement-funnel shape every "
+    "event pipeline reports. Distinct (hour, user) pairs self-join on "
+    "(user, adjacent hour): both sides hash-partition on user_id, and "
+    "the aggregate is bounded by #hours.",
+)
+def events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    # date_trunc returns TIMESTAMP (ltz) even for ntz input; cast straight
+    # back under the UTC session so the hour is wall-clock, not host-tz.
+    hu = ev.select(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"), "user_id"
+    ).distinct()
+    nxt = hu.select(
+        (F.col("h") - F.expr("INTERVAL 1 HOUR")).alias("h"),
+        F.col("user_id").alias("r_user"),
+    )
+    joined = hu.join(
+        nxt, (hu.user_id == nxt.r_user) & (hu.h == nxt.h), "left"
+    )
+    return joined.groupBy(hu.h.alias("hour")).agg(
+        F.count(F.lit(1)).alias("active"),
+        F.count("r_user").alias("retained"),
+        F.round(F.count("r_user").cast("double") / F.count(F.lit(1)), 6).alias(
+            "retention"
+        ),
+    )
+
+
+_THUMB_ORACLE = """
+SELECT doc_id, 32 AS width, 32 AS height,
+       substr(repeat(sha256(text), 33), 1, 2048) AS thumb_hex
+FROM documents
+"""
+
+
+@_register(
+    "multimodal_thumbnail",
+    _THUMB_ORACLE,
+    doc="N5 decode/resize plumbing: binary payload → mapInPandas → "
+    "fixed-size thumbnail rows (operators.multimodal.decode_resize). The "
+    "decode itself is the documented deterministic stub (sha256 digest "
+    "tiled to 32×32 — media libs absent from this env; real_decoder= "
+    "plugs in PIL), which makes even the STUB oracle-checkable: DuckDB "
+    "reproduces the tiling with repeat(sha256). Batch shape, schema "
+    "contract, and payload-drop are exactly the production path.",
+)
+def multimodal_thumbnail(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.multimodal import attach_binary, decode_resize
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    thumbs = decode_resize(attach_binary(docs), target=(32, 32))
+    return thumbs.select(
+        "doc_id", "width", "height", F.lower(F.hex("thumb")).alias("thumb_hex")
+    )
+
+
+_FRAMES_ORACLE = """
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       lower(substr(hex(encode(text)), CAST(i * 20 + 1 AS BIGINT), 20)) AS frame_hex
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(octet_length(encode(text)) / 10.0) AS BIGINT))) AS i
+  FROM documents
+)
+"""
+
+
+@_register(
+    "multimodal_frames",
+    _FRAMES_ORACLE,
+    doc="N5 frame-sampling plumbing: one blob → many (frame_idx, frame) "
+    "rows via mapInPandas (operators.multimodal.frame_sample) — the "
+    "video-decode fan-out shape. The stub slices the payload every 10 "
+    "bytes, so the oracle regenerates frames with substring arithmetic.",
+)
+def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.multimodal import attach_binary, frame_sample
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    frames = frame_sample(attach_binary(docs), every_n=10)
+    return frames.select(
+        "doc_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
+    )
