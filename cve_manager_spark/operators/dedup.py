@@ -67,6 +67,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     persist_shingles: bool = True,
+    max_doc_freq_frac: float | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity ≥ threshold.
 
@@ -80,8 +81,17 @@ def ngram_jaccard_pairs(
       literature;
     - the shingle is the join key, so pair generation is confined to
       per-shingle buckets; shingle order n controls bucket size (higher n
-      → more selective buckets). Worst-case skew (a stop-shingle shared
-      by everything) is the reason the MinHash/SimHash LSH paths exist.
+      → more selective buckets).
+
+    Skew guard (NOT result-preserving — an explicit recall choice):
+    ``max_doc_freq_frac`` drops stop shingles occurring in more than that
+    fraction of documents before the join. A boilerplate shingle shared
+    by k documents alone generates k(k-1)/2 candidate pairs on one
+    shuffle key — the worst-case hot key this operator has at corpus
+    scale. Dropping it caps the per-key blowup at (frac·N)². Pairs can
+    only LOSE common-shingle counts (denominators keep the full shingle
+    sets), so filtered output is a subset of the exact output: recall
+    dial, never false positives. Default None = exact.
     """
     sh = fan_out(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
@@ -93,6 +103,19 @@ def ngram_jaccard_pairs(
     ex = sh.select("id", "n_sh", F.explode("shingles").alias("shingle")).select(
         "id", "n_sh", F.xxhash64("shingle").alias("shingle_h")
     )
+    if max_doc_freq_frac is not None:
+        # Stop-shingle filter: shingle doc-frequencies vs a broadcast 1-row
+        # corpus count (no driver-side scalar); the filter join is keyed on
+        # shingle_h, co-partitioned with the pair join that follows.
+        total = sh.agg(F.count(F.lit(1)).alias("__n_docs"))
+        keep = (
+            ex.groupBy("shingle_h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .crossJoin(F.broadcast(total))
+            .where(F.col("__df") <= F.col("__n_docs") * max_doc_freq_frac)
+            .select("shingle_h")
+        )
+        ex = ex.join(keep, "shingle_h")
     if persist_shingles:
         # Both join branches read the shingle relation; without an explicit
         # materialization Spark computes the shingle scan twice (~2-3× the

@@ -124,3 +124,40 @@ def test_dedup_keep_one_per_cluster(spark):
     kept = sorted(r["doc_id"] for r in dedup_keep_one_per_cluster(df, pairs).collect())
     # cluster {0,3,5} keeps 0; singletons 1,2,4 keep themselves
     assert kept == [0, 1, 2, 4]
+
+
+def test_stop_shingle_cap_bounds_hot_key_and_keeps_subset(spark):
+    """Skew guard: a boilerplate shingle shared by every document is the
+    worst-case hot join key. The max_doc_freq_frac cap must (a) remove the
+    quadratic candidate blowup, (b) only ever shrink the result set, and
+    (c) leave genuinely-duplicate pairs (which share NON-stop shingles)
+    intact."""
+    from cve_manager_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved contact us for details"
+    rows = []
+    # 60 distinct docs sharing only the boilerplate sentence
+    for i in range(60):
+        rows.append((i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}"))
+    # one true near-dup pair sharing plenty of non-stop shingles
+    rows.append((100, "the quick brown fox jumps over the lazy dog tonight"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog today"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, n=3, threshold=0.3, max_doc_freq_frac=0.5
+        ).collect()
+    }
+    assert capped <= exact
+    # the boilerplate-only docs pair up in the exact run...
+    assert any(a < 60 and b < 60 for a, b in exact)
+    # ...but not once their only shared shingles are capped out
+    assert not any(a < 60 and b < 60 for a, b in capped)
+    # the true near-dup pair survives the cap
+    assert (100, 101) in capped
