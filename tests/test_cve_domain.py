@@ -239,3 +239,49 @@ def test_flattener_runs_under_structured_streaming(spark, tmp_path):
         map(tuple, flatten_problems(read_feeds_json(spark, str(d / "*.json"))).collect())
     )
     assert got == want and len(got) == 13
+
+
+def test_partitioned_cvss_prunes_and_overwrites_by_year(spark, relations):
+    """Year-partitioned warehouse layout: date-bounded scans prune to the
+    matching pub_year partitions, and a yearly refresh replaces exactly
+    that year's partition (idempotent, other years untouched)."""
+    from pyspark.sql import functions as F
+
+    from cve_manager_spark import catalog
+
+    db = "cve_part_test"
+    catalog.drop_database(spark, db)
+    catalog.create_tables(spark, db, partition_cvss_by_year=True)
+    try:
+        cvss = relations["cvss"]
+        # split the fixture across two years to get two partitions
+        moved = cvss.withColumn(
+            "published_date",
+            F.when(
+                F.col("cve").isin("CVE-2021-0001", "CVE-2021-0002"),
+                F.add_months(F.col("published_date"), -12),
+            ).otherwise(F.col("published_date")),
+        )
+        catalog.load_tables(spark, {"cvss": moved}, db=db)
+        t = spark.table(f"{db}.cvss")
+        assert t.count() == 10
+        assert set(r.pub_year for r in t.select("pub_year").distinct().collect()) == {2020, 2021}
+
+        pruned = t.where(F.col("pub_year") == 2020)
+        plan = pruned._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "PartitionFilters" in plan and "pub_year" in plan
+        assert pruned.count() == 2
+
+        # idempotent yearly refresh: re-feed 2021 only; 2020 rows untouched
+        y2021 = moved.where(F.year("published_date") == 2021)
+        catalog.overwrite_year(spark, y2021, db=db)
+        catalog.overwrite_year(spark, y2021, db=db)  # re-run = no duplication
+        t = spark.table(f"{db}.cvss")
+        assert t.count() == 10
+        assert t.where(F.col("pub_year") == 2020).count() == 2
+        # the view still resolves over the partitioned table
+        assert spark.table(f"{db}.cvss_vs_cpes").count() == 0  # no cpe loaded
+    finally:
+        catalog.drop_database(spark, db)
