@@ -288,3 +288,88 @@ def minhash_near_dups(
         )
     )
     return pairs, model
+
+
+def minhash_det_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Deterministic MinHash LSH near-dup pairs — the canonical
+    shingle → minhash → band → bucket-join pipeline, built so EVERY stage
+    is reproducible across engines (unlike pyspark.ml's MinHashLSH, whose
+    hash seeds make it a rows-only check):
+
+    - hash family: md5 (the one digest Spark and DuckDB share bit-for-bit)
+      of ``"<seed>:<shingle>"``; the signature element is the
+      lexicographic MIN of the hex digests — a valid min-hash (uniform
+      permutation of the shingle universe per seed);
+    - signatures: one codegen'd projection computing ``num_hashes`` md5s
+      per shingle row, then a single hash aggregate of ``num_hashes``
+      MINs keyed on the doc id (map-side partials — the same scalable
+      shape as ``simhash_fingerprints``, no interpreted lambdas);
+    - banding: ``bands`` keys of ``num_hashes/bands`` signature elements;
+      candidates = pairs colliding on ≥1 band key (equi-join on
+      (band, key), shuffle-parallel, no broadcast of the relation);
+    - verify: exact Jaccard over the distinct shingle sets
+      (array_intersect integer counts) ≥ threshold.
+
+    Zero-shingle documents are excluded (no signature — and md5-of-empty
+    band keys would spuriously collide all of them).
+
+    Banding is the recall dial exactly as in dedup_minhash: with r =
+    num_hashes/bands rows per band, P(candidate) = 1-(1-j^r)^bands
+    (j=0.5, 16×2 → 0.99). Precision is exact — every candidate is
+    verified. Candidates to verify are bounded by band collisions, not
+    by the corpus square.
+    """
+    sh = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+
+    ex = sh.select("id", F.explode("shingles").alias("sh"))
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
+        for s in range(num_hashes)
+    ]
+    sigs = ex.groupBy("id").agg(*sig_aggs)
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    keys = sigs.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = keys.select(F.col("id").alias("id_a"), "band", "key")
+    b = keys.select(F.col("id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb")), "id_b")
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
+    union = F.size("__sa").cast("bigint") + F.size("__sb").cast("bigint") - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -599,6 +599,57 @@ def sample_hash(spark: SparkSession, sf: str) -> DataFrame:
 # r2 additions: sampling, masking, corpus stats, cohorts, multimodal oracles
 # ---------------------------------------------------------------------------
 
+_MINHASH_DET_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id AS id,
+         list_distinct(CASE WHEN len(w) >= 2
+           THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+           ELSE [] END) AS shingles
+  FROM toks
+), ne AS (
+  SELECT id, shingles FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT id, shingles,
+         list_transform(range(0, 32), s ->
+           list_min(list_transform(shingles, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sigs
+  FROM ne
+), keys AS (
+  SELECT id, b, sigs[b*2+1] || '|' || sigs[b*2+2] AS bkey
+  FROM (SELECT id, sigs, unnest(range(0, 16)) AS b FROM sig)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keys a JOIN keys b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id
+), j AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand c JOIN ne sa ON sa.id = c.id_a JOIN ne sb ON sb.id = c.id_b
+)
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+"""
+
+
+@_register(
+    "dedup_minhash_det",
+    _MINHASH_DET_ORACLE,
+    doc="N2: deterministic MinHash LSH (md5 hash family, lexicographic-min "
+    "signatures, 16 bands × 2 rows, exact-Jaccard verify) — the canonical "
+    "shingle→minhash→band→bucket-join pipeline with every stage "
+    "engine-reproducible, so the full LSH pipeline gets a hash-checked "
+    "driver verdict (the pyspark.ml variant stays rows-only by seed). "
+    "operators.dedup.minhash_det_pairs.",
+)
+def dedup_minhash_det(spark: SparkSession, sf: str) -> DataFrame:
+    # No rounding on either side: jaccard is a ratio of small integers,
+    # IEEE-identical across engines (same rule as dedup_ngram_jaccard).
+    return D.minhash_det_pairs(
+        load_table(spark, sf, "documents"), n=2, num_hashes=32, bands=16, threshold=0.5
+    )
+
 _STRATIFIED_ORACLE = """
 WITH rates(lang, pct) AS (VALUES ('en', 2), ('de', 5), ('fr', 10), ('es', 20))
 SELECT d.doc_id, d.lang

@@ -132,3 +132,22 @@ def test_foreach_batch_sink_idempotent(spark, events_dir, tmp_path):
     q2.awaitTermination()
     again = spark.read.option("basePath", out).parquet(out + "/_batch_id=*")
     assert again.count() == n_src
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Stream-stream interval join (watermarked both sides, time-bounded
+    condition) produces exactly the batch join's rows."""
+    from cve_manager_spark.streaming.joins import clicks_before_purchase
+
+    p_stream = read_events_stream(spark, events_dir)
+    c_stream = read_events_stream(spark, events_dir)
+    joined = clicks_before_purchase(p_stream, c_stream)
+    assert joined.isStreaming
+    run_to_memory(joined, "t_ssjoin")
+    got = spark.table("t_ssjoin")
+
+    ev = load_table(spark, SF_SMALL, "events")
+    want = clicks_before_purchase(ev, ev)
+    cols = ["purchase_id", "user_id", "p_ts", "click_id", "c_ts"]
+    assert got.count() > 0
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
