@@ -160,6 +160,33 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+       c.event_id AS click_id, c.ts AS c_ts
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@_register(
+    "join_interval",
+    _INTERVAL_JOIN_ORACLE,
+    doc="Event-time interval join: each purchase × the same user's clicks "
+    "in the trailing hour (inclusive) — the attribution join. Equality "
+    "key (user_id) + closed time bounds; the IDENTICAL builder runs as a "
+    "watermarked stream-stream join (streaming/joins.py, stream==batch "
+    "asserted), so this row gives the streaming operator a hash-checked "
+    "batch verdict.",
+)
+def join_interval(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.streaming.joins import clicks_before_purchase
+
+    ev = load_table(spark, sf, "events")
+    return clicks_before_purchase(ev, ev)
+
+
 _SLIDING_ORACLE = """
 WITH w AS (
   SELECT event_type, value,

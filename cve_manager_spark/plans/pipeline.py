@@ -396,12 +396,21 @@ FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
     "bit-reproducible (rounded to 6dp for cross-engine safety).",
 )
 def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = fan_out(load_table(spark, sf, "documents"))
     tok = docs.select(
         "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
+    # Document frequency FROM the tf relation, not the raw token stream:
+    # tf already holds one row per (doc, token), so a plain COUNT replaces
+    # countDistinct's expensive two-phase dedup shuffle, and the persist
+    # barrier makes the explode+first-aggregate run once for both branches
+    # (same pattern as the jaccard shingle index).
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    tf.count()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(dfreq, "token")

@@ -19,7 +19,7 @@ from cve_manager_spark.plans.spec import Builder, QuerySpec
 # registry, so the flagship pipeline (dedup/similarity/text/multimodal) and
 # events families come FIRST; the relational micro-queries — all driver-green
 # in round 1 — rotate to the back.
-EXPECTED_QUERY_COUNT = 89
+EXPECTED_QUERY_COUNT = 90
 
 
 def _all_specs() -> list[QuerySpec]:
