@@ -45,6 +45,9 @@ HEADLINE = [
     "dedup_clusters",
     "cdc_upsert",
     "join_asof",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "embedding_centroid",
 ]
 
 

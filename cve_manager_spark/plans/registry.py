@@ -14,23 +14,47 @@ from cve_manager_spark.plans.spec import Builder, QuerySpec
 # error: silently dropping a family would shrink queries()/oracle_sql() with
 # no signal and under-report coverage (numpy/pandas/pyspark.ml are baked into
 # the runtime, so an ImportError here is always a real defect).
-#
-# Order matters: the driver's correctness gate samples a prefix of the
-# registry, so the flagship pipeline (dedup/similarity/text/multimodal) and
-# events families come FIRST; the relational micro-queries — all driver-green
-# in round 1 — rotate to the back.
-EXPECTED_QUERY_COUNT = 90
+EXPECTED_QUERY_COUNT = 103
+
+# Queries the round-1 driver gate hash-verified (CORRECTNESS_r01.json, all
+# green). The driver samples a PREFIX of the registry, so ordering is a
+# verification-priority queue: oracle-paired queries with no driver verdict
+# yet come first, already-green ones rotate behind them, and rows-only specs
+# (oracle=None — the driver can only count rows) go last. Append each
+# round's newly green names so the next round's window promotes whatever is
+# still unverified.
+DRIVER_GREEN = frozenset({
+    "project_cols", "project_nested", "null_fallback", "filter_like",
+    "filter_eq", "filter_eq_int", "filter_or_threshold", "filter_date_range",
+    "filter_conjunction", "str_concat_fold", "str_replace",
+    "str_strip_prefix", "str_isdigit", "cast_to_string", "cast_date",
+    "explode_nested", "explode_conditional", "join_inner_view",
+    "join_left_lookup", "join_star_detail", "limit_1", "agg_count",
+    "union_all", "agg_groupby", "agg_distinct", "agg_rollup",
+    "agg_conditional", "window_rank", "window_running", "sort_topk",
+    "set_ops", "join_semi", "join_anti", "join_range_pred", "agg_cube",
+    "agg_stats", "agg_pivot", "window_ntile", "set_except", "agg_salted",
+    "cdc_upsert", "unpivot_melt", "explode_outer_nulls", "window_tumbling",
+    "window_session", "dedup_keyed", "event_type_share", "join_asof",
+})
 
 
 def _all_specs() -> list[QuerySpec]:
+    from cve_manager_spark.plans import corpus as corpus_mod
     from cve_manager_spark.plans import events as events_mod
     from cve_manager_spark.plans import pipeline as pipeline_mod
     from cve_manager_spark.plans import relational
 
-    specs: list[QuerySpec] = []
-    specs += pipeline_mod.SPECS
-    specs += events_mod.SPECS
-    specs += relational.SPECS
+    in_module_order = (
+        corpus_mod.SPECS + pipeline_mod.SPECS + events_mod.SPECS + relational.SPECS
+    )
+
+    def tier(spec: QuerySpec) -> int:
+        if spec.oracle is None:
+            return 2  # rows-only: a driver slot adds no hash verdict
+        return 1 if spec.name in DRIVER_GREEN else 0
+
+    specs = sorted(in_module_order, key=tier)  # stable: module order within tier
     if len(specs) != EXPECTED_QUERY_COUNT:
         raise RuntimeError(
             f"registry expected {EXPECTED_QUERY_COUNT} queries, found {len(specs)} — "

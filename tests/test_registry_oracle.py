@@ -56,17 +56,25 @@ def test_registry_consistency():
 def test_registry_complete_and_ordered():
     """Guards VERDICT r1 findings: (a) no silent family drop — the exact
     query count is asserted; (b) the driver's correctness gate samples a
-    prefix of the registry, so the pipeline + events families (the r1
-    blind spot) must precede the relational block."""
+    50-entry prefix of the registry, so the registry is a verification-
+    priority queue: every oracle-paired query WITHOUT a green driver row
+    yet must land inside that window, ahead of already-verified and
+    rows-only specs."""
     from cve_manager_spark.plans import registry
-    from cve_manager_spark.plans import events, pipeline
 
-    names = list(registry.queries())
-    assert len(names) == registry.EXPECTED_QUERY_COUNT
-    head = names[: len(pipeline.SPECS) + len(events.SPECS)]
-    assert head == [s.name for s in pipeline.SPECS] + [s.name for s in events.SPECS]
-    # every flagship family fits the driver's 50-entry window
-    assert len(head) <= 50
+    specs = registry._all_specs()
+    assert len(specs) == registry.EXPECTED_QUERY_COUNT
+    unverified = [
+        s.name
+        for s in specs
+        if s.oracle is not None and s.name not in registry.DRIVER_GREEN
+    ]
+    window = {s.name for s in specs[:50]}
+    missing = [n for n in unverified if n not in window]
+    assert not missing, f"unverified oracle-paired queries outside driver window: {missing}"
+    # rows-only specs never displace a hash-checkable one
+    head = specs[: len(unverified)]
+    assert all(s.oracle is not None for s in head)
 
 
 # spark dtype → acceptable DuckDB type names; the driver's gate records a
