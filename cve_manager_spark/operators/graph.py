@@ -31,7 +31,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    jumps_per_round: int = 2,
+    jumps_per_round: int = 3,
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
@@ -42,8 +42,12 @@ def connected_components(
     each round pays fixed job/shuffle scheduling overhead regardless of
     data size): ``jumps_per_round`` pointer jumps run inside ONE
     checkpointed round, so reach grows ~2**jumps_per_round× per round
-    (default 4×) at the cost of one extra join per jump in the plan —
-    a 500-hop chain converges in ~5 rounds instead of ~9. Convergence is
+    at the cost of one extra join per jump in the plan — a 500-hop chain
+    converges in ~4 rounds instead of ~9. Measured on 1250-hop chains at
+    sf0.1: jumps=3 is ~35% faster than jumps=2 (fewer barrier rounds AND
+    fewer total joins); jumps=4 is marginal, and shallow dedup graphs
+    (the common case) pay the extra per-round joins for nothing, so 3 is
+    the default. Convergence is
     detected by the label-sum invariant: labels are monotone
     non-increasing, so an unchanged SUM(label) (exact decimal — no
     overflow at any id range) means no label moved — one narrow aggregate

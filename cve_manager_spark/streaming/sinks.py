@@ -10,7 +10,10 @@ by batch id, Delta MERGE) by swapping the writer body.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_STATE_PREFIX = "_state_v"
 
 
 def foreach_batch_parquet(stream_df: DataFrame, out_dir: str, trigger_available_now: bool = True):
@@ -22,6 +25,78 @@ def foreach_batch_parquet(stream_df: DataFrame, out_dir: str, trigger_available_
             batch_df.write.mode("overwrite")
             .parquet(f"{out_dir}/_batch_id={batch_id}")
         )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _list_state_versions(spark, out_dir: str) -> list[int]:
+    """Snapshot versions present under out_dir, via the Hadoop FS API (so
+    the same code lists local disk, HDFS, or an object store)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith(_STATE_PREFIX):
+            out.append(int(name[len(_STATE_PREFIX):]))
+    return sorted(out)
+
+
+def read_upsert_state(spark, out_dir: str) -> DataFrame | None:
+    """Current table maintained by ``foreach_batch_upsert`` (newest
+    snapshot), or None before the first batch commits."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    out_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    trigger_available_now: bool = True,
+):
+    """Streaming MERGE INTO emulation without a table format: maintain the
+    newest row per key across micro-batches (the streaming twin of the
+    batch ``cdc_upsert`` query — same union + ranking-window recipe).
+
+    Each micro-batch writes a FULL state snapshot to
+    ``{out_dir}/_state_v{batch_id}``, derived from the newest snapshot
+    with a smaller id. Replayed batches (at-least-once delivery after a
+    restart) rebuild the same snapshot from the same predecessor, so the
+    sink is idempotent — exactly-once effect, like foreach_batch_parquet.
+    Ties on ``order_cols`` resolve to the incoming batch (MERGE "when
+    matched then update" semantics). Snapshot retention/compaction is the
+    operator's concern; with Delta/Iceberg this whole function collapses
+    to a real MERGE with file skipping.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = [v for v in _list_state_versions(spark, out_dir) if v < batch_id]
+        cur = batch_df.withColumn("__src", F.lit(1))
+        if versions:
+            prev = spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+            cur = prev.withColumn("__src", F.lit(0)).unionByName(cur)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols], F.col("__src").desc()
+        )
+        snap = (
+            cur.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        snap.write.mode("overwrite").parquet(f"{out_dir}/{_STATE_PREFIX}{batch_id}")
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", f"{out_dir}/_checkpoint"

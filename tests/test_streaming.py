@@ -6,6 +6,7 @@ from __future__ import annotations
 import time
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cve_manager_spark.plans.events import window_session, window_tumbling
@@ -151,3 +152,45 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     cols = ["purchase_id", "user_id", "p_ts", "click_id", "c_ts"]
     assert got.count() > 0
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_foreach_batch_upsert_equals_batch_keep_newest(spark, tmp_path):
+    """Streaming MERGE emulation: after a multi-batch availableNow pass,
+    the maintained state is exactly the batch keep-newest-per-user result,
+    and a restart against the same checkpoint changes nothing."""
+    from cve_manager_spark.streaming.sinks import foreach_batch_upsert, read_upsert_state
+
+    # split events into several files so availableNow delivers >1 batch
+    src_dir = str(tmp_path / "events_multi")
+    events = load_table(spark, SF_SMALL, "events")
+    # read_events_stream expects the testdata layout: bigint NANOS in ts
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "upsert_state")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_upsert(
+            stream, out, key_cols=["user_id"], order_cols=["ts", "event_id"]
+        )
+
+    start().awaitTermination()
+
+    got = read_upsert_state(spark, out)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cols = ["user_id", "event_id", "event_type", "value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    # restart with the same checkpoint: no new files -> state unchanged
+    start().awaitTermination()
+    assert _sorted_rows(read_upsert_state(spark, out), cols) == _sorted_rows(want, cols)
