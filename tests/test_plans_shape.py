@@ -141,3 +141,42 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     assert "PartitionFilters" in plan and "2024-01-05" in plan
     n_days = ev.select("day").distinct().count()
     assert df.count() * n_days < ev.count() * 2  # actually pruned, not full scan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The held-out shingle set is the small side by construction — it must
+    broadcast; the corpus side stays a shuffle-free scan+explode."""
+    plan = plan_of(spark, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """Packing windows partition on the md5 shard — a hash exchange, never
+    a single-partition global sort."""
+    plan = plan_of(spark, "pack_sequences")
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_knn_join_multi_pushes_topk_below_exchange(spark):
+    """Per-query top-3 runs as WindowGroupLimit partial before the shuffle,
+    so only candidate rows cross the wire."""
+    plan = plan_of(spark, "knn_join_multi")
+    assert "WindowGroupLimit" in plan
+
+
+def test_embedding_centroid_partial_aggregates(spark):
+    """The (label, dim) aggregate must map-side combine: the shuffle is
+    bounded by labels × dims, not by row count."""
+    plan = plan_of(spark, "embedding_centroid")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_fill_gaps_grid_broadcasts(spark):
+    """The dense calendar grid is tiny by construction; the zero-fill join
+    must broadcast it rather than shuffle the aggregated counts."""
+    plan = plan_of(spark, "fill_gaps")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
