@@ -518,6 +518,42 @@ def window_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_STOP5 = ("the", "a", "of", "and", "to")
+
+_ARRAY_OPS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+  FROM documents
+)
+SELECT doc_id,
+  COALESCE(array_to_string(list_sort(list_intersect(w, ['the','a','of','and','to'])), ','), '') AS stop_hits,
+  CAST(len(list_filter(w, x -> NOT list_contains(['the','a','of','and','to'], x))) AS INT) AS n_content
+FROM t
+"""
+
+
+@_register(
+    "array_set_ops",
+    _ARRAY_OPS_ORACLE,
+    doc="Array set algebra (intersect/except over distinct token arrays vs "
+    "a constant vocabulary): which stopwords a document uses and how many "
+    "content tokens remain — the array-function face of the text "
+    "pipeline. Sorting the intersection makes element order, and with it "
+    "the CSV rendering, engine-independent; all codegen expressions, "
+    "narrow map, no shuffle at all.",
+)
+def array_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    stop = F.array(*[F.lit(s) for s in _STOP5])
+    w = F.array_distinct(T.words(F.lower(F.col("text"))))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect(w, stop)), ",").alias("stop_hits"),
+        F.size(F.array_except(w, stop)).alias("n_content"),
+    )
+
+
 @_register(
     "posexplode_index",
     "WITH t AS (SELECT doc_id, "
