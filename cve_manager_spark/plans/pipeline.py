@@ -407,7 +407,12 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     # tf already holds one row per (doc, token), so a plain COUNT replaces
     # countDistinct's expensive two-phase dedup shuffle, and the persist
     # barrier makes the explode+first-aggregate run once for both branches
-    # (same pattern as the jaccard shingle index).
+    # (same pattern as the jaccard shingle index). Alternatives measured
+    # and rejected: dfreq via count().over(Window.partitionBy(token)) is
+    # ~35% faster at toy scale but buffers each token's rows in ONE window
+    # partition — an unsplittable straggler on hot tokens ('the' ≈ one row
+    # per document) that AQE cannot skew-split, unlike this join; dropping
+    # the persist re-executes the (doc,token) aggregate shuffle twice.
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     tf.count()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))

@@ -24,18 +24,54 @@ EXPECTED_QUERY_COUNT = 104
 # round's newly green names so the next round's window promotes whatever is
 # still unverified.
 DRIVER_GREEN = frozenset({
-    "project_cols", "project_nested", "null_fallback", "filter_like",
-    "filter_eq", "filter_eq_int", "filter_or_threshold", "filter_date_range",
-    "filter_conjunction", "str_concat_fold", "str_replace",
-    "str_strip_prefix", "str_isdigit", "cast_to_string", "cast_date",
-    "explode_nested", "explode_conditional", "join_inner_view",
-    "join_left_lookup", "join_star_detail", "limit_1", "agg_count",
-    "union_all", "agg_groupby", "agg_distinct", "agg_rollup",
-    "agg_conditional", "window_rank", "window_running", "sort_topk",
-    "set_ops", "join_semi", "join_anti", "join_range_pred", "agg_cube",
-    "agg_stats", "agg_pivot", "window_ntile", "set_except", "agg_salted",
-    "cdc_upsert", "unpivot_melt", "explode_outer_nulls", "window_tumbling",
-    "window_session", "dedup_keyed", "event_type_share", "join_asof",
+    "agg_conditional",
+    "agg_count",
+    "agg_cube",
+    "agg_distinct",
+    "agg_groupby",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_salted",
+    "agg_stats",
+    "cast_date",
+    "cast_to_string",
+    "cdc_upsert",
+    "dedup_keyed",
+    "event_type_share",
+    "explode_conditional",
+    "explode_nested",
+    "explode_outer_nulls",
+    "filter_conjunction",
+    "filter_date_range",
+    "filter_eq",
+    "filter_eq_int",
+    "filter_like",
+    "filter_or_threshold",
+    "join_anti",
+    "join_asof",
+    "join_inner_view",
+    "join_left_lookup",
+    "join_range_pred",
+    "join_semi",
+    "join_star_detail",
+    "limit_1",
+    "null_fallback",
+    "project_cols",
+    "project_nested",
+    "set_except",
+    "set_ops",
+    "sort_topk",
+    "str_concat_fold",
+    "str_isdigit",
+    "str_replace",
+    "str_strip_prefix",
+    "union_all",
+    "unpivot_melt",
+    "window_ntile",
+    "window_rank",
+    "window_running",
+    "window_session",
+    "window_tumbling",
 })
 
 
