@@ -48,6 +48,10 @@ HEADLINE = [
     "decontaminate_ngram",
     "pack_sequences",
     "embedding_centroid",
+    # r2b: profiling / feature tranche
+    "inverted_index",
+    "bigram_lift",
+    "anomaly_zscore",
 ]
 
 

@@ -1,0 +1,688 @@
+"""Corpus profiling, feature engineering and analytics queries (round 2b).
+
+The second tranche of training-data-platform operations: corpus
+profiling, an inverted index, bigram association mining, blocked fuzzy
+matching, trailing weighted features, numeric histograms, z-score
+anomaly flags, cohort retention, exact-moment correlation/OLS, exact
+median, journey first/last windows, token-budget mixture construction
+and heavy-hitter skew diagnostics. Everything here
+follows the determinism contract in plans/spec.py; the recurring trick
+for derived floating-point columns is *exact-integer inputs + an
+identical IEEE op tree in both engines* (each +,-,*,/ and sqrt is
+correctly rounded, so the same expression over the same exact integers
+is bitwise identical), with a final floor-quantization to integer
+micro-units so nothing downstream depends on float rendering.
+
+All specs carry ``priority=1``: 50 older queries still await their first
+driver hash-verdict, so these queue behind them in the registry window
+and are gated by the local DuckDB replica until the rotation reaches
+them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cve_manager_spark.functions.helpers import dec_sum, fan_out
+from cve_manager_spark.operators import text as T
+from cve_manager_spark.plans.spec import QuerySpec
+from cve_manager_spark.sources.testdata import load_table
+
+SPECS: list[QuerySpec] = []
+
+
+def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        SPECS.append(
+            QuerySpec(
+                name=name,
+                build=fn,
+                oracle=oracle,
+                doc=doc or (fn.__doc__ or ""),
+                tags=tags,
+                priority=1,
+            )
+        )
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# corpus profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
+@_register(
+    "corpus_profile",
+    _PROFILE_ORACLE,
+    doc="Per-source corpus profile: document count, language diversity and "
+    "length stats — the first query run on any new crawl dump. One "
+    "partial-aggregated hash aggregate keyed on source; avg is the exact "
+    "bigint sum divided once (single IEEE rounding, engine-identical).",
+)
+def corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+_INVINDEX_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x <> ''))) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS dfreq,
+       array_to_string(list_sort(array_agg(doc_id))[1:16], ',') AS postings_head
+FROM t GROUP BY token
+"""
+
+
+@_register(
+    "inverted_index",
+    _INVINDEX_ORACLE,
+    doc="Inverted index: token → document frequency + the first 16 postings "
+    "(sorted doc_ids) — the retrieval-side artifact of a text corpus. "
+    "Per-doc distinct happens before the explode so the aggregate is one "
+    "shuffle keyed on token; the posting list is capped at the head, so a "
+    "hot token ('the') costs a bounded row, not an unbounded collect — at "
+    "100 TB full postings would additionally shard on (token, hash(doc) "
+    "% k), which this head/cap structure composes with.",
+)
+def inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.words(F.lower(F.col("text"))))).alias("token"),
+    )
+    head = F.slice(F.array_sort(F.collect_list("doc_id")), 1, 16)
+    return ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("dfreq"),
+        F.array_join(F.transform(head, lambda c: c.cast("string")), ",").alias(
+            "postings_head"
+        ),
+    )
+
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), uni AS (
+  SELECT unnest(w) AS tok FROM toks
+), un AS (
+  SELECT tok, COUNT(*) AS n_tok FROM uni GROUP BY tok
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM uni
+), bi AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> [w[i], w[i+1]])
+    ELSE [] END) AS pair
+  FROM toks
+), bg AS (
+  SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS n_ab
+  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT w1, w2, n_ab, a.n_tok AS n_a, b.n_tok AS n_b,
+       CAST(FLOOR(((CAST(n_ab AS DOUBLE) * n_total) /
+                   (CAST(a.n_tok AS DOUBLE) * b.n_tok)) * 1000000.0) AS BIGINT)
+         AS lift_micro
+FROM bg JOIN un a ON bg.w1 = a.tok JOIN un b ON bg.w2 = b.tok
+CROSS JOIN tot
+"""
+
+
+@_register(
+    "bigram_lift",
+    _BIGRAM_ORACLE,
+    doc="Bigram association mining: adjacent-token pair counts with a "
+    "PMI-style lift score (n_ab·N / (n_a·n_b), floor-quantized to micro "
+    "units — counts are exact ints, the score is one identical IEEE op "
+    "tree in both engines). Collocation discovery for tokenizer/vocab "
+    "work. The unigram table and the grand total are broadcast (vocab "
+    "≪ corpus); the only data-sized shuffle is the bigram count itself, "
+    "partial-aggregated map-side.",
+)
+def bigram_lift(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    toks = docs.select(T.words(F.lower(F.col("text"))).alias("w"))
+    uni = toks.select(F.explode("w").alias("tok"))
+    un = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_total"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                    lambda x, i: F.array(x, F.element_at(F.col("w"), i + 2)),
+                ),
+            ).otherwise(F.array().cast("array<array<string>>"))
+        ).alias("pair")
+    )
+    bg = (
+        pairs.select(F.col("pair")[0].alias("w1"), F.col("pair")[1].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    a = un.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_a"))
+    b = un.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_b"))
+    j = (
+        bg.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = F.floor(
+        (F.col("n_ab").cast("double") * F.col("n_total"))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+        * F.lit(1000000.0)
+    )
+    return j.select("w1", "w2", "n_ab", "n_a", "n_b", lift.alias("lift_micro"))
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_name,
+         string_split(p_name, ' ')[1] AS w1, length(p_name) AS ln
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM p a JOIN p b
+  ON a.p_brand = b.p_brand AND a.w1 = b.w1 AND a.p_partkey < b.p_partkey
+ AND abs(a.ln - b.ln) <= 4
+ AND levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+@_register(
+    "fuzzy_pairs_levenshtein",
+    _FUZZY_ORACLE,
+    doc="Blocked fuzzy matching: near-identical part names by edit distance "
+    "≤ 4, the entity-resolution primitive. The self-join is blocked on "
+    "(brand, first token) so the quadratic term is confined to a block, "
+    "and the cheap |len_a−len_b| ≤ 4 bound (a Levenshtein lower bound) "
+    "prunes before the DP runs — the standard blocking+filter shape that "
+    "keeps edit-distance matching feasible at corpus scale. JVM "
+    "levenshtein, no Python.",
+)
+def fuzzy_pairs_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("w1"),
+        F.length("p_name").alias("ln"),
+    )
+    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    cond = (
+        (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (F.col("a_w1") == F.col("b_w1"))
+        & (F.col("a_p_partkey") < F.col("b_p_partkey"))
+        & (F.abs(F.col("a_ln") - F.col("b_ln")) <= 4)
+        & (F.levenshtein(F.col("a_p_name"), F.col("b_p_name")) <= 4)
+    )
+    return a.join(b, cond).select(
+        F.col("a_p_partkey").alias("key_a"),
+        F.col("b_p_partkey").alias("key_b"),
+        F.levenshtein(F.col("a_p_name"), F.col("b_p_name")).cast("int").alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event features / monitoring
+# ---------------------------------------------------------------------------
+
+_WMA_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+  FROM events
+), l AS (
+  SELECT event_id, user_id, vm,
+         LAG(vm, 1) OVER w AS l1, LAG(vm, 2) OVER w AS l2,
+         LAG(vm, 3) OVER w AS l3
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       8 * vm + 4 * COALESCE(l1, 0) + 2 * COALESCE(l2, 0) + COALESCE(l3, 0)
+         AS wma_num,
+       8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+         + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+         + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END AS wma_den,
+       CAST(FLOOR(CAST(8 * vm + 4 * COALESCE(l1, 0) + 2 * COALESCE(l2, 0)
+                       + COALESCE(l3, 0) AS DOUBLE)
+                  / (8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+                       + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+                       + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END))
+            AS BIGINT) AS wma_milli
+FROM l
+"""
+
+
+@_register(
+    "wma_trailing",
+    _WMA_ORACLE,
+    doc="Trailing weighted moving average per user (weights 8/4/2/1 over the "
+    "last 4 events, event-time order with event_id tie-break) — the "
+    "time-decayed feature shape of online feature stores, in exact "
+    "integer milli-units so the window math is engine- and order-exact "
+    "(a true EWMA's running float sum is association-order-dependent; "
+    "fixed integer weights are not). One partitioned window, three lags "
+    "sharing its single sort.",
+)
+def wma_trailing(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    base = ev.select("event_id", "user_id", "ts", vm.alias("vm"))
+    l1, l2, l3 = (F.lag("vm", k).over(w) for k in (1, 2, 3))
+    num = (
+        8 * F.col("vm")
+        + 4 * F.coalesce(l1, F.lit(0))
+        + 2 * F.coalesce(l2, F.lit(0))
+        + F.coalesce(l3, F.lit(0))
+    )
+    den = (
+        F.lit(8)
+        + F.when(l1.isNull(), 0).otherwise(4)
+        + F.when(l2.isNull(), 0).otherwise(2)
+        + F.when(l3.isNull(), 0).otherwise(1)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        num.alias("wma_num"),
+        den.cast("int").alias("wma_den"),
+        F.floor(num.cast("double") / den).cast("long").alias("wma_milli"),
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH v AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(v_milli) AS BIGINT) AS s1,
+         CAST(SUM(v_milli * v_milli) AS BIGINT) AS s2
+  FROM v GROUP BY event_type
+), z AS (
+  SELECT event_id, v.event_type, v_milli,
+         SQRT(GREATEST(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       0.0)) AS sd,
+         CAST(s1 AS DOUBLE) / n AS mean
+  FROM v JOIN s ON v.event_type = s.event_type
+)
+SELECT event_id, event_type, v_milli,
+       CAST(FLOOR(((CAST(v_milli AS DOUBLE) - mean) / sd) * 1000000.0) AS BIGINT)
+         AS z_micro
+FROM z WHERE sd > 0 AND ABS((CAST(v_milli AS DOUBLE) - mean) / sd) > 1.5
+"""
+
+
+@_register(
+    "anomaly_zscore",
+    _ZSCORE_ORACLE,
+    doc="Z-score outlier flags: events whose value sits >1.5σ from their "
+    "type's mean — the monitoring/data-quality gate run over every "
+    "ingest batch. Moments come from one partial-aggregated pass in "
+    "exact integer milli-units (n, Σv, Σv²); mean/σ/z are then a single "
+    "identical IEEE op tree, so the float math is bitwise reproducible "
+    "and the emitted score is floor-quantized. The per-type stats row "
+    "set is tiny and broadcast back onto the stream — no second shuffle.",
+)
+def anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_milli").alias("s1"),
+        F.sum(F.col("v_milli") * F.col("v_milli")).alias("s2"),
+    )
+    j = v.join(F.broadcast(s), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
+        )
+    )
+    z = (F.col("v_milli").cast("double") - mean) / sd
+    return (
+        j.withColumn("sd", sd)
+        .where((F.col("sd") > 0) & (F.abs(z) > 1.5))
+        .select(
+            "event_id",
+            "event_type",
+            "v_milli",
+            F.floor(z * 1000000.0).cast("long").alias("z_micro"),
+        )
+    )
+
+
+_RETENTION_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), c AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+)
+SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+       COUNT(DISTINCT d.user_id) AS n_users
+FROM d JOIN c ON d.user_id = c.user_id
+WHERE date_diff('day', cohort_day, day) <= 14
+GROUP BY 1, 2
+"""
+
+
+@_register(
+    "retention_cohort",
+    _RETENTION_ORACLE,
+    doc="Cohort retention: users active N days after their first-seen day, "
+    "bucketed by cohort (first 14 offsets) — the retention triangle of "
+    "product analytics. Activity days are deduped first (distinct "
+    "user/day ≪ raw events), the cohort map joins on the user_id both "
+    "sides already shuffle on, and the final count-distinct collapses "
+    "onto the tiny (cohort, offset) grid.",
+)
+def retention_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = d.join(c, "user_id")
+    off = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        j.where(off <= 14)
+        .groupBy("cohort_day", off.cast("int").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# numeric profiling / sampling
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(LEAST(19, CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT)) AS INT)
+         AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM orders GROUP BY 1
+"""
+
+
+@_register(
+    "histogram_fixed",
+    _HISTOGRAM_ORACLE,
+    doc="Fixed-width histogram of order value (20 bins of 30k, top bin "
+    "open) — numeric profiling for skew/drift checks before training. "
+    "The bin id is a narrow map; one hash aggregate over ≤20 groups with "
+    "map-side partials, decimal-exact totals, raw min/max (no float "
+    "arithmetic, so engine-exact).",
+)
+def histogram_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    bucket = F.least(
+        F.lit(19).cast("long"), F.floor(F.col("o_totalprice") / 30000.0)
+    ).cast("int")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(F.col("o_totalprice")).alias("total"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# statistical profiling (sufficient-statistics pattern)
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT flag, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+  FROM v GROUP BY flag
+)
+SELECT flag, n,
+       CAST(FLOOR(((n * sxy - sx * sy) /
+                   (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
+                  * 1000000.0) AS BIGINT) AS corr_micro,
+       CAST(FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0)
+            AS BIGINT) AS slope_micro
+FROM s
+"""
+
+
+@_register(
+    "corr_regress",
+    _CORR_ORACLE,
+    doc="Distributed OLS via sufficient statistics: per-group Pearson "
+    "correlation and regression slope of price on quantity from ONE pass "
+    "of six exact sums (n, Σx, Σy, Σxy, Σx², Σy² — inputs quantized to "
+    "integer cents, sums carried as exact decimal so no float "
+    "accumulation order exists to diverge). Spark's built-in corr() "
+    "aggregates doubles and is not reproducible across partitionings; "
+    "this shape is, at any cluster size, and the shuffle carries six "
+    "numbers per group.",
+)
+def corr_regress(spark: SparkSession, sf: str) -> DataFrame:
+    li = fan_out(load_table(spark, sf, "lineitem"))
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    v = li.select(F.col("l_returnflag").alias("flag"), x.alias("x"), y.alias("y"))
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — exact wide product
+    s = v.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).cast("double").alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "flag",
+        "n",
+        F.floor(corr * 1000000.0).cast("long").alias("corr_micro"),
+        F.floor(slope * 1000000.0).cast("long").alias("slope_micro"),
+    )
+
+
+_MEDIAN_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+)
+SELECT flag, CAST(MAX(cnt) AS BIGINT) AS n,
+       CAST(SUM(q * (CASE WHEN rn = (cnt + 1) // 2 THEN 1 ELSE 0 END
+                     + CASE WHEN rn = (cnt + 2) // 2 THEN 1 ELSE 0 END))
+            AS BIGINT) AS median_twice
+FROM r GROUP BY flag
+"""
+
+
+@_register(
+    "median_exact",
+    _MEDIAN_ORACLE,
+    doc="Exact distributed median by rank selection: row_number + count in "
+    "one partitioned window, then the one (odd n) or two (even n) middle "
+    "values summed — emitted as median×2 so the result stays an exact "
+    "integer (no .5 float). Complements grouped_median_pandas with a "
+    "pure-SQL plan: the window partitions on the group key, so the sort "
+    "is per-group, never global; at 100 TB a two-pass quantile estimator "
+    "would replace the full sort, which this oracle would still check.",
+)
+def median_exact(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    lo = F.expr("(cnt + 1) div 2")
+    hi = F.expr("(cnt + 2) div 2")
+    pick = F.when(F.col("rn") == lo, 1).otherwise(0) + F.when(
+        F.col("rn") == hi, 1
+    ).otherwise(0)
+    return r.groupBy("flag").agg(
+        F.max("cnt").alias("n"),
+        F.sum(F.col("q") * pick).alias("median_twice"),
+    )
+
+
+@_register(
+    "window_first_last",
+    "SELECT event_id, user_id, "
+    "first_value(event_type) OVER w AS first_type, "
+    "last_value(event_type) OVER w AS last_type, "
+    "nth_value(event_type, 2) OVER w AS second_type "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+    doc="first/last/nth_value over the full per-user frame: every event "
+    "annotated with its user's first, latest and second event type — the "
+    "entry/exit-page shape of journey analytics. Explicit UNBOUNDED "
+    "frame (the default frame would cut last_value at the current row); "
+    "deterministic (ts, event_id) order; one partitioned window sort.",
+)
+def window_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+_MIX_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY skey, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum - n_tokens < 500
+"""
+
+
+@_register(
+    "mix_budget",
+    _MIX_ORACLE,
+    doc="Mixture construction under a token budget: each source contributes "
+    "documents in deterministic md5 order until 500 tokens are reached "
+    "(a doc is kept iff it STARTS under budget, so every source lands "
+    "just over — the standard budgeted-sampling rule). This is the "
+    "per-source quota step of building a pretraining mix; the running "
+    "total windows on the source key (hash exchange, per-source sort), "
+    "and the md5 order makes the chosen subset independent of physical "
+    "layout — rerunning on a different cluster picks the same docs.",
+)
+def mix_budget(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        T.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        t.withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") - F.col("n_tokens") < 500)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+@_register(
+    "heavy_hitters",
+    "SELECT event_type, user_id, n, CAST(rk AS INT) AS rk FROM ("
+    "  SELECT event_type, user_id, COUNT(*) AS n,"
+    "         ROW_NUMBER() OVER (PARTITION BY event_type"
+    "                            ORDER BY COUNT(*) DESC, user_id) AS rk"
+    "  FROM events GROUP BY event_type, user_id"
+    ") WHERE rk <= 3",
+    doc="Exact heavy hitters: the top-3 users by volume within each event "
+    "type — the skew diagnostic run before choosing salting/broadcast "
+    "strategies (the hot keys this query surfaces are the ones "
+    "agg_salted exists for). Pre-aggregation shrinks the window input to "
+    "one row per (type, user); WindowGroupLimit then keeps only "
+    "candidate rows ahead of the final shuffle.",
+)
+def heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    g = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        g.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "user_id", "n", "rk")
+    )

@@ -14,7 +14,7 @@ from cve_manager_spark.plans.spec import Builder, QuerySpec
 # error: silently dropping a family would shrink queries()/oracle_sql() with
 # no signal and under-report coverage (numpy/pandas/pyspark.ml are baked into
 # the runtime, so an ImportError here is always a real defect).
-EXPECTED_QUERY_COUNT = 104
+EXPECTED_QUERY_COUNT = 117
 
 # Queries the round-1 driver gate hash-verified (CORRECTNESS_r01.json, all
 # green). The driver samples a PREFIX of the registry, so ordering is a
@@ -78,19 +78,28 @@ DRIVER_GREEN = frozenset({
 def _all_specs() -> list[QuerySpec]:
     from cve_manager_spark.plans import corpus as corpus_mod
     from cve_manager_spark.plans import events as events_mod
+    from cve_manager_spark.plans import features as features_mod
     from cve_manager_spark.plans import pipeline as pipeline_mod
     from cve_manager_spark.plans import relational
 
     in_module_order = (
-        corpus_mod.SPECS + pipeline_mod.SPECS + events_mod.SPECS + relational.SPECS
+        corpus_mod.SPECS
+        + pipeline_mod.SPECS
+        + events_mod.SPECS
+        + relational.SPECS
+        + features_mod.SPECS
     )
 
-    def tier(spec: QuerySpec) -> int:
+    def key(spec: QuerySpec) -> tuple[int, int]:
         if spec.oracle is None:
-            return 2  # rows-only: a driver slot adds no hash verdict
-        return 1 if spec.name in DRIVER_GREEN else 0
+            tier = 2  # rows-only: a driver slot adds no hash verdict
+        else:
+            tier = 1 if spec.name in DRIVER_GREEN else 0
+        # priority queues later-added specs behind older ones still waiting
+        # for their first driver verdict (spec.py QuerySpec.priority)
+        return (tier, spec.priority)
 
-    specs = sorted(in_module_order, key=tier)  # stable: module order within tier
+    specs = sorted(in_module_order, key=key)  # stable: module order within key
     if len(specs) != EXPECTED_QUERY_COUNT:
         raise RuntimeError(
             f"registry expected {EXPECTED_QUERY_COUNT} queries, found {len(specs)} — "

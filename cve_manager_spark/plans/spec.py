@@ -31,3 +31,9 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default=())
+    # Verification-queue priority: the driver hash-checks only a 50-entry
+    # prefix of the registry, so specs added while older ones still await
+    # their first driver verdict carry a higher number and queue BEHIND
+    # them (registry sorts by (tier, priority)); locally they are oracle-
+    # checked either way. Reset to 0 once the backlog clears.
+    priority: int = 0

@@ -180,3 +180,85 @@ def test_fill_gaps_grid_broadcasts(spark):
     plan = plan_of(spark, "fill_gaps")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_zscore_broadcasts_type_stats(spark):
+    """The per-type moment table is tiny (one row per event_type); joining
+    it back onto the stream must broadcast, never shuffle the events."""
+    plan = plan_of(spark, "anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lift_broadcasts_vocab(spark):
+    """Unigram counts and the grand total are vocabulary-sized; both lookups
+    broadcast so the only data-sized shuffle is the bigram count itself."""
+    plan = plan_of(spark, "bigram_lift")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # bigram agg map-side combines
+
+
+def test_fuzzy_pairs_is_blocked_equi_join(spark):
+    """Levenshtein matching must run inside (brand, first-token) blocks as
+    an equi-join — an unblocked nested-loop over all pairs is the
+    quadratic trap this query exists to avoid."""
+    plan = plan_of(spark, "fuzzy_pairs_levenshtein")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wma_trailing_single_window_sort(spark):
+    """All three lags share one Window over one sort — the plan must not
+    repeat the (user_id) exchange or sort per lag."""
+    plan = plan_of(spark, "wma_trailing")
+    assert plan.count("Window (") == 1  # tree section: exactly one Window node
+    assert plan.count("Sort (") == 1
+    assert plan.count("Exchange (") == 1
+
+
+def test_inverted_index_partial_collects(spark):
+    """collect_list aggregates via ObjectHashAggregate with a partial phase:
+    posting heads combine map-side before the token shuffle."""
+    plan = plan_of(spark, "inverted_index")
+    assert "ObjectHashAggregate" in plan
+    assert "partial_count" in plan
+
+
+def test_corr_regress_single_pass_partials(spark):
+    """Six sufficient-statistic sums must compute in one partial+final
+    aggregate pair — the shuffle carries six numbers per group."""
+    plan = plan_of(spark, "corr_regress")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    # one hash shuffle on the group key (fan_out's round-robin on the toy
+    # single-file scan is the only other exchange)
+    assert plan.count("hashpartitioning(flag") == 1
+
+
+def test_median_exact_window_is_partitioned(spark):
+    """Rank selection windows on the group key — never a global sort."""
+    plan = plan_of(spark, "median_exact")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_mix_budget_window_is_per_source(spark):
+    plan = plan_of(spark, "mix_budget")
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_heavy_hitters_preaggregates_before_window(spark):
+    """The window input is one row per (type, user) — the raw events are
+    hash-aggregated first, and top-3 prunes via WindowGroupLimit."""
+    plan = plan_of(spark, "heavy_hitters")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_window_first_last_single_window(spark):
+    """first/last/nth share one frame: one Window node, one sort."""
+    plan = plan_of(spark, "window_first_last")
+    assert plan.count("Window (") == 1
+    assert plan.count("Sort (") == 1
