@@ -4,8 +4,9 @@ packed, sharded, training-ready parquet layout.
 Composes the engine's corpus operators in their production order —
 
     quality filter → language filter → exact dedup →
-    test-set decontamination → deterministic shard + shuffle →
-    token-budget sequence packing → partitioned write
+    test-set decontamination → [per-source mixture quota] →
+    deterministic shard + shuffle → token-budget sequence packing →
+    partitioned write
 
 — all as ONE declarative DataFrame plan: Catalyst fuses the three
 filters into the scan, the dedup window and the packing window are the
@@ -48,6 +49,7 @@ def build_corpus(
     ngram: int = 3,
     budget: int = 2048,
     shards: int = 8,
+    source_budget: int | None = None,
 ) -> DataFrame:
     """The full corpus plan: returns one row per kept document with
     (doc_id, lang, n_tokens, shard, seq_id), packing-ready.
@@ -81,6 +83,19 @@ def build_corpus(
         )
         contaminated = doc_sh.join(F.broadcast(eval_sh), "s").select("doc_id").distinct()
         deduped = deduped.join(contaminated, "doc_id", "left_anti")
+
+    if source_budget is not None:
+        # mixture quota (the mix_budget query shape): each source
+        # contributes docs in deterministic md5 order until its token
+        # budget is reached — a doc is kept iff it STARTS under budget.
+        w_mix = (
+            Window.partitionBy("source")
+            .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        deduped = deduped.withColumn("__cum", F.sum("n_tokens").over(w_mix)).where(
+            F.col("__cum") - F.col("n_tokens") < source_budget
+        ).drop("__cum")
 
     skey = F.md5(F.col("doc_id").cast("string"))
     base = deduped.select(
@@ -116,6 +131,7 @@ def run_pipeline(
     ngram: int = 3,
     budget: int = 2048,
     shards: int = 8,
+    source_budget: int | None = None,
 ) -> dict:
     """Execute the plan, write shard-partitioned parquet + a manifest.
     Returns the manifest dict (also written as _manifest.json)."""
@@ -129,6 +145,7 @@ def run_pipeline(
         ngram=ngram,
         budget=budget,
         shards=shards,
+        source_budget=source_budget,
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(output_dir)
 
@@ -149,6 +166,7 @@ def run_pipeline(
         "ngram": ngram,
         "budget": budget,
         "shards": shards,
+        "source_budget": source_budget,
     }
     with open(os.path.join(output_dir, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -165,6 +183,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ngram", type=int, default=3, help="Decontamination n-gram size.")
     p.add_argument("--budget", type=int, default=2048, help="Tokens per packed sequence.")
     p.add_argument("--shards", type=int, default=8)
+    p.add_argument(
+        "--source-budget",
+        type=int,
+        default=None,
+        help="Optional per-source token quota (mixture construction): each "
+        "source contributes documents in deterministic md5 order until "
+        "this many tokens.",
+    )
     p.add_argument("-master", dest="master", default="local[*]")
     args = p.parse_args(argv)
 
@@ -181,6 +207,7 @@ def main(argv: list[str] | None = None) -> int:
         ngram=args.ngram,
         budget=args.budget,
         shards=args.shards,
+        source_budget=args.source_budget,
     )
     print(json.dumps(manifest, sort_keys=True))
     return 0

@@ -130,7 +130,7 @@ WITH toks AS (
 ), un AS (
   SELECT tok, COUNT(*) AS n_tok FROM uni GROUP BY tok
 ), tot AS (
-  SELECT COUNT(*) AS n_total FROM uni
+  SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM un
 ), bi AS (
   SELECT unnest(CASE WHEN len(w) >= 2
     THEN list_transform(range(1, len(w)), i -> [w[i], w[i+1]])
@@ -165,7 +165,8 @@ def bigram_lift(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(T.words(F.lower(F.col("text"))).alias("w"))
     uni = toks.select(F.explode("w").alias("tok"))
     un = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    tot = uni.agg(F.count(F.lit(1)).alias("n_total"))
+    # grand total from the vocab-sized counts — not a third corpus pass
+    tot = un.agg(F.sum("n_tok").alias("n_total"))
     pairs = toks.select(
         F.explode(
             F.when(
@@ -686,3 +687,63 @@ def heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("event_type", "user_id", "n", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph analytics
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000 AS dst FROM lineitem
+), od AS (
+  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+), n AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n
+), c1 AS (
+  SELECT dst, SUM(rank // outdeg) AS s
+  FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src GROUP BY dst
+), r1 AS (
+  SELECT node, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS rank
+  FROM n LEFT JOIN c1 ON n.node = c1.dst
+), c2 AS (
+  SELECT dst, SUM(rank // outdeg) AS s
+  FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src GROUP BY dst
+), r2 AS (
+  SELECT node, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS rank
+  FROM n LEFT JOIN c2 ON n.node = c2.dst
+), c3 AS (
+  SELECT dst, SUM(rank // outdeg) AS s
+  FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src GROUP BY dst
+), r3 AS (
+  SELECT node, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS rank
+  FROM n LEFT JOIN c3 ON n.node = c3.dst
+)
+SELECT node, rank FROM r3
+"""
+
+
+@_register(
+    "pagerank_links",
+    _PAGERANK_ORACLE,
+    doc="Fixed-3-iteration PageRank over the part→supplier shipment graph "
+    "(suppliers namespaced by +1e9), in EXACT integer micro-units — "
+    "operators.graph.pagerank_int. The iterative-propagation face of "
+    "graph analytics next to connected components' convergence face: "
+    "every iteration is one O(|E|) join + hash aggregate, lineage "
+    "checkpoint-truncated; integer div/mod arithmetic makes the result "
+    "bitwise identical across engines and partitionings, which no "
+    "float PageRank is. Oracle = the same three iterations unrolled as "
+    "chained CTEs.",
+)
+def pagerank_links(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.graph import pagerank_int
+
+    li = load_table(spark, sf, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1000000000).alias("dst"),
+    )
+    return pagerank_int(edges, iterations=3, damping_pct=85)

@@ -94,3 +94,35 @@ def test_pipeline_is_deterministic(spark):
     a = build_corpus(docs, budget=BUDGET).orderBy("doc_id").collect()
     b = build_corpus(docs, budget=BUDGET).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_source_budget_mixture_quota(spark):
+    """--source-budget applies the mix_budget rule after dedup: within each
+    source, docs are taken in (md5(doc_id), doc_id) order while the
+    running total STARTS under budget. Differential: recompute the
+    expected kept set driver-side from the unbudgeted pipeline output."""
+    import hashlib
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    unbudgeted = build_corpus(docs, min_words=20, langs=("en", "de"), budget=BUDGET)
+    budgeted = build_corpus(
+        docs, min_words=20, langs=("en", "de"), budget=BUDGET, source_budget=200
+    )
+
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    cand = [
+        (src[r["doc_id"]], hashlib.md5(str(r["doc_id"]).encode()).hexdigest(),
+         r["doc_id"], r["n_tokens"])
+        for r in unbudgeted.select("doc_id", "n_tokens").collect()
+    ]
+    expected = set()
+    by_source: dict[str, int] = {}
+    for source, _h, doc_id, n_tokens in sorted(cand):
+        start = by_source.get(source, 0)
+        if start < 200:
+            expected.add(doc_id)
+        by_source[source] = start + n_tokens
+
+    kept = {r["doc_id"] for r in budgeted.select("doc_id").collect()}
+    assert kept == expected
+    assert kept < {r["doc_id"] for r in unbudgeted.select("doc_id").collect()}
