@@ -747,3 +747,214 @@ def pagerank_links(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_suppkey") + 1000000000).alias("dst"),
     )
     return pagerank_int(edges, iterations=3, damping_pct=85)
+
+
+_QUANTILE_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+)
+SELECT flag, CAST(MAX(cnt) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = CAST(CEIL(0.5 * cnt) AS BIGINT) THEN q END) AS p50,
+       MAX(CASE WHEN rn = CAST(CEIL(0.9 * cnt) AS BIGINT) THEN q END) AS p90,
+       MAX(CASE WHEN rn = CAST(CEIL(0.99 * cnt) AS BIGINT) THEN q END) AS p99
+FROM r GROUP BY flag
+"""
+
+
+@_register(
+    "quantile_exact",
+    _QUANTILE_ORACLE,
+    doc="Exact multi-quantile (p50/p90/p99) by rank selection — "
+    "percentile_disc semantics (value at rank ceil(p·n), an actual data "
+    "point, no interpolation, so the result is an exact integer in both "
+    "engines). All three quantiles share ONE partitioned window sort and "
+    "one conditional aggregate; the latency-percentile readout of every "
+    "monitoring dashboard. Same scale note as median_exact: the sort is "
+    "per-group, and a two-pass histogram estimator replaces it at 100 TB.",
+)
+def quantile_exact(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+
+    def at(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("cnt")), F.col("q"))
+        )
+
+    return r.groupBy("flag").agg(
+        F.max("cnt").alias("n"),
+        at(0.5).alias("p50"),
+        at(0.9).alias("p90"),
+        at(0.99).alias("p99"),
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 11 <> 0
+), v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS digest
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.digest <> v2.digest
+"""
+
+
+@_register(
+    "snapshot_diff",
+    _SNAPSHOT_DIFF_ORACLE,
+    doc="Dataset-version diff: added/removed/changed rows between two "
+    "snapshots (here carved deterministically out of documents: v1 drops "
+    "doc_id%11, v2 drops %13 and edits %7) — the audit step between "
+    "corpus releases. Rows are reduced to (key, content digest) BEFORE "
+    "the full outer join, so only 16-byte hashes cross the shuffle, "
+    "never document bodies, and both sides partition on the join key — "
+    "the shape that diffs a 100 TB snapshot pair with one hash join.",
+)
+def snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    v1 = docs.where(F.col("doc_id") % 11 != 0).select(
+        F.col("doc_id").alias("id1"), F.md5("text").alias("d1")
+    )
+    v2 = docs.where(F.col("doc_id") % 13 != 0).select(
+        F.col("doc_id").alias("id2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("d2"),
+    )
+    j = v1.join(v2, v1.id1 == v2.id2, "full_outer")
+    change = (
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.where(
+        F.col("id1").isNull() | F.col("id2").isNull() | (F.col("d1") != F.col("d2"))
+    ).select(F.coalesce("id1", "id2").alias("doc_id"), change.alias("change"))
+
+
+_BASKET_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT user_id, event_type FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS support
+FROM b a JOIN b b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+@_register(
+    "basket_pairs",
+    _BASKET_ORACLE,
+    doc="Market-basket co-occurrence: how many users trigger each PAIR of "
+    "event types — the support counts behind association-rule mining. "
+    "Baskets are deduped to distinct (user, type) first, so the per-user "
+    "self-join explodes a bounded set (≤ |event types| per user, never "
+    "per-event volume); the pair count is one partial-agg'd shuffle on "
+    "the pair key.",
+)
+def basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    b = ev.select("user_id", "event_type").distinct()
+    a = b.select("user_id", F.col("event_type").alias("type_a"))
+    c = b.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(c, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+_ROLLING_ACTIVE_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), days AS (
+  SELECT DISTINCT day FROM d
+)
+SELECT g.day, COUNT(DISTINCT d.user_id) AS active_3d
+FROM days g JOIN d ON d.day BETWEEN g.day - INTERVAL 2 DAY AND g.day
+GROUP BY g.day
+"""
+
+
+@_register(
+    "rolling_active_users",
+    _ROLLING_ACTIVE_ORACLE,
+    doc="Rolling 3-day active users per day (the DAU/WAU family, exact): "
+    "activity dedupes to distinct (user, day) FIRST — the range join "
+    "then runs over that reduced relation against the tiny day grid, "
+    "never against raw events, so the quadratic term is bounded by "
+    "|users|×|window days|. Count-distinct collapses per grid day. At "
+    "larger windows the same query runs per (day bucket, user) with the "
+    "grid still broadcast.",
+)
+def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = d.select("day").distinct().select(F.col("day").alias("gday"))
+    j = d.join(
+        F.broadcast(days),
+        (F.col("day") >= F.date_sub(F.col("gday"), 2))
+        & (F.col("day") <= F.col("gday")),
+    )
+    return (
+        j.groupBy(F.col("gday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_3d"))
+    )
+
+
+_DEBOUNCE_ORACLE = """
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, event_type
+FROM g WHERE gap_us IS NULL OR gap_us > 300000000
+"""
+
+
+@_register(
+    "events_debounce",
+    _DEBOUNCE_ORACLE,
+    doc="Debounce: drop events arriving within 5 minutes of the previous "
+    "same (user, type) event — duplicate-click suppression, the "
+    "rate-limited twin of dedup_keyed (which drops exact id repeats; "
+    "this drops temporal echoes). One lag window partitioned on the "
+    "(user, type) key in exact integer microseconds; first event of "
+    "each key always passes (NULL gap).",
+)
+def events_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.select("event_id", "user_id", "event_type", gap.alias("gap_us"))
+        .where(F.col("gap_us").isNull() | (F.col("gap_us") > 300000000))
+        .select("event_id", "user_id", "event_type")
+    )

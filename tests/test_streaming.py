@@ -194,3 +194,23 @@ def test_foreach_batch_upsert_equals_batch_keep_newest(spark, tmp_path):
     # restart with the same checkpoint: no new files -> state unchanged
     start().awaitTermination()
     assert _sorted_rows(read_upsert_state(spark, out), cols) == _sorted_rows(want, cols)
+
+
+def test_stream_zscore_monitor_equals_batch(spark, events_dir):
+    """Streaming anomaly monitor: frozen reference stats + stream-static
+    broadcast join must score identically to the batch pass (append
+    mode, no state, no watermark)."""
+    from cve_manager_spark.sources.testdata import load_table
+    from cve_manager_spark.streaming.monitor import reference_stats, score_zscore
+
+    batch_events = load_table(spark, SF_SMALL, "events")
+    stats = reference_stats(batch_events)
+    stream = read_events_stream(spark, events_dir)
+    scored = score_zscore(stream, stats)
+    assert scored.isStreaming
+    run_to_memory(scored, "t_zscore", output_mode="append")
+    got = spark.table("t_zscore")
+    want = score_zscore(batch_events, stats)
+    cols = ["event_id", "event_type", "v_milli", "z_micro"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert got.count() > 0
