@@ -958,3 +958,98 @@ def events_debounce(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("gap_us").isNull() | (F.col("gap_us") > 300000000))
         .select("event_id", "user_id", "event_type")
     )
+
+
+_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sized AS (
+  SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0
+), nc AS (
+  SELECT doc_id, w,
+         CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+  FROM sized
+), ex AS (
+  SELECT doc_id, w, CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id FROM nc
+)
+SELECT doc_id, chunk_id,
+       CAST(len(w[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_tokens,
+       array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+FROM ex
+"""
+
+
+@_register(
+    "chunk_documents",
+    _CHUNK_ORACLE,
+    doc="Sliding-window document chunking: split each document into "
+    "32-token chunks with stride 24 (8-token overlap) — the step every "
+    "LLM pretraining pipeline runs between cleaning and tokenization, "
+    "and the producer for pack_sequences. Pure narrow map + bounded "
+    "explode (fan-out n/stride per doc), zero shuffles; the chunk count "
+    "is computed in integer arithmetic (`div`) so both engines agree "
+    "exactly. The final chunk is short rather than padded (slice clamps "
+    "at the array end in both engines).",
+)
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    size, stride = 32, 24
+    docs = load_table(spark, sf, "documents")
+    toks = (
+        docs.select("doc_id", T.words(F.lower(F.col("text"))).alias("w"))
+        .withColumn("n", F.size("w"))
+        .where(F.col("n") > 0)
+    )
+    n_chunks = F.when(F.col("n") <= size, F.lit(1)).otherwise(
+        F.expr(f"(n - {size} + {stride - 1}) div {stride}") + 1
+    )
+    ex = toks.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    )
+    chunk = F.slice(F.col("w"), F.col("chunk_id") * stride + 1, size)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+_PREFIX_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), p AS (
+  SELECT doc_id, md5(array_to_string(w[1:32], ' ')) AS prefix_md5
+  FROM toks WHERE len(w) > 0
+)
+SELECT prefix_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+FROM p GROUP BY prefix_md5
+"""
+
+
+@_register(
+    "dedup_prefix",
+    _PREFIX_ORACLE,
+    doc="Prefix-hash dedup: documents sharing their first 32 tokens "
+    "collapse to one survivor (deterministic min doc_id) — the cheap "
+    "web-corpus tier that catches boilerplate openings and truncation "
+    "duplicates that exact-hash dedup misses and n-gram Jaccard "
+    "over-pays for. Only the 16-byte md5 of the prefix crosses the one "
+    "shuffle (same digest-only discipline as dedup_exact); bodies never "
+    "move.",
+)
+def dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    p = (
+        docs.select("doc_id", T.words(F.lower(F.col("text"))).alias("w"))
+        .where(F.size("w") > 0)
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("w", 1, 32), " ")).alias("prefix_md5"),
+        )
+    )
+    return p.groupBy("prefix_md5").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
