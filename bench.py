@@ -52,6 +52,8 @@ HEADLINE = [
     "inverted_index",
     "bigram_lift",
     "anomaly_zscore",
+    # r2c: chunking tranche
+    "chunk_documents",
 ]
 
 

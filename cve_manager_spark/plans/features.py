@@ -1053,3 +1053,137 @@ def dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+_CONCURRENCY_ORACLE = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, CAST(1 AS BIGINT) AS d, event_id FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + 300000000, CAST(-1 AS BIGINT), event_id FROM events
+), sweep AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+  FROM pts
+)
+SELECT event_type, CAST(MAX(open) AS BIGINT) AS max_concurrent
+FROM sweep GROUP BY event_type
+"""
+
+
+@_register(
+    "max_concurrency",
+    _CONCURRENCY_ORACLE,
+    doc="Sweep-line interval overlap: each event opens a [ts, ts+5min) "
+    "interval; report the peak number of simultaneously-open intervals "
+    "per event type — the max-concurrency / peak-load readout behind "
+    "capacity planning. Classic +1/-1 boundary-point sweep: half-open "
+    "semantics order the -1 before the +1 at an identical instant "
+    "(ORDER BY t, d), event_id breaks remaining ties so the running sum "
+    "is one deterministic total order; integer microseconds throughout. "
+    "One window sort partitioned by type — at 100 TB, type alone is too "
+    "coarse a partition, so the scale path shards the sweep by "
+    "(type, time-bucket) and corrects each bucket with the carried-in "
+    "open count from the previous bucket (an associative prefix-sum "
+    "two-pass, same exchange pattern as window_running).",
+)
+def max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    opens = ev.select(
+        "event_type", us.alias("t"), F.lit(1).cast("bigint").alias("d"), "event_id"
+    )
+    closes = ev.select(
+        "event_type",
+        (us + 300000000).alias("t"),
+        F.lit(-1).cast("bigint").alias("d"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = opens.unionAll(closes).select(
+        "event_type", F.sum("d").over(w).alias("open")
+    )
+    return sweep.groupBy("event_type").agg(F.max("open").alias("max_concurrent"))
+
+
+_ATTRIBUTION_ORACLE = """
+WITH j AS (
+  SELECT event_id, user_id, event_type, ts,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attributed_type
+  FROM events
+)
+SELECT event_id, user_id, attributed_type
+FROM j WHERE event_type = 'purchase'
+"""
+
+
+@_register(
+    "attribution_last_touch",
+    _ATTRIBUTION_ORACLE,
+    doc="Last-touch attribution: each purchase is credited to the most "
+    "recent preceding non-purchase event of the same user (NULL when the "
+    "purchase is the user's first touchpoint). One user-partitioned "
+    "window with last_value(... IGNORE NULLS) over the unbounded-to-1-"
+    "preceding frame — no self-join, no per-user collect; the window "
+    "partitions on the natural high-cardinality key so the sort is "
+    "per-user and shuffle-balanced at any scale.",
+)
+def attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_id", "user_id", "event_type", prev.alias("attributed_type"))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "attributed_type")
+    )
+
+
+_GINI_ORACLE = """
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY lang, source
+), m AS (
+  SELECT lang, SUM(n_s) AS n, SUM(n_s * n_s) AS ss FROM c GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CAST(((n * n - ss) * 1000000) // (n * n) AS BIGINT) AS gini_micro
+FROM m
+"""
+
+
+@_register(
+    "lang_source_gini",
+    _GINI_ORACLE,
+    doc="Source-diversity Gini impurity per language, in exact integer "
+    "micro-units: gini = 1 - sum(share^2) computed as "
+    "((n^2 - sum(n_s^2)) * 1e6) div n^2 — every operand stays a BIGINT, "
+    "so no float summation order or log/ln cross-engine drift exists at "
+    "all (the features.py IEEE-tree recipe isn't even needed). Two "
+    "cascading hash aggregates, both map-side partial. 64-bit range "
+    "holds to ~3M docs per language at micro scale; past that, switch "
+    "the scale factor to 1e4 or the arithmetic to decimal(38,0).",
+)
+def lang_source_gini(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_s"))
+    m = c.groupBy("lang").agg(
+        F.sum("n_s").alias("n"), F.sum(F.col("n_s") * F.col("n_s")).alias("ss")
+    )
+    return m.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.expr("((n * n - ss) * 1000000) div (n * n)").alias("gini_micro"),
+    )

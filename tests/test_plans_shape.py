@@ -262,3 +262,21 @@ def test_window_first_last_single_window(spark):
     plan = plan_of(spark, "window_first_last")
     assert plan.count("Window (") == 1
     assert plan.count("Sort (") == 1
+
+
+def test_chunking_is_shuffle_free(spark):
+    """chunk_documents is a narrow map + bounded explode: any Exchange
+    here would mean the chunker re-shuffles the whole corpus."""
+    plan = plan_of(spark, "chunk_documents")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_prefix_dedup_ships_digests_only(spark):
+    """dedup_prefix: one hash-partition exchange with map-side partial
+    aggregation; the md5 digest (not the document body) is the shuffle
+    key and payload."""
+    plan = plan_of(spark, "dedup_prefix")
+    assert plan.count("+- Exchange") == 1  # formatted tree: exactly one shuffle
+    assert "hashpartitioning(prefix_md5" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
