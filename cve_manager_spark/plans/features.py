@@ -1187,3 +1187,254 @@ def lang_source_gini(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").alias("n_docs"),
         F.expr("((n * n - ss) * 1000000) div (n * n)").alias("gini_micro"),
     )
+
+
+_DQ_ORACLE = """
+SELECT 'lineitem_orphan_orderkey' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_bad
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_dup_orderkey', CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders_nonpositive_totalprice',
+       CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'events_null_user',
+       CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT) FROM events
+UNION ALL
+SELECT 'documents_empty_text',
+       CAST(COUNT(*) FILTER (WHERE length(trim(text)) = 0) AS BIGINT) FROM documents
+"""
+
+
+@_register(
+    "dq_checks",
+    _DQ_ORACLE,
+    doc="Data-quality audit: one row per constraint check — referential "
+    "integrity (orphan lineitems via LEFT ANTI join), key uniqueness "
+    "(count minus distinct), accepted-range, null-rate, and emptiness — "
+    "the dbt-test / Deequ-style gate a corpus passes before training. "
+    "Each check is a single scan + aggregate; the two orders checks "
+    "fuse into one conditional-aggregate pass so the table is read "
+    "once, and the anti join broadcasts nothing (orderkey-partitioned "
+    "SMJ at scale, where the NOT EXISTS side is too big to broadcast).",
+)
+def dq_checks(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    od = load_table(spark, sf, "orders")
+    ev = load_table(spark, sf, "events")
+    docs = load_table(spark, sf, "documents")
+
+    def row(name: str, agg):
+        return F.lit(name).alias("check_name"), agg.cast("bigint").alias("n_bad")
+
+    orphans = li.join(
+        od.select("o_orderkey"),
+        li["l_orderkey"] == od["o_orderkey"],
+        "left_anti",
+    ).select(*row("lineitem_orphan_orderkey", F.count(F.lit(1))))
+    # one fused pass over orders covers uniqueness AND range
+    orders_checks = od.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias("dups"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos"),
+    )
+    o_dup = orders_checks.select(*row("orders_dup_orderkey", F.col("dups")))
+    o_rng = orders_checks.select(*row("orders_nonpositive_totalprice", F.col("nonpos")))
+    e_null = ev.agg(
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("n")
+    ).select(*row("events_null_user", F.col("n")))
+    d_empty = docs.agg(
+        F.sum(F.when(F.length(F.trim(F.col("text"))) == 0, 1).otherwise(0)).alias("n")
+    ).select(*row("documents_empty_text", F.col("n")))
+    return orphans.unionAll(o_dup).unionAll(o_rng).unionAll(e_null).unionAll(d_empty)
+
+
+_SCD2_ORACLE = """
+SELECT event_id, user_id,
+       CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@_register(
+    "scd2_intervals",
+    _SCD2_ORACLE,
+    doc="SCD type-2 history builder: each user's purchase stream becomes "
+    "versioned validity intervals — valid_from = the event, valid_to = "
+    "the next event (NULL = current row), version = 1..n — the standard "
+    "warehouse pattern for turning a change log into an effective-dated "
+    "dimension (the producer for join_asof / join_interval lookups). "
+    "One lead + row_number over a single user-partitioned window sort; "
+    "the filter on event_type is pushed into the parquet scan.",
+)
+def scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+
+
+_CUM_USERS_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), per_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM per_day
+"""
+
+
+@_register(
+    "cumulative_unique_users",
+    _CUM_USERS_ORACLE,
+    doc="Cumulative distinct users per day — the growth curve every "
+    "product dashboard opens with, and a running COUNT(DISTINCT) that "
+    "naive engines recompute per day in O(days·users). Decomposed "
+    "exactly: distinct collapses to each user's FIRST day (one "
+    "user-keyed aggregate at data scale), then a running sum over the "
+    "per-day counts. The only unpartitioned window runs over #days "
+    "rows — bounded and tiny at any corpus size.",
+)
+def cumulative_unique_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), c AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p WHERE dst IS NOT NULL GROUP BY src, dst
+), t AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY src
+)
+SELECT c.src, c.dst, c.n, CAST((c.n * 1000000) // t.tot AS BIGINT) AS p_micro
+FROM c JOIN t ON c.src = t.src
+"""
+
+
+@_register(
+    "event_transitions",
+    _TRANSITIONS_ORACLE,
+    doc="Markov transition matrix over user journeys: count src→dst "
+    "event-type pairs (lead window per user) and the per-source "
+    "transition probability in exact integer micro-units "
+    "((n·1e6) div total — no float division order to drift). The "
+    "sequence-analytics twin of bigram_lift. One user-partitioned "
+    "window, one #types²-sized aggregate; the totals side of the final "
+    "join is #types rows and broadcasts.",
+)
+def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    c = p.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("src").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "src")
+        .select("src", "dst", "n", F.expr("(n * 1000000) div tot").alias("p_micro"))
+    )
+
+
+_MAD_ORACLE = """
+WITH v AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS x FROM events
+), r1 AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM v
+), med AS (
+  SELECT event_type, x AS med FROM r1 WHERE rn = (cnt + 1) // 2
+), d AS (
+  SELECT v.event_id, v.event_type, ABS(v.x - m.med) AS dev, m.med
+  FROM v JOIN med m ON v.event_type = m.event_type
+), r2 AS (
+  SELECT event_type, med, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM d
+)
+SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n, MAX(med) AS median_milli,
+       MAX(CASE WHEN rn = (cnt + 1) // 2 THEN dev END) AS mad_milli
+FROM r2 GROUP BY event_type
+"""
+
+
+@_register(
+    "value_mad",
+    _MAD_ORACLE,
+    doc="Median absolute deviation per event type — the robust spread "
+    "estimator monitoring uses when outliers poison stddev (the robust "
+    "twin of anomaly_zscore's σ). Two rank-selection passes on exact "
+    "integer milli-units (lower median, percentile_disc semantics): "
+    "median, then median of |x − median|, the per-type medians joined "
+    "back by broadcast. Each pass is a per-type window sort; at 100 TB "
+    "the same two passes run on a fixed-width histogram instead of a "
+    "sort (the median_exact scale note).",
+)
+def value_mad(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("x"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy("x", "event_id")
+    wc = Window.partitionBy("event_type")
+    r1 = v.select(
+        "event_type",
+        "x",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    med = r1.where(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        "event_type", F.col("x").alias("med")
+    )
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "med",
+        F.abs(F.col("x") - F.col("med")).alias("dev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    r2 = d.select(
+        "event_type",
+        "med",
+        "dev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return r2.groupBy("event_type").agg(
+        F.max("cnt").alias("n"),
+        F.max("med").alias("median_milli"),
+        F.max(F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("dev"))).alias(
+            "mad_milli"
+        ),
+    )
