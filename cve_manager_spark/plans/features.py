@@ -32,7 +32,13 @@ from cve_manager_spark.sources.testdata import load_table
 SPECS: list[QuerySpec] = []
 
 
-def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+def _register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    priority: int = 1,
+):
     def deco(fn):
         SPECS.append(
             QuerySpec(
@@ -41,7 +47,7 @@ def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...
                 oracle=oracle,
                 doc=doc or (fn.__doc__ or ""),
                 tags=tags,
-                priority=1,
+                priority=priority,
             )
         )
         return fn
@@ -1437,4 +1443,265 @@ def value_mad(spark: SparkSession, sf: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("dev"))).alias(
             "mad_milli"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 2c tranche — queued at priority=2 behind the existing verification
+# backlog (registry.py sorts (tier, priority); the local DuckDB replica
+# gates these until the driver window rotates to them).
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), nn AS (
+  SELECT COUNT(DISTINCT x) AS n_nodes
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+), ne AS (
+  SELECT COUNT(*) AS n_edges FROM e
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e x JOIN e y ON y.u = x.v JOIN e z ON z.u = x.u AND z.v = y.v
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM nn CROSS JOIN ne CROSS JOIN tri
+"""
+
+
+@_register(
+    "triangle_count",
+    _TRIANGLE_ORACLE,
+    doc="Exact triangle count on the part co-purchase graph (parts sharing "
+    "an order are connected) — the clustering-coefficient numerator of "
+    "graph analytics, next to pagerank_links (propagation) and "
+    "dedup_clusters (connectivity). Canonical ordered-edge method: every "
+    "edge is stored once as u<v, so each triangle a<b<c is counted "
+    "exactly once by the wedge join e(a,b)⋈e(b,c) closed by e(a,c) — "
+    "three equi-joins on node keys, no nested loop. Edge building is "
+    "bounded per order (k lineitems → ≤k² pairs), and the edge list is "
+    "persisted so the scan+distinct runs once, not three times. At "
+    "100 TB the same plan holds because the wedge count, not |E|², is "
+    "the cost driver; hot high-degree nodes would be capped or sampled "
+    "first (the heavy_hitters diagnostic feeds exactly that decision).",
+    priority=2,
+)
+def triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b = op.select("o", F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nn = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select("v"))
+        .agg(F.countDistinct("x").alias("n_nodes"))
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    wedges = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.v") == F.col("y.u"))
+        .select(F.col("x.u").alias("ta"), F.col("x.v").alias("tb"), F.col("y.v").alias("tc"))
+    )
+    tri = wedges.join(
+        e.alias("z"), (F.col("ta") == F.col("z.u")) & (F.col("tc") == F.col("z.v"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return nn.crossJoin(ne).crossJoin(tri)
+
+
+_STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), g AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+           AS anchor
+  FROM d
+), s AS (
+  SELECT user_id, anchor, COUNT(*) AS len, MIN(day) AS start_day
+  FROM g GROUP BY user_id, anchor
+), r AS (
+  SELECT user_id, len, start_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_day) AS rk
+  FROM s
+)
+SELECT user_id, CAST(len AS BIGINT) AS streak_days, start_day AS streak_start
+FROM r WHERE rk = 1
+"""
+
+
+@_register(
+    "longest_streak",
+    _STREAK_ORACLE,
+    doc="Longest run of consecutive active days per user — the classic "
+    "gaps-and-islands pattern (engagement-streak metrics): day minus its "
+    "per-user row_number is constant within a consecutive run, so the "
+    "anchor date groups each island with zero self-joins. Activity "
+    "dedupes to distinct (user, day) first; both windows and the "
+    "island aggregate partition on user_id, so every stage reuses one "
+    "user-keyed exchange and the per-user sort is bounded by active "
+    "days, never raw event volume. Deterministic tie-break: earliest "
+    "streak wins.",
+    priority=2,
+)
+def longest_streak(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    s = g.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("len").desc(), F.col("start_day"))
+    return (
+        s.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("streak_days"),
+            F.col("start_day").alias("streak_start"),
+        )
+    )
+
+
+_NEAREST_ORACLE = """
+WITH o AS (
+  SELECT event_id, user_id,
+         LAG(event_id)  OVER w AS prev_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER w)  AS prev_gap,
+         LEAD(event_id) OVER w AS next_id,
+         epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS next_gap
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CASE WHEN next_gap IS NULL
+              OR (prev_gap IS NOT NULL AND prev_gap <= next_gap)
+            THEN prev_id ELSE next_id END AS neighbor_id,
+       CASE WHEN next_gap IS NULL
+              OR (prev_gap IS NOT NULL AND prev_gap <= next_gap)
+            THEN prev_gap ELSE next_gap END AS gap_us
+FROM o
+"""
+
+
+@_register(
+    "nearest_event",
+    _NEAREST_ORACLE,
+    doc="Bidirectional nearest neighbor in time: each event annotated with "
+    "its user's temporally closest OTHER event, looking both backward "
+    "and forward — the symmetric completion of join_asof (backward-only) "
+    "without any join at all: one user-partitioned window yields lag and "
+    "lead from the same sort, and a pure projection picks the smaller "
+    "gap (tie → the earlier event; single-event users get NULL). Exact "
+    "integer microseconds; the window partitions on the natural "
+    "high-cardinality user key, so the plan is one balanced exchange at "
+    "any scale.",
+    priority=2,
+)
+def nearest_event(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_gap = us - F.lag(us).over(w)
+    next_gap = F.lead(us).over(w) - us
+    o = ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        prev_gap.alias("prev_gap"),
+        F.lead("event_id").over(w).alias("next_id"),
+        next_gap.alias("next_gap"),
+    )
+    take_prev = F.col("next_gap").isNull() | (
+        F.col("prev_gap").isNotNull() & (F.col("prev_gap") <= F.col("next_gap"))
+    )
+    return o.select(
+        "event_id",
+        "user_id",
+        F.when(take_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias(
+            "neighbor_id"
+        ),
+        F.when(take_prev, F.col("prev_gap")).otherwise(F.col("next_gap")).alias(
+            "gap_us"
+        ),
+    )
+
+
+_WMEDIAN_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), o AS (
+  SELECT flag, q,
+         CAST(SUM(wt) OVER (PARTITION BY flag ORDER BY q, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(wt) OVER (PARTITION BY flag) AS BIGINT) AS tot
+  FROM v
+)
+SELECT flag, MIN(q) AS wmedian_qty, MAX(tot) AS total_weight_cents
+FROM o WHERE 2 * cum >= tot GROUP BY flag
+"""
+
+
+@_register(
+    "weighted_median",
+    _WMEDIAN_ORACLE,
+    doc="Weighted median: the smallest quantity at which the running "
+    "revenue weight (exact integer cents) reaches half the group total — "
+    "median_exact generalized from counts to weights, the estimator "
+    "behind revenue-weighted SLAs and importance-weighted corpus stats. "
+    "One running-sum window over the deterministic (q, orderkey, "
+    "linenumber) order plus the group-total frame share a single "
+    "per-flag sort; selection is a filter + MIN, no second pass. All "
+    "arithmetic is BIGINT (weights floor-quantized to cents), so the "
+    "result is engine- and partitioning-exact.",
+    priority=2,
+)
+def weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wrun = (
+        Window.partitionBy("flag")
+        .orderBy("q", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("flag")
+    o = v.select(
+        "flag",
+        "q",
+        F.sum("wt").over(wrun).alias("cum"),
+        F.sum("wt").over(wall).alias("tot"),
+    )
+    return (
+        o.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("q").alias("wmedian_qty"),
+            F.max("tot").alias("total_weight_cents"),
+        )
     )
