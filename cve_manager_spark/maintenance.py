@@ -1,0 +1,162 @@
+"""Warehouse maintenance: file-layout diagnostics, compaction, clustering.
+
+The reference's warehouse is a Postgres instance, where storage layout
+is the database's problem (cve_manager.py:344-384 just TRUNCATEs and
+re-COPYs). A parquet lake makes layout the engine's problem, and at
+100 TB it is the dominant one: a table written by a 1000-task job per
+micro-batch degenerates into millions of kilobyte files whose open/seek
+overhead dwarfs the scan itself, while an unsorted table defeats parquet
+min/max row-group skipping so every query reads everything.
+
+Three primitives, mirroring what table formats call OPTIMIZE / CLUSTER:
+
+- ``file_stats``: the diagnostic — per-file row counts straight from the
+  distributed scan (``input_file_name``), so the small-file problem is
+  measured, not guessed, before rewriting anything.
+- ``compact``: rewrite a parquet directory into ~``target_rows_per_file``
+  files, optionally range-clustered + sorted so parquet footer min/max
+  stats become selective (the data-skipping face of compaction).
+- ``write_clustered``: the write-side discipline that avoids needing
+  compact in the first place — hive partitioning for partition pruning,
+  range repartition + in-file sort for row-group skipping, and
+  ``maxRecordsPerFile`` as the hard file-size ceiling.
+
+Swap semantics: the rewrite lands in a sibling temp dir and replaces the
+original only after the new copy is fully written and row-verified —
+readers never observe a half-compacted table. On a real deployment the
+same two steps are "write new file set, swap the table/partition pointer
+in the metastore transaction" (Iceberg/Delta commit); the local-FS
+rename here is that transaction's single-node analogue.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file row counts for a parquet table: the small-file diagnostic.
+
+    One distributed scan grouped on ``input_file_name`` — no driver-side
+    directory walk, so it works the same against a 10-million-file table
+    (the listing is the executors' problem, as it should be).
+    Returns (file, n_rows) sorted largest-first.
+    """
+    df = spark.read.parquet(path)
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), "file")
+    )
+
+
+def plan_target_files(n_rows: int, target_rows_per_file: int) -> int:
+    """Number of output files a compaction should produce (≥1)."""
+    if target_rows_per_file <= 0:
+        raise ValueError("target_rows_per_file must be positive")
+    return max(1, math.ceil(n_rows / target_rows_per_file))
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    sort_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Rewrite a parquet dir into ~target-sized files, atomically swapped.
+
+    With ``sort_by``, the rewrite range-partitions on those columns and
+    sorts within each file, so every output file covers a disjoint key
+    range and parquet min/max footer stats prune whole files for
+    range/point predicates — compaction and CLUSTER BY in one pass.
+    Without it, a plain round-robin repartition evens out file sizes.
+
+    ``maxRecordsPerFile`` backstops the file-count math: even if the
+    range partitioner skews (one hot key range), no single file exceeds
+    the target, which is the invariant that actually protects executor
+    memory and scan parallelism at 100 TB.
+
+    Returns {"n_rows", "files_before", "files_after"}; fails loud (and
+    leaves the original untouched) if the rewrite row count disagrees.
+    """
+    src = Path(path)
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    files_before = len(list(src.glob("*.parquet")))
+    n_files = plan_target_files(n_rows, target_rows_per_file)
+
+    if sort_by:
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_files)
+
+    tmp = src.with_name(src.name + ".compact-tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(str(tmp))
+    )
+
+    n_after = spark.read.parquet(str(tmp)).count()
+    if n_after != n_rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row mismatch for {path}: {n_rows} -> {n_after}; "
+            "original left in place"
+        )
+
+    old = src.with_name(src.name + ".compact-old")
+    if old.exists():
+        shutil.rmtree(old)
+    src.rename(old)
+    tmp.rename(src)
+    shutil.rmtree(old)
+    files_after = len(list(src.glob("*.parquet")))
+    return {
+        "n_rows": n_rows,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    target_rows_per_file: int = 1_000_000,
+    n_files: int | None = None,
+) -> None:
+    """Write a parquet table laid out for pruning at read time.
+
+    ``partition_by`` → hive-style directories: equality predicates on
+    those columns never touch non-matching files (partition pruning,
+    asserted plan-side in tests). ``cluster_by`` → range repartition +
+    per-file sort: range predicates on those columns skip whole files
+    via parquet min/max stats. ``target_rows_per_file`` caps file size
+    regardless of partitioner skew. The two compose: partition on the
+    low-cardinality query dimension (date, source), cluster on the
+    high-cardinality one (timestamp, key) — the standard lakehouse
+    layout recipe.
+    """
+    out = df
+    if cluster_by:
+        keys = list(partition_by or []) + list(cluster_by)
+        if n_files is not None:
+            out = out.repartitionByRange(n_files, *keys)
+        else:
+            out = out.repartitionByRange(*keys)
+        out = out.sortWithinPartitions(*keys)
+    writer = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", target_rows_per_file
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

