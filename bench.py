@@ -54,6 +54,8 @@ HEADLINE = [
     "anomaly_zscore",
     # r2c: chunking tranche
     "chunk_documents",
+    "longest_streak",
+    "weighted_median",
 ]
 
 

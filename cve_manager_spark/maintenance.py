@@ -39,6 +39,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[DataFrame, str]:
+    """Append a Z-order (Morton) key column interleaving ``cols``.
+
+    Single-column clustering gives tight parquet min/max bounds on ONE
+    dimension and useless bounds on every other; interleaving the bits
+    of several normalized columns gives every file a small bounding box
+    in ALL of them, so range predicates on any clustered dimension skip
+    files — the multi-dimensional layout trick behind Delta/Iceberg
+    Z-ORDER, built here from plain codegen'd shift/mask expressions.
+
+    Columns are first normalized to ``bits``-bit integer ranks via their
+    global min/max (one tiny aggregate — the only action), then bit i of
+    column j lands at interleaved position i*n_cols + j. Layout-only: the
+    key orders the rewrite and is dropped before the write, so no query
+    semantics depend on the float normalization.
+
+    Returns (df_with_key, key_column_name).
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+    row = df.agg(*aggs).first()
+    scale = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo, hi = row[2 * j], row[2 * j + 1]
+        span = (hi - lo) or 1.0
+        rank = F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(scale))
+        ).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(rank, i).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, i * len(cols) + j)
+    name = "__zorder_key"
+    return df.withColumn(name, key), name
+
+
 def file_stats(spark: SparkSession, path: str) -> DataFrame:
     """Per-file row counts for a parquet table: the small-file diagnostic.
 
@@ -67,6 +108,7 @@ def compact(
     path: str,
     target_rows_per_file: int,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict[str, int]:
     """Rewrite a parquet dir into ~target-sized files, atomically swapped.
 
@@ -81,16 +123,28 @@ def compact(
     the target, which is the invariant that actually protects executor
     memory and scan parallelism at 100 TB.
 
+    ``zorder_by`` clusters on the Morton interleave of several columns
+    instead (see ``zorder_key``) — mutually exclusive with ``sort_by``.
+
     Returns {"n_rows", "files_before", "files_after"}; fails loud (and
     leaves the original untouched) if the rewrite row count disagrees.
     """
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by or zorder_by, not both")
     src = Path(path)
     df = spark.read.parquet(path)
     n_rows = df.count()
     files_before = len(list(src.glob("*.parquet")))
     n_files = plan_target_files(n_rows, target_rows_per_file)
 
-    if sort_by:
+    if zorder_by:
+        keyed, kname = zorder_key(df, zorder_by)
+        out = (
+            keyed.repartitionByRange(n_files, kname)
+            .sortWithinPartitions(kname)
+            .drop(kname)
+        )
+    elif sort_by:
         out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
     else:
         out = df.repartition(n_files)

@@ -1482,7 +1482,9 @@ FROM nn CROSS JOIN ne CROSS JOIN tri
     "dedup_clusters (connectivity). Canonical ordered-edge method: every "
     "edge is stored once as u<v, so each triangle a<b<c is counted "
     "exactly once by the wedge join e(a,b)⋈e(b,c) closed by e(a,c) — "
-    "three equi-joins on node keys, no nested loop. Edge building is "
+    "every data-sized join is an equi-join on node keys (the only "
+    "nested-loop in the plan is the 1-row×1-row stat assembly at the "
+    "end). Edge building is "
     "bounded per order (k lineitems → ≤k² pairs), and the edge list is "
     "persisted so the scan+distinct runs once, not three times. At "
     "100 TB the same plan holds because the wedge count, not |E|², is "

@@ -131,3 +131,53 @@ def test_write_clustered_sorts_within_files(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next
+
+
+def test_compact_zorder_bounds_both_dimensions(spark, tmp_path):
+    """Z-order clustering → every file has a small bounding box in BOTH
+    interleaved dimensions, where single-column sort leaves the second
+    dimension unbounded (~full span per file). This bounding-box property
+    is exactly what parquet min/max skipping consumes."""
+    path = tmp_path / "events_z"
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ev.repartition(20).write.parquet(str(path))
+
+    def mean_spans(p):
+        rows = (
+            spark.read.parquet(str(p))
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+                F.min("event_id").alias("elo"), F.max("event_id").alias("ehi"),
+            )
+            .collect()
+        )
+        glob_u = max(r.uhi for r in rows) - min(r.ulo for r in rows) or 1
+        glob_e = max(r.ehi for r in rows) - min(r.elo for r in rows) or 1
+        mu = sum((r.uhi - r.ulo) / glob_u for r in rows) / len(rows)
+        me = sum((r.ehi - r.elo) / glob_e for r in rows) / len(rows)
+        return mu, me
+
+    # baseline: single-column sort on user_id → event_id unclustered
+    sorted_path = tmp_path / "events_sorted_base"
+    ev.write.parquet(str(sorted_path))
+    maintenance.compact(spark, str(sorted_path), 64, sort_by=["user_id"])
+    _, me_sorted = mean_spans(sorted_path)
+    # second dimension is NOT z-clustered (file chunking within a range
+    # partition still narrows it below 1.0, so the bound is loose)
+    assert me_sorted > 0.4
+
+    maintenance.compact(spark, str(path), 64, zorder_by=["user_id", "event_id"])
+    mu_z, me_z = mean_spans(path)
+    # 16 files / 2 dims -> ~4 ranges per dim, ~0.3 measured; 0.45 margin
+    assert mu_z < 0.45 and me_z < 0.45, (mu_z, me_z)
+    assert me_z < me_sorted
+
+
+def test_compact_rejects_conflicting_cluster_specs(spark, tmp_path):
+    path = tmp_path / "docs_conflict"
+    spark.read.parquet(f"{SF_SMALL}/documents.parquet").write.parquet(str(path))
+    with pytest.raises(ValueError):
+        maintenance.compact(
+            spark, str(path), 100, sort_by=["doc_id"], zorder_by=["doc_id"]
+        )

@@ -280,3 +280,43 @@ def test_prefix_dedup_ships_digests_only(spark):
     assert plan.count("+- Exchange") == 1  # formatted tree: exactly one shuffle
     assert "hashpartitioning(prefix_md5" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark):
+    """At-scale recipe: a selective dimension filter injects a runtime
+    bloom filter on the fact side of a shuffle join, so fact rows that
+    cannot match are dropped at the scan, before the exchange. The
+    application-side threshold defaults to 10GB — the sf0.01 fact side is
+    far below it, so the test lowers it to 0 to exercise the same path a
+    100 TB lineitem triggers naturally."""
+    from pyspark.sql import functions as F
+
+    from cve_manager_spark.sources.testdata import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        od = load_table(spark, SF_ORACLE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan  # build side: filter created
+        assert "might_contain" in plan  # probe side: scan-level pruning
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
