@@ -181,3 +181,37 @@ def test_compact_rejects_conflicting_cluster_specs(spark, tmp_path):
         maintenance.compact(
             spark, str(path), 100, sort_by=["doc_id"], zorder_by=["doc_id"]
         )
+
+
+def test_maintenance_cli_stats_and_compact(spark, shattered_docs, capsys):
+    """End-to-end CLI drive: stats sees the shattered layout, compact
+    fixes it, stats confirms — one JSON line per invocation."""
+    import json
+
+    from cve_manager_spark import maintenance_cli
+
+    assert maintenance_cli.main(["stats", "--path", shattered_docs]) == 0
+    before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert before["n_files"] == 40 and before["n_rows"] == 500
+
+    assert (
+        maintenance_cli.main(
+            [
+                "compact",
+                "--path",
+                shattered_docs,
+                "--target-rows",
+                "200",
+                "--sort-by",
+                "doc_id",
+            ]
+        )
+        == 0
+    )
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["files_after"] == 3 and result["n_rows"] == 500
+
+    assert maintenance_cli.main(["stats", "--path", shattered_docs]) == 0
+    after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert after["n_files"] == 3 and after["n_rows"] == 500
+    assert after["max_file_rows"] <= 200
