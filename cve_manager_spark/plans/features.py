@@ -1707,3 +1707,76 @@ def weighted_median(spark: SparkSession, sf: str) -> DataFrame:
             F.max("tot").alias("total_weight_cents"),
         )
     )
+
+
+_QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings
+), m AS (
+  SELECT vec_id, xd, list_max(list_transform(xd, x -> abs(x))) AS m FROM s
+), q AS (
+  SELECT vec_id, xd, m,
+         list_transform(xd, x -> CASE WHEN m = 0 THEN 0
+                                      ELSE CAST(FLOOR(x / m * 127.0) AS INT)
+                                 END) AS qv
+  FROM m
+)
+SELECT vec_id, CAST(FLOOR(m * 1000000) AS BIGINT) AS scale_micro,
+       array_to_string(qv, ',') AS q_str,
+       CAST(list_sum(list_transform(range(1, len(xd) + 1),
+              i -> CAST(FLOOR(ABS(xd[CAST(i AS INT)]
+                                   - qv[CAST(i AS INT)] * m / 127.0)
+                              * 1000000.0) AS BIGINT)))
+            AS BIGINT) AS err_micro
+FROM q
+"""
+
+
+@_register(
+    "embedding_quantize",
+    _QUANTIZE_ORACLE,
+    doc="Per-vector int8 quantization (symmetric max-abs scaling, the "
+    "storage format of production vector stores — 4× smaller than "
+    "float32, dot products in integer SIMD) plus the exact "
+    "reconstruction-error audit: err = Σ|x − dequant(q)| per vector. "
+    "Pure narrow map over the embedding column, zero shuffles, codegen "
+    "HOFs (transform/zip_with/aggregate) — no Python. Determinism: "
+    "float32 → double is exact, (x/m)*127.0 and (q*m)/127.0 are "
+    "identical IEEE op trees in both engines, floor has no rounding "
+    "ties, and the error sum is an integer fold, so no float "
+    "accumulation order exists. The m=0 guard keeps all-zero vectors "
+    "representable (q=0, error 0).",
+    priority=2,
+)
+def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    b = emb.select("vec_id", xd.alias("xd"))
+    m = F.array_max(F.transform("xd", F.abs))
+    withm = b.withColumn("m", m)
+    qv = F.transform(
+        "xd",
+        lambda x: F.when(F.col("m") == 0, F.lit(0))
+        .otherwise(F.floor(x / F.col("m") * 127.0))
+        .cast("int"),
+    )
+    qq = withm.withColumn("qv", qv)
+    err_terms = F.zip_with(
+        "xd",
+        "qv",
+        lambda x, q: F.floor(
+            F.abs(x - q.cast("double") * F.col("m") / 127.0) * 1000000.0
+        ).cast("long"),
+    )
+    err = F.aggregate(
+        err_terms, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    return qq.select(
+        "vec_id",
+        F.floor(F.col("m") * 1000000).cast("long").alias("scale_micro"),
+        F.array_join(F.transform("qv", lambda v: v.cast("string")), ",").alias(
+            "q_str"
+        ),
+        err.alias("err_micro"),
+    )
