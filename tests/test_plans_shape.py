@@ -320,3 +320,37 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_streak_and_nearest_windows_are_user_partitioned(spark):
+    """Gaps-and-islands and bidirectional-nearest both partition every
+    window on user_id — no global sort appears at any scale."""
+    for name in ("longest_streak", "nearest_event"):
+        plan = plan_of(spark, name)
+        assert "SinglePartition" not in plan, name
+        assert "hashpartitioning(user_id" in plan, name
+
+
+def test_weighted_median_single_per_flag_sort(spark):
+    """Running-weight and group-total frames share one flag-partitioned
+    sort: exactly one exchange, no single-partition window."""
+    plan = plan_of(spark, "weighted_median")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(flag" in plan
+
+
+def test_embedding_quantize_is_narrow_and_jvm_side(spark):
+    """int8 quantization is a pure projection: no exchange, no Python."""
+    plan = plan_of(spark, "embedding_quantize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_triangle_count_data_joins_are_equi(spark):
+    """Wedge closure runs as hash/sort-merge equi-joins; no cartesian
+    product anywhere (the 1-row stat assembly is a broadcast nested loop
+    over singleton aggregates, which is bounded by construction)."""
+    plan = plan_of(spark, "triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
