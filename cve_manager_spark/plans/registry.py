@@ -29,35 +29,72 @@ DRIVER_GREEN = frozenset({
     "agg_cube",
     "agg_distinct",
     "agg_groupby",
+    "agg_grouping_sets",
+    "agg_percentile",
     "agg_pivot",
     "agg_rollup",
     "agg_salted",
     "agg_stats",
+    "agg_string_concat",
+    "argmax_per_key",
+    "array_set_ops",
     "cast_date",
     "cast_to_string",
     "cdc_upsert",
+    "corpus_clean",
+    "cosine_threshold",
+    "decontaminate_ngram",
+    "dedup_cluster_rep",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_exact",
     "dedup_keyed",
+    "dedup_minhash_det",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint",
+    "doc_length_histogram",
+    "embedding_centroid",
     "event_type_share",
+    "events_funnel",
+    "events_lag_gap",
+    "events_retention",
     "explode_conditional",
     "explode_nested",
     "explode_outer_nulls",
+    "fill_gaps",
     "filter_conjunction",
     "filter_date_range",
     "filter_eq",
     "filter_eq_int",
     "filter_like",
     "filter_or_threshold",
+    "group_sample_topn",
+    "grouped_median_pandas",
     "join_anti",
     "join_asof",
     "join_inner_view",
+    "join_interval",
     "join_left_lookup",
     "join_range_pred",
     "join_semi",
     "join_star_detail",
+    "json_extract",
+    "json_schema_infer",
+    "knn_cosine",
+    "knn_cosine_pandas",
+    "knn_join_multi",
+    "knn_per_label",
     "limit_1",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_thumbnail",
     "null_fallback",
+    "pack_sequences",
+    "posexplode_index",
     "project_cols",
     "project_nested",
+    "regexp_extract_numbers",
+    "sample_hash",
     "set_except",
     "set_ops",
     "sort_topk",
@@ -65,12 +102,25 @@ DRIVER_GREEN = frozenset({
     "str_isdigit",
     "str_replace",
     "str_strip_prefix",
+    "stratified_sample",
+    "text_lang_id",
+    "text_ngram_freq",
+    "text_pii_mask",
+    "text_quality",
+    "text_repetition_ratio",
+    "text_tfidf",
+    "text_tokenize_count",
+    "text_top_terms",
+    "token_count",
     "union_all",
     "unpivot_melt",
     "window_ntile",
+    "window_percent_rank",
+    "window_range_frame",
     "window_rank",
     "window_running",
     "window_session",
+    "window_sliding",
     "window_tumbling",
 })
 
