@@ -29,19 +29,27 @@ def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-based events stream (parquet dir); schema must be explicit for
-    readStream. For the testdata's TIMESTAMP(NANOS) parquet, ts arrives as
-    bigint nanos (nanosAsLong) and is converted exactly like the batch
-    loader."""
+    readStream. The events parquet has shipped with ts as TIMESTAMP(NANOS)
+    in some generations (arrives as bigint nanos under nanosAsLong) and
+    TIMESTAMP(MICROS) in others — a hardcoded unit silently shifts every
+    timestamp 1000×, so probe the footer via a batch read (driver-side
+    metadata only) and convert exactly like the batch loader does."""
+    probed = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema}
+    ts_is_nanos_long = probed.get("ts") == "bigint"
     reader = spark.readStream.schema(
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
+        "event_id bigint, ts {}, user_id bigint, "
+        "event_type string, value double, props string".format(
+            "bigint" if ts_is_nanos_long else "timestamp"
+        )
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
     # Watermarks require TIMESTAMP (not NTZ): keep the instant type; under
     # the engine's UTC session it collects identically to the batch NTZ.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_nanos_long:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def tumbling_agg(
