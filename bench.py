@@ -56,6 +56,15 @@ HEADLINE = [
     "chunk_documents",
     "longest_streak",
     "weighted_median",
+    # r4: re-planned rank-selection family + profiling tranche headliners
+    "median_exact",
+    "quantile_exact",
+    "value_mad",
+    "max_concurrency",
+    "triangle_count",
+    "snapshot_diff",
+    "pagerank_links",
+    "fuzzy_pairs_levenshtein",
 ]
 
 
@@ -66,28 +75,45 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from cve_manager_spark.plans.registry import queries
-    from cve_manager_spark.session import get_session
+    from pyspark.sql import SparkSession
 
-    spark = get_session("cve_manager_spark-bench", master=f"local[{cpus}]")
+    from cve_manager_spark.plans.registry import queries
+    from cve_manager_spark.session import tune
+
+    # local[N] runs every executor thread in one JVM; the 1g default heap
+    # that is fine for a unit test starves 32 concurrent tasks (GCLocker
+    # retry storms, then OOM on the graph joins at sf0.1). Size the heap
+    # like the per-executor memory a real cluster would give this core
+    # count; SPARK_GRAFT_MEM overrides.
+    mem = os.environ.get("SPARK_GRAFT_MEM", "16g")
+    spark = tune(
+        SparkSession.builder.appName("cve_manager_spark-bench")
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", mem)
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     q = queries()
 
     # JVM/codegen warm-up on a trivial plan (not measured).
     q["limit_1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: the host is shared, and a single timing can be
-    # inflated several-fold by background load; min-of-two is the standard
-    # noise damper and still charges all real engine work.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+    # Best-of-3 with INTERLEAVED passes: the host is shared, and r2->r3
+    # showed the full-set total drifting 1.5x with zero code changes when
+    # trials of one query run back-to-back (one load burst poisons both).
+    # Three separated passes over the whole set de-correlate bursty load
+    # from any single query; min-of-three still charges all engine work.
+    # The per-query max/min spread is emitted so a noisy round is
+    # attributable from the report alone.
+    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            trials[name].append(time.perf_counter() - t0)
 
+    timings = {name: round(min(ts), 4) for name, ts in trials.items()}
+    spread = {name: round(max(ts) / min(ts), 2) for name, ts in trials.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -96,6 +122,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
             }
         )
