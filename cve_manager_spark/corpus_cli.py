@@ -50,6 +50,9 @@ def build_corpus(
     budget: int = 2048,
     shards: int = 8,
     source_budget: int | None = None,
+    prefix_dedup: int | None = None,
+    chunk_size: int | None = None,
+    chunk_stride: int | None = None,
 ) -> DataFrame:
     """The full corpus plan: returns one row per kept document with
     (doc_id, lang, n_tokens, shard, seq_id), packing-ready.
@@ -59,6 +62,14 @@ def build_corpus(
     eval side broadcasts (it is small by construction); everything else
     is the corpus_clean / pack_sequences shape registered in the query
     registry, here fused into one plan.
+
+    prefix_dedup (optional) adds the dedup_prefix tier: documents whose
+    first N lowercased tokens match collapse to the min doc_id — only
+    the 16-byte prefix digest crosses the shuffle. chunk_size /
+    chunk_stride (optional) insert the chunk_documents stage: each kept
+    document explodes into sliding-window chunks (narrow map + bounded
+    explode, zero shuffles) and the packer then packs CHUNKS, adding a
+    chunk_id column to the output.
     """
     n_tokens = T.token_count_ws(F.col("text")).cast("bigint")
     filtered = docs.withColumn("n_tokens", n_tokens).where(
@@ -72,6 +83,19 @@ def build_corpus(
         .where(F.col("doc_id") == F.col("__keep"))
         .drop("__keep")
     )
+
+    if prefix_dedup:
+        pfx = F.md5(
+            F.array_join(
+                F.slice(T.words(F.lower(F.col("text"))), 1, prefix_dedup), " "
+            )
+        )
+        w_pfx = Window.partitionBy(pfx)
+        deduped = (
+            deduped.withColumn("__keep", F.min("doc_id").over(w_pfx))
+            .where(F.col("doc_id") == F.col("__keep"))
+            .drop("__keep")
+        )
 
     if eval_docs is not None:
         eval_sh = (
@@ -97,9 +121,35 @@ def build_corpus(
             F.col("__cum") - F.col("n_tokens") < source_budget
         ).drop("__cum")
 
-    skey = F.md5(F.col("doc_id").cast("string"))
-    base = deduped.select(
-        "doc_id",
+    if chunk_size:
+        stride = chunk_stride or max(1, chunk_size * 3 // 4)
+        toks = deduped.select(
+            "doc_id", "lang", T.words(F.lower(F.col("text"))).alias("w")
+        ).withColumn("n", F.size("w"))
+        n_chunks = F.when(F.col("n") <= chunk_size, F.lit(1)).otherwise(
+            F.expr(f"(n - {chunk_size} + {stride - 1}) div {stride}") + 1
+        )
+        ex = toks.withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+        )
+        chunk = F.slice(F.col("w"), F.col("chunk_id") * stride + 1, chunk_size)
+        units = ex.select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            "lang",
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+        )
+        key_cols = ["doc_id", "chunk_id"]
+        skey = F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_id"))
+        )
+    else:
+        units = deduped.select("doc_id", "lang", "n_tokens")
+        key_cols = ["doc_id"]
+        skey = F.md5(F.col("doc_id").cast("string"))
+
+    base = units.select(
+        *key_cols,
         "lang",
         "n_tokens",
         (F.ascii(F.substring(skey, 1, 1)) % shards).alias("shard"),
@@ -107,12 +157,12 @@ def build_corpus(
     )
     w_pack = (
         Window.partitionBy("shard")
-        .orderBy("__skey", "doc_id")
+        .orderBy("__skey", *key_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = F.sum("n_tokens").over(w_pack)
     return base.select(
-        "doc_id",
+        *key_cols,
         "lang",
         "n_tokens",
         "shard",
@@ -132,6 +182,9 @@ def run_pipeline(
     budget: int = 2048,
     shards: int = 8,
     source_budget: int | None = None,
+    prefix_dedup: int | None = None,
+    chunk_size: int | None = None,
+    chunk_stride: int | None = None,
 ) -> dict:
     """Execute the plan, write shard-partitioned parquet + a manifest.
     Returns the manifest dict (also written as _manifest.json)."""
@@ -146,12 +199,16 @@ def run_pipeline(
         budget=budget,
         shards=shards,
         source_budget=source_budget,
+        prefix_dedup=prefix_dedup,
+        chunk_size=chunk_size,
+        chunk_stride=chunk_stride,
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(output_dir)
 
     written = spark.read.parquet(output_dir)
     stats = written.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_units"),
         F.sum("n_tokens").alias("n_tokens"),
         F.countDistinct("shard").alias("n_shards"),
     ).first()
@@ -159,6 +216,7 @@ def run_pipeline(
         "input": input_path,
         "eval_input": eval_path,
         "n_docs": stats["n_docs"],
+        "n_units": stats["n_units"],
         "n_tokens": stats["n_tokens"],
         "n_shards": stats["n_shards"],
         "min_words": min_words,
@@ -167,6 +225,9 @@ def run_pipeline(
         "budget": budget,
         "shards": shards,
         "source_budget": source_budget,
+        "prefix_dedup": prefix_dedup,
+        "chunk_size": chunk_size,
+        "chunk_stride": chunk_stride,
     }
     with open(os.path.join(output_dir, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -191,6 +252,26 @@ def main(argv: list[str] | None = None) -> int:
         "source contributes documents in deterministic md5 order until "
         "this many tokens.",
     )
+    p.add_argument(
+        "--dedup-prefix",
+        type=int,
+        default=None,
+        help="Also collapse documents sharing their first N tokens "
+        "(prefix-hash dedup tier).",
+    )
+    p.add_argument(
+        "--chunk-size",
+        type=int,
+        default=None,
+        help="Split kept documents into sliding-window chunks of this many "
+        "tokens before packing.",
+    )
+    p.add_argument(
+        "--chunk-stride",
+        type=int,
+        default=None,
+        help="Chunk stride in tokens (default: 3/4 of --chunk-size).",
+    )
     p.add_argument("-master", dest="master", default="local[*]")
     args = p.parse_args(argv)
 
@@ -208,6 +289,9 @@ def main(argv: list[str] | None = None) -> int:
         budget=args.budget,
         shards=args.shards,
         source_budget=args.source_budget,
+        prefix_dedup=args.dedup_prefix,
+        chunk_size=args.chunk_size,
+        chunk_stride=args.chunk_stride,
     )
     print(json.dumps(manifest, sort_keys=True))
     return 0
