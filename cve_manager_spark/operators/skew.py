@@ -1,8 +1,10 @@
 """Skew mitigation operators (SURVEY §4.2 / BASELINE 100 TB design note).
 
-AQE's skew-join splitting handles join-side skew automatically, but a
-skewed *aggregation* key (one giant group) still funnels one partition
-through one task. ``salted_agg`` is the classic two-phase fix:
+A skewed key funnels one partition through one task; at 100 TB one key
+with 1% of the fact table is a multi-TB task that stalls the stage.
+Two classic fixes live here, both result-invariant and deterministic:
+
+``salted_agg`` — two-phase aggregation for a skewed GROUP BY key:
 
     phase 1: groupBy(key, salt) partial-aggregate  (spreads the hot key
              over `buckets` tasks)
@@ -12,7 +14,24 @@ Results are identical to the direct aggregation for any associative
 aggregate — and with exact-decimal sums they are *bitwise* identical,
 which the driver oracle verifies (plans/relational.py:agg_salted).
 
-``salt_column`` uses a deterministic hash of a row-unique column rather
+``salted_join`` — salted equi-join for a skewed JOIN key (AQE's
+skew-join splitting handles *sort-merge* skew after the fact; salting
+removes it by construction and also covers shuffle-hash joins):
+
+- the LARGE (skewed) side gets a deterministic salt in [0, buckets);
+- the SMALL side is replicated ``buckets``× with an exploded salt
+  sequence;
+- the join key becomes (key, salt), so the hot key's rows spread over
+  ``buckets`` reducers, each joining against its own copy of the small
+  side's matching rows.
+
+Each large-side row meets each matching small-side row exactly once (at
+its own salt), so the unsalted SQL is the oracle
+(plans/features.py:join_salted); the hot-key differential lives in
+tests/test_scale_hardening.py. Cost: the small side inflates
+``buckets``× — the explicit trade against reducer skew.
+
+``salt_column`` uses a deterministic hash of row-unique columns rather
 than rand(): re-runs and speculative task retries must land rows in the
 same salt bucket or results become nondeterministic under retry.
 """
@@ -23,6 +42,8 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+SALT = "__salt"
 
 
 def salt_column(unique_col: Column, buckets: int) -> Column:
@@ -45,11 +66,33 @@ def salted_agg(
     sum/count-style aggregates — min/max work too since min of mins is
     min; pass the matching combiner semantics via the same builder).
     """
-    salted = df.withColumn("__salt", salt_column(F.col(unique_col), buckets))
-    phase1 = salted.groupBy(*keys, "__salt").agg(
+    salted = df.withColumn(SALT, salt_column(F.col(unique_col), buckets))
+    phase1 = salted.groupBy(*keys, SALT).agg(
         *[b().alias(f"__p_{name}") for name, b in aggs.items()]
     )
     phase2 = phase1.groupBy(*keys).agg(
         *[F.sum(f"__p_{name}").alias(name) for name in aggs]
     )
     return phase2
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: Column,
+    *,
+    salt_cols: list[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``large`` (skewed side) to ``small`` on ``on`` with the salt
+    folded into the join key. ``salt_cols`` are columns of ``large`` whose
+    hash spreads the hot key (use high-cardinality tie-breakers)."""
+    l_salted = large.withColumn(
+        SALT, F.pmod(F.xxhash64(*salt_cols), F.lit(buckets)).cast("int")
+    )
+    s_salted = small.withColumn(
+        SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    cond = on & (l_salted[SALT] == s_salted[SALT])
+    return l_salted.join(s_salted, cond, how).drop(SALT)

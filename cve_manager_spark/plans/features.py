@@ -1886,3 +1886,268 @@ def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
         ),
         err.alias("err_micro"),
     )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@_register(
+    "join_salted",
+    _SALTED_JOIN_ORACLE,
+    doc="Skew-mitigated fact join: the salted-join recipe "
+    "(operators/skew.py) run end-to-end — lineitem takes a "
+    "deterministic xxhash64 salt, orders replicates buckets-wide, and "
+    "the join key becomes (orderkey, salt) so a hot orderkey spreads "
+    "over `buckets` reducers instead of stalling one task. Salting is "
+    "result-invariant (each fact row meets each matching dim row at "
+    "exactly its own salt), so the oracle is the plain unsalted join. "
+    "At 100 TB this is the hatch for the one customer/order/document "
+    "that dominates a key's volume; here the testdata is uniform, so "
+    "the query is the recipe's regression harness, not its showcase — "
+    "the skew-shaped differential lives in tests/test_scale_hardening.",
+)
+def join_salted(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    j = salted_join(
+        li,
+        orders,
+        li["l_orderkey"] == orders["o_orderkey"],
+        salt_cols=["l_orderkey", "l_linenumber"],
+        buckets=8,
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 4 tranche — containment dedup, label collapse, DQ routing, winsorize
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+           ELSE [] END) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(COUNT(*) AS DOUBLE) / a.n_sh AS cont_a,
+       CAST(COUNT(*) AS DOUBLE) / b.n_sh AS cont_b
+FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+GROUP BY a.id, b.id, a.n_sh, b.n_sh
+HAVING greatest(CAST(COUNT(*) AS DOUBLE) / a.n_sh,
+                CAST(COUNT(*) AS DOUBLE) / b.n_sh) >= 0.5
+"""
+
+
+@_register(
+    "shingle_containment",
+    _CONTAINMENT_ORACLE,
+    doc="Asymmetric containment dedup (N2 family): |A∩B|/|A| and /|B| over "
+    "word-3-gram shingle sets — the detector for SUBSET duplication "
+    "(a short doc embedded in a longer one), which symmetric Jaccard "
+    "under-scores by construction. Same shingle-bucketed equi-join "
+    "discipline as dedup_ngram_jaccard (64-bit shingle hashes as join "
+    "keys, per-shingle candidate buckets); no size-ratio prune because "
+    "asymmetry is the point — the stop-shingle frequency cap in "
+    "operators/dedup.py is the skew hatch when corpus boilerplate makes "
+    "buckets hot. Integer counts, one double division per side.",
+)
+def shingle_containment(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("s")).select(
+        "id", "n_sh", F.xxhash64("s").alias("h")
+    )
+    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "h")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "h")
+    common = (
+        a.join(b, (a["h"] == b["h"]) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = F.col("common").cast("double") / F.col("n_a")
+    cb = F.col("common").cast("double") / F.col("n_b")
+    return (
+        common.select("id_a", "id_b", ca.alias("cont_a"), cb.alias("cont_b"))
+        .where(F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.5)
+    )
+
+
+_COLLAPSE_ORACLE = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+)
+SELECT CASE WHEN n < 72 THEN 'other' ELSE lang END AS label,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs
+FROM c GROUP BY 1
+"""
+
+
+@_register(
+    "label_collapse_rare",
+    _COLLAPSE_ORACLE,
+    doc="Tail-label collapse: languages below a document-count threshold "
+    "fold into 'other' — the preprocessing step before stratified "
+    "sampling or per-label quotas when the long tail would produce "
+    "degenerate strata. Two hash aggregates: the first (partial+final, "
+    "data-sized) reduces to one row per label, the second runs over "
+    "label-cardinality rows — nothing data-sized crosses the second "
+    "shuffle at any scale.",
+)
+def label_collapse_rare(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    label = F.when(F.col("n") < 72, F.lit("other")).otherwise(F.col("lang"))
+    return (
+        c.select(label.alias("label"), "n")
+        .groupBy("label")
+        .agg(F.sum("n").alias("n_docs"), F.count(F.lit(1)).alias("n_langs"))
+    )
+
+
+_QUARANTINE_ORACLE = """
+WITH r AS (
+  SELECT event_id,
+         list_filter([
+           CASE WHEN event_type = 'error' THEN 'error_event' END,
+           CASE WHEN value > 400 THEN 'value_outlier' END,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 95
+                THEN 'high_k' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM events
+)
+SELECT event_id, array_to_string(reasons, ',') AS reasons
+FROM r WHERE len(reasons) > 0
+"""
+
+
+@_register(
+    "dq_quarantine",
+    _QUARANTINE_ORACLE,
+    doc="Data-quality routing: every row failing any validation rule is "
+    "emitted to a quarantine side-output with ALL its failure reasons "
+    "(not just the first) — the complement of dq_checks' aggregate "
+    "report, and the pattern that keeps bad rows out of the corpus "
+    "without losing them for triage. One narrow codegen projection "
+    "(array of CASEs, array_compact, one JSON path), zero shuffles, "
+    "fully pushdown-friendly; reasons are ordered by rule position so "
+    "the string is deterministic.",
+)
+def dq_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("event_type") == "error", F.lit("error_event")),
+            F.when(F.col("value") > 400, F.lit("value_outlier")),
+            F.when(
+                F.get_json_object("props", "$.k").cast("int") >= 95,
+                F.lit("high_k"),
+            ),
+        )
+    )
+    return (
+        ev.select("event_id", reasons.alias("__r"))
+        .where(F.size("__r") > 0)
+        .select("event_id", F.array_join("__r", ",").alias("reasons"))
+    )
+
+
+_WINSOR_ORACLE = """
+WITH v AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS x FROM events
+), r AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM v
+), q AS (
+  SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n,
+         MAX(CASE WHEN rn = CAST(CEIL(0.05 * cnt) AS BIGINT) THEN x END) AS lo_milli,
+         MAX(CASE WHEN rn = CAST(CEIL(0.95 * cnt) AS BIGINT) THEN x END) AS hi_milli
+  FROM r GROUP BY event_type
+)
+SELECT v.event_type, MAX(q.n) AS n, MAX(q.lo_milli) AS lo_milli,
+       MAX(q.hi_milli) AS hi_milli,
+       CAST(SUM(LEAST(GREATEST(v.x, q.lo_milli), q.hi_milli)) AS BIGINT)
+         AS sum_winsor_milli
+FROM v JOIN q ON v.event_type = q.event_type
+GROUP BY v.event_type
+"""
+
+
+@_register(
+    "winsorize_stats",
+    _WINSOR_ORACLE,
+    doc="Winsorized per-type statistics: exact p05/p95 (percentile_disc on "
+    "integer milli-units) and the sum of values clipped to that range — "
+    "the outlier-robust normalizer for reward/feature columns. Same "
+    "histogram discipline as the re-planned rank-selection family: "
+    "per-(type, milli-value) counts via partial+final hash aggregate, "
+    "rank selection AND the clipped sum both computed from the "
+    "histogram (clip(x)·count), so raw rows cross one shuffle as "
+    "triples and nothing re-scans the fact table for the sum. The "
+    "oracle rank-selects over raw rows — identical on ties.",
+)
+def winsorize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("x")
+    )
+    h = v.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("c"))
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "x",
+        "c",
+        (F.sum("c").over(wrun) - F.col("c")).alias("cum_prev"),
+        F.sum("c").over(wrun).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def at(p: float, name: str):
+        rank = F.ceil(F.lit(p) * F.col("n"))
+        return r.where((rank > F.col("cum_prev")) & (rank <= F.col("cum"))).select(
+            "event_type", F.col("x").alias(name), "n"
+        )
+
+    q = at(0.05, "lo_milli").join(
+        at(0.95, "hi_milli").drop("n"), "event_type"
+    )
+    clip = F.least(F.greatest(F.col("x"), F.col("lo_milli")), F.col("hi_milli"))
+    return (
+        h.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("lo_milli").alias("lo_milli"),
+            F.max("hi_milli").alias("hi_milli"),
+            F.sum(clip * F.col("c")).alias("sum_winsor_milli"),
+        )
+    )

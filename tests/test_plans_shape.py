@@ -260,19 +260,21 @@ def test_max_concurrency_sweep_is_pane_sharded(spark):
     assert "SinglePartition" not in plan
 
 
-def test_value_mad_sorts_histogram_not_rows(spark):
-    """Both value_mad rank-selection passes sort the aggregated (type,
-    value) HISTOGRAM — bounded by the milli-grid width — never raw event
-    rows: in the plan tree every Sort's child chain is
-    Exchange -> HashAggregate, and no Sort sits directly on a scan."""
-    plan = plan_of(spark, "value_mad")
-    tree = plan.split("\n\n")[0].splitlines()
-    sorts = [i for i, ln in enumerate(tree) if "- Sort (" in ln]
-    assert sorts, "expected histogram sorts in the plan"
-    for i in sorts:
-        assert "Exchange (" in tree[i + 1], tree[i : i + 3]
-        assert "HashAggregate (" in tree[i + 2], tree[i : i + 3]
-    assert "SinglePartition" not in plan
+def test_histogram_rank_queries_sort_histogram_not_rows(spark):
+    """value_mad's two rank-selection passes and winsorize_stats' quantile
+    pass sort the aggregated (type, value) HISTOGRAM — bounded by the
+    milli-grid width — never raw event rows: in the plan tree every
+    Sort's child chain is Exchange -> HashAggregate, and no Sort sits
+    directly on a scan."""
+    for name in ("value_mad", "winsorize_stats"):
+        plan = plan_of(spark, name)
+        tree = plan.split("\n\n")[0].splitlines()
+        sorts = [i for i, ln in enumerate(tree) if "- Sort (" in ln]
+        assert sorts, f"{name}: expected histogram sorts in the plan"
+        for i in sorts:
+            assert "Exchange (" in tree[i + 1], (name, tree[i : i + 3])
+            assert "HashAggregate (" in tree[i + 2], (name, tree[i : i + 3])
+        assert "SinglePartition" not in plan, name
 
 
 def test_mix_budget_window_is_per_source(spark):

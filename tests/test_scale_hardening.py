@@ -1,0 +1,129 @@
+"""Scale-hardening differentials (r2 VERDICT item #8): the guards that
+only matter on adversarial data — a boilerplate hot shingle, a
+worst-case-diameter graph, a hot join key — exercised on synthetic
+inputs shaped like the failure, with results checked against the
+unguarded/exact formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cve_manager_spark.operators.dedup import ngram_jaccard_pairs
+from cve_manager_spark.operators.graph import connected_components
+from cve_manager_spark.operators.skew import salted_join
+
+BOILER = "terms of service apply to all content on this mirror"
+
+
+def _boiler_corpus(spark, n_docs: int = 300):
+    """Every doc opens with the same boilerplate sentence (hot shingles
+    with df == n_docs) followed by a unique tail; docs 0 and 1 are
+    near-duplicates of each other (shared tail, one word changed)."""
+    rows = []
+    for i in range(n_docs):
+        if i in (0, 1):
+            tail = " ".join(f"dup{j}" for j in range(30)) + f" end{i}"
+        else:
+            tail = " ".join(f"w{i}x{j}" for j in range(20))
+        rows.append((i, f"{BOILER} {tail}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stop_shingle_cap_bounds_hot_key_blowup(spark):
+    """A shingle shared by all N docs alone generates N(N-1)/2 candidate
+    pairs on ONE shuffle key. The frequency cap drops it; survivors are
+    a subset of the exact result (recall dial, never false positives),
+    and true near-duplicates — whose similarity lives in rare shingles —
+    still surface."""
+    docs = _boiler_corpus(spark)
+
+    # exact run at a low threshold: the boilerplate alone pushes every
+    # unrelated pair over it -> quadratic result set
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.05).collect()
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact}
+    assert len(exact_pairs) > 40000  # ~C(300,2): the blowup is real
+
+    # capped run: hot shingles (df > 5% of docs) never reach the join
+    capped = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.05, max_doc_freq_frac=0.05
+    ).collect()
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert capped_pairs <= exact_pairs  # subset: no false positives
+    assert len(capped_pairs) < 10  # blowup gone
+    assert (0, 1) in capped_pairs  # the real near-dup survives
+
+    # the survivor's jaccard can only shrink under the cap (common count
+    # loses capped shingles; denominators keep full sizes)
+    j_exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact}[(0, 1)]
+    j_capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped}[(0, 1)]
+    assert j_capped <= j_exact
+
+
+def _ring_edges(spark, n: int, offset: int = 0):
+    rows = [(offset + i, offset + (i + 1) % n) for i in range(n)]
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_connected_components_ring_converges_logarithmically(spark):
+    """A ring is the worst diameter per edge count: naive min-label
+    propagation needs ~n/2 rounds on a 256-ring. Pointer jumping must
+    close it in O(log n) rounds — max_iter=8 would hard-fail a linear
+    implementation (RuntimeError), and labels must equal the true
+    component minimum for every node."""
+    edges = _ring_edges(spark, 256).unionAll(_ring_edges(spark, 56, offset=1000))
+    comp = connected_components(edges, max_iter=8)
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert len(got) == 256 + 56
+    assert all(got[n] == 0 for n in range(256))
+    assert all(got[n] == 1000 for n in range(1000, 1056))
+
+
+def _skewed_tables(spark):
+    """90% of fact rows share ONE key — the shape that stalls a single
+    reducer at scale."""
+    fact = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("row_id"),
+        (F.col("id") % 97).alias("val"),
+    )
+    dim = spark.range(0, 20000).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+    return fact, dim
+
+
+def test_salted_join_matches_plain_join_on_hot_key(spark):
+    fact, dim = _skewed_tables(spark)
+    plain = (
+        fact.join(dim, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+    )
+    salted = (
+        salted_join(fact, dim, fact["k"] == dim["k"], salt_cols=["row_id"], buckets=8)
+        .groupBy(fact["k"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_shuffles_on_composite_key(spark):
+    """With broadcast off (forcing the shuffle the salt exists for), the
+    exchange must hash-partition on (key, salt) — the hot key's rows
+    spread over `buckets` reducers."""
+    fact, dim = _skewed_tables(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = salted_join(
+            fact, dim, fact["k"] == dim["k"], salt_cols=["row_id"], buckets=8
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "hashpartitioning(k" in plan and "__salt" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
