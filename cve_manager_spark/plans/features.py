@@ -2151,3 +2151,426 @@ def winsorize_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(clip * F.col("c")).alias("sum_winsor_milli"),
         )
     )
+
+
+_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS dur_us
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+@_register(
+    "sessionize_stats",
+    _SESSIONIZE_ORACLE,
+    doc="Gap-based sessionization with per-session stats: a >30-minute "
+    "silence starts a new session (lag + running flag-sum — the "
+    "gaps-and-islands twin of longest_streak), then one hash aggregate "
+    "per (user, session) emits event count and exact integer-microsecond "
+    "duration. Both windows and the aggregate partition on user_id, so "
+    "every stage reuses one user-keyed exchange and per-user sorts are "
+    "bounded by that user's events — the shape session analytics keeps "
+    "at any scale.",
+)
+def sessionize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 1800000000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_sess).over(wrun).alias("session_idx"),
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("dur_us"),
+    )
+
+
+_USER_PROFILE_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS total_value_milli
+FROM events GROUP BY user_id
+"""
+
+
+@_register(
+    "user_profile",
+    _USER_PROFILE_ORACLE,
+    doc="Per-user activity profile: totals, purchase count, distinct "
+    "active days, first/last seen and exact milli-quantized value sum — "
+    "the feature vector behind churn/LTV models, computed in ONE "
+    "partial+final hash aggregate on the natural high-cardinality key "
+    "(count_distinct of days expands to a two-phase distinct aggregate "
+    "under the hood; everything else partials map-side). No windows, no "
+    "joins — the cheapest possible shape for a 100 TB event log.",
+)
+def user_profile(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+            "total_value_milli"
+        ),
+    )
+
+
+_DEDUP_NORM_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS norm_md5
+  FROM documents
+)
+SELECT norm_md5, MIN(doc_id) AS keep_doc_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM n GROUP BY norm_md5
+"""
+
+
+@_register(
+    "dedup_normalized",
+    _DEDUP_NORM_ORACLE,
+    doc="Normalized-text dedup: lowercase, strip non-alphanumerics, "
+    "collapse runs of spaces, then hash-group — the tier between exact "
+    "dedup (misses punctuation/case variants) and n-gram Jaccard "
+    "(overkill for them). Character classes are deliberately ASCII-"
+    "simple so both engines' regex semantics agree byte-for-byte. Only "
+    "the 16-byte digest crosses the single partial-agg'd shuffle.",
+)
+def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_NORM_STATS_ORACLE = """
+WITH n AS (
+  SELECT label,
+         CAST(list_sum(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000.0)
+                          AS BIGINT))) AS BIGINT) AS norm2_micro
+  FROM embeddings
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(norm2_micro) AS BIGINT) AS sum_norm2_micro,
+       MIN(norm2_micro) AS min_norm2_micro, MAX(norm2_micro) AS max_norm2_micro
+FROM n GROUP BY label
+"""
+
+
+@_register(
+    "embedding_norm_stats",
+    _NORM_STATS_ORACLE,
+    doc="Per-label embedding norm audit: squared-L2 norm per vector as an "
+    "integer micro-unit fold (x², floored per element, integer sum — no "
+    "float accumulation order exists, same determinism recipe as "
+    "embedding_quantize), then per-label count/sum/min/max in one hash "
+    "aggregate. The drift detector run before/after every embedding "
+    "refresh; narrow map over the vector column, one label-keyed "
+    "shuffle of four numbers per label.",
+)
+def embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    terms = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * x.cast("double") * 1000000.0).cast(
+            "long"
+        ),
+    )
+    norm2 = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (
+        emb.select("label", norm2.alias("norm2_micro"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("norm2_micro").alias("sum_norm2_micro"),
+            F.min("norm2_micro").alias("min_norm2_micro"),
+            F.max("norm2_micro").alias("max_norm2_micro"),
+        )
+    )
+
+
+_WEEKLY_GROWTH_ORACLE = """
+WITH w AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT week, n, LAG(n) OVER (ORDER BY week) AS prev_n,
+       CAST(n - LAG(n) OVER (ORDER BY week) AS BIGINT) AS delta
+FROM w
+"""
+
+
+@_register(
+    "weekly_order_growth",
+    _WEEKLY_GROWTH_ORACLE,
+    doc="Week-over-week order volume with lag delta — the trend readout of "
+    "every operations dashboard. The data-sized work is one partial+final "
+    "hash aggregate to week grain; the lag window then runs over "
+    "one-row-per-week (bounded by the calendar, not the data), which is "
+    "the ONLY place a global-order window is acceptable at scale — the "
+    "relation it sorts cannot grow with the data.",
+)
+def weekly_order_growth(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    wk = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("week")
+    prev = F.lag("n").over(w)
+    return wk.select(
+        "week",
+        "n",
+        prev.alias("prev_n"),
+        (F.col("n") - prev).cast("long").alias("delta"),
+    )
+
+
+_IQR_ORACLE = """
+WITH v AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS x FROM events
+), r AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM v
+), q AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(CEIL(0.25 * cnt) AS BIGINT) THEN x END) AS p25,
+         MAX(CASE WHEN rn = CAST(CEIL(0.75 * cnt) AS BIGINT) THEN x END) AS p75
+  FROM r GROUP BY event_type
+)
+SELECT v.event_type, MAX(q.p25) AS p25_milli, MAX(q.p75) AS p75_milli,
+       CAST(COUNT(*) FILTER (v.x < q.p25 - 3 * (q.p75 - q.p25)
+                          OR v.x > q.p75 + 3 * (q.p75 - q.p25)) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v JOIN q ON v.event_type = q.event_type
+GROUP BY v.event_type
+"""
+
+
+@_register(
+    "iqr_outliers",
+    _IQR_ORACLE,
+    doc="Tukey-fence outlier census per event type: exact p25/p75 on "
+    "integer milli-units, fences at 3×IQR, outliers counted from the "
+    "same histogram that produced the quartiles — quartile selection "
+    "AND the census are both computed over per-(type, value) counts "
+    "(the histogram discipline of the re-planned rank-selection "
+    "family), so raw rows cross one shuffle as triples and no second "
+    "scan exists. The robust complement to anomaly_zscore when the "
+    "distribution is heavy-tailed.",
+)
+def iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("x")
+    )
+    h = v.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("c"))
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "x",
+        "c",
+        (F.sum("c").over(wrun) - F.col("c")).alias("cum_prev"),
+        F.sum("c").over(wrun).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def at(p: float, name: str):
+        rank = F.ceil(F.lit(p) * F.col("n"))
+        return r.where((rank > F.col("cum_prev")) & (rank <= F.col("cum"))).select(
+            "event_type", F.col("x").alias(name)
+        )
+
+    q = at(0.25, "p25").join(at(0.75, "p75"), "event_type")
+    iqr = F.col("p75") - F.col("p25")
+    is_out = (F.col("x") < F.col("p25") - 3 * iqr) | (
+        F.col("x") > F.col("p75") + 3 * iqr
+    )
+    return (
+        h.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("p25").alias("p25_milli"),
+            F.max("p75").alias("p75_milli"),
+            F.sum(F.when(is_out, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_outliers"
+            ),
+            F.sum("c").alias("n"),
+        )
+    )
+
+
+_TOP_NGRAM_LANG_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT lang, array_to_string(w[i:i+1], ' ') AS bigram
+  FROM toks, unnest(range(1, len(w))) AS t(i)
+), c AS (
+  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY lang, bigram
+), r AS (
+  SELECT lang, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+  FROM c
+)
+SELECT lang, bigram, n FROM r WHERE rk <= 3
+"""
+
+
+@_register(
+    "top_ngram_per_lang",
+    _TOP_NGRAM_LANG_ORACLE,
+    doc="Top-3 bigrams per language: explode token bigrams, partial+final "
+    "hash-count per (lang, bigram), then a per-lang top-k that plans as "
+    "WindowGroupLimit — each map task keeps only its local top "
+    "candidates, so the window input is pruned BEFORE the exchange and "
+    "the sort never sees the full bigram vocabulary. Deterministic "
+    "tie-break (count desc, bigram asc). The per-group flavor of "
+    "text_ngram_freq's global top-20.",
+)
+def top_ngram_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("lang", T.words(F.lower(F.col("text"))).alias("w"))
+    bg = toks.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i + 1), F.element_at("w", i + 2)
+                ),
+            )
+        ).alias("bigram"),
+    ).where(F.size("w") >= 2)
+    c = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("lang", "bigram", "n")
+    )
+
+
+_SHARD_BALANCE_ORACLE = """
+WITH s AS (
+  SELECT ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 16 AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shards, CAST(SUM(n) AS BIGINT) AS n_docs,
+       MIN(n) AS min_docs, MAX(n) AS max_docs,
+       CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n) AS max_skew
+FROM s
+"""
+
+
+@_register(
+    "shard_balance_audit",
+    _SHARD_BALANCE_ORACLE,
+    doc="Shard-balance audit for the corpus packer's md5 sharding: per-"
+    "shard document counts reduced to a one-row balance report "
+    "(max/mean skew ratio — 1.0 is perfect). First aggregate is data-"
+    "sized and partial+final on the shard key; the second runs over "
+    "`shards` rows. The go/no-go check before committing a shard layout "
+    "for a 100 TB write (a skew ratio of 2 means the slowest writer "
+    "does 2× the work).",
+)
+def shard_balance_audit(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    shard = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 16
+    s = docs.groupBy(shard.alias("shard")).agg(F.count(F.lit(1)).alias("n"))
+    return s.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n").alias("n_docs"),
+        F.min("n").alias("min_docs"),
+        F.max("n").alias("max_docs"),
+        (
+            F.max("n").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("n")
+        ).alias("max_skew"),
+    )
+
+
+_CONVERSION_LAG_ORACLE = """
+SELECT user_id,
+       CAST(epoch_us(MIN(CASE WHEN event_type = 'purchase' THEN ts END))
+            - epoch_us(MIN(ts)) AS BIGINT) AS lag_us
+FROM events GROUP BY user_id
+HAVING MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+"""
+
+
+@_register(
+    "purchase_conversion_lag",
+    _CONVERSION_LAG_ORACLE,
+    doc="Time-to-first-purchase per user: first purchase timestamp minus "
+    "first-ever event timestamp, users who never purchased excluded — "
+    "the conversion-latency input to funnel models. ONE conditional "
+    "hash aggregate (no join of firsts, no window): both minima partial-"
+    "aggregate map-side and the subtraction is exact integer "
+    "microseconds.",
+)
+def purchase_conversion_lag(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    )
+    out = ev.groupBy("user_id").agg(
+        (
+            F.unix_micros(first_purchase.cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("lag_us")
+    )
+    return out.where(F.col("lag_us").isNotNull())
