@@ -65,6 +65,9 @@ HEADLINE = [
     "snapshot_diff",
     "pagerank_links",
     "fuzzy_pairs_levenshtein",
+    "sessionize_stats",
+    "user_profile",
+    "shingle_containment",
 ]
 
 
