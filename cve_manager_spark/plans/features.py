@@ -1607,18 +1607,34 @@ def triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    lower_rank = (F.col("x.ddst") < F.col("y.ddst")) | (
-        (F.col("x.ddst") == F.col("y.ddst")) & (F.col("x.dst") < F.col("y.dst"))
+    # Adjacency-intersect closure: each triangle {x<y<z in (deg,id) rank}
+    # is counted exactly once on its (x,y) edge as z ∈ N+(x) ∩ N+(y) —
+    # forward adjacencies are O(sqrt|E|) arrays, the intersect is a
+    # codegen set op, and the join output feeds a partial SUM in the same
+    # stage, so the wedge relation is never materialized or shuffled
+    # (the wedge-join formulation pushed ~|E|^1.5 rows through an
+    # exchange; this ships each adjacency array once per incident edge).
+    adj = f.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    tri = (
+        f.join(
+            adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na")),
+            F.col("src") == F.col("a"),
+        )
+        .join(
+            adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nb")),
+            F.col("dst") == F.col("b"),
+            "left",
+        )
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.col("na"),
+                    F.coalesce(F.col("nb"), F.array().cast("array<bigint>")),
+                )
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("n_triangles"))
     )
-    wedges = (
-        f.alias("x")
-        .join(f.alias("y"), "src")
-        .where(lower_rank)
-        .select(F.col("x.dst").alias("tb"), F.col("y.dst").alias("tc"))
-    )
-    tri = wedges.join(
-        f.alias("z"), (F.col("tb") == F.col("z.src")) & (F.col("tc") == F.col("z.dst"))
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
     return nn.crossJoin(ne).crossJoin(tri)
 
 
