@@ -357,9 +357,10 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
 
 
 def test_streak_and_nearest_windows_are_user_partitioned(spark):
-    """Gaps-and-islands and bidirectional-nearest both partition every
-    window on user_id — no global sort appears at any scale."""
-    for name in ("longest_streak", "nearest_event"):
+    """Gaps-and-islands, bidirectional-nearest and sessionization all
+    partition every window on user_id — no global sort appears at any
+    scale."""
+    for name in ("longest_streak", "nearest_event", "sessionize_stats"):
         plan = plan_of(spark, name)
         assert "SinglePartition" not in plan, name
         assert "hashpartitioning(user_id" in plan, name
