@@ -7,6 +7,10 @@ uniqueness so a typo can't silently shadow a query.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from cve_manager_spark.plans.spec import Builder, QuerySpec
 
 
@@ -125,6 +129,31 @@ DRIVER_GREEN = frozenset({
 })
 
 
+def driver_green() -> frozenset[str]:
+    """DRIVER_GREEN plus every hash-green name found in the repo's
+    CORRECTNESS_r*.json reports at call time.
+
+    The static set is the committed provenance; reading the reports live
+    removes the round-boundary failure mode where the driver re-verifies
+    an already-green window because the fold-in script didn't run between
+    rounds (this cost round 3 its entire verification budget). Repo root
+    is resolved relative to this file; unreadable reports are skipped."""
+    names = set(DRIVER_GREEN)
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if isinstance(r, dict) and r.get("hash_match") is True:
+                names.add(name)
+    return frozenset(names)
+
+
 def _all_specs() -> list[QuerySpec]:
     from cve_manager_spark.plans import corpus as corpus_mod
     from cve_manager_spark.plans import events as events_mod
@@ -140,11 +169,13 @@ def _all_specs() -> list[QuerySpec]:
         + features_mod.SPECS
     )
 
+    green = driver_green()
+
     def key(spec: QuerySpec) -> tuple[int, int]:
         if spec.oracle is None:
             tier = 2  # rows-only: a driver slot adds no hash verdict
         else:
-            tier = 1 if spec.name in DRIVER_GREEN else 0
+            tier = 1 if spec.name in green else 0
         # priority queues later-added specs behind older ones still waiting
         # for their first driver verdict (spec.py QuerySpec.priority)
         return (tier, spec.priority)

@@ -2,9 +2,9 @@
 
 The registry orders the driver's 50-entry correctness window as a
 verification-priority queue (unverified oracle-paired queries first).
-After each round, run this to fold the newly green names into
-DRIVER_GREEN so the next round's window promotes whatever is still
-unverified:
+Since round 4, ``registry.driver_green()`` also reads CORRECTNESS_r*.json
+live, so a missed run of this script no longer wastes a round — running
+it still bakes the verdicts into the committed set for provenance:
 
     python scripts/update_driver_green.py          # print the new set
     python scripts/update_driver_green.py --write  # rewrite registry.py
