@@ -2590,3 +2590,58 @@ def purchase_conversion_lag(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("lag_us")
     )
     return out.where(F.col("lag_us").isNotNull())
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register(
+    "sql_tpch_q1",
+    _SQL_Q1,
+    doc="The SQL-API surface end-to-end: the TPC-H Q1 pricing-summary "
+    "shape submitted as a raw ANSI string through spark.sql over the "
+    "registered table views — the ONE SQL text is both the Spark query "
+    "and the DuckDB oracle, so dialect-portability and hash-equality "
+    "are checked together. Exact-decimal sums with one final cast "
+    "(order-independent bitwise results, the engine's aggregate "
+    "discipline); Catalyst plans the identical partial+final hash "
+    "aggregate it gives the DataFrame twin (agg_groupby).",
+)
+def sql_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.sources.testdata import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_SQL_Q1)
+
+
+@_register(
+    "events_dow_hour_heatmap",
+    "SELECT CAST(isodow(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2",
+    doc="Activity heatmap: event counts by ISO day-of-week × hour — the "
+    "seasonality readout behind traffic-aware sampling and load "
+    "scheduling. One partial+final hash aggregate over a 7×24-bounded "
+    "key space; dialect note: Spark weekday() (0=Mon) + 1 equals "
+    "DuckDB isodow (1=Mon), asserted by the oracle pairing.",
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
