@@ -127,3 +127,42 @@ def test_salted_join_shuffles_on_composite_key(spark):
         assert "BroadcastHashJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """The engine's other skew hatch: with AQE on (the session default),
+    a hot key that breaches the skewed-partition threshold is split at
+    runtime — the final adaptive plan marks the join skew=true. Salting
+    (above) removes skew by construction; this proves the runtime path
+    engages when salting wasn't applied. Thresholds are lowered so the
+    test-sized hot key trips the same logic a multi-GB partition trips
+    in production."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pl"),
+        )
+        dim = spark.range(0, 200000).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("lbl")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 200000  # drives THIS DataFrame's execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
