@@ -2645,3 +2645,166 @@ def events_dow_hour_heatmap(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_TABLE_PROFILE_ORACLE = """
+WITH a AS (
+  SELECT
+    CAST(COUNT(*) FILTER (doc_id IS NULL) AS BIGINT) AS doc_id_nulls,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_id_distinct,
+    CAST(MIN(doc_id) AS BIGINT) AS doc_id_min,
+    CAST(MAX(doc_id) AS BIGINT) AS doc_id_max,
+    CAST(COUNT(*) FILTER (lang IS NULL) AS BIGINT) AS lang_nulls,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_distinct,
+    CAST(MIN(len(lang)) AS BIGINT) AS lang_min,
+    CAST(MAX(len(lang)) AS BIGINT) AS lang_max,
+    CAST(COUNT(*) FILTER (source IS NULL) AS BIGINT) AS source_nulls,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS source_distinct,
+    CAST(MIN(len(source)) AS BIGINT) AS source_min,
+    CAST(MAX(len(source)) AS BIGINT) AS source_max,
+    CAST(COUNT(*) FILTER (text IS NULL) AS BIGINT) AS text_nulls,
+    CAST(COUNT(DISTINCT text) AS BIGINT) AS text_distinct,
+    CAST(MIN(len(text)) AS BIGINT) AS text_min,
+    CAST(MAX(len(text)) AS BIGINT) AS text_max
+  FROM documents
+)
+SELECT 'doc_id' AS col, doc_id_nulls AS n_nulls, doc_id_distinct AS n_distinct,
+       doc_id_min AS min_v, doc_id_max AS max_v FROM a
+UNION ALL
+SELECT 'lang', lang_nulls, lang_distinct, lang_min, lang_max FROM a
+UNION ALL
+SELECT 'source', source_nulls, source_distinct, source_min, source_max FROM a
+UNION ALL
+SELECT 'text', text_nulls, text_distinct, text_min, text_max FROM a
+"""
+
+
+@_register(
+    "table_profile",
+    _TABLE_PROFILE_ORACLE,
+    doc="One-pass column profile of the documents table: nulls, distinct "
+    "count and min/max (value for numerics, length for strings) for "
+    "every column, then an in-row unpivot to one report row per column "
+    "— the schema-health snapshot run before any corpus is accepted. "
+    "ONE scan computes all 16 statistics as a single aggregate row "
+    "(count_distinct expands to Spark's standard two-phase plan); the "
+    "stack() unpivot touches one row. No per-column rescans.",
+)
+def table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+
+    def stats(col, numeric):
+        v = F.col(col)
+        mv = v if numeric else F.length(v)
+        return [
+            F.count(F.when(v.isNull(), 1)).alias(f"{col}_nulls"),
+            F.countDistinct(v).alias(f"{col}_distinct"),
+            F.min(mv).cast("long").alias(f"{col}_min"),
+            F.max(mv).cast("long").alias(f"{col}_max"),
+        ]
+
+    a = docs.agg(
+        *(
+            stats("doc_id", True)
+            + stats("lang", False)
+            + stats("source", False)
+            + stats("text", False)
+        )
+    )
+    cols = ["doc_id", "lang", "source", "text"]
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max" for c in cols
+    )
+    return a.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct, min_v, max_v)"
+    )
+
+
+_VOCAB_COVERAGE_ORACLE = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+), c AS (
+  SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY lang, t
+), r AS (
+  SELECT lang, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, t) AS rk
+  FROM c
+)
+SELECT lang, CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN rk <= 1000 THEN n ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       CAST(SUM(CASE WHEN rk <= 1000 THEN n ELSE 0 END) AS DOUBLE) / SUM(n)
+         AS coverage
+FROM r GROUP BY lang
+"""
+
+
+@_register(
+    "vocab_coverage",
+    _VOCAB_COVERAGE_ORACLE,
+    doc="Vocabulary coverage: what fraction of each language's token "
+    "stream the top-1000 most frequent tokens cover — the go/no-go "
+    "readout for vocabulary/tokenizer sizing. Token counts hash-"
+    "aggregate (partial+final) to a vocabulary-sized relation; the rank "
+    "window and the coverage aggregate both run over (lang, token) "
+    "counts, never raw tokens, so the fact-table scan crosses one "
+    "shuffle as count triples. Deterministic rank tie-break (freq "
+    "desc, token asc); integer sums, one final double division.",
+)
+def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "lang", F.explode(T.words(F.lower(F.col("text")))).alias("t")
+    )
+    c = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("t"))
+    r = c.withColumn("rk", F.row_number().over(w))
+    covered = F.sum(F.when(F.col("rk") <= 1000, F.col("n")).otherwise(F.lit(0)))
+    return r.groupBy("lang").agg(
+        F.sum("n").alias("total_tokens"),
+        covered.alias("covered_tokens"),
+        (covered.cast("double") / F.sum("n")).alias("coverage"),
+    )
+
+
+_LATE_AUDIT_ORACLE = """
+WITH m AS (
+  SELECT event_type, MAX(ts) AS mx FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) FILTER (epoch_us(m.mx) - epoch_us(e.ts) > 86400000000)
+            AS BIGINT) AS n_older_1d,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN m ON e.event_type = m.event_type
+GROUP BY e.event_type
+"""
+
+
+@_register(
+    "late_data_audit",
+    _LATE_AUDIT_ORACLE,
+    doc="Late-data audit: per event type, how many rows sit more than one "
+    "day behind that type's high-water mark — the batch preview of what "
+    "a streaming watermark of that lag would drop (T3's sizing input). "
+    "Per-type maxima are a tiny aggregate broadcast back onto the "
+    "stream (the anomaly_zscore join shape); the census is one more "
+    "conditional aggregate. Exact integer microseconds.",
+)
+def late_data_audit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    m = ev.groupBy("event_type").agg(F.max("ts").alias("mx"))
+    late = (
+        F.unix_micros(F.col("mx").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) > 86400000000
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(late, 1)).alias("n_older_1d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
