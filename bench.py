@@ -68,6 +68,7 @@ HEADLINE = [
     "sessionize_stats",
     "user_profile",
     "shingle_containment",
+    "sql_tpch_q1",
 ]
 
 

@@ -2808,3 +2808,117 @@ def late_data_audit(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_DUP_RATE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS dg FROM documents
+), c AS (
+  SELECT dg, CAST(COUNT(*) AS BIGINT) AS k FROM d GROUP BY dg
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (c.k > 1) AS BIGINT) AS n_dup_docs,
+       CAST(COUNT(*) FILTER (c.k > 1) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM d JOIN c ON d.dg = c.dg
+GROUP BY d.source
+"""
+
+
+@_register(
+    "dup_rate_by_source",
+    _DUP_RATE_ORACLE,
+    doc="Duplication rate per source: share of a source's documents whose "
+    "exact content digest appears more than once corpus-WIDE — the "
+    "provenance diagnostic that tells you which crawl re-serves content "
+    "others already contributed (per-source dedup would miss cross-"
+    "source copies). Rows reduce to 16-byte digests before the count "
+    "join (dedup_exact's digest-only shuffle discipline); the digest "
+    "count relation joins back keyed on the digest. Integer counts, "
+    "one final double division.",
+)
+def dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("doc_id", "source", F.md5("text").alias("dg"))
+    c = d.groupBy("dg").agg(F.count(F.lit(1)).alias("k"))
+    dup = F.count(F.when(F.col("k") > 1, 1))
+    return (
+        d.join(c, "dg")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dup.alias("n_dup_docs"),
+            (dup.cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+    )
+
+
+_ORDER_SIZE_HIST_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM per_order GROUP BY n_lines
+"""
+
+
+@_register(
+    "order_size_histogram",
+    _ORDER_SIZE_HIST_ORACLE,
+    doc="Fact-table shape profile: distribution of lineitems per order — "
+    "the first diagnostic for join fan-out planning (a fat tail here is "
+    "what makes the co-purchase edge build quadratic per order). Two "
+    "hash aggregates: the first is data-sized and partial+final on the "
+    "order key, the second runs over one row per order and reduces to "
+    "the tiny distinct-count domain.",
+)
+def order_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return per_order.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+_TOP_CUSTOMER_ORACLE = """
+WITH spend AS (
+  SELECT o_orderpriority, o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderpriority, o_custkey
+), r AS (
+  SELECT o_orderpriority, o_custkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents DESC, o_custkey) AS rk
+  FROM spend
+)
+SELECT o_orderpriority, o_custkey AS top_custkey, cents AS spend_cents
+FROM r WHERE rk = 1
+"""
+
+
+@_register(
+    "top_customer_by_priority",
+    _TOP_CUSTOMER_ORACLE,
+    doc="Argmax per group over an aggregate: the highest-spending customer "
+    "per order priority. Spend pre-aggregates to one row per (priority, "
+    "customer) — partial+final, data-sized — and the rank-1 selection "
+    "plans as WindowGroupLimit over that reduced relation, so each map "
+    "task forwards only its local leader. Exact integer cents "
+    "(floor(o_totalprice*100) — floor, not cast: DuckDB's double→BIGINT cast rounds while Spark's truncates); "
+    "deterministic tie-break on customer key.",
+)
+def top_customer_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    spend = orders.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").desc(), F.col("o_custkey")
+    )
+    return (
+        spend.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_custkey").alias("top_custkey"),
+            F.col("cents").alias("spend_cents"),
+        )
+    )
