@@ -155,22 +155,25 @@ def pagerank_int(
     )
     base = (100 - damping_pct) * 10_000
     ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             ed.join(ranks, ed.src == ranks.node)
             .select("dst", F.expr("rank div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("rank"),
         )
+        # Checkpoint every 4th iteration, not every one: at the fixed 3-5
+        # iterations of link-quality features the lineage stays shallow,
+        # and skipping the per-round eager materialization lets the whole
+        # fixed-point run as ONE job (each checkpoint is a serialize-all
+        # barrier). Deep runs still truncate lineage periodically.
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
