@@ -63,3 +63,76 @@ def test_decimal_sum_is_partitioning_invariant(spark):
         )
         vals.append(v)
     assert vals[0] == vals[1] == vals[2]  # bitwise equal, any partitioning
+
+
+# --- histogram rank-select fold (the re-planned exact-median family) ------
+
+VALUES = st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=VALUES)
+def test_histogram_rank_pick_matches_sorted_rank(spark, vals):
+    """The in-row fold over (value, count) histograms must agree with
+    plain sorted-list rank selection for ANY multiset: median×2 computed
+    via _rank_pick == values[lo-1] + values[hi-1] of the sorted list."""
+    from cve_manager_spark.plans.features import _rank_pick
+
+    df = spark.createDataFrame([(v,) for v in vals], "q: long")
+    h = df.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    g = h.agg(
+        F.sum("c").alias("n"), F.collect_list(F.struct("q", "c")).alias("hist")
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    got = g.select(_rank_pick(lo, hi).alias("m2")).first()["m2"]
+
+    s = sorted(vals)
+    n = len(s)
+    want = s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # value
+            st.integers(min_value=1, max_value=9),   # positive weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_fold_matches_row_scan(spark, pairs):
+    """Weighted-median histogram fold == the smallest value whose running
+    weight reaches half the total in a plain Python scan."""
+    df = spark.createDataFrame(pairs, "q: long, wt: long")
+    h = df.groupBy("q").agg(F.sum("wt").alias("c"))
+    g = h.agg(
+        F.sum("c").alias("tot"), F.collect_list(F.struct("q", "c")).alias("hist")
+    )
+
+    def merge(acc, x):
+        hit = F.when(
+            acc.res.isNull() & (2 * (acc.cum + x.c) >= F.col("tot")), x.q
+        )
+        return F.struct(
+            (acc.cum + x.c).alias("cum"), F.coalesce(acc.res, hit).alias("res")
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"), F.lit(None).cast("long").alias("res")
+    )
+    fold = F.aggregate(F.array_sort("hist"), init, merge, lambda acc: acc.res)
+    got = g.select(fold.alias("wm")).first()["wm"]
+
+    tot = sum(w for _, w in pairs)
+    cum = 0
+    want = None
+    for v, w in sorted(pairs):
+        cum += w
+        if 2 * cum >= tot:
+            want = v
+            break
+    assert got == want
