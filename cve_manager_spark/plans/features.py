@@ -2922,3 +2922,103 @@ def top_customer_by_priority(spark: SparkSession, sf: str) -> DataFrame:
             F.col("cents").alias("spend_cents"),
         )
     )
+
+
+_RECENCY_ORACLE = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(o_orderdate) AS last_order,
+       CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '1998-12-31')
+            AS BIGINT) AS days_inactive
+FROM orders GROUP BY o_custkey
+"""
+
+
+@_register(
+    "customer_order_recency",
+    _RECENCY_ORACLE,
+    doc="Recency/frequency profile per customer: order count, last order "
+    "date and whole days of inactivity against the dataset's reference "
+    "end date — the R and F of RFM segmentation (top_customer_by_"
+    "priority supplies the M). One partial+final hash aggregate on the "
+    "customer key; date arithmetic on DATE-truncated values so both "
+    "engines count identical whole days.",
+)
+def customer_order_recency(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    last = F.max("o_orderdate")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        last.alias("last_order"),
+        F.datediff(F.lit("1998-12-31").cast("date"), last.cast("date"))
+        .cast("long")
+        .alias("days_inactive"),
+    )
+
+
+_SUPPLIER_COVERAGE_ORACLE = """
+WITH sp AS (
+  SELECT l_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+  FROM lineitem GROUP BY l_suppkey
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS total_parts FROM lineitem
+)
+SELECT sp.l_suppkey, sp.n_parts, tot.total_parts,
+       CAST(sp.n_parts AS DOUBLE) / tot.total_parts AS coverage
+FROM sp CROSS JOIN tot
+"""
+
+
+@_register(
+    "supplier_coverage",
+    _SUPPLIER_COVERAGE_ORACLE,
+    doc="Catalog coverage per supplier: distinct parts shipped over the "
+    "distinct parts in the whole fact table — the assortment-breadth "
+    "metric. Two distinct-aggregates (each Spark's standard two-phase "
+    "expand plan); the 1-row grand total broadcasts onto the per-"
+    "supplier relation (the stat-assembly cross join that is bounded "
+    "by construction). Integer counts, one double division.",
+)
+def supplier_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    sp = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+    tot = li.agg(F.countDistinct("l_partkey").alias("total_parts"))
+    return sp.crossJoin(F.broadcast(tot)).select(
+        "l_suppkey",
+        "n_parts",
+        "total_parts",
+        (F.col("n_parts").cast("double") / F.col("total_parts")).alias("coverage"),
+    )
+
+
+_CHAR_CLASS_ORACLE = """
+SELECT lang,
+       CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]'))) AS BIGINT) AS n_letters,
+       CAST(SUM(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT) AS n_digits,
+       CAST(SUM(len(regexp_extract_all(text, '\\s'))) AS BIGINT) AS n_spaces
+FROM documents GROUP BY lang
+"""
+
+
+@_register(
+    "text_char_class_profile",
+    _CHAR_CLASS_ORACLE,
+    doc="Character-class census per language: letters, digits and "
+    "whitespace counted with ASCII-simple regexes both engines "
+    "interpret identically — the input statistics for tokenizer and "
+    "quality-threshold tuning (N4 family, the character-level "
+    "complement of text_quality's token ratios). Pure codegen "
+    "regexp_count in one partial+final aggregate; no explode, no "
+    "Python.",
+)
+def text_char_class_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(F.regexp_count("text", F.lit("[a-zA-Z]"))).alias("n_letters"),
+        F.sum(F.regexp_count("text", F.lit("[0-9]"))).alias("n_digits"),
+        F.sum(F.regexp_count("text", F.lit(r"\s"))).alias("n_spaces"),
+    )
