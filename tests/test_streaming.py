@@ -214,3 +214,59 @@ def test_stream_zscore_monitor_equals_batch(spark, events_dir):
     cols = ["event_id", "event_type", "v_milli", "z_micro"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
     assert got.count() > 0
+
+
+def test_stateful_closed_sessions_equal_batch_minus_open(spark, events_dir):
+    """Custom stateful sessionizer (applyInPandasWithState, append mode):
+    after one availableNow pass the emitted CLOSED sessions equal the
+    batch sessionize_stats result minus each user's final session, which
+    is still open in the state store."""
+    from cve_manager_spark.plans.registry import collect
+    from cve_manager_spark.streaming.stateful import closed_sessions
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(closed_sessions(stream), "t_sessions", output_mode="append")
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"], r["dur_us"])
+        for r in spark.table("t_sessions").collect()
+    )
+
+    batch = collect()["sessionize_stats"].build(spark, SF_SMALL)
+    w = Window.partitionBy("user_id")
+    want = sorted(
+        (r["user_id"], r["start_us"], r["n_events"], r["dur_us"])
+        for r in batch.join(
+            load_table(spark, SF_SMALL, "events")
+            .groupBy("user_id")
+            .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("__mx")),
+            "user_id",
+        )
+        .withColumn("__last_idx", F.max("session_idx").over(w))
+        .where(F.col("session_idx") < F.col("__last_idx"))  # drop open session
+        .join(
+            # recover each session's start: batch emits (user, idx, n, dur);
+            # rebuild start from the raw events via the same gap rule
+            _batch_session_starts(spark),
+            ["user_id", "session_idx"],
+        )
+        .select("user_id", "start_us", "n_events", "dur_us")
+        .collect()
+    )
+    assert got == want
+
+
+def _batch_session_starts(spark):
+    """(user_id, session_idx, start_us) from the raw events with the same
+    30-minute gap rule the batch and streaming sessionizers share."""
+    ev = load_table(spark, SF_SMALL, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    new_sess = F.when(gap.isNull() | (gap > 1800000000), F.lit(1)).otherwise(F.lit(0))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.sum(new_sess).over(wrun).alias("session_idx"),
+    )
+    return s.groupBy("user_id", "session_idx").agg(F.min("us").alias("start_us"))
