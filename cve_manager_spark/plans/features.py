@@ -3022,3 +3022,113 @@ def text_char_class_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.regexp_count("text", F.lit("[0-9]"))).alias("n_digits"),
         F.sum(F.regexp_count("text", F.lit(r"\s"))).alias("n_spaces"),
     )
+
+
+_ERROR_RATE_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS DOUBLE) / COUNT(*)
+         AS error_rate
+FROM events GROUP BY 1
+"""
+
+
+@_register(
+    "error_rate_hourly",
+    _ERROR_RATE_ORACLE,
+    doc="Hourly error rate: total, error count and share per hour bucket — "
+    "the SLO burn-rate input. One conditional partial+final hash "
+    "aggregate over calendar-bounded keys; integer counts, one double "
+    "division per output row.",
+)
+def error_rate_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    errs = F.count(F.when(F.col("event_type") == "error", 1))
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        errs.alias("n_errors"),
+        (errs.cast("double") / F.count(F.lit(1))).alias("error_rate"),
+    )
+
+
+_PRICE_SPREAD_ORACLE = """
+WITH s AS (
+  SELECT l_partkey,
+         CAST(FLOOR(MIN(l_extendedprice) * 100) AS BIGINT) AS min_cents,
+         CAST(FLOOR(MAX(l_extendedprice) * 100) AS BIGINT) AS max_cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, min_cents, max_cents, max_cents - min_cents AS spread_cents, n
+FROM s ORDER BY spread_cents DESC, l_partkey LIMIT 20
+"""
+
+
+@_register(
+    "part_price_spread",
+    _PRICE_SPREAD_ORACLE,
+    doc="Top-20 parts by price spread: per-part min/max (floored to exact "
+    "cents) aggregate first — data-sized, partial+final — then a global "
+    "top-k over the part-sized relation that plans as "
+    "TakeOrderedAndProject (per-partition top-20, no global sort). The "
+    "price-dispersion screen of procurement analytics; deterministic "
+    "tie-break on part key.",
+)
+def part_price_spread(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    s = li.groupBy("l_partkey").agg(
+        F.floor(F.min("l_extendedprice") * 100).cast("long").alias("min_cents"),
+        F.floor(F.max("l_extendedprice") * 100).cast("long").alias("max_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        s.select(
+            "l_partkey",
+            "min_cents",
+            "max_cents",
+            (F.col("max_cents") - F.col("min_cents")).alias("spread_cents"),
+            "n",
+        )
+        .orderBy(F.col("spread_cents").desc(), F.col("l_partkey"))
+        .limit(20)
+    )
+
+
+_NULLSAFE_JOIN_ORACLE = """
+WITH a AS (
+  SELECT NULLIF(l_linenumber % 5, 0) AS k, CAST(COUNT(*) AS BIGINT) AS n_left
+  FROM lineitem GROUP BY 1
+), b AS (
+  SELECT NULLIF(CAST(o_orderkey % 5 AS INT), 0) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_right
+  FROM orders GROUP BY 1
+)
+SELECT a.k, a.n_left, b.n_right
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@_register(
+    "join_null_safe",
+    _NULLSAFE_JOIN_ORACLE,
+    doc="Null-safe equality join: Spark's <=> (eqNullSafe) against "
+    "DuckDB's IS NOT DISTINCT FROM — NULL keys MATCH each other instead "
+    "of vanishing, the semantic needed when a bucketing key legitimately "
+    "contains NULL (here manufactured via NULLIF on both sides). Both "
+    "inputs pre-aggregate to key-cardinality relations before the join, "
+    "and null-safe equality remains a hashable equi-join key in both "
+    "engines — no fallback to nested loops.",
+)
+def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    a = li.groupBy(
+        F.nullif(F.col("l_linenumber") % 5, F.lit(0)).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_left"))
+    b = orders.groupBy(
+        F.nullif((F.col("o_orderkey") % 5).cast("int"), F.lit(0)).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_right"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"], "n_left", "n_right"
+    )
