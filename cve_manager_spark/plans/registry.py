@@ -40,13 +40,21 @@ DRIVER_GREEN = frozenset({
     "agg_salted",
     "agg_stats",
     "agg_string_concat",
+    "anomaly_zscore",
     "argmax_per_key",
     "array_set_ops",
+    "attribution_last_touch",
+    "basket_pairs",
+    "bigram_lift",
     "cast_date",
     "cast_to_string",
     "cdc_upsert",
+    "chunk_documents",
     "corpus_clean",
+    "corpus_profile",
+    "corr_regress",
     "cosine_threshold",
+    "cumulative_unique_users",
     "decontaminate_ngram",
     "dedup_cluster_rep",
     "dedup_clusters",
@@ -55,10 +63,19 @@ DRIVER_GREEN = frozenset({
     "dedup_keyed",
     "dedup_minhash_det",
     "dedup_ngram_jaccard",
+    "dedup_normalized",
+    "dedup_prefix",
     "doc_fingerprint",
     "doc_length_histogram",
+    "dq_checks",
+    "dq_quarantine",
+    "dup_rate_by_source",
     "embedding_centroid",
+    "embedding_norm_stats",
+    "event_transitions",
     "event_type_share",
+    "events_debounce",
+    "events_dow_hour_heatmap",
     "events_funnel",
     "events_lag_gap",
     "events_retention",
@@ -72,14 +89,20 @@ DRIVER_GREEN = frozenset({
     "filter_eq_int",
     "filter_like",
     "filter_or_threshold",
+    "fuzzy_pairs_levenshtein",
     "group_sample_topn",
     "grouped_median_pandas",
+    "heavy_hitters",
+    "histogram_fixed",
+    "inverted_index",
+    "iqr_outliers",
     "join_anti",
     "join_asof",
     "join_inner_view",
     "join_interval",
     "join_left_lookup",
     "join_range_pred",
+    "join_salted",
     "join_semi",
     "join_star_detail",
     "json_extract",
@@ -88,25 +111,44 @@ DRIVER_GREEN = frozenset({
     "knn_cosine_pandas",
     "knn_join_multi",
     "knn_per_label",
+    "label_collapse_rare",
+    "lang_source_gini",
+    "late_data_audit",
     "limit_1",
+    "max_concurrency",
+    "median_exact",
+    "mix_budget",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_thumbnail",
     "null_fallback",
+    "order_size_histogram",
     "pack_sequences",
+    "pagerank_links",
     "posexplode_index",
     "project_cols",
     "project_nested",
+    "purchase_conversion_lag",
+    "quantile_exact",
     "regexp_extract_numbers",
+    "retention_cohort",
+    "rolling_active_users",
     "sample_hash",
+    "scd2_intervals",
+    "sessionize_stats",
     "set_except",
     "set_ops",
+    "shard_balance_audit",
+    "shingle_containment",
+    "snapshot_diff",
     "sort_topk",
+    "sql_tpch_q1",
     "str_concat_fold",
     "str_isdigit",
     "str_replace",
     "str_strip_prefix",
     "stratified_sample",
+    "table_profile",
     "text_lang_id",
     "text_ngram_freq",
     "text_pii_mask",
@@ -116,8 +158,14 @@ DRIVER_GREEN = frozenset({
     "text_tokenize_count",
     "text_top_terms",
     "token_count",
+    "top_ngram_per_lang",
     "union_all",
     "unpivot_melt",
+    "user_profile",
+    "value_mad",
+    "vocab_coverage",
+    "weekly_order_growth",
+    "window_first_last",
     "window_ntile",
     "window_percent_rank",
     "window_range_frame",
@@ -126,6 +174,8 @@ DRIVER_GREEN = frozenset({
     "window_session",
     "window_sliding",
     "window_tumbling",
+    "winsorize_stats",
+    "wma_trailing",
 })
 
 
