@@ -60,6 +60,103 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), F.lit(1)))
 
 
+def _hashed_shingle_relation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq_frac: float | None,
+    persist_shingles: bool,
+) -> DataFrame:
+    """(id, n_sh, shingle_h) relation shared by the pairwise set-similarity
+    operators (`ngram_jaccard_pairs`, `containment_pairs`).
+
+    Join on a 64-bit hash of the shingle, not the string: sorting/probing
+    fixed-width longs measured ~2× faster than ~25-byte strings, and the
+    64-bit collision probability over any realistic shingle population is
+    negligible (~1e-19 per pair, deterministic when it happens).
+
+    ``n_sh`` is the FULL per-document shingle count, frozen before the
+    stop-shingle cap — capped runs lose common-count numerator only, so
+    similarity can only shrink (recall dial, never false positives).
+    """
+    sh = fan_out(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("shingle")).select(
+        "id", "n_sh", F.xxhash64("shingle").alias("shingle_h")
+    )
+    if max_doc_freq_frac is not None:
+        # Stop-shingle filter: shingle doc-frequencies vs a broadcast 1-row
+        # corpus count (no driver-side scalar); the filter join is keyed on
+        # shingle_h, co-partitioned with the pair join that follows.
+        total = sh.agg(F.count(F.lit(1)).alias("__n_docs"))
+        keep = (
+            ex.groupBy("shingle_h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .crossJoin(F.broadcast(total))
+            .where(F.col("__df") <= F.col("__n_docs") * max_doc_freq_frac)
+            .select("shingle_h")
+        )
+        ex = ex.join(keep, "shingle_h")
+    if persist_shingles:
+        # Both join branches read the shingle relation; without an explicit
+        # materialization Spark computes the shingle scan twice (~2-3× the
+        # query time measured). At cluster scale this is "write the shingle
+        # index once, join against it" — persist is the local analogue.
+        from pyspark import StorageLevel
+
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        # Materialization barrier: without it both join stages race the
+        # cold cache and each computes the scan anyway.
+        ex.count()
+    return ex
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    persist_shingles: bool = True,
+    max_doc_freq_frac: float | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment: pairs with
+    max(|A∩B|/|A|, |A∩B|/|B|) ≥ threshold.
+
+    The detector for SUBSET duplication (a short doc embedded in a longer
+    one), which symmetric Jaccard under-scores by construction. No
+    size-ratio prune is possible: containment ≥ t only bounds the common
+    count against the SMALLER side, so a tiny doc inside a huge one is a
+    legitimate hit — asymmetry is the point.
+
+    That makes ``max_doc_freq_frac`` the load-bearing skew guard at
+    corpus scale (not an optional extra as in `ngram_jaccard_pairs`,
+    which still has its size-ratio prune without it): one boilerplate
+    shingle shared by k documents alone generates k(k-1)/2 join rows on
+    a single shuffle key. The cap drops shingles whose doc-frequency
+    exceeds frac·N before the join, bounding any bucket at (frac·N)².
+    Denominators keep full shingle counts, so capped containment ≤ exact
+    containment pairwise: output is a subset of the exact output.
+    """
+    ex = _hashed_shingle_relation(
+        df, id_col, text_col, n, max_doc_freq_frac, persist_shingles
+    )
+    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle_h")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle_h")
+    common = (
+        a.join(b, (a.shingle_h == b.shingle_h) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = F.col("common").cast("double") / F.col("n_a")
+    cb = F.col("common").cast("double") / F.col("n_b")
+    return common.select(
+        "id_a", "id_b", ca.alias("cont_a"), cb.alias("cont_b")
+    ).where(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -93,40 +190,9 @@ def ngram_jaccard_pairs(
     sets), so filtered output is a subset of the exact output: recall
     dial, never false positives. Default None = exact.
     """
-    sh = fan_out(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
-    # Join on a 64-bit hash of the shingle, not the string: sorting/probing
-    # fixed-width longs measured ~2× faster than ~25-byte strings, and the
-    # 64-bit collision probability over any realistic shingle population is
-    # negligible (~1e-19 per pair, deterministic when it happens).
-    ex = sh.select("id", "n_sh", F.explode("shingles").alias("shingle")).select(
-        "id", "n_sh", F.xxhash64("shingle").alias("shingle_h")
+    ex = _hashed_shingle_relation(
+        df, id_col, text_col, n, max_doc_freq_frac, persist_shingles
     )
-    if max_doc_freq_frac is not None:
-        # Stop-shingle filter: shingle doc-frequencies vs a broadcast 1-row
-        # corpus count (no driver-side scalar); the filter join is keyed on
-        # shingle_h, co-partitioned with the pair join that follows.
-        total = sh.agg(F.count(F.lit(1)).alias("__n_docs"))
-        keep = (
-            ex.groupBy("shingle_h")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .crossJoin(F.broadcast(total))
-            .where(F.col("__df") <= F.col("__n_docs") * max_doc_freq_frac)
-            .select("shingle_h")
-        )
-        ex = ex.join(keep, "shingle_h")
-    if persist_shingles:
-        # Both join branches read the shingle relation; without an explicit
-        # materialization Spark computes the shingle scan twice (~2-3× the
-        # query time measured). At cluster scale this is "write the shingle
-        # index once, join against it" — persist is the local analogue.
-        from pyspark import StorageLevel
-
-        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
-        # Materialization barrier: without it both join stages race the
-        # cold cache and each computes the scan anyway.
-        ex.count()
     a = ex.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle_h"
     )

@@ -87,7 +87,21 @@ def salted_join(
 ) -> DataFrame:
     """Join ``large`` (skewed side) to ``small`` on ``on`` with the salt
     folded into the join key. ``salt_cols`` are columns of ``large`` whose
-    hash spreads the hot key (use high-cardinality tie-breakers)."""
+    hash spreads the hot key (use high-cardinality tie-breakers).
+
+    Result-invariant vs the unsalted join ONLY for join types where
+    unmatched ``small`` rows are never emitted: the small side is
+    replicated once per bucket, so under right/full outer an unmatched
+    small row would surface ``buckets`` times. Those types are rejected
+    (flip the sides or use AQE skew-join for outer-preserving the small
+    side)."""
+    normalized = how.replace("_", "").lower()
+    if normalized in {"right", "rightouter", "full", "fullouter", "outer", "cross"}:
+        raise ValueError(
+            f"salted_join: how={how!r} would emit each unmatched small-side "
+            "row once per salt bucket; use inner/left/semi/anti, or make "
+            "the preserved side the large one"
+        )
     l_salted = large.withColumn(
         SALT, F.pmod(F.xxhash64(*salt_cols), F.lit(buckets)).cast("int")
     )

@@ -1961,11 +1961,16 @@ WITH toks AS (
   FROM toks
 ), ex AS (
   SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), keep AS (
+  SELECT shingle FROM ex GROUP BY shingle
+  HAVING COUNT(*) <= 0.10 * (SELECT COUNT(*) FROM sh)
+), exk AS (
+  SELECT ex.* FROM ex JOIN keep USING (shingle)
 )
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(COUNT(*) AS DOUBLE) / a.n_sh AS cont_a,
        CAST(COUNT(*) AS DOUBLE) / b.n_sh AS cont_b
-FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.id < b.id
 GROUP BY a.id, b.id, a.n_sh, b.n_sh
 HAVING greatest(CAST(COUNT(*) AS DOUBLE) / a.n_sh,
                 CAST(COUNT(*) AS DOUBLE) / b.n_sh) >= 0.5
@@ -1980,33 +1985,22 @@ HAVING greatest(CAST(COUNT(*) AS DOUBLE) / a.n_sh,
     "(a short doc embedded in a longer one), which symmetric Jaccard "
     "under-scores by construction. Same shingle-bucketed equi-join "
     "discipline as dedup_ngram_jaccard (64-bit shingle hashes as join "
-    "keys, per-shingle candidate buckets); no size-ratio prune because "
-    "asymmetry is the point — the stop-shingle frequency cap in "
-    "operators/dedup.py is the skew hatch when corpus boilerplate makes "
-    "buckets hot. Integer counts, one double division per side.",
+    "keys, per-shingle candidate buckets). No size-ratio prune is "
+    "POSSIBLE here (asymmetry is the point), so the stop-shingle "
+    "frequency cap (df ≤ 10% of docs, mirrored in the oracle) is the "
+    "load-bearing skew guard: one boilerplate shingle shared by k docs "
+    "alone yields k(k-1)/2 join rows on a single shuffle key; the cap "
+    "bounds any bucket at (0.1·N)². Denominators keep full shingle "
+    "counts, so the capped output is a pairwise-subset of the exact "
+    "output (documented recall dial, never false positives). "
+    "Skew-injection differential: tests/test_scale_hardening.py.",
 )
 def shingle_containment(spark: SparkSession, sf: str) -> DataFrame:
-    from cve_manager_spark.operators.dedup import word_shingles
+    from cve_manager_spark.operators.dedup import containment_pairs
 
     docs = load_table(spark, sf, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
-    ex = sh.select("id", "n_sh", F.explode("shingles").alias("s")).select(
-        "id", "n_sh", F.xxhash64("s").alias("h")
-    )
-    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "h")
-    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "h")
-    common = (
-        a.join(b, (a["h"] == b["h"]) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    ca = F.col("common").cast("double") / F.col("n_a")
-    cb = F.col("common").cast("double") / F.col("n_b")
-    return (
-        common.select("id_a", "id_b", ca.alias("cont_a"), cb.alias("cont_b"))
-        .where(F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.5)
+    return containment_pairs(
+        docs, n=3, threshold=0.5, max_doc_freq_frac=0.10
     )
 
 
@@ -2497,7 +2491,13 @@ SELECT lang, bigram, n FROM r WHERE rk <= 3
 )
 def top_ngram_per_lang(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    toks = docs.select("lang", T.words(F.lower(F.col("text"))).alias("w"))
+    # The >=2 filter sits on toks, BEFORE the generator: sequence(0,
+    # size(w)-2) on a 0/1-token doc is descending and element_at(w, 0)
+    # errors at runtime — correctness must not depend on Catalyst pushing
+    # a later .where below the Generate (ADVICE r4).
+    toks = docs.select("lang", T.words(F.lower(F.col("text"))).alias("w")).where(
+        F.size("w") >= 2
+    )
     bg = toks.select(
         "lang",
         F.explode(
@@ -2508,7 +2508,7 @@ def top_ngram_per_lang(spark: SparkSession, sf: str) -> DataFrame:
                 ),
             )
         ).alias("bigram"),
-    ).where(F.size("w") >= 2)
+    )
     c = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
     return (

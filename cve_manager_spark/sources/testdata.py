@@ -68,13 +68,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load all testdata tables present under ``sf_dir``."""
-    tune(spark)
+    """Load all testdata tables present under ``sf_dir``.
+
+    Routes through :func:`load_table` per table so views registered from
+    this dict get the SAME events.ts NANOS→micros normalization as the
+    DataFrame path — a raw read would expose bigint ts to spark.sql
+    queries on NANOS-generation parquet and silently diverge from the
+    DuckDB oracle (ADVICE r4)."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        path = table_path(sf_dir, name)
-        if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+        if os.path.exists(table_path(sf_dir, name)):
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -33,9 +33,25 @@ def read_events_stream(
     in some generations (arrives as bigint nanos under nanosAsLong) and
     TIMESTAMP(MICROS) in others — a hardcoded unit silently shifts every
     timestamp 1000×, so probe the footer via a batch read (driver-side
-    metadata only) and convert exactly like the batch loader does."""
-    probed = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema}
-    ts_is_nanos_long = probed.get("ts") == "bigint"
+    metadata only) and convert exactly like the batch loader does.
+
+    ``tune`` runs first so the probe itself sees NANOS as long rather
+    than failing with [PARQUET_TYPE_ILLEGAL]; an empty or not-yet-
+    populated source dir (normal at stream start) falls back to the
+    MICROS schema, matching what any later-arriving files of that
+    generation will carry (ADVICE r4)."""
+    from pyspark.errors import AnalysisException
+
+    from cve_manager_spark.session import tune
+
+    tune(spark)
+    try:
+        probed = {
+            f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema
+        }
+        ts_is_nanos_long = probed.get("ts") == "bigint"
+    except AnalysisException:
+        ts_is_nanos_long = False
     reader = spark.readStream.schema(
         "event_id bigint, ts {}, user_id bigint, "
         "event_type string, value double, props string".format(

@@ -20,6 +20,20 @@ def _rows(df, key="doc_id"):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_register_views_normalizes_events_ts(spark):
+    """The spark.sql view surface must see the SAME events.ts type as the
+    DataFrame path: load_tables routes through load_table, so on a
+    NANOS-generation parquet the view gets the micros conversion instead
+    of raw bigint nanos (ADVICE r4 — silent oracle divergence)."""
+    from cve_manager_spark.sources.testdata import load_table, register_views
+
+    register_views(spark, SF_SMALL)
+    view_ts = dict(spark.table("events").dtypes)["ts"]
+    df_ts = dict(load_table(spark, SF_SMALL, "events").dtypes)["ts"]
+    assert view_ts == df_ts
+    assert view_ts in ("timestamp", "timestamp_ntz")
+
+
 def test_orc_round_trip_documents(spark, tmp_path):
     docs = load_table(spark, SF_SMALL, "documents")
     out = str(tmp_path / "docs_orc")

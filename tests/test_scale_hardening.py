@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cve_manager_spark.operators.dedup import ngram_jaccard_pairs
+from cve_manager_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
 from cve_manager_spark.operators.graph import connected_components
 from cve_manager_spark.operators.skew import salted_join
 
@@ -60,6 +60,53 @@ def test_stop_shingle_cap_bounds_hot_key_blowup(spark):
     assert j_capped <= j_exact
 
 
+def test_containment_cap_bounds_hot_key_blowup(spark):
+    """Same adversarial corpus, containment flavor (VERDICT r4 #2): the
+    registered shingle_containment plan has NO size-ratio prune (asymmetry
+    is the point), so the frequency cap is its only skew guard — verify it
+    kills the boilerplate blowup while the true near-dup pair survives,
+    and that capped containment is a pairwise subset with scores that only
+    shrink."""
+    docs = _boiler_corpus(spark)
+
+    exact = containment_pairs(docs, n=3, threshold=0.05).collect()
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact}
+    assert len(exact_pairs) > 40000  # boilerplate shingles: quadratic
+
+    capped = containment_pairs(
+        docs, n=3, threshold=0.05, max_doc_freq_frac=0.05
+    ).collect()
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert capped_pairs <= exact_pairs
+    assert len(capped_pairs) < 10
+    assert (0, 1) in capped_pairs
+
+    ex = {(r["id_a"], r["id_b"]): (r["cont_a"], r["cont_b"]) for r in exact}
+    for pair, (ca, cb) in (
+        ((r["id_a"], r["id_b"]), (r["cont_a"], r["cont_b"])) for r in capped
+    ):
+        assert ca <= ex[pair][0] and cb <= ex[pair][1]
+
+
+def test_containment_dominates_jaccard_on_every_pair(spark):
+    """Consistency property between the two set-similarity operators:
+    for any pair, max-containment = common/min(|A|,|B|) ≥ common/|A∪B| =
+    jaccard, so at the same threshold and cap the jaccard pair set must
+    be a subset of the containment pair set, with containment ≥ jaccard
+    on each shared pair."""
+    docs = _boiler_corpus(spark, n_docs=60)
+    cont = {
+        (r["id_a"], r["id_b"]): max(r["cont_a"], r["cont_b"])
+        for r in containment_pairs(docs, n=3, threshold=0.05).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.05).collect()
+    }
+    assert set(jac) <= set(cont)
+    assert all(cont[p] >= jac[p] - 1e-12 for p in jac)
+
+
 def _ring_edges(spark, n: int, offset: int = 0):
     rows = [(offset + i, offset + (i + 1) % n) for i in range(n)]
     return spark.createDataFrame(rows, "id_a long, id_b long")
@@ -91,6 +138,20 @@ def _skewed_tables(spark):
         F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
     )
     return fact, dim
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    """Right/full outer would emit each unmatched small-side row once per
+    salt bucket (it was replicated buckets-wide); the operator must refuse
+    rather than silently multiply rows (ADVICE r4)."""
+    import pytest
+
+    fact, dim = _skewed_tables(spark)
+    for how in ("right", "right_outer", "full", "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="salt bucket"):
+            salted_join(
+                fact, dim, fact["k"] == dim["k"], salt_cols=["row_id"], how=how
+            )
 
 
 def test_salted_join_matches_plain_join_on_hot_key(spark):

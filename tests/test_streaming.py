@@ -35,6 +35,17 @@ def events_dir(tmp_path_factory):
     return str(d)
 
 
+def test_stream_starts_on_empty_source_dir(spark, tmp_path):
+    """A stream must be constructible against a not-yet-populated input
+    directory (normal at deploy time): the footer probe falls back to the
+    MICROS schema instead of raising (ADVICE r4)."""
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    stream = read_events_stream(spark, str(d))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
 def test_stream_tumbling_equals_batch(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     assert stream.isStreaming
