@@ -381,3 +381,41 @@ def test_triangle_count_data_joins_are_equi(spark):
     plan = plan_of(spark, "triangle_count")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_table_profile_is_single_scan_with_unpivot(spark):
+    """The 16-statistic column profile reads the table ONCE — per-column
+    rescans would turn a profile into 4 full passes at 100 TB — and the
+    stack() unpivot is a Generate over the single aggregate row."""
+    plan = plan_of(spark, "table_profile")
+    # one Location line per scan node in the detail section
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Generate" in plan  # stack() unpivot
+    # count_distinct expands in-plan (Expand), not via extra scans
+    assert "Expand" in plan
+
+
+def test_vocab_coverage_windows_over_counts_not_tokens(spark):
+    """The rank window and coverage aggregate run over the (lang, token)
+    count relation: the raw token stream crosses exactly ONE exchange (as
+    partial counts); the window's sort input is vocabulary-sized. A plan
+    that sorted raw tokens would put 3+ exchanges on the token stream."""
+    plan = plan_of(spark, "vocab_coverage")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Window" in plan
+    # exchanges: one on (lang, token) for the count, one on lang for the
+    # window — both over count triples, never the exploded token stream
+    assert plan.count("Arguments: hashpartitioning") <= 2
+    # map-side combine on the token counts: partial_count before the shuffle
+    assert "partial_count" in plan
+
+
+def test_top_customer_rank1_uses_window_group_limit(spark):
+    """Argmax-per-group plans as WindowGroupLimit (partial on map side,
+    final after the group exchange) over the PRE-AGGREGATED spend
+    relation — each task forwards one local leader per priority instead
+    of sorting all (priority, customer) rows through the window."""
+    plan = plan_of(spark, "top_customer_by_priority")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan  # two-phase group limit
+    assert plan.count("HashAggregate") >= 2  # spend partial+final first
