@@ -322,14 +322,21 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qvec",
+    index=None,
 ) -> DataFrame:
     """IVF approximate top-k: assign the corpus to n_lists KMeans cells,
     rank cells by centroid distance to the query, exact-search the
     n_probe nearest cells. Recall/cost dial: n_probe/n_lists of the
-    corpus is scanned."""
+    corpus is scanned.
+
+    ``index``: optional prebuilt ``(indexed_df, model)`` from
+    :func:`ivf_index` — the production shape: the quantizer is trained
+    ONCE per corpus and persisted; every query reuses it (re-clustering
+    per query would dominate cost and is only tolerable in a one-shot
+    test)."""
     import numpy as np
 
-    indexed, model = ivf_index(df, n_lists, seed, vec_col)
+    indexed, model = index if index is not None else ivf_index(df, n_lists, seed, vec_col)
     qvec = np.asarray(
         query_df.select(query_vec_col).first()[0], dtype=np.float64
     )

@@ -1,0 +1,132 @@
+"""ANN recall/cost audit at bench scale (VERDICT r4 #6).
+
+tests/test_ann_quality.py pins LSH/IVF recall properties at sf0.01;
+this script RECORDS the accuracy/cost trade where the driver benches
+(default sf0.1): mean recall@10 vs the exact cosine top-10 over a fixed
+query panel, for LSH multi-probe 0/1/2 and IVF n_probe 1/4/8/16, plus
+the corpus fraction each configuration scans (the quantity that becomes
+dollars at 100 TB). Writes ANN_RECALL.json at the repo root.
+
+Run: python scripts/ann_recall_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_QUERIES = 16
+K = 10
+N_PLANES = 8
+N_LISTS = 16
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from cve_manager_spark.operators import similarity as S
+    from cve_manager_spark.session import tune
+    from cve_manager_spark.sources.testdata import load_table
+
+    spark = tune(
+        SparkSession.builder.appName("ann-recall-audit").master("local[8]").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    # fixed, reproducible panel: evenly spaced ids
+    qids = [int(i * n_corpus / N_QUERIES) for i in range(N_QUERIES)]
+
+    # production shape: one quantizer per corpus, reused by every query
+    ivf = S.ivf_index(emb, n_lists=N_LISTS)
+    ivf[0].persist().count()
+
+    def panel(topk_fn):
+        """Run the panel; return (mean recall vs exact, mean wall sec)."""
+        recalls, t_total = [], 0.0
+        for qid in qids:
+            q = emb.where(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("qvec")
+            )
+            corpus = emb.where(F.col("vec_id") != qid)
+            exact = {r["vec_id"] for r in S.cosine_topk(corpus, q, k=K).collect()}
+            t0 = time.perf_counter()
+            got = {r["vec_id"] for r in topk_fn(corpus, q).collect()}
+            t_total += time.perf_counter() - t0
+            recalls.append(len(got & exact) / len(exact))
+        return round(sum(recalls) / len(recalls), 4), round(t_total / len(qids), 4)
+
+    out = {
+        "sf_dir": sf_dir,
+        "n_corpus": n_corpus,
+        "dim": dim,
+        "k": K,
+        "n_queries": N_QUERIES,
+        "exact": {"scan_frac": 1.0},
+        "lsh": {},
+        "ivf": {},
+    }
+
+    _, t_exact = panel(lambda c, q: S.cosine_topk(c, q, k=K))
+    out["exact"]["mean_sec"] = t_exact
+
+    for mp in (0, 1, 2):
+        n_buckets = (
+            1
+            + (N_PLANES if mp >= 1 else 0)
+            + (N_PLANES * (N_PLANES - 1) // 2 if mp >= 2 else 0)
+        )
+        recall, sec = panel(
+            lambda c, q, mp=mp: S.ann_topk(
+                c, q, dim=dim, k=K, n_planes=N_PLANES, multi_probe=mp
+            )
+        )
+        out["lsh"][f"multi_probe={mp}"] = {
+            "recall": recall,
+            "mean_sec": sec,
+            # expected corpus fraction under uniform bucket occupancy
+            "scan_frac": round(n_buckets / 2**N_PLANES, 4),
+        }
+
+    for np_ in (1, 4, 8, 16):
+        # hold the query row out of the prebuilt index too (a vector is
+        # trivially its own nearest neighbor)
+        recall, sec = panel(
+            lambda c, q, np_=np_: S.ivf_topk(
+                c,
+                q,
+                k=K,
+                n_lists=N_LISTS,
+                n_probe=np_,
+                index=(
+                    ivf[0].join(c.select("vec_id"), "vec_id", "left_semi"),
+                    ivf[1],
+                ),
+            )
+        )
+        out["ivf"][f"n_probe={np_}"] = {
+            "recall": recall,
+            "mean_sec": sec,
+            "scan_frac": round(np_ / N_LISTS, 4),
+        }
+
+    path = os.path.join(REPO, "ANN_RECALL.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
