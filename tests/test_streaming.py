@@ -281,3 +281,51 @@ def _batch_session_starts(spark):
         F.sum(new_sess).over(wrun).alias("session_idx"),
     )
     return s.groupBy("user_id", "session_idx").agg(F.min("us").alias("start_us"))
+
+
+def test_closed_sessions_restart_from_checkpoint_no_dup_no_loss(spark, tmp_path):
+    """Kill/restart proof for the stateful sessionizer (VERDICT r4 #8):
+    stop the stream at the time midpoint (sessions open in the state
+    store), restart from the same checkpoint over the late half, and
+    assert the union of both runs' emissions equals a single-pass run —
+    boundary-spanning sessions close exactly once (restored state), none
+    are lost, none duplicate."""
+    from cve_manager_spark.streaming.sinks import foreach_batch_parquet
+    from cve_manager_spark.streaming.stateful import closed_sessions
+
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).first()["c"]
+    us = F.unix_micros(F.col("ts"))
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ev.where(us <= cut).coalesce(1).write.mode("append").parquet(str(src))
+
+    # phase A: early half, then the query terminates (availableNow)
+    q = foreach_batch_parquet(closed_sessions(read_events_stream(spark, str(src))), out)
+    q.awaitTermination()
+    phase_a = spark.read.option("basePath", out).parquet(out + "/_batch_id=*").count()
+
+    # phase B: late half arrives; restart from the SAME checkpoint
+    ev.where(us > cut).coalesce(1).write.mode("append").parquet(str(src))
+    q2 = foreach_batch_parquet(closed_sessions(read_events_stream(spark, str(src))), out)
+    q2.awaitTermination()
+
+    cols = ["user_id", "session_start_us", "n_events", "dur_us"]
+    restarted = spark.read.option("basePath", out).parquet(out + "/_batch_id=*")
+    got = _sorted_rows(restarted, cols)
+
+    # reference: one uninterrupted pass over the identical source files
+    out_ref = str(tmp_path / "out_ref")
+    q3 = foreach_batch_parquet(closed_sessions(read_events_stream(spark, str(src))), out_ref)
+    q3.awaitTermination()
+    want = _sorted_rows(
+        spark.read.option("basePath", out_ref).parquet(out_ref + "/_batch_id=*"), cols
+    )
+
+    assert got == want
+    assert len(got) > phase_a  # phase B closed sessions phase A left open
