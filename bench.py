@@ -112,6 +112,15 @@ def main() -> None:
     trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
         for name in HEADLINE:
+            # Self-contained trials: a few operators persist an intermediate
+            # relation (shingle index, IVF lists) INSIDE their timed run and
+            # Spark caches by logical plan, so without this a repeat trial
+            # re-uses the previous trial's cache and min-of-3 measures a
+            # cache hit, not the query; leftover cache also inflates GC for
+            # whatever runs next (the r4 window_session mystery doubling —
+            # its solo min matched r3 exactly). Clearing sits OUTSIDE the
+            # timed region.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials[name].append(time.perf_counter() - t0)
@@ -133,6 +142,22 @@ def main() -> None:
         "spread": spread,
         "trials": {n: [round(t, 4) for t in ts] for n, ts in trials.items()},
         "sf": sf,
+        "notes": {
+            "window_session": "r3->r4 0.40->0.85s was suite-load noise, not a "
+            "re-plan: solo min-of-6 at sf0.1 is 0.397s == r3, and in-suite "
+            "min with per-trial cache clearing is ~0.34s (VERDICT r4 #5)",
+            "methodology": "each trial starts from a cleared SQL cache so "
+            "min-of-3 always measures the full query, incl. any persist "
+            "the operator performs internally. Queries that persist an "
+            "intermediate (triangle_count, dedup_ngram_jaccard, "
+            "shingle_containment, knn_* via IVF) previously got min-of-3 "
+            "cache-HIT timings — Spark's CacheManager matches re-built "
+            "identical plans — so their r5 numbers read higher than r4 "
+            "(triangle_count 3.85->~6 cold, dedup_ngram_jaccard "
+            "1.49->~2.0) without any plan change; shingle_containment "
+            "dropped 5.22->~3.0 despite the stricter measure (stop-"
+            "shingle cap, VERDICT r4 #2/#3)",
+        },
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     try:

@@ -1564,25 +1564,43 @@ FROM nn CROSS JOIN ne CROSS JOIN tri
     "bounded by O(|E|^1.5) for ANY graph, hubs included (a hot node of "
     "degree d contributes d wedges as a spoke, never d² — the "
     "quadratic blowup the unoriented join had). Degrees come from one "
-    "hash aggregate; every data-sized join is an equi-join on node "
-    "keys (the only nested loop is the 1-row×1-row stat assembly). The "
-    "oriented edge list is persisted so the scan+distinct runs once.",
+    "hash aggregate and join onto the edge list via AQE (broadcast at "
+    "|V|≪|E|, sort-merge past the threshold); every data-sized join is "
+    "an equi-join on node keys (the only nested loop is the 1-row×1-row "
+    "stat assembly). r5 re-plan (the r4 shape re-measured 2-3× slower "
+    "once the bench stopped crediting cross-trial cache hits): per-order "
+    "part-pairs generate as an in-row HOF over the sorted part set — no "
+    "order-keyed self-join — and the closure joins the EXPLODED "
+    "adjacency (src, na, dst) to adj once on dst, instead of joining "
+    "the edge list to adj twice; edges whose head has no forward-"
+    "neighbors intersect empty, so the join is inner. Persisted: the "
+    "deduped edge list (feeds stats + degrees) and the adjacency "
+    "(build side + probe side of the closure).",
     priority=2,
 )
 def triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark import StorageLevel
 
     li = load_table(spark, sf, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    a = op.select("o", F.col("p").alias("u"))
-    b = op.select("o", F.col("p").alias("v"))
-    e = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # per-order pairs in-row: sorted distinct part set -> u<v pairs via
+    # nested transform/slice (k parts -> k(k-1)/2 rows, no self-join)
+    ps = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    pairs = ps.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice("ps", i + F.lit(2), F.size("ps")),
+                        lambda y: F.struct(x.alias("u"), y.alias("v")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    e = pairs.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     nn = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select("v"))
@@ -1605,34 +1623,24 @@ def triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     f = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Adjacency-intersect closure: each triangle {x<y<z in (deg,id) rank}
     # is counted exactly once on its (x,y) edge as z ∈ N+(x) ∩ N+(y) —
     # forward adjacencies are O(sqrt|E|) arrays, the intersect is a
     # codegen set op, and the join output feeds a partial SUM in the same
-    # stage, so the wedge relation is never materialized or shuffled
-    # (the wedge-join formulation pushed ~|E|^1.5 rows through an
-    # exchange; this ships each adjacency array once per incident edge).
-    adj = f.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    # stage, so the wedge relation is never materialized or shuffled.
+    # (src, na, explode(na)) IS the oriented edge list with its source
+    # adjacency already attached — only the head side needs a join.
+    adj = f.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = adj.select(F.col("nbrs").alias("na"), F.explode("nbrs").alias("dst"))
     tri = (
-        f.join(
-            adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na")),
-            F.col("src") == F.col("a"),
-        )
-        .join(
+        ex.join(
             adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nb")),
             F.col("dst") == F.col("b"),
-            "left",
         )
-        .select(
-            F.size(
-                F.array_intersect(
-                    F.col("na"),
-                    F.coalesce(F.col("nb"), F.array().cast("array<bigint>")),
-                )
-            ).alias("t")
-        )
+        .select(F.size(F.array_intersect(F.col("na"), F.col("nb"))).alias("t"))
         .agg(F.sum("t").alias("n_triangles"))
     )
     return nn.crossJoin(ne).crossJoin(tri)

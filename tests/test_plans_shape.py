@@ -380,7 +380,15 @@ def test_triangle_count_data_joins_are_equi(spark):
     over singleton aggregates, which is bounded by construction)."""
     plan = plan_of(spark, "triangle_count")
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan  # tiny-SF static plan; AQE picks at scale
+    )
+    # nested loops appear ONLY as the two 1-row×1-row stat crossJoins
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 2
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
 
 
 def test_table_profile_is_single_scan_with_unpivot(spark):
