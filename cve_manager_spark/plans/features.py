@@ -3140,3 +3140,448 @@ def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"], "n_left", "n_right"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5 tranche — corpus observability, dedup funnel, retrieval, pareto
+# (priority=3: the r4 backlog of 12 unverified queries plus these fill the
+# driver's 50-slot window; these queue behind the backlog within tier 0).
+# ---------------------------------------------------------------------------
+
+_STOP_SHINGLE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+           ELSE [] END) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), c AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY shingle
+)
+SELECT shingle, df,
+       CAST(df * 1000000 // (SELECT COUNT(*) FROM sh) AS BIGINT) AS df_ppm
+FROM c WHERE df >= 2
+ORDER BY df DESC, shingle
+LIMIT 50
+"""
+
+
+@_register(
+    "stop_shingle_report",
+    _STOP_SHINGLE_ORACLE,
+    doc="Boilerplate observability: the 50 most document-frequent word-3-"
+    "gram shingles (df ≥ 2) with doc-frequency in exact integer ppm — "
+    "the report a corpus owner reads to SET the stop-shingle cap that "
+    "shingle_containment/dedup_ngram_jaccard apply (templates, headers, "
+    "license blurbs surface here first). Shingles stay strings for "
+    "interpretability; one hash aggregate on the shingle reduces the "
+    "exploded stream map-side, the doc total arrives as a broadcast "
+    "1-row cross join (no driver scalar), and top-50 plans as "
+    "TakeOrderedAndProject with a unique (df desc, shingle) total "
+    "order. Integer div, no float anywhere.",
+    priority=3,
+)
+def stop_shingle_report(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf, "documents")
+    sh = docs.select(word_shingles(F.col("text"), 3).alias("shingles"))
+    total = sh.agg(F.count(F.lit(1)).alias("n_docs"))
+    c = (
+        sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        c.where(F.col("df") >= 2)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shingle", "df", F.expr("df * 1000000 div n_docs").alias("df_ppm")
+        )
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(50)
+    )
+
+
+_TOKLEN_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+)
+SELECT CAST(len(t) AS INT) AS tok_len, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY 1
+"""
+
+
+@_register(
+    "token_len_histogram",
+    _TOKLEN_ORACLE,
+    doc="Token-length distribution over the whole corpus — the tokenizer-"
+    "design readout (subword budget sizing, outlier-token detection) "
+    "next to doc_length_histogram's per-document view. Explode + one "
+    "hash aggregate keyed on a tiny int domain: partial aggregation "
+    "collapses the token stream map-side to ≤ max-length rows per "
+    "task, so the shuffle carries a few dozen rows per partition "
+    "regardless of corpus size.",
+    priority=3,
+)
+def token_len_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(T.words(F.lower(F.col("text")))).alias("t"))
+        .select(F.length("t").alias("tok_len"))
+        .groupBy("tok_len")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_CASCADE_ORACLE = """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n1,
+         CAST(COUNT(DISTINCT md5(substring(text, 1, 256))) AS BIGINT) AS n2,
+         CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+              AS BIGINT) AS n3
+  FROM documents
+)
+SELECT '0_raw' AS stage, n0 AS n_surviving FROM a
+UNION ALL SELECT '1_exact_sha', n1 FROM a
+UNION ALL SELECT '2_prefix256', n2 FROM a
+UNION ALL SELECT '3_normalized', n3 FROM a
+"""
+
+
+@_register(
+    "dedup_cascade_funnel",
+    _CASCADE_ORACLE,
+    doc="Dedup funnel: surviving-document counts under each rung of the "
+    "standard cascade — raw → exact (sha256) → 256-char-prefix (md5) → "
+    "whitespace/case-normalized — the one-glance report that says which "
+    "dedup stage actually pays for itself on a corpus before running "
+    "the expensive near-dup passes. ONE scan computes all four counts "
+    "(multi-countDistinct expands in-plan); digests are fixed-width "
+    "JVM-side hashes so the distinct state is bounded per stage; the "
+    "4-row unpivot is an in-row stack. Same single-scan discipline as "
+    "table_profile.",
+    priority=3,
+)
+def dedup_cascade_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    a = docs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("n1"),
+        F.countDistinct(F.md5(F.substring(F.col("text"), 1, 256))).alias("n2"),
+        F.countDistinct(F.md5(norm)).alias("n3"),
+    )
+    return a.selectExpr(
+        "stack(4, '0_raw', n0, '1_exact_sha', n1, '2_prefix256', n2, "
+        "'3_normalized', n3) AS (stage, n_surviving)"
+    )
+
+
+_USER_GINI_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_s
+  FROM events GROUP BY user_id, event_type
+), m AS (
+  SELECT user_id, SUM(n_s) AS n, SUM(n_s * n_s) AS ss FROM c GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(((n * n - ss) * 1000000) // (n * n) AS BIGINT) AS gini_micro
+FROM m
+"""
+
+
+@_register(
+    "user_type_gini",
+    _USER_GINI_ORACLE,
+    doc="Behavioral-diversity Gini impurity per user over event types, in "
+    "exact integer micro-units (the lang_source_gini integer recipe on "
+    "the events stream): bots hammer one event type (gini→0), organic "
+    "users spread (gini→max). Two cascading hash aggregates, both "
+    "map-side partial — the second runs over |users|×|types| rows. "
+    "Every operand BIGINT; zero float drift possible.",
+    priority=3,
+)
+def user_type_gini(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_s"))
+    m = c.groupBy("user_id").agg(
+        F.sum("n_s").alias("n"), F.sum(F.col("n_s") * F.col("n_s")).alias("ss")
+    )
+    return m.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.expr("((n * n - ss) * 1000000) div (n * n)").alias("gini_micro"),
+    )
+
+
+_PARETO_ORACLE = """
+WITH spend AS (
+  SELECT o_orderpriority, o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents DESC, o_custkey) AS rk,
+         SUM(cents) OVER (PARTITION BY o_orderpriority
+                          ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cents) OVER (PARTITION BY o_orderpriority) AS total,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS nc
+  FROM spend
+)
+SELECT o_orderpriority, CAST(MIN(rk) AS BIGINT) AS n_customers_half,
+       CAST(MIN(nc) AS BIGINT) AS n_customers,
+       CAST(MIN(total) AS BIGINT) AS total_cents
+FROM r WHERE 2 * cum >= total GROUP BY 1
+"""
+
+
+@_register(
+    "orders_pareto",
+    _PARETO_ORACLE,
+    doc="Pareto concentration per order priority: the minimum number of "
+    "customers whose (deterministically ranked) spend covers half the "
+    "priority's revenue — the 80/20 readout that decides whether a "
+    "sampling or quota strategy can key on customers. Spend pre-"
+    "aggregates to one row per (priority, customer); every window runs "
+    "over that reduced relation on ONE priority-keyed exchange "
+    "(running sum, rank, partition totals share the frame), and the "
+    "answer is a priority-cardinality aggregate. Exact integer cents "
+    "(floor ×100 — floor, not cast: DuckDB rounds, Spark truncates); "
+    "ties broken on customer key.",
+    priority=3,
+)
+def orders_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    spend = orders.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    wo = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").desc(), F.col("o_custkey")
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    r = spend.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cents").over(wp).alias("total"),
+        F.count(F.lit(1)).over(wp).alias("nc"),
+    )
+    return (
+        r.where(2 * F.col("cum") >= F.col("total"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("rk").cast("long").alias("n_customers_half"),
+            F.min("nc").cast("long").alias("n_customers"),
+            F.min("total").alias("total_cents"),
+        )
+    )
+
+
+_BM25_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), pd AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, x -> x = 'spark')) AS tf1,
+         len(list_filter(w, x -> x = 'query')) AS tf2,
+         len(list_filter(w, x -> x = 'window')) AS tf3
+  FROM d
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         CAST(COUNT(*) FILTER (tf1 > 0) AS BIGINT) AS df1,
+         CAST(COUNT(*) FILTER (tf2 > 0) AS BIGINT) AS df2,
+         CAST(COUNT(*) FILTER (tf3 > 0) AS BIGINT) AS df3
+  FROM pd
+)
+SELECT doc_id,
+       ((CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+         * ((CAST(tf1 AS DOUBLE) * 2.2)
+            / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       + ((CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+         * ((CAST(tf2 AS DOUBLE) * 2.2)
+            / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       + ((CAST(n_docs - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5))
+         * ((CAST(tf3 AS DOUBLE) * 2.2)
+            / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       AS score
+FROM pd CROSS JOIN s
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+@_register(
+    "bm25_topk",
+    _BM25_ORACLE,
+    doc="BM25 retrieval (rational-idf variant) for a 3-term query "
+    "('spark query window'), top-20 documents: per-doc term frequencies "
+    "and length compute IN-ROW via list HOFs over the token array — no "
+    "explode, no shuffle on the token stream; corpus stats (N, Σdl, "
+    "per-term df) reduce to ONE tiny row that re-enters as a broadcast "
+    "cross join; the score is a single fixed-shape IEEE expression "
+    "(integer operands, left-assoc 3-term sum — bitwise identical "
+    "cross-engine, which is why idf is the rational (N-df+.5)/(df+.5) "
+    "rather than its log: ln() is libm-dependent); top-20 plans as "
+    "TakeOrderedAndProject with doc_id tie-break. k1=1.2, b=0.75.",
+    priority=3,
+)
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    w = T.words(F.lower(F.col("text")))
+    def tf_of(t):
+        # single-arg closure: a 2-arg lambda would make F.filter pass the
+        # element INDEX as the second argument
+        return F.size(F.filter(w, lambda x: x == t))
+
+    pd_ = docs.select(
+        "doc_id",
+        F.size(w).alias("dl"),
+        *[
+            tf_of(t).alias(f"tf{i + 1}")
+            for i, t in enumerate(("spark", "query", "window"))
+        ],
+    )
+    s = pd_.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / avgdl))
+
+    def term(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        wt = (F.col("n_docs") - F.col(f"df{i}")).cast("double") + 0.5
+        return (wt / (F.col(f"df{i}").cast("double") + 0.5)) * (
+            (tf * 2.2) / (tf + norm)
+        )
+
+    return (
+        pd_.crossJoin(F.broadcast(s))
+        .select("doc_id", (term(1) + term(2) + term(3)).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_SOURCE_MATRIX_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+           ELSE [] END) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), keep AS (
+  SELECT shingle FROM ex GROUP BY shingle
+  HAVING COUNT(*) <= 0.10 * (SELECT COUNT(*) FROM sh)
+), exk AS (
+  SELECT ex.* FROM ex JOIN keep USING (shingle)
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id, a.n_sh, b.n_sh
+  HAVING greatest(CAST(COUNT(*) AS DOUBLE) / a.n_sh,
+                  CAST(COUNT(*) AS DOUBLE) / b.n_sh) >= 0.5
+)
+SELECT da.source AS source_a, db.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs JOIN documents da ON pairs.id_a = da.doc_id
+           JOIN documents db ON pairs.id_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+@_register(
+    "near_dup_source_matrix",
+    _SOURCE_MATRIX_ORACLE,
+    doc="Cross-source contamination matrix: capped containment pairs "
+    "(same semantics as shingle_containment — df ≤ 10% stop-shingle "
+    "cap mirrored in the oracle) attributed back to their sources and "
+    "counted per (source_a, source_b) — the report that names WHICH "
+    "feeds mirror each other, the decision input for source-level "
+    "dropping before pairwise dedup at full scale. The pair relation "
+    "is tiny after the containment threshold, so the two attribution "
+    "joins shuffle pair-cardinality rows against a projected (doc_id, "
+    "source) relation; the matrix aggregate is source²-bounded.",
+    priority=3,
+)
+def near_dup_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf, "documents")
+    pairs = containment_pairs(docs, n=3, threshold=0.5, max_doc_freq_frac=0.10)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.select("id_a", "id_b")
+        .join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b")), "id_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_TYPE_SHARE_ORACLE = """
+WITH c AS (
+  SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2
+)
+SELECT p_brand, p_type, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY p_brand) AS BIGINT)
+         AS share_ppm
+FROM c
+"""
+
+
+@_register(
+    "part_type_share",
+    _TYPE_SHARE_ORACLE,
+    doc="Within-group composition share in exact integer ppm: each "
+    "part type's share of its brand's catalog — the normalized-breakdown "
+    "pattern (category mix, label distribution per source) done "
+    "without a self-join: one hash aggregate to (brand, container) "
+    "cardinality, then a brand-partitioned window SUM over that "
+    "reduced relation supplies the denominator on the same exchange. "
+    "Integer div; no floats.",
+    priority=3,
+)
+def part_type_share(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    c = part.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy("p_brand"))
+    return c.select(
+        "p_brand",
+        "p_type",
+        "n",
+        (F.col("n") * 1000000).cast("long").alias("__num"),
+        total.alias("__den"),
+    ).select(
+        "p_brand",
+        "p_type",
+        "n",
+        F.expr("__num div __den").alias("share_ppm"),
+    )
