@@ -50,6 +50,12 @@ FLAGSHIP = {
     "sessionize_stats": "gap sessionization: every window and the session aggregate share one user-keyed exchange",
     "vocab_coverage": "rank window and coverage aggregate both over the vocabulary-sized count relation",
     "sql_tpch_q1": "raw ANSI SQL through spark.sql — Catalyst plans the same partial+final hash aggregate as the DataFrame twin",
+    "triangle_count": "r5: per-order pairs via in-row HOF (no self-join); exploded adjacency joins adj once; degree-ordered intersect",
+    "shingle_containment": "r5: df ≤ 10% stop-shingle cap ahead of the pair join (oracle-mirrored) — hot-bucket blowup bounded at (0.1N)²",
+    "bm25_topk": "in-row tf/dl via list HOFs (no token explode); one broadcast stats row; TakeOrderedAndProject top-20",
+    "orders_pareto": "all three windows share one priority-keyed exchange over the pre-aggregated spend relation",
+    "dedup_cascade_funnel": "4 distinct-counts in ONE scan (Expand), stack unpivot on the single aggregate row",
+    "stop_shingle_report": "map-side partial count on the shingle; broadcast doc total; TakeOrderedAndProject top-50",
 }
 
 
