@@ -18,7 +18,7 @@ from cve_manager_spark.plans.spec import Builder, QuerySpec
 # error: silently dropping a family would shrink queries()/oracle_sql() with
 # no signal and under-report coverage (numpy/pandas/pyspark.ml are baked into
 # the runtime, so an ImportError here is always a real defect).
-EXPECTED_QUERY_COUNT = 174
+EXPECTED_QUERY_COUNT = 204
 
 # Queries the round-1 driver gate hash-verified (CORRECTNESS_r01.json, all
 # green). The driver samples a PREFIX of the registry, so ordering is a
@@ -205,6 +205,7 @@ def driver_green() -> frozenset[str]:
 
 
 def _all_specs() -> list[QuerySpec]:
+    from cve_manager_spark.plans import analytics as analytics_mod
     from cve_manager_spark.plans import corpus as corpus_mod
     from cve_manager_spark.plans import events as events_mod
     from cve_manager_spark.plans import features as features_mod
@@ -217,6 +218,7 @@ def _all_specs() -> list[QuerySpec]:
         + events_mod.SPECS
         + relational.SPECS
         + features_mod.SPECS
+        + analytics_mod.SPECS
     )
 
     green = driver_green()
