@@ -427,3 +427,61 @@ def test_top_customer_rank1_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan  # two-phase group limit
     assert plan.count("HashAggregate") >= 2  # spend partial+final first
+
+
+def test_tpch_q3_pushdown_and_topk(spark):
+    """r5 tranche: Q3's three filters reach their scans, the top-10 is
+    TakeOrderedAndProject (no global sort), and the filtered customer
+    dim broadcasts instead of shuffling the fact."""
+    plan = plan_of(spark, "sql_tpch_q3")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_is_scan_filter_aggregate(spark):
+    """Q6 must stay joinless: every predicate pushed, 4 of 11 lineitem
+    columns read, one partial+final aggregate."""
+    plan = plan_of(spark, "sql_tpch_q6")
+    assert "Join" not in plan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q18_aggregates_before_joining(spark):
+    """Q18's HAVING filter runs on the grouped orderkey relation and the
+    tiny survivor set broadcasts — the fact is shuffled once (for its own
+    aggregate), never for the joins."""
+    plan = plan_of(spark, "sql_tpch_q18")
+    assert plan.count("BroadcastHashJoin") >= 2
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("BroadcastHashJoin")
+    assert 0 <= agg_pos  # aggregate exists...
+    assert "Filter" in plan  # ...and the sum_qty threshold is applied
+
+
+def test_minhash_band_stats_never_materializes_pairs(spark):
+    """The LSH capacity-planning query must cost a signature pass plus
+    aggregates — no self-join of band keys (that is the query it exists
+    to cost BEFORE running)."""
+    plan = plan_of(spark, "minhash_band_stats")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_burst_minutes_windows_over_minute_grain(spark):
+    """The burst detector pre-aggregates to (type, minute) BEFORE its
+    trailing window: the window input is the bounded minute-grain
+    relation, partitioned by event_type (never SinglePartition)."""
+    plan = plan_of(spark, "events_burst_minutes")
+    assert "SinglePartition" not in plan
+    # aggregate appears below the window in the tree (higher node id)
+    assert "RangeFrame" in plan or "specifiedwindowframe" in plan.lower()
+
+
+def test_embedding_dim_stats_partial_aggregates(spark):
+    """64-key aggregate over posexploded vectors: map-side partials must
+    be active so the shuffle carries 64 rows per task, not per value."""
+    plan = plan_of(spark, "embedding_dim_stats")
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan  # posexplode, not a UDF
