@@ -69,6 +69,16 @@ HEADLINE = [
     "user_profile",
     "shingle_containment",
     "sql_tpch_q1",
+    # r5: decision-support + analytics tranche headliners — the multi-join
+    # optimizer surface (q3 star topk, q5 6-way), LSH capacity planning,
+    # customer-grain window scoring, minute-grain burst windows, and the
+    # exact-moment graph statistic
+    "sql_tpch_q3",
+    "sql_tpch_q5",
+    "customer_rfm",
+    "minhash_band_stats",
+    "events_burst_minutes",
+    "graph_degree_assortativity",
 ]
 
 

@@ -40,7 +40,6 @@ FLAGSHIP = {
     "dedup_prefix": "prefix-hash dedup: only the 16-byte md5 digest crosses the single partial-agg'd shuffle",
     "max_concurrency": "+1/-1 sweep sharded into (type, hour-bucket) panes; pane deltas prefix-summed for the carry-in — no low-cardinality window over raw rows",
     "dq_checks": "five constraint checks; orders checks fused into one conditional-agg scan; orphan check is a LEFT ANTI join",
-    "triangle_count": "degree-ordered adjacency intersect: per-edge |N+(src) ∩ N+(dst)| on O(sqrt|E|) sorted arrays - the wedge relation is never materialized or shuffled",
     "weighted_median": "per-(flag, qty) weight hash-agg + in-row histogram fold — zero Window/Sort nodes",
     "median_exact": "per-(flag, value) count hash-agg + in-row rank-select fold — zero Window/Sort nodes",
     "value_mad": "two rank-selection passes whose windows sort the aggregated histogram (bounded by the milli-grid), never raw events",
@@ -50,8 +49,17 @@ FLAGSHIP = {
     "sessionize_stats": "gap sessionization: every window and the session aggregate share one user-keyed exchange",
     "vocab_coverage": "rank window and coverage aggregate both over the vocabulary-sized count relation",
     "sql_tpch_q1": "raw ANSI SQL through spark.sql — Catalyst plans the same partial+final hash aggregate as the DataFrame twin",
-    "triangle_count": "r5: per-order pairs via in-row HOF (no self-join); exploded adjacency joins adj once; degree-ordered intersect",
+    "triangle_count": "r5: per-order pairs via in-row HOF (no self-join); exploded adjacency joins adj once; degree-ordered intersect — wedges never materialized",
     "shingle_containment": "r5: df ≤ 10% stop-shingle cap ahead of the pair join (oracle-mirrored) — hot-bucket blowup bounded at (0.1N)²",
+    "sql_tpch_q3": "3-way star + top-10: filtered customer broadcast, both date filters pushed, TakeOrderedAndProject (no global sort)",
+    "sql_tpch_q5": "6-way join with non-key equality (c_nationkey=s_nationkey): region filter pruned through the broadcast chain before the fact join",
+    "sql_tpch_q6": "joinless scan-filter-aggregate: all predicates pushed, 4 of 11 lineitem columns read",
+    "sql_tpch_q18": "aggregate-then-join: HAVING on the grouped relation, tiny survivor set broadcast — the fact shuffles once, for its own aggregate",
+    "minhash_band_stats": "LSH capacity planning without a join: signature pass + two stacked aggregates cost the banding scheme before any pair exists",
+    "customer_rfm": "ntile windows over the customer-grain AGGREGATE (fact reduced first); custkey completes every order — no rank ties",
+    "events_burst_minutes": "minute-grain pre-aggregation bounds the window input by time; RANGE frame over integer minutes handles sparse gaps; integer cross-multiplied threshold",
+    "embedding_dim_stats": "posexplode + partial/final hash agg on a 64-key space; micro-unit quantization before the sum keeps it exact integer",
+    "graph_degree_assortativity": "degree aggregates broadcast back onto the edge list; six exact decimal moments cross the last exchange",
     "bm25_topk": "in-row tf/dl via list HOFs (no token explode); one broadcast stats row; TakeOrderedAndProject top-20",
     "orders_pareto": "all three windows share one priority-keyed exchange over the pre-aggregated spend relation",
     "dedup_cascade_funnel": "4 distinct-counts in ONE scan (Expand), stack unpivot on the single aggregate row",
