@@ -439,3 +439,62 @@ def minhash_det_pairs(
         pairs.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cheap deterministic MinHash family: one md5 per shingle + integer mixing
+# ---------------------------------------------------------------------------
+
+# Universal-hash modulus (Mersenne prime 2^31-1). Products A*x with
+# A, x < 2^31 stay under 2^62 — inside BIGINT for Spark AND DuckDB
+# (DuckDB raises on 64-bit overflow, so a 2^61-1 modulus would not be
+# oracle-safe).
+LCG_P = 2_147_483_647
+
+
+def lcg_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (A, B) multiplier/offset pairs for the mixing family,
+    derived from Knuth's multiplicative constant — deterministic,
+    engine-independent, and embeddable as literals in oracle SQL."""
+    out = []
+    for s in range(num_hashes):
+        a = ((2 * s + 1) * 2_654_435_761) % LCG_P or 1
+        b = (s * 40_503 + 12_345) % LCG_P
+        out.append((a, b))
+    return out
+
+
+def shingle_base31(shingle: Column) -> Column:
+    """60-bit integer from the first 15 md5 hex chars, reduced mod P.
+
+    ONE digest per shingle; every MinHash permutation then costs one
+    multiply-add-mod on this base instead of its own md5. Spark's
+    conv(hex,16,10) and DuckDB's CAST('0x'||hex AS BIGINT) agree
+    bit-for-bit on 15-char inputs (both positive, < 2^60)."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % LCG_P
+    )
+
+
+def minhash_lcg_signatures(
+    ex, id_col: str = "id", shingle_col: str = "sh", num_hashes: int = 32
+):
+    """Per-id MinHash signature via the mixed family: input is the
+    exploded (id, shingle) relation, output one row per id with columns
+    s0..s{n-1} (longs).
+
+    Scale arithmetic vs the md5-per-seed family (minhash_det_pairs):
+    the digest work drops num_hashes-fold (one md5 per shingle row),
+    and the signature crossing the aggregate shuffle is num_hashes
+    longs (256 B at 32) instead of num_hashes 32-char strings (>1 KB)
+    — both the CPU bill and the exchange width shrink ~4×. The min
+    over (A*x+B) mod P is a valid min-hash under the universal family;
+    collision granularity is 2^31 (fine for banding — band keys pair
+    two signature elements for 62 bits)."""
+    base = shingle_base31(F.col(shingle_col)).alias("__b31")
+    withb = ex.select(F.col(id_col), base)
+    aggs = [
+        F.min((F.lit(a) * F.col("__b31") + F.lit(b)) % F.lit(LCG_P)).alias(f"s{s}")
+        for s, (a, b) in enumerate(lcg_constants(num_hashes))
+    ]
+    return withb.groupBy(id_col).agg(*aggs)

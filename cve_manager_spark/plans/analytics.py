@@ -1068,7 +1068,16 @@ def stopword_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_BAND_STATS_ORACLE = """
+# Oracle mirror of operators.dedup.minhash_lcg_signatures: the (A, B)
+# mixing constants are embedded as SQL array literals from the SAME
+# Python source of truth, so both engines compute the identical family.
+def _band_stats_oracle() -> str:
+    from cve_manager_spark.operators.dedup import LCG_P, lcg_constants
+
+    consts = lcg_constants(32)
+    a_arr = "[" + ", ".join(str(a) for a, _ in consts) + "]"
+    b_arr = "[" + ", ".join(str(b) for _, b in consts) + "]"
+    return f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(regexp_replace(lower(text),
@@ -1082,14 +1091,20 @@ WITH toks AS (
   FROM toks
 ), ne AS (
   SELECT id, shingles FROM sh WHERE len(shingles) > 0
-), sig AS (
-  SELECT id,
-         list_transform(range(0, 32), s ->
-           list_min(list_transform(shingles, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sigs
-  FROM ne
+), base AS (
+  SELECT id, CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % {LCG_P} AS b31
+  FROM (SELECT id, unnest(shingles) AS x FROM ne)
+), sigagg AS (
+  SELECT id, s,
+         MIN(({a_arr}[CAST(s AS INT) + 1] * b31
+              + {b_arr}[CAST(s AS INT) + 1]) % {LCG_P}) AS h
+  FROM base CROSS JOIN range(0, 32) t(s)
+  GROUP BY id, s
 ), keys AS (
-  SELECT id, b, sigs[b*2+1] || '|' || sigs[b*2+2] AS bkey
-  FROM (SELECT id, sigs, unnest(range(0, 16)) AS b FROM sig)
+  SELECT id, s // 2 AS b,
+         CAST(MIN(CASE WHEN s % 2 = 0 THEN h END) AS VARCHAR) || '|' ||
+         CAST(MIN(CASE WHEN s % 2 = 1 THEN h END) AS VARCHAR) AS bkey
+  FROM sigagg GROUP BY id, s // 2
 ), buckets AS (
   SELECT b, bkey, COUNT(*) AS n FROM keys GROUP BY b, bkey
 )
@@ -1104,18 +1119,25 @@ FROM buckets GROUP BY b
 
 @_register(
     "minhash_band_stats",
-    _BAND_STATS_ORACLE,
-    doc="LSH tuning telemetry: per MinHash band (same deterministic md5 "
-    "family, 2-gram shingles, 16 bands × 2 rows as dedup_minhash_det), "
-    "the bucket count, colliding-bucket count, largest bucket and the "
-    "candidate-pair bill Σ n·(n−1)/2 — the number that says whether the "
-    "banding scheme will blow up BEFORE running the join. This is the "
-    "capacity-planning query an engineer runs at 100 TB before "
-    "committing to a band configuration; it costs one signature pass "
-    "plus a two-level aggregate, never materializing a single pair.",
+    _band_stats_oracle(),
+    doc="LSH tuning telemetry: per MinHash band (2-gram shingles, 16 bands "
+    "× 2 rows), the bucket count, colliding-bucket count, largest bucket "
+    "and the candidate-pair bill Σ n·(n−1)/2 — the number that says "
+    "whether the banding scheme will blow up BEFORE running the join; "
+    "the capacity-planning query run at 100 TB before committing to a "
+    "band configuration. Costs one signature pass plus a two-level "
+    "aggregate, never materializing a pair. Hash family: ONE md5 per "
+    "shingle reduced to a 31-bit base, then 32 universal-hash mixes "
+    "(A·x+B mod 2³¹−1, operators.dedup.minhash_lcg_signatures) — "
+    "digest CPU and signature shuffle width both drop ~4× vs the "
+    "md5-per-seed family dedup_minhash_det keeps for its verified "
+    "pipeline; band keys pair two elements for 62-bit collision space.",
 )
 def minhash_band_stats(spark: SparkSession, sf: str) -> DataFrame:
-    from cve_manager_spark.operators.dedup import word_shingles
+    from cve_manager_spark.operators.dedup import (
+        minhash_lcg_signatures,
+        word_shingles,
+    )
 
     docs = fan_out(load_table(spark, sf, "documents"))
     sh = docs.select(
@@ -1123,12 +1145,7 @@ def minhash_band_stats(spark: SparkSession, sf: str) -> DataFrame:
         word_shingles(F.col("text"), 2).alias("shingles"),
     ).where(F.size("shingles") > 0)
     ex = sh.select("id", F.explode("shingles").alias("sh"))
-    sigs = ex.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
-            for s in range(32)
-        ]
-    )
+    sigs = minhash_lcg_signatures(ex, num_hashes=32)
     band_structs = [
         F.struct(
             F.lit(b).cast("long").alias("band"),
