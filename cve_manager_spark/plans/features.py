@@ -511,7 +511,9 @@ FROM s
     "numbers per group.",
 )
 def corr_regress(spark: SparkSession, sf: str) -> DataFrame:
-    li = fan_out(load_table(spark, sf, "lineitem"))
+    # no fan_out: six moment partials per task cross the shuffle either
+    # way; round-robining the raw rows first only adds an exchange
+    li = load_table(spark, sf, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = F.floor(F.col("l_extendedprice") * 100).cast("long")
     v = li.select(F.col("l_returnflag").alias("flag"), x.alias("x"), y.alias("y"))

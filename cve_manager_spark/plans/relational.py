@@ -378,9 +378,12 @@ GROUP BY l_returnflag, l_linestatus
     "→ order-independent, cluster-deterministic; partial aggregation map-side.",
 )
 def agg_groupby(spark: SparkSession, sf: str) -> DataFrame:
-    # single-row-group local files decode on one core; fan_out is a no-op
-    # once the scan carries real parallelism (see helpers.fan_out)
-    li = fan_out(load_table(spark, sf, "lineitem"))
+    # No fan_out: a partial-aggregating groupBy ships only per-task
+    # partials, so round-robining 600k raw rows first costs more than the
+    # single-core decode it parallelizes (measured 1.47s vs 0.90s at
+    # sf0.1). fan_out stays reserved for compute-heavy narrow operators
+    # (shingling, hashing) where per-row work dominates the exchange.
+    li = load_table(spark, sf, "lineitem")
     disc_price = dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount")))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dec_sum(F.col("l_quantity")).alias("sum_qty"),
@@ -412,7 +415,8 @@ def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     doc="X4 rollup (grouping sets).",
 )
 def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    li = fan_out(load_table(spark, sf, "lineitem"))
+    # no fan_out before a partial-aggregating rollup (see agg_groupby)
+    li = load_table(spark, sf, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), dec_sum(F.col("l_quantity")).alias("sum_qty")
     )

@@ -161,3 +161,41 @@ def test_stop_shingle_cap_bounds_hot_key_and_keeps_subset(spark):
     assert not any(a < 60 and b < 60 for a, b in capped)
     # the true near-dup pair survives the cap
     assert (100, 101) in capped
+
+
+def test_minhash_lcg_signatures_match_bruteforce(spark):
+    """The mixed MinHash family (one md5 + 32 integer mixes) must equal a
+    Python brute-force evaluation of the same definition: per seed s,
+    min over shingles of (A_s * base31(sh) + B_s) mod P, where base31 is
+    the first 15 md5 hex chars as an int mod P. Locks both the hash
+    definition (any drift breaks the DuckDB oracle embedding the same
+    constants) and the min-per-seed aggregation."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cve_manager_spark.operators.dedup import (
+        LCG_P,
+        lcg_constants,
+        minhash_lcg_signatures,
+    )
+
+    docs = [(1, ["a b", "b c"]), (2, ["b c", "x y", "q r"]), (3, ["zz yy"])]
+    ex = spark.createDataFrame(
+        [(i, s) for i, shs in docs for s in shs], "id long, sh string"
+    )
+    got = {
+        r["id"]: [r[f"s{s}"] for s in range(8)]
+        for r in minhash_lcg_signatures(ex, num_hashes=8).collect()
+    }
+
+    def base31(sh: str) -> int:
+        return int(hashlib.md5(sh.encode()).hexdigest()[:15], 16) % LCG_P
+
+    consts = lcg_constants(8)
+    for i, shs in docs:
+        want = [
+            min((a * base31(sh) + b) % LCG_P for sh in shs)
+            for (a, b) in consts
+        ]
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
