@@ -628,8 +628,6 @@ GROUP BY 1
 )
 def orders_backlog_aging(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").where(F.col("o_orderstatus") != "F")
-    age = F.datediff(F.lit(_ANCHOR).cast("date"), F.col("o_orderdate")).cast("long")
-    band = F.least(age / F.lit(90), F.lit(8)).cast("long")
     # integer div: datediff is int, `div` keeps it exact (no float floor)
     band = F.least(F.expr(
         f"datediff(DATE'{_ANCHOR}', o_orderdate) div 90"
@@ -830,10 +828,10 @@ def dq_freshness(spark: SparkSession, sf: str) -> DataFrame:
         F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
     )
     g = ev.agg(F.max("ts").alias("global_max"))
-    # ts is TIMESTAMP_NTZ under the UTC session; unix_micros wants TIMESTAMP
-    lag_us = F.unix_micros(
-        F.col("global_max").cast("timestamp")
-    ) - F.unix_micros(F.col("last_ts").cast("timestamp"))
+    # ts is TIMESTAMP_NTZ under the UTC session; unix_micros wants TIMESTAMP.
+    # The stale flag compares the SAME floored integer seconds the lag_s
+    # column carries — a float (lag_us/1e6 > 3600) would disagree with the
+    # oracle's integer-division semantics on a fractional-second boundary.
     lag_s = F.expr(
         "(unix_micros(cast(global_max as timestamp))"
         " - unix_micros(cast(last_ts as timestamp))) div 1000000"
@@ -843,7 +841,7 @@ def dq_freshness(spark: SparkSession, sf: str) -> DataFrame:
         "last_ts",
         "n_events",
         lag_s.alias("lag_s"),
-        (lag_us / F.lit(1000000) > F.lit(3600)).alias("is_stale"),
+        (lag_s > F.lit(3600)).alias("is_stale"),
     )
 
 
@@ -1411,18 +1409,25 @@ SELECT * FROM o UNION ALL SELECT * FROM i
     "only shuffle that sees data at scale.",
 )
 def graph_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
+    # one scan: a union of two branches would dedup the edge list twice;
+    # instead each distinct edge emits its (side, node) stubs in-row and
+    # the two count-of-counts run over one exploded relation
     li = load_table(spark, sf, "lineitem")
     e = li.select(
         F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
     ).distinct()
-
-    def hist(key: str, side: str) -> DataFrame:
-        d = e.groupBy(key).agg(F.count(F.lit(1)).alias("d"))
-        return d.groupBy(F.col("d").cast("long").alias("degree")).agg(
-            F.count(F.lit(1)).alias("n_nodes")
-        ).select(F.lit(side).alias("side"), "degree", "n_nodes")
-
-    return hist("src", "out").unionByName(hist("dst", "in"))
+    stubs = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("out").alias("side"), F.col("src").alias("node")),
+                F.struct(F.lit("in").alias("side"), F.col("dst").alias("node")),
+            )
+        ).alias("s")
+    ).select("s.side", "s.node")
+    d = stubs.groupBy("side", "node").agg(F.count(F.lit(1)).alias("d"))
+    return d.groupBy("side", F.col("d").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
 
 
 _ASSORT_ORACLE = """
