@@ -485,3 +485,34 @@ def test_embedding_dim_stats_partial_aggregates(spark):
     plan = plan_of(spark, "embedding_dim_stats")
     assert plan.count("HashAggregate") >= 2
     assert "Generate" in plan  # posexplode, not a UDF
+
+
+def test_tpch_q4_plans_a_semi_join(spark):
+    """Q4's EXISTS must stay LEFT SEMI with the equi-key as the join
+    condition (the lateness inequality rides as a join residual) — an
+    inner join + distinct would shuffle every late line."""
+    plan = plan_of(spark, "sql_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_user_per_type_day_group_limits(spark):
+    """The daily leaderboard pre-aggregates to (type, day, user) and the
+    rank-1 filter runs as WindowGroupLimit, so only per-partition
+    running leaders cross the window exchange."""
+    plan = plan_of(spark, "events_top_user_per_type_day")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_degree_hist_is_single_scan(spark):
+    """Degree histogram: ONE lineitem scan and ONE edge dedup feed both
+    the in- and out-side count-of-counts (the two-branch union would
+    scan and dedup twice)."""
+    import re
+
+    plan = plan_of(spark, "graph_degree_hist")
+    # formatted explain lists every node twice (tree line + numbered
+    # detail section); count the detail entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Union" not in plan
