@@ -337,7 +337,7 @@ _Q18_ORACLE = """
 WITH big AS (
   SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
-  HAVING SUM(CAST(l_quantity AS BIGINT)) > 140
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
 )
 SELECT c_custkey, c_name, o_orderkey, o_orderdate,
        CAST(o_totalprice AS DOUBLE) AS o_totalprice, sum_qty
@@ -364,7 +364,10 @@ def sql_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
-        .where(F.col("sum_qty") > 140)
+        # threshold picked for TPC-H Q18's semantics — a RARE large-volume
+        # order: >250 keeps ~1.5% of orders at every sf (140 kept 24%,
+        # which broke the "tiny survivor set broadcasts" plan premise)
+        .where(F.col("sum_qty") > 250)
     )
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer")
@@ -1347,7 +1350,7 @@ WITH m AS (
 )
 SELECT event_type, CAST(minute AS BIGINT) AS minute,
        CAST(cnt AS BIGINT) AS cnt, CAST(trail AS BIGINT) AS trail
-FROM t WHERE cnt * 60 > 3 * trail
+FROM t WHERE cnt >= 3 AND cnt * 60 > 3 * trail
 """
 
 
@@ -1360,7 +1363,9 @@ FROM t WHERE cnt * 60 > 3 * trail
     "input by time, not event volume; the RANGE frame over the integer "
     "minute key handles gaps in sparse minutes correctly (ROWS would "
     "silently stretch the hour). The threshold compare is cross-"
-    "multiplied to stay in integers: cnt·60 > 3·trail, no division.",
+    "multiplied to stay in integers: cnt·60 > 3·trail, no division; an "
+    "absolute floor (cnt ≥ 3) keeps sparse single-event minutes — whose "
+    "trailing average is near zero — from reading as bursts.",
 )
 def events_burst_minutes(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
@@ -1374,7 +1379,9 @@ def events_burst_minutes(spark: SparkSession, sf: str) -> DataFrame:
         .rangeBetween(-59, 0)
     )
     t = m.withColumn("trail", F.sum("cnt").over(w))
-    return t.where(F.col("cnt") * 60 > F.col("trail") * 3).select(
+    return t.where(
+        (F.col("cnt") >= 3) & (F.col("cnt") * 60 > F.col("trail") * 3)
+    ).select(
         "event_type", "minute", "cnt", "trail"
     )
 
