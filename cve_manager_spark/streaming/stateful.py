@@ -112,3 +112,80 @@ def closed_sessions(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BURST_OUTPUT_SCHEMA = (
+    "event_type string, minute bigint, cnt bigint, trail bigint, "
+    "is_burst boolean"
+)
+BURST_STATE_SCHEMA = (
+    "minutes array<bigint>, counts array<bigint>, emitted_up_to bigint"
+)
+
+BURST_FACTOR = 3  # cnt*60 > FACTOR*trail, matching batch events_burst_minutes
+BURST_FLOOR = 3  # absolute minimum count, matching the batch plan
+
+_NEVER = -(1 << 62)
+
+
+def finalized_burst_minutes(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_burst_minutes`` capacity
+    query: per event type, every FINALIZED minute with its count, its
+    trailing-hour sum and the burst verdict (cnt ≥ 3 and cnt·60 >
+    3·trail — the identical integer predicate).
+
+    A minute finalizes when an event ≥ 60 minutes newer arrives for the
+    same type: from then on its trailing window can no longer grow, so
+    the verdict is emit-once-correct (append mode). State per key is the
+    trailing ≤ 120 minute→count pairs plus the emission high-water mark
+    — bounded by the clock, not the event volume, the same state-sizing
+    argument as the built-in watermarked windows. Batch equivalence
+    (asserted in tests): one availableNow pass emits exactly the batch
+    minute rows at least 60 minutes older than each type's newest
+    minute.
+    """
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            mins, cnts, emitted = state.get
+            acc = {int(m): int(c) for m, c in zip(mins, cnts)}
+        else:
+            acc, emitted = {}, _NEVER
+        for pdf in pdfs:
+            for m, c in (pdf["ts_us"] // 60_000_000).value_counts().items():
+                m = int(m)
+                acc[m] = acc.get(m, 0) + int(c)
+        mx = max(acc)
+        rows = []
+        for m in sorted(acc):
+            if emitted < m <= mx - 60:
+                cnt = acc[m]
+                trail = sum(c for mm, c in acc.items() if m - 59 <= mm <= m)
+                rows.append(
+                    (key[0], m, cnt, trail, cnt >= BURST_FLOOR
+                     and cnt * 60 > BURST_FACTOR * trail)
+                )
+                emitted = m
+        # prune: the next finalizable minute is > emitted, so only minutes
+        # inside its furthest trailing reach (emitted - 59 + 1) still matter
+        keep = sorted(m for m in acc if m > emitted - 60)
+        state.update((keep, [acc[m] for m in keep], emitted))
+        yield pd.DataFrame(
+            rows,
+            columns=["event_type", "minute", "cnt", "trail", "is_burst"],
+        )
+
+    from pyspark.sql import functions as F
+
+    with_us = events.select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    return with_us.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -329,3 +329,51 @@ def test_closed_sessions_restart_from_checkpoint_no_dup_no_loss(spark, tmp_path)
 
     assert got == want
     assert len(got) > phase_a  # phase B closed sessions phase A left open
+
+
+def test_stateful_burst_minutes_equal_batch_finalized(spark, events_dir):
+    """Custom stateful burst monitor (applyInPandasWithState, append
+    mode): after one availableNow pass the emitted FINALIZED minutes —
+    count, trailing-hour sum, burst verdict — equal the batch per-minute
+    relation restricted to minutes at least 60 minutes older than each
+    type's newest minute (those still inside the trailing horizon stay
+    in the state store)."""
+    from cve_manager_spark.streaming.stateful import (
+        BURST_FACTOR,
+        BURST_FLOOR,
+        finalized_burst_minutes,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(
+        finalized_burst_minutes(stream), "t_burst", output_mode="append"
+    )
+    got = _sorted_rows(
+        spark.table("t_burst"),
+        ["event_type", "minute", "cnt", "trail", "is_burst"],
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    minute = F.expr("unix_micros(cast(ts as timestamp)) div 60000000")
+    m = ev.groupBy("event_type", minute.alias("minute")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("minute").rangeBetween(-59, 0)
+    t = m.withColumn("trail", F.sum("cnt").over(w)).withColumn(
+        "__mx", F.max("minute").over(Window.partitionBy("event_type"))
+    )
+    want = _sorted_rows(
+        t.where(F.col("minute") <= F.col("__mx") - 60).select(
+            "event_type",
+            "minute",
+            "cnt",
+            "trail",
+            (
+                (F.col("cnt") >= BURST_FLOOR)
+                & (F.col("cnt") * 60 > F.col("trail") * BURST_FACTOR)
+            ).alias("is_burst"),
+        ),
+        ["event_type", "minute", "cnt", "trail", "is_burst"],
+    )
+    assert got == want
+    assert len(got) > 0
