@@ -377,3 +377,56 @@ def test_stateful_burst_minutes_equal_batch_finalized(spark, events_dir):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_burst_monitor_restart_from_checkpoint_no_dup_no_loss(spark, tmp_path):
+    """Kill/restart proof for the burst monitor: stop the stream at the
+    time midpoint (trailing-hour state held per type), restart from the
+    same checkpoint over the late half, and assert the union of both
+    runs' emissions equals a single uninterrupted pass — minutes whose
+    trailing window spans the restart finalize exactly once from
+    restored state, none lost, none duplicated."""
+    from cve_manager_spark.streaming.sinks import foreach_batch_parquet
+    from cve_manager_spark.streaming.stateful import finalized_burst_minutes
+
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).first()["c"]
+    us = F.unix_micros(F.col("ts"))
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ev.where(us <= cut).coalesce(1).write.mode("append").parquet(str(src))
+
+    q = foreach_batch_parquet(
+        finalized_burst_minutes(read_events_stream(spark, str(src))), out
+    )
+    q.awaitTermination()
+    phase_a = spark.read.option("basePath", out).parquet(out + "/_batch_id=*").count()
+
+    ev.where(us > cut).coalesce(1).write.mode("append").parquet(str(src))
+    q2 = foreach_batch_parquet(
+        finalized_burst_minutes(read_events_stream(spark, str(src))), out
+    )
+    q2.awaitTermination()
+
+    cols = ["event_type", "minute", "cnt", "trail", "is_burst"]
+    got = _sorted_rows(
+        spark.read.option("basePath", out).parquet(out + "/_batch_id=*"), cols
+    )
+
+    out_ref = str(tmp_path / "out_ref")
+    q3 = foreach_batch_parquet(
+        finalized_burst_minutes(read_events_stream(spark, str(src))), out_ref
+    )
+    q3.awaitTermination()
+    want = _sorted_rows(
+        spark.read.option("basePath", out_ref).parquet(out_ref + "/_batch_id=*"),
+        cols,
+    )
+
+    assert got == want
+    assert len(got) > phase_a  # late half finalized minutes phase A held open
