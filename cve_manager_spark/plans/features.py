@@ -1603,18 +1603,18 @@ def triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("e")
     ).select("e.u", "e.v")
     e = pairs.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    nn = (
-        e.select(F.col("u").alias("x"))
-        .unionAll(e.select("v"))
-        .agg(F.countDistinct("x").alias("n_nodes"))
-    )
-    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    # degrees persist at |V| rows: the union shuffle that builds them runs
+    # ONCE, then feeds the node/edge stats (n_nodes = row count, n_edges =
+    # half the exact degree sum) and both orientation joins — the previous
+    # shape paid a second 2|E|-row union shuffle for a countDistinct
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select("v"))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = deg.agg(F.expr("sum(deg) div 2").alias("n_edges"))
     ed = (
         e.join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
         .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
