@@ -1477,6 +1477,9 @@ FROM s
 )
 def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
+    # the deduped edge list feeds three subtrees (both degree aggregates
+    # + the moment join); AQE reuses the identical distinct exchange at
+    # runtime, so no persist is needed (measured: persisting is a wash)
     e = li.select(
         F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
     ).distinct()
