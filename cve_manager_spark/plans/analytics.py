@@ -1093,11 +1093,14 @@ WITH toks AS (
 ), ne AS (
   SELECT id, shingles FROM sh WHERE len(shingles) > 0
 ), base AS (
-  SELECT id, CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % {LCG_P} AS b31
+  SELECT id,
+         CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % {LCG_P} AS b31a,
+         CAST(('0x' || substr(md5(x), 16, 15)) AS BIGINT) % {LCG_P} AS b31b
   FROM (SELECT id, unnest(shingles) AS x FROM ne)
 ), sigagg AS (
   SELECT id, s,
-         MIN(({a_arr}[CAST(s AS INT) + 1] * b31
+         MIN(({a_arr}[CAST(s AS INT) + 1]
+              * (CASE WHEN s % 2 = 0 THEN b31a ELSE b31b END)
               + {b_arr}[CAST(s AS INT) + 1]) % {LCG_P}) AS h
   FROM base CROSS JOIN range(0, 32) t(s)
   GROUP BY id, s

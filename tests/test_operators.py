@@ -189,13 +189,58 @@ def test_minhash_lcg_signatures_match_bruteforce(spark):
         for r in minhash_lcg_signatures(ex, num_hashes=8).collect()
     }
 
-    def base31(sh: str) -> int:
-        return int(hashlib.md5(sh.encode()).hexdigest()[:15], 16) % LCG_P
+    def base31(sh: str, off: int) -> int:
+        # even seeds hash digest chars [0:15], odd seeds chars [15:30]
+        return int(hashlib.md5(sh.encode()).hexdigest()[off : off + 15], 16) % LCG_P
 
     consts = lcg_constants(8)
     for i, shs in docs:
         want = [
-            min((a * base31(sh) + b) % LCG_P for sh in shs)
-            for (a, b) in consts
+            min((a * base31(sh, 0 if s % 2 == 0 else 15) + b) % LCG_P for sh in shs)
+            for s, (a, b) in enumerate(consts)
         ]
         assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
+def test_minhash_lcg_pairs_precision_and_recall(spark):
+    """The mixed-family LSH (minhash_lcg_pairs) must (a) emit only pairs
+    whose TRUE shingle Jaccard clears the threshold — precision is exact
+    because every candidate is verified — and (b) find planted near-dups
+    whose Jaccard is far above the banding curve's recall knee, on the
+    real documents table plus two planted templates."""
+    from pyspark.sql import functions as F
+
+    from cve_manager_spark.operators.dedup import (
+        minhash_lcg_pairs,
+        word_shingles,
+    )
+    from cve_manager_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    planted = spark.createDataFrame(
+        [(900001, base + "lambda mu"), (900002, base + "lambda nu")],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(planted)
+
+    got = minhash_lcg_pairs(corpus, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+
+    # (b) recall: the planted pair is ~0.9 Jaccard — banding recall
+    # 1-(1-j^2)^16 > 0.9999 — it must be found
+    assert (900001, 900002) in pairs
+
+    # (a) precision: every emitted jaccard equals the true set Jaccard
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in corpus.select(
+            "doc_id", word_shingles(F.col("text"), 2).alias("s")
+        ).collect()
+    }
+    for (a, b), j in pairs.items():
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        true_j = inter / union
+        assert abs(true_j - j) < 1e-12 and true_j >= 0.5, (a, b, j, true_j)
