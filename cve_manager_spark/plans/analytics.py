@@ -1508,3 +1508,285 @@ def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         "n", "sx", "sy", "sxy", "sxx", "syy",
         F.floor(corr * 1000000.0).cast("long").alias("assort_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 late tranche (priority=5): queued BEHIND this round's 50-entry
+# driver window; locally oracle-gated now, driver-verified next round.
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       {_REVENUE_SQL} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name IN ('FRANCE', 'GERMANY') AND sn.n_name IN ('FRANCE', 'GERMANY')
+  AND cn.n_name <> sn.n_name
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@_register(
+    "sql_tpch_q7",
+    _Q7_ORACLE,
+    doc="TPC-H Q7 (volume shipping): bilateral trade revenue between two "
+    "named nations by ship year — the self-joined dimension pattern "
+    "(nation joins the fact chain TWICE under different roles, so the "
+    "planner must broadcast two aliased copies without confusing their "
+    "attributes). The nation filters prune both customer and supplier "
+    "sides before the fact join; exact-decimal revenue; year extraction "
+    "is exact integer.",
+    priority=5,
+)
+def sql_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    sup = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("FRANCE", "GERMANY"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("FRANCE", "GERMANY"))
+    j = (
+        cust.join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return j.groupBy(
+        "cust_nation",
+        "supp_nation",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    ).agg(_revenue().alias("revenue"))
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO' AND p_size IN (1, 9, 14, 23, 36, 45, 49, 3)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@_register(
+    "sql_tpch_q16",
+    _Q16_ORACLE,
+    doc="TPC-H Q16 (parts/supplier relationship), adapted to lineitem as "
+    "the part-supplier bridge (no partsupp table): distinct supplier "
+    "count per (brand, type, size) cell under negated and IN "
+    "predicates. The NOT-equal filters prune on the dim BEFORE the "
+    "join; the distinct aggregate is the two-phase expand Spark plans "
+    "for COUNT(DISTINCT) — exercised here grouped by three columns.",
+    priority=5,
+)
+def sql_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 23, 36, 45, 49, 3)
+    )
+    li = load_table(spark, sf, "lineitem")
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT AVG(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer CROSS JOIN avg_bal
+WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+@_register(
+    "sql_tpch_q22",
+    _Q22_ORACLE,
+    doc="TPC-H Q22 (global sales opportunity), adapted: customers with "
+    "above-average positive balance who have NEVER ordered, rolled up "
+    "by market segment (the schema has no phone country codes — "
+    "segment takes their place). Composes the scalar-subquery "
+    "broadcast (1-row average, exact integer cents so the threshold "
+    "can't drift) with a LEFT ANTI join against orders — the "
+    "never-ordered check that a NOT IN would turn into a "
+    "null-trapped nested loop.",
+    priority=5,
+)
+def sql_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(cents).alias("ab"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(cents > F.col("ab"))
+    never = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return never.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(cents).alias("totacctbal_cents"),
+    )
+
+
+_FERTILITY_ORACLE = """
+SELECT lang,
+       CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS n_words,
+       CAST(SUM(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS n_bpe,
+       CAST(SUM(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) * 1000000
+            // SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> ''))) AS BIGINT)
+         AS bpe_per_word_ppm
+FROM documents GROUP BY lang
+"""
+
+
+@_register(
+    "tokenizer_fertility",
+    _FERTILITY_ORACLE,
+    doc="Tokenizer fertility per language: BPE-ish segment count per "
+    "whitespace word, in exact integer ppm — the number that prices a "
+    "language's token budget (high fertility = the tokenizer fragments "
+    "that language, so equal-token sampling under-represents it). Both "
+    "token counts are in-row size() expressions over one scan (no "
+    "explode — the corpus never leaves its rows); one partial+final "
+    "hash aggregate on the tiny lang key.",
+    priority=5,
+)
+def tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import token_count_bpe, token_count_ws
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    g = docs.groupBy("lang").agg(
+        F.sum(token_count_ws(F.lower(F.col("text"))).cast("long")).alias("n_words"),
+        F.sum(token_count_bpe(F.col("text")).cast("long")).alias("n_bpe"),
+    )
+    return g.select(
+        "lang",
+        "n_words",
+        "n_bpe",
+        F.expr("n_bpe * 1000000 div n_words").alias("bpe_per_word_ppm"),
+    )
+
+
+_CONFUSION_ORACLE = """
+WITH d AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x IN ('the','a','an','of','and','to','in','is','it','that')))
+           AS n_stop
+  FROM documents WHERE lang <> 'en'
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (n_stop * 20 >= n_tok AND n_tok > 0) AS BIGINT)
+         AS n_suspect
+FROM d GROUP BY lang
+"""
+
+
+@_register(
+    "lang_confusion_audit",
+    _CONFUSION_ORACLE,
+    doc="Language-label audit: non-English documents whose English-"
+    "stopword share reaches 5% are flagged as suspect mislabels — the "
+    "QC pass run before trusting a corpus's lang column for mixture "
+    "budgeting. The share test is cross-multiplied integer arithmetic "
+    "(n_stop·20 ≥ n_tok), counts computed in-row per document (no "
+    "explode), one hash aggregate per lang.",
+    priority=5,
+)
+def lang_confusion_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import STOPWORDS, words
+
+    docs = fan_out(load_table(spark, sf, "documents")).where(F.col("lang") != "en")
+    w = words(F.lower(F.col("text")))
+    n_tok = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    d = docs.select("lang", n_tok.alias("n_tok"), n_stop.alias("n_stop"))
+    suspect = (F.col("n_stop") * 20 >= F.col("n_tok")) & (F.col("n_tok") > 0)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(suspect, 1)).alias("n_suspect"),
+    )
+
+
+_ORDER_GAP_ORACLE = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_d
+  FROM orders
+)
+SELECT o_custkey AS c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_d) AS BIGINT) AS min_gap_d,
+       CAST(MAX(gap_d) AS BIGINT) AS max_gap_d,
+       CAST(SUM(CAST(gap_d AS BIGINT)) AS BIGINT) AS sum_gap_d,
+       CAST(SUM(CAST(gap_d AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_gap_d
+FROM g WHERE gap_d IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+@_register(
+    "customer_order_gap_stats",
+    _ORDER_GAP_ORACLE,
+    doc="Reorder-cadence profile: per customer, the min/max/mean days "
+    "between consecutive orders (orderkey tie-break makes the sequence "
+    "total) — the replenishment-interval input to churn and inventory "
+    "models, and the order-grain sibling of events_interarrival_hist. "
+    "One customer-partitioned LAG pass then a hash aggregate on the "
+    "same key — both stages share one exchange; day deltas are exact "
+    "integers, the mean divides the exact sum once.",
+    priority=5,
+)
+def customer_order_gap_stats(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    g = orders.select(
+        F.col("o_custkey").alias("c_custkey"), gap.alias("gap_d")
+    ).where(F.col("gap_d").isNotNull())
+    return g.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_d").cast("long").alias("min_gap_d"),
+        F.max("gap_d").cast("long").alias("max_gap_d"),
+        F.sum(F.col("gap_d").cast("long")).alias("sum_gap_d"),
+        (F.sum(F.col("gap_d").cast("long")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_gap_d"
+        ),
+    )
