@@ -60,6 +60,8 @@ FLAGSHIP = {
     "events_burst_minutes": "minute-grain pre-aggregation bounds the window input by time; RANGE frame over integer minutes handles sparse gaps; integer cross-multiplied threshold",
     "embedding_dim_stats": "posexplode + partial/final hash agg on a 64-key space; micro-unit quantization before the sum keeps it exact integer",
     "graph_degree_assortativity": "degree aggregates broadcast back onto the edge list; six exact decimal moments cross the last exchange",
+    "sql_tpch_q7": "nation dim joined twice under different roles, both copies broadcast; filters prune customer AND supplier sides before the fact join",
+    "sql_tpch_q22": "scalar-subquery average broadcast as a 1-row cross join; never-ordered check is a LEFT ANTI join (no null-trapped NOT IN)",
     "bm25_topk": "in-row tf/dl via list HOFs (no token explode); one broadcast stats row; TakeOrderedAndProject top-20",
     "orders_pareto": "all three windows share one priority-keyed exchange over the pre-aggregated spend relation",
     "dedup_cascade_funnel": "4 distinct-counts in ONE scan (Expand), stack unpivot on the single aggregate row",
