@@ -128,6 +128,43 @@ BURST_FLOOR = 3  # absolute minimum count, matching the batch plan
 _NEVER = -(1 << 62)
 
 
+def _burst_update(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """State function for :func:`finalized_burst_minutes` — module-level
+    so the split-invariance property test (tests/test_properties.py) can
+    drive it directly with a fake GroupState under arbitrary micro-batch
+    chops, which a real stream never exercises."""
+    if state.exists:
+        mins, cnts, emitted = state.get
+        acc = {int(m): int(c) for m, c in zip(mins, cnts)}
+    else:
+        acc, emitted = {}, _NEVER
+    for pdf in pdfs:
+        for m, c in (pdf["ts_us"] // 60_000_000).value_counts().items():
+            m = int(m)
+            acc[m] = acc.get(m, 0) + int(c)
+    mx = max(acc)
+    rows = []
+    for m in sorted(acc):
+        if emitted < m <= mx - 60:
+            cnt = acc[m]
+            trail = sum(c for mm, c in acc.items() if m - 59 <= mm <= m)
+            rows.append(
+                (key[0], m, cnt, trail, cnt >= BURST_FLOOR
+                 and cnt * 60 > BURST_FACTOR * trail)
+            )
+            emitted = m
+    # prune: the next finalizable minute is > emitted, so only minutes
+    # inside its furthest trailing reach (emitted - 59 + 1) still matter
+    keep = sorted(m for m in acc if m > emitted - 60)
+    state.update((keep, [acc[m] for m in keep], emitted))
+    yield pd.DataFrame(
+        rows,
+        columns=["event_type", "minute", "cnt", "trail", "is_burst"],
+    )
+
+
 def finalized_burst_minutes(events: DataFrame) -> DataFrame:
     """Streaming twin of the batch ``events_burst_minutes`` capacity
     query: per event type, every FINALIZED minute with its count, its
@@ -142,40 +179,10 @@ def finalized_burst_minutes(events: DataFrame) -> DataFrame:
     argument as the built-in watermarked windows. Batch equivalence
     (asserted in tests): one availableNow pass emits exactly the batch
     minute rows at least 60 minutes older than each type's newest
-    minute.
+    minute; a hypothesis property pins emissions as invariant under any
+    micro-batch split of the input.
     """
-
-    def update(
-        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            mins, cnts, emitted = state.get
-            acc = {int(m): int(c) for m, c in zip(mins, cnts)}
-        else:
-            acc, emitted = {}, _NEVER
-        for pdf in pdfs:
-            for m, c in (pdf["ts_us"] // 60_000_000).value_counts().items():
-                m = int(m)
-                acc[m] = acc.get(m, 0) + int(c)
-        mx = max(acc)
-        rows = []
-        for m in sorted(acc):
-            if emitted < m <= mx - 60:
-                cnt = acc[m]
-                trail = sum(c for mm, c in acc.items() if m - 59 <= mm <= m)
-                rows.append(
-                    (key[0], m, cnt, trail, cnt >= BURST_FLOOR
-                     and cnt * 60 > BURST_FACTOR * trail)
-                )
-                emitted = m
-        # prune: the next finalizable minute is > emitted, so only minutes
-        # inside its furthest trailing reach (emitted - 59 + 1) still matter
-        keep = sorted(m for m in acc if m > emitted - 60)
-        state.update((keep, [acc[m] for m in keep], emitted))
-        yield pd.DataFrame(
-            rows,
-            columns=["event_type", "minute", "cnt", "trail", "is_burst"],
-        )
+    update = _burst_update
 
     from pyspark.sql import functions as F
 

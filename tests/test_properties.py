@@ -136,3 +136,85 @@ def test_weighted_median_fold_matches_row_scan(spark, pairs):
             want = v
             break
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# burst-monitor state machine: emissions are split-invariant
+# ---------------------------------------------------------------------------
+
+_MINUTES = st.lists(
+    st.integers(min_value=0, max_value=400), min_size=1, max_size=120
+)
+_SPLITS = st.lists(st.integers(min_value=1, max_value=119), max_size=4)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in: .exists/.get/.update — enough to drive
+    streaming.stateful's update functions outside a real stream."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _drive_burst(batches):
+    """Run the burst monitor's update function over a batch sequence for
+    one key, returning every emitted row."""
+    import pandas as pd
+
+    from cve_manager_spark.streaming import stateful
+
+    state = _FakeState()
+    rows = []
+    for minutes in batches:
+        pdf = pd.DataFrame({"ts_us": [m * 60_000_000 + 7 for m in minutes]})
+        for out in stateful._burst_update(("t",), iter([pdf]), state):
+            rows.extend(tuple(r) for r in out.itertuples(index=False))
+    return rows
+
+
+@given(minutes=_MINUTES, splits=_SPLITS)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_burst_state_machine_split_invariant(minutes, splits):
+    """However a key's event stream is chopped into micro-batches (the
+    thing a restart, a backlog drain, or maxFilesPerTrigger changes),
+    the burst monitor must emit exactly the batch-side finalized rows:
+    every minute ≥60 older than the key's max, each exactly once, with
+    the trailing-hour sum over the full data. Drives the state function
+    directly with a fake GroupState so hypothesis can explore splits a
+    real stream never would."""
+    ordered = sorted(minutes)
+    cuts = sorted({s for s in splits if s < len(ordered)})
+    batches, prev = [], 0
+    for c in cuts + [len(ordered)]:
+        if c > prev:
+            batches.append(ordered[prev:c])
+            prev = c
+
+    got = sorted(_drive_burst(batches))
+
+    from collections import Counter
+
+    from cve_manager_spark.streaming.stateful import BURST_FACTOR, BURST_FLOOR
+
+    acc = Counter(minutes)
+    mx = max(acc)
+    want = []
+    for m in sorted(acc):
+        if m <= mx - 60:
+            cnt = acc[m]
+            trail = sum(c for mm, c in acc.items() if m - 59 <= mm <= m)
+            want.append(
+                ("t", m, cnt, trail, cnt >= BURST_FLOOR and cnt * 60 > BURST_FACTOR * trail)
+            )
+    assert got == sorted(want)
