@@ -56,6 +56,39 @@ SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
 GAP_US = 1_800_000_000  # 30 minutes, matching the batch sessionize_stats
 
 
+def _session_update(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """State function for :func:`closed_sessions` — module-level so the
+    split-invariance property test (tests/test_properties.py) can drive
+    it with a fake GroupState under arbitrary time-ordered micro-batch
+    chops."""
+    start, last, n = state.get if state.exists else (None, None, 0)
+    out_start, out_n, out_dur = [], [], []
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    for ts in pdf["ts_us"].tolist():
+        if start is None:
+            start, last, n = ts, ts, 1
+        elif ts - last > GAP_US:
+            out_start.append(start)
+            out_n.append(n)
+            out_dur.append(last - start)
+            start, last, n = ts, ts, 1
+        else:
+            last = ts
+            n += 1
+    state.update((start, last, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_start),
+            "session_start_us": out_start,
+            "n_events": out_n,
+            "dur_us": out_dur,
+        }
+    )
+
+
 def closed_sessions(events: DataFrame) -> DataFrame:
     """Gap-based sessionizer emitting CLOSED sessions only.
 
@@ -69,34 +102,7 @@ def closed_sessions(events: DataFrame) -> DataFrame:
     equal the batch sessions minus each user's final (open) session.
     Timestamps stay integer microseconds end-to-end.
     """
-
-    def update(
-        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        start, last, n = state.get if state.exists else (None, None, 0)
-        out_start, out_n, out_dur = [], [], []
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-        for ts in pdf["ts_us"].tolist():
-            if start is None:
-                start, last, n = ts, ts, 1
-            elif ts - last > GAP_US:
-                out_start.append(start)
-                out_n.append(n)
-                out_dur.append(last - start)
-                start, last, n = ts, ts, 1
-            else:
-                last = ts
-                n += 1
-        state.update((start, last, n))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(out_start),
-                "session_start_us": out_start,
-                "n_events": out_n,
-                "dur_us": out_dur,
-            }
-        )
+    update = _session_update
 
     from pyspark.sql import functions as F
 

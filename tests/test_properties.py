@@ -218,3 +218,64 @@ def test_burst_state_machine_split_invariant(minutes, splits):
                 ("t", m, cnt, trail, cnt >= BURST_FLOOR and cnt * 60 > BURST_FACTOR * trail)
             )
     assert got == sorted(want)
+
+
+# gaps drawn around the 30-minute session boundary, in microseconds:
+# exactly GAP_US must CONTINUE the session (strict > closes), so the
+# strategy samples the boundary and both sides of it heavily
+_GAPS = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=3_600_000_000),
+        st.sampled_from([1_799_999_999, 1_800_000_000, 1_800_000_001]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(gaps=_GAPS, splits=_SPLITS)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_sessionizer_state_machine_split_invariant(gaps, splits):
+    """The gap sessionizer's CLOSED-session emissions must not depend on
+    how a user's time-ordered event stream is chopped into micro-batches,
+    and the still-open final session must remain in state. Gap values
+    sample the exact 30-minute boundary: a gap of exactly GAP_US
+    continues the session (the close test is strictly greater)."""
+    import pandas as pd
+
+    from cve_manager_spark.streaming import stateful
+    from cve_manager_spark.streaming.stateful import GAP_US
+
+    ts = [0]
+    for g in gaps:
+        ts.append(ts[-1] + g)
+
+    cuts = sorted({s for s in splits if s < len(ts)})
+    batches, prev = [], 0
+    for c in cuts + [len(ts)]:
+        if c > prev:
+            batches.append(ts[prev:c])
+            prev = c
+
+    state = _FakeState()
+    got = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {"ts_us": batch, "event_id": list(range(len(batch)))}
+        )
+        for out in stateful._session_update((7,), iter([pdf]), state):
+            got.extend(tuple(r) for r in out.itertuples(index=False))
+
+    # reference: single-pass gap rule over the full ordered stream
+    sessions, start, last, n = [], None, None, 0
+    for t in ts:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > GAP_US:
+            sessions.append((7, start, n, last - start))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+
+    assert got == sessions  # final session stays open (in state), unemitted
+    assert state.get[0] == start and state.get[2] == n
