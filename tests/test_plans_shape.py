@@ -516,3 +516,30 @@ def test_degree_hist_is_single_scan(spark):
     # detail section); count the detail entries
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Union" not in plan
+
+
+def test_tpch_q7_broadcasts_nation_twice(spark):
+    """Q7 joins the nation dim under two roles: both aliased copies must
+    broadcast (two BroadcastExchanges feeding BroadcastHashJoins), and
+    the bilateral filter must not degrade the equi-join chain to a
+    nested loop."""
+    plan = plan_of(spark, "sql_tpch_q7")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22's never-ordered check must plan as LEFT ANTI, with the 1-row
+    average entering as a broadcast (the only nested-loop join allowed
+    is that 1-row scalar cross join)."""
+    plan = plan_of(spark, "sql_tpch_q22")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_tokenizer_fertility_never_explodes(spark):
+    """Fertility counts both token families in-row: the plan must carry
+    no Generate (explode) node — the corpus never leaves its rows."""
+    plan = plan_of(spark, "tokenizer_fertility")
+    assert "Generate" not in plan
+    assert plan.count("HashAggregate") >= 2
