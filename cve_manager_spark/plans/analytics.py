@@ -1790,3 +1790,603 @@ def customer_order_gap_stats(spark: SparkSession, sf: str) -> DataFrame:
             "avg_gap_d"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 completion tranche — the nine TPC-H faces still missing, closing
+# the 22/22 decision-support surface (q12 ships as the adapted q12lite; q2,
+# q9, q11, q16, q20 re-target partsupp semantics onto the lineitem bridge
+# since the testdata star schema has no partsupp table).  priority=6: these
+# queue BEHIND every spec still awaiting its first driver verdict.
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cand AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+  FROM part
+  JOIN ps ON p_partkey = l_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+  WHERE p_size = 15 AND p_type = 'STANDARD'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey
+FROM cand c
+WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM cand m
+                   WHERE m.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+@_register(
+    "sql_tpch_q2",
+    _Q2_ORACLE,
+    doc="TPC-H Q2 (minimum cost supplier), adapted: the part-supplier "
+    "bridge is the DISTINCT (l_partkey, l_suppkey) projection of "
+    "lineitem and the cost proxy is s_acctbal (no partsupp table). The "
+    "defining shape survives intact: a correlated MIN subquery over the "
+    "same candidate relation, which the DataFrame side decorrelates "
+    "explicitly — one per-part MIN aggregate joined back on "
+    "(part, acctbal) equality. The candidate set is built dim-first "
+    "(size/type filter prunes part, region filter prunes the supplier "
+    "side to 1/5 before either touches the fact-derived bridge); the "
+    "join-back is an equi-join on the part key, acctbal doubles pass "
+    "through MIN untouched so cross-engine equality is exact. Total "
+    "order (acctbal DESC, p_partkey, s_suppkey) before LIMIT 100.",
+    priority=6,
+)
+def sql_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    ps = (
+        load_table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    eu = (
+        load_table(spark, sf, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        part.join(ps, F.col("p_partkey") == F.col("l_partkey"))
+        .join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("bpk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            best,
+            (F.col("p_partkey") == F.col("bpk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "s_suppkey")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+_Q8_ORACLE = """
+WITH vol AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev,
+         sn.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_rev,
+       CAST(SUM(rev) AS DOUBLE) AS total_rev,
+       CAST(FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                  / CAST(SUM(rev) AS DOUBLE) * 1000000) AS BIGINT)
+         AS share_ppm
+FROM vol GROUP BY o_year
+"""
+
+
+@_register(
+    "sql_tpch_q8",
+    _Q8_ORACLE,
+    doc="TPC-H Q8 (national market share): one supplier nation's share of "
+    "AMERICA-region revenue for one part type, by order year — the "
+    "8-way join where nation participates TWICE (customer role filters "
+    "through region, supplier role only labels) and the measure is a "
+    "conditional share. Both sums are exact decimal; the ppm share "
+    "divides the two deterministic doubles once (the sql_tpch_q14 "
+    "pattern). Dims broadcast at their natural sizes, the selective "
+    "p_type filter prunes the fact join via the part dim, and the "
+    "two-year date filter reaches the orders scan.",
+    priority=6,
+)
+def sql_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    cust = load_table(spark, sf, "customer")
+    sup = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").where(F.col("r_name") == "AMERICA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(region), F.col("crk") == F.col("r_regionkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+    )
+    rev = dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(18,4)")
+    g = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(zero))
+        .cast("double")
+        .alias("nation_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return g.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        F.floor(F.col("nation_rev") / F.col("total_rev") * 1000000)
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+_Q9_ORACLE = """
+SELECT sn.n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS sum_revenue,
+       CAST(SUM(CAST(l_quantity AS BIGINT)
+                * CAST(ROUND(p_retailprice * 20, 0) AS BIGINT)) AS BIGINT)
+         AS supplycost_cents,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         - CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(ROUND(p_retailprice * 20, 0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY nation, o_year
+"""
+
+
+@_register(
+    "sql_tpch_q9",
+    _Q9_ORACLE,
+    doc="TPC-H Q9 (product type profit), adapted: supply cost is modeled "
+    "as 20% of p_retailprice (no partsupp.ps_supplycost), so profit = "
+    "revenue − qty·0.2·retail, summed by supplier nation and order "
+    "year. The shape is the 5-way fact-through-dims join with a LIKE "
+    "filter on the part dim and a two-key rollup. Exactness: a triple "
+    "decimal product overflows precision 38 and the engines clamp "
+    "scales differently, so the cost leg is integer CENTS instead — "
+    "retailprice has one decimal digit, hence retail·20 = "
+    "cents(retail/5) is integral and ROUND makes it exact BIGINT; "
+    "revenue stays the usual exact decimal sum; profit derives from "
+    "the two deterministic aggregates by one IEEE subtract/divide, "
+    "identical on identical inputs. Part (LIKE-pruned) and nation "
+    "broadcast; orders joins on the fact key to supply the year.",
+    priority=6,
+)
+def sql_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part").where(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    sn = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+    )
+    rev = dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount")))
+    cost_cents = F.col("l_quantity").cast("long") * F.round(
+        F.col("p_retailprice") * 20, 0
+    ).cast("long")
+    g = j.groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(rev).cast("double").alias("sum_revenue"),
+        F.sum(cost_cents).alias("supplycost_cents"),
+    )
+    return g.select(
+        "nation",
+        "o_year",
+        "sum_revenue",
+        "supplycost_cents",
+        (F.col("sum_revenue") - F.col("supplycost_cents") / 100.0).alias("sum_profit"),
+    )
+
+
+_Q11_ORACLE = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, CAST(val AS DOUBLE) AS val
+FROM v
+WHERE val * (SELECT COUNT(*) FROM v) > 3 * (SELECT SUM(val) FROM v)
+"""
+
+
+@_register(
+    "sql_tpch_q11",
+    _Q11_ORACLE,
+    doc="TPC-H Q11 (important stock identification), adapted: a part's "
+    "'stock value' held by one nation's suppliers is its lineitem "
+    "extended-price total from those suppliers (no partsupp), and the "
+    "query keeps parts worth more than 3× the mean part value — the "
+    "original's FRACTION threshold is scale-dependent (TPC-H divides "
+    "it by SF), so the mean-relative form keeps the result non-"
+    "degenerate at every sf. The defining shape — a grouped aggregate "
+    "filtered against a scalar subquery over the SAME aggregate — "
+    "survives: Spark computes the per-part aggregate once, crossJoin-"
+    "broadcasts its 1-row (count, sum) re-aggregate, and filters with "
+    "exact cross-multiplied decimals (val·n > 3·total, no division "
+    "anywhere). The nation filter prunes suppliers before the fact "
+    "join.",
+    priority=6,
+)
+def sql_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation").where(F.col("n_name") == "NATION_7")
+    ger = sup.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(ger), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(dec(F.col("l_extendedprice"))).alias("val"))
+    )
+    total = v.agg(
+        F.count(F.lit(1)).alias("n_parts"), F.sum("val").alias("total")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(F.col("val") * F.col("n_parts") > F.col("total") * 3)
+        .select("p_partkey", F.col("val").cast("double").alias("val"))
+    )
+
+
+_Q13_ORACLE = """
+WITH cc AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM cc GROUP BY c_count
+"""
+
+
+@_register(
+    "sql_tpch_q13",
+    _Q13_ORACLE,
+    doc="TPC-H Q13 (customer distribution): the order-count histogram over "
+    "ALL customers, zero-order customers included — which forces the "
+    "LEFT outer join with the priority predicate INSIDE the join "
+    "condition (as a WHERE it would silently drop the never-ordered "
+    "customers the query exists to count). Adapted filter: non-urgent "
+    "orders (no o_comment column). Two chained hash aggregates: "
+    "per-customer count on the join key's own partitioning, then the "
+    "tiny histogram rollup. COUNT(o_orderkey) not COUNT(*), so the "
+    "null row of an orderless customer counts as zero.",
+    priority=6,
+)
+def sql_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    cc = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return cc.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+@_register(
+    "sql_tpch_q15",
+    _Q15_ORACLE,
+    doc="TPC-H Q15 (top supplier): the supplier(s) whose one-quarter "
+    "revenue equals the maximum over all suppliers — the view-plus-"
+    "scalar-max shape (the original defines revenue as a VIEW used "
+    "twice). Spark builds the per-supplier aggregate once, broadcasts "
+    "its 1-row MAX, and filters on exact decimal equality (both sides "
+    "are sums of identical decimal terms, so cross-engine equality is "
+    "bitwise); the supplier dim joins only to label the survivors. "
+    "No LIMIT: the equality predicate itself is the selection, and "
+    "ties all surface (deterministic set semantics).",
+    priority=6,
+)
+def sql_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount")))
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    sup = load_table(spark, sf, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(sup, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+_Q17_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         COUNT(*) AS cnt,
+         SUM(CAST(l_quantity AS BIGINT)) AS sq
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#5'
+  GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_extprice,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN pa ON l_partkey = pk
+WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sq
+"""
+
+
+@_register(
+    "sql_tpch_q17",
+    _Q17_ORACLE,
+    doc="TPC-H Q17 (small-quantity-order revenue): lines of one brand's "
+    "parts whose quantity is below 20% of that part's average quantity "
+    "— the correlated-AVG shape, decorrelated into a per-part "
+    "(count, sum) aggregate joined back to the fact. The avg "
+    "comparison qty < 0.2·(sq/cnt) is cross-multiplied to "
+    "5·qty·cnt < sq over exact BIGINTs — no division, no floats, "
+    "identical pruning in both engines. The brand filter cuts parts "
+    "~1/25 before the aggregate, so the join-back probe side is small; "
+    "revenue is an exact decimal sum. (No LIMIT — the final row is a "
+    "global 1-row aggregate.)",
+    priority=6,
+)
+def sql_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#5")
+    li = load_table(spark, sf, "lineitem")
+    lif = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    pa = lif.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+    )
+    return (
+        lif.join(F.broadcast(pa), F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_extprice"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q20_ORACLE = """
+WITH q AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         SUM(CAST(l_quantity AS BIGINT)) AS q_ps
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT pk, SUM(q_ps) AS q_p FROM q GROUP BY pk
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND EXISTS (
+    SELECT 1 FROM q JOIN tot ON q.pk = tot.pk
+    WHERE q.sk = s_suppkey AND q.q_ps * 5 > q_p
+  )
+"""
+
+
+@_register(
+    "sql_tpch_q20",
+    _Q20_ORACLE,
+    doc="TPC-H Q20 (potential part promotion), adapted: availqty has no "
+    "source table, so the 'holds meaningful stock' test becomes "
+    "'shipped more than 20% of the part's 1997 volume' — a supplier "
+    "in one nation qualifies if some small% part's yearly flow is "
+    "dominated by them. The nested-subquery shape survives: an inner "
+    "per-(part, supplier) aggregate compared against a per-part "
+    "re-aggregate (cross-multiplied exact BIGINTs), collapsed into "
+    "the outer supplier scan via a LEFT SEMI join — the EXISTS that "
+    "never duplicates a supplier however many parts qualify. The "
+    "nation filter broadcasts; the p_name LIKE prefix filter prunes "
+    "the part dim before the fact join.",
+    priority=6,
+)
+def sql_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part").where(F.col("p_name").like("small%"))
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    q = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q_ps"))
+    )
+    tot = q.groupBy("pk").agg(F.sum("q_ps").alias("q_p"))
+    dominant = q.join(tot, "pk").where(F.col("q_ps") * 5 > F.col("q_p"))
+    nat = load_table(spark, sf, "nation").where(F.col("n_name") == "NATION_3")
+    sup = load_table(spark, sf, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return sup.join(
+        dominant, F.col("s_suppkey") == F.col("sk"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+_Q21_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey, l_linenumber,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM base l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1' AND l1.late
+  AND EXISTS (SELECT 1 FROM base l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM base l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 100
+"""
+
+
+@_register(
+    "sql_tpch_q21",
+    _Q21_ORACLE,
+    doc="TPC-H Q21 (suppliers who kept orders waiting), adapted: 'late' "
+    "is shipping >60 days after the order date (no commit/receipt "
+    "dates). The triple-correlation shape survives exactly — for each "
+    "late line of a finished multi-supplier order, SOME other supplier "
+    "contributed (EXISTS → LEFT SEMI on orderkey with a non-equal "
+    "suppkey conjunct) and NO other supplier was late (NOT EXISTS → "
+    "LEFT ANTI on the late subset) — the one query whose plan "
+    "composes a semi AND an anti join against the same derived "
+    "relation. The base fact⋈orders join computes lateness once; the "
+    "nation filter broadcasts into the supplier probe. Total order "
+    "(numwait DESC, s_suppkey) before LIMIT 100.",
+    priority=6,
+)
+def sql_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    base = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_linenumber",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias(
+            "late"
+        ),
+    )
+    nat = load_table(spark, sf, "nation").where(F.col("n_name") == "NATION_1")
+    sup = load_table(spark, sf, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l1 = base.where(F.col("late")).join(
+        F.broadcast(sup.select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    l2 = base.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = base.where(F.col("late")).select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(100)
+    )
