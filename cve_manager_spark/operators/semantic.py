@@ -1,0 +1,126 @@
+"""Semantic (embedding-space) clustering for SemDeDup-style dedup.
+
+The operator the big text-dedup pipelines run AFTER lexical MinHash:
+cluster the corpus's embeddings with k-means, then look for near-
+duplicates only WITHIN a cluster — the cluster assignment replaces the
+all-pairs cosine join with k tractable self-joins (SemDeDup,
+arXiv:2303.09540; the reference engine has no embedding operators at
+all — cve_manager.py stores plain relational rows — so this family is
+part of the driver-mandated pipeline extension surface, not reference
+parity).
+
+Determinism contract (what makes this oracle-pairable when float
+k-means never is): all arithmetic happens on integer-QUANTIZED
+embeddings — ``q[i] = floor(x[i] * 1e6)`` as BIGINT — so distances,
+argmins and centroid updates are exact integer math with no
+accumulation-order drift, and DuckDB reproduces them bit-for-bit:
+
+- init: the k lowest-``id`` vectors are the seed centroids (no RNG);
+- assignment: argmin over squared L2 distance, ties to the lowest
+  cluster id (``array_min`` over (dist, cid) structs — struct ordering
+  IS the tie-break);
+- update: per-dimension ``floor(sum/count)`` — the division happens in
+  double but |sum| ≤ n·2e6 is exactly representable and the quotient is
+  never within 1/count of an integer unless exact, so the floor is
+  engine-identical;
+- empty clusters keep their previous centroid.
+
+Scale shape (100 TB): assignment is MAP-SIDE ONLY — centroids travel as
+k·d literals (k ≤ ~1e3) or, past that, as a broadcast matrix into the
+pandas GEMM kernel used by operators.similarity.ivf_index — and the
+update is one hash aggregate producing k·d rows. Per iteration the
+driver touches exactly k·d scalars (the new centroids — same contract
+as pyspark.ml KMeans), never data rows. Lloyd's is 2 fixed iterations
+here so the oracle can unroll it; production tuning raises ``iters``
+without changing any shuffle shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1_000_000
+
+
+def quantize_vec(vec: Column, scale: int = QUANT_SCALE) -> Column:
+    """float array → exact BIGINT array: floor(x * scale)."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def dot_self(q: Column) -> Column:
+    """Exact <q, q> as BIGINT (|x| ≤ 2e6, d = 64 → fits long)."""
+    return F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+
+
+def dot_lit(q: Column, cvec: list[int]) -> Column:
+    """Exact <q, c> against a driver-side centroid literal."""
+    arr = F.array(*[F.lit(int(v)) for v in cvec])
+    return F.aggregate(
+        F.zip_with(q, arr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(qdf: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Nearest-centroid assignment, map-side only.
+
+    ``qdf`` carries (id, q, qq); returns it plus (cluster, dist_q).
+    dist = qq − 2<q,c> + <c,c>; the per-row argmin is an in-row
+    ``array_min`` over (dist, cid) structs so the tie-break (lowest cid)
+    is part of the ordering, not a separate pass.
+    """
+    structs = []
+    for cid, c in enumerate(cents):
+        cc = sum(v * v for v in c)
+        dist = F.col("qq") - 2 * dot_lit(F.col("q"), c) + F.lit(cc)
+        structs.append(
+            F.struct(dist.alias("dist"), F.lit(cid).cast("int").alias("cid"))
+        )
+    best = F.array_min(F.array(*structs))
+    return qdf.withColumn("cluster", best["cid"]).withColumn("dist_q", best["dist"])
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's over quantized embeddings.
+
+    Returns (id, q, qq, cluster, dist_q) — the final assignment with the
+    quantized vectors still attached so downstream near-dup joins reuse
+    them without a re-scan.
+    """
+    from pyspark import StorageLevel
+
+    q = (
+        df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("q"))
+        .withColumn("qq", dot_self(F.col("q")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # seed: the k lowest-id vectors (k·d scalars to the driver, no RNG)
+    cents = [r["q"] for r in q.orderBy(id_col).limit(k).collect()]
+    for _ in range(iters):
+        a = assign_clusters(q, cents)
+        upd = (
+            a.select("cluster", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("ps"))
+            .collect()
+        )
+        new = {r["cluster"]: [int(p["cv"]) for p in r["ps"]] for r in upd}
+        # an emptied cluster keeps its previous centroid
+        cents = [new.get(cid, cents[cid]) for cid in range(k)]
+    return assign_clusters(q, cents)

@@ -1,0 +1,275 @@
+"""SemDeDup-style semantic dedup queries (cluster-then-compare).
+
+Three stages of the pipeline, each oracle-paired (the float-free
+quantization contract in operators/semantic.py is what makes a k-means
+differential possible at all — every distance, argmin, centroid update
+and cosine test is exact integer arithmetic both engines reproduce
+bit-for-bit):
+
+- ``embedding_kmeans``   — the deterministic Lloyd's assignment itself;
+- ``semantic_dedup``     — near-dup pairs WITHIN clusters (the SemDeDup
+                            prune: k small self-joins instead of one
+                            all-pairs cosine join);
+- ``semantic_dedup_keep`` — the keep/drop roll-up per cluster (greedy
+                            keep-lowest-id, the usual SemDeDup policy).
+
+The cosine threshold τ = 0.35 matches dedup_embedding's LSH pipeline so
+the two near-dup paths are comparable; the test cos(a,b) ≥ τ is
+cross-multiplied to 400·dot² ≥ 49·|a|²·|b|² (0.35² = 49/400 exactly)
+over 128-bit integers — no sqrt, no division, no floats.
+
+At 100 TB: the only data-sized shuffles are the k·d-row centroid update
+per iteration and the cluster-keyed self-join whose per-cluster size is
+controlled by choosing k ∝ corpus/target-cluster-size (SemDeDup uses
+~11k clusters for LAION-scale); with k far below the partition count
+the cluster key is deliberately low-cardinality, which AQE's skew-join
+splitting handles (same hatch as operators/skew.py documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cve_manager_spark.operators.semantic import kmeans_quantized
+from cve_manager_spark.plans.spec import QuerySpec
+from cve_manager_spark.sources.testdata import load_table
+
+SPECS: list[QuerySpec] = []
+
+
+def _register(name, oracle, doc="", tags=(), priority: int = 6):
+    def deco(fn):
+        SPECS.append(
+            QuerySpec(
+                name=name,
+                build=fn,
+                oracle=oracle,
+                doc=doc or (fn.__doc__ or ""),
+                tags=tags,
+                priority=priority,
+            )
+        )
+        return fn
+
+    return deco
+
+
+# Shared oracle prefix: quantize → seed on the 8 lowest vec_ids → two
+# unrolled Lloyd iterations. list_dot_product runs in double but every
+# operand is an exact integer ≤ 2.6e14 ≪ 2^53, so the BIGINT cast is
+# exact; floor(sum/count) matches Spark's update (see operators/semantic
+# module docstring for the boundary argument).
+_KMEANS_CTE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, q AS c
+  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)
+), d1 AS (
+  SELECT vec_id, q, cid,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+            - 2 * list_dot_product(CAST(q AS DOUBLE[]), CAST(c AS DOUBLE[]))
+            + list_dot_product(CAST(c AS DOUBLE[]), CAST(c AS DOUBLE[])) AS BIGINT)
+           AS dist
+  FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT vec_id, q, cid, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+), x1 AS (
+  SELECT cid, generate_subscripts(q, 1) AS pos, unnest(q) AS val FROM a1
+), u1 AS (
+  SELECT cid, pos,
+         CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM x1 GROUP BY cid, pos
+), c1 AS (
+  SELECT c0.cid, COALESCE(nc.c, c0.c) AS c
+  FROM c0 LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS c FROM u1 GROUP BY cid) nc
+    ON c0.cid = nc.cid
+), d2 AS (
+  SELECT vec_id, q, cid,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+            - 2 * list_dot_product(CAST(q AS DOUBLE[]), CAST(c AS DOUBLE[]))
+            + list_dot_product(CAST(c AS DOUBLE[]), CAST(c AS DOUBLE[])) AS BIGINT)
+           AS dist
+  FROM e CROSS JOIN c1
+), b2 AS (
+  SELECT vec_id, q, cid, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+), x2 AS (
+  SELECT cid, generate_subscripts(q, 1) AS pos, unnest(q) AS val FROM b2
+), u2 AS (
+  SELECT cid, pos,
+         CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM x2 GROUP BY cid, pos
+), c2 AS (
+  SELECT c1.cid, COALESCE(nc.c, c1.c) AS c
+  FROM c1 LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS c FROM u2 GROUP BY cid) nc
+    ON c1.cid = nc.cid
+), d3 AS (
+  SELECT vec_id, q, cid,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+            - 2 * list_dot_product(CAST(q AS DOUBLE[]), CAST(c AS DOUBLE[]))
+            + list_dot_product(CAST(c AS DOUBLE[]), CAST(c AS DOUBLE[])) AS BIGINT)
+           AS dist
+  FROM e CROSS JOIN c2
+), a2 AS (
+  SELECT vec_id, q, cid, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d3) WHERE rn = 1
+)
+"""
+
+_PAIRS_CTE = _KMEANS_CTE + """
+, n AS (
+  SELECT vec_id, q, cid,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+              AS BIGINT) AS qq
+  FROM a2
+), pairs AS (
+  SELECT a.cid AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[]))
+              AS BIGINT) AS dot_q,
+         a.qq AS na, b.qq AS nb
+  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+), dup AS (
+  SELECT cluster, vec_a, vec_b, dot_q FROM pairs
+  WHERE dot_q > 0
+    AND CAST(dot_q AS HUGEINT) * dot_q * 400
+        >= CAST(na AS HUGEINT) * nb * 49
+)
+"""
+
+
+_KMEANS_ORACLE = _KMEANS_CTE + """
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster, dist AS dist_q FROM a2
+"""
+
+
+@_register(
+    "embedding_kmeans",
+    _KMEANS_ORACLE,
+    doc="Deterministic k-means over the corpus embeddings (k=8, 2 Lloyd "
+    "iterations, quantized-integer metric — operators/semantic.py). "
+    "The clustering that powers SemDeDup and IVF indexing, made "
+    "oracle-pairable: seeds are the k lowest vec_ids, ties break to "
+    "the lowest cluster, updates floor(sum/count), so DuckDB unrolls "
+    "the same two iterations and matches every assignment exactly. "
+    "Assignment is map-side (centroid literals), the update is one "
+    "k·d-row hash aggregate, and the driver only ever sees k·d "
+    "centroid scalars per iteration — the pyspark.ml KMeans contract, "
+    "with the RNG and float drift removed.",
+)
+def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    out = kmeans_quantized(emb, vec_col="embedding", id_col="vec_id", k=8, iters=2)
+    return out.select("vec_id", "cluster", "dist_q")
+
+
+_DEDUP_ORACLE = _PAIRS_CTE + """
+SELECT cluster, vec_a, vec_b, dot_q FROM dup
+"""
+
+
+@_register(
+    "semantic_dedup",
+    _DEDUP_ORACLE,
+    doc="SemDeDup near-duplicate pairs: cosine ≥ 0.35 tested ONLY within "
+    "a k-means cluster — the cluster assignment replaces the O(n²) "
+    "all-pairs cosine join with k self-joins whose size is controlled "
+    "by k (SemDeDup, arXiv:2303.09540). The cosine test is exact: "
+    "400·dot² ≥ 49·|a|²·|b|² over 128-bit ints (Spark DECIMAL(38,0), "
+    "DuckDB HUGEINT), dot > 0 guards the square. Same τ as "
+    "dedup_embedding's hyperplane-LSH path, so the two near-dup "
+    "strategies are directly comparable on the same table. The "
+    "self-join shuffles on the low-cardinality cluster key — the "
+    "documented AQE-skew-split case.",
+)
+def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    a = kmeans_quantized(emb, vec_col="embedding", id_col="vec_id", k=8, iters=2)
+    return _dup_pairs(a)
+
+
+def _dup_pairs(a: DataFrame) -> DataFrame:
+    left = a.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("qq").alias("na"),
+    )
+    right = a.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("qq").alias("nb"),
+    )
+    p = left.join(
+        right,
+        (F.col("cluster") == F.col("cluster_b")) & (F.col("vec_a") < F.col("vec_b")),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    p = p.withColumn("dot_q", dot)
+    d19 = F.col("dot_q").cast("decimal(19,0)")
+    lhs = d19 * d19 * F.lit(400)
+    rhs = F.col("na").cast("decimal(19,0)") * F.col("nb").cast("decimal(19,0)") * F.lit(49)
+    return (
+        p.where((F.col("dot_q") > 0) & (lhs >= rhs))
+        .select("cluster", "vec_a", "vec_b", "dot_q")
+    )
+
+
+_KEEP_ORACLE = _PAIRS_CTE + """
+, dropped AS (
+  SELECT DISTINCT cluster, vec_b FROM dup
+)
+SELECT a2.cid AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(dropped.vec_b) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(dropped.vec_b) AS BIGINT) AS n_kept
+FROM a2 LEFT JOIN dropped
+  ON a2.cid = dropped.cluster AND a2.vec_id = dropped.vec_b
+GROUP BY a2.cid
+"""
+
+
+@_register(
+    "semantic_dedup_keep",
+    _KEEP_ORACLE,
+    doc="SemDeDup keep/drop roll-up: greedy keep-lowest-id — a vector is "
+    "dropped iff some lower-id cluster-mate sits within the cosine "
+    "threshold (i.e. it appears as vec_b in at least one dup pair). "
+    "Per cluster: members, dropped, kept — the dedup-rate report that "
+    "decides whether the threshold/k choice is pruning anything "
+    "before the expensive corpus rewrite runs. One distinct-project "
+    "of the pair relation and a left anti-style join back to the "
+    "assignment.",
+)
+def semantic_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    a = kmeans_quantized(emb, vec_col="embedding", id_col="vec_id", k=8, iters=2)
+    dropped = (
+        _dup_pairs(a)
+        .select(F.col("cluster").alias("dc"), F.col("vec_b").alias("db"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    j = a.select("cluster", "vec_id").join(
+        dropped,
+        (F.col("cluster") == F.col("dc")) & (F.col("vec_id") == F.col("db")),
+        "left",
+    )
+    return j.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.count("is_dropped").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+    )
