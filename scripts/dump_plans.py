@@ -44,13 +44,12 @@ FLAGSHIP = {
     "median_exact": "per-(flag, value) count hash-agg + in-row rank-select fold — zero Window/Sort nodes",
     "value_mad": "two rank-selection passes whose windows sort the aggregated histogram (bounded by the milli-grid), never raw events",
     "join_salted": "salted fact join: deterministic xxhash64 salt on the fact side, dim replicated buckets-wide; shuffle key is (orderkey, salt)",
-    "shingle_containment": "asymmetric containment: shingle-hash equi-join buckets, integer counts, no nested loop",
     "winsorize_stats": "p05/p95 + clipped sum all from the (type, milli-value) histogram — one data-sized shuffle of triples",
     "sessionize_stats": "gap sessionization: every window and the session aggregate share one user-keyed exchange",
     "vocab_coverage": "rank window and coverage aggregate both over the vocabulary-sized count relation",
     "sql_tpch_q1": "raw ANSI SQL through spark.sql — Catalyst plans the same partial+final hash aggregate as the DataFrame twin",
     "triangle_count": "r5: per-order pairs via in-row HOF (no self-join); exploded adjacency joins adj once; degree-ordered intersect — wedges never materialized",
-    "shingle_containment": "r5: df ≤ 10% stop-shingle cap ahead of the pair join (oracle-mirrored) — hot-bucket blowup bounded at (0.1N)²",
+    "shingle_containment": "asymmetric containment via shingle-hash equi-join buckets; r5: df ≤ 10% stop-shingle cap ahead of the pair join (oracle-mirrored) — hot-bucket blowup bounded at (0.1N)²",
     "sql_tpch_q3": "3-way star + top-10: filtered customer broadcast, both date filters pushed, TakeOrderedAndProject (no global sort)",
     "sql_tpch_q5": "6-way join with non-key equality (c_nationkey=s_nationkey): region filter pruned through the broadcast chain before the fact join",
     "sql_tpch_q6": "joinless scan-filter-aggregate: all predicates pushed, 4 of 11 lineitem columns read",
@@ -66,6 +65,13 @@ FLAGSHIP = {
     "orders_pareto": "all three windows share one priority-keyed exchange over the pre-aggregated spend relation",
     "dedup_cascade_funnel": "4 distinct-counts in ONE scan (Expand), stack unpivot on the single aggregate row",
     "stop_shingle_report": "map-side partial count on the shingle; broadcast doc total; TakeOrderedAndProject top-50",
+    "sql_tpch_q2": "correlated MIN decorrelated: per-part MIN aggregate joined back on the part key (acctbal equality as residual); supplier chain broadcast; TakeOrderedAndProject",
+    "sql_tpch_q9": "5-way fact-through-dims with LIKE-pruned part broadcast; profit legs split into exact decimal revenue + integer-cents cost",
+    "sql_tpch_q13": "LEFT OUTER with the filter inside the join condition (zero-order customers preserved); two chained hash aggregates",
+    "sql_tpch_q17": "correlated AVG decorrelated to a per-part (count,sum) aggregate broadcast back; cross-multiplied integer predicate as join residual",
+    "sql_tpch_q21": "EXISTS and NOT EXISTS as LEFT SEMI + LEFT ANTI against one shared base relation; nation broadcast into the supplier probe",
+    "embedding_kmeans": "map-side assignment against centroid literals (no join); update = one k·d-row hash aggregate; driver sees k·d scalars per iteration",
+    "semantic_dedup": "SemDeDup: pair join is an equi-join on the k-means cluster id; cosine test as 128-bit integer residual — no all-pairs nested loop",
 }
 
 

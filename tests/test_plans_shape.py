@@ -543,3 +543,60 @@ def test_tokenizer_fertility_never_explodes(spark):
     plan = plan_of(spark, "tokenizer_fertility")
     assert "Generate" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q21_composes_semi_and_anti(spark):
+    """Q21's EXISTS/NOT EXISTS pair must survive as one LEFT SEMI and one
+    LEFT ANTI against the shared base relation — rewriting either as an
+    inner join + distinct (or letting the <> conjunct degrade the join
+    to a nested loop) multiplies every late line by its order's line
+    count."""
+    plan = plan_of(spark, "sql_tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q17_decorrelates_to_aggregate_joinback(spark):
+    """Q17's correlated AVG must run as a per-part aggregate joined back
+    to the fact on the part key (broadcast at this dim size) — the
+    cross-multiplied integer predicate keeps the filter an equi-join
+    residual, never a per-row subquery."""
+    plan = plan_of(spark, "sql_tpch_q17")
+    assert plan.count("HashAggregate") >= 4  # partial+final × (per-part, final)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q2_min_joinback_is_equi(spark):
+    """Q2's correlated MIN decorrelates to a per-part MIN aggregate whose
+    join-back rides the part-key equi-join (the acctbal equality is a
+    residual) — and the supplier/nation/region chain broadcasts."""
+    plan = plan_of(spark, "sql_tpch_q2")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q13_left_join_preserves_zero_customers(spark):
+    """Q13 must keep the outer join (zero-order customers are the point)
+    and aggregate twice: per-customer counts, then the tiny histogram."""
+    plan = plan_of(spark, "sql_tpch_q13")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 3
+
+
+def test_semantic_dedup_joins_only_within_cluster(spark):
+    """SemDeDup's pair step must be an equi-join on the cluster id (the
+    vec_a < vec_b order and the cosine test ride as residuals) — an
+    all-pairs nested loop is exactly what the clustering exists to
+    avoid."""
+    plan = plan_of(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_kmeans_update_is_mapside_assign(spark):
+    """The k-means assignment carries centroids as literals: no join at
+    all in the final assignment plan — one scan, in-row argmin."""
+    plan = plan_of(spark, "embedding_kmeans")
+    assert "Join" not in plan.replace("zip_with", "")  # no join operators
