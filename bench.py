@@ -79,6 +79,13 @@ HEADLINE = [
     "minhash_band_stats",
     "events_burst_minutes",
     "graph_degree_assortativity",
+    # r5b: TPC-H completion headliners (the three shapes the optimizer can
+    # get catastrophically wrong — q9 dual-measure 5-way join, q13 outer-join
+    # histogram, q21 semi+anti composition) and the semantic-dedup pipeline
+    "sql_tpch_q9",
+    "sql_tpch_q13",
+    "sql_tpch_q21",
+    "semantic_dedup",
 ]
 
 

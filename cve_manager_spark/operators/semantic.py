@@ -56,8 +56,13 @@ def dot_self(q: Column) -> Column:
 
 
 def dot_lit(q: Column, cvec: list[int]) -> Column:
-    """Exact <q, c> against a driver-side centroid literal."""
-    arr = F.array(*[F.lit(int(v)) for v in cvec])
+    """Exact <q, c> against a driver-side centroid literal.
+
+    ``F.lit(list)`` ships the centroid as ONE array literal node — the
+    per-element ``F.array(*[F.lit(v) ...])`` form puts k·d literal nodes
+    in the tree and the analysis/codegen time of that tree dominated the
+    whole query at small scale (measured: ~40% of embedding_kmeans)."""
+    arr = F.lit([int(v) for v in cvec])
     return F.aggregate(
         F.zip_with(q, arr, lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -99,8 +104,14 @@ def kmeans_quantized(
     """
     from pyspark import StorageLevel
 
+    from cve_manager_spark.functions.helpers import fan_out
+
+    # fan_out: a small embeddings parquet scans as ONE partition, and the
+    # per-row work here (k×d higher-order exprs per assignment) is exactly
+    # the compute-heavy narrow shape that must not run single-threaded;
+    # no-op at real scale where the input carries enough partitions.
     q = (
-        df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("q"))
+        fan_out(df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("q")))
         .withColumn("qq", dot_self(F.col("q")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

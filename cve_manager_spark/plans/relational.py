@@ -644,6 +644,40 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "agg_hll_mergeable",
+    None,
+    doc="X3 scale path made explicit: Apache DataSketches HLL with the "
+    "MERGE step in the query — per-event-type sketches union into the "
+    "global cardinality WITHOUT re-touching rows. This is the sketch "
+    "property that matters at 100 TB: shard/partition/day-grain "
+    "sketches are tiny (2^lgk registers), persistable, and re-"
+    "aggregable along any rollup, so 'distinct users per X' for every "
+    "X costs one fact pass total. Output carries the merged estimate, "
+    "the direct single-pass estimate, and the exact count; "
+    "tests/test_sketches.py pins merged == direct (HLL union is "
+    "lossless at equal lgConfigK — register-wise max) and the ±5% "
+    "accuracy envelope vs exact. Rows-only: estimates are library-"
+    "specific by design; exactness is agg_distinct's job.",
+)
+def agg_hll_mergeable(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    shard = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return merged.crossJoin(direct).select(
+        "est_merged",
+        "est_direct",
+        "exact_users",
+        (F.col("est_merged") == F.col("est_direct")).alias("merge_lossless"),
+    )
+
+
+@_register(
     "window_ntile",
     "SELECT o_orderkey, o_orderpriority, o_totalprice, "
     "NTILE(4) OVER (PARTITION BY o_orderpriority "

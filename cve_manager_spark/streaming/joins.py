@@ -50,3 +50,46 @@ def clicks_before_purchase(
     return p.join(c, cond, "inner").select(
         "purchase_id", "user_id", "p_ts", "click_id", "c_ts"
     )
+
+
+def clicks_attribution_outer(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER variant: every purchase, attributed clicks or not.
+
+    The outer side is the semantics inner joins can't give — "purchases
+    with NO preceding click" is the conversion-funnel denominator — and
+    in streaming it is watermark-DRIVEN: a purchase's null row can only
+    emit once the click watermark passes p_ts, because until then a
+    matching click may still arrive. State cost is identical to the
+    inner join (both sides buffered for lookback + watermark); the
+    difference is purely emission timing, pinned by the differential in
+    tests/test_streaming.py: matched rows equal the batch join
+    everywhere, null rows appear exactly for purchases the watermark
+    has finalized.
+    """
+    p = purchases.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if c.isStreaming:
+        c = c.withWatermark("c_ts", watermark)
+    cond = (
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr(f"INTERVAL {lookback}"))
+        & (c.c_ts <= p.p_ts)
+    )
+    return p.join(c, cond, "left_outer").select(
+        "purchase_id", "user_id", "p_ts", "click_id", "c_ts"
+    )

@@ -430,3 +430,73 @@ def test_burst_monitor_restart_from_checkpoint_no_dup_no_loss(spark, tmp_path):
 
     assert got == want
     assert len(got) > phase_a  # late half finalized minutes phase A held open
+
+
+def test_stream_stream_outer_join_nulls_finalize_on_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched rows equal the batch join
+    exactly; null rows (purchases with no trailing click) are emitted
+    once the watermark passes them — driven here by a far-future
+    sentinel event in a second file, so every real purchase finalizes
+    inside one availableNow pass (file order = event-time order makes
+    the watermark advance between micro-batches)."""
+    from cve_manager_spark.streaming.joins import clicks_attribution_outer
+
+    src_dir = str(tmp_path / "events_outer")
+    ev_raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ev_raw.write.parquet(src_dir)
+    # sentinel: one far-future non-purchase, non-click event in its own
+    # file; written in whatever unit the source dir already uses
+    delta = (
+        48 * 3600 * 1000 * 1000 * 1000
+        if dict(ev_raw.dtypes)["ts"] == "bigint"
+        else F.expr("INTERVAL 48 HOURS")
+    )
+    # Two sentinel files, each carrying a far-future purchase AND click on
+    # fresh users (they can't match any real row, or each other). The
+    # event-type filters sit BELOW the watermark nodes, so only rows that
+    # survive them advance the watermark — a neutral 'view' sentinel would
+    # be invisible. Two files because a batch's watermark applies from the
+    # next batch on: sentinel2's batch is what evicts (and emits) the
+    # purchases adjacent to sentinel1.
+    top = ev_raw.orderBy(F.col("ts").desc()).limit(1)
+    for i in (1, 2):
+        for etype, uid in (("purchase", 999_998), ("click", 999_999)):
+            (
+                top.withColumn("ts", F.col("ts") + delta * i)
+                .withColumn("event_type", F.lit(etype))
+                .withColumn("user_id", F.lit(uid).cast("long"))
+                .withColumn(
+                    "event_id",
+                    F.lit(999_999_900 + 10 * i + (1 if etype == "click" else 0)),
+                )
+                .write.mode("append")
+                .parquet(src_dir)
+            )
+
+    joined = clicks_attribution_outer(
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+        read_events_stream(spark, src_dir, max_files_per_trigger=1),
+    )
+    assert joined.isStreaming
+    run_to_memory(joined, "t_ssjoin_outer")
+    got = spark.table("t_ssjoin_outer")
+
+    ev = load_table(spark, SF_SMALL, "events")
+    want = clicks_attribution_outer(ev, ev)
+    cols = ["purchase_id", "user_id", "p_ts", "click_id", "c_ts"]
+
+    # sentinels excluded: the batch reference never saw them
+    got = got.where(F.col("purchase_id") < 999_999_900)
+
+    # matched rows: identical everywhere (emitted on arrival, no
+    # watermark dependence)
+    got_m = got.where(F.col("click_id").isNotNull())
+    want_m = want.where(F.col("click_id").isNotNull())
+    assert _sorted_rows(got_m, cols) == _sorted_rows(want_m, cols)
+
+    # null rows: with the watermark pushed 48h past the real data, every
+    # real purchase has finalized — the null sets must match exactly
+    got_n = {r["purchase_id"] for r in got.where(F.col("click_id").isNull()).collect()}
+    want_n = {r["purchase_id"] for r in want.where(F.col("click_id").isNull()).collect()}
+    assert got_n == want_n
+    assert got_n, "no null rows emitted at all"
