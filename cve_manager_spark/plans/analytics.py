@@ -2390,3 +2390,167 @@ def sql_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 QC tranche: corpus-hygiene reports that close the loop between
+# the dedup operators and the decisions made on their output.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+           ELSE [] END) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+), first AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM ex GROUP BY shingle
+)
+SELECT ex.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) FILTER (first.first_doc = ex.doc_id) AS BIGINT) AS n_novel,
+       CAST(COUNT(*) FILTER (first.first_doc = ex.doc_id) * 1000000
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM ex JOIN first USING (shingle)
+GROUP BY ex.doc_id
+"""
+
+
+@_register(
+    "shingle_novelty",
+    _NOVELTY_ORACLE,
+    doc="Incremental-dedup preview: per document (in doc_id ingest order), "
+    "the fraction of its word-3-gram shingles appearing for the FIRST "
+    "time — the marginal-novelty curve that decides when a crawl "
+    "source has been exhausted (novelty_ppm trending to zero = the "
+    "source is repeating itself). First-seen is MIN(doc_id) per "
+    "shingle — one shingle-keyed hash aggregate — joined back to the "
+    "exploded relation on the same key, so both sides share one "
+    "exchange layout; the per-doc rollup is exact integer ppm. Same "
+    "shingle definition (operators/dedup.word_shingles, one codegen "
+    "regex pass) as the containment/Jaccard family, so the novelty "
+    "report prices exactly the shingles those operators would join on.",
+    priority=6,
+)
+def shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.dedup import word_shingles
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first, "shingle")
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    g = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        novel.alias("n_novel"),
+    )
+    return g.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr("n_novel * 1000000 div n_shingles").alias("novelty_ppm"),
+    )
+
+
+_DUP_HIST_ORACLE = """
+WITH g AS (
+  SELECT sha256(text) AS d, COUNT(*) AS n FROM documents GROUP BY 1
+)
+SELECT CAST(n AS BIGINT) AS dup_count,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(n * COUNT(*) AS BIGINT) AS n_docs
+FROM g GROUP BY n
+"""
+
+
+@_register(
+    "dup_cluster_size_hist",
+    _DUP_HIST_ORACLE,
+    doc="Exact-duplicate multiplicity histogram: how many content groups "
+    "appear once, twice, k times — the shape that distinguishes a "
+    "mirrored-site corpus (few huge groups) from boilerplate spread "
+    "(many small ones) and prices what dedup_exact will delete. Two "
+    "chained hash aggregates: the digest group-by is the only "
+    "data-sized shuffle (and ships 32-byte digests, not text); the "
+    "count-of-counts input is one row per distinct document.",
+    priority=6,
+)
+def dup_cluster_size_hist(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    g = docs.groupBy(F.sha2(F.col("text"), 256).alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.groupBy(F.col("n").alias("dup_count")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.col("dup_count") * F.count(F.lit(1))).alias("n_docs"),
+    )
+
+
+_PII_DENSITY_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(regexp_extract_all(text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+'))) AS BIGINT) AS n_emails,
+       CAST(SUM(len(regexp_extract_all(text, '[0-9]{4,}'))) AS BIGINT)
+         AS n_digit_runs,
+       CAST(SUM(len(regexp_extract_all(text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+'))) * 1000000
+            // SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> ''))) AS BIGINT) AS email_ppm,
+       CAST(SUM(len(regexp_extract_all(text, '[0-9]{4,}'))) * 1000000
+            // SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> ''))) AS BIGINT) AS digit_ppm
+FROM documents GROUP BY source
+"""
+
+
+@_register(
+    "pii_density_by_source",
+    _PII_DENSITY_ORACLE,
+    doc="PII exposure report: emails and long digit runs per million "
+    "tokens, by source — the audit that decides which sources need "
+    "text_pii_mask before release, using the SAME regexes the masker "
+    "applies (so the report predicts exactly what masking will touch). "
+    "All counts are in-row size(regexp_extract_all) expressions over "
+    "one scan — the corpus never explodes — and one hash aggregate on "
+    "the tiny source key; ratios are exact integer ppm.",
+    priority=6,
+)
+def pii_density_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import token_count_ws
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    n_email = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), F.lit(0)
+        )
+    )
+    n_digit = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]{4,}"), F.lit(0))
+    )
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(F.lower(F.col("text"))).cast("long")).alias("n_tokens"),
+        F.sum(n_email.cast("long")).alias("n_emails"),
+        F.sum(n_digit.cast("long")).alias("n_digit_runs"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_emails",
+        "n_digit_runs",
+        F.expr("n_emails * 1000000 div n_tokens").alias("email_ppm"),
+        F.expr("n_digit_runs * 1000000 div n_tokens").alias("digit_ppm"),
+    )
