@@ -77,15 +77,37 @@ def assign_clusters(qdf: DataFrame, cents: list[list[int]]) -> DataFrame:
     dist = qq − 2<q,c> + <c,c>; the per-row argmin is an in-row
     ``array_min`` over (dist, cid) structs so the tie-break (lowest cid)
     is part of the ordering, not a separate pass.
+
+    The k centroids travel as ONE 2-D array literal walked by an indexed
+    ``transform`` — the expression tree is O(1) in k, not O(k). The
+    previous shape (k independent fold expressions, each embedding its
+    own d-element literal) made analysis + whole-stage codegen scale with
+    k·d and dominated semantic_dedup's wall time at small scale; it also
+    caps how far k can grow before the generated method exceeds the JIT
+    limit. Integer math is unchanged: same products, same fold order,
+    same struct ordering for the tie-break.
     """
-    structs = []
-    for cid, c in enumerate(cents):
-        cc = sum(v * v for v in c)
-        dist = F.col("qq") - 2 * dot_lit(F.col("q"), c) + F.lit(cc)
-        structs.append(
-            F.struct(dist.alias("dist"), F.lit(cid).cast("int").alias("cid"))
-        )
-    best = F.array_min(F.array(*structs))
+    cents_lit = F.lit([[int(v) for v in c] for c in cents]).cast(
+        "array<array<bigint>>"
+    )
+    cc_lit = F.lit([sum(v * v for v in c) for c in cents]).cast("array<bigint>")
+    structs = F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            (
+                F.col("qq")
+                - 2
+                * F.aggregate(
+                    F.zip_with(F.col("q"), c, lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                + F.element_at(cc_lit, i + F.lit(1))
+            ).alias("dist"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+    best = F.array_min(structs)
     return qdf.withColumn("cluster", best["cid"]).withColumn("dist_q", best["dist"])
 
 
@@ -119,6 +141,10 @@ def kmeans_quantized(
     cents = [r["q"] for r in q.orderBy(id_col).limit(k).collect()]
     for _ in range(iters):
         a = assign_clusters(q, cents)
+        # one shuffle per iteration: collect at (cluster, pos) grain —
+        # k·d rows (≤ ~64k scalars at production k) — and assemble the
+        # centroid arrays driver-side; a second groupBy to build arrays
+        # in-engine adds a stage per iteration for no data reason
         upd = (
             a.select("cluster", F.posexplode("q").alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -127,11 +153,19 @@ def kmeans_quantized(
                 .cast("long")
                 .alias("cv")
             )
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("ps"))
             .collect()
         )
-        new = {r["cluster"]: [int(p["cv"]) for p in r["ps"]] for r in upd}
+        new: dict[int, dict[int, int]] = {}
+        for r in upd:
+            new.setdefault(r["cluster"], {})[r["pos"]] = int(r["cv"])
         # an emptied cluster keeps its previous centroid
-        cents = [new.get(cid, cents[cid]) for cid in range(k)]
-    return assign_clusters(q, cents)
+        cents = [
+            [new[cid][p] for p in range(len(cents[cid]))] if cid in new else cents[cid]
+            for cid in range(k)
+        ]
+    # Persist the FINAL assignment: every consumer of this operator feeds
+    # it into a self-join (semantic_dedup reads it on both sides,
+    # semantic_dedup_keep three times) and without a persist each branch
+    # re-runs the assignment map. Lazy — a single-use consumer pays one
+    # no-op cache fill, a self-join saves a full recompute per branch.
+    return assign_clusters(q, cents).persist(StorageLevel.MEMORY_AND_DISK)
