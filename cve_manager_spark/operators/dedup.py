@@ -67,6 +67,7 @@ def _hashed_shingle_relation(
     n: int,
     max_doc_freq_frac: float | None,
     persist_shingles: bool,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """(id, n_sh, shingle_h) relation shared by the pairwise set-similarity
     operators (`ngram_jaccard_pairs`, `containment_pairs`).
@@ -80,12 +81,15 @@ def _hashed_shingle_relation(
     stop-shingle cap — capped runs lose common-count numerator only, so
     similarity can only shrink (recall dial, never false positives).
     """
+    carry = [flag_col] if flag_col else []
     sh = fan_out(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+        F.col(id_col).alias("id"),
+        *carry,
+        word_shingles(F.col(text_col), n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
-    ex = sh.select("id", "n_sh", F.explode("shingles").alias("shingle")).select(
-        "id", "n_sh", F.xxhash64("shingle").alias("shingle_h")
-    )
+    ex = sh.select(
+        "id", *carry, "n_sh", F.explode("shingles").alias("shingle")
+    ).select("id", *carry, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
     if max_doc_freq_frac is not None:
         # Stop-shingle filter: shingle doc-frequencies vs a broadcast 1-row
         # corpus count (no driver-side scalar); the filter join is keyed on
@@ -215,6 +219,67 @@ def ngram_jaccard_pairs(
     )
     return common.select(
         "id_a", "id_b", jac.alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    persist_shingles: bool = True,
+    max_doc_freq_frac: float | None = None,
+) -> DataFrame:
+    """Cross-snapshot near-dup join: (id_new, id_old, jaccard ≥ threshold)
+    pairs of a NEW ingest batch against an EXISTING corpus snapshot —
+    the shape every recurring crawl runs (dedup the increment against
+    what's already kept, never re-pair the snapshot against itself).
+
+    Same hashed-shingle equi-join, size-ratio prune and stop-shingle cap
+    as `ngram_jaccard_pairs`, but the two relations are built in ONE pass
+    over the union tagged with a side flag, so the shingle scan, the
+    doc-frequency statistics and the exchange layout are shared: the cap
+    is computed over snapshot+batch together (a boilerplate shingle is
+    hot regardless of which side it lands on) and both join inputs are
+    partition-pruned slices of one shuffled relation. At snapshot scale
+    the old side's shingle index is the thing a production pipeline
+    would persist between ingests; `persist_shingles` is the local
+    analogue of reading it back.
+    """
+    tagged = new_df.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("__is_new")
+    ).unionByName(
+        old_df.select(
+            F.col(id_col), F.col(text_col), F.lit(False).alias("__is_new")
+        )
+    )
+    ex = _hashed_shingle_relation(
+        tagged, id_col, text_col, n, max_doc_freq_frac, persist_shingles,
+        flag_col="__is_new",
+    )
+    a = ex.where(F.col("__is_new")).select(
+        F.col("id").alias("id_new"), F.col("n_sh").alias("n_a"), "shingle_h"
+    )
+    b = ex.where(~F.col("__is_new")).select(
+        F.col("id").alias("id_old"), F.col("n_sh").alias("n_b"), "shingle_h"
+    )
+    common = (
+        a.join(
+            b,
+            (a.shingle_h == b.shingle_h)
+            & (F.col("n_a") * threshold <= F.col("n_b"))
+            & (F.col("n_b") * threshold <= F.col("n_a")),
+        )
+        .groupBy("id_new", "id_old", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return common.select(
+        "id_new", "id_old", jac.alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
 
 

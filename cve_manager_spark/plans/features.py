@@ -3587,3 +3587,110 @@ def part_type_share(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.expr("__num div __den").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 session tranche: cross-snapshot incremental dedup
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = """
+WITH newd AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1
+), old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+), exact AS (
+  SELECT DISTINCT n.doc_id FROM newd n
+  JOIN old o ON sha256(n.text) = sha256(o.text)
+), toks AS (
+  SELECT doc_id, (doc_id % 2 = 1) AS is_new,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_new,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+           ELSE [] END) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, is_new, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), cap AS (
+  SELECT shingle FROM ex GROUP BY shingle
+  HAVING COUNT(*) <= (SELECT COUNT(*) FROM documents) * 0.10
+), exc AS (
+  SELECT ex.* FROM ex JOIN cap USING (shingle)
+), pairs AS (
+  SELECT a.doc_id AS id_new
+  FROM exc a JOIN exc b
+    ON a.shingle = b.shingle AND a.is_new AND NOT b.is_new
+   AND a.n_sh * 0.5 <= b.n_sh AND b.n_sh * 0.5 <= a.n_sh
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.5
+), near AS (
+  SELECT DISTINCT id_new AS doc_id FROM pairs
+)
+SELECT n.source,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(COUNT(exact.doc_id) AS BIGINT) AS n_exact_dup,
+       CAST(COUNT(CASE WHEN exact.doc_id IS NULL AND near.doc_id IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_near_dup,
+       CAST(COUNT(CASE WHEN exact.doc_id IS NULL AND near.doc_id IS NULL
+                       THEN 1 END) AS BIGINT) AS n_kept
+FROM newd n
+LEFT JOIN exact ON n.doc_id = exact.doc_id
+LEFT JOIN near ON n.doc_id = near.doc_id
+GROUP BY n.source
+"""
+
+
+@_register(
+    "dedup_incremental",
+    _INCR_ORACLE,
+    doc="Cross-snapshot ingest dedup report: split the corpus into an "
+    "existing snapshot (even doc_id) and a new crawl batch (odd), then "
+    "classify every new document as exact-dup (32-byte digest matches a "
+    "snapshot digest — only digests cross that shuffle), near-dup "
+    "(word-3-gram Jaccard >= 0.5 against ANY snapshot doc via "
+    "operators/dedup.incremental_near_dups: one tagged shingle scan "
+    "over both sides, shared doc-frequency cap at 10%, size-ratio "
+    "prune, new-vs-old equi-join only — the snapshot is never "
+    "self-paired), or kept; rolled up per source. This is the shape a "
+    "recurring crawl runs every ingest: the increment pays "
+    "|new|x|snapshot| bucketed work, not |corpus|^2.",
+    priority=7,
+)
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators import dedup as D
+
+    docs = load_table(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    old_sha = old.select(D.content_digest(F.col("text")).alias("sha")).distinct()
+    exact = (
+        new.select("doc_id", D.content_digest(F.col("text")).alias("sha"))
+        .join(old_sha, "sha", "left_semi")
+        .select("doc_id")
+        .withColumn("__exact", F.lit(1))
+    )
+    near = (
+        D.incremental_near_dups(
+            new, old, n=3, threshold=0.5, max_doc_freq_frac=0.10
+        )
+        .select(F.col("id_new").alias("doc_id"))
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+    j = (
+        new.select("doc_id", "source")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.count("__exact").alias("n_exact_dup"),
+        F.count(
+            F.when(F.col("__exact").isNull() & F.col("__near").isNotNull(), 1)
+        ).alias("n_near_dup"),
+        F.count(
+            F.when(F.col("__exact").isNull() & F.col("__near").isNull(), 1)
+        ).alias("n_kept"),
+    )

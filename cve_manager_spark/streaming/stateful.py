@@ -202,3 +202,84 @@ def finalized_burst_minutes(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 state-v2 API): streaming ingest dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_OUTPUT_SCHEMA = "content_sha string, keep_id bigint"
+
+# One day of processing-time TTL: at ingest scale the digest state would
+# otherwise grow monotonically with corpus size; a TTL turns the operator
+# into "dedup against the trailing window the state store can hold" —
+# the standard trade for infinite streams. Tests use a single
+# availableNow pass, well inside any TTL, so the differential is exact.
+DEDUP_TTL_MS = 24 * 3600 * 1000
+
+
+class FirstSeenDedup:
+    """StatefulProcessor: emit each content digest's FIRST document only.
+
+    The transformWithState (state v2) face of `dedup_exact`: keyed by
+    content digest, a ValueState cell remembers the kept doc_id; later
+    arrivals of the same digest emit nothing. Within one micro-batch the
+    kept id is min(doc_id) — deterministic under any Arrow chunking of
+    the group — so a single availableNow pass over a static corpus
+    emits exactly the batch `exact_dedup` keep set. State is per-key in
+    the RocksDB state store (transformWithState requires that provider):
+    checkpointed, partitioned with the digest shuffle, evicted by TTL —
+    the three properties that let the operator run unbounded at ingest
+    scale.
+
+    Class is defined WITHOUT the StatefulProcessor base so importing this
+    module never hard-depends on the state-v2 API; `streaming_dedup`
+    asserts the ABC contract at call time (duck-typed: the executor only
+    calls init/handleInputRows/close).
+    """
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._seen = handle.getValueState(
+            "seen", "keep_id bigint", ttlDurationMs=DEDUP_TTL_MS
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        best = None
+        for pdf in rows:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None or m < best else best
+        if best is None or self._seen.exists():
+            yield pd.DataFrame({"content_sha": [], "keep_id": []})
+        else:
+            self._seen.update((best,))
+            yield pd.DataFrame({"content_sha": [key[0]], "keep_id": [best]})
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_dedup(docs: DataFrame) -> DataFrame:
+    """First-seen exact dedup over a document stream.
+
+    ``docs`` needs (doc_id, text); the digest is computed in-plan
+    (JVM-side sha256, same expression as operators/dedup.content_digest)
+    so the shuffle key exists before the Python boundary and the state
+    partitioning follows it.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # register the ABC relationship lazily (see class docstring)
+    if not issubclass(FirstSeenDedup, StatefulProcessor):
+        StatefulProcessor.register(FirstSeenDedup)
+
+    keyed = docs.select(
+        F.sha2(F.col("text"), 256).alias("content_sha"), F.col("doc_id")
+    ).groupBy("content_sha")
+    return keyed.transformWithStateInPandas(
+        statefulProcessor=FirstSeenDedup(),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="ProcessingTime",
+    )

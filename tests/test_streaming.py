@@ -500,3 +500,74 @@ def test_stream_stream_outer_join_nulls_finalize_on_watermark(spark, tmp_path):
     want_n = {r["purchase_id"] for r in want.where(F.col("click_id").isNull()).collect()}
     assert got_n == want_n
     assert got_n, "no null rows emitted at all"
+
+
+def test_transform_with_state_dedup_equals_batch(spark, tmp_path):
+    """transformWithStateInPandas (state v2) first-seen dedup: a single
+    availableNow pass over the static documents corpus emits exactly the
+    batch exact_dedup keep set (content_sha, keep_id=min doc_id).
+    Requires the RocksDB state store provider — set for this query and
+    restored after — and the state-v2 Python protocol's protobuf
+    dependency (absent in this sandbox: the operator is env-gated the
+    same way as the Postgres COPY sink; applyInPandasWithState covers
+    the exercised stateful path)."""
+    import shutil
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+
+    from cve_manager_spark.operators.dedup import exact_dedup
+    from cve_manager_spark.streaming.stateful import streaming_dedup
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_SMALL}/documents.parquet", d / "documents.parquet")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).parquet(str(d))
+        out = streaming_dedup(stream)
+        assert out.isStreaming
+        run_to_memory(out, "t_tws_dedup")
+        got = spark.table("t_tws_dedup")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    want = exact_dedup(docs).select("content_sha", "keep_id")
+    cols = ["content_sha", "keep_id"]
+    assert got.count() > 0
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_transform_with_state_dedup_constructs(spark, tmp_path):
+    """The state-v2 dedup plan must ANALYZE without the protobuf runtime:
+    schema, grouping key and output struct are validated at construction,
+    so plumbing regressions surface even where the executor dependency is
+    absent."""
+    import shutil
+
+    from cve_manager_spark.streaming.stateful import streaming_dedup
+
+    d = tmp_path / "docs_stream_c"
+    d.mkdir()
+    shutil.copy(f"{SF_SMALL}/documents.parquet", d / "documents.parquet")
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).parquet(str(d))
+    out = streaming_dedup(stream)
+    assert out.isStreaming
+    assert dict(out.dtypes) == {"content_sha": "string", "keep_id": "bigint"}
