@@ -227,3 +227,31 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_dedup_cap_bounds_hot_key_blowup(spark):
+    """Cross-snapshot flavor of the boilerplate blowup: every new-batch
+    doc shares the hot opening shingles with every snapshot doc, so the
+    uncapped new-vs-old join is |new|x|old| on one shuffle key. The
+    shared doc-frequency cap (computed over snapshot+batch together)
+    kills it; the one true cross-side near-dup pair survives, and no
+    snapshot-vs-snapshot or batch-vs-batch pair is ever emitted."""
+    from cve_manager_spark.operators.dedup import incremental_near_dups
+
+    docs = _boiler_corpus(spark)
+    new = docs.where(F.col("doc_id") % 2 == 1)  # doc 1: near-dup of doc 0
+    old = docs.where(F.col("doc_id") % 2 == 0)
+
+    exact = incremental_near_dups(new, old, n=3, threshold=0.05).collect()
+    exact_pairs = {(r["id_new"], r["id_old"]) for r in exact}
+    assert len(exact_pairs) > 20000  # ~150x150: the cross blowup is real
+
+    capped = incremental_near_dups(
+        new, old, n=3, threshold=0.05, max_doc_freq_frac=0.05
+    ).collect()
+    capped_pairs = {(r["id_new"], r["id_old"]) for r in capped}
+    assert capped_pairs <= exact_pairs  # subset: recall dial only
+    assert len(capped_pairs) < 10
+    assert (1, 0) in capped_pairs  # the true cross-side near-dup survives
+    # sides are respected: id_new odd, id_old even, always
+    assert all(a % 2 == 1 and b % 2 == 0 for a, b in exact_pairs)
