@@ -255,3 +255,38 @@ def test_incremental_dedup_cap_bounds_hot_key_blowup(spark):
     assert (1, 0) in capped_pairs  # the true cross-side near-dup survives
     # sides are respected: id_new odd, id_old even, always
     assert all(a % 2 == 1 and b % 2 == 0 for a, b in exact_pairs)
+
+
+def test_incremental_pairs_equal_self_join_cross_slice(spark):
+    """Consistency: incremental_near_dups(new, old) must emit exactly the
+    full-corpus ngram_jaccard_pairs result restricted to cross-side
+    pairs, with identical jaccard values — the increment path is an
+    optimization (skip snapshot-vs-snapshot work), never a semantic
+    change. Holds with and without the frequency cap because the cap's
+    doc-frequency statistic is computed over both sides together."""
+    from cve_manager_spark.operators.dedup import (
+        incremental_near_dups,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _boiler_corpus(spark, n_docs=60)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    for cap in (None, 0.05):
+        full = ngram_jaccard_pairs(
+            docs, n=3, threshold=0.05, max_doc_freq_frac=cap
+        ).collect()
+        want = {
+            (max(r["id_a"], r["id_b"]) if r["id_a"] % 2 == 0 else r["id_a"],
+             min(r["id_a"], r["id_b"]) if r["id_a"] % 2 == 0 else r["id_b"]):
+            round(r["jaccard"], 9)
+            for r in full
+            if r["id_a"] % 2 != r["id_b"] % 2
+        }
+        got = {
+            (r["id_new"], r["id_old"]): round(r["jaccard"], 9)
+            for r in incremental_near_dups(
+                new, old, n=3, threshold=0.05, max_doc_freq_frac=cap
+            ).collect()
+        }
+        assert got == want, f"cap={cap}"
