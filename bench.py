@@ -86,6 +86,10 @@ HEADLINE = [
     "sql_tpch_q13",
     "sql_tpch_q21",
     "semantic_dedup",
+    # r5 session: the recurring-crawl increment shape and the marginal-
+    # novelty report that decides when a source is exhausted
+    "dedup_incremental",
+    "shingle_novelty",
 ]
 
 

@@ -72,6 +72,8 @@ FLAGSHIP = {
     "sql_tpch_q21": "EXISTS and NOT EXISTS as LEFT SEMI + LEFT ANTI against one shared base relation; nation broadcast into the supplier probe",
     "embedding_kmeans": "map-side assignment against centroid literals (no join); update = one k·d-row hash aggregate; driver sees k·d scalars per iteration",
     "semantic_dedup": "SemDeDup: pair join is an equi-join on the k-means cluster id; cosine test as 128-bit integer residual — no all-pairs nested loop",
+    "dedup_incremental": "one tagged shingle scan over snapshot+batch; shared df cap; new-vs-old equi-join only (snapshot never self-paired); digest-only exact-dup shuffle",
+    "shingle_novelty": "first-seen MIN per shingle and the join-back share one shingle-keyed exchange layout; per-doc rollup in exact integer ppm",
 }
 
 

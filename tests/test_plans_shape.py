@@ -600,3 +600,20 @@ def test_embedding_kmeans_update_is_mapside_assign(spark):
     all in the final assignment plan — one scan, in-row argmin."""
     plan = plan_of(spark, "embedding_kmeans")
     assert "Join" not in plan.replace("zip_with", "")  # no join operators
+
+
+def test_dedup_incremental_joins_are_bucketed_and_digest_only(spark):
+    """The incremental dedup's near-dup path must pair through shingle-hash
+    equi-join buckets (never a nested loop), and the exact-dup path must
+    ship digests, not text, into a LEFT SEMI join."""
+    plan = plan_of(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    # nested loops appear ONLY as the frequency cap's 1-row doc-total
+    # broadcast crossJoin (one per join branch reading the capped relation)
+    tree = plan.split("\n\n")[0]
+    for line in tree.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross BuildRight" in line
+    assert "shingle_h" in plan  # pair join keyed on the 64-bit shingle hash
+    assert "LeftSemi" in plan  # digest membership, not a full join
+    assert "sha2" in plan  # 32-byte digest is the exact-dup join key
