@@ -215,3 +215,45 @@ def test_maintenance_cli_stats_and_compact(spark, shattered_docs, capsys):
     after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert after["n_files"] == 3 and after["n_rows"] == 500
     assert after["max_file_rows"] <= 200
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: a filter on a JOINED dimension — not on
+    the fact itself — must reach the partitioned fact scan as a runtime
+    partition filter, so at cluster scale the fact read is bounded by the
+    dim predicate's selectivity, not the whole table. This is the layout
+    dividend write_clustered's hive partitioning buys for star joins."""
+    path = str(tmp_path / "events_dpp")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    maintenance.write_clustered(
+        ev,
+        path,
+        partition_by=["event_type"],
+        cluster_by=["ts"],
+        target_rows_per_file=100_000,
+    )
+    dim = spark.createDataFrame(
+        [("click", "growth"), ("view", "growth"), ("purchase", "revenue"),
+         ("signup", "revenue"), ("error", "platform")],
+        "event_type string, team string",
+    )
+    fact = spark.read.parquet(path)
+    j = fact.join(dim.where(F.col("team") == "revenue"), "event_type")
+    plan = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in plan.lower()
+    # Provenance check runs as a SEPARATE query: input_file_name() is
+    # nondeterministic, so projecting it on the fact side blocks the DPP
+    # rule itself (a filter can't be pushed through a nondeterministic
+    # projection) — the exact trap a pipeline author needs to know about.
+    withf = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    jf = withf.join(dim.where(F.col("team") == "revenue"), "event_type")
+    files = {r.f for r in jf.select("f").distinct().collect()}
+    assert files and all(f for f in files)
+    assert all(("event_type=purchase" in f) or ("event_type=signup" in f) for f in files)
+    # and the join result is still exactly the unpartitioned equivalent
+    want = ev.join(dim.where(F.col("team") == "revenue"), "event_type").count()
+    assert j.count() == want
