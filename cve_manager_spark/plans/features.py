@@ -3694,3 +3694,42 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("__exact").isNull() & F.col("__near").isNull(), 1)
         ).alias("n_kept"),
     )
+
+
+_CASCADE_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+@_register(
+    "rollup_cascade",
+    _CASCADE_ORACLE,
+    doc="Hierarchical re-aggregation (the hypertable/materialized-rollup "
+    "pattern): minute-grain partials roll to hour, hour to day — each "
+    "level aggregates the PREVIOUS level's output, never the raw "
+    "events, so at warehouse scale every coarser rollup costs rows "
+    "proportional to the finer rollup's cardinality, not the fact "
+    "table. Correctness hinges on keeping the measure in exact "
+    "DECIMAL across levels (sum-of-sums == direct sum, associative); "
+    "only the final day grain casts to double. The oracle computes "
+    "the day grain DIRECTLY from raw events — the driver hash proves "
+    "cascaded partials lose nothing.",
+    priority=7,
+)
+def rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.functions.helpers import dec
+
+    ev = load_table(spark, sf, "events")
+    minute = ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("m")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec(F.col("value"))).alias("sv")
+    )
+    hour = minute.groupBy(F.date_trunc("hour", F.col("m")).alias("h")).agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    )
+    return hour.groupBy(F.to_date("h").alias("day")).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("double").alias("sum_value"),
+    )

@@ -617,3 +617,14 @@ def test_dedup_incremental_joins_are_bucketed_and_digest_only(spark):
     assert "shingle_h" in plan  # pair join keyed on the 64-bit shingle hash
     assert "LeftSemi" in plan  # digest membership, not a full join
     assert "sha2" in plan  # 32-byte digest is the exact-dup join key
+
+
+def test_rollup_cascade_reaggregates_not_rescans(spark):
+    """The minute→hour→day cascade must read the fact ONCE and chain three
+    partial+final aggregates — each level's exchange carries the previous
+    level's cardinality, never raw events."""
+    plan = plan_of(spark, "rollup_cascade")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 3
+    assert tree.count("HashAggregate") == 6  # partial+final per level
