@@ -249,3 +249,81 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(bucket_by)
     writer.saveAsTable(table)
+
+
+def delete_where(
+    spark: SparkSession, path: str, predicate: "F.Column | str"
+) -> dict[str, int]:
+    """Targeted delete: remove rows matching ``predicate`` by rewriting
+    ONLY the files that contain them (copy-on-write DELETE, the shape
+    table formats use). At 100 TB the point is the file manifest: a
+    retention or right-to-be-forgotten delete usually touches a sliver
+    of files — with a partitioned/clustered layout the match predicate
+    prunes to them — and every untouched file keeps its bytes, its
+    footer stats and its page cache residency.
+
+    Mechanics: one distributed scan lists the distinct files holding
+    matching rows (``input_file_name`` — driver sees file NAMES only,
+    bounded by file count, never rows); those files are re-read with the
+    predicate negated and rewritten into a sibling temp dir; the swap
+    replaces exactly the affected files after a row-count verification
+    (survivors == affected - deleted), so a failed rewrite leaves the
+    table untouched. On a real lakehouse the swap is the metastore
+    commit; the local rename is its single-node analogue, same as
+    ``compact``.
+
+    Returns {"n_deleted", "files_touched", "files_total"}.
+    """
+    import uuid
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    src = Path(path)
+    df = spark.read.parquet(path)
+    files_total = len(list(src.glob("*.parquet")))
+
+    hits = (
+        df.withColumn("__f", F.input_file_name())
+        .where(pred)
+        .groupBy("__f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not hits:
+        return {"n_deleted": 0, "files_touched": 0, "files_total": files_total}
+    n_deleted = sum(r["n"] for r in hits)
+    touched = [r["__f"] for r in hits]
+    touched_local = [Path(f.removeprefix("file:")) for f in touched]
+
+    affected = spark.read.parquet(*touched)
+    n_affected = affected.count()
+    # DELETE semantics under 3VL: only rows where the predicate is TRUE
+    # go; a NULL-evaluating row survives (a bare ~pred would silently
+    # drop it — the row would be neither counted deleted nor rewritten)
+    survivors = affected.where(~pred.eqNullSafe(F.lit(True)))
+
+    tmp = src.with_name(src.name + ".delete-tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    survivors.write.parquet(str(tmp))
+    n_after = spark.read.parquet(str(tmp)).count()
+    if n_after != n_affected - n_deleted:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"delete_where row mismatch for {path}: affected {n_affected}, "
+            f"deleted {n_deleted}, rewrote {n_after}; original left in place"
+        )
+
+    # swap: new survivor files move in under fresh names, then the
+    # affected originals go — an interrupted swap can duplicate no row
+    # that a re-run won't delete again (the predicate is idempotent)
+    stamp = uuid.uuid4().hex[:12]
+    for i, f in enumerate(sorted(tmp.glob("*.parquet"))):
+        f.rename(src / f"part-del-{stamp}-{i:05d}.snappy.parquet")
+    shutil.rmtree(tmp)
+    for f in touched_local:
+        f.unlink()
+    return {
+        "n_deleted": n_deleted,
+        "files_touched": len(touched),
+        "files_total": files_total,
+    }

@@ -42,6 +42,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     pc.add_argument("-master", dest="master", default="local[*]")
 
+    pd = sub.add_parser(
+        "delete",
+        help="Copy-on-write DELETE: rewrite only the files with matching rows.",
+    )
+    pd.add_argument("--path", required=True)
+    pd.add_argument(
+        "--where",
+        required=True,
+        help="SQL predicate; rows where it is TRUE are deleted "
+        "(e.g. \"user_id = 42\" for an erasure request).",
+    )
+    pd.add_argument("-master", dest="master", default="local[*]")
+
     args = p.parse_args(argv)
 
     from cve_manager_spark import maintenance
@@ -49,7 +62,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_session("maintenance", master=args.master)
 
-    if args.cmd == "stats":
+    if args.cmd == "delete":
+        out = dict(
+            maintenance.delete_where(spark, args.path, args.where),
+            path=args.path,
+        )
+    elif args.cmd == "stats":
         rows = maintenance.file_stats(spark, args.path).collect()
         counts = sorted(r.n_rows for r in rows)
         out = {

@@ -257,3 +257,99 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     # and the join result is still exactly the unpartitioned equivalent
     want = ev.join(dim.where(F.col("team") == "revenue"), "event_type").count()
     assert j.count() == want
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """Copy-on-write DELETE: rows for one user go, untouched files keep
+    their exact bytes (same name, same content), and the total row
+    count drops by exactly the matches."""
+    import hashlib
+
+    path = str(tmp_path / "events_cow")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    # cluster by user so the victim's rows concentrate in few files
+    maintenance.compact(
+        spark, _copy_to(ev, path), target_rows_per_file=800, sort_by=["user_id"]
+    )
+
+    def digests():
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in Path(path).glob("*.parquet")
+        }
+
+    before = spark.read.parquet(path).count()
+    victim = spark.read.parquet(path).agg(F.min("user_id")).collect()[0][0]
+    n_victim = (
+        spark.read.parquet(path).where(F.col("user_id") == victim).count()
+    )
+    d0 = digests()
+
+    res = maintenance.delete_where(
+        spark, path, F.col("user_id") == F.lit(victim)
+    )
+    assert res["n_deleted"] == n_victim
+    assert 0 < res["files_touched"] < res["files_total"]
+
+    after = spark.read.parquet(path)
+    assert after.count() == before - n_victim
+    assert after.where(F.col("user_id") == victim).count() == 0
+    # every file NOT rewritten is byte-identical
+    d1 = digests()
+    untouched = set(d0) & set(d1)
+    assert len(untouched) == res["files_total"] - res["files_touched"]
+    assert all(d0[n] == d1[n] for n in untouched)
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    path = str(tmp_path / "events_nomatch")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    _copy_to(ev, path)
+    before = spark.read.parquet(path).count()
+    res = maintenance.delete_where(spark, path, "user_id = -1")
+    assert res == {"n_deleted": 0, "files_touched": 0,
+                   "files_total": res["files_total"]}
+    assert spark.read.parquet(path).count() == before
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """3VL: DELETE removes rows where the predicate is TRUE; a row where
+    it evaluates NULL must survive the rewrite, not vanish."""
+    path = str(tmp_path / "nulls_cow")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0)], "id bigint, v double"
+    )
+    df.coalesce(1).write.parquet(path)
+    res = maintenance.delete_where(spark, path, F.col("v") > 50)
+    assert res["n_deleted"] == 1
+    left = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert left == {1, 2}  # the NULL row survived
+
+
+def _copy_to(df, path):
+    df.write.parquet(path)
+    return path
+
+
+def test_maintenance_cli_delete(spark, tmp_path, capsys):
+    """CLI erasure drive: delete --where removes exactly the matching
+    rows and reports the touched-file manifest."""
+    import json
+
+    from cve_manager_spark import maintenance_cli
+
+    path = str(tmp_path / "docs_cli_del")
+    spark.read.parquet(f"{SF_SMALL}/documents.parquet").repartition(
+        5
+    ).write.parquet(path)
+    n = spark.read.parquet(path).count()
+    n_en = spark.read.parquet(path).where("lang = 'en'").count()
+    assert (
+        maintenance_cli.main(["delete", "--path", path, "--where", "lang = 'en'"])
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_deleted"] == n_en
+    left = spark.read.parquet(path)
+    assert left.count() == n - n_en
+    assert left.where("lang = 'en'").count() == 0
