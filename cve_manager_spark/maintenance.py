@@ -327,3 +327,92 @@ def delete_where(
         "files_touched": len(touched),
         "files_total": files_total,
     }
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> dict[str, int]:
+    """Copy-on-write MERGE: upsert ``updates`` into a parquet table by
+    key, rewriting only the files that hold a matched row. Matched keys
+    are replaced by their update row; unmatched update keys are
+    appended. The nightly CDC-apply shape: with a key-clustered layout
+    the matched keys prune to a sliver of files, every other file keeps
+    its bytes.
+
+    Same manifest/swap discipline as ``delete_where``: the affected-file
+    list comes from ONE distributed scan (keys join, ``input_file_name``
+    — the driver sees file names only), survivors are the affected rows
+    anti-joined on the keys, and the swap lands survivors + ALL updates
+    under fresh file names after a row-count verification. Updates must
+    carry exactly the table schema; key columns must be non-null.
+
+    Returns {"n_matched", "n_inserted", "files_touched", "files_total"}.
+    """
+    import uuid
+
+    src = Path(path)
+    df = spark.read.parquet(path)
+    if set(df.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge_upsert schema mismatch: table {sorted(df.columns)} "
+            f"vs updates {sorted(updates.columns)}"
+        )
+    files_total = len(list(src.glob("*.parquet")))
+
+    keys = updates.select(*key_cols).distinct()
+    n_updates = updates.count()
+    if updates.select(*key_cols).distinct().count() != n_updates:
+        raise ValueError("merge_upsert: duplicate keys in updates")
+
+    hits = (
+        df.withColumn("__f", F.input_file_name())
+        .join(F.broadcast(keys), key_cols)
+        .groupBy("__f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_matched = sum(r["n"] for r in hits)
+    touched = [r["__f"] for r in hits]
+    touched_local = [Path(f.removeprefix("file:")) for f in touched]
+
+    if touched:
+        affected = spark.read.parquet(*touched)
+        n_affected = affected.count()
+        survivors = affected.join(F.broadcast(keys), key_cols, "left_anti")
+    else:
+        n_affected = 0
+        survivors = None
+
+    out = (
+        survivors.unionByName(updates.select(*survivors.columns))
+        if survivors is not None
+        else updates.select(*df.columns)  # align column order with the table
+    )
+    tmp = src.with_name(src.name + ".merge-tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    out.write.parquet(str(tmp))
+    n_after = spark.read.parquet(str(tmp)).count()
+    if n_after != n_affected - n_matched + n_updates:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"merge_upsert row mismatch for {path}: affected {n_affected}, "
+            f"matched {n_matched}, updates {n_updates}, rewrote {n_after}; "
+            "original left in place"
+        )
+
+    stamp = uuid.uuid4().hex[:12]
+    for i, f in enumerate(sorted(tmp.glob("*.parquet"))):
+        f.rename(src / f"part-mrg-{stamp}-{i:05d}.snappy.parquet")
+    shutil.rmtree(tmp)
+    for f in touched_local:
+        f.unlink()
+    return {
+        "n_matched": n_matched,
+        "n_inserted": n_updates - n_matched,
+        "files_touched": len(touched),
+        "files_total": files_total,
+    }

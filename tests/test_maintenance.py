@@ -353,3 +353,71 @@ def test_maintenance_cli_delete(spark, tmp_path, capsys):
     left = spark.read.parquet(path)
     assert left.count() == n - n_en
     assert left.where("lang = 'en'").count() == 0
+
+
+def test_merge_upsert_replaces_and_appends(spark, tmp_path):
+    """Copy-on-write MERGE: matched keys replaced by their update row,
+    new keys appended, untouched files byte-identical."""
+    import hashlib
+
+    path = str(tmp_path / "docs_merge")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    maintenance.compact(
+        spark, _copy_to(docs, path), target_rows_per_file=100, sort_by=["doc_id"]
+    )
+    n = spark.read.parquet(path).count()
+
+    def digests():
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in Path(path).glob("*.parquet")
+        }
+
+    d0 = digests()
+    # two updates to existing low doc_ids (clustered into few files) and
+    # one brand-new key
+    upd = spark.createDataFrame(
+        [(0, "UPDATED ZERO", "en", "manual", 12),
+         (1, "UPDATED ONE", "en", "manual", 11),
+         (10_000_000, "BRAND NEW", "en", "manual", 9)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    res = maintenance.merge_upsert(spark, path, upd, key_cols=["doc_id"])
+    assert res["n_matched"] == 2 and res["n_inserted"] == 1
+    assert 0 < res["files_touched"] < res["files_total"]
+
+    after = spark.read.parquet(path)
+    assert after.count() == n + 1
+    got = {
+        r["doc_id"]: r["text"]
+        for r in after.where(F.col("doc_id").isin(0, 1, 10_000_000)).collect()
+    }
+    assert got == {0: "UPDATED ZERO", 1: "UPDATED ONE", 10_000_000: "BRAND NEW"}
+    d1 = digests()
+    untouched = set(d0) & set(d1)
+    assert len(untouched) == res["files_total"] - res["files_touched"]
+    assert all(d0[nm] == d1[nm] for nm in untouched)
+
+
+def test_merge_upsert_insert_only_and_validation(spark, tmp_path):
+    path = str(tmp_path / "docs_merge2")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    _copy_to(docs, path)
+    n = spark.read.parquet(path).count()
+    new_only = spark.createDataFrame(
+        [(20_000_000, "N", "en", "manual", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    res = maintenance.merge_upsert(spark, path, new_only, key_cols=["doc_id"])
+    assert res == {"n_matched": 0, "n_inserted": 1, "files_touched": 0,
+                   "files_total": res["files_total"]}
+    assert spark.read.parquet(path).count() == n + 1
+
+    with pytest.raises(ValueError, match="duplicate keys"):
+        maintenance.merge_upsert(
+            spark, path, new_only.unionByName(new_only), key_cols=["doc_id"]
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        maintenance.merge_upsert(
+            spark, path, new_only.drop("n_chars"), key_cols=["doc_id"]
+        )
