@@ -255,10 +255,40 @@ def incremental_near_dups(
             F.col(id_col), F.col(text_col), F.lit(False).alias("__is_new")
         )
     )
+    return incremental_near_dups_tagged(
+        tagged,
+        id_col=id_col,
+        text_col=text_col,
+        flag_col="__is_new",
+        n=n,
+        threshold=threshold,
+        persist_shingles=persist_shingles,
+        max_doc_freq_frac=max_doc_freq_frac,
+    )
+
+
+def incremental_near_dups_tagged(
+    tagged: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_col: str = "__is_new",
+    n: int = 3,
+    threshold: float = 0.5,
+    persist_shingles: bool = True,
+    max_doc_freq_frac: float | None = None,
+) -> DataFrame:
+    """Single-relation core of :func:`incremental_near_dups`: the side
+    flag is a boolean COLUMN of one input. When new and old live in one
+    table (a snapshot column, an ingest-date predicate), passing the
+    flagged relation directly means ONE scan feeds both join sides —
+    the two-DataFrame wrapper unions two scans of the same table, which
+    Catalyst does not fuse."""
     ex = _hashed_shingle_relation(
         tagged, id_col, text_col, n, max_doc_freq_frac, persist_shingles,
-        flag_col="__is_new",
+        flag_col=flag_col,
     )
+    if flag_col != "__is_new":
+        ex = ex.withColumnRenamed(flag_col, "__is_new")
     a = ex.where(F.col("__is_new")).select(
         F.col("id").alias("id_new"), F.col("n_sh").alias("n_a"), "shingle_h"
     )

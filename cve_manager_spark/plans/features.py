@@ -3671,9 +3671,15 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id")
         .withColumn("__exact", F.lit(1))
     )
+    # single scan feeds both join sides: the parity flag is a column of
+    # one tagged relation (the two-DataFrame wrapper would union two
+    # scans of the same parquet, which Catalyst does not fuse)
+    tagged = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 2 == 1).alias("__is_new")
+    )
     near = (
-        D.incremental_near_dups(
-            new, old, n=3, threshold=0.5, max_doc_freq_frac=0.10
+        D.incremental_near_dups_tagged(
+            tagged, n=3, threshold=0.5, max_doc_freq_frac=0.10
         )
         .select(F.col("id_new").alias("doc_id"))
         .distinct()
