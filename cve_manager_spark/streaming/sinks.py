@@ -104,3 +104,66 @@ def foreach_batch_upsert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_rollup_state(spark, out_dir: str) -> DataFrame | None:
+    """Current day-grain rollup maintained by ``foreach_batch_rollup``
+    (newest snapshot), emitted with the same schema as the batch
+    ``rollup_cascade`` query: (day, n_events, sum_value double)."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    snap = spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+    return snap.select(
+        "day", "n_events", F.col("sv").cast("double").alias("sum_value")
+    )
+
+
+def foreach_batch_rollup(
+    stream_df: DataFrame,
+    out_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained materialized rollup: the streaming twin
+    of the batch ``rollup_cascade`` query. Each micro-batch aggregates
+    its OWN rows to day grain and re-aggregates against the previous
+    snapshot — per batch the merge costs rows proportional to the
+    rollup's cardinality (bounded by the calendar), never the events
+    table, which is the whole point of maintaining a materialized view
+    incrementally instead of recomputing it.
+
+    Correctness rides on two invariants shared with the batch twin:
+    the measure stays exact DECIMAL inside the state (sum-of-sums is
+    associative, so any batch chopping yields the identical rollup —
+    asserted stream==batch in tests), and snapshots are keyed by batch
+    id with each one derived from the newest PREDECESSOR, so replayed
+    batches rebuild the same snapshot (idempotent, same discipline as
+    ``foreach_batch_upsert``).
+    """
+    from cve_manager_spark.functions.helpers import dec
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = batch_df.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec(F.col("value"))).cast("decimal(38,4)").alias("sv"),
+        )
+        versions = [v for v in _list_state_versions(spark, out_dir) if v < batch_id]
+        if versions:
+            prev = spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+            part = (
+                prev.unionByName(part)
+                .groupBy("day")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sv").cast("decimal(38,4)").alias("sv"),
+                )
+            )
+        part.write.mode("overwrite").parquet(f"{out_dir}/{_STATE_PREFIX}{batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

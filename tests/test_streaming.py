@@ -571,3 +571,40 @@ def test_transform_with_state_dedup_constructs(spark, tmp_path):
     out = streaming_dedup(stream)
     assert out.isStreaming
     assert dict(out.dtypes) == {"content_sha": "string", "keep_id": "bigint"}
+
+
+def test_foreach_batch_rollup_equals_batch_cascade(spark, tmp_path):
+    """Incrementally maintained day rollup: after a multi-batch
+    availableNow pass the snapshot equals the batch rollup_cascade
+    result exactly (DECIMAL state makes the merge associative), and a
+    restart against the same checkpoint changes nothing."""
+    from cve_manager_spark.plans.features import rollup_cascade
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_rollup,
+        read_rollup_state,
+    )
+
+    src_dir = str(tmp_path / "events_rollup_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "rollup_state")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_rollup(stream, out)
+
+    start().awaitTermination()
+    got = read_rollup_state(spark, out)
+    want = rollup_cascade(spark, SF_SMALL)
+    cols = ["day", "n_events", "sum_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    # replay: no new files -> identical snapshot
+    start().awaitTermination()
+    assert _sorted_rows(read_rollup_state(spark, out), cols) == _sorted_rows(
+        want, cols
+    )
