@@ -685,3 +685,95 @@ def minhash_lcg_pairs(
         pairs.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def simhash_det_fingerprint(shingles: Column) -> Column:
+    """Deterministic 64-bit SimHash as a '0'/'1' string, md5 bit family.
+
+    Bit i sums (2·bit_i(md5(shingle)) − 1) over the shingle set in-row
+    (one zip_with fold — no explode, no shuffle) and takes the sign,
+    ties to 0. md5 is the hash both engines share bit-for-bit (same
+    contract as minhash_det_pairs), which is what makes this SimHash —
+    unlike the xxhash64 production variant — DuckDB-oracle-checkable.
+    The hex-digit → bit arithmetic is div/mod (not shiftright: variable
+    shift distances aren't expressible in the column API)."""
+
+    def contribs(sh: Column) -> Column:
+        h = F.md5(sh)
+
+        def one(i: Column) -> Column:
+            d = F.conv(F.substr(h, (i / 4).cast("int") + 1, F.lit(1)), 16, 10).cast(
+                "int"
+            )
+            shift = F.pow(F.lit(2.0), (F.lit(3) - i % 4).cast("double"))
+            return F.lit(2) * F.pmod(F.floor(d / shift).cast("int"), F.lit(2)) - 1
+
+        return F.transform(F.sequence(F.lit(0), F.lit(63)), one)
+
+    sums = F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, sh: F.zip_with(acc, contribs(sh), lambda a, b: a + b),
+    )
+    return F.array_join(
+        F.transform(sums, lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+
+
+def simhash_det_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    max_hamming: int = 10,
+    bands: int = 4,
+) -> DataFrame:
+    """Deterministic SimHash near-dup pairs: banded LSH over the md5
+    fingerprint (``bands`` × 64/bands bit blocks — Hamming ≤ k pairs
+    must agree exactly on ≥1 block once k < bands by pigeonhole... for
+    k ≥ bands the blocking is a recall dial, same trade as every LSH),
+    then an exact Hamming verify on candidates. Identical pipeline
+    shape to the xxhash64 `simhash_near_dups` — fingerprint scan,
+    equi-join on (band, block), in-row distance — but every stage is
+    engine-reproducible, so the driver hash-checks the whole pipeline.
+    """
+    width = 64 // bands
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), n).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+    )
+    fp = sh.select("id", simhash_det_fingerprint(F.col("shingles")).alias("f"))
+    keys = fp.select(
+        "id",
+        "f",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
+    ).withColumn("k", F.substr(F.col("f"), F.col("b") * width + 1, F.lit(width)))
+    a = keys.select(
+        F.col("id").alias("id_a"), F.col("f").alias("fa"), "b", "k"
+    )
+    bb = keys.select(
+        F.col("id").alias("id_b"), F.col("f").alias("fb"), "b", "k"
+    )
+    cand = (
+        a.join(bb, ["b", "k"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.substr(F.col("fa"), i, F.lit(1))
+            != F.substr(F.col("fb"), i, F.lit(1)),
+        )
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -3739,3 +3739,60 @@ def rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.sum("sv").cast("double").alias("sum_value"),
     )
+
+
+_SIMHASH_DET_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id AS id,
+         list_distinct(CASE WHEN len(w) >= 2
+           THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+           ELSE [] END) AS shingles
+  FROM toks
+), ne AS (
+  SELECT id, shingles FROM sh WHERE len(shingles) > 0
+), fp AS (
+  SELECT id, array_to_string(list_transform(range(0, 64), i ->
+    CASE WHEN list_sum(list_transform(shingles, x ->
+      2 * (((strpos('0123456789abcdef', substr(md5(x), CAST(i // 4 AS INT) + 1, 1)) - 1)
+            // CAST(2 ** (3 - i % 4) AS INT)) % 2) - 1)) > 0
+    THEN '1' ELSE '0' END), '') AS f
+  FROM ne
+), keys AS (
+  SELECT id, f, b, substr(f, CAST(b * 16 AS INT) + 1, 16) AS k
+  FROM (SELECT id, f, unnest(range(0, 4)) AS b FROM fp)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.f AS fa, b.f AS fb
+  FROM keys a JOIN keys b ON a.b = b.b AND a.k = b.k AND a.id < b.id
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(range(1, 65),
+            i -> substr(fa, CAST(i AS INT), 1) <> substr(fb, CAST(i AS INT), 1)))
+            AS BIGINT) AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 65),
+      i -> substr(fa, CAST(i AS INT), 1) <> substr(fb, CAST(i AS INT), 1))) <= 10
+"""
+
+
+@_register(
+    "dedup_simhash_det",
+    _SIMHASH_DET_ORACLE,
+    doc="Deterministic SimHash near-dup pairs: md5-bit 64-bit fingerprint "
+    "built by an IN-ROW fold over the word-2-gram shingle set (no "
+    "explode, no shuffle for the signature pass), banded 4x16-bit LSH "
+    "equi-join for candidates, exact Hamming verify. The md5 hash "
+    "family makes every stage engine-reproducible — the hash-checked "
+    "twin of the xxhash64 production `dedup_simhash`, same role "
+    "`dedup_minhash_det` plays for MinHash. "
+    "operators/dedup.simhash_det_pairs.",
+    priority=7,
+)
+def dedup_simhash_det(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators import dedup as D
+
+    return D.simhash_det_pairs(
+        load_table(spark, sf, "documents"), n=2, max_hamming=10, bands=4
+    )
