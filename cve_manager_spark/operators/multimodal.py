@@ -130,3 +130,39 @@ def frame_sample(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": payloads})
 
     return df.mapInPandas(frames, schema="doc_id bigint, frame_idx int, frame binary")
+
+
+def audio_frame_energy(
+    df: DataFrame, frame_bytes: int = 256, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """Audio feature shape: one blob → fixed-length sample windows → one
+    scalar per window (doc_id, frame_idx, energy). The stub treats the
+    payload as unsigned 8-bit PCM and computes exact integer
+    sum-of-squares per window (numpy-vectorized inside the Arrow batch);
+    a real implementation decodes the container and swaps the energy
+    kernel, riding the identical mapInPandas schema/batch path. This is
+    the third multimodal batch shape next to extract_features (1→1
+    scalars) and frame_sample (1→many payloads): 1→many scalars."""
+    import numpy as np
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, es = [], [], []
+            for i, b in zip(pdf[id_col], pdf[data_col]):
+                a = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                if len(a) == 0:
+                    continue
+                sq = a * a
+                offs = np.arange(0, len(a), frame_bytes)
+                sums = np.add.reduceat(sq, offs)
+                ids.extend([i] * len(offs))
+                idxs.extend(range(len(offs)))
+                es.extend(int(x) for x in sums)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "energy": es},
+                columns=["doc_id", "frame_idx", "energy"],
+            )
+
+    return df.mapInPandas(
+        energies, schema="doc_id bigint, frame_idx int, energy bigint"
+    )

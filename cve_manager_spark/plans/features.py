@@ -3796,3 +3796,38 @@ def dedup_simhash_det(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash_det_pairs(
         load_table(spark, sf, "documents"), n=2, max_hamming=10, bands=4
     )
+
+
+_AUDIO_ENERGY_ORACLE = """
+WITH ex AS (
+  SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i FROM documents
+), v AS (
+  SELECT doc_id, CAST((i - 1) // 256 AS INT) AS frame_idx,
+         CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS val
+  FROM ex
+)
+SELECT doc_id, frame_idx, CAST(SUM(val * val) AS BIGINT) AS energy
+FROM v GROUP BY doc_id, frame_idx
+"""
+
+
+@_register(
+    "multimodal_audio_energy",
+    _AUDIO_ENERGY_ORACLE,
+    doc="N5 audio shape: opaque binary -> fixed 256-byte PCM windows -> "
+    "exact integer sum-of-squares energy per window, numpy-vectorized "
+    "inside Arrow batches (operators/multimodal.audio_frame_energy — "
+    "the 1-to-many-scalars batch shape next to features' 1-to-1 and "
+    "frame_sample's 1-to-many-payloads). Stub payload is the UTF-8 "
+    "text bytes, so the oracle prices the identical windows from "
+    "ascii codes; a real decoder swaps in behind the same schema.",
+    priority=7,
+)
+def multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.multimodal import (
+        attach_binary,
+        audio_frame_energy,
+    )
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    return audio_frame_energy(attach_binary(docs), frame_bytes=256)
