@@ -251,6 +251,15 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _local_path(uri: str) -> Path:
+    """input_file_name() returns a URI (file:///..., percent-encoded);
+    resolve it to a local filesystem path for the swap step."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    return Path(unquote(parsed.path)) if parsed.scheme else Path(uri)
+
+
 def delete_where(
     spark: SparkSession, path: str, predicate: "F.Column | str"
 ) -> dict[str, int]:
@@ -292,7 +301,7 @@ def delete_where(
         return {"n_deleted": 0, "files_touched": 0, "files_total": files_total}
     n_deleted = sum(r["n"] for r in hits)
     touched = [r["__f"] for r in hits]
-    touched_local = [Path(f.removeprefix("file:")) for f in touched]
+    touched_local = [_local_path(f) for f in touched]
 
     affected = spark.read.parquet(*touched)
     n_affected = affected.count()
@@ -376,7 +385,7 @@ def merge_upsert(
     )
     n_matched = sum(r["n"] for r in hits)
     touched = [r["__f"] for r in hits]
-    touched_local = [Path(f.removeprefix("file:")) for f in touched]
+    touched_local = [_local_path(f) for f in touched]
 
     if touched:
         affected = spark.read.parquet(*touched)
