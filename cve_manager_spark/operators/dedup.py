@@ -698,9 +698,10 @@ def simhash_det_fingerprint(shingles: Column) -> Column:
     The hex-digit → bit arithmetic is div/mod (not shiftright: variable
     shift distances aren't expressible in the column API)."""
 
-    def contribs(sh: Column) -> Column:
-        h = F.md5(sh)
-
+    def contribs(h: Column) -> Column:
+        # h is the PRE-COMPUTED md5 hex: referencing F.md5(sh) inside the
+        # per-bit lambda would put 64 copies of the digest in the tree
+        # and interpreted HOF evaluation hashes the shingle 64 times
         def one(i: Column) -> Column:
             d = F.conv(F.substr(h, (i / 4).cast("int") + 1, F.lit(1)), 16, 10).cast(
                 "int"
@@ -710,10 +711,11 @@ def simhash_det_fingerprint(shingles: Column) -> Column:
 
         return F.transform(F.sequence(F.lit(0), F.lit(63)), one)
 
+    hashed = F.transform(shingles, lambda sh: F.md5(sh))
     sums = F.aggregate(
-        shingles,
+        hashed,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, sh: F.zip_with(acc, contribs(sh), lambda a, b: a + b),
+        lambda acc, h: F.zip_with(acc, contribs(h), lambda a, b: a + b),
     )
     return F.array_join(
         F.transform(sums, lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0"))),

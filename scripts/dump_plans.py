@@ -74,6 +74,9 @@ FLAGSHIP = {
     "semantic_dedup": "SemDeDup: pair join is an equi-join on the k-means cluster id; cosine test as 128-bit integer residual — no all-pairs nested loop",
     "dedup_incremental": "one tagged shingle scan over snapshot+batch; shared df cap; new-vs-old equi-join only (snapshot never self-paired); digest-only exact-dup shuffle",
     "shingle_novelty": "first-seen MIN per shingle and the join-back share one shingle-keyed exchange layout; per-doc rollup in exact integer ppm",
+    "rollup_cascade": "one fact scan; three chained partial+final aggregates — each exchange carries the previous level's cardinality, never raw events",
+    "dedup_simhash_det": "in-row md5-bit fingerprint fold (no signature shuffle); banded 4x16-bit equi-join; in-row Hamming verify",
+    "multimodal_audio_energy": "Arrow-batched mapInPandas windows before any wide op; output grain is (doc, frame), no shuffle until a consumer asks",
 }
 
 
