@@ -177,3 +177,55 @@ def pagerank_int(
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree ≥ k — iterative peeling (drop under-degree nodes, restrict
+    edges to survivors, repeat to fixpoint). The density screen a graph
+    pipeline runs before community detection or embedding training:
+    everything outside the core is tree-like fringe.
+
+    Each round is one hash aggregate (degrees) + one semi-join restrict
+    on the symmetrized edge relation — both keyed on the node id, so the
+    exchange layout is reused round to round; lineage is truncated per
+    round (localCheckpoint) like the other iterative operators here. The
+    driver sees one scalar edge-count per round: peeling is monotone
+    (edge set only shrinks), so an unchanged count IS the fixpoint.
+    Rounds are bounded by the peeling depth (degeneracy ordering), which
+    is ≤ a few dozen on real corpora; raises if max_rounds is hit.
+
+    Returns (node, degree) of the surviving core, degrees within it.
+    """
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_edges = cur.count()
+    for _ in range(max_rounds):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("u")
+        )
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_edges = cur.count()
+        if n_edges == prev_edges:
+            return cur.groupBy(F.col("u").alias("node")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
+        prev_edges = n_edges
+    raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")

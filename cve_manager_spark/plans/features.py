@@ -3831,3 +3831,54 @@ def multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf, "documents"))
     return audio_frame_energy(attach_binary(docs), frame_bytes=256)
+
+
+_KCORE_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT l_partkey AS a, l_suppkey + 1000000000 AS b FROM lineitem
+), ud AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), k1 AS (
+  SELECT a FROM ud GROUP BY a HAVING COUNT(*) >= 25
+), e1 AS (
+  SELECT ud.a, ud.b FROM ud JOIN k1 x ON ud.a = x.a JOIN k1 y ON ud.b = y.a
+), k2 AS (
+  SELECT a FROM e1 GROUP BY a HAVING COUNT(*) >= 25
+), e2 AS (
+  SELECT e1.a, e1.b FROM e1 JOIN k2 x ON e1.a = x.a JOIN k2 y ON e1.b = y.a
+), k3 AS (
+  SELECT a FROM e2 GROUP BY a HAVING COUNT(*) >= 25
+), e3 AS (
+  SELECT e2.a, e2.b FROM e2 JOIN k3 x ON e2.a = x.a JOIN k3 y ON e2.b = y.a
+), k4 AS (
+  SELECT a FROM e3 GROUP BY a HAVING COUNT(*) >= 25
+), e4 AS (
+  SELECT e3.a, e3.b FROM e3 JOIN k4 x ON e3.a = x.a JOIN k4 y ON e3.b = y.a
+)
+SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM e4 GROUP BY a
+"""
+
+
+@_register(
+    "graph_kcore",
+    _KCORE_ORACLE,
+    doc="25-core of the part-supplier co-purchase graph: iterative "
+    "peeling (operators/graph.k_core) — per round one degree "
+    "aggregate + two semi-join restrictions, both keyed on the node "
+    "id so the exchange layout is reused; lineage checkpoint-"
+    "truncated; the driver sees one scalar edge count per round "
+    "(monotone, so an unchanged count IS the fixpoint). The density "
+    "screen before community detection. Spark iterates to the TRUE "
+    "fixpoint; the oracle unrolls four peels, which this graph "
+    "converges inside (the differential itself proves it).",
+    priority=7,
+)
+def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.graph import k_core
+
+    li = load_table(spark, sf, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1000000000).alias("dst"),
+    ).distinct()
+    return k_core(e, k=25)

@@ -244,3 +244,25 @@ def test_minhash_lcg_pairs_precision_and_recall(spark):
         union = len(sh[a] | sh[b])
         true_j = inter / union
         assert abs(true_j - j) < 1e-12 and true_j >= 0.5, (a, b, j, true_j)
+
+
+def test_k_core_on_canonical_graphs(spark):
+    """Peeling semantics pinned on graphs with known cores: a ring is its
+    own 2-core, a clique survives k = n-1, and a path peels away entirely
+    (endpoint-by-endpoint — the worst-case round count for peeling)."""
+    from cve_manager_spark.operators.graph import k_core
+
+    def edges(pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    ring = edges([(i, (i + 1) % 10) for i in range(10)])
+    core = {(r["node"], r["degree"]) for r in k_core(ring, k=2).collect()}
+    assert core == {(i, 2) for i in range(10)}
+    assert k_core(ring, k=3).count() == 0
+
+    clique = edges([(i, j) for i in range(6) for j in range(i + 1, 6)])
+    assert k_core(clique, k=5).count() == 6
+    assert k_core(clique, k=6).count() == 0
+
+    path = edges([(i, i + 1) for i in range(9)])  # 10-node path
+    assert k_core(path, k=2).count() == 0  # peels fully, end-in
