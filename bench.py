@@ -90,6 +90,11 @@ HEADLINE = [
     # novelty report that decides when a source is exhausted
     "dedup_incremental",
     "shingle_novelty",
+    # r5 session b: re-aggregation cascade, deterministic SimHash pipeline,
+    # iterative k-core peel
+    "rollup_cascade",
+    "dedup_simhash_det",
+    "graph_kcore",
 ]
 
 

@@ -84,6 +84,13 @@ SAMPLE = [
     "purchase_conversion_lag",
     "sql_tpch_q1",
     "events_dow_hour_heatmap",
+    # round-5 session tranche representatives
+    "dedup_incremental",
+    "rollup_cascade",
+    "dedup_simhash_det",
+    "graph_kcore",
+    "multimodal_audio_energy",
+    "shingle_novelty",
 ]
 fails = []
 for name in SAMPLE:
