@@ -331,6 +331,13 @@ def delete_where(
     shutil.rmtree(tmp)
     for f in touched_local:
         f.unlink()
+    if not any(src.glob("*.parquet")):
+        # deleting every row may leave zero part files (an empty-partition
+        # write emits none), and a parquet dir without files is unreadable
+        # — keep the table readable with one explicit 0-row file
+        spark.createDataFrame([], df.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
     return {
         "n_deleted": n_deleted,
         "files_touched": len(touched),

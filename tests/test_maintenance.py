@@ -421,3 +421,17 @@ def test_merge_upsert_insert_only_and_validation(spark, tmp_path):
         maintenance.merge_upsert(
             spark, path, new_only.drop("n_chars"), key_cols=["doc_id"]
         )
+
+
+def test_delete_where_everything_keeps_table_readable(spark, tmp_path):
+    """Deleting every row must leave a readable (0-row) table, even when
+    the survivor write emits no part files."""
+    path = str(tmp_path / "wipe_cow")
+    spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "id long, v double"
+    ).coalesce(1).write.parquet(path)
+    res = maintenance.delete_where(spark, path, "v > 0")
+    assert res["n_deleted"] == 2
+    after = spark.read.parquet(path)
+    assert after.count() == 0
+    assert dict(after.dtypes) == {"id": "bigint", "v": "double"}
