@@ -432,3 +432,35 @@ def merge_upsert(
         "files_touched": len(touched),
         "files_total": files_total,
     }
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> dict[str, int]:
+    """Collect catalog statistics for a table (optionally per-column
+    histograms/NDV): the input the cost-based optimizer needs to choose
+    join sides, broadcast thresholds and join order from DATA sizes
+    rather than file sizes. At 100 TB the difference is a broadcast of
+    the genuinely-small post-filter side vs a sort-merge of everything —
+    run this after every large write or compaction, like ANALYZE in a
+    warehouse.
+
+    Returns {"row_count", "size_bytes"} as recorded in the catalog.
+    """
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    row = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    stats = row.get("Statistics", "")
+    out = {"row_count": 0, "size_bytes": 0}
+    for part in stats.split(","):
+        part = part.strip()
+        if part.endswith("rows"):
+            out["row_count"] = int(part.split()[0])
+        elif part.endswith("bytes"):
+            out["size_bytes"] = int(part.split()[0])
+    return out

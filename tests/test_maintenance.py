@@ -435,3 +435,42 @@ def test_delete_where_everything_keeps_table_readable(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 0
     assert dict(after.dtypes) == {"id": "bigint", "v": "double"}
+
+
+def test_analyze_table_feeds_cbo_stats(spark):
+    """ANALYZE writes row/size stats into the catalog and the optimizer's
+    estimated statistics for the table drop from the 'unknown = huge'
+    default to the measured size."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS stats_test")
+    try:
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        docs.write.mode("overwrite").saveAsTable("stats_test.docs")
+        res = maintenance.analyze_table(
+            spark, "stats_test.docs", columns=["doc_id", "lang"]
+        )
+        assert res["row_count"] == docs.count()
+        assert res["size_bytes"] > 0
+        # row counts propagate into plan estimates only under the
+        # cost-based optimizer — enable it for the check
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            est = (
+                spark.table("stats_test.docs")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert est.rowCount().isDefined()
+            assert est.rowCount().get() == docs.count()
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+        # column-level NDV recorded
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE EXTENDED stats_test.docs lang"
+            ).collect()
+        }
+        assert int(desc["distinct_count"]) >= 1
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS stats_test CASCADE")
