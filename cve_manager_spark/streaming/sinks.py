@@ -167,3 +167,83 @@ def foreach_batch_rollup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_merge_lake(
+    stream_df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    trigger_available_now: bool = True,
+):
+    """Streaming CDC MERGE into a plain parquet lake table: each
+    micro-batch is reduced to its newest row per key, then applied with
+    ``maintenance.merge_upsert`` — a copy-on-write upsert that rewrites
+    only the files holding matched keys. Unlike ``foreach_batch_upsert``
+    (full snapshot per batch), the table is ONE directory whose
+    untouched files persist across batches — the true lakehouse shape,
+    where per-batch cost follows the update's key spread, not table
+    size.
+
+    Exactly-once effect over at-least-once delivery comes from a
+    transaction marker (``_last_batch``): a replayed batch with id ≤
+    the marker is skipped, because re-merging an OLD batch after a
+    newer one would regress keys to stale rows (the snapshot sink is
+    naturally immune; a single shared table needs the log — exactly
+    the role of the Delta/Iceberg commit log). Marker write follows the
+    merge, so a crash between them re-applies one batch; application
+    order per key is newest-wins WITHIN a batch and the marker keeps
+    batches ordered, so the re-application converges to the same table.
+    """
+    from pathlib import Path
+
+    from cve_manager_spark import maintenance
+
+    # checkpoint and marker live BESIDE the table dir: the first batch
+    # bootstraps the table with mode("overwrite"), which would wipe
+    # anything stored inside it
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = Path(table_dir + "_last_batch")
+        if marker.exists() and batch_id <= int(marker.read_text()):
+            return
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        newest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        tdir = Path(table_dir)
+        if not any(tdir.glob("*.parquet")):
+            newest.write.mode("overwrite").parquet(table_dir)
+        else:
+            # MERGE condition: update only when the incoming row is newer.
+            # Batches are not time-ordered (a later file can carry older
+            # events), so the row applied per key is the winner between
+            # the incumbent table row and the batch row — ties to the
+            # incoming side (same as foreach_batch_upsert).
+            incumbent = spark.read.parquet(table_dir).join(
+                newest.select(*key_cols), key_cols, "left_semi"
+            )
+            both = incumbent.withColumn("__src", F.lit(0)).unionByName(
+                newest.withColumn("__src", F.lit(1))
+            )
+            ww = Window.partitionBy(*key_cols).orderBy(
+                *[F.col(c).desc() for c in order_cols], F.col("__src").desc()
+            )
+            winner = (
+                both.withColumn("__rn", F.row_number().over(ww))
+                .where(F.col("__rn") == 1)
+                .drop("__rn", "__src")
+            )
+            maintenance.merge_upsert(spark, table_dir, winner, key_cols=key_cols)
+        marker.write_text(str(batch_id))
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{table_dir}_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -608,3 +608,42 @@ def test_foreach_batch_rollup_equals_batch_cascade(spark, tmp_path):
     assert _sorted_rows(read_rollup_state(spark, out), cols) == _sorted_rows(
         want, cols
     )
+
+
+def test_foreach_batch_merge_lake_equals_batch_keep_newest(spark, tmp_path):
+    """Streaming CDC MERGE into one parquet lake dir: after a multi-batch
+    availableNow pass the table equals batch keep-newest-per-user, and a
+    restart (replay) against the same checkpoint changes nothing thanks
+    to the _last_batch transaction marker."""
+    from cve_manager_spark.streaming.sinks import foreach_batch_merge_lake
+
+    src_dir = str(tmp_path / "events_lake_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "lake_table")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_merge_lake(
+            stream, out, key_cols=["user_id"], order_cols=["ts", "event_id"]
+        )
+
+    start().awaitTermination()
+    got = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cols = ["user_id", "event_id", "event_type", "value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    start().awaitTermination()  # replay: marker skips applied batches
+    assert _sorted_rows(spark.read.parquet(out), cols) == _sorted_rows(want, cols)
