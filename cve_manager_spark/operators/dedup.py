@@ -289,16 +289,24 @@ def incremental_near_dups_tagged(
     )
     if flag_col != "__is_new":
         ex = ex.withColumnRenamed(flag_col, "__is_new")
+    # distinct key names per side: both branches derive from the same
+    # persisted relation, and a bare a.shingle_h == b.shingle_h resolves
+    # to one attribute (Spark warns "trivially true" and falls back to
+    # self-join disambiguation — correct, but better to not rely on it)
     a = ex.where(F.col("__is_new")).select(
-        F.col("id").alias("id_new"), F.col("n_sh").alias("n_a"), "shingle_h"
+        F.col("id").alias("id_new"),
+        F.col("n_sh").alias("n_a"),
+        F.col("shingle_h").alias("sh_a"),
     )
     b = ex.where(~F.col("__is_new")).select(
-        F.col("id").alias("id_old"), F.col("n_sh").alias("n_b"), "shingle_h"
+        F.col("id").alias("id_old"),
+        F.col("n_sh").alias("n_b"),
+        F.col("shingle_h").alias("sh_b"),
     )
     common = (
         a.join(
             b,
-            (a.shingle_h == b.shingle_h)
+            (F.col("sh_a") == F.col("sh_b"))
             & (F.col("n_a") * threshold <= F.col("n_b"))
             & (F.col("n_b") * threshold <= F.col("n_a")),
         )
