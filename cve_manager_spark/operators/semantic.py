@@ -111,18 +111,20 @@ def assign_clusters(qdf: DataFrame, cents: list[list[int]]) -> DataFrame:
     return qdf.withColumn("cluster", best["cid"]).withColumn("dist_q", best["dist"])
 
 
-def kmeans_quantized(
+def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
-) -> DataFrame:
-    """Deterministic Lloyd's over quantized embeddings.
+) -> tuple[DataFrame, list[list[int]]]:
+    """Deterministic Lloyd's over quantized embeddings — fit half.
 
-    Returns (id, q, qq, cluster, dist_q) — the final assignment with the
-    quantized vectors still attached so downstream near-dup joins reuse
-    them without a re-scan.
+    Returns (q, centroids): ``q`` is the persisted quantized relation
+    (id, q, qq) and ``centroids`` the final k×d integer codebook. Split
+    out from :func:`kmeans_quantized` so consumers that need the
+    CODEBOOK rather than the assignment (the product quantizer trains
+    one per subspace) reuse the identical training loop.
     """
     from pyspark import StorageLevel
 
@@ -163,6 +165,25 @@ def kmeans_quantized(
             [new[cid][p] for p in range(len(cents[cid]))] if cid in new else cents[cid]
             for cid in range(k)
         ]
+    return q, cents
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's over quantized embeddings.
+
+    Returns (id, q, qq, cluster, dist_q) — the final assignment with the
+    quantized vectors still attached so downstream near-dup joins reuse
+    them without a re-scan.
+    """
+    from pyspark import StorageLevel
+
+    q, cents = kmeans_fit(df, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
     # Persist the FINAL assignment: every consumer of this operator feeds
     # it into a self-join (semantic_dedup reads it on both sides,
     # semantic_dedup_keep three times) and without a persist each branch

@@ -354,3 +354,238 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """Train a product quantizer: ``m`` per-subspace integer codebooks of
+    ``k`` codewords each, via the SAME deterministic quantized Lloyd's
+    the semantic-dedup k-means uses (operators/semantic.kmeans_fit) run
+    on each (dim/m)-wide slice. Codebooks are m·k·(dim/m) integers —
+    driver/broadcast-sized at any realistic setting (m=64, k=256 is
+    16k ints). Deterministic end-to-end: same corpus → same codebooks.
+    """
+    from pyspark import StorageLevel
+
+    from cve_manager_spark.functions.helpers import fan_out
+    from cve_manager_spark.operators.semantic import quantize_vec
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    # ALL m subspaces train in the same passes: one scan per Lloyd
+    # iteration computes every per-subspace assignment map-side, and one
+    # (subspace, cluster, pos) hash aggregate updates every codebook —
+    # m separate k-means runs would scan the corpus m times per
+    # iteration, a non-starter at 100 TB.
+    q = (
+        fan_out(df.select(quantize_vec(F.col(vec_col)).alias("q"), F.col(id_col)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed_rows = q.orderBy(id_col).limit(k).collect()
+    books = [
+        [list(r["q"][j * w : (j + 1) * w]) for r in seed_rows] for j in range(m)
+    ]
+    for _ in range(iters):
+        assigned = _pq_assign(q, books, w)
+        upd = (
+            assigned.select(
+                "__j",
+                "cl",
+                F.posexplode(F.slice(F.col("q"), F.col("__j") * w + 1, w)).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("__j", "cl", "pos")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, int]] = {}
+        for r in upd:
+            new.setdefault((r["__j"], r["cl"]), {})[r["pos"]] = int(r["cv"])
+        books = [
+            [
+                [new[(j, c)][p] for p in range(w)] if (j, c) in new else books[j][c]
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+    q.unpersist()
+    return books
+
+
+def _pq_assign(q: DataFrame, books: list[list[list[int]]], w: int) -> DataFrame:
+    """(q, pq_code, __j) helper: one map-side pass assigning every
+    subspace; posexplode over the code array pairs each cluster id with
+    its subspace index for the update aggregate."""
+    m = len(books)
+    codes = []
+    for j, cents in enumerate(books):
+        sub = F.slice(F.col("q"), j * w + 1, w)
+        qq = F.aggregate(sub, F.lit(0).cast("long"), lambda a, x: a + x * x)
+        cents_lit = F.lit([[int(v) for v in c] for c in cents]).cast(
+            "array<array<bigint>>"
+        )
+        cc_lit = F.lit([sum(v * v for v in c) for c in cents]).cast("array<bigint>")
+
+        def _argmin_fn(sub, qq, cc_lit):
+            def fn(c, i):
+                return F.struct(
+                    (
+                        qq
+                        - 2
+                        * F.aggregate(
+                            F.zip_with(sub, c, lambda a, b: a * b),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        )
+                        + F.element_at(cc_lit, i + F.lit(1))
+                    ).alias("dist"),
+                    i.cast("int").alias("cid"),
+                )
+
+            return fn
+
+        codes.append(F.array_min(F.transform(cents_lit, _argmin_fn(sub, qq, cc_lit)))["cid"])
+    return q.select("q", F.array(*codes).alias("pq_code")).select(
+        "q", F.posexplode("pq_code").alias("__j", "cl")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``pq_code``: the m nearest-codeword ids (one per subspace),
+    assigned MAP-SIDE against the codebook literals — no join, no
+    shuffle; at scale this is the narrow encode pass whose output (m
+    small ints per row, ~m bytes vs 4·dim) is what the ANN index
+    actually stores. Same integer distance/tie-break contract as
+    assign_clusters: argmin of qq − 2·<q,c> + <c,c>, ties to the lowest
+    code id, via one indexed transform over a 2-D literal per subspace.
+    """
+    from cve_manager_spark.operators.semantic import quantize_vec
+
+    m = len(books)
+    w = len(books[0][0])
+    qv = quantize_vec(F.col(vec_col))
+    codes = []
+    for j, cents in enumerate(books):
+        sub = F.slice(qv, j * w + 1, w)
+        qq = F.aggregate(sub, F.lit(0).cast("long"), lambda a, x: a + x * x)
+        cents_lit = F.lit([[int(v) for v in c] for c in cents]).cast(
+            "array<array<bigint>>"
+        )
+        cc_lit = F.lit([sum(v * v for v in c) for c in cents]).cast("array<bigint>")
+        def _argmin_fn(sub, qq, cc_lit):
+            # closure factory: PySpark introspects HOF lambda arity, so
+            # captured columns must not ride as default args
+            def fn(c, i):
+                return F.struct(
+                    (
+                        qq
+                        - 2
+                        * F.aggregate(
+                            F.zip_with(sub, c, lambda a, b: a * b),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        )
+                        + F.element_at(cc_lit, i + F.lit(1))
+                    ).alias("dist"),
+                    i.cast("int").alias("cid"),
+                )
+
+            return fn
+
+        structs = F.transform(cents_lit, _argmin_fn(sub, qq, cc_lit))
+        codes.append(F.array_min(structs)["cid"])
+    from cve_manager_spark.operators.semantic import dot_self
+
+    # exact squared norm rides along (one long per row): ADC ranks by
+    # approximate COSINE — table inner products over the stored norm —
+    # so PQ retrieval is comparable to the cosine-ranked exact/IVF paths
+    return df.withColumn("pq_code", F.array(*codes)).withColumn(
+        "vnorm2", dot_self(qv)
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC): the query
+    builds an m×k integer table of squared distances to every codeword
+    (driver-side — m·k scalars), and each row's approximate distance is
+    m table lookups on its stored code — the scan touches CODES only,
+    never the original vectors. This is the memory-bound ANN shape
+    (codes are ~m bytes/vector); recall is bounded by quantization
+    error, dialed by m·log2(k) bits. Deterministic: integer distance
+    table, integer sums, (dist, id) tie-break.
+
+    ``encoded``: optional pre-encoded relation (the production shape —
+    encode once, query many).
+    """
+    import numpy as np
+
+    from cve_manager_spark.operators.semantic import QUANT_SCALE
+
+    if encoded is None:
+        from pyspark import StorageLevel
+
+        # materialize the code relation before ranking: fusing the m
+        # argmin-encode trees with the ADC projection into one stage
+        # makes whole-stage codegen compile a pathological method
+        # (measured ~20s vs 0.2s split); at scale the codes are a
+        # persisted index anyway — encode once, query many.
+        enc = pq_encode(df, books, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+        enc.count()
+    else:
+        enc = encoded
+    qvec = np.asarray(
+        query_df.select(query_vec_col).first()[0], dtype=np.float64
+    )
+    qq = np.floor(qvec * QUANT_SCALE).astype(np.int64)
+    m = len(books)
+    w = len(books[0][0])
+    # inner-product table: score = sum_j <q_j, codeword_j> / |v| ranks by
+    # approximate cosine (|q| is constant across rows)
+    table = [
+        [int((qq[j * w : (j + 1) * w] * np.asarray(c, dtype=np.int64)).sum())
+         for c in books[j]]
+        for j in range(m)
+    ]
+    t_lit = F.lit(table).cast("array<array<bigint>>")
+    idxs = F.sequence(F.lit(0), F.lit(m - 1))
+    adot = F.aggregate(
+        idxs,
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(t_lit, j + F.lit(1)),
+            F.element_at(F.col("pq_code"), j + F.lit(1)) + F.lit(1),
+        ),
+    )
+    score = adot.cast("double") / F.sqrt(F.col("vnorm2").cast("double"))
+    return (
+        enc.select(F.col(id_col), score.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -3882,3 +3882,27 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_suppkey") + 1000000000).alias("dst"),
     ).distinct()
     return k_core(e, k=25)
+
+
+@_register(
+    "ann_pq",
+    None,
+    doc="N3 scale path, third family: product-quantization ANN. "
+    "Per-subspace deterministic quantized k-means codebooks "
+    "(operators/similarity.pq_train, m=16 x k=16 = 64 bits/vector), "
+    "map-side encode (no shuffle — the index stores m small ints per "
+    "row), and asymmetric-distance top-k where the query ships an "
+    "m x k integer lookup table and the scan touches CODES only, never "
+    "vectors — the memory-bound ANN shape next to ann_lsh (bucket "
+    "key) and ann_ivf (probe fraction). Rows-only by design like its "
+    "siblings (approximate ranking has no SQL oracle); determinism "
+    "and a recall floor are pinned in tests/test_ann_quality.py.",
+    priority=7,
+)
+def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.similarity import pq_topk, pq_train
+
+    emb = load_table(spark, sf, "embeddings")
+    books = pq_train(emb, m=16, k=16)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return pq_topk(emb, q, books, k=10)

@@ -121,6 +121,27 @@ def main() -> None:
             "scan_frac": round(np_ / N_LISTS, 4),
         }
 
+    # PQ: codebooks trained once per corpus; encode persisted per panel
+    # config. scan_frac is 1.0 by construction (every CODE is touched) —
+    # the PQ economy is bytes-per-vector, reported instead.
+    out["pq"] = {}
+    for m in (8, 16, 32):
+        books = S.pq_train(emb, m=m, k=16, dim=dim)
+        enc = S.pq_encode(emb, books).persist()
+        enc.count()
+        recall, sec = panel(
+            lambda c, q, books=books, enc=enc: S.pq_topk(
+                c, q, books, k=K,
+                encoded=enc.join(c.select("vec_id"), "vec_id", "left_semi"),
+            )
+        )
+        out["pq"][f"m={m}"] = {
+            "recall": recall,
+            "mean_sec": sec,
+            "bits_per_vector": m * 4,
+        }
+        enc.unpersist()
+
     path = os.path.join(REPO, "ANN_RECALL.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
