@@ -273,3 +273,107 @@ def semantic_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
         F.count("is_dropped").alias("n_dropped"),
         (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
     )
+
+
+def _pq_subspace_cte(j: int, w: int, k: int) -> str:
+    """Unrolled 2-iteration quantized k-means for subspace ``j`` (slice
+    q[j*w+1 : (j+1)*w]) — the per-subspace copy of the _KMEANS_CTE
+    pattern, suffixed so m of them compose in one WITH clause. Emits
+    ``asg_s{j}`` = (vec_id, cid), the final assignment."""
+    lo, hi = j * w + 1, (j + 1) * w
+    s = f"_s{j}"
+    dist = (
+        "CAST(list_dot_product(CAST(qs AS DOUBLE[]), CAST(qs AS DOUBLE[]))"
+        " - 2 * list_dot_product(CAST(qs AS DOUBLE[]), CAST(c AS DOUBLE[]))"
+        " + list_dot_product(CAST(c AS DOUBLE[]), CAST(c AS DOUBLE[])) AS BIGINT)"
+    )
+    return f"""e{s} AS (
+  SELECT vec_id, q[{lo}:{hi}] AS qs FROM eq
+), c0{s} AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qs AS c
+  FROM (SELECT vec_id, qs FROM e{s} ORDER BY vec_id LIMIT {k})
+), d1{s} AS (
+  SELECT vec_id, qs, cid, {dist} AS dist FROM e{s} CROSS JOIN c0{s}
+), a1{s} AS (
+  SELECT vec_id, qs, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1{s}) WHERE rn = 1
+), x1{s} AS (
+  SELECT cid, generate_subscripts(qs, 1) AS pos, unnest(qs) AS val FROM a1{s}
+), u1{s} AS (
+  SELECT cid, pos,
+         CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM x1{s} GROUP BY cid, pos
+), c1{s} AS (
+  SELECT c0{s}.cid, COALESCE(nc.c, c0{s}.c) AS c
+  FROM c0{s} LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS c FROM u1{s} GROUP BY cid) nc
+    ON c0{s}.cid = nc.cid
+), d2{s} AS (
+  SELECT vec_id, qs, cid, {dist} AS dist FROM e{s} CROSS JOIN c1{s}
+), b2{s} AS (
+  SELECT vec_id, qs, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2{s}) WHERE rn = 1
+), x2{s} AS (
+  SELECT cid, generate_subscripts(qs, 1) AS pos, unnest(qs) AS val FROM b2{s}
+), u2{s} AS (
+  SELECT cid, pos,
+         CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM x2{s} GROUP BY cid, pos
+), c2{s} AS (
+  SELECT c1{s}.cid, COALESCE(nc.c, c1{s}.c) AS c
+  FROM c1{s} LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS c FROM u2{s} GROUP BY cid) nc
+    ON c1{s}.cid = nc.cid
+), d3{s} AS (
+  SELECT vec_id, qs, cid, {dist} AS dist FROM e{s} CROSS JOIN c2{s}
+), asg{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d3{s}) WHERE rn = 1
+)"""
+
+
+def _pq_codes_oracle(m: int = 4, w: int = 16, k: int = 8) -> str:
+    """Machine-built oracle: m unrolled per-subspace k-means + the code
+    array assembly. One WITH clause; each subspace replays the identical
+    deterministic Lloyd's the Spark pq_train runs in shared passes."""
+    parts = [
+        """eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+)"""
+    ]
+    parts += [_pq_subspace_cte(j, w, k) for j in range(m)]
+    joins = " ".join(
+        f"JOIN asg_s{j} ON asg_s0.vec_id = asg_s{j}.vec_id" for j in range(1, m)
+    )
+    code = ", ".join(f"asg_s{j}.cid" for j in range(m))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT asg_s0.vec_id AS vec_id, [{code}] AS pq_code"
+        + f"\nFROM asg_s0 {joins}"
+    )
+
+
+@_register(
+    "pq_codes",
+    _pq_codes_oracle(),
+    doc="Product-quantizer encode, hash-checked: m=4 subspace codebooks "
+    "(k=8, two Lloyd iterations — every subspace trained in the SAME "
+    "shared passes, operators/similarity.pq_train) and the per-vector "
+    "code array assigned map-side. The oracle is MACHINE-BUILT: four "
+    "unrolled copies of the quantized-k-means CTE, one per slice — "
+    "possible only because of the integer quantization contract, and "
+    "the hash-checked face of the rows-only ann_pq retrieval (same "
+    "role embedding_kmeans plays for semantic_dedup).",
+    priority=7,
+)
+def pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.similarity import pq_encode, pq_train
+
+    emb = load_table(spark, sf, "embeddings")
+    books = pq_train(emb, m=4, k=8, iters=2)
+    return pq_encode(emb, books).select("vec_id", "pq_code")
