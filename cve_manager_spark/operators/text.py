@@ -14,8 +14,11 @@ Operators:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from cve_manager_spark.functions.helpers import fan_out
 
 # A small English stopword core; enough for ratio features.
 STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
@@ -132,4 +135,102 @@ def fingerprint(text: Column) -> Column:
         codes,
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a byte-pair-encoding vocabulary: the ``n_merges`` most
+    frequent adjacent symbol pairs, merged greedily in order (Sennrich
+    et al. 2016). Returns (rank, left, right, merged, pair_count).
+
+    Scale shape — the part that matters at 100 TB: the CORPUS is
+    touched exactly once, to build the (word, count) vocabulary
+    relation; every merge round then runs on that vocabulary table
+    (bounded by distinct words, not corpus size), as one pair-count
+    hash aggregate + a deterministic argmax (count desc, pair asc) +
+    an Arrow-batched left-to-right merge application. The driver sees
+    ONE row per round. Word symbols start as characters plus a '</w>'
+    end marker, the standard word-internal BPE.
+
+    Deterministic: integer counts, lexicographic tie-break, greedy
+    non-overlapping left-to-right application — same corpus, same
+    merges, on 1 core or 1000 executors.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = (
+        fan_out(df)
+        .select(F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+            "cnt",
+        )
+        .persist()
+    )
+    vocab.count()
+
+    merges = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("syms") - 2),
+                            lambda i: F.struct(
+                                F.element_at("syms", i + 1).alias("l"),
+                                F.element_at("syms", i + 2).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array()),
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["pair_count"] == 0:
+            break
+        left, right, cnt = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["pair_count"])
+        merges.append((rank, left, right, left + right, cnt))
+
+        @pandas_udf("array<string>")
+        def apply_merge(arrs: pd.Series) -> pd.Series:
+            out = []
+            for syms in arrs:
+                res, i = [], 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        new_vocab = vocab.select(
+            apply_merge(F.col("syms")).alias("syms"), "cnt"
+        ).persist()
+        new_vocab.count()
+        vocab.unpersist()
+        vocab = new_vocab
+
+    spark = df.sparkSession
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
     )

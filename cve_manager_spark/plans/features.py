@@ -3906,3 +3906,25 @@ def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     books = pq_train(emb, m=16, k=16)
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     return pq_topk(emb, q, books, k=10)
+
+
+@_register(
+    "bpe_merges",
+    None,
+    doc="BPE vocabulary induction (Sennrich 2016): the 12 most frequent "
+    "adjacent-symbol merges, applied greedily in order. The corpus is "
+    "scanned ONCE into a (word, count) vocabulary relation; every "
+    "round then costs one pair-count hash aggregate + deterministic "
+    "argmax (count desc, pair asc) + an Arrow-batched left-to-right "
+    "merge application — all bounded by DISTINCT words, not corpus "
+    "size, with one row per round to the driver. Rows-only: the "
+    "iterative greedy fixpoint is not SQL-expressible; the merge "
+    "sequence is pinned against a hand-computed example and a "
+    "double-run determinism check in tests/test_operators.py. "
+    "operators/text.bpe_train.",
+    priority=7,
+)
+def bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import bpe_train
+
+    return bpe_train(load_table(spark, sf, "documents"), n_merges=12)

@@ -266,3 +266,37 @@ def test_k_core_on_canonical_graphs(spark):
 
     path = edges([(i, i + 1) for i in range(9)])  # 10-node path
     assert k_core(path, k=2).count() == 0  # peels fully, end-in
+
+
+def test_bpe_train_matches_hand_computed_merges(spark):
+    """Sennrich-style BPE on a corpus small enough to merge by hand.
+    Words: low x3, lower x1. Symbol init: chars + '</w>'.
+    Pair counts round 1: (l,o)=4, (o,w)=4, (w,</w>)=3, (w,e)=1, (e,r)=1,
+    (r,</w>)=1 -> tie (l,o)/(o,w) at 4 breaks lexicographically to (l,o).
+    Round 2: (lo,w)=4 wins. Round 3: (low,</w>)=3 wins. Round 4:
+    (low,e)=1 ties with (e,r),(r,</w>) -> lexicographic -> (e,r)."""
+    from cve_manager_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low",)], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=4).orderBy("rank").collect()
+    ]
+    assert got == [
+        (0, "l", "o", "lo", 4),
+        (1, "lo", "w", "low", 4),
+        (2, "low", "</w>", "low</w>", 3),
+        (3, "e", "r", "er", 1),
+    ]
+
+
+def test_bpe_train_is_deterministic_on_corpus(spark):
+    from cve_manager_spark.operators.text import bpe_train
+    from cve_manager_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    b = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    assert a == b and len(a) == 6
