@@ -91,6 +91,8 @@ _TYPE_MAP = {
     "boolean": {"BOOLEAN"}, "date": {"DATE"},
     "timestamp_ntz": {"TIMESTAMP"},
     "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "array<int>": {"INTEGER[]"}, "array<bigint>": {"BIGINT[]"},
+    "array<string>": {"VARCHAR[]"}, "array<double>": {"DOUBLE[]"},
 }
 
 
