@@ -323,8 +323,14 @@ def delete_where(
         )
 
     # swap: new survivor files move in under fresh names, then the
-    # affected originals go — an interrupted swap can duplicate no row
-    # that a re-run won't delete again (the predicate is idempotent)
+    # affected originals go. NOT atomic: a crash inside this window
+    # leaves survivor rows present twice (new files in, originals not
+    # yet unlinked) and a re-run only re-deletes predicate-TRUE rows —
+    # it cannot identify the duplicated survivors. This multi-file swap
+    # window is exactly what a table format's commit log exists to
+    # close; on a lakehouse, delete_where's rewrite step would commit
+    # through it. Single-node recovery: the fresh part-del-* names make
+    # the new files identifiable next to the originals.
     stamp = uuid.uuid4().hex[:12]
     for i, f in enumerate(sorted(tmp.glob("*.parquet"))):
         f.rename(src / f"part-del-{stamp}-{i:05d}.snappy.parquet")
@@ -420,6 +426,9 @@ def merge_upsert(
             "original left in place"
         )
 
+    # same non-atomic multi-file swap window as delete_where (see the
+    # comment there): crash between move-in and unlink duplicates the
+    # affected rows until the part-mrg-* files are reconciled
     stamp = uuid.uuid4().hex[:12]
     for i, f in enumerate(sorted(tmp.glob("*.parquet"))):
         f.rename(src / f"part-mrg-{stamp}-{i:05d}.snappy.parquet")
