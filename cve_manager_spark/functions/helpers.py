@@ -106,15 +106,47 @@ def fan_out(df, target: int | None = None):
     scale inputs carry enough partitions and this is a no-op; the
     round-robin shuffle of raw rows is only paid when parallelism is
     actually missing.
+
+    The scan-partition count is ESTIMATED driver-side from the scan's
+    file list and (for local files) sizes — ``df.rdd.getNumPartitions()``
+    would answer exactly but forces an RDD plan translation per call, a
+    plan-build side effect a shared production session shouldn't pay.
+    Non-local filesystems skip the stat and assume adequate parallelism
+    (the documented at-scale no-op case); callers that know better pass
+    ``target`` explicitly.
     """
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
     try:
-        sc = df.sparkSession.sparkContext
-        target = target or sc.defaultParallelism
-        n = df.rdd.getNumPartitions()
+        sess = df.sparkSession
+        target = target or sess.sparkContext.defaultParallelism
+        files = df.inputFiles()
     except Exception:
-        # Spark Connect has no sparkContext/rdd access; there the session
-        # is remote and scan parallelism is the server's concern.
+        # Spark Connect has no sparkContext; there the session is remote
+        # and scan parallelism is the server's concern.
         return df
+    if not files:
+        return df  # in-memory relation: no file scan to widen
+    try:
+        raw = sess.conf.get("spark.sql.files.maxPartitionBytes")
+        max_pb = int("".join(c for c in raw if c.isdigit()) or 134217728)
+    except Exception:
+        max_pb = 134_217_728
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return df  # remote FS: trust the scan's own parallelism
+        try:
+            total += os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return df
+    # Spark packs files into splits of maxPartitionBytes, charging each
+    # file openCostInBytes (4 MB default) — so both one big file and many
+    # tiny ones estimate the way FilePartition actually bins them
+    n = math.ceil((total + 4_194_304 * len(files)) / max_pb)
     if n < target:
         return df.repartition(target)
     return df

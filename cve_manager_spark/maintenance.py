@@ -236,8 +236,10 @@ def write_bucketed(
     from two full-table shuffles into a file-aligned merge — the single
     biggest repeated-shuffle saving a warehouse layout can buy. The
     bucket count is chosen once per table pair (powers of two compose:
-    a 256-bucket table co-joins with a 512-bucket one on the larger
-    count in Spark 3.1+ via bucket coalescing).
+    in Spark 3.1+ bucket coalescing a 256-bucket table co-joins with a
+    512-bucket one by coalescing the LARGER side down to the smaller
+    count — size bucket counts so the smaller count still gives enough
+    read parallelism).
 
     ``table`` is a (possibly db-qualified) catalog table name —
     bucketing metadata lives in the catalog, not the parquet footers,
@@ -249,6 +251,27 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(bucket_by)
     writer.saveAsTable(table)
+
+
+def _require_flat_table(src: Path, op: str) -> None:
+    """Copy-on-write ops here swap individual part files at the table
+    ROOT, which is only sound for a flat parquet directory. A
+    hive-partitioned layout breaks every step: the non-recursive file
+    manifest sees zero files, re-reading leaf files without ``basePath``
+    drops the partition columns, and survivors renamed into the root
+    would mix flat files with partition dirs — silent corruption. Fail
+    loud instead; partitioned tables should route the predicate through
+    their table format's commit (or be rewritten per-partition)."""
+    subdirs = [
+        p.name
+        for p in src.iterdir()
+        if p.is_dir() and not p.name.startswith(("_", "."))
+    ]
+    if subdirs:
+        raise ValueError(
+            f"{op} supports flat parquet directories only; {src} contains "
+            f"subdirectories (hive-partitioned layout?): {sorted(subdirs)[:5]}"
+        )
 
 
 def _local_path(uri: str) -> Path:
@@ -267,9 +290,12 @@ def delete_where(
     ONLY the files that contain them (copy-on-write DELETE, the shape
     table formats use). At 100 TB the point is the file manifest: a
     retention or right-to-be-forgotten delete usually touches a sliver
-    of files — with a partitioned/clustered layout the match predicate
-    prunes to them — and every untouched file keeps its bytes, its
-    footer stats and its page cache residency.
+    of files — with a key-clustered layout the match predicate prunes
+    to them — and every untouched file keeps its bytes, its footer
+    stats and its page cache residency. Flat parquet directories only:
+    a hive-partitioned layout is rejected up front (see
+    ``_require_flat_table``) because the root-level file swap would
+    corrupt it.
 
     Mechanics: one distributed scan lists the distinct files holding
     matching rows (``input_file_name`` — driver sees file NAMES only,
@@ -287,8 +313,9 @@ def delete_where(
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     src = Path(path)
+    _require_flat_table(src, "delete_where")
     df = spark.read.parquet(path)
-    files_total = len(list(src.glob("*.parquet")))
+    files_total = len(list(src.rglob("*.parquet")))
 
     hits = (
         df.withColumn("__f", F.input_file_name())
@@ -376,16 +403,27 @@ def merge_upsert(
     import uuid
 
     src = Path(path)
+    _require_flat_table(src, "merge_upsert")
     df = spark.read.parquet(path)
     if set(df.columns) != set(updates.columns):
         raise ValueError(
             f"merge_upsert schema mismatch: table {sorted(df.columns)} "
             f"vs updates {sorted(updates.columns)}"
         )
-    files_total = len(list(src.glob("*.parquet")))
+    files_total = len(list(src.rglob("*.parquet")))
 
     keys = updates.select(*key_cols).distinct()
     n_updates = updates.count()
+    if n_updates == 0:
+        # an empty update set is a no-op; proceeding would write a
+        # zero-file tmp dir that the verification read can't infer a
+        # schema from (reachable from an empty foreachBatch micro-batch)
+        return {
+            "n_matched": 0,
+            "n_inserted": 0,
+            "files_touched": 0,
+            "files_total": files_total,
+        }
     if updates.select(*key_cols).distinct().count() != n_updates:
         raise ValueError("merge_upsert: duplicate keys in updates")
 

@@ -583,7 +583,15 @@ def pq_topk(
             F.element_at(F.col("pq_code"), j + F.lit(1)) + F.lit(1),
         ),
     )
-    score = adot.cast("double") / F.sqrt(F.col("vnorm2").cast("double"))
+    # a vector whose components all quantize to 0 has vnorm2 == 0; an
+    # unguarded divide would make its adc_score NaN (Spark orders NaN
+    # LARGEST, so it would silently top the ranking). Define the
+    # degenerate score as -inf explicitly: a zero vector has no cosine
+    # direction, so it ranks last, deterministically.
+    score = F.when(
+        F.col("vnorm2") > 0,
+        adot.cast("double") / F.sqrt(F.col("vnorm2").cast("double")),
+    ).otherwise(F.lit(float("-inf")))
     return (
         enc.select(F.col(id_col), score.alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col(id_col))

@@ -118,3 +118,30 @@ def test_pq_recall_floor_and_determinism(spark):
     a = [tuple(r) for r in pq_topk(emb, q0, books16, k=10).collect()]
     b = [tuple(r) for r in pq_topk(emb, q0, books16b, k=10).collect()]
     assert a == b
+
+
+def test_pq_zero_vector_ranks_last_not_nan(spark):
+    """A vector whose components all quantize to 0 has vnorm2 == 0; its
+    adc_score must be an explicit -inf (ranks last, present in a full
+    scan), not a NaN that Spark's ordering would put FIRST."""
+    import math
+
+    from cve_manager_spark.operators.similarity import pq_topk, pq_train
+    from cve_manager_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").limit(20)
+    dim = len(emb.select("embedding").first()[0])
+    zero = emb.sparkSession.createDataFrame(
+        [(99_999_999, [0.0] * dim)], "vec_id bigint, embedding array<double>"
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(zero)
+    books = pq_train(corpus, m=8, k=8)
+    q = emb.limit(1).select(F.col("embedding").alias("qvec"))
+    rows = pq_topk(corpus, q, books, k=21).collect()
+    assert len(rows) == 21
+    by_id = {r["vec_id"]: r["adc_score"] for r in rows}
+    z = by_id[99_999_999]
+    assert z == float("-inf") and not math.isnan(z)
+    assert rows[-1]["vec_id"] == 99_999_999  # degenerate vector ranks last

@@ -423,6 +423,46 @@ def test_merge_upsert_insert_only_and_validation(spark, tmp_path):
         )
 
 
+def test_merge_upsert_empty_updates_is_noop(spark, tmp_path):
+    """An empty update set (the empty foreachBatch micro-batch case) must
+    return a zero-count no-op, not die inferring a schema from a
+    zero-file tmp write."""
+    path = str(tmp_path / "docs_merge_empty")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    _copy_to(docs, path)
+    n = spark.read.parquet(path).count()
+    empty = spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    res = maintenance.merge_upsert(spark, path, empty, key_cols=["doc_id"])
+    assert res["n_matched"] == 0 and res["n_inserted"] == 0
+    assert res["files_touched"] == 0
+    assert spark.read.parquet(path).count() == n
+
+
+def test_cow_ops_reject_partitioned_layout(spark, tmp_path):
+    """delete_where/merge_upsert swap files at the table ROOT — on a
+    hive-partitioned layout that drops partition-column values and mixes
+    flat files into the dir tree, so both must refuse up front and leave
+    the table untouched."""
+    path = str(tmp_path / "docs_part")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.write.partitionBy("lang").parquet(path)
+    n = spark.read.parquet(path).count()
+    with pytest.raises(ValueError, match="flat parquet"):
+        maintenance.delete_where(spark, path, "n_chars > 0")
+    upd = spark.createDataFrame(
+        [(0, "X", "en", "manual", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    with pytest.raises(ValueError, match="flat parquet"):
+        maintenance.merge_upsert(spark, path, upd, key_cols=["doc_id"])
+    after = spark.read.parquet(path)
+    assert after.count() == n  # untouched, partition column intact
+    assert "lang" in after.columns
+
+
 def test_delete_where_everything_keeps_table_readable(spark, tmp_path):
     """Deleting every row must leave a readable (0-row) table, even when
     the survivor write emits no part files."""
