@@ -91,30 +91,57 @@ def _hashed_shingle_relation(
     ex = sh.select(
         "id", *carry, "n_sh", F.explode("shingles").alias("shingle")
     ).select("id", *carry, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
-    if max_doc_freq_frac is not None:
-        # Stop-shingle filter: shingle doc-frequencies vs a broadcast 1-row
-        # corpus count (no driver-side scalar); the filter join is keyed on
-        # shingle_h, co-partitioned with the pair join that follows.
-        total = sh.agg(F.count(F.lit(1)).alias("__n_docs"))
-        keep = (
-            ex.groupBy("shingle_h")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .crossJoin(F.broadcast(total))
-            .where(F.col("__df") <= F.col("__n_docs") * max_doc_freq_frac)
-            .select("shingle_h")
-        )
-        ex = ex.join(keep, "shingle_h")
-    if persist_shingles:
-        # Both join branches read the shingle relation; without an explicit
-        # materialization Spark computes the shingle scan twice (~2-3× the
+    raw = None
+    if persist_shingles and max_doc_freq_frac is not None:
+        # The shingle scan is read by the doc-frequency statistics pass
+        # AND the capped-relation build; without an explicit
+        # materialization Spark computes it once per consumer (~2-3× the
         # query time measured). At cluster scale this is "write the shingle
         # index once, join against it" — persist is the local analogue.
         from pyspark import StorageLevel
 
-        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
-        # Materialization barrier: without it both join stages race the
-        # cold cache and each computes the scan anyway.
+        raw = ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        # Materialization barrier: without it the consumers race the cold
+        # cache and each computes the scan anyway.
         ex.count()
+    if max_doc_freq_frac is not None:
+        # Stop-shingle filter as a broadcast ANTI-join: the STOP set
+        # (df > frac·N) is small and bounded independent of corpus size —
+        # at most (total shingle instances)/(frac·N) ≈ avg_sh/frac distinct
+        # shingles — so instead of shuffling the full relation against the
+        # huge KEEP set, broadcast the tiny complement and filter in place.
+        # The df statistics are one map-side-combined aggregation over the
+        # persisted relation; the corpus count joins as a broadcast 1-row
+        # relation (no driver-side scalar).
+        total = sh.agg(F.count(F.lit(1)).alias("__n_docs"))
+        stop = (
+            ex.groupBy("shingle_h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .crossJoin(F.broadcast(total))
+            .where(F.col("__df") > F.col("__n_docs") * max_doc_freq_frac)
+            .select("shingle_h")
+        )
+        ex = ex.join(F.broadcast(stop), "shingle_h", "left_anti")
+    if persist_shingles:
+        # Re-persist hash-partitioned + sorted on the join key: every
+        # downstream pair join keys on shingle_h, so paying the exchange
+        # ONCE here lets a sort-merge pair join read both branches from
+        # the cache with zero further exchanges and zero sorts (asserted
+        # in tests/test_plans_shape.py with broadcast joins disabled —
+        # locally AQE broadcasts the small side instead, which is also
+        # exchange-free on the big side). The raw unpartitioned cache
+        # only backed the statistics pass; drop it once the capped
+        # partitioned copy is materialized.
+        from pyspark import StorageLevel
+
+        ex = (
+            ex.repartition("shingle_h")
+            .sortWithinPartitions("shingle_h")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        ex.count()
+        if raw is not None and raw is not ex:
+            raw.unpersist()
     return ex
 
 

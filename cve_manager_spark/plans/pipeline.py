@@ -56,10 +56,15 @@ WITH toks AS (
   FROM toks
 ), ex AS (
   SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), keep AS (
+  SELECT shingle FROM ex GROUP BY shingle
+  HAVING COUNT(*) <= 0.10 * (SELECT COUNT(*) FROM sh)
+), exk AS (
+  SELECT ex.* FROM ex JOIN keep USING (shingle)
 )
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
-FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.id < b.id
            AND a.n_sh * 0.3 <= b.n_sh AND b.n_sh * 0.3 <= a.n_sh
 GROUP BY a.id, b.id, a.n_sh, b.n_sh
 HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.3
@@ -69,12 +74,26 @@ HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.3
 @_register(
     "dedup_ngram_jaccard",
     _JACCARD_ORACLE,
-    doc="N2-exact: pairwise word-3-gram Jaccard ≥ 0.3 via shingle self-join "
-    "with size-ratio pruning. Integer-count arithmetic → deterministic; the "
-    "LSH variants below are the at-scale approximations of this result.",
+    doc="N2: pairwise word-3-gram Jaccard ≥ 0.3 via shingle self-join with "
+    "size-ratio pruning AND the stop-shingle frequency cap (df ≤ 10% of "
+    "docs, mirrored in the oracle — same pattern as shingle_containment). "
+    "The cap is the at-scale default: one boilerplate shingle shared by k "
+    "docs alone yields k(k-1)/2 join rows on a single shuffle key, so the "
+    "uncapped exact form is a job-killer on a 100 TB corpus; capped "
+    "similarity can only shrink (denominators keep full shingle counts), "
+    "so output is a pairwise subset of the exact result — recall dial, "
+    "never false positives. The uncapped exact form stays available as "
+    "ngram_jaccard_pairs(max_doc_freq_frac=None) and is differentially "
+    "tested against this spec (capped ⊆ exact) in "
+    "tests/test_scale_hardening.py. Integer-count arithmetic → "
+    "deterministic; the LSH variants below are the at-scale "
+    "approximations of this result.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.3)
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), n=3, threshold=0.3,
+        max_doc_freq_frac=0.10,
+    )
 
 
 @_register(

@@ -84,6 +84,7 @@ SAMPLE = [
     "purchase_conversion_lag",
     "sql_tpch_q1",
     "events_dow_hour_heatmap",
+    "dedup_ngram_jaccard",   # round-6: capped spec (df ≤ 10% mirrored in oracle)
     # round-5 session tranche representatives
     "dedup_incremental",
     "rollup_cascade",

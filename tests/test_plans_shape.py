@@ -628,3 +628,56 @@ def test_rollup_cascade_reaggregates_not_rescans(spark):
     assert tree.count("Scan parquet") == 1
     assert tree.count("Exchange") == 3
     assert tree.count("HashAggregate") == 6  # partial+final per level
+
+
+def test_shingle_pair_join_reads_partitioned_cache_without_exchange(spark):
+    """The shingle relation is persisted hash-partitioned + sorted on
+    shingle_h, so a sort-merge pair join must read BOTH branches from the
+    cache with zero exchanges and zero sorts above the cache scan — at
+    cluster scale this is the difference between one shuffle of the
+    shingle index (at build) and three (build + each join branch).
+    Broadcast is disabled so the assertion targets the layout property;
+    with AQE on, the small side would broadcast instead (also
+    exchange-free on the big side)."""
+    from pyspark.sql import functions as F
+
+    from cve_manager_spark.operators.dedup import _hashed_shingle_relation
+    from cve_manager_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    ex = _hashed_shingle_relation(docs, "doc_id", "text", 3, 0.10, True)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        a = ex.select(F.col("id").alias("id_a"), "shingle_h")
+        b = ex.select(F.col("id").alias("id_b"), "shingle_h")
+        j = a.join(b, (a.shingle_h == b.shingle_h) & (F.col("id_a") < F.col("id_b")))
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        # Drop every InMemoryRelation subtree (the cached BUILD plan,
+        # by indentation depth); what remains is the live execution
+        # plan, which must contain no Exchange and no Sort — the cache
+        # supplies both the partitioning and the ordering.
+        live: list[str] = []
+        skip_deeper_than: int | None = None
+        for ln in tree.splitlines():
+            indent = len(ln) - len(ln.lstrip(" :+-*"))
+            if skip_deeper_than is not None and indent > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+            if "InMemoryRelation" in ln:
+                skip_deeper_than = indent
+                continue
+            live.append(ln)
+        live_plan = "\n".join(live)
+        assert "Exchange" not in live_plan
+        assert "Sort (" not in live_plan.replace("SortMergeJoin", "")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ex.unpersist()
