@@ -133,23 +133,31 @@ def frame_sample(
 
 
 def audio_frame_energy(
-    df: DataFrame, frame_bytes: int = 256, id_col: str = "doc_id", data_col: str = "data"
+    df: DataFrame,
+    frame_bytes: int = 256,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    real_decoder=None,
 ) -> DataFrame:
     """Audio feature shape: one blob → fixed-length sample windows → one
-    scalar per window (doc_id, frame_idx, energy). The stub treats the
-    payload as unsigned 8-bit PCM and computes exact integer
-    sum-of-squares per window (numpy-vectorized inside the Arrow batch);
-    a real implementation decodes the container and swaps the energy
-    kernel, riding the identical mapInPandas schema/batch path. This is
-    the third multimodal batch shape next to extract_features (1→1
-    scalars) and frame_sample (1→many payloads): 1→many scalars."""
+    scalar per window (doc_id, frame_idx, energy). By default the
+    payload is treated as unsigned 8-bit PCM already; pass
+    ``real_decoder(bytes) -> bytes`` to unwrap a container first (e.g.
+    stdlib ``wave`` for RIFF/WAV — exercised with a real WAV payload in
+    tests/test_multimodal.py). The energy is exact integer
+    sum-of-squares per window (numpy-vectorized inside the Arrow
+    batch). This is the third multimodal batch shape next to
+    extract_features (1→1 scalars) and frame_sample (1→many payloads):
+    1→many scalars."""
     import numpy as np
+
+    decode = real_decoder if real_decoder is not None else (lambda b: b)
 
     def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, es = [], [], []
             for i, b in zip(pdf[id_col], pdf[data_col]):
-                a = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                a = np.frombuffer(decode(bytes(b)), dtype=np.uint8).astype(np.int64)
                 if len(a) == 0:
                     continue
                 sq = a * a
