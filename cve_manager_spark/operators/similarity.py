@@ -122,6 +122,19 @@ def ann_topk(
     cosine rank within them. Recall trades off with n_planes; candidates
     shrink ~2**n_planes-fold, which is the 100 TB path.
 
+    DEPRECATED for top-k SEARCH on weakly-clustered embeddings — prefer
+    ``ivf_topk`` or ``pq_topk_rerank``. On the audit corpus (top-10
+    neighbors sit only ~2.8σ above the random-pair cosine), the measured
+    frontier is 0.33 recall at 14% scan (multi_probe=2), and a
+    numerically simulated multi-TABLE variant tops out at ~0.58 recall
+    by 25% scan (ANN_RECALL.json `lsh_deprecation`) — data-adapted
+    quantizers (IVF k-means cells, PQ codebooks + exact re-rank)
+    dominate it at every operating point because random hyperplanes
+    cannot adapt to where the neighbors actually are. Hyperplane
+    signatures remain the right tool for near-DUP banding
+    (``lsh_band_keys`` / ``embedding_neardup_pairs``), where the
+    cosine threshold is high (≥0.8) and the collision math works.
+
     multi_probe: also search buckets within this Hamming distance of the
     query's bucket (multi_probe=1 → n_planes+1 buckets). A query vector
     near a hyperplane lands its neighbors on the other side of exactly
@@ -596,4 +609,42 @@ def pq_topk(
         enc.select(F.col(id_col), score.alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    query_df: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """PQ retrieve-then-rerank — the production ANN shape: the ADC scan
+    over CODES prunes the corpus to ``n_candidates`` ids, then an EXACT
+    cosine pass re-ranks only those vectors to the final top-k. The
+    quantization error that caps plain ``pq_topk`` recall (0.59@128
+    bits on the audit corpus) only has to keep true neighbors inside
+    the candidate set, not rank them — measured 0.97 recall@10 at
+    m=32/k=16 (128 bits) with C=50 on the same corpus (ANN_RECALL.json).
+
+    100 TB shape: stage 1 touches ~m bytes/vector (the whole point of
+    PQ); stage 2 fetches n_candidates full vectors by id — a broadcast
+    semi-join that a key-clustered vector table serves with pointed,
+    file-pruned reads. Deterministic end-to-end: integer ADC with
+    (score, id) tie-break, exact float64 re-rank with the same
+    tie-break; n_candidates ≥ corpus reproduces the exact result
+    (property-tested)."""
+    cand_ids = pq_topk(
+        df, query_df, books, k=n_candidates,
+        id_col=id_col, vec_col=vec_col, query_vec_col=query_vec_col,
+        encoded=encoded,
+    ).select(id_col)
+    cand_vecs = df.join(F.broadcast(cand_ids), id_col)
+    return cosine_topk(
+        cand_vecs, query_df, k=k,
+        id_col=id_col, vec_col=vec_col, query_vec_col=query_vec_col,
     )

@@ -145,3 +145,46 @@ def test_pq_zero_vector_ranks_last_not_nan(spark):
     z = by_id[99_999_999]
     assert z == float("-inf") and not math.isnan(z)
     assert rows[-1]["vec_id"] == 99_999_999  # degenerate vector ranks last
+
+
+def test_pq_rerank_with_full_candidates_is_exact_and_floor_holds(spark):
+    """pq_topk_rerank property: with n_candidates >= corpus the ADC stage
+    prunes nothing and the exact re-rank must reproduce cosine_topk
+    exactly (ids AND order). With a tight candidate budget (C=50) the
+    re-ranked recall@10 must clear a floor well above plain ADC's."""
+    from cve_manager_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+        pq_topk_rerank,
+        pq_train,
+    )
+    from cve_manager_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    books = pq_train(emb, m=32, k=16)
+    q = emb.where(F.col("vec_id") == QUERY_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    corpus = emb.where(F.col("vec_id") != QUERY_ID)
+
+    exact = [r["vec_id"] for r in cosine_topk(corpus, q, k=K).collect()]
+    full = [
+        r["vec_id"]
+        for r in pq_topk_rerank(corpus, q, books, k=K, n_candidates=n).collect()
+    ]
+    assert full == exact  # same ids, same order
+
+    got = {
+        r["vec_id"]
+        for r in pq_topk_rerank(corpus, q, books, k=K, n_candidates=50).collect()
+    }
+    adc = {r["vec_id"] for r in pq_topk(corpus, q, books, k=K).collect()}
+    r_rerank = len(got & set(exact)) / K
+    r_adc = len(adc & set(exact)) / K
+    # measured 1.0 vs 0.5 at this corpus/seed; assert with margin and
+    # the dominance that makes re-ranking worth its candidate fetch
+    assert r_rerank >= 0.7, (r_rerank, r_adc)
+    assert r_rerank >= r_adc
