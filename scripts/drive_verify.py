@@ -92,6 +92,16 @@ SAMPLE = [
     "graph_kcore",
     "multimodal_audio_energy",
     "shingle_novelty",
+    # round-6 tranche representatives
+    "unigram_entropy_by_lang",
+    "dau_wau_stickiness",
+    "session_duration_hist",
+    "nation_top3_customers",
+    "monthly_revenue_momentum",
+    "first_week_retention",
+    "embedding_norm_zscore_outliers",
+    "label_centroid_cosine",
+    "source_vocab_overlap",
 ]
 fails = []
 for name in SAMPLE:

@@ -52,6 +52,11 @@ FLAGSHIP = {
     "shingle_containment": "asymmetric containment via shingle-hash equi-join buckets; r5: df ≤ 10% stop-shingle cap ahead of the pair join (oracle-mirrored) — hot-bucket blowup bounded at (0.1N)²",
     "sql_tpch_q3": "3-way star + top-10: filtered customer broadcast, both date filters pushed, TakeOrderedAndProject (no global sort)",
     "sql_tpch_q5": "6-way join with non-key equality (c_nationkey=s_nationkey): region filter pruned through the broadcast chain before the fact join",
+    "dedup_ngram_jaccard": "r6: stop-shingle cap (df \u2264 10%, oracle-mirrored) as a broadcast ANTI-join against the bounded stop set; shingle cache persisted hash-partitioned+sorted on shingle_h so the pair join reads it exchange-free",
+    "dau_wau_stickiness": "windowed-distinct via explode-offsets: each (day,user) row replicated to its 7 trailing windows \u2014 a hash-partitioned COUNT(DISTINCT) replaces the range self-join nested loop",
+    "source_vocab_overlap": "distinct (source,word) relation built once; pair join word-bucketed like the shingle joins; vocabulary sizes broadcast back",
+    "nation_top3_customers": "star with broadcast dims + exact-decimal revenue; rank window partitioned by nation with (revenue DESC, custkey) total order",
+    "embedding_norm_zscore_outliers": "exact integer norms in-row; corpus moments as ONE broadcast stats row (decimal second moment) \u2014 no second data-sized pass",
     "sql_tpch_q6": "joinless scan-filter-aggregate: all predicates pushed, 4 of 11 lineitem columns read",
     "sql_tpch_q18": "aggregate-then-join: HAVING on the grouped relation, tiny survivor set broadcast — the fact shuffles once, for its own aggregate",
     "minhash_band_stats": "LSH capacity planning without a join: signature pass + two stacked aggregates cost the banding scheme before any pair exists",
