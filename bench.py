@@ -95,6 +95,15 @@ HEADLINE = [
     "rollup_cascade",
     "dedup_simhash_det",
     "graph_kcore",
+    # r6: corpus-linguistics + behavioral + embedding-diagnostics
+    # headliners, and the PQ retrieve-then-rerank ANN face
+    "unigram_entropy_by_lang",
+    "source_vocab_overlap",
+    "dau_wau_stickiness",
+    "session_duration_hist",
+    "nation_top3_customers",
+    "embedding_norm_zscore_outliers",
+    "ann_pq_rerank",
 ]
 
 
