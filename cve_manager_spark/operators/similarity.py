@@ -438,40 +438,51 @@ def pq_train(
     return books
 
 
+def _pq_code_udf(books: list[list[list[int]]]):
+    """Arrow-batched nearest-codeword assignment: a pandas_udf mapping a
+    quantized BIGINT-array column to the ``array<int>`` of m code ids.
+
+    One numpy GEMM per (batch, subspace) computes every integer distance
+    ``<q,q> − 2·<q,c> + <c,c>`` exactly (|q| ≤ 5·10⁵ quantized, w ≤ 8 →
+    terms ≤ ~2·10¹², far inside int64), and ``argmin`` returns the FIRST
+    minimum — identical to the previous expression tree's
+    min-by-(dist, cid) tie-break, bit-for-bit (re-verified by the
+    machine-built pq_codes oracle and the determinism tests). The
+    expression form compiled one argmin tree per subspace into a
+    pathological whole-stage-codegen method — measured ~11 s of compile
+    time per train/encode at m≥16 before a single row moved; this
+    kernel is the SimHash-vectorization precedent applied to PQ
+    (codebooks ride as a few-KB closure, pickled by value).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=np.int64) for b in books]
+    m = len(B)
+    w = B[0].shape[1]
+    cc = [(Bj * Bj).sum(axis=1) for Bj in B]
+
+    @pandas_udf("array<int>")
+    def encode(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.array(qs.tolist(), dtype=np.int64)
+        out = np.empty((len(Q), m), dtype=np.int32)
+        for j in range(m):
+            sub = Q[:, j * w : (j + 1) * w]
+            d = (sub * sub).sum(1, keepdims=True) - 2 * (sub @ B[j].T) + cc[j]
+            out[:, j] = d.argmin(1)
+        return pd.Series(list(out))
+
+    return encode
+
+
 def _pq_assign(q: DataFrame, books: list[list[list[int]]], w: int) -> DataFrame:
-    """(q, pq_code, __j) helper: one map-side pass assigning every
+    """(q, __j, cl) helper: one map-side Arrow pass assigning every
     subspace; posexplode over the code array pairs each cluster id with
     its subspace index for the update aggregate."""
-    m = len(books)
-    codes = []
-    for j, cents in enumerate(books):
-        sub = F.slice(F.col("q"), j * w + 1, w)
-        qq = F.aggregate(sub, F.lit(0).cast("long"), lambda a, x: a + x * x)
-        cents_lit = F.lit([[int(v) for v in c] for c in cents]).cast(
-            "array<array<bigint>>"
-        )
-        cc_lit = F.lit([sum(v * v for v in c) for c in cents]).cast("array<bigint>")
-
-        def _argmin_fn(sub, qq, cc_lit):
-            def fn(c, i):
-                return F.struct(
-                    (
-                        qq
-                        - 2
-                        * F.aggregate(
-                            F.zip_with(sub, c, lambda a, b: a * b),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        )
-                        + F.element_at(cc_lit, i + F.lit(1))
-                    ).alias("dist"),
-                    i.cast("int").alias("cid"),
-                )
-
-            return fn
-
-        codes.append(F.array_min(F.transform(cents_lit, _argmin_fn(sub, qq, cc_lit)))["cid"])
-    return q.select("q", F.array(*codes).alias("pq_code")).select(
+    encode = _pq_code_udf(books)
+    return q.select("q", encode(F.col("q")).alias("pq_code")).select(
         "q", F.posexplode("pq_code").alias("__j", "cl")
     )
 
@@ -482,55 +493,24 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Append ``pq_code``: the m nearest-codeword ids (one per subspace),
-    assigned MAP-SIDE against the codebook literals — no join, no
+    assigned MAP-SIDE against the broadcast codebooks — no join, no
     shuffle; at scale this is the narrow encode pass whose output (m
     small ints per row, ~m bytes vs 4·dim) is what the ANN index
-    actually stores. Same integer distance/tie-break contract as
+    actually stores. Integer distance/tie-break contract as in
     assign_clusters: argmin of qq − 2·<q,c> + <c,c>, ties to the lowest
-    code id, via one indexed transform over a 2-D literal per subspace.
+    code id — evaluated by the Arrow numpy kernel (``_pq_code_udf``).
     """
-    from cve_manager_spark.operators.semantic import quantize_vec
+    from cve_manager_spark.operators.semantic import dot_self, quantize_vec
 
-    m = len(books)
-    w = len(books[0][0])
-    qv = quantize_vec(F.col(vec_col))
-    codes = []
-    for j, cents in enumerate(books):
-        sub = F.slice(qv, j * w + 1, w)
-        qq = F.aggregate(sub, F.lit(0).cast("long"), lambda a, x: a + x * x)
-        cents_lit = F.lit([[int(v) for v in c] for c in cents]).cast(
-            "array<array<bigint>>"
-        )
-        cc_lit = F.lit([sum(v * v for v in c) for c in cents]).cast("array<bigint>")
-        def _argmin_fn(sub, qq, cc_lit):
-            # closure factory: PySpark introspects HOF lambda arity, so
-            # captured columns must not ride as default args
-            def fn(c, i):
-                return F.struct(
-                    (
-                        qq
-                        - 2
-                        * F.aggregate(
-                            F.zip_with(sub, c, lambda a, b: a * b),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        )
-                        + F.element_at(cc_lit, i + F.lit(1))
-                    ).alias("dist"),
-                    i.cast("int").alias("cid"),
-                )
-
-            return fn
-
-        structs = F.transform(cents_lit, _argmin_fn(sub, qq, cc_lit))
-        codes.append(F.array_min(structs)["cid"])
-    from cve_manager_spark.operators.semantic import dot_self
-
+    encode = _pq_code_udf(books)
     # exact squared norm rides along (one long per row): ADC ranks by
     # approximate COSINE — table inner products over the stored norm —
     # so PQ retrieval is comparable to the cosine-ranked exact/IVF paths
-    return df.withColumn("pq_code", F.array(*codes)).withColumn(
-        "vnorm2", dot_self(qv)
+    return (
+        df.withColumn("__q", quantize_vec(F.col(vec_col)))
+        .withColumn("pq_code", encode(F.col("__q")))
+        .withColumn("vnorm2", dot_self(F.col("__q")))
+        .drop("__q")
     )
 
 
@@ -563,11 +543,13 @@ def pq_topk(
     if encoded is None:
         from pyspark import StorageLevel
 
-        # materialize the code relation before ranking: fusing the m
-        # argmin-encode trees with the ADC projection into one stage
-        # makes whole-stage codegen compile a pathological method
-        # (measured ~20s vs 0.2s split); at scale the codes are a
-        # persisted index anyway — encode once, query many.
+        # materialize the code relation before ranking: at scale the
+        # codes are a persisted index — encode once, query many — and
+        # locally this keeps the Arrow encode pass out of every query's
+        # critical path. (Historic note: the pre-r6 expression-tree
+        # encode ALSO had to split here because fusing its m argmin
+        # trees with the ADC projection compiled a pathological
+        # whole-stage-codegen method, ~20s vs 0.2s.)
         enc = pq_encode(df, books, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
         enc.count()
     else:

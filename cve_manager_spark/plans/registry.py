@@ -46,6 +46,7 @@ DRIVER_GREEN = frozenset({
     "attribution_last_touch",
     "basket_pairs",
     "bigram_lift",
+    "bm25_topk",
     "cast_date",
     "cast_to_string",
     "cdc_upsert",
@@ -55,7 +56,10 @@ DRIVER_GREEN = frozenset({
     "corr_regress",
     "cosine_threshold",
     "cumulative_unique_users",
+    "customer_order_recency",
+    "customer_rfm",
     "decontaminate_ngram",
+    "dedup_cascade_funnel",
     "dedup_cluster_rep",
     "dedup_clusters",
     "dedup_embedding",
@@ -68,17 +72,25 @@ DRIVER_GREEN = frozenset({
     "doc_fingerprint",
     "doc_length_histogram",
     "dq_checks",
+    "dq_freshness",
     "dq_quarantine",
     "dup_rate_by_source",
+    "embedding_bucket_histogram",
     "embedding_centroid",
+    "embedding_dim_stats",
     "embedding_norm_stats",
+    "embedding_quantize",
+    "error_rate_hourly",
     "event_transitions",
     "event_type_share",
+    "events_burst_minutes",
     "events_debounce",
     "events_dow_hour_heatmap",
     "events_funnel",
+    "events_interarrival_hist",
     "events_lag_gap",
     "events_retention",
+    "events_top_user_per_type_day",
     "explode_conditional",
     "explode_nested",
     "explode_outer_nulls",
@@ -90,6 +102,8 @@ DRIVER_GREEN = frozenset({
     "filter_like",
     "filter_or_threshold",
     "fuzzy_pairs_levenshtein",
+    "graph_degree_assortativity",
+    "graph_degree_hist",
     "group_sample_topn",
     "grouped_median_pandas",
     "heavy_hitters",
@@ -98,9 +112,11 @@ DRIVER_GREEN = frozenset({
     "iqr_outliers",
     "join_anti",
     "join_asof",
+    "join_full_reconcile",
     "join_inner_view",
     "join_interval",
     "join_left_lookup",
+    "join_null_safe",
     "join_range_pred",
     "join_salted",
     "join_semi",
@@ -115,16 +131,27 @@ DRIVER_GREEN = frozenset({
     "lang_source_gini",
     "late_data_audit",
     "limit_1",
+    "longest_streak",
     "max_concurrency",
     "median_exact",
+    "minhash_band_stats",
     "mix_budget",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_thumbnail",
+    "nation_trade_balance",
+    "near_dup_source_matrix",
+    "nearest_event",
     "null_fallback",
     "order_size_histogram",
+    "orders_backlog_aging",
+    "orders_monthly_yoy",
+    "orders_pareto",
     "pack_sequences",
     "pagerank_links",
+    "part_min_price_per_type",
+    "part_price_spread",
+    "part_type_share",
     "posexplode_index",
     "project_cols",
     "project_nested",
@@ -140,15 +167,31 @@ DRIVER_GREEN = frozenset({
     "set_ops",
     "shard_balance_audit",
     "shingle_containment",
+    "shipping_delay_stats",
     "snapshot_diff",
     "sort_topk",
     "sql_tpch_q1",
+    "sql_tpch_q10",
+    "sql_tpch_q12lite",
+    "sql_tpch_q14",
+    "sql_tpch_q18",
+    "sql_tpch_q19",
+    "sql_tpch_q3",
+    "sql_tpch_q4",
+    "sql_tpch_q5",
+    "sql_tpch_q6",
+    "stop_shingle_report",
+    "stopword_profile",
     "str_concat_fold",
     "str_isdigit",
     "str_replace",
     "str_strip_prefix",
     "stratified_sample",
+    "supplier_balance_decile",
+    "supplier_coverage",
     "table_profile",
+    "text_char_class_profile",
+    "text_hapax_rate",
     "text_lang_id",
     "text_ngram_freq",
     "text_pii_mask",
@@ -157,14 +200,21 @@ DRIVER_GREEN = frozenset({
     "text_tfidf",
     "text_tokenize_count",
     "text_top_terms",
+    "text_ttr_by_source",
     "token_count",
+    "token_len_histogram",
+    "top_customer_by_priority",
     "top_ngram_per_lang",
+    "triangle_count",
     "union_all",
     "unpivot_melt",
     "user_profile",
+    "user_type_gini",
     "value_mad",
     "vocab_coverage",
+    "vocab_growth_curve",
     "weekly_order_growth",
+    "weighted_median",
     "window_first_last",
     "window_ntile",
     "window_percent_rank",

@@ -102,6 +102,7 @@ SAMPLE = [
     "embedding_norm_zscore_outliers",
     "label_centroid_cosine",
     "source_vocab_overlap",
+    "pq_codes",   # r6: encode re-kerneled to Arrow numpy — must stay hash-identical
 ]
 fails = []
 for name in SAMPLE:

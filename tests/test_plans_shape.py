@@ -681,3 +681,46 @@ def test_shingle_pair_join_reads_partitioned_cache_without_exchange(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         ex.unpersist()
+
+
+def test_dau_wau_explode_rewrite_has_no_nested_loop(spark):
+    """The 7-day windowed-distinct rewrite must plan as explode +
+    hash-partitioned aggregate — the range self-join it replaces would
+    appear as a BroadcastNestedLoopJoin/CartesianProduct."""
+    plan = plan_of(spark, "dau_wau_stickiness")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "Generate explode" in tree or "Generate" in tree
+
+
+def test_source_vocab_overlap_pair_join_is_word_bucketed(spark):
+    """The vocabulary pair join must be an equi-join on the word (per-word
+    buckets bounded by #sources), never an all-pairs plan; the size
+    relation joins back as broadcasts."""
+    plan = plan_of(spark, "source_vocab_overlap")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert tree.count("BroadcastHashJoin") >= 2  # the two size lookups
+
+
+def test_nation_top3_broadcasts_both_dims(spark):
+    """Customer and nation are dimensions: both must broadcast under the
+    fact scan, and the rank filter must evaluate in the window stage."""
+    plan = plan_of(spark, "nation_top3_customers")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in tree
+
+
+def test_embedding_norm_outlier_stats_ride_one_broadcast_row(spark):
+    """The corpus moments must join back as a broadcast single-row
+    relation (the stats-total crossJoin pattern) — a second data-sized
+    shuffle or a driver-collected scalar would both be wrong."""
+    plan = plan_of(spark, "embedding_norm_zscore_outliers")
+    tree = plan.split("\n\n")[0]
+    for line in tree.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross BuildRight" in line  # the 1-row stats broadcast
+    assert "CartesianProduct" not in tree
