@@ -253,25 +253,34 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def _require_flat_table(src: Path, op: str) -> None:
-    """Copy-on-write ops here swap individual part files at the table
-    ROOT, which is only sound for a flat parquet directory. A
-    hive-partitioned layout breaks every step: the non-recursive file
-    manifest sees zero files, re-reading leaf files without ``basePath``
-    drops the partition columns, and survivors renamed into the root
-    would mix flat files with partition dirs — silent corruption. Fail
-    loud instead; partitioned tables should route the predicate through
-    their table format's commit (or be rewritten per-partition)."""
-    subdirs = [
-        p.name
-        for p in src.iterdir()
-        if p.is_dir() and not p.name.startswith(("_", "."))
-    ]
-    if subdirs:
-        raise ValueError(
-            f"{op} supports flat parquet directories only; {src} contains "
-            f"subdirectories (hive-partitioned layout?): {sorted(subdirs)[:5]}"
-        )
+def _partition_cols(src: Path, op: str) -> list[str]:
+    """Partition-column names of a hive-layout table dir ([] if flat).
+
+    Walks one ``key=value`` chain downward; a level mixing keys (or
+    mixing files-with-dirs layouts a hive writer never produces) is
+    corruption we refuse to touch. The COW ops use this to (a) read
+    affected leaf files with ``basePath`` so partition columns survive,
+    (b) rewrite survivors with ``partitionBy`` so they land back in
+    their partition dirs — the two steps whose absence silently
+    corrupted partitioned tables before r6 (ADVICE r5)."""
+    cols: list[str] = []
+    cur = src
+    while True:
+        subs = [
+            p
+            for p in cur.iterdir()
+            if p.is_dir() and not p.name.startswith(("_", "."))
+        ]
+        if not subs:
+            return cols
+        keys = {p.name.split("=", 1)[0] for p in subs if "=" in p.name}
+        if len(keys) != 1 or any("=" not in p.name for p in subs):
+            raise ValueError(
+                f"{op}: {cur} contains non-hive subdirectories "
+                f"({sorted(p.name for p in subs)[:5]}); refusing to rewrite"
+            )
+        cols.append(keys.pop())
+        cur = subs[0]
 
 
 def _local_path(uri: str) -> Path:
@@ -290,12 +299,17 @@ def delete_where(
     ONLY the files that contain them (copy-on-write DELETE, the shape
     table formats use). At 100 TB the point is the file manifest: a
     retention or right-to-be-forgotten delete usually touches a sliver
-    of files — with a key-clustered layout the match predicate prunes
-    to them — and every untouched file keeps its bytes, its footer
-    stats and its page cache residency. Flat parquet directories only:
-    a hive-partitioned layout is rejected up front (see
-    ``_require_flat_table``) because the root-level file swap would
-    corrupt it.
+    of files — with a key-clustered or partitioned layout the match
+    predicate prunes to them — and every untouched file keeps its
+    bytes, its footer stats and its page cache residency.
+
+    Hive-partitioned layouts are fully supported (r6, ADVICE r5):
+    affected leaf files re-read with ``basePath`` so partition columns
+    survive, survivors rewritten with ``partitionBy`` and moved into
+    their partition directories (a predicate on the partition column
+    itself prunes the manifest scan to those directories). Deleting a
+    partition's last row leaves its directory empty — harmless to
+    readers, which list leaf files.
 
     Mechanics: one distributed scan lists the distinct files holding
     matching rows (``input_file_name`` — driver sees file NAMES only,
@@ -313,7 +327,7 @@ def delete_where(
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     src = Path(path)
-    _require_flat_table(src, "delete_where")
+    pcols = _partition_cols(src, "delete_where")
     df = spark.read.parquet(path)
     files_total = len(list(src.rglob("*.parquet")))
 
@@ -330,7 +344,8 @@ def delete_where(
     touched = [r["__f"] for r in hits]
     touched_local = [_local_path(f) for f in touched]
 
-    affected = spark.read.parquet(*touched)
+    # basePath keeps partition-directory columns on the pruned leaf read
+    affected = spark.read.option("basePath", str(src)).parquet(*touched)
     n_affected = affected.count()
     # DELETE semantics under 3VL: only rows where the predicate is TRUE
     # go; a NULL-evaluating row survives (a bare ~pred would silently
@@ -340,8 +355,11 @@ def delete_where(
     tmp = src.with_name(src.name + ".delete-tmp")
     if tmp.exists():
         shutil.rmtree(tmp)
-    survivors.write.parquet(str(tmp))
-    n_after = spark.read.parquet(str(tmp)).count()
+    writer = survivors.write
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(str(tmp))
+    n_after = _count_tmp(spark, tmp)
     if n_after != n_affected - n_deleted:
         shutil.rmtree(tmp)
         raise RuntimeError(
@@ -349,25 +367,26 @@ def delete_where(
             f"deleted {n_deleted}, rewrote {n_after}; original left in place"
         )
 
-    # swap: new survivor files move in under fresh names, then the
-    # affected originals go. NOT atomic: a crash inside this window
-    # leaves survivor rows present twice (new files in, originals not
-    # yet unlinked) and a re-run only re-deletes predicate-TRUE rows —
-    # it cannot identify the duplicated survivors. This multi-file swap
-    # window is exactly what a table format's commit log exists to
-    # close; on a lakehouse, delete_where's rewrite step would commit
-    # through it. Single-node recovery: the fresh part-del-* names make
-    # the new files identifiable next to the originals.
-    stamp = uuid.uuid4().hex[:12]
-    for i, f in enumerate(sorted(tmp.glob("*.parquet"))):
-        f.rename(src / f"part-del-{stamp}-{i:05d}.snappy.parquet")
-    shutil.rmtree(tmp)
+    # swap: new survivor files move in under fresh names (into their
+    # partition dirs for a hive layout), then the affected originals go.
+    # NOT atomic: a crash inside this window leaves survivor rows
+    # present twice (new files in, originals not yet unlinked) and a
+    # re-run only re-deletes predicate-TRUE rows — it cannot identify
+    # the duplicated survivors. This multi-file swap window is exactly
+    # what a table format's commit log exists to close; on a lakehouse,
+    # delete_where's rewrite step would commit through it. Single-node
+    # recovery: the fresh part-del-* names make the new files
+    # identifiable next to the originals.
+    _move_parts(tmp, src, f"part-del-{uuid.uuid4().hex[:12]}")
     for f in touched_local:
         f.unlink()
-    if not any(src.glob("*.parquet")):
-        # deleting every row may leave zero part files (an empty-partition
-        # write emits none), and a parquet dir without files is unreadable
-        # — keep the table readable with one explicit 0-row file
+    if not any(src.rglob("*.parquet")):
+        # deleting every row may leave zero part files (an empty write
+        # emits none), and a parquet dir without leaf files is
+        # unreadable — keep the table readable with one explicit 0-row
+        # file at the root (for a hive layout this flattens the
+        # partition columns into the file schema of an empty relation;
+        # readers see the same columns, zero rows)
         spark.createDataFrame([], df.schema).coalesce(1).write.mode(
             "append"
         ).parquet(str(src))
@@ -376,6 +395,27 @@ def delete_where(
         "files_touched": len(touched),
         "files_total": files_total,
     }
+
+
+def _count_tmp(spark: SparkSession, tmp: Path) -> int:
+    """Row count of a rewrite's tmp dir; an empty write emits no part
+    files at all (UNABLE_TO_INFER_SCHEMA on a plain read), which is a
+    legitimate zero."""
+    if not any(tmp.rglob("*.parquet")):
+        return 0
+    return spark.read.parquet(str(tmp)).count()
+
+
+def _move_parts(tmp: Path, src: Path, stem: str) -> None:
+    """Move every part file of ``tmp`` into ``src`` preserving relative
+    (partition) directories, under fresh deterministic names; create
+    partition dirs that did not exist before (MERGE inserting a new
+    partition value)."""
+    for i, f in enumerate(sorted(tmp.rglob("*.parquet"))):
+        dest_dir = src / f.relative_to(tmp).parent
+        dest_dir.mkdir(parents=True, exist_ok=True)
+        f.rename(dest_dir / f"{stem}-{i:05d}.snappy.parquet")
+    shutil.rmtree(tmp)
 
 
 def merge_upsert(
@@ -398,12 +438,20 @@ def merge_upsert(
     under fresh file names after a row-count verification. Updates must
     carry exactly the table schema; key columns must be non-null.
 
+    Hive-partitioned layouts are fully supported (r6, ADVICE r5):
+    affected files re-read with ``basePath``, the rewrite lands via
+    ``partitionBy`` into partition dirs, and an update row carrying a
+    NEW partition value creates its directory. An update that MOVES a
+    row across partitions works through the same path (old row's file
+    is matched and rewritten without it; the update lands in its new
+    partition dir).
+
     Returns {"n_matched", "n_inserted", "files_touched", "files_total"}.
     """
     import uuid
 
     src = Path(path)
-    _require_flat_table(src, "merge_upsert")
+    pcols = _partition_cols(src, "merge_upsert")
     df = spark.read.parquet(path)
     if set(df.columns) != set(updates.columns):
         raise ValueError(
@@ -439,7 +487,7 @@ def merge_upsert(
     touched_local = [_local_path(f) for f in touched]
 
     if touched:
-        affected = spark.read.parquet(*touched)
+        affected = spark.read.option("basePath", str(src)).parquet(*touched)
         n_affected = affected.count()
         survivors = affected.join(F.broadcast(keys), key_cols, "left_anti")
     else:
@@ -454,8 +502,11 @@ def merge_upsert(
     tmp = src.with_name(src.name + ".merge-tmp")
     if tmp.exists():
         shutil.rmtree(tmp)
-    out.write.parquet(str(tmp))
-    n_after = spark.read.parquet(str(tmp)).count()
+    writer = out.write
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(str(tmp))
+    n_after = _count_tmp(spark, tmp)
     if n_after != n_affected - n_matched + n_updates:
         shutil.rmtree(tmp)
         raise RuntimeError(
@@ -467,10 +518,7 @@ def merge_upsert(
     # same non-atomic multi-file swap window as delete_where (see the
     # comment there): crash between move-in and unlink duplicates the
     # affected rows until the part-mrg-* files are reconciled
-    stamp = uuid.uuid4().hex[:12]
-    for i, f in enumerate(sorted(tmp.glob("*.parquet"))):
-        f.rename(src / f"part-mrg-{stamp}-{i:05d}.snappy.parquet")
-    shutil.rmtree(tmp)
+    _move_parts(tmp, src, f"part-mrg-{uuid.uuid4().hex[:12]}")
     for f in touched_local:
         f.unlink()
     return {

@@ -441,26 +441,132 @@ def test_merge_upsert_empty_updates_is_noop(spark, tmp_path):
     assert spark.read.parquet(path).count() == n
 
 
-def test_cow_ops_reject_partitioned_layout(spark, tmp_path):
-    """delete_where/merge_upsert swap files at the table ROOT — on a
-    hive-partitioned layout that drops partition-column values and mixes
-    flat files into the dir tree, so both must refuse up front and leave
-    the table untouched."""
-    path = str(tmp_path / "docs_part")
+def test_delete_where_on_partitioned_layout(spark, tmp_path):
+    """Copy-on-write DELETE on a hive-partitioned table (r6, ADVICE r5):
+    partition-column values survive the rewrite, survivor files land
+    back inside their partition dirs (never at the root), and files in
+    unaffected partitions stay byte-identical."""
+    import hashlib
+
+    path = tmp_path / "docs_part_del"
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
-    docs.write.partitionBy("lang").parquet(path)
-    n = spark.read.parquet(path).count()
-    with pytest.raises(ValueError, match="flat parquet"):
-        maintenance.delete_where(spark, path, "n_chars > 0")
+    docs.write.partitionBy("lang").parquet(str(path))
+    before = spark.read.parquet(str(path))
+    n = before.count()
+    n_match = before.where("source = 'src1' AND n_chars >= 200").count()
+    assert 0 < n_match < n
+
+    def digests():
+        return {
+            str(p.relative_to(path)): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in path.rglob("*.parquet")
+        }
+
+    d0 = digests()
+    res = maintenance.delete_where(
+        spark, str(path), "source = 'src1' AND n_chars >= 200"
+    )
+    assert res["n_deleted"] == n_match
+    assert 0 < res["files_touched"] <= res["files_total"]
+
+    after = spark.read.parquet(str(path))
+    assert after.count() == n - n_match
+    assert after.where("source = 'src1' AND n_chars >= 200").count() == 0
+    assert "lang" in after.columns  # partition column survived
+    # per-partition-value counts match a logical delete on the original
+    want = {
+        r["lang"]: r["cnt"]
+        for r in docs.where("NOT (source = 'src1' AND n_chars >= 200)")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    got = {
+        r["lang"]: r["cnt"]
+        for r in after.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want
+    # no parquet files at the table root; all under lang=... dirs
+    assert not list(path.glob("*.parquet"))
+    d1 = digests()
+    untouched = set(d0) & set(d1)
+    assert all(d0[k] == d1[k] for k in untouched)
+    assert len(untouched) == res["files_total"] - res["files_touched"]
+
+
+def test_delete_where_partition_column_predicate_prunes_and_empties(
+    spark, tmp_path
+):
+    """Deleting by the partition column itself: the manifest scan prunes
+    to that partition's files, every row there goes, other partitions'
+    files are untouched; the emptied partition is harmless to readers."""
+    path = tmp_path / "docs_part_del2"
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.write.partitionBy("lang").parquet(str(path))
+    n = spark.read.parquet(str(path)).count()
+    n_en = docs.where("lang = 'en'").count()
+    files_en = len(list((path).rglob("lang=en/*.parquet")))
+    res = maintenance.delete_where(spark, str(path), "lang = 'en'")
+    assert res["n_deleted"] == n_en
+    assert res["files_touched"] == files_en  # pruned to the partition
+    after = spark.read.parquet(str(path))
+    assert after.count() == n - n_en
+    assert after.where("lang = 'en'").count() == 0
+
+
+def test_merge_upsert_on_partitioned_layout(spark, tmp_path):
+    """Copy-on-write MERGE on a hive-partitioned table: matched rows
+    replaced inside their partitions, an insert with a NEW partition
+    value creates its directory, untouched partitions byte-identical."""
+    import hashlib
+
+    path = tmp_path / "docs_part_mrg"
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.write.partitionBy("lang").parquet(str(path))
+    before = spark.read.parquet(str(path))
+    n = before.count()
+    victim = before.orderBy("doc_id").first()
+
+    def digests():
+        return {
+            str(p.relative_to(path)): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in path.rglob("*.parquet")
+        }
+
+    d0 = digests()
     upd = spark.createDataFrame(
-        [(0, "X", "en", "manual", 1)],
+        [
+            (victim["doc_id"], "UPDATED", victim["lang"], "manual", 7),
+            (77_000_001, "NEW PARTITION ROW", "zz", "manual", 17),
+        ],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
-    with pytest.raises(ValueError, match="flat parquet"):
-        maintenance.merge_upsert(spark, path, upd, key_cols=["doc_id"])
-    after = spark.read.parquet(path)
-    assert after.count() == n  # untouched, partition column intact
-    assert "lang" in after.columns
+    res = maintenance.merge_upsert(spark, str(path), upd, key_cols=["doc_id"])
+    assert res["n_matched"] == 1 and res["n_inserted"] == 1
+    after = spark.read.parquet(str(path))
+    assert after.count() == n + 1
+    got = {
+        r["doc_id"]: (r["text"], r["lang"])
+        for r in after.where(
+            F.col("doc_id").isin(int(victim["doc_id"]), 77_000_001)
+        ).collect()
+    }
+    assert got[victim["doc_id"]] == ("UPDATED", victim["lang"])
+    assert got[77_000_001] == ("NEW PARTITION ROW", "zz")
+    assert (path / "lang=zz").is_dir()  # new partition dir created
+    d1 = digests()
+    untouched = set(d0) & set(d1)
+    assert all(d0[k] == d1[k] for k in untouched)
+
+
+def test_cow_ops_refuse_non_hive_subdirs(spark, tmp_path):
+    """A subdirectory that is not a key=value partition dir is a layout
+    we cannot reason about — refuse instead of rewriting blind."""
+    path = tmp_path / "docs_weird"
+    spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1).write.parquet(
+        str(path)
+    )
+    (path / "not_a_partition").mkdir()
+    with pytest.raises(ValueError, match="non-hive"):
+        maintenance.delete_where(spark, str(path), "v > 0")
 
 
 def test_delete_where_everything_keeps_table_readable(spark, tmp_path):
