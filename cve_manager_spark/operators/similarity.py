@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -325,6 +325,44 @@ def ivf_index(
     return model.transform(feat).drop("__features"), model
 
 
+def write_ivf_index(
+    indexed_df: DataFrame,
+    model,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> None:
+    """Persist an IVF index as a lake table partitioned by ``list_id``,
+    with the trained centroids in an ``_ivf_centroids.json`` sidecar
+    (underscore-prefixed → invisible to parquet directory reads, the
+    same convention as ``_SUCCESS``).
+
+    This is the storage half of the docstring promise in
+    :func:`ivf_index`: with one hive directory per cell, a query's
+    ``list_id IN (probes)`` filter becomes PARTITION pruning — the scan
+    lists only the probed cells' files (plan-asserted in tests), so
+    probe cost is n_probe/n_lists of the corpus in I/O, not just in
+    filter evaluation. Train once, write once, query many.
+    """
+    import json as _json
+    from pathlib import Path as _Path
+
+    indexed_df.write.mode("overwrite").option(
+        "maxRecordsPerFile", target_rows_per_file
+    ).partitionBy("list_id").parquet(path)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    (_Path(path) / "_ivf_centroids.json").write_text(_json.dumps(centers))
+
+
+def read_ivf_index(spark: SparkSession, path: str):
+    """Load a persisted IVF index: ``(indexed_df, centers)`` — directly
+    usable as :func:`ivf_topk`'s ``index`` argument."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    centers = _json.loads((_Path(path) / "_ivf_centroids.json").read_text())
+    return spark.read.parquet(path), centers
+
+
 def ivf_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -342,18 +380,19 @@ def ivf_topk(
     n_probe nearest cells. Recall/cost dial: n_probe/n_lists of the
     corpus is scanned.
 
-    ``index``: optional prebuilt ``(indexed_df, model)`` from
-    :func:`ivf_index` — the production shape: the quantizer is trained
-    ONCE per corpus and persisted; every query reuses it (re-clustering
-    per query would dominate cost and is only tolerable in a one-shot
-    test)."""
+    ``index``: optional prebuilt ``(indexed_df, model_or_centers)`` from
+    :func:`ivf_index` or :func:`read_ivf_index` — the production shape:
+    the quantizer is trained ONCE per corpus and persisted; every query
+    reuses it (re-clustering per query would dominate cost and is only
+    tolerable in a one-shot test). With a :func:`write_ivf_index` layout
+    the probe filter prunes partitions, not just rows."""
     import numpy as np
 
     indexed, model = index if index is not None else ivf_index(df, n_lists, seed, vec_col)
     qvec = np.asarray(
         query_df.select(query_vec_col).first()[0], dtype=np.float64
     )
-    centers = model.clusterCenters()
+    centers = model.clusterCenters() if hasattr(model, "clusterCenters") else model
     order = np.argsort([np.linalg.norm(np.asarray(c) - qvec) for c in centers])
     probe_lists = [int(i) for i in order[:n_probe]]
 

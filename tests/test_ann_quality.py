@@ -188,3 +188,65 @@ def test_pq_rerank_with_full_candidates_is_exact_and_floor_holds(spark):
     # the dominance that makes re-ranking worth its candidate fetch
     assert r_rerank >= 0.7, (r_rerank, r_adc)
     assert r_rerank >= r_adc
+
+
+def test_ivf_index_persists_and_probe_prunes_partitions(spark, tmp_path):
+    """write_ivf_index → hive layout by list_id + centroid sidecar;
+    querying through the persisted index must (a) return exactly the
+    in-memory index's result and (b) plan the probe filter as PARTITION
+    pruning — only the probed cells' files are listed/read."""
+    from pathlib import Path
+
+    from cve_manager_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from cve_manager_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    corpus = emb.where(F.col("vec_id") != QUERY_ID)
+    indexed, model = ivf_index(corpus, n_lists=8)
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(indexed, model, path)
+    assert len(list(Path(path).glob("list_id=*"))) >= 2
+    assert (Path(path) / "_ivf_centroids.json").exists()
+
+    mem = [
+        tuple(r)
+        for r in ivf_topk(
+            corpus, q, k=K, n_lists=8, n_probe=2, index=(indexed, model)
+        ).collect()
+    ]
+    disk_index = read_ivf_index(spark, path)
+    disk = [
+        tuple(r)
+        for r in ivf_topk(
+            corpus, q, k=K, n_lists=8, n_probe=2, index=disk_index
+        ).collect()
+    ]
+    assert disk == mem
+
+    # partition pruning: the probed candidate scan reads only files under
+    # the probed list_id dirs
+    import numpy as np
+
+    qvec = np.asarray(q.first()[0], dtype=np.float64)
+    order = np.argsort(
+        [np.linalg.norm(np.asarray(c) - qvec) for c in disk_index[1]]
+    )
+    probes = [int(i) for i in order[:2]]
+    cand = disk_index[0].where(F.col("list_id").isin(probes))
+    files = {
+        r["f"]
+        for r in cand.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files and all(
+        any(f"list_id={p}/" in f for p in probes) for f in files
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
