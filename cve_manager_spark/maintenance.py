@@ -126,37 +126,50 @@ def compact(
     ``zorder_by`` clusters on the Morton interleave of several columns
     instead (see ``zorder_key``) — mutually exclusive with ``sort_by``.
 
+    A hive-partitioned table keeps its layout (r6): the rewrite
+    repartitions on the partition columns first and writes back through
+    ``partitionBy``, so compaction happens WITHIN each partition
+    directory — the OPTIMIZE-per-partition shape — instead of silently
+    flattening partition columns into the data files.
+
     Returns {"n_rows", "files_before", "files_after"}; fails loud (and
     leaves the original untouched) if the rewrite row count disagrees.
     """
     if sort_by and zorder_by:
         raise ValueError("pass sort_by or zorder_by, not both")
     src = Path(path)
+    pcols = _partition_cols(src, "compact")
     df = spark.read.parquet(path)
     n_rows = df.count()
-    files_before = len(list(src.glob("*.parquet")))
+    files_before = len(list(src.rglob("*.parquet")))
     n_files = plan_target_files(n_rows, target_rows_per_file)
 
     if zorder_by:
         keyed, kname = zorder_key(df, zorder_by)
         out = (
-            keyed.repartitionByRange(n_files, kname)
-            .sortWithinPartitions(kname)
+            keyed.repartitionByRange(n_files, *pcols, kname)
+            .sortWithinPartitions(*pcols, kname)
             .drop(kname)
         )
     elif sort_by:
-        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+        out = df.repartitionByRange(
+            n_files, *pcols, *sort_by
+        ).sortWithinPartitions(*pcols, *sort_by)
     else:
-        out = df.repartition(n_files)
+        out = df.repartition(n_files, *pcols) if pcols else df.repartition(n_files)
 
     tmp = src.with_name(src.name + ".compact-tmp")
     if tmp.exists():
         shutil.rmtree(tmp)
-    (
-        out.write.mode("overwrite")
-        .option("maxRecordsPerFile", target_rows_per_file)
-        .parquet(str(tmp))
+    writer = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", target_rows_per_file
     )
+    if pcols:
+        # hive layout preserved: tasks are keyed on the partition
+        # columns first (range- or hash-), so each writes into few
+        # partition dirs instead of every task × every partition
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(str(tmp))
 
     n_after = spark.read.parquet(str(tmp)).count()
     if n_after != n_rows:
@@ -172,7 +185,7 @@ def compact(
     src.rename(old)
     tmp.rename(src)
     shutil.rmtree(old)
-    files_after = len(list(src.glob("*.parquet")))
+    files_after = len(list(src.rglob("*.parquet")))
     return {
         "n_rows": n_rows,
         "files_before": files_before,

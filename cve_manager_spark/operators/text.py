@@ -234,3 +234,67 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a TRAINED merge list — the inference half of
+    :func:`bpe_train`: per word, start from characters + '</w>' and
+    apply each merge in rank order, greedy left-to-right non-overlapping
+    (bit-identical to the trainer's own application rule, so encoding
+    the training corpus reproduces the trainer's final symbol state).
+    Returns (id, n_words, n_tokens) — n_tokens counts post-merge symbols
+    including the '</w>' markers, so with zero merges n_tokens =
+    n_chars_in_words + n_words.
+
+    Scale shape: a narrow Arrow-batched map — the merge list rides as a
+    per-task closure (KBs), and a per-batch word→length memo collapses
+    the Zipf head (most tokens are a few thousand distinct words), so
+    per-row cost is dominated by the long tail. No shuffle; aggregate
+    downstream at whatever grain the fertility report needs.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = [(str(l), str(r)) for l, r in merges]
+
+    @pandas_udf("struct<n_words: bigint, n_tokens: bigint>")
+    def encode_stats(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w) + ["</w>"]
+            for left, right in merge_list:
+                # cheap reject: a pair can only fire if both symbols are
+                # currently present — skips the scan for most (word,
+                # merge) combinations
+                if left not in syms or right not in syms:
+                    continue
+                res, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            memo[w] = len(syms)
+            return memo[w]
+
+        n_words, n_tokens = [], []
+        for t in texts:
+            ws = [w for w in (t or "").lower().split() if w]
+            n_words.append(len(ws))
+            n_tokens.append(sum(word_tokens(w) for w in ws))
+        return pd.DataFrame({"n_words": n_words, "n_tokens": n_tokens})
+
+    return df.select(
+        F.col(id_col).alias("id"), encode_stats(F.col(text_col)).alias("s")
+    ).select("id", F.col("s.n_words").alias("n_words"), F.col("s.n_tokens").alias("n_tokens"))

@@ -1149,3 +1149,33 @@ def ann_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     corpus = emb.where(F.col("vec_id") != 0)
     return pq_topk_rerank(corpus, q, books, k=10, n_candidates=50)
+
+
+@_register(
+    "bpe_fertility",
+    None,
+    doc="Tokenizer-fertility report under a TRAINED BPE vocabulary "
+    "(rows-only: merge training is iterative, not SQL-expressible; the "
+    "apply rule is hand-verified and property-tested in "
+    "tests/test_operators.py): train 12 merges on the corpus "
+    "(operators/text.bpe_train — one corpus scan total), encode every "
+    "document with them (bpe_apply — narrow Arrow map, per-batch word "
+    "memo), and report per-language words, tokens, and exact integer "
+    "tokens-per-word ppm. The fertility gap across languages is the "
+    "classic under-trained-tokenizer diagnostic.",
+)
+def bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import bpe_apply, bpe_train
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=12).orderBy("rank").collect()
+    ]
+    stats = bpe_apply(docs, merges)
+    j = docs.select(F.col("doc_id").alias("id"), "lang").join(stats, "id")
+    return j.groupBy("lang").agg(
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.expr("sum(n_tokens) * 1000000 div sum(n_words)").alias("fertility_ppm"),
+    )

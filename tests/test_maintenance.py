@@ -620,3 +620,27 @@ def test_analyze_table_feeds_cbo_stats(spark):
         assert int(desc["distinct_count"]) >= 1
     finally:
         spark.sql("DROP DATABASE IF EXISTS stats_test CASCADE")
+
+
+def test_compact_preserves_partitioned_layout(spark, tmp_path):
+    """Compacting a hive-partitioned table must compact WITHIN each
+    partition directory — fewer files, same rows, layout and partition
+    column intact (never flattened into the data files)."""
+    path = tmp_path / "docs_part_compact"
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.repartition(10).write.partitionBy("lang").parquet(str(path))
+    n = docs.count()
+    dirs_before = sorted(p.name for p in path.glob("lang=*"))
+    files_before = len(list(path.rglob("*.parquet")))
+
+    res = maintenance.compact(spark, str(path), target_rows_per_file=2000)
+    assert res["n_rows"] == n
+    assert res["files_after"] < files_before
+    assert sorted(p.name for p in path.glob("lang=*")) == dirs_before
+    assert not list(path.glob("*.parquet"))  # nothing flattened to root
+    after = spark.read.parquet(str(path))
+    assert after.count() == n
+    # partition column still comes from the directory structure
+    got = {r["lang"] for r in after.select("lang").distinct().collect()}
+    want = {d.split("=", 1)[1] for d in dirs_before}
+    assert got == want

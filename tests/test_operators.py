@@ -300,3 +300,49 @@ def test_bpe_train_is_deterministic_on_corpus(spark):
     a = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
     b = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
     assert a == b and len(a) == 6
+
+
+def test_bpe_apply_hand_computed_token_counts(spark):
+    """bpe_apply with the hand-verified 'low/lower' merge table: after
+    (l,o), (lo,w), (low,</w>), (e,r) the word 'low' encodes to ONE
+    symbol [low</w>], 'lower' to [low, er, </w>] = 3. Zero merges give
+    chars + word-count tokens."""
+    from cve_manager_spark.operators.text import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low")], "doc_id long, text string"
+    )
+    merges = [("l", "o"), ("lo", "w"), ("low", "</w>"), ("e", "r")]
+    got = {
+        r["id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_apply(docs, merges).collect()
+    }
+    # doc 1: low(1) + low(1) + lower(3) = 5 tokens; doc 2: low(1)
+    assert got == {1: (3, 5), 2: (1, 1)}
+
+    none = {
+        r["id"]: r["n_tokens"] for r in bpe_apply(docs, []).collect()
+    }
+    # zero merges: per word len(word)+1 symbols → doc1: 4+4+6=14, doc2: 4
+    assert none == {1: 14, 2: 4}
+
+
+def test_bpe_apply_of_trained_merges_never_grows_tokens(spark):
+    """Round-trip property on real data: encoding with the trainer's own
+    merges can only shrink the token count vs zero merges, and the
+    encode is deterministic."""
+    from cve_manager_spark.operators.text import bpe_apply, bpe_train
+    from cve_manager_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    assert merges
+    base = {r["id"]: r["n_tokens"] for r in bpe_apply(docs, []).collect()}
+    enc1 = {r["id"]: r["n_tokens"] for r in bpe_apply(docs, merges).collect()}
+    enc2 = {r["id"]: r["n_tokens"] for r in bpe_apply(docs, merges).collect()}
+    assert enc1 == enc2
+    assert all(enc1[i] <= base[i] for i in base)
+    assert sum(enc1.values()) < sum(base.values())  # merges actually fire
