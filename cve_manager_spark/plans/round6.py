@@ -413,8 +413,12 @@ FROM d GROUP BY event_type, decile
     doc="Per-type value deciles: ntile over a total order (value, "
     "event_id — the unique tie-break the determinism contract "
     "requires), then per-decile count/min/max and an exact DECIMAL "
-    "sum. The window partitions by event_type, so sorts are bounded "
-    "per type and the exchange is reused by the following aggregate.",
+    "sum. The window partitions by event_type and its exchange is "
+    "reused by the following aggregate. Exact ntile sorts each type's "
+    "full volume — at 100 TB swap in the rank-selection recipe "
+    "(value-histogram aggregate + in-row quantile fold, the "
+    "median_exact/winsorize_stats plan) or approx_percentile; this "
+    "spec is the exact-semantics face.",
 )
 def event_value_deciles_by_type(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")

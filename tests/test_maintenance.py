@@ -644,3 +644,32 @@ def test_compact_preserves_partitioned_layout(spark, tmp_path):
     got = {r["lang"] for r in after.select("lang").distinct().collect()}
     want = {d.split("=", 1)[1] for d in dirs_before}
     assert got == want
+
+
+def test_merge_upsert_moves_row_across_partitions(spark, tmp_path):
+    """An update that CHANGES a row's partition-column value: the old
+    partition's file is rewritten without the row, the update lands in
+    the new partition's directory, total count unchanged."""
+    path = tmp_path / "docs_part_move"
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.write.partitionBy("lang").parquet(str(path))
+    before = spark.read.parquet(str(path))
+    n = before.count()
+    victim = before.where(F.col("lang") == "en").orderBy("doc_id").first()
+    upd = spark.createDataFrame(
+        [(victim["doc_id"], victim["text"], "de", victim["source"],
+          victim["n_chars"])],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    res = maintenance.merge_upsert(spark, str(path), upd, key_cols=["doc_id"])
+    assert res["n_matched"] == 1 and res["n_inserted"] == 0
+    after = spark.read.parquet(str(path))
+    assert after.count() == n
+    rows = after.where(F.col("doc_id") == victim["doc_id"]).collect()
+    assert len(rows) == 1 and rows[0]["lang"] == "de"
+    # the row's bytes physically live under lang=de now
+    f = (
+        after.where(F.col("doc_id") == victim["doc_id"])
+        .select(F.input_file_name().alias("f")).first()["f"]
+    )
+    assert "lang=de/" in f
