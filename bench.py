@@ -235,6 +235,13 @@ def main() -> None:
             "decontaminate_ngram 0.67s (r4 0.91 — noise, solo BEATS r4), "
             "embedding_centroid 0.49s (r4 0.55 — noise). No plan changes; "
             "nothing to fix",
+            "run_variance": "whole-suite totals on identical code varied "
+            "68-86s across four back-to-back r6 runs with measured "
+            "before-load 0.2-10 (hypervisor-level neighbors; loadavg "
+            "fields above attribute each run). Per-query SOLO min-of-6 "
+            "is the honest per-query signal; cross-round comparisons "
+            "should prefer the lowest-load run and treat <1.5x in-suite "
+            "deltas as noise unless a solo run confirms them",
             "dedup_ngram_jaccard_r6": "re-specified in r6 to the stop-"
             "shingle-capped semantics (df<=10% mirrored in the oracle, "
             "VERDICT r5 #1); the capped run pays a doc-frequency statistics "
