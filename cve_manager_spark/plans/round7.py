@@ -255,16 +255,19 @@ FROM k GROUP BY source
     _SAVINGS_ORACLE,
     doc="Exact-dedup economics per source: how many documents and "
     "characters the min-id keep rule would drop — the report that "
-    "prices a dedup pass before running it. The keeper flag is a "
-    "min-over-digest window (16-byte md5 partitions the shuffle, the "
-    "text itself never keys an exchange); savings are exact integer "
-    "ppm.",
+    "prices a dedup pass before running it. The keeper id comes from a "
+    "digest-grain AGGREGATE joined back on the 16-byte md5 (the text "
+    "itself never keys an exchange, and both join sides share the "
+    "digest partitioning) — the oracle's window form is semantically "
+    "identical, but a window would buffer each duplicate CLUSTER in "
+    "one task, and cluster sizes are exactly what this report exists "
+    "to distrust. Savings are exact integer ppm.",
 )
 def dedup_savings_by_source(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
-    w = Window.partitionBy(F.md5("text"))
-    is_dup = F.when(F.col("doc_id") == F.min("doc_id").over(w), 0).otherwise(1)
-    k = docs.select("source", "n_chars", is_dup.alias("is_dup"))
+    docs = load_table(spark, sf, "documents").withColumn("__d", F.md5("text"))
+    keep = docs.groupBy("__d").agg(F.min("doc_id").alias("__keep"))
+    is_dup = F.when(F.col("doc_id") == F.col("__keep"), 0).otherwise(1)
+    k = docs.join(keep, "__d").select("source", "n_chars", is_dup.alias("is_dup"))
     return k.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("is_dup").alias("n_dup_docs"),
