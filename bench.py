@@ -96,14 +96,17 @@ HEADLINE = [
     "dedup_simhash_det",
     "graph_kcore",
     # r6: corpus-linguistics + behavioral + embedding-diagnostics
-    # headliners, and the PQ retrieve-then-rerank ANN face
+    # headliners. The PQ retrieve-then-rerank face stays OUT of this set
+    # like the other ANN faces (train+encode per call spreads 3.4-8.9s
+    # with suite-load Python-worker churn); its accuracy/cost numbers
+    # live in ANN_RECALL.json measured the production way — prebuilt
+    # index, per-query timings.
     "unigram_entropy_by_lang",
     "source_vocab_overlap",
     "dau_wau_stickiness",
     "session_duration_hist",
     "nation_top3_customers",
     "embedding_norm_zscore_outliers",
-    "ann_pq_rerank",
 ]
 
 
