@@ -724,3 +724,41 @@ def test_embedding_norm_outlier_stats_ride_one_broadcast_row(spark):
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross BuildRight" in line  # the 1-row stats broadcast
     assert "CartesianProduct" not in tree
+
+
+def test_autocorr_window_and_moments_share_type_exchange(spark):
+    """The lag window and the moment aggregate both key on event_type:
+    ONE hash exchange feeds the window, and the partial+final moment
+    aggregates sit directly on its partitioning (no second data-sized
+    shuffle); moment sums are decimal partials."""
+    plan = plan_of(spark, "events_lag1_value_autocorr")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(event_type" in plan
+    assert "partial_sum" in plan
+
+
+def test_daily_top_user_windows_run_on_preaggregate(spark):
+    """Rank/total windows must consume the (day, user) aggregate, not
+    raw events: the window sort sits on a day-keyed exchange ABOVE the
+    aggregate pair, and nothing runs single-partition."""
+    plan = plan_of(spark, "events_daily_top_user_share")
+    tree = plan.split("\n\n")[0]
+    assert "hashpartitioning(day" in plan
+    assert "SinglePartition" not in plan
+    # structure: Window/Window/Sort/Exchange stacked over HashAggregate
+    import re
+    assert re.search(
+        r"Window \(\d+\)\s*\n\s*\+- Sort \(\d+\)\s*\n\s*\+- Exchange \(\d+\)"
+        r"\s*\n\s*\+- HashAggregate", tree
+    )
+
+
+def test_dedup_savings_keeper_join_is_digest_keyed(spark):
+    """The keeper join must key on the md5 digest (never the text), with
+    no nested-loop fallback."""
+    plan = plan_of(spark, "dedup_savings_by_source")
+    tree = plan.split("\n\n")[0]
+    assert "md5" in plan
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree

@@ -279,3 +279,34 @@ def test_sessionizer_state_machine_split_invariant(gaps, splits):
 
     assert got == sessions  # final session stays open (in state), unemitted
     assert state.get[0] == start and state.get[2] == n
+
+
+@settings(deadline=None, max_examples=20, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=24), min_size=1, max_size=4
+    ),
+    n_merges=st.integers(min_value=0, max_value=6),
+)
+def test_bpe_apply_prefix_monotonicity(spark, texts, n_merges):
+    """Applying a LONGER prefix of a merge list can only merge further:
+    per-document token counts are monotonically non-increasing in the
+    number of merges, for arbitrary corpora and the trainer's own merge
+    tables."""
+    from cve_manager_spark.operators.text import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=max(n_merges, 1)).orderBy("rank").collect()
+    ][:n_merges]
+    prev = None
+    for k in range(len(merges) + 1):
+        counts = {
+            r["id"]: r["n_tokens"] for r in bpe_apply(docs, merges[:k]).collect()
+        }
+        if prev is not None:
+            assert all(counts[i] <= prev[i] for i in counts)
+        prev = counts
