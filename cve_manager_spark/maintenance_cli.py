@@ -55,6 +55,29 @@ def main(argv: list[str] | None = None) -> int:
     )
     pd.add_argument("-master", dest="master", default="local[*]")
 
+    pm = sub.add_parser(
+        "merge",
+        help="Copy-on-write MERGE (CDC apply): upsert an updates parquet "
+        "dir into a table by key, rewriting only matched files.",
+    )
+    pm.add_argument("--path", required=True, help="Target table directory.")
+    pm.add_argument("--updates", required=True, help="Updates parquet directory.")
+    pm.add_argument(
+        "--keys", required=True, help="Comma-separated merge key columns."
+    )
+    pm.add_argument("-master", dest="master", default="local[*]")
+
+    pa = sub.add_parser(
+        "analyze",
+        help="ANALYZE TABLE: collect row/size (and per-column) statistics "
+        "for the cost-based optimizer.",
+    )
+    pa.add_argument("--table", required=True, help="Catalog table name.")
+    pa.add_argument(
+        "--columns", default=None, help="Comma-separated columns for NDV stats."
+    )
+    pa.add_argument("-master", dest="master", default="local[*]")
+
     args = p.parse_args(argv)
 
     from cve_manager_spark import maintenance
@@ -66,6 +89,21 @@ def main(argv: list[str] | None = None) -> int:
         out = dict(
             maintenance.delete_where(spark, args.path, args.where),
             path=args.path,
+        )
+    elif args.cmd == "merge":
+        updates = spark.read.parquet(args.updates)
+        out = dict(
+            maintenance.merge_upsert(
+                spark, args.path, updates,
+                key_cols=[c for c in args.keys.split(",") if c],
+            ),
+            path=args.path,
+        )
+    elif args.cmd == "analyze":
+        cols = [c for c in args.columns.split(",") if c] if args.columns else None
+        out = dict(
+            maintenance.analyze_table(spark, args.table, columns=cols),
+            table=args.table,
         )
     elif args.cmd == "stats":
         rows = maintenance.file_stats(spark, args.path).collect()

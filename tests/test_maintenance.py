@@ -673,3 +673,42 @@ def test_merge_upsert_moves_row_across_partitions(spark, tmp_path):
         .select(F.input_file_name().alias("f")).first()["f"]
     )
     assert "lang=de/" in f
+
+
+def test_maintenance_cli_merge_and_analyze(spark, tmp_path, capsys):
+    """CLI CDC drive: merge --updates applies an upsert parquet dir by
+    key; analyze records catalog stats. One JSON line each."""
+    import json
+
+    from cve_manager_spark import maintenance_cli
+
+    path = str(tmp_path / "docs_cli_mrg")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.repartition(4).write.parquet(path)
+    n = spark.read.parquet(path).count()
+    upd_path = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [(0, "CLI UPDATED", "en", "manual", 11),
+         (90_000_001, "CLI NEW", "en", "manual", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(upd_path)
+
+    assert maintenance_cli.main(
+        ["merge", "--path", path, "--updates", upd_path, "--keys", "doc_id"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_matched"] == 1 and out["n_inserted"] == 1
+    after = spark.read.parquet(path)
+    assert after.count() == n + 1
+    assert after.where("doc_id = 0").first()["text"] == "CLI UPDATED"
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS cli_stats")
+    try:
+        docs.limit(100).write.mode("overwrite").saveAsTable("cli_stats.d")
+        assert maintenance_cli.main(
+            ["analyze", "--table", "cli_stats.d", "--columns", "lang"]
+        ) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["row_count"] == 100 and out["size_bytes"] > 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cli_stats CASCADE")
