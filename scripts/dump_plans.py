@@ -57,6 +57,9 @@ FLAGSHIP = {
     "source_vocab_overlap": "distinct (source,word) relation built once; pair join word-bucketed like the shingle joins; vocabulary sizes broadcast back",
     "nation_top3_customers": "star with broadcast dims + exact-decimal revenue; rank window partitioned by nation with (revenue DESC, custkey) total order",
     "embedding_norm_zscore_outliers": "exact integer norms in-row; corpus moments as ONE broadcast stats row (decimal second moment) \u2014 no second data-sized pass",
+    "events_lag1_value_autocorr": "lag window and partial+final moment aggregates share ONE event_type exchange; corr from five decimal moment sums",
+    "events_daily_top_user_share": "rank/total windows sort a day-keyed exchange over the (day,user) pre-aggregate \u2014 bounded by actives, never raw events",
+    "dedup_savings_by_source": "keeper id via digest-grain aggregate joined back on md5 (streams; a window would buffer whole duplicate clusters)",
     "sql_tpch_q6": "joinless scan-filter-aggregate: all predicates pushed, 4 of 11 lineitem columns read",
     "sql_tpch_q18": "aggregate-then-join: HAVING on the grouped relation, tiny survivor set broadcast — the fact shuffles once, for its own aggregate",
     "minhash_band_stats": "LSH capacity planning without a join: signature pass + two stacked aggregates cost the banding scheme before any pair exists",
