@@ -169,6 +169,59 @@ def foreach_batch_rollup(
     return writer.start()
 
 
+def foreach_batch_distinct_rollup(
+    stream_df: DataFrame,
+    out_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained DAILY ACTIVE USERS: the streaming face
+    of a metric plain aggregate merging cannot give — COUNT(DISTINCT
+    user) per day is not a sum of per-batch counts, so the state is the
+    (day, user_id) KEY SET itself, merged per batch with union+distinct
+    (idempotent AND associative: any micro-batch chopping, replay, or
+    duplicate delivery yields the identical set — asserted against the
+    batch distinct in tests).
+
+    Scale shape: the state is the day×user pre-aggregate — the same
+    bounded relation the batch DAU query aggregates — never raw events;
+    each batch's contribution is its own distinct (day, user) rows, and
+    the merge shuffles on the set's key. Snapshots are batch-id
+    versioned, each derived from its newest predecessor (replayed
+    batches rebuild the same snapshot, the foreach_batch_rollup
+    discipline). Read the DAU series back with
+    :func:`read_dau_state`.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = batch_df.select(
+            F.to_date("ts").alias("day"), "user_id"
+        ).distinct()
+        versions = [v for v in _list_state_versions(spark, out_dir) if v < batch_id]
+        if versions:
+            prev = spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+            part = prev.unionByName(part).distinct()
+        part.write.mode("overwrite").parquet(f"{out_dir}/{_STATE_PREFIX}{batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_dau_state(spark, out_dir: str) -> DataFrame | None:
+    """Current daily-active-users series maintained by
+    ``foreach_batch_distinct_rollup``: (day, dau) from the newest
+    (day, user) key-set snapshot."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    snap = spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+    return snap.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+
 def foreach_batch_merge_lake(
     stream_df: DataFrame,
     table_dir: str,

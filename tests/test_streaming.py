@@ -650,3 +650,45 @@ def test_foreach_batch_merge_lake_equals_batch_keep_newest(spark, tmp_path):
 
     start().awaitTermination()  # replay: marker skips applied batches
     assert _sorted_rows(spark.read.parquet(out), cols) == _sorted_rows(want, cols)
+
+
+def test_foreach_batch_distinct_rollup_equals_batch_dau(spark, tmp_path):
+    """Streaming DAU via the key-set state: after a multi-batch
+    availableNow pass the (day, dau) series equals the batch distinct
+    count exactly — union+distinct is associative and idempotent, so
+    micro-batch chopping cannot change the set — and a replay against
+    the same checkpoint changes nothing."""
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_distinct_rollup,
+        read_dau_state,
+    )
+
+    src_dir = str(tmp_path / "events_dau_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "dau_state")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_distinct_rollup(stream, out)
+
+    start().awaitTermination()
+    got = read_dau_state(spark, out)
+    want = (
+        events.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    cols = ["day", "dau"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    # replay: no new files -> identical series
+    start().awaitTermination()
+    assert _sorted_rows(read_dau_state(spark, out), cols) == _sorted_rows(
+        want, cols
+    )
