@@ -222,6 +222,31 @@ def read_dau_state(spark, out_dir: str) -> DataFrame | None:
     return snap.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
 
 
+def read_stickiness_state(spark, out_dir: str) -> DataFrame | None:
+    """DAU/WAU stickiness from the SAME key-set snapshot — no extra
+    state: the (day, user) set is exactly the relation the batch
+    ``dau_wau_stickiness`` query pre-aggregates, so WAU falls out of
+    the explode-offsets rewrite over the snapshot (each row replicated
+    to its 7 trailing windows → hash-partitioned COUNT DISTINCT), and
+    the series matches the batch query row-for-row (tested). Emits
+    (day, dau, wau, stickiness_ppm) for days with activity."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    du = spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+    expanded = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day", "user_id"
+    ).select(F.date_add(F.col("day"), F.col("i")).alias("w_day"), "user_id")
+    wau = expanded.groupBy(F.col("w_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau",
+        F.expr("dau * 1000000 div wau").alias("stickiness_ppm"),
+    )
+
+
 def foreach_batch_merge_lake(
     stream_df: DataFrame,
     table_dir: str,

@@ -692,3 +692,30 @@ def test_foreach_batch_distinct_rollup_equals_batch_dau(spark, tmp_path):
     assert _sorted_rows(read_dau_state(spark, out), cols) == _sorted_rows(
         want, cols
     )
+
+
+def test_read_stickiness_state_equals_batch_query(spark, tmp_path):
+    """The stickiness reader over the streaming key-set snapshot must
+    reproduce the registered batch dau_wau_stickiness query exactly —
+    one state, two derived series."""
+    from cve_manager_spark.plans.registry import collect
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_distinct_rollup,
+        read_stickiness_state,
+    )
+
+    src_dir = str(tmp_path / "events_stick_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "stick_state")
+    stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    foreach_batch_distinct_rollup(stream, out).awaitTermination()
+
+    got = read_stickiness_state(spark, out)
+    want = collect()["dau_wau_stickiness"].build(spark, SF_SMALL)
+    cols = ["day", "dau", "wau", "stickiness_ppm"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
