@@ -22,9 +22,9 @@ Two families:
 Everything follows the determinism contract in plans/spec.py: exact
 DECIMAL money sums emitted as one final double cast, integer day/ppm
 arithmetic for derived ratios, total orders (unique tie-break) before
-every LIMIT.  All specs carry ``priority=4`` so they queue BEHIND the 20
-older queries still awaiting their first driver verdict (registry sorts
-by (tier, priority)); with 20 + 30 the round-5 driver window of 50 is
+every LIMIT.  Priorities were collapsed to 0 in round 7 once the
+verification backlog cleared (registry sorts by (tier, priority) with
+stable module order, which alone queues unverified specs correctly); the
 exactly covered.
 """
 
@@ -45,7 +45,7 @@ def _register(
     oracle: str | None,
     doc: str = "",
     tags: tuple[str, ...] = (),
-    priority: int = 4,
+    priority: int = 0,
 ):
     def deco(fn):
         SPECS.append(
@@ -1511,7 +1511,7 @@ def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# round-5 late tranche (priority=5): queued BEHIND this round's 50-entry
+# round-5 late tranche (was priority=5 while queued): queued BEHIND that round's 50-entry
 # driver window; locally oracle-gated now, driver-verified next round.
 # ---------------------------------------------------------------------------
 
@@ -1543,7 +1543,7 @@ GROUP BY 1, 2, 3
     "attributes). The nation filters prune both customer and supplier "
     "sides before the fact join; exact-decimal revenue; year extraction "
     "is exact integer.",
-    priority=5,
+    priority=0,
 )
 def sql_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
@@ -1592,7 +1592,7 @@ GROUP BY p_brand, p_type, p_size
     "predicates. The NOT-equal filters prune on the dim BEFORE the "
     "join; the distinct aggregate is the two-phase expand Spark plans "
     "for COUNT(DISTINCT) — exercised here grouped by three columns.",
-    priority=5,
+    priority=0,
 )
 def sql_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part").where(
@@ -1635,7 +1635,7 @@ GROUP BY c_mktsegment
     "can't drift) with a LEFT ANTI join against orders — the "
     "never-ordered check that a NOT IN would turn into a "
     "null-trapped nested loop.",
-    priority=5,
+    priority=0,
 )
 def sql_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
@@ -1680,7 +1680,7 @@ FROM documents GROUP BY lang
     "token counts are in-row size() expressions over one scan (no "
     "explode — the corpus never leaves its rows); one partial+final "
     "hash aggregate on the tiny lang key.",
-    priority=5,
+    priority=0,
 )
 def tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.text import token_count_bpe, token_count_ws
@@ -1725,7 +1725,7 @@ FROM d GROUP BY lang
     "budgeting. The share test is cross-multiplied integer arithmetic "
     "(n_stop·20 ≥ n_tok), counts computed in-row per document (no "
     "explode), one hash aggregate per lang.",
-    priority=5,
+    priority=0,
 )
 def lang_confusion_audit(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.text import STOPWORDS, words
@@ -1772,7 +1772,7 @@ GROUP BY o_custkey
     "One customer-partitioned LAG pass then a hash aggregate on the "
     "same key — both stages share one exchange; day deltas are exact "
     "integers, the mean divides the exact sum once.",
-    priority=5,
+    priority=0,
 )
 def customer_order_gap_stats(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
@@ -1796,8 +1796,8 @@ def customer_order_gap_stats(spark: SparkSession, sf: str) -> DataFrame:
 # round-5 completion tranche — the nine TPC-H faces still missing, closing
 # the 22/22 decision-support surface (q12 ships as the adapted q12lite; q2,
 # q9, q11, q16, q20 re-target partsupp semantics onto the lineitem bridge
-# since the testdata star schema has no partsupp table).  priority=6: these
-# queue BEHIND every spec still awaiting its first driver verdict.
+# since the testdata star schema has no partsupp table).  (was priority=6
+# while queued behind specs still awaiting their first driver verdict).
 # ---------------------------------------------------------------------------
 
 _Q2_ORACLE = """
@@ -1840,7 +1840,7 @@ LIMIT 100
     "join-back is an equi-join on the part key, acctbal doubles pass "
     "through MIN untouched so cross-engine equality is exact. Total "
     "order (acctbal DESC, p_partkey, s_suppkey) before LIMIT 100.",
-    priority=6,
+    priority=0,
 )
 def sql_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part").where(
@@ -1926,7 +1926,7 @@ FROM vol GROUP BY o_year
     "pattern). Dims broadcast at their natural sizes, the selective "
     "p_type filter prunes the fact join via the part dim, and the "
     "two-year date filter reaches the orders scan.",
-    priority=6,
+    priority=0,
 )
 def sql_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
@@ -2011,7 +2011,7 @@ GROUP BY nation, o_year
     "the two deterministic aggregates by one IEEE subtract/divide, "
     "identical on identical inputs. Part (LIKE-pruned) and nation "
     "broadcast; orders joins on the fact key to supply the year.",
-    priority=6,
+    priority=0,
 )
 def sql_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part").where(F.col("p_name").like("%widget%"))
@@ -2076,7 +2076,7 @@ WHERE val * (SELECT COUNT(*) FROM v) > 3 * (SELECT SUM(val) FROM v)
     "exact cross-multiplied decimals (val·n > 3·total, no division "
     "anywhere). The nation filter prunes suppliers before the fact "
     "join.",
-    priority=6,
+    priority=0,
 )
 def sql_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
@@ -2126,7 +2126,7 @@ FROM cc GROUP BY c_count
     "per-customer count on the join key's own partitioning, then the "
     "tiny histogram rollup. COUNT(o_orderkey) not COUNT(*), so the "
     "null row of an orderless customer counts as zero.",
-    priority=6,
+    priority=0,
 )
 def sql_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
@@ -2172,7 +2172,7 @@ WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
     "bitwise); the supplier dim joins only to label the survivors. "
     "No LIMIT: the equality predicate itself is the selection, and "
     "ties all surface (deterministic set semantics).",
-    priority=6,
+    priority=0,
 )
 def sql_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").where(
@@ -2225,7 +2225,7 @@ WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sq
     "~1/25 before the aggregate, so the join-back probe side is small; "
     "revenue is an exact decimal sum. (No LIMIT — the final row is a "
     "global 1-row aggregate.)",
-    priority=6,
+    priority=0,
 )
 def sql_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#5")
@@ -2283,7 +2283,7 @@ WHERE n_name = 'NATION_3'
     "never duplicates a supplier however many parts qualify. The "
     "nation filter broadcasts; the p_name LIKE prefix filter prunes "
     "the part dim before the fact join.",
-    priority=6,
+    priority=0,
 )
 def sql_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part").where(F.col("p_name").like("small%"))
@@ -2344,7 +2344,7 @@ LIMIT 100
     "relation. The base fact⋈orders join computes lateness once; the "
     "nation filter broadcasts into the supplier probe. Total order "
     "(numwait DESC, s_suppkey) before LIMIT 100.",
-    priority=6,
+    priority=0,
 )
 def sql_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
@@ -2437,7 +2437,7 @@ GROUP BY ex.doc_id
     "shingle definition (operators/dedup.word_shingles, one codegen "
     "regex pass) as the containment/Jaccard family, so the novelty "
     "report prices exactly the shingles those operators would join on.",
-    priority=6,
+    priority=0,
 )
 def shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.dedup import word_shingles
@@ -2482,7 +2482,7 @@ FROM g GROUP BY n
     "chained hash aggregates: the digest group-by is the only "
     "data-sized shuffle (and ships 32-byte digests, not text); the "
     "count-of-counts input is one row per distinct document.",
-    priority=6,
+    priority=0,
 )
 def dup_cluster_size_hist(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
@@ -2525,7 +2525,7 @@ FROM documents GROUP BY source
     "All counts are in-row size(regexp_extract_all) expressions over "
     "one scan — the corpus never explodes — and one hash aggregate on "
     "the tiny source key; ratios are exact integer ppm.",
-    priority=6,
+    priority=0,
 )
 def pii_density_by_source(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.text import token_count_ws

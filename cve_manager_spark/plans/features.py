@@ -13,9 +13,9 @@ correctly rounded, so the same expression over the same exact integers
 is bitwise identical), with a final floor-quantization to integer
 micro-units so nothing downstream depends on float rendering.
 
-All specs carry ``priority=1``: 50 older queries still await their first
-driver hash-verdict, so these queue behind them in the registry window
-and are gated by the local DuckDB replica until the rotation reaches
+Priorities were collapsed to 0 in round 7 (r5 verdict #9) once the
+backlog cleared; unverified specs are promoted by tier + stable module
+order alone, and the local DuckDB replica gates every spec until the rotation reaches
 them.
 """
 
@@ -37,7 +37,7 @@ def _register(
     oracle: str | None,
     doc: str = "",
     tags: tuple[str, ...] = (),
-    priority: int = 1,
+    priority: int = 0,
 ):
     def deco(fn):
         SPECS.append(
@@ -1525,7 +1525,7 @@ def value_mad(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# round 2c tranche — queued at priority=2 behind the existing verification
+# round 2c tranche — queued (was priority=2) behind the then-current verification
 # backlog (registry.py sorts (tier, priority); the local DuckDB replica
 # gates these until the driver window rotates to them).
 # ---------------------------------------------------------------------------
@@ -1578,7 +1578,7 @@ FROM nn CROSS JOIN ne CROSS JOIN tri
     "neighbors intersect empty, so the join is inner. Persisted: the "
     "deduped edge list (feeds stats + degrees) and the adjacency "
     "(build side + probe side of the closure).",
-    priority=2,
+    priority=0,
 )
 def triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark import StorageLevel
@@ -1682,7 +1682,7 @@ FROM r WHERE rk = 1
     "user-keyed exchange and the per-user sort is bounded by active "
     "days, never raw event volume. Deterministic tie-break: earliest "
     "streak wins.",
-    priority=2,
+    priority=0,
 )
 def longest_streak(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
@@ -1740,7 +1740,7 @@ FROM o
     "integer microseconds; the window partitions on the natural "
     "high-cardinality user key, so the plan is one balanced exchange at "
     "any scale.",
-    priority=2,
+    priority=0,
 )
 def nearest_event(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
@@ -1805,7 +1805,7 @@ FROM o WHERE 2 * cum >= tot GROUP BY flag
     "arithmetic is BIGINT (weights floor-quantized to cents); the "
     "running weight crosses tot/2 strictly inside one value bucket, so "
     "the row-level oracle and the histogram fold agree exactly.",
-    priority=2,
+    priority=0,
 )
 def weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
@@ -1879,7 +1879,7 @@ FROM q
     "ties, and the error sum is an integer fold, so no float "
     "accumulation order exists. The m=0 guard keeps all-zero vectors "
     "representable (q=0, error 0).",
-    priority=2,
+    priority=0,
 )
 def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
@@ -3146,7 +3146,7 @@ def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # round 5 tranche — corpus observability, dedup funnel, retrieval, pareto
-# (priority=3: the r4 backlog of 12 unverified queries plus these fill the
+# (was priority=3: the r4 backlog of 12 unverified queries plus these fill the
 # driver's 50-slot window; these queue behind the backlog within tier 0).
 # ---------------------------------------------------------------------------
 
@@ -3186,7 +3186,7 @@ LIMIT 50
     "1-row cross join (no driver scalar), and top-50 plans as "
     "TakeOrderedAndProject with a unique (df desc, shingle) total "
     "order. Integer div, no float anywhere.",
-    priority=3,
+    priority=0,
 )
 def stop_shingle_report(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.dedup import word_shingles
@@ -3230,7 +3230,7 @@ FROM tok GROUP BY 1
     "collapses the token stream map-side to ≤ max-length rows per "
     "task, so the shuffle carries a few dozen rows per partition "
     "regardless of corpus size.",
-    priority=3,
+    priority=0,
 )
 def token_len_histogram(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
@@ -3270,7 +3270,7 @@ UNION ALL SELECT '3_normalized', n3 FROM a
     "JVM-side hashes so the distinct state is bounded per stage; the "
     "4-row unpivot is an in-row stack. Same single-scan discipline as "
     "table_profile.",
-    priority=3,
+    priority=0,
 )
 def dedup_cascade_funnel(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
@@ -3309,7 +3309,7 @@ FROM m
     "users spread (gini→max). Two cascading hash aggregates, both "
     "map-side partial — the second runs over |users|×|types| rows. "
     "Every operand BIGINT; zero float drift possible.",
-    priority=3,
+    priority=0,
 )
 def user_type_gini(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
@@ -3360,7 +3360,7 @@ FROM r WHERE 2 * cum >= total GROUP BY 1
     "answer is a priority-cardinality aggregate. Exact integer cents "
     "(floor ×100 — floor, not cast: DuckDB rounds, Spark truncates); "
     "ties broken on customer key.",
-    priority=3,
+    priority=0,
 )
 def orders_pareto(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
@@ -3442,7 +3442,7 @@ LIMIT 20
     "cross-engine, which is why idf is the rational (N-df+.5)/(df+.5) "
     "rather than its log: ln() is libm-dependent); top-20 plans as "
     "TakeOrderedAndProject with doc_id tie-break. k1=1.2, b=0.75.",
-    priority=3,
+    priority=0,
 )
 def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
@@ -3530,7 +3530,7 @@ GROUP BY 1, 2
     "is tiny after the containment threshold, so the two attribution "
     "joins shuffle pair-cardinality rows against a projected (doc_id, "
     "source) relation; the matrix aggregate is source²-bounded.",
-    priority=3,
+    priority=0,
 )
 def near_dup_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.dedup import containment_pairs
@@ -3569,7 +3569,7 @@ FROM c
     "cardinality, then a brand-partitioned window SUM over that "
     "reduced relation supplies the denominator on the same exchange. "
     "Integer div; no floats.",
-    priority=3,
+    priority=0,
 )
 def part_type_share(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part")
@@ -3656,7 +3656,7 @@ GROUP BY n.source
     "self-paired), or kept; rolled up per source. This is the shape a "
     "recurring crawl runs every ingest: the increment pays "
     "|new|x|snapshot| bucketed work, not |corpus|^2.",
-    priority=7,
+    priority=0,
 )
 def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators import dedup as D
@@ -3723,7 +3723,7 @@ FROM events GROUP BY 1
     "only the final day grain casts to double. The oracle computes "
     "the day grain DIRECTLY from raw events — the driver hash proves "
     "cascaded partials lose nothing.",
-    priority=7,
+    priority=0,
 )
 def rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.functions.helpers import dec
@@ -3788,7 +3788,7 @@ WHERE len(list_filter(range(1, 65),
     "twin of the xxhash64 production `dedup_simhash`, same role "
     "`dedup_minhash_det` plays for MinHash. "
     "operators/dedup.simhash_det_pairs.",
-    priority=7,
+    priority=0,
 )
 def dedup_simhash_det(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators import dedup as D
@@ -3821,7 +3821,7 @@ FROM v GROUP BY doc_id, frame_idx
     "frame_sample's 1-to-many-payloads). Stub payload is the UTF-8 "
     "text bytes, so the oracle prices the identical windows from "
     "ascii codes; a real decoder swaps in behind the same schema.",
-    priority=7,
+    priority=0,
 )
 def multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.multimodal import (
@@ -3871,7 +3871,7 @@ SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM e4 GROUP BY a
     "screen before community detection. Spark iterates to the TRUE "
     "fixpoint; the oracle unrolls four peels, which this graph "
     "converges inside (the differential itself proves it).",
-    priority=7,
+    priority=0,
 )
 def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.graph import k_core
@@ -3897,7 +3897,7 @@ def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     "key) and ann_ivf (probe fraction). Rows-only by design like its "
     "siblings (approximate ranking has no SQL oracle); determinism "
     "and a recall floor are pinned in tests/test_ann_quality.py.",
-    priority=7,
+    priority=0,
 )
 def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.similarity import pq_topk, pq_train
@@ -3922,7 +3922,7 @@ def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     "sequence is pinned against a hand-computed example and a "
     "double-run determinism check in tests/test_operators.py. "
     "operators/text.bpe_train.",
-    priority=7,
+    priority=0,
 )
 def bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.text import bpe_train

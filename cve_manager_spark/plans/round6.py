@@ -1,5 +1,6 @@
 """Round-6 tranche: corpus linguistics, behavioral analytics, and
-embedding diagnostics — 23 oracle-paired specs + 1 rows-only.
+embedding diagnostics — 23 oracle-paired specs + 2 rows-only
+(``ann_pq_rerank`` and ``bpe_fertility``).
 
 Families:
 
@@ -23,9 +24,9 @@ Families:
 Determinism contract (plans/spec.py): exact DECIMAL money sums, integer
 ppm ratios, per-term 6dp rounding before any decimal-summed transcendental
 (the text_tfidf precedent), total orders before every LIMIT/rank. All
-specs carry ``priority=8`` so they queue BEHIND the 27 older specs still
-awaiting their first driver verdict; 27 + 23 fills the round-6 driver
-window of 50 exactly.
+specs carried ``priority=8`` while queued; priorities were collapsed to 0
+in round 7 once the backlog cleared (tier + stable module order now
+drives the verification queue). 27 + 23 filled the round-6 driver window of 50 exactly.
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ def _register(
     oracle: str | None,
     doc: str = "",
     tags: tuple[str, ...] = (),
-    priority: int = 8,
+    priority: int = 0,
 ):
     def deco(fn):
         SPECS.append(

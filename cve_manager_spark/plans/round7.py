@@ -1,6 +1,7 @@
-"""Round-7 tranche: 20 oracle-paired specs queued (priority=9) behind the
-round-6 window — lexical diversity, dedup economics, behavioral moments,
-warehouse trend/mix reporting, and embedding geometry.
+"""Round-7 tranche: 20 oracle-paired specs (queued behind the round-6
+window while unverified; priorities collapsed to 0 in round 7) — lexical
+diversity, dedup economics, behavioral moments, warehouse trend/mix
+reporting, and embedding geometry.
 
 Recurring determinism recipes (plans/spec.py contract):
 
@@ -33,7 +34,7 @@ def _register(
     oracle: str | None,
     doc: str = "",
     tags: tuple[str, ...] = (),
-    priority: int = 9,
+    priority: int = 0,
 ):
     def deco(fn):
         SPECS.append(

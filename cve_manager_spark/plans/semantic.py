@@ -38,7 +38,7 @@ from cve_manager_spark.sources.testdata import load_table
 SPECS: list[QuerySpec] = []
 
 
-def _register(name, oracle, doc="", tags=(), priority: int = 6):
+def _register(name, oracle, doc="", tags=(), priority: int = 0):
     def deco(fn):
         SPECS.append(
             QuerySpec(
@@ -349,11 +349,14 @@ def _pq_codes_oracle(m: int = 4, w: int = 16, k: int = 8) -> str:
     joins = " ".join(
         f"JOIN asg_s{j} ON asg_s0.vec_id = asg_s{j}.vec_id" for j in range(1, m)
     )
-    code = ", ".join(f"asg_s{j}.cid" for j in range(m))
+    # scalar code columns, NOT an array: the driver's canonicalizer sorts
+    # result frames through pandas and cannot hash array cells
+    # (CORRECTNESS_r06.json pq_codes: "unhashable type: numpy.ndarray")
+    code = ", ".join(f"asg_s{j}.cid AS code_{j}" for j in range(m))
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT asg_s0.vec_id AS vec_id, [{code}] AS pq_code"
+        + f"\nSELECT asg_s0.vec_id AS vec_id, {code}"
         + f"\nFROM asg_s0 {joins}"
     )
 
@@ -368,12 +371,19 @@ def _pq_codes_oracle(m: int = 4, w: int = 16, k: int = 8) -> str:
     "unrolled copies of the quantized-k-means CTE, one per slice — "
     "possible only because of the integer quantization contract, and "
     "the hash-checked face of the rows-only ann_pq retrieval (same "
-    "role embedding_kmeans plays for semantic_dedup).",
-    priority=7,
+    "role embedding_kmeans plays for semantic_dedup). Codes surface as "
+    "four scalar INT columns code_0..code_3 (not array<int>: the driver "
+    "canonicalizer cannot hash array cells — r6 red row).",
 )
 def pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.similarity import pq_encode, pq_train
 
     emb = load_table(spark, sf, "embeddings")
     books = pq_train(emb, m=4, k=8, iters=2)
-    return pq_encode(emb, books).select("vec_id", "pq_code")
+    return pq_encode(emb, books).select(
+        "vec_id",
+        *[
+            F.element_at("pq_code", j + 1).cast("int").alias(f"code_{j}")
+            for j in range(4)
+        ],
+    )

@@ -32,8 +32,11 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = field(default=())
     # Verification-queue priority: the driver hash-checks only a 50-entry
-    # prefix of the registry, so specs added while older ones still await
-    # their first driver verdict carry a higher number and queue BEHIND
-    # them (registry sorts by (tier, priority)); locally they are oracle-
-    # checked either way. Reset to 0 once the backlog clears.
+    # prefix of the registry. Specs added while older ones still await
+    # their first driver verdict may carry a higher number to queue
+    # BEHIND them (registry sorts by (tier, priority), stable on module
+    # order); locally they are oracle-checked either way. The round-7
+    # reset collapsed every priority back to 0 — tier + module order
+    # alone now drives the queue; bump only if a new tranche must yield
+    # to an older unverified one that module order would not protect.
     priority: int = 0
