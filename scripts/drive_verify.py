@@ -102,7 +102,14 @@ SAMPLE = [
     "embedding_norm_zscore_outliers",
     "label_centroid_cosine",
     "source_vocab_overlap",
-    "pq_codes",   # r6: encode re-kerneled to Arrow numpy — must stay hash-identical
+    "pq_codes",   # r7: codes reshaped to scalar INT cols (r6 driver red on array)
+    # round-7 tranche representatives
+    "text_simpson_diversity",
+    "events_lag1_value_autocorr",
+    "order_value_band_matrix",
+    "discount_tax_corr",
+    "label_pair_centroid_dist",
+    "dedup_savings_by_source",
 ]
 fails = []
 for name in SAMPLE:
