@@ -95,6 +95,34 @@ def dec_avg(c: Column, scale: int = 4, precision: int = 18) -> Column:
 # Parallelism guard for compute-bound operators
 # ---------------------------------------------------------------------------
 
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _byte_string(raw: str, default: int = 134_217_728) -> int:
+    """JVM ``JavaUtils.byteStringAsBytes`` semantics for size confs:
+    ``"134217728"`` → bytes, ``"128m"``/``"128MB"`` → 128·2²⁰, case-
+    insensitive. Digit-stripping is NOT equivalent — it turned "128m"
+    into 128 *bytes*, which made fan_out's estimated partition count
+    astronomical so the guard silently never repartitioned (ADVICE r6),
+    reintroducing the single-partition hazard this module documents.
+    Unrecognized forms fall back to the 128 MB Spark default."""
+    s = str(raw).strip().lower()
+    i = 0
+    while i < len(s) and s[i].isdigit():
+        i += 1
+    num, suffix = s[:i], s[i:].strip()
+    if not num or suffix not in _BYTE_SUFFIX:
+        return default
+    return int(num) * _BYTE_SUFFIX[suffix]
+
+
 def fan_out(df, target: int | None = None):
     """Repartition up to the cluster's parallelism when the input has too
     few partitions.
@@ -131,7 +159,7 @@ def fan_out(df, target: int | None = None):
         return df  # in-memory relation: no file scan to widen
     try:
         raw = sess.conf.get("spark.sql.files.maxPartitionBytes")
-        max_pb = int("".join(c for c in raw if c.isdigit()) or 134217728)
+        max_pb = _byte_string(raw)
     except Exception:
         max_pb = 134_217_728
     total = 0

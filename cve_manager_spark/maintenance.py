@@ -142,6 +142,16 @@ def compact(
     df = spark.read.parquet(path)
     n_rows = df.count()
     files_before = len(list(src.rglob("*.parquet")))
+    if n_rows == 0:
+        # a legitimately 0-row table (delete_where removed every row and
+        # left the explicit keeper file) has nothing to compact; an empty
+        # rewrite would emit no part files and swap in an unreadable dir
+        # (ADVICE r6)
+        return {
+            "n_rows": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+        }
     n_files = plan_target_files(n_rows, target_rows_per_file)
 
     if zorder_by:
@@ -171,7 +181,7 @@ def compact(
         writer = writer.partitionBy(*pcols)
     writer.parquet(str(tmp))
 
-    n_after = spark.read.parquet(str(tmp)).count()
+    n_after = _count_tmp(spark, tmp)
     if n_after != n_rows:
         shutil.rmtree(tmp)
         raise RuntimeError(
@@ -269,31 +279,45 @@ def write_bucketed(
 def _partition_cols(src: Path, op: str) -> list[str]:
     """Partition-column names of a hive-layout table dir ([] if flat).
 
-    Walks one ``key=value`` chain downward; a level mixing keys (or
-    mixing files-with-dirs layouts a hive writer never produces) is
-    corruption we refuse to touch. The COW ops use this to (a) read
-    affected leaf files with ``basePath`` so partition columns survive,
-    (b) rewrite survivors with ``partitionBy`` so they land back in
-    their partition dirs — the two steps whose absence silently
-    corrupted partitioned tables before r6 (ADVICE r5)."""
+    Walks the ``key=value`` levels breadth-first across ALL sibling
+    branches (not just the first — ADVICE r6): every level must agree
+    on one partition key, carry no data files beside the partition
+    dirs, and every branch must reach leaf files at the same depth.
+    Any mixed layout — files-with-dirs, divergent keys, ragged depth —
+    is corruption a hive writer never produces; rewriting under wrong
+    assumptions makes the table unreadable ('Conflicting directory
+    structures detected'), so we refuse loudly instead. The COW ops
+    use this to (a) read affected leaf files with ``basePath`` so
+    partition columns survive, (b) rewrite survivors with
+    ``partitionBy`` so they land back in their partition dirs — the
+    two steps whose absence silently corrupted partitioned tables
+    before r6 (ADVICE r5)."""
     cols: list[str] = []
-    cur = src
+    level = [src]
     while True:
-        subs = [
-            p
-            for p in cur.iterdir()
-            if p.is_dir() and not p.name.startswith(("_", "."))
-        ]
+        subs: list[Path] = []
+        files: list[Path] = []
+        for d in level:
+            for p in d.iterdir():
+                if p.name.startswith(("_", ".")):
+                    continue
+                if p.is_dir():
+                    subs.append(p)
+                elif p.suffix == ".parquet":
+                    files.append(p)
         if not subs:
             return cols
         keys = {p.name.split("=", 1)[0] for p in subs if "=" in p.name}
-        if len(keys) != 1 or any("=" not in p.name for p in subs):
+        if len(keys) != 1 or any("=" not in p.name for p in subs) or files:
+            offending = sorted(p.name for p in subs)[:5] + sorted(
+                f.name for f in files
+            )[:5]
             raise ValueError(
-                f"{op}: {cur} contains non-hive subdirectories "
-                f"({sorted(p.name for p in subs)[:5]}); refusing to rewrite"
+                f"{op}: depth-{len(cols)} level of {src} is a non-hive "
+                f"layout mix ({offending}); refusing to rewrite"
             )
         cols.append(keys.pop())
-        cur = subs[0]
+        level = subs
 
 
 def _local_path(uri: str) -> Path:
@@ -397,9 +421,19 @@ def delete_where(
         # deleting every row may leave zero part files (an empty write
         # emits none), and a parquet dir without leaf files is
         # unreadable — keep the table readable with one explicit 0-row
-        # file at the root (for a hive layout this flattens the
-        # partition columns into the file schema of an empty relation;
-        # readers see the same columns, zero rows)
+        # file at the root. For a hive layout the now-empty key=value
+        # dirs must go FIRST: a root-level file coexisting with
+        # partition dirs puts leaf files at two depths and Spark then
+        # refuses the read with 'Conflicting directory structures
+        # detected' (ADVICE r6). Flattening is total — every partition
+        # is empty here — and the keeper's schema carries the partition
+        # columns (df.schema includes them), so readers see the same
+        # columns, zero rows, and later inserts re-create a consistent
+        # flat table that _partition_cols reports as such.
+        if pcols:
+            for p in list(src.iterdir()):
+                if p.is_dir() and not p.name.startswith(("_", ".")):
+                    shutil.rmtree(p)
         spark.createDataFrame([], df.schema).coalesce(1).write.mode(
             "append"
         ).parquet(str(src))

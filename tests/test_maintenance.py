@@ -712,3 +712,84 @@ def test_maintenance_cli_merge_and_analyze(spark, tmp_path, capsys):
         assert out["row_count"] == 100 and out["size_bytes"] > 0
     finally:
         spark.sql("DROP DATABASE IF EXISTS cli_stats CASCADE")
+
+
+def test_delete_everything_on_partitioned_table_flattens_readably(spark, tmp_path):
+    """ADVICE r6: wiping a hive-partitioned table used to leave the 0-row
+    keeper at the root NEXT TO empty partition dirs; a later insert then
+    produced leaf files at two depths and Spark failed the read with
+    'Conflicting directory structures detected'. The fallback now removes
+    the empty partition dirs, so the empty table is flat and a subsequent
+    merge_upsert insert keeps it readable."""
+    path = tmp_path / "wipe_part"
+    spark.createDataFrame(
+        [(1, "en", 1.0), (2, "de", 2.0)], "id long, lang string, v double"
+    ).write.partitionBy("lang").parquet(str(path))
+    res = maintenance.delete_where(spark, str(path), "v > 0")
+    assert res["n_deleted"] == 2
+    # no partition dirs remain beside the keeper file
+    assert not [
+        p for p in path.iterdir() if p.is_dir() and not p.name.startswith(("_", "."))
+    ]
+    after = spark.read.parquet(str(path))
+    assert after.count() == 0
+    assert set(after.columns) == {"id", "lang", "v"}
+    # the repaired table accepts inserts and stays readable end-to-end
+    updates = spark.createDataFrame(
+        [(3, "fr", 3.0)], "id long, lang string, v double"
+    )
+    maintenance.merge_upsert(spark, str(path), updates, key_cols=["id"])
+    again = spark.read.parquet(str(path))
+    assert again.count() == 1
+    assert again.collect()[0]["lang"] == "fr"
+
+
+def test_partition_cols_refuses_files_beside_partition_dirs(spark, tmp_path):
+    """ADVICE r6: a data file sitting at the same level as key=value dirs
+    must be refused, not rewritten under wrong layout assumptions."""
+    path = tmp_path / "mixed_depth"
+    spark.createDataFrame(
+        [(1, "en", 1.0)], "id long, lang string, v double"
+    ).write.partitionBy("lang").parquet(str(path))
+    # plant a root-level data file beside the lang=en dir
+    spark.createDataFrame([(9, 9.0)], "id long, v double").coalesce(
+        1
+    ).write.mode("append").parquet(str(tmp_path / "flat_src"))
+    leaf = next((tmp_path / "flat_src").glob("*.parquet"))
+    leaf.rename(path / "stray.parquet")
+    with pytest.raises(ValueError, match="non-hive"):
+        maintenance.delete_where(spark, str(path), "v > 0")
+
+
+def test_partition_cols_refuses_ragged_sibling_depths(spark, tmp_path):
+    """ADVICE r6: sibling branches of different depths (one leaf at
+    day=1/, another under day=2/hour=3/) pass the old first-branch-only
+    walk; the BFS validation must refuse them."""
+    path = tmp_path / "ragged"
+    (path / "day=1").mkdir(parents=True)
+    (path / "day=2" / "hour=3").mkdir(parents=True)
+    spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "seed"))
+    leaf = next((tmp_path / "seed").glob("*.parquet"))
+    import shutil as _sh
+
+    _sh.copy(leaf, path / "day=1" / "a.parquet")
+    _sh.copy(leaf, path / "day=2" / "hour=3" / "b.parquet")
+    with pytest.raises(ValueError, match="non-hive"):
+        maintenance._partition_cols(path, "compact")
+
+
+def test_compact_zero_row_table_is_noop(spark, tmp_path):
+    """ADVICE r6: compacting the legitimately 0-row table delete_where
+    leaves behind must complete as a no-op, not crash on schema
+    inference over an empty rewrite."""
+    path = str(tmp_path / "wipe_then_compact")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(
+        1
+    ).write.parquet(path)
+    maintenance.delete_where(spark, path, "v > 0")
+    res = maintenance.compact(spark, path, target_rows_per_file=10)
+    assert res["n_rows"] == 0
+    assert res["files_before"] == res["files_after"]
+    assert spark.read.parquet(path).count() == 0

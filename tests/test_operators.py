@@ -346,3 +346,42 @@ def test_bpe_apply_of_trained_merges_never_grows_tokens(spark):
     assert enc1 == enc2
     assert all(enc1[i] <= base[i] for i in base)
     assert sum(enc1.values()) < sum(base.values())  # merges actually fire
+
+
+def test_byte_string_parses_jvm_size_suffixes():
+    """ADVICE r6: '128m' must parse as 128 MiB, not 128 bytes — digit-
+    stripping silently disabled fan_out's parallelism guard."""
+    from cve_manager_spark.functions.helpers import _byte_string
+
+    assert _byte_string("134217728") == 134217728
+    assert _byte_string("128m") == 128 * 1024 * 1024
+    assert _byte_string("128MB") == 128 * 1024 * 1024
+    assert _byte_string("1g") == 1 << 30
+    assert _byte_string("1 G") == 1 << 30
+    assert _byte_string("512k") == 512 * 1024
+    assert _byte_string("64b") == 64
+    # unparseable → Spark's 128 MB default, never a tiny denominator
+    assert _byte_string("weird") == 134217728
+    assert _byte_string("") == 134217728
+    assert _byte_string("m128") == 134217728
+
+
+def test_fan_out_widens_with_human_readable_max_partition_bytes(spark, tmp_path):
+    """With maxPartitionBytes set to '128m' (human-readable), a one-file
+    scan must still be repartitioned up to the default parallelism —
+    the regression ADVICE r6 flagged left it at 1 partition."""
+    from cve_manager_spark.functions.helpers import fan_out
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).write.mode("overwrite").parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        df = spark.read.parquet(p)
+        widened = fan_out(df)
+        assert (
+            widened.rdd.getNumPartitions()
+            >= spark.sparkContext.defaultParallelism
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
