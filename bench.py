@@ -245,6 +245,13 @@ def main() -> None:
             "is the honest per-query signal; cross-round comparisons "
             "should prefer the lowest-load run and treat <1.5x in-suite "
             "deltas as noise unless a solo run confirms them",
+            "dedup_simhash_det_r6_attributed": "VERDICT r6 #2 (1.63s -> "
+            "5.87s in-suite, unattributed): solo min-of-6 at sf0.1, "
+            "loadavg ~1.7, measured 2026-08-14 trials "
+            "[7.34, 2.91, 2.60, 1.36, 1.43, 1.33] min 1.33s — BELOW the "
+            "r5 in-suite 1.63s. The r6 number was hypervisor neighbor "
+            "load (that run's before-load was 9.25); no plan change, "
+            "nothing to fix",
             "dedup_ngram_jaccard_r6": "re-specified in r6 to the stop-"
             "shingle-capped semantics (df<=10% mirrored in the oracle, "
             "VERDICT r5 #1); the capped run pays a doc-frequency statistics "
