@@ -303,7 +303,11 @@ def _partition_cols(src: Path, op: str) -> list[str]:
                     continue
                 if p.is_dir():
                     subs.append(p)
-                elif p.suffix == ".parquet":
+                else:
+                    # ANY non-hidden file beside partition dirs is a layout
+                    # mix (ADVICE r7): a stray .csv/.json would corrupt or
+                    # fail the subsequent Spark read/rewrite just as a
+                    # .parquet would, so refuse on all of them.
                     files.append(p)
         if not subs:
             return cols

@@ -553,6 +553,40 @@ def pq_encode(
     )
 
 
+def _adc_score(books: list[list[list[int]]], qq: "np.ndarray") -> Column:
+    """ADC ranking column over a (pq_code, vnorm2) relation: the query
+    builds an m×k integer inner-product table driver-side (m·k scalars)
+    and each row's approximate cosine is m table lookups on its stored
+    code over its stored exact norm. Shared by :func:`pq_topk` (full
+    ADC scan) and :func:`ivf_pq_topk` (ADC within probed lists only).
+    """
+    m = len(books)
+    w = len(books[0][0])
+    table = [
+        [int((qq[j * w : (j + 1) * w] * np.asarray(c, dtype=np.int64)).sum())
+         for c in books[j]]
+        for j in range(m)
+    ]
+    t_lit = F.lit(table).cast("array<array<bigint>>")
+    idxs = F.sequence(F.lit(0), F.lit(m - 1))
+    adot = F.aggregate(
+        idxs,
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(t_lit, j + F.lit(1)),
+            F.element_at(F.col("pq_code"), j + F.lit(1)) + F.lit(1),
+        ),
+    )
+    # all-zero-quantized vectors (vnorm2 == 0) have no cosine direction;
+    # an unguarded divide would surface NaN, which Spark orders LARGEST —
+    # define the degenerate score as -inf so they rank last.
+    return F.when(
+        F.col("vnorm2") > 0,
+        adot.cast("double") / F.sqrt(F.col("vnorm2").cast("double")),
+    ).otherwise(F.lit(float("-inf")))
+
+
 def pq_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -597,37 +631,10 @@ def pq_topk(
         query_df.select(query_vec_col).first()[0], dtype=np.float64
     )
     qq = np.floor(qvec * QUANT_SCALE).astype(np.int64)
-    m = len(books)
-    w = len(books[0][0])
     # inner-product table: score = sum_j <q_j, codeword_j> / |v| ranks by
     # approximate cosine (|q| is constant across rows)
-    table = [
-        [int((qq[j * w : (j + 1) * w] * np.asarray(c, dtype=np.int64)).sum())
-         for c in books[j]]
-        for j in range(m)
-    ]
-    t_lit = F.lit(table).cast("array<array<bigint>>")
-    idxs = F.sequence(F.lit(0), F.lit(m - 1))
-    adot = F.aggregate(
-        idxs,
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(t_lit, j + F.lit(1)),
-            F.element_at(F.col("pq_code"), j + F.lit(1)) + F.lit(1),
-        ),
-    )
-    # a vector whose components all quantize to 0 has vnorm2 == 0; an
-    # unguarded divide would make its adc_score NaN (Spark orders NaN
-    # LARGEST, so it would silently top the ranking). Define the
-    # degenerate score as -inf explicitly: a zero vector has no cosine
-    # direction, so it ranks last, deterministically.
-    score = F.when(
-        F.col("vnorm2") > 0,
-        adot.cast("double") / F.sqrt(F.col("vnorm2").cast("double")),
-    ).otherwise(F.lit(float("-inf")))
     return (
-        enc.select(F.col(id_col), score.alias("adc_score"))
+        enc.select(F.col(id_col), _adc_score(books, qq).alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -664,6 +671,159 @@ def pq_topk_rerank(
         id_col=id_col, vec_col=vec_col, query_vec_col=query_vec_col,
         encoded=encoded,
     ).select(id_col)
+    cand_vecs = df.join(F.broadcast(cand_ids), id_col)
+    return cosine_topk(
+        cand_vecs, query_df, k=k,
+        id_col=id_col, vec_col=vec_col, query_vec_col=query_vec_col,
+    )
+
+
+def ivf_pq_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    iters: int = 2,
+    books: list[list[list[int]]] | None = None,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build a composed IVF×PQ index (VERDICT r6 #7): every row carries
+    its coarse cell (``list_id``) AND its PQ code, so a query can prune
+    to probed cells and then rank by ADC over codes only — the FAISS
+    IVFADC shape, Spark-first.
+
+    Returns ``(index_df, centroids, books)`` where ``index_df`` is
+    (id, list_id, pq_code, vnorm2) — ~m bytes + 1 long per row, the
+    relation the 100 TB deployment actually persists (see
+    :func:`write_ivf_pq_index`; full vectors stay in the base table and
+    are only fetched for the final rerank).
+
+    Both quantizers are the DETERMINISTIC integer machinery, not
+    pyspark.ml KMeans: the coarse cells come from
+    ``operators.semantic.kmeans_fit`` (quantized Lloyd's — lowest-id
+    seeds, integer distances, ties to the lowest cell, the exact
+    contract the ``embedding_kmeans``/``ivf_assignments`` oracles
+    verify), and the codes from :func:`pq_train`'s per-subspace twin of
+    the same loop. Same corpus → bit-identical index, on any cluster.
+
+    Build cost: one quantized scan persisted once (kmeans_fit), reused
+    by assignment; PQ training shares its own scan across all m
+    subspaces; the assignment+encode pass is map-side (centroid and
+    codebook literals/closures, no join, no shuffle).
+    """
+    from cve_manager_spark.operators.semantic import assign_clusters, kmeans_fit
+
+    if books is None:
+        books = pq_train(df, m=m, k=k_codes, dim=dim, vec_col=vec_col, id_col=id_col)
+    q, cents = kmeans_fit(df, vec_col=vec_col, id_col=id_col, k=n_lists, iters=iters)
+    assigned = assign_clusters(q, cents)
+    encode = _pq_code_udf(books)
+    index_df = assigned.select(
+        F.col(id_col),
+        F.col("cluster").alias("list_id"),
+        encode(F.col("q")).alias("pq_code"),
+        F.col("qq").alias("vnorm2"),
+    )
+    return index_df, cents, books
+
+
+def write_ivf_pq_index(
+    index_df: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> None:
+    """Persist an IVF×PQ index as a lake table hive-partitioned by
+    ``list_id``, with the integer centroids and codebooks in an
+    ``_ivf_pq_meta.json`` sidecar (underscore-prefixed → invisible to
+    parquet directory reads, the ``_SUCCESS`` convention).
+
+    The partition layout is the at-scale probe story: a query's
+    ``list_id IN (probes)`` becomes PARTITION pruning, so the ADC stage
+    lists and reads only the probed cells' code files — n_probe/n_lists
+    of the CODES (~m bytes/row), never the vectors. Train/encode once,
+    query many."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    index_df.write.mode("overwrite").option(
+        "maxRecordsPerFile", target_rows_per_file
+    ).partitionBy("list_id").parquet(path)
+    meta = {"centroids": [[int(v) for v in c] for c in cents],
+            "books": [[[int(v) for v in cw] for cw in b] for b in books]}
+    (_Path(path) / "_ivf_pq_meta.json").write_text(_json.dumps(meta))
+
+
+def read_ivf_pq_index(spark: SparkSession, path: str):
+    """Load a persisted IVF×PQ index: ``(index_df, cents, books)`` —
+    directly usable as :func:`ivf_pq_topk`'s prebuilt index."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    meta = _json.loads((_Path(path) / "_ivf_pq_meta.json").read_text())
+    return spark.read.parquet(path), meta["centroids"], meta["books"]
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    index_df: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    k: int = 10,
+    n_probe: int = 4,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Composed IVF×PQ retrieve-then-rerank (VERDICT r6 #7) — the
+    production ANN search shape, all three pruning tiers in one query:
+
+    1. **probe**: rank the n_lists centroids by exact integer distance
+       to the quantized query (driver-side — n_lists·d scalars, the
+       same contract as a query planner reading index metadata) and
+       keep the ``n_probe`` nearest cells, ties to the lowest cell id.
+    2. **ADC within probed cells**: ``list_id IN probes`` over the
+       index relation — partition PRUNING on a
+       :func:`write_ivf_pq_index` layout, so this stage reads
+       n_probe/n_lists of the CODES (~m bytes/row, the PQ economy) —
+       then ranks by the asymmetric-distance table to ``n_candidates``
+       survivors (TakeOrderedAndProject, no global sort).
+    3. **exact rerank**: fetch only the survivors' full vectors
+       (broadcast semi-join; a key-clustered vector table serves this
+       with pointed, file-pruned reads) and rank by exact float64
+       cosine to the final top-k.
+
+    Per-query cost at 100 TB: n_lists·d centroid scalars +
+    (n_probe/n_lists)·N code rows + n_candidates full vectors — never
+    a full-corpus scan of anything vector-width. Recall factorizes as
+    cell-recall(n_probe) × in-cell candidate recall(n_candidates), both
+    dials measured in ANN_RECALL.json. Deterministic end-to-end:
+    integer probe ranking, integer ADC, (score, id) tie-breaks, exact
+    rerank; n_probe = n_lists AND n_candidates ≥ corpus reproduces the
+    exact top-k (property-tested).
+    """
+    from cve_manager_spark.operators.semantic import QUANT_SCALE
+
+    qvec = np.asarray(query_df.select(query_vec_col).first()[0], dtype=np.float64)
+    qq = np.floor(qvec * QUANT_SCALE).astype(np.int64)
+    C = np.asarray(cents, dtype=np.int64)
+    # exact integer distances, the assign_clusters contract: qq·qq is
+    # constant across cells so rank by −2<q,c> + <c,c>, ties → lowest id
+    d2 = (-2 * (C @ qq) + (C * C).sum(axis=1)).tolist()
+    probes = [cid for _, cid in sorted(zip(d2, range(len(cents))))[:n_probe]]
+
+    cand_ids = (
+        index_df.where(F.col("list_id").isin(probes))
+        .select(F.col(id_col), _adc_score(books, qq).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(n_candidates)
+        .select(id_col)
+    )
     cand_vecs = df.join(F.broadcast(cand_ids), id_col)
     return cosine_topk(
         cand_vecs, query_df, k=k,

@@ -24,8 +24,7 @@ DECIMAL money sums emitted as one final double cast, integer day/ppm
 arithmetic for derived ratios, total orders (unique tie-break) before
 every LIMIT.  Priorities were collapsed to 0 in round 7 once the
 verification backlog cleared (registry sorts by (tier, priority) with
-stable module order, which alone queues unverified specs correctly); the
-exactly covered.
+stable module order, which alone queues unverified specs correctly).
 """
 
 from __future__ import annotations

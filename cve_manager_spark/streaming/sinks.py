@@ -171,17 +171,34 @@ def foreach_batch_rollup(
 
 def _list_day_dirs(spark, ver_dir: str) -> list[str]:
     """day=<value> partition values present under one key-set version
-    dir — directory NAMES only (Hadoop FS metadata, never row data)."""
+    dir — directory NAMES only (Hadoop FS metadata, never row data).
+
+    A version dir holding parquet files DIRECTLY (no ``day=`` subdirs)
+    is a pre-r7 FLAT snapshot; silently returning [] for it would drop
+    that snapshot's entire history from every subsequent compose
+    (ADVICE r7), so it raises loudly with the migration instruction
+    instead."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(ver_dir)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(path):
         return []
     out = []
+    flat_files = []
     for st in fs.listStatus(path):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("day="):
             out.append(name[len("day="):])
+        elif st.isFile() and not name.startswith(("_", ".")):
+            flat_files.append(name)
+    if flat_files and not out:
+        raise ValueError(
+            f"{ver_dir} is a pre-day-partitioned FLAT key-set snapshot "
+            f"(data files {sorted(flat_files)[:3]} with no day= dirs); "
+            "composing over it would silently drop its history. Migrate "
+            "once by rewriting it day-partitioned: spark.read.parquet(dir)"
+            ".write.partitionBy('day').parquet(tmp) and swap."
+        )
     return sorted(out)
 
 
@@ -256,9 +273,14 @@ def foreach_batch_distinct_rollup(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        part = batch_df.select(
-            F.to_date("ts").alias("day"), "user_id"
-        ).distinct()
+        # rows whose ts fails to_date would land in a NULL-day hive
+        # partition the touched-day bookkeeping cannot name (ADVICE r7);
+        # a day-less event is meaningless for DAU, so drop it here.
+        part = (
+            batch_df.select(F.to_date("ts").alias("day"), "user_id")
+            .where(F.col("day").isNotNull())
+            .distinct()
+        )
         # the batch's touched-day set: bounded driver scalars (a micro-
         # batch spans few days; with a watermark, late days are bounded)
         days = {str(r["day"]) for r in part.select("day").distinct().collect()}
@@ -277,6 +299,63 @@ def foreach_batch_distinct_rollup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_keyset_state(spark, out_dir: str) -> dict[str, int]:
+    """Fold superseded key-set version dirs into one base version and
+    delete them (VERDICT r7 #3): the log-structured DAU state accretes
+    one ``_state_v{b}`` dir per batch forever — correct (compose reads
+    per-day-newest) but a long-running stream's read-side owner map and
+    directory listing grow without bound. Compaction folds every
+    COMMITTED version (all but the newest) into a single
+    day-partitioned base dir numbered with the newest folded batch id,
+    so the compose result is unchanged.
+
+    Replay safety: only the NEWEST version's batch can ever be
+    re-delivered (version b existing proves batch b ran, which proves
+    batch b−1 committed its checkpoint), and the newest version is
+    never folded — so a replayed batch id is ≥ the base's number + 1
+    and its ``upto=batch_id`` compose still includes the base.
+    Idempotent: re-running compaction with ≤ 2 versions is a no-op.
+
+    Swap discipline (maintenance.py COW precedent): the folded compose
+    is written to a ``_compact_tmp`` sibling (underscore-prefixed —
+    invisible to parquet reads; NOT ``_state_v``-prefixed, so a crashed
+    leftover never parses as a version), row-count-verified, then the
+    BASE dir alone is swapped (delete + rename — the same narrow window
+    ``maintenance.compact`` has); only after the base holds the full
+    folded compose are the OLDER folded dirs removed, which is safe at
+    any point because the base is newer than all of them and compose
+    takes the newest owner per day — a crash mid-cleanup just leaves
+    superseded garbage the next compaction re-deletes.
+    """
+    import shutil
+    from pathlib import Path
+
+    versions = _list_state_versions(spark, out_dir)
+    if len(versions) <= 2:
+        return {"folded": 0, "base": versions[-2] if len(versions) == 2 else -1}
+    fold = versions[:-1]
+    base_v = fold[-1]
+    folded = _keyset_compose(spark, out_dir, upto=versions[-1])
+    n_expect = folded.count()
+    tmp = Path(out_dir) / "_compact_tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    folded.write.partitionBy("day").parquet(str(tmp))
+    n_got = spark.read.option("basePath", str(tmp)).parquet(str(tmp)).count()
+    if n_got != n_expect:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"keyset compaction verify failed: wrote {n_got} rows, "
+            f"expected {n_expect}; state untouched"
+        )
+    base_dir = Path(out_dir) / f"{_STATE_PREFIX}{base_v}"
+    shutil.rmtree(base_dir)
+    tmp.rename(base_dir)
+    for v in fold[:-1]:
+        shutil.rmtree(Path(out_dir) / f"{_STATE_PREFIX}{v}")
+    return {"folded": len(fold), "base": base_v}
 
 
 def read_dau_state(spark, out_dir: str) -> DataFrame | None:

@@ -1,4 +1,4 @@
-"""Driver-sim verification (.claude/skills/verify recipe, committed form).
+"""Driver-sim verification recipe, committed form.
 
 Run OUTSIDE the repo cwd in a fresh process:
 

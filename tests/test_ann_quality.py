@@ -250,3 +250,135 @@ def test_ivf_index_persists_and_probe_prunes_partitions(spark, tmp_path):
     )
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_ivf_pq_full_probe_full_candidates_is_exact_and_deterministic(spark):
+    """ivf_pq_topk property (VERDICT r6 #7): with n_probe = n_lists the
+    probe prunes nothing and with n_candidates >= corpus the ADC stage
+    prunes nothing, so the exact re-rank must reproduce cosine_topk
+    exactly (ids AND order). Building the index twice must give the
+    bit-identical index (deterministic quantizers) and result."""
+    from cve_manager_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_index,
+        ivf_pq_topk,
+    )
+    from cve_manager_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    q = emb.where(F.col("vec_id") == QUERY_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    corpus = emb.where(F.col("vec_id") != QUERY_ID)
+
+    idx, cents, books = ivf_pq_index(corpus, n_lists=8, m=8, k_codes=16)
+    idx2, cents2, books2 = ivf_pq_index(corpus, n_lists=8, m=8, k_codes=16)
+    assert cents == cents2 and books == books2
+    rows = sorted(tuple(r) for r in idx.collect())
+    assert rows == sorted(tuple(r) for r in idx2.collect())
+
+    exact = [tuple(r) for r in cosine_topk(corpus, q, k=K).collect()]
+    full = [
+        tuple(r)
+        for r in ivf_pq_topk(
+            corpus, q, idx, cents, books, k=K, n_probe=8, n_candidates=n
+        ).collect()
+    ]
+    assert full == exact  # same ids, same order, same scores
+
+
+def test_ivf_pq_recall_floor_vs_exact(spark):
+    """At a pruning operating point (half the cells probed, modest
+    candidate budget) the composition must clear a recall floor vs the
+    exact top-k — the cell-recall x candidate-recall factorization in
+    the operator docstring actually delivering."""
+    from cve_manager_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_index,
+        ivf_pq_topk,
+    )
+    from cve_manager_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") == QUERY_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    corpus = emb.where(F.col("vec_id") != QUERY_ID)
+    idx, cents, books = ivf_pq_index(corpus, n_lists=8, m=16, k_codes=16)
+    exact = {r["vec_id"] for r in cosine_topk(corpus, q, k=K).collect()}
+    got = {
+        r["vec_id"]
+        for r in ivf_pq_topk(
+            corpus, q, idx, cents, books, k=K, n_probe=4, n_candidates=100
+        ).collect()
+    }
+    # measured 0.8 at this corpus/seed (sf0.01); assert with margin
+    assert len(got & exact) / K >= 0.5
+
+
+def test_ivf_pq_persisted_index_prunes_partitions(spark, tmp_path):
+    """write_ivf_pq_index → hive layout by list_id + centroids/codebooks
+    sidecar; querying through the persisted index must return exactly
+    the in-memory index's result AND plan the ADC stage's probe filter
+    as PARTITION pruning (only probed cells' code files listed/read) —
+    the at-scale claim of the composition."""
+    import numpy as np
+    from pathlib import Path
+
+    from cve_manager_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        read_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+    from cve_manager_spark.operators.semantic import QUANT_SCALE
+    from cve_manager_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") == QUERY_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    corpus = emb.where(F.col("vec_id") != QUERY_ID)
+    idx, cents, books = ivf_pq_index(corpus, n_lists=8, m=8, k_codes=16)
+    path = str(tmp_path / "ivf_pq_idx")
+    write_ivf_pq_index(idx, cents, books, path)
+    assert len(list(Path(path).glob("list_id=*"))) >= 2
+    assert (Path(path) / "_ivf_pq_meta.json").exists()
+
+    mem = [
+        tuple(r)
+        for r in ivf_pq_topk(
+            corpus, q, idx, cents, books, k=K, n_probe=2, n_candidates=50
+        ).collect()
+    ]
+    didx, dcents, dbooks = read_ivf_pq_index(spark, path)
+    disk = [
+        tuple(r)
+        for r in ivf_pq_topk(
+            corpus, q, didx, dcents, dbooks, k=K, n_probe=2, n_candidates=50
+        ).collect()
+    ]
+    assert disk == mem
+
+    qvec = np.asarray(q.first()[0], dtype=np.float64)
+    qq = np.floor(qvec * QUANT_SCALE).astype(np.int64)
+    C = np.asarray(dcents, dtype=np.int64)
+    d2 = (-2 * (C @ qq) + (C * C).sum(axis=1)).tolist()
+    probes = [cid for _, cid in sorted(zip(d2, range(len(dcents))))[:2]]
+    cand = didx.where(F.col("list_id").isin(probes))
+    files = {
+        r["f"]
+        for r in cand.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files and all(
+        any(f"list_id={p}/" in f for p in probes) for f in files
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan

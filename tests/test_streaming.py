@@ -719,3 +719,173 @@ def test_read_stickiness_state_equals_batch_query(spark, tmp_path):
     want = collect()["dau_wau_stickiness"].build(spark, SF_SMALL)
     cols = ["day", "dau", "wau", "stickiness_ppm"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def _hash_state_files(out_dir):
+    """md5 of every data file under every _state_v* dir, keyed by
+    relative path."""
+    import hashlib
+    from pathlib import Path
+
+    out = {}
+    for f in Path(out_dir).glob("_state_v*/**/*.parquet"):
+        out[str(f.relative_to(out_dir))] = hashlib.md5(f.read_bytes()).hexdigest()
+    return out
+
+
+def test_keyset_untouched_day_dirs_byte_identical_across_batches(spark, tmp_path):
+    """r6 verdict #6's promised assertion: the log-structured DAU state
+    never rewrites an existing version dir — after a later batch lands,
+    every previously written state file is byte-identical, and the new
+    version dir carries ONLY the days the new batch touched."""
+    import shutil
+    from pathlib import Path
+
+    from cve_manager_spark.streaming.sinks import foreach_batch_distinct_rollup
+
+    def _drop_single_file(df, tmp_dir: Path, dest: Path) -> None:
+        """File streaming sources list files directly under the source
+        dir (no recursion): write to a scratch dir, move the part file."""
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_dir))
+        shutil.move(str(next(tmp_dir.glob("*.parquet"))), str(dest))
+
+    src_dir = tmp_path / "events_bi_src"
+    src_dir.mkdir()
+    events = load_table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    )
+    _drop_single_file(events, tmp_path / "scratch1", src_dir / "f1.parquet")
+    out = str(tmp_path / "dau_state_bi")
+
+    def start():
+        stream = read_events_stream(spark, str(src_dir), max_files_per_trigger=1)
+        return foreach_batch_distinct_rollup(stream, out)
+
+    start().awaitTermination()
+    before = _hash_state_files(out)
+    assert before
+
+    # a second batch touching exactly one new day
+    new_day = "2030-01-01"
+    one = spark.createDataFrame(
+        [(999999, 4242)], "event_id bigint, user_id bigint"
+    ).select(
+        "event_id",
+        (F.unix_micros(F.to_timestamp(F.lit(f"{new_day} 12:00:00"))) * 1000).alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    _drop_single_file(one, tmp_path / "scratch2", src_dir / "f2.parquet")
+    start().awaitTermination()
+
+    after = _hash_state_files(out)
+    for rel, h in before.items():
+        assert after.get(rel) == h, f"previously written state file changed: {rel}"
+    new_files = set(after) - set(before)
+    assert new_files
+    new_versions = {Path(rel).parts[0] for rel in new_files}
+    assert len(new_versions) == 1
+    new_days = {Path(rel).parts[1] for rel in new_files}
+    assert new_days == {f"day={new_day}"}
+
+
+def test_keyset_compaction_folds_versions_preserves_series(spark, tmp_path):
+    """compact_keyset_state folds all committed versions into one base:
+    version dirs collapse to <= 2, the composed DAU series is unchanged,
+    a replay after compaction changes nothing, and re-compacting is a
+    no-op."""
+    from pathlib import Path
+
+    from cve_manager_spark.streaming.sinks import (
+        compact_keyset_state,
+        foreach_batch_distinct_rollup,
+        read_dau_state,
+    )
+
+    src_dir = str(tmp_path / "events_cmp_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(4)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "dau_state_cmp")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_distinct_rollup(stream, out)
+
+    start().awaitTermination()
+    n_versions = len(list(Path(out).glob("_state_v*")))
+    assert n_versions >= 3  # one per micro-batch
+
+    want = _sorted_rows(read_dau_state(spark, out), ["day", "dau"])
+    res = compact_keyset_state(spark, out)
+    assert res["folded"] == n_versions - 1
+    assert len(list(Path(out).glob("_state_v*"))) == 2
+    assert _sorted_rows(read_dau_state(spark, out), ["day", "dau"]) == want
+
+    # replay against the same checkpoint: no new files, nothing changes
+    start().awaitTermination()
+    assert _sorted_rows(read_dau_state(spark, out), ["day", "dau"]) == want
+
+    # idempotent: nothing left to fold
+    res2 = compact_keyset_state(spark, out)
+    assert res2["folded"] == 0
+    assert _sorted_rows(read_dau_state(spark, out), ["day", "dau"]) == want
+
+
+def test_keyset_flat_legacy_snapshot_raises(spark, tmp_path):
+    """A pre-r7 FLAT snapshot dir (parquet files, no day= dirs) must
+    fail the compose loudly instead of silently dropping its history
+    (ADVICE r7)."""
+    import pytest as _pytest
+
+    from cve_manager_spark.streaming.sinks import read_dau_state
+
+    out = tmp_path / "dau_state_flat"
+    legacy = spark.createDataFrame(
+        [("2024-01-01", 1)], "day string, user_id bigint"
+    )
+    legacy.coalesce(1).write.parquet(str(out / "_state_v0"))
+    with _pytest.raises(ValueError, match="FLAT key-set snapshot"):
+        read_dau_state(spark, str(out))
+
+
+def test_keyset_null_ts_rows_dropped_not_null_partition(spark, tmp_path):
+    """Rows whose ts fails to_date are dropped before the state write
+    (ADVICE r7): no __HIVE_DEFAULT_PARTITION__ dir appears and the
+    composed series carries no NULL day."""
+    from pathlib import Path
+
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_distinct_rollup,
+        read_dau_state,
+    )
+
+    src_dir = tmp_path / "events_null_src"
+    src_dir.mkdir()
+    rows = spark.createDataFrame(
+        [(1, 1704067200000000000, 10), (2, None, 11), (3, None, 12)],
+        "event_id bigint, ts bigint, user_id bigint",
+    ).select(
+        "event_id", "ts", "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    import shutil
+
+    scratch = tmp_path / "scratch_null"
+    rows.coalesce(1).write.parquet(str(scratch))
+    shutil.move(str(next(scratch.glob("*.parquet"))), str(src_dir / "f1.parquet"))
+    out = str(tmp_path / "dau_state_null")
+    stream = read_events_stream(spark, str(src_dir), max_files_per_trigger=1)
+    foreach_batch_distinct_rollup(stream, out).awaitTermination()
+
+    assert not list(Path(out).glob("_state_v*/day=__HIVE_DEFAULT_PARTITION__"))
+    got = read_dau_state(spark, out)
+    assert got.where(F.col("day").isNull()).count() == 0
+    assert got.count() == 1  # the one valid-ts day
