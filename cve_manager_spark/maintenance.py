@@ -474,6 +474,7 @@ def merge_upsert(
     path: str,
     updates: DataFrame,
     key_cols: list[str],
+    evolve_schema: bool = False,
 ) -> dict[str, int]:
     """Copy-on-write MERGE: upsert ``updates`` into a parquet table by
     key, rewriting only the files that hold a matched row. Matched keys
@@ -497,18 +498,56 @@ def merge_upsert(
     is matched and rewritten without it; the update lands in its new
     partition dir).
 
+    ``evolve_schema=True`` enables ADDITIVE evolution (the Delta
+    ``mergeSchema`` contract, r7 VERDICT #6): update columns missing
+    from the table are appended as new nullable columns (existing rows
+    read as NULL), and table columns missing from the updates are
+    NULL-filled in the inserted/updated rows. Shared columns must keep
+    their exact type — widening/renaming is rewriting, not evolution,
+    and stays rejected. Untouched files are NOT rewritten to add the
+    column (that would turn a sliver-merge into a full rewrite); the
+    table's read contract after an evolution is
+    ``spark.read.option("mergeSchema", "true")`` — exactly the
+    parquet-without-a-metastore shape, asserted byte-identical in
+    tests. Key columns must exist on both sides.
+
     Returns {"n_matched", "n_inserted", "files_touched", "files_total"}.
     """
     import uuid
 
     src = Path(path)
     pcols = _partition_cols(src, "merge_upsert")
-    df = spark.read.parquet(path)
-    if set(df.columns) != set(updates.columns):
+    # mergeSchema: after a prior evolution the table's files are
+    # legitimately heterogeneous; a single-footer schema pick would
+    # silently drop the evolved columns from the merge itself
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    new_cols = [c for c in updates.columns if c not in df.columns]
+    missing_cols = [c for c in df.columns if c not in updates.columns]
+    if not evolve_schema and (new_cols or missing_cols):
         raise ValueError(
             f"merge_upsert schema mismatch: table {sorted(df.columns)} "
-            f"vs updates {sorted(updates.columns)}"
+            f"vs updates {sorted(updates.columns)} (pass "
+            "evolve_schema=True for additive evolution)"
         )
+    if evolve_schema:
+        if any(k not in updates.columns or k not in df.columns for k in key_cols):
+            raise ValueError(
+                f"merge_upsert: key columns {key_cols} must exist on both sides"
+            )
+        t_types = dict(df.dtypes)
+        u_types = dict(updates.dtypes)
+        clash = {
+            c: (t_types[c], u_types[c])
+            for c in updates.columns
+            if c in t_types and t_types[c] != u_types[c]
+        }
+        if clash:
+            raise ValueError(
+                f"merge_upsert: type change is not additive evolution: {clash}"
+            )
+        # NULL-fill table columns the updates lack, with the TABLE's type
+        for c in missing_cols:
+            updates = updates.withColumn(c, F.lit(None).cast(t_types[c]))
     files_total = len(list(src.rglob("*.parquet")))
 
     keys = updates.select(*key_cols).distinct()
@@ -538,9 +577,16 @@ def merge_upsert(
     touched_local = [_local_path(f) for f in touched]
 
     if touched:
-        affected = spark.read.option("basePath", str(src)).parquet(*touched)
+        affected = spark.read.option("basePath", str(src)).option(
+            "mergeSchema", "true"
+        ).parquet(*touched)
         n_affected = affected.count()
         survivors = affected.join(F.broadcast(keys), key_cols, "left_anti")
+        # additive evolution: survivor rows predate the new columns —
+        # they read as NULL, typed from the updates side
+        u_types = dict(updates.dtypes)
+        for c in (c for c in updates.columns if c not in survivors.columns):
+            survivors = survivors.withColumn(c, F.lit(None).cast(u_types[c]))
     else:
         n_affected = 0
         survivors = None
@@ -548,7 +594,8 @@ def merge_upsert(
     out = (
         survivors.unionByName(updates.select(*survivors.columns))
         if survivors is not None
-        else updates.select(*df.columns)  # align column order with the table
+        # align column order with the table, evolved columns last
+        else updates.select(*(df.columns + new_cols))
     )
     tmp = src.with_name(src.name + ".merge-tmp")
     if tmp.exists():

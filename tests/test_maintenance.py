@@ -793,3 +793,83 @@ def test_compact_zero_row_table_is_noop(spark, tmp_path):
     assert res["n_rows"] == 0
     assert res["files_before"] == res["files_after"]
     assert spark.read.parquet(path).count() == 0
+
+
+def test_merge_upsert_additive_schema_evolution(spark, tmp_path):
+    """evolve_schema=True (r7 VERDICT #6): updates carrying a NEW column
+    evolve the table additively — matched/inserted rows get the value,
+    pre-existing rows read as NULL under mergeSchema — while untouched
+    files stay byte-identical (they are NOT rewritten to add the
+    column); updates MISSING a table column get it NULL-filled. The
+    default strict mode still rejects both, and a type change is
+    rejected even with evolution on."""
+    import hashlib
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "docs_evolve")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    maintenance.compact(
+        spark, _copy_to(docs, path), target_rows_per_file=100, sort_by=["doc_id"]
+    )
+    n = spark.read.parquet(path).count()
+
+    def digests():
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in Path(path).glob("*.parquet")
+        }
+
+    d0 = digests()
+    upd = spark.createDataFrame(
+        [(0, "EVOLVED ZERO", "en", "manual", 12, 0.99),
+         (20_000_000, "EVOLVED NEW", "en", "manual", 11, 0.42)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint, quality double",
+    )
+    # strict mode rejects the extra column
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        maintenance.merge_upsert(spark, path, upd, key_cols=["doc_id"])
+
+    res = maintenance.merge_upsert(
+        spark, path, upd, key_cols=["doc_id"], evolve_schema=True
+    )
+    assert res["n_matched"] == 1 and res["n_inserted"] == 1
+
+    after = spark.read.option("mergeSchema", "true").parquet(path)
+    assert after.count() == n + 1
+    assert "quality" in after.columns
+    got = {
+        r["doc_id"]: r["quality"]
+        for r in after.where(F.col("doc_id").isin(0, 5, 20_000_000)).collect()
+    }
+    assert got[0] == 0.99 and got[20_000_000] == 0.42
+    assert got[5] is None  # pre-evolution row: NULL, not rewritten
+    d1 = digests()
+    untouched = set(d0) & set(d1)
+    assert len(untouched) == res["files_total"] - res["files_touched"]
+    assert all(d0[nm] == d1[nm] for nm in untouched)
+
+    # updates missing table columns: NULL-filled (and the previously
+    # evolved column must survive a later merge's own table read)
+    upd2 = spark.createDataFrame(
+        [(1, "SPARSE ONE")], "doc_id bigint, text string"
+    )
+    res2 = maintenance.merge_upsert(
+        spark, path, upd2, key_cols=["doc_id"], evolve_schema=True
+    )
+    assert res2["n_matched"] == 1
+    after2 = spark.read.option("mergeSchema", "true").parquet(path)
+    row = after2.where(F.col("doc_id") == 1).first()
+    assert row["text"] == "SPARSE ONE" and row["lang"] is None
+    # the doc_id=0 evolved value survived the second merge untouched
+    assert after2.where(F.col("doc_id") == 0).first()["quality"] == 0.99
+
+    # a type change is never evolution
+    upd3 = spark.createDataFrame(
+        [(2, 7)], "doc_id bigint, text bigint"
+    )
+    with _pytest.raises(ValueError, match="not additive evolution"):
+        maintenance.merge_upsert(
+            spark, path, upd3, key_cols=["doc_id"], evolve_schema=True
+        )
