@@ -174,3 +174,53 @@ def audio_frame_energy(
     return df.mapInPandas(
         energies, schema="doc_id bigint, frame_idx int, energy bigint"
     )
+
+
+PHASH_SCHEMA = (
+    "doc_id bigint, phash_hex string, band0 int, band1 int, band2 int, band3 int"
+)
+
+
+def phash_ahash(
+    df: DataFrame, id_col: str = "doc_id", thumb_col: str = "thumb"
+) -> DataFrame:
+    """Perceptual average-hash over fixed 64-pixel thumbnails (the
+    ``decode_resize(target=(8, 8))`` output): bit i is the exact integer
+    test ``px[i]·64 > Σpx`` (no float mean, no rounding edge), folded
+    MSB-first into a 16-hex-char fingerprint plus four 16-bit integer
+    LSH bands for Hamming-banded near-dup joins (the SimHash banding
+    discipline, operators/dedup.py). One numpy pass per Arrow batch —
+    the narrow signature map a 100 TB image corpus gets; Hamming
+    distance downstream is Σ per-band ``bit_count(xor)``, so no signed
+    64-bit arithmetic exists anywhere in the pipeline."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w64 = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+        w16 = (1 << np.arange(15, -1, -1)).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arr = np.stack(
+                [np.frombuffer(bytes(b), dtype=np.uint8) for b in pdf[thumb_col]]
+            ).astype(np.int64)
+            if arr.shape[1] != 64:
+                raise ValueError(
+                    f"phash_ahash expects 64-byte thumbnails, got {arr.shape[1]}"
+                )
+            tot = arr.sum(axis=1, keepdims=True)
+            bits = (arr * 64 > tot)
+            val = (bits.astype(np.uint64) * w64).sum(axis=1, dtype=np.uint64)
+            out = {
+                "doc_id": pdf[id_col].to_numpy(),
+                "phash_hex": [format(int(v), "016x") for v in val],
+            }
+            for j in range(4):
+                out[f"band{j}"] = (
+                    (bits[:, 16 * j : 16 * j + 16].astype(np.int64) * w16)
+                    .sum(axis=1)
+                    .astype(np.int32)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema=PHASH_SCHEMA)

@@ -110,6 +110,21 @@ SAMPLE = [
     "discount_tax_corr",
     "label_pair_centroid_dist",
     "dedup_savings_by_source",
+    # round-8 tranche (all 14 oracle-paired specs; ann_ivf_pq is rows-only)
+    "decontaminate_spans",
+    "quality_classifier_score",
+    "quality_score_deciles",
+    "corpus_quality_dup_matrix",
+    "image_phash",
+    "image_phash_prevalence",
+    "dedup_image_phash",
+    "ivf_assignments",
+    "source_ngram_novelty",
+    "events_user_lifespan",
+    "nation_supplier_customer_ratio",
+    "part_type_price_iqr",
+    "orders_status_priority_matrix",
+    "customer_top_decile_concentration",
 ]
 fails = []
 for name in SAMPLE:

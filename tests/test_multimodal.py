@@ -163,3 +163,65 @@ def test_real_wav_decoder_through_audio_frame_energy(spark):
     ).orderBy("frame_idx").collect()
     # sum of squares: 0..7 -> 140, 8..15 -> 1100
     assert [(r["frame_idx"], r["energy"]) for r in rows] == [(0, 140), (1, 1100)]
+
+
+def test_phash_ahash_hand_computed(spark):
+    """aHash bits are the exact integer test px*64 > sum(px) over a
+    64-byte thumbnail, MSB-first; bands are 16-bit slices of the same
+    bit vector. Verify against a pure-Python recomputation on a
+    hand-built thumbnail, plus the hex/band redundancy invariant."""
+    from cve_manager_spark.operators.multimodal import phash_ahash
+
+    # thumbnail with a known pattern: pixels 0..63 (mean 31.5, so bits
+    # are 1 exactly for px >= 32 -> second half of the raster)
+    thumb = bytes(range(64))
+    df = spark.createDataFrame(
+        [(1, bytearray(thumb))], "doc_id bigint, thumb binary"
+    )
+    r = phash_ahash(df).collect()[0]
+    tot = sum(thumb)
+    bits = [1 if px * 64 > tot else 0 for px in thumb]
+    want = int("".join(map(str, bits)), 2)
+    assert r["phash_hex"] == format(want, "016x") == "00000000ffffffff"
+    for j in range(4):
+        band = int("".join(map(str, bits[16 * j : 16 * j + 16])), 2)
+        assert r[f"band{j}"] == band
+    # bands reassemble the full hash
+    acc = 0
+    for j in range(4):
+        acc = (acc << 16) | r[f"band{j}"]
+    assert acc == want
+
+
+def test_phash_ahash_identical_payloads_collide(spark):
+    """Identical thumbnails -> identical hash and bands; distinct
+    payloads from the sha-stub decode differ (Hamming ~32)."""
+    from cve_manager_spark.operators.multimodal import phash_ahash
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(6)
+    dup = attach_binary(docs)  # full-text payloads, all distinct here
+    thumbs = decode_resize(dup, target=(8, 8))
+    both = thumbs.union(thumbs)  # force exact collisions
+    rows = phash_ahash(both).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r["phash_hex"])
+    for doc_id, hs in by_id.items():
+        assert len(hs) == 2 and hs[0] == hs[1]
+    distinct = {hs[0] for hs in by_id.values()}
+    assert len(distinct) == len(by_id)  # no accidental cross-doc collision
+
+
+def test_phash_ahash_rejects_wrong_width(spark):
+    """The kernel refuses thumbnails that are not 64 bytes — a schema
+    mismatch upstream should fail loudly, not mis-band."""
+    import pytest as _pytest
+
+    from cve_manager_spark.operators.multimodal import phash_ahash
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(16)))], "doc_id bigint, thumb binary"
+    )
+    with _pytest.raises(Exception) as ei:
+        phash_ahash(df).collect()
+    assert "64-byte" in str(ei.value)

@@ -762,3 +762,66 @@ def test_dedup_savings_keeper_join_is_digest_keyed(spark):
     assert "md5" in plan
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_decontaminate_spans_broadcasts_eval_set(spark):
+    """Span-grain decontamination mirrors the doc-grain plan shape: the
+    held-out shingle set broadcasts; the per-doc LAG window partitions
+    on doc_id (never a global sort)."""
+    plan = plan_of(spark, "decontaminate_spans")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in tree
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_quality_classifier_is_scan_only(spark):
+    """The integer-weight scorer is a pure narrow projection — no data
+    shuffle (hash exchange), no aggregate, no join anywhere; the only
+    exchange permitted is fan_out's round-robin small-file guard."""
+    plan = plan_of(spark, "quality_classifier_score")
+    tree = plan.split("\n\n")[0]
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in tree
+    assert "Join" not in tree
+    assert "Sort" not in tree
+
+
+def test_quality_deciles_never_globally_sorts_rows(spark):
+    """The decile profile funnels only the score HISTOGRAM through the
+    single-partition cumulative window — row-grain data never passes a
+    SinglePartition sort (the NTILE-free exact-order-statistic plan)."""
+    plan = plan_of(spark, "quality_score_deciles")
+    tree = plan.split("\n\n")[0]
+    # the single-partition exchange exists but consumes the post-agg
+    # histogram: the tree must aggregate (histogram) BELOW the window
+    assert "SinglePartition" in plan, "cumulative window missing"
+    assert "HashAggregate" in tree, "score histogram missing"
+    win = tree.index("Window")
+    agg = tree.rindex("HashAggregate")
+    assert agg > win, "window must consume the aggregated histogram"
+    # no NTILE window over the raw row relation
+    assert "ntile" not in plan.lower()
+    # the 10-row decile relation broadcasts into the range-intersection
+    # join (non-equi ⇒ nested-loop is the right physical form, with the
+    # constant-size side as build); the histogram side never shuffles for it
+    assert "BroadcastExchange" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_image_phash_dedup_is_band_keyed_equi_join(spark):
+    """Hamming-banded candidates join on (band#, key) — an equi-join,
+    never a nested-loop/cartesian pair blowup."""
+    plan = plan_of(spark, "dedup_image_phash")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_top_decile_concentration_windows_within_nation(spark):
+    """The NTILE decile cut partitions by nation key — bounded-width
+    windows, no single-partition funnel of the spend relation."""
+    plan = plan_of(spark, "customer_top_decile_concentration")
+    tree = plan.split("\n\n")[0]
+    assert "hashpartitioning(nk" in plan
+    assert "SinglePartition" not in tree
