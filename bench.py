@@ -107,6 +107,14 @@ HEADLINE = [
     "session_duration_hist",
     "nation_top3_customers",
     "embedding_norm_zscore_outliers",
+    # r8: pipeline-brief headliners — span-grain decontamination, the
+    # integer quality classifier + its NTILE-free decile profile, the
+    # Hamming-banded image near-dup, and the cross-source novelty report
+    "decontaminate_spans",
+    "quality_classifier_score",
+    "quality_score_deciles",
+    "dedup_image_phash",
+    "source_ngram_novelty",
 ]
 
 

@@ -919,8 +919,8 @@ SELECT n.n_name,
        CAST(SUM(units) AS DOUBLE) / 10000 AS total_spend,
        CAST(SUM(CASE WHEN decile = 1 THEN units ELSE 0 END) AS DOUBLE) / 10000
          AS top_decile_spend,
-       SUM(CASE WHEN decile = 1 THEN units ELSE 0 END) * 1000000 // SUM(units)
-         AS concentration_ppm
+       CAST(SUM(CASE WHEN decile = 1 THEN units ELSE 0 END) * 1000000
+            // SUM(units) AS BIGINT) AS concentration_ppm
 FROM d JOIN nation n ON d.nk = n.n_nationkey
 GROUP BY n.n_name
 """
