@@ -115,6 +115,10 @@ HEADLINE = [
     "quality_score_deciles",
     "dedup_image_phash",
     "source_ngram_novelty",
+    # r8c: in-row Gopher repetition rules and the dedup-aware split
+    # leakage audit
+    "gopher_quality_flags",
+    "split_dup_leakage",
 ]
 
 

@@ -495,6 +495,7 @@ def minhash_det_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Deterministic MinHash LSH near-dup pairs — the canonical
     shingle → minhash → band → bucket-join pipeline, built so EVERY stage
@@ -565,6 +566,13 @@ def minhash_det_pairs(
     ).join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb")), "id_b")
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
     union = F.size("__sa").cast("bigint") + F.size("__sb").cast("bigint") - inter
+    if with_counts:
+        # Audit face: ALL band-collision candidates with the exact
+        # integer (intersection, union) counts -- lets callers measure
+        # band false-positive rates without a float anywhere.
+        return pairs.select(
+            "id_a", "id_b", inter.alias("inter"), union.alias("union_sz")
+        )
     jac = inter.cast("double") / union
     return (
         pairs.select("id_a", "id_b", jac.alias("jaccard"))

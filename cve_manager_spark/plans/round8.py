@@ -536,11 +536,23 @@ WHERE bit_count(xor(CAST(x.band0 AS BIGINT), CAST(y.band0 AS BIGINT)))
     "groups give the face nonzero rows at every driver scale.",
 )
 def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
-    ph = _phash_df(spark, sf).select(
-        "doc_id", "band0", "band1", "band2", "band3"
+    cand = _phash_band_candidates(_phash_df(spark, sf))
+    return (
+        cand.withColumn("hamming", _phash_hamming().cast("int"))
+        .where(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
     )
+
+
+def _phash_band_candidates(ph: DataFrame) -> DataFrame:
+    """Band-collision candidate pairs with BOTH sides' band ints carried
+    in-row (the simhash_det_pairs discipline, operators/dedup.py:768):
+    the fingerprint rides through the explode so the self-join yields
+    (xa*, yb*) directly — the decode kernel runs once per join side,
+    never re-executed by a join-back fetch."""
     m = ph.select(
         "doc_id",
+        *[F.col(f"band{j}") for j in range(4)],
         F.explode(
             F.array(
                 *[
@@ -551,36 +563,38 @@ def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.j").alias("j"), F.col("bk.v").alias("v"))
-    cand = (
-        m.alias("a")
-        .join(m.alias("b"), ["j", "v"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
+    ).select(
+        "doc_id",
+        F.col("bk.j").alias("j"),
+        F.col("bk.v").alias("v"),
+        *[F.col(f"band{j}") for j in range(4)],
     )
-    x = ph.select(
+    a = m.select(
         F.col("doc_id").alias("id_a"),
+        "j",
+        "v",
         *[F.col(f"band{j}").alias(f"xa{j}") for j in range(4)],
     )
-    y = ph.select(
+    b = m.select(
         F.col("doc_id").alias("id_b"),
+        "j",
+        "v",
         *[F.col(f"band{j}").alias(f"yb{j}") for j in range(4)],
     )
-    ham = sum(
+    return (
+        a.join(b, ["j", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop("j", "v")
+        .distinct()
+    )
+
+
+def _phash_hamming():
+    return sum(
         F.bit_count(
             F.col(f"xa{j}").cast("bigint").bitwiseXOR(F.col(f"yb{j}").cast("bigint"))
         )
         for j in range(4)
-    )
-    return (
-        cand.join(x, "id_a")
-        .join(y, "id_b")
-        .withColumn("hamming", ham.cast("int"))
-        .where(F.col("hamming") <= 6)
-        .select("id_a", "id_b", "hamming")
     )
 
 

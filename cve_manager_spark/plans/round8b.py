@@ -291,45 +291,15 @@ FROM pairs GROUP BY hamming
     "equi-join as dedup_image_phash; the histogram is the audit face.",
 )
 def phash_hamming_hist(spark: SparkSession, sf: str) -> DataFrame:
-    from cve_manager_spark.plans.round8 import _phash_df
+    from cve_manager_spark.plans.round8 import (
+        _phash_band_candidates,
+        _phash_df,
+        _phash_hamming,
+    )
 
-    ph = _phash_df(spark, sf).select("doc_id", "band0", "band1", "band2", "band3")
-    m = ph.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), F.col(f"band{j}").alias("v"))
-                    for j in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.j").alias("j"), F.col("bk.v").alias("v"))
-    cand = (
-        m.alias("a")
-        .join(m.alias("b"), ["j", "v"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    x = ph.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"band{j}").alias(f"xa{j}") for j in range(4)],
-    )
-    y = ph.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"band{j}").alias(f"yb{j}") for j in range(4)],
-    )
-    ham = sum(
-        F.bit_count(
-            F.col(f"xa{j}").cast("bigint").bitwiseXOR(F.col(f"yb{j}").cast("bigint"))
-        )
-        for j in range(4)
-    )
+    cand = _phash_band_candidates(_phash_df(spark, sf))
     return (
-        cand.join(x, "id_a")
-        .join(y, "id_b")
-        .select(ham.cast("int").alias("hamming"))
+        cand.select(_phash_hamming().cast("int").alias("hamming"))
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )

@@ -385,3 +385,34 @@ def test_fan_out_widens_with_human_readable_max_partition_bytes(spark, tmp_path)
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_minhash_det_with_counts_consistent_with_thresholded_pairs(spark):
+    """`with_counts=True` must return EVERY band-collision candidate with
+    exact integer (inter, union_sz) such that filtering by
+    inter/union >= t reproduces the default thresholded output exactly
+    (same pairs, same jaccard) — the contract minhash_band_fp_rate's
+    decile bucketing rests on."""
+    from cve_manager_spark.operators.dedup import minhash_det_pairs
+    from cve_manager_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    counted = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"])
+        for r in minhash_det_pairs(docs, with_counts=True).collect()
+    }
+    assert counted, "no band candidates at sf0.001 — banding broke"
+    thresholded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_det_pairs(docs, threshold=0.5).collect()
+    }
+    derived = {
+        pair: inter / union
+        for pair, (inter, union) in counted.items()
+        if inter / union >= 0.5
+    }
+    assert derived == thresholded
+    # candidates are a strict superset (band collisions below threshold
+    # exist on this corpus); all unions positive, inter <= union
+    assert set(counted) > set(thresholded)
+    assert all(0 <= i <= u and u > 0 for i, u in counted.values())
