@@ -829,3 +829,78 @@ def ivf_pq_topk(
         cand_vecs, query_df, k=k,
         id_col=id_col, vec_col=vec_col, query_vec_col=query_vec_col,
     )
+
+
+def ivf_pq_encode_delta(
+    delta_df: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign + encode NEW vectors against a FROZEN index meta — the
+    incremental half of index maintenance. Returns the same
+    (id, list_id, pq_code, vnorm2) relation :func:`ivf_pq_index` emits,
+    computed entirely map-side (centroids and codebooks ride as
+    literals/closures; no join, no shuffle, no retrain).
+
+    Because both quantizers are deterministic pure functions of the
+    frozen meta, encode(base ∪ delta) == encode(base) ∪ encode(delta)
+    row-for-row — an upserted index is bit-identical to re-encoding the
+    grown corpus under the same meta (property-tested). What an upsert
+    does NOT do is move the centroids/codebooks with the data
+    distribution: recall degrades only as the delta's geometry drifts
+    from the training corpus, which is the standard IVF-ADC operational
+    trade (monitor with the ANN recall audit; retrain on rebuild
+    cadence, upsert between rebuilds)."""
+    from cve_manager_spark.functions.helpers import fan_out
+    from cve_manager_spark.operators.semantic import (
+        assign_clusters,
+        dot_self,
+        quantize_vec,
+    )
+
+    q = fan_out(
+        delta_df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("q"))
+    ).withColumn("qq", dot_self(F.col("q")))
+    assigned = assign_clusters(q, cents)
+    encode = _pq_code_udf(books)
+    return assigned.select(
+        F.col(id_col),
+        F.col("cluster").alias("list_id"),
+        encode(F.col("q")).alias("pq_code"),
+        F.col("qq").alias("vnorm2"),
+    )
+
+
+def ivf_pq_upsert(
+    spark: SparkSession,
+    path: str,
+    delta_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, int]:
+    """Incrementally maintain a persisted IVF×PQ index (the
+    :func:`write_ivf_pq_index` layout) without retraining: encode the
+    delta against the frozen sidecar meta and MERGE it into the
+    ``list_id``-partitioned lake table by id.
+
+    The apply step is :func:`cve_manager_spark.maintenance.merge_upsert`
+    — copy-on-write, so a pure-insert batch only APPENDS files into the
+    touched ``list_id=`` partition dirs (every untouched cell keeps its
+    bytes, asserted in tests), and a re-embedded id is replaced by
+    rewriting just the files that held its old row, even when the new
+    embedding moves it across cells. At 100 TB this is the nightly
+    embedding-refresh shape: index growth costs one map-side
+    encode pass over the delta plus a sliver-merge, never a rebuild;
+    the O(N·k·d) retrain is reserved for scheduled meta refreshes.
+
+    Returns merge_upsert's counters
+    {"n_matched", "n_inserted", "files_touched", "files_total"}."""
+    from cve_manager_spark.maintenance import merge_upsert
+
+    _, cents, books = read_ivf_pq_index(spark, path)
+    delta_idx = ivf_pq_encode_delta(
+        delta_df, cents, books, id_col=id_col, vec_col=vec_col
+    )
+    return merge_upsert(spark, path, delta_idx, key_cols=[id_col])

@@ -382,3 +382,130 @@ def test_ivf_pq_persisted_index_prunes_partitions(spark, tmp_path):
     )
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def _file_digests(root):
+    import hashlib
+    from pathlib import Path
+
+    return {
+        str(p.relative_to(root)): hashlib.sha256(p.read_bytes()).hexdigest()
+        for p in Path(root).rglob("*.parquet")
+    }
+
+
+def test_ivf_pq_upsert_pure_insert_appends_only(spark, tmp_path):
+    """Incremental index maintenance (ivf_pq_upsert): a pure-insert
+    delta is encoded against the FROZEN sidecar meta and appended —
+    every pre-existing file keeps its exact bytes (copy-on-write
+    discipline), and the grown index is row-identical to re-encoding
+    the full corpus under the same meta, so full-probe search through
+    it is still the exact top-k."""
+    from cve_manager_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_encode_delta,
+        ivf_pq_index,
+        ivf_pq_topk,
+        ivf_pq_upsert,
+        read_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+    from cve_manager_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    delta = emb.where(F.col("vec_id") % 5 == 4)
+    n_delta = delta.count()
+    assert n_delta > 0
+
+    idx, cents, books = ivf_pq_index(base, n_lists=8, m=8, k_codes=16)
+    path = str(tmp_path / "ivf_pq_idx")
+    write_ivf_pq_index(idx, cents, books, path)
+    before = _file_digests(path)
+
+    stats = ivf_pq_upsert(spark, path, delta)
+    assert stats["n_matched"] == 0
+    assert stats["n_inserted"] == n_delta
+    assert stats["files_touched"] == 0
+
+    after = _file_digests(path)
+    # pure insert: every pre-existing file is byte-identical, new files
+    # only appear (appended into touched list_id= dirs)
+    assert set(before) <= set(after)
+    assert all(after[f] == h for f, h in before.items())
+
+    didx, dcents, dbooks = read_ivf_pq_index(spark, path)
+    assert dcents == cents and dbooks == books
+    def rows(df):
+        return {
+            (r[0], r[1], tuple(r[2]), r[3])
+            for r in df.select("vec_id", "list_id", "pq_code", "vnorm2").collect()
+        }
+
+    got = rows(didx)
+    want = rows(ivf_pq_encode_delta(emb, cents, books))
+    assert got == want
+
+    # full probe + full candidates through the upserted index == exact
+    q = emb.where(F.col("vec_id") == QUERY_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    corpus = emb.where(F.col("vec_id") != QUERY_ID)
+    qidx = didx.where(F.col("vec_id") != QUERY_ID)
+    approx = [
+        tuple(r)
+        for r in ivf_pq_topk(
+            corpus, q, qidx, dcents, dbooks, k=K,
+            n_probe=8, n_candidates=100_000,
+        ).collect()
+    ]
+    exact = [tuple(r) for r in cosine_topk(corpus, q, k=K).collect()]
+    assert approx == exact
+
+
+def test_ivf_pq_upsert_replaces_reembedded_id(spark, tmp_path):
+    """A re-embedded id (same vec_id, new vector) is REPLACED through
+    the COW merge: row count is unchanged, the id carries the new
+    embedding's cell/code (moving across list_id partitions works),
+    and only the files that held the old row were rewritten."""
+    from cve_manager_spark.operators.similarity import (
+        ivf_pq_encode_delta,
+        ivf_pq_index,
+        ivf_pq_upsert,
+        read_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+    from cve_manager_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx, cents, books = ivf_pq_index(emb, n_lists=8, m=8, k_codes=16)
+    path = str(tmp_path / "ivf_pq_idx")
+    write_ivf_pq_index(idx, cents, books, path)
+    n_before = spark.read.parquet(path).count()
+
+    # re-embed id 3 with id 11's vector negated — deterministic, and far
+    # from the original so the cell assignment is very likely to move
+    victim = 3
+    newvec = emb.where(F.col("vec_id") == 11).select(
+        F.lit(victim).cast("long").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+    )
+    stats = ivf_pq_upsert(spark, path, newvec)
+    assert stats["n_matched"] == 1
+    assert stats["n_inserted"] == 0
+    assert stats["files_touched"] >= 1
+
+    didx, dcents, dbooks = read_ivf_pq_index(spark, path)
+    assert didx.count() == n_before
+    got = didx.where(F.col("vec_id") == victim).select(
+        "vec_id", "list_id", "pq_code", "vnorm2"
+    ).collect()
+    want = ivf_pq_encode_delta(newvec, cents, books).select(
+        "vec_id", "list_id", "pq_code", "vnorm2"
+    ).collect()
+    key = lambda r: (r[0], r[1], tuple(r[2]), r[3])  # noqa: E731
+    assert len(got) == 1 and [key(r) for r in got] == [key(r) for r in want]
