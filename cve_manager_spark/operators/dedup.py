@@ -568,10 +568,29 @@ def minhash_det_pairs(
     union = F.size("__sa").cast("bigint") + F.size("__sb").cast("bigint") - inter
     if with_counts:
         # Audit face: ALL band-collision candidates with the exact
-        # integer (intersection, union) counts -- lets callers measure
-        # band false-positive rates without a float anywhere.
+        # integer (intersection, union) counts plus the number of EQUAL
+        # signature elements (the MinHash Jaccard estimator's numerator)
+        # -- lets callers measure band false-positive rates AND the
+        # estimator's error without a float anywhere.
+        sig_arr = sigs.select(
+            "id", F.array(*[F.col(f"s{s}") for s in range(num_hashes)]).alias("__sig")
+        )
+        pairs = pairs.join(
+            sig_arr.select(F.col("id").alias("id_a"), F.col("__sig").alias("__ga")),
+            "id_a",
+        ).join(
+            sig_arr.select(F.col("id").alias("id_b"), F.col("__sig").alias("__gb")),
+            "id_b",
+        )
+        matches = F.size(
+            F.filter(F.zip_with("__ga", "__gb", lambda x, y: x == y), lambda b: b)
+        ).cast("bigint")
         return pairs.select(
-            "id_a", "id_b", inter.alias("inter"), union.alias("union_sz")
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            union.alias("union_sz"),
+            matches.alias("sig_matches"),
         )
     jac = inter.cast("double") / union
     return (

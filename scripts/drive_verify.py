@@ -125,6 +125,15 @@ SAMPLE = [
     "part_type_price_iqr",
     "orders_status_priority_matrix",
     "customer_top_decile_concentration",
+    # round-9 tranche representatives (staged for the next driver window)
+    "ivf_delta_assignments",
+    "boilerplate_ngrams",
+    "events_benford_first_digit",
+    "semantic_decontamination",
+    "char_window_xdoc",
+    "mix_temperature",
+    "minhash_estimate_error",
+    "scd2_asof_lookup",
 ]
 fails = []
 for name in SAMPLE:
