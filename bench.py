@@ -119,6 +119,10 @@ HEADLINE = [
     # leakage audit
     "gopher_quality_flags",
     "split_dup_leakage",
+    # r9: char-grain cross-doc repetition (the heaviest new shuffle shape
+    # of the round-9 tranches) and the embedding-grain eval-leakage audit
+    "char_window_xdoc",
+    "semantic_decontamination",
 ]
 
 

@@ -134,6 +134,12 @@ SAMPLE = [
     "mix_temperature",
     "minhash_estimate_error",
     "scd2_asof_lookup",
+    "split_psi",
+    "source_unigram_kl",
+    "order_value_gini_by_segment",
+    "length_ks_by_source",
+    "knn_loo_accuracy",
+    "cohort_ltv_matrix",
 ]
 fails = []
 for name in SAMPLE:
