@@ -190,3 +190,90 @@ def kmeans_quantized(
     # re-runs the assignment map. Lazy — a single-use consumer pays one
     # no-op cache fill, a self-join saves a full recompute per branch.
     return assign_clusters(q, cents).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def pca_power_top(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 2,
+) -> DataFrame:
+    """Top principal direction by DETERMINISTIC integer power iteration —
+    the exactly-reproducible core of embedding whitening / the
+    "all-but-the-top" common-direction removal step.
+
+    Recipe (every stage integer or provably-exact double):
+
+    - quantize: q = floor(x * 1e6) BIGINT (``quantize_vec``);
+    - center:   mu_j = floor(sum(q_j) / n) with the sum exact in double
+      (|sum| < 2^53) — the k-means centroid-update floor semantics;
+    - v0 = e_0 at scale 1; each iteration computes y_i = <x_i, v>
+      IN-ROW (zip_with/aggregate, no join, no shuffle beyond the one
+      global-aggregate exchange of partials), rescales y by
+      floor(y / 1e6) from the second iteration on (exact: |y|/1e6 <
+      2^27 so the double quotient is > 1e2 ulps away from any integer
+      boundary), folds w_j = sum_i x_ij * y_i as d map-side-combinable
+      aggregate expressions, and renormalizes DRIVER-side with Python
+      big-int division v_j = sign(w_j) * (|w_j| * 1e6 // max|w|) —
+      truncation-toward-zero on both factors, which is what DuckDB's
+      integer ``//`` does (measured: -7 // 2 = -3 there, unlike
+      Python's flooring -4, so the sign is split out explicitly).
+
+    Driver traffic per iteration is d+1 scalars (the kmeans_quantized
+    contract); the per-iteration cluster work is ONE pass over the
+    relation with d sum aggregates. Returns a (dim INT, loading BIGINT)
+    relation, loadings scaled to max |loading| = 1e6.
+
+    Magnitude budget (d = 64, |x| <= 2e6 centered): y <= 1.3e14,
+    w <= n * 2e6 * 1.3e8 — exact in BIGINT through n ~ 1e6 rows; for
+    larger corpora raise the y rescale to keep w under 2^63 (the
+    ANN-index shard sizes this pairs with are well inside).
+    """
+    import math
+
+    q = df.select(quantize_vec(F.col(vec_col)).alias("q"))
+    first = q.head()
+    if first is None:
+        raise ValueError("pca_power_top: empty input")
+    d = len(first["q"])
+
+    sums = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("q", j + 1)).alias(f"s{j}") for j in range(d)],
+    ).head()
+    n = sums["n"]
+    mu = [math.floor(sums[f"s{j}"] / n) for j in range(d)]
+
+    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    x = q.select(F.zip_with("q", mu_lit, lambda a, b: a - b).alias("x"))
+
+    v = [1 if j == 0 else 0 for j in range(d)]
+    for it in range(iters):
+        v_lit = F.array(*[F.lit(int(vj)).cast("long") for vj in v])
+        y = F.aggregate(
+            F.zip_with("x", v_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+        if it > 0:
+            y = F.floor(y.cast("double") / F.lit(1000000.0)).cast("long")
+        xy = x.select("x", y.alias("yq"))
+        row = xy.agg(
+            *[
+                F.sum(F.element_at("x", j + 1) * F.col("yq")).alias(f"w{j}")
+                for j in range(d)
+            ]
+        ).head()
+        w = [int(row[f"w{j}"]) for j in range(d)]
+        m = max(abs(wj) for wj in w)
+        if m == 0:
+            break
+        # truncation toward zero (DuckDB // semantics), NOT Python floor
+        v = [
+            (abs(wj) * 1_000_000 // m) * (1 if wj >= 0 else -1) for wj in w
+        ]
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(j, int(v[j])) for j in range(d)], "dim int, loading bigint"
+    )

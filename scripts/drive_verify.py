@@ -140,6 +140,8 @@ SAMPLE = [
     "length_ks_by_source",
     "knn_loo_accuracy",
     "cohort_ltv_matrix",
+    "embedding_pca_power",
+    "pca_projection_by_label",
 ]
 fails = []
 for name in SAMPLE:
