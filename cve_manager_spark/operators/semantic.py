@@ -224,10 +224,14 @@ def pca_power_top(
     relation with d sum aggregates. Returns a (dim INT, loading BIGINT)
     relation, loadings scaled to max |loading| = 1e6.
 
-    Magnitude budget (d = 64, |x| <= 2e6 centered): y <= 1.3e14,
-    w <= n * 2e6 * 1.3e8 — exact in BIGINT through n ~ 1e6 rows; for
-    larger corpora raise the y rescale to keep w under 2^63 (the
-    ANN-index shard sizes this pairs with are well inside).
+    Magnitude budget (d = 64, |x| <= 2e6 centered): y <= 1.3e14 per row
+    (exact in BIGINT: d in-row terms of <= 2e12). The w-fold is the one
+    stage whose magnitude grows with n — per-row x_ij*y <= 2.6e14, so a
+    BIGINT sum wraps silently (ANSI off) at n ~ 3.5e4 rows while DuckDB
+    promotes to HUGEINT. The fold therefore carries each product as
+    DECIMAL(38,0) (the token_gini_by_source pattern): exact through
+    n ~ 1e23 rows, and the driver-side renormalization is Python big-int
+    so downstream magnitude is unbounded-safe.
     """
     import math
 
@@ -260,7 +264,12 @@ def pca_power_top(
         xy = x.select("x", y.alias("yq"))
         row = xy.agg(
             *[
-                F.sum(F.element_at("x", j + 1) * F.col("yq")).alias(f"w{j}")
+                # product fits BIGINT (<= 2.6e14); the SUM is what wraps at
+                # n ~ 3.5e4 rows, so fold in DECIMAL(38,0) — exact, and
+                # Spark's decimal sum is still map-side combinable
+                F.sum(
+                    (F.element_at("x", j + 1) * F.col("yq")).cast("decimal(38,0)")
+                ).alias(f"w{j}")
                 for j in range(d)
             ]
         ).head()

@@ -834,7 +834,7 @@ def ivf_pq_topk(
 def ivf_pq_encode_delta(
     delta_df: DataFrame,
     cents: list[list[int]],
-    books: list[list[list[int]]],
+    books: list[list[list[int]]] | None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -852,7 +852,12 @@ def ivf_pq_encode_delta(
     distribution: recall degrades only as the delta's geometry drifts
     from the training corpus, which is the standard IVF-ADC operational
     trade (monitor with the ANN recall audit; retrain on rebuild
-    cadence, upsert between rebuilds)."""
+    cadence, upsert between rebuilds).
+
+    ``books=None`` skips the PQ encode entirely (``pq_code`` emitted as
+    NULL binary): assignment-only faces pay zero codebook-training cost
+    instead of training codebooks whose output column Catalyst then
+    prunes."""
     from cve_manager_spark.functions.helpers import fan_out
     from cve_manager_spark.operators.semantic import (
         assign_clusters,
@@ -864,11 +869,14 @@ def ivf_pq_encode_delta(
         delta_df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("q"))
     ).withColumn("qq", dot_self(F.col("q")))
     assigned = assign_clusters(q, cents)
-    encode = _pq_code_udf(books)
+    if books is None:
+        pq_code = F.lit(None).cast("binary")
+    else:
+        pq_code = _pq_code_udf(books)(F.col("q"))
     return assigned.select(
         F.col(id_col),
         F.col("cluster").alias("list_id"),
-        encode(F.col("q")).alias("pq_code"),
+        pq_code.alias("pq_code"),
         F.col("qq").alias("vnorm2"),
     )
 

@@ -121,16 +121,17 @@ FROM ad
 )
 def ivf_delta_assignments(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.semantic import kmeans_fit
-    from cve_manager_spark.operators.similarity import ivf_pq_encode_delta, pq_train
+    from cve_manager_spark.operators.similarity import ivf_pq_encode_delta
 
     emb = load_table(spark, sf, "embeddings")
     base = emb.where(F.col("vec_id") % 5 != 4)
     delta = emb.where(F.col("vec_id") % 5 == 4)
     _, cents = kmeans_fit(base, vec_col="embedding", id_col="vec_id", k=16, iters=2)
-    books = pq_train(base, m=8, k=16)
-    out = ivf_pq_encode_delta(delta, cents, books)
-    # pq_code stays unselected: Catalyst prunes the encode kernel and the
-    # face verifies the assignment math shared by the full upsert path
+    # books=None: this face verifies the assignment math only, so skip PQ
+    # codebook training outright instead of training books whose pq_code
+    # output Catalyst would prune anyway (the training collects are eager
+    # driver work Catalyst can't elide)
+    out = ivf_pq_encode_delta(delta, cents, books=None)
     return out.select("vec_id", "list_id", "vnorm2")
 
 
@@ -335,7 +336,11 @@ def prefix_source_flow(spark: SparkSession, sf: str) -> DataFrame:
             F.col("b.source").alias("src_b"),
             F.when(
                 F.col("a.source") == F.col("b.source"),
-                (F.col("a.n") * (F.col("a.n") - 1) / 2).cast("bigint"),
+                # integer halving via shiftright, not /2-with-cast: the float
+                # quotient is only exact while n*(n-1) < 2^53 (~9.4e7 docs per
+                # prefix) — a viral bucket at scale would diverge from the
+                # oracle's //. n*(n-1) >= 0 so the shift IS the exact div 2.
+                F.shiftright((F.col("a.n") * (F.col("a.n") - 1)).cast("bigint"), 1),
             )
             .otherwise(F.col("a.n") * F.col("b.n"))
             .alias("n_pairs"),
