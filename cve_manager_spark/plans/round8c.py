@@ -442,13 +442,12 @@ FROM top WHERE rnk <= 20
     "token-mass ppm inside train vs test and the absolute drift — a "
     "hash split should show near-zero drift, a time- or source-"
     "correlated split shows it immediately. Word counts aggregate "
-    "once; the split totals are two broadcast scalars; the top-20 "
-    "rank runs on the vocabulary-sized relation with a (count desc, "
-    "word) tie-break.",
+    "once; the split totals are two broadcast scalars; the top-20 is "
+    "orderBy().limit() (TakeOrderedAndProject — per-partition 20-row "
+    "heaps, never a single-partition vocabulary sort) with a (count "
+    "desc, word) tie-break making it deterministic.",
 )
 def split_drift_topwords(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = fan_out(load_table(spark, sf, "documents"))
     w = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
@@ -474,10 +473,12 @@ def split_drift_topwords(spark: SparkSession, sf: str) -> DataFrame:
             "t_test"
         ),
     )
-    rnk = F.row_number().over(
-        Window.orderBy(F.col("c_all").desc(), F.col("w"))
-    )
-    top = byw.withColumn("rnk", rnk).where(F.col("rnk") <= 20)
+    # top-20 via orderBy().limit() — TakeOrderedAndProject: per-partition
+    # top-k + driver merge of 20-row heaps. A row_number() Window without
+    # PARTITION BY would funnel the ENTIRE vocabulary (1e8-1e9 unigrams at
+    # 100 TB) through one task; the (c_all desc, w) tie-break makes the
+    # limit deterministic, so both plans return the identical 20 rows.
+    top = byw.orderBy(F.col("c_all").desc(), F.col("w")).limit(20)
     joined = top.crossJoin(F.broadcast(tot))
     return joined.select(
         "w",

@@ -825,3 +825,17 @@ def test_top_decile_concentration_windows_within_nation(spark):
     tree = plan.split("\n\n")[0]
     assert "hashpartitioning(nk" in plan
     assert "SinglePartition" not in tree
+
+
+def test_split_drift_topwords_topk_without_vocab_window(spark):
+    """r8 VERDICT 'What's wrong' #2: the top-20 over the unigram vocabulary
+    must plan as TakeOrderedAndProject (per-partition 20-row heaps + driver
+    merge), never a row_number() Window that funnels the whole vocabulary —
+    1e8-1e9 rows at 100 TB — through one task. The only single-partition
+    structure allowed is the broadcast of the 1-row split-total scalars."""
+    plan = plan_of(spark, "split_drift_topwords")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "Window" not in tree
+    # the split totals ride a broadcast, not a shuffled join
+    assert "BroadcastExchange" in tree
