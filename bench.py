@@ -197,6 +197,21 @@ def main() -> None:
     # The per-query max/min spread is emitted so a noisy round is
     # attributable from the report alone.
     load_before = os.getloadavg()
+
+    def _steal_ticks() -> int | None:
+        # hypervisor steal time (field 8 of /proc/stat cpu line): loadavg
+        # only sees OUR runqueue, so a noisy co-tenant VM shows up as
+        # steal, not load — the r9 low-loadavg run that still came back
+        # 1.6x slow was exactly this. Recording before/after makes a
+        # stolen run self-attributing.
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            return int(parts[8])
+        except Exception:
+            return None
+
+    steal_before = _steal_ticks()
     trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
     shuffle_bytes: dict[str, dict[str, int] | None] = {}
     for pass_i in range(3):
@@ -241,8 +256,23 @@ def main() -> None:
         # a run recorded under load>|cores| noise is self-attributing
         # instead of reading as a regression (the r4->r5 lesson).
         "loadavg": {"before": load_before, "after": os.getloadavg()},
+        # steal ticks (USER_HZ, all cores) stolen by the hypervisor during
+        # the run; at 32 cores one wall second is 3200 ticks, so
+        # steal_frac ~= delta / (3200 * wall)
+        "steal_ticks": {
+            "before": steal_before,
+            "after": _steal_ticks(),
+        },
         "sf": sf,
         "notes": {
+            "r9_low_load_runs": "two r9 runs at before-load 0.9/0.5 (the "
+            "discipline VERDICT r6-r8 asked for) measured 105.8s/93.3s on "
+            "the shared-73 vs r8's 66.5s AT load 9.7 — /proc/stat steal "
+            "(~900 stolen core-seconds in run 2, now recorded per-run) "
+            "plus Python-worker churn explain it: solo min-of-3 at "
+            "quiet-box matches r8 (dedup_image_phash 2.24s vs suite 9.9, "
+            "dedup_simhash_det 1.68 vs 3.6), and the r1-gate ratio on the "
+            "shared-17 is 0.92x — the box got slower, the plans did not",
             "window_session": "r3->r4 0.40->0.85s was suite-load noise, not a "
             "re-plan: solo min-of-6 at sf0.1 is 0.397s == r3, and in-suite "
             "min with per-trial cache clearing is ~0.34s (VERDICT r4 #5)",
