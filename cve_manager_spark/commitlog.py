@@ -1,0 +1,422 @@
+"""Commit-log protocol: snapshot isolation + writer-conflict detection
+for the parquet lake tables.
+
+The plain COW ops in :mod:`cve_manager_spark.maintenance` are
+single-writer: their multi-file swap (move new part files in, unlink the
+originals) has a documented non-atomic window, and two concurrent
+maintenance jobs — or a streaming MERGE racing a batch compaction — can
+interleave into a mixed layout. That window is exactly what a table
+format's transaction log exists to close (the role Delta's ``_delta_log``
+/ Iceberg's metadata tree play at 100 TB). This module is the minimal
+single-node analogue:
+
+- **Data files are immutable.** A committed table's directory only ever
+  GAINS part files; nothing is unlinked by a writer. "Delete" and
+  "replace" are manifest operations.
+- **A manifest is the table.** ``_commits/v{N:012d}.json`` lists the
+  relative paths of every live data file at version N. Readers resolve
+  the latest manifest once and scan exactly those files — an in-flight
+  writer's new files are invisible (no manifest references them yet) and
+  a concurrent commit cannot yank files out from under a running scan
+  (they stay on disk until ``vacuum``). That is snapshot isolation.
+- **Publish is atomic and exclusive.** A writer stages the manifest to a
+  hidden tmp file, then ``os.link``\\ s it to ``v{parent+1}.json`` —
+  hard-linking a fully-written file is atomic, and it FAILS with
+  ``EEXIST`` if another writer already claimed that version. The loser
+  gets :class:`CommitConflict`, removes the data files it staged, and
+  retries against the new snapshot (optimistic concurrency, the
+  put-if-absent primitive; on S3 the same protocol rides
+  ``If-None-Match: *``, on HDFS an exclusive create).
+- **Crash safety.** A writer dying before its commit leaves orphan data
+  files referenced by no manifest — invisible to every reader, reclaimed
+  by ``vacuum``. A writer dying after the link has fully committed.
+  There is no window in which readers observe a half-applied operation.
+
+The reference has no analogue (its warehouse is Postgres, where MVCC is
+the database's job — cve_manager.py:344-384); this is the piece a
+parquet lake needs once two writers exist.
+
+Committed tables must be read through :meth:`TableLog.read` (or any
+reader that resolves the manifest) — a naive ``spark.read.parquet(dir)``
+would see superseded files too, same as reading a Delta table's
+directory without the log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cve_manager_spark.maintenance import (
+    _count_tmp,
+    _local_path,
+    _partition_cols,
+    plan_target_files,
+)
+
+_LOG_DIR = "_commits"
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version this writer was building
+    against. The losing operation has already cleaned up its staged
+    files; re-run it against the fresh snapshot to retry."""
+
+
+def _manifest_path(table: Path, version: int) -> Path:
+    return table / _LOG_DIR / f"v{version:012d}.json"
+
+
+def _fresh_stem(op: str) -> str:
+    return f"part-{op}-{uuid.uuid4().hex[:12]}"
+
+
+class TableLog:
+    """Handle on a commit-logged parquet table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.root = Path(path)
+
+    # -- log bootstrap / inspection ------------------------------------
+
+    def init(self) -> int:
+        """Adopt an existing parquet dir: write v0 listing its current
+        part files. Refuses if a log already exists (re-initialising
+        would fork history)."""
+        log_dir = self.root / _LOG_DIR
+        if log_dir.exists() and any(log_dir.glob("v*.json")):
+            raise ValueError(f"commit log already exists under {self.root}")
+        log_dir.mkdir(parents=True, exist_ok=True)
+        files = sorted(
+            str(p.relative_to(self.root)) for p in self.root.rglob("*.parquet")
+        )
+        self._publish(parent=-1, files=files, op="init")
+        return 0
+
+    def versions(self) -> list[int]:
+        log_dir = self.root / _LOG_DIR
+        if not log_dir.exists():
+            return []
+        return sorted(int(p.stem[1:]) for p in log_dir.glob("v*.json"))
+
+    def snapshot(self, version: int | None = None) -> tuple[int, list[str]]:
+        """(version, relative file list) of the latest — or a pinned —
+        manifest. Reading a pinned version is time travel; it stays
+        valid until ``vacuum`` drops that manifest."""
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"no commit log under {self.root} (run init())")
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise ValueError(f"version {v} not in log (have {vs[0]}..{vs[-1]})")
+        with open(_manifest_path(self.root, v)) as f:
+            m = json.load(f)
+        return v, list(m["files"])
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Scan exactly the manifest's files. ``basePath`` pins the table
+        root so hive partition-directory columns survive the explicit
+        file list; an empty manifest reads as an empty relation via the
+        schema recorded at commit time."""
+        v, files = self.snapshot(version)
+        if not files:
+            with open(_manifest_path(self.root, v)) as f:
+                schema = json.load(f).get("schema")
+            if schema is None:
+                raise ValueError(f"v{v} is empty and carries no schema")
+            return spark.createDataFrame([], schema)
+        return spark.read.option("basePath", str(self.root)).parquet(
+            *(str(self.root / rel) for rel in files)
+        )
+
+    # -- the commit primitive ------------------------------------------
+
+    def _publish(
+        self,
+        parent: int,
+        files: list[str],
+        op: str,
+        schema: str | None = None,
+    ) -> int:
+        """Atomically publish version ``parent+1``. Raises
+        :class:`CommitConflict` if that version already exists."""
+        version = parent + 1
+        target = _manifest_path(self.root, version)
+        tmp = target.parent / f".tmp-{uuid.uuid4().hex}.json"
+        body = {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "files": sorted(files),
+        }
+        if schema is not None:
+            body["schema"] = schema
+        tmp.write_text(json.dumps(body, indent=1))
+        try:
+            # hard link = atomic + exclusive: EEXIST is the conflict signal
+            os.link(tmp, target)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} of {self.root} was committed by another "
+                "writer; retry against the new snapshot"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
+        return version
+
+    # -- committed write operations ------------------------------------
+    #
+    # Shape shared by all three: pin a snapshot; write NEW immutable part
+    # files (staged under fresh names directly in their final partition
+    # dirs — safe because no manifest references them until the commit);
+    # publish (old files ∖ replaced) ∪ new as parent+1. On conflict the
+    # staged files are unlinked and CommitConflict propagates — the table
+    # is bit-identical to before the attempt.
+
+    def _stage(self, out: DataFrame, op: str, pcols: list[str],
+               max_records: int | None = None) -> list[str]:
+        """Write ``out`` into the table dir under fresh part names;
+        return the new files' relative paths."""
+        # uuid-unique tmp dir: two concurrent writers of the SAME op must
+        # not share a staging dir (the conflict is decided at publish
+        # time, not by clobbering each other's rewrite)
+        tmp = self.root.with_name(
+            self.root.name + f".{op}-tmp-{uuid.uuid4().hex[:8]}"
+        )
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        writer = out.write
+        if max_records is not None:
+            writer = writer.option("maxRecordsPerFile", max_records)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(str(tmp))
+        stem = _fresh_stem(op)
+        new_rel: list[str] = []
+        for i, f in enumerate(sorted(tmp.rglob("*.parquet"))):
+            dest_dir = self.root / f.relative_to(tmp).parent
+            dest_dir.mkdir(parents=True, exist_ok=True)
+            dest = dest_dir / f"{stem}-{i:05d}.snappy.parquet"
+            f.rename(dest)
+            new_rel.append(str(dest.relative_to(self.root)))
+        shutil.rmtree(tmp)
+        return new_rel
+
+    def _abort(self, new_rel: list[str]) -> None:
+        for rel in new_rel:
+            (self.root / rel).unlink(missing_ok=True)
+
+    def delete_where(
+        self, spark: SparkSession, predicate: "F.Column | str"
+    ) -> dict[str, int]:
+        """Committed COW DELETE: same semantics as
+        ``maintenance.delete_where`` (3VL — only predicate-TRUE rows go),
+        but the swap is a manifest commit: no unlink, no window in which
+        survivor rows exist twice."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        version, files = self.snapshot()
+        pcols = _partition_cols_logged(self.root)
+        df = self.read(spark)
+        hits = (
+            df.withColumn("__f", F.input_file_name())
+            .where(pred)
+            .groupBy("__f")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not hits:
+            return {"n_deleted": 0, "files_touched": 0, "version": version}
+        n_deleted = sum(r["n"] for r in hits)
+        touched_rel = sorted(
+            str(_local_path(r["__f"]).relative_to(self.root)) for r in hits
+        )
+        affected = spark.read.option("basePath", str(self.root)).parquet(
+            *(str(self.root / rel) for rel in touched_rel)
+        )
+        n_affected = affected.count()
+        survivors = affected.where(~pred.eqNullSafe(F.lit(True)))
+        new_rel = self._stage(survivors, "del", pcols)
+        n_new = _count_files(spark, self.root, new_rel)
+        if n_new != n_affected - n_deleted:
+            self._abort(new_rel)
+            raise RuntimeError(
+                f"delete row mismatch for {self.root}: affected {n_affected},"
+                f" deleted {n_deleted}, rewrote {n_new}; nothing committed"
+            )
+        out_files = [f for f in files if f not in set(touched_rel)] + new_rel
+        try:
+            v = self._publish(
+                version, out_files, "delete",
+                schema=df.schema.simpleString() if not out_files else None,
+            )
+        except CommitConflict:
+            self._abort(new_rel)
+            raise
+        return {"n_deleted": n_deleted, "files_touched": len(touched_rel),
+                "version": v}
+
+    def merge_upsert(
+        self, spark: SparkSession, updates: DataFrame, key_cols: list[str]
+    ) -> dict[str, int]:
+        """Committed COW MERGE by key (exact-schema form of
+        ``maintenance.merge_upsert``): matched keys replaced, unmatched
+        appended, only matched files rewritten — published as one atomic
+        manifest commit."""
+        version, files = self.snapshot()
+        pcols = _partition_cols_logged(self.root)
+        df = self.read(spark)
+        if sorted(df.columns) != sorted(updates.columns):
+            raise ValueError(
+                f"merge schema mismatch: table {sorted(df.columns)} vs "
+                f"updates {sorted(updates.columns)}"
+            )
+        n_updates = updates.count()
+        if n_updates == 0:
+            return {"n_matched": 0, "n_inserted": 0, "files_touched": 0,
+                    "version": version}
+        keys = updates.select(*key_cols).distinct()
+        if keys.count() != n_updates:
+            raise ValueError("merge_upsert: duplicate keys in updates")
+        hits = (
+            df.withColumn("__f", F.input_file_name())
+            .join(F.broadcast(keys), key_cols)
+            .groupBy("__f")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        n_matched = sum(r["n"] for r in hits)
+        touched_rel = sorted(
+            str(_local_path(r["__f"]).relative_to(self.root)) for r in hits
+        )
+        if touched_rel:
+            affected = spark.read.option("basePath", str(self.root)).parquet(
+                *(str(self.root / rel) for rel in touched_rel)
+            )
+            n_affected = affected.count()
+            out = affected.join(
+                F.broadcast(keys), key_cols, "left_anti"
+            ).unionByName(updates)
+        else:
+            n_affected = 0
+            out = updates.select(*df.columns)
+        new_rel = self._stage(out, "mrg", pcols)
+        n_new = _count_files(spark, self.root, new_rel)
+        if n_new != n_affected - n_matched + n_updates:
+            self._abort(new_rel)
+            raise RuntimeError(
+                f"merge row mismatch for {self.root}: affected {n_affected},"
+                f" matched {n_matched}, updates {n_updates}, rewrote {n_new};"
+                " nothing committed"
+            )
+        out_files = [f for f in files if f not in set(touched_rel)] + new_rel
+        try:
+            v = self._publish(version, out_files, "merge")
+        except CommitConflict:
+            self._abort(new_rel)
+            raise
+        return {"n_matched": n_matched, "n_inserted": n_updates - n_matched,
+                "files_touched": len(touched_rel), "version": v}
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int,
+        sort_by: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Committed compaction: rewrite the WHOLE snapshot into
+        ~target-sized (optionally range-clustered) files and publish the
+        replacement manifest. Because the old files stay on disk until
+        vacuum, a maintenance compaction can run concurrently with a
+        keyed MERGE — whichever commits second loses cleanly and
+        retries, never a mixed layout."""
+        version, files = self.snapshot()
+        pcols = _partition_cols_logged(self.root)
+        df = self.read(spark)
+        n_rows = df.count()
+        if n_rows == 0:
+            return {"n_rows": 0, "files_before": len(files),
+                    "files_after": len(files), "version": version}
+        n_files = plan_target_files(n_rows, target_rows_per_file)
+        if sort_by:
+            out = df.repartitionByRange(
+                n_files, *pcols, *sort_by
+            ).sortWithinPartitions(*pcols, *sort_by)
+        else:
+            out = (df.repartition(n_files, *pcols) if pcols
+                   else df.repartition(n_files))
+        new_rel = self._stage(out, "cmp", pcols, max_records=target_rows_per_file)
+        n_new = _count_files(spark, self.root, new_rel)
+        if n_new != n_rows:
+            self._abort(new_rel)
+            raise RuntimeError(
+                f"compaction row mismatch for {self.root}: {n_rows} -> "
+                f"{n_new}; nothing committed"
+            )
+        try:
+            v = self._publish(version, new_rel, "compact")
+        except CommitConflict:
+            self._abort(new_rel)
+            raise
+        return {"n_rows": n_rows, "files_before": len(files),
+                "files_after": len(new_rel), "version": v}
+
+    def vacuum(self, keep_versions: int = 1) -> dict[str, int]:
+        """Reclaim storage: drop all but the newest ``keep_versions``
+        manifests, then unlink every part file no retained manifest
+        references — superseded COW originals and crashed writers'
+        orphans alike. Run on maintenance cadence; ``keep_versions`` is
+        the time-travel / in-flight-reader retention window (a reader
+        pinned to a dropped version fails loudly at its next file open,
+        the standard VACUUM trade)."""
+        vs = self.versions()
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        keep = vs[-keep_versions:]
+        live: set[str] = set()
+        for v in keep:
+            with open(_manifest_path(self.root, v)) as f:
+                live.update(json.load(f)["files"])
+        dropped_manifests = 0
+        for v in vs:
+            if v not in keep:
+                _manifest_path(self.root, v).unlink()
+                dropped_manifests += 1
+        dropped_files = 0
+        for p in self.root.rglob("*.parquet"):
+            if str(p.relative_to(self.root)) not in live:
+                p.unlink()
+                dropped_files += 1
+        # prune now-empty partition dirs so _partition_cols stays honest
+        for d in sorted(
+            (d for d in self.root.rglob("*") if d.is_dir()), reverse=True
+        ):
+            if d.name.startswith(("_", ".")):
+                continue
+            if not any(d.iterdir()):
+                d.rmdir()
+        return {"dropped_files": dropped_files,
+                "dropped_manifests": dropped_manifests}
+
+
+def _partition_cols_logged(root: Path) -> list[str]:
+    """_partition_cols over a committed table: the layout check must
+    ignore the ``_commits`` dir (underscore-hidden, so the shared walker
+    already skips it) and tolerate superseded files awaiting vacuum —
+    they live in the same hive dirs, so the walk is unchanged."""
+    return _partition_cols(root, "commitlog")
+
+
+def _count_files(spark: SparkSession, root: Path, rel: list[str]) -> int:
+    if not rel:
+        return 0
+    return spark.read.option("basePath", str(root)).parquet(
+        *(str(root / r) for r in rel)
+    ).count()

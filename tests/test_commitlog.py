@@ -1,0 +1,212 @@
+"""commitlog.py: snapshot isolation + optimistic-concurrency commits.
+
+The properties a transaction log exists for are tested directly:
+two writers racing on the same parent version → exactly one wins, the
+loser detects the conflict, cleans up its staged files, and a retry
+against the fresh snapshot succeeds (never a mixed layout); a reader
+pinned to an old version keeps seeing its snapshot across later commits;
+untouched files keep their exact bytes across committed COW ops; orphans
+from a crashed writer are invisible and vacuum reclaims them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from cve_manager_spark.commitlog import CommitConflict, TableLog
+
+
+def _mk_table(spark, tmp_path, partitioned: bool = False) -> TableLog:
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    path = tmp_path / ("t_part" if partitioned else "t_flat")
+    w = df.repartition(4, "k").write
+    if partitioned:
+        w = w.partitionBy("part")
+    w.parquet(str(path))
+    log = TableLog(str(path))
+    log.init()
+    return log
+
+
+def _digests(root: Path) -> dict[str, str]:
+    return {
+        str(p.relative_to(root)): hashlib.sha256(p.read_bytes()).hexdigest()
+        for p in root.rglob("*.parquet")
+    }
+
+
+def test_init_adopts_existing_files_and_refuses_twice(spark, tmp_path):
+    log = _mk_table(spark, tmp_path)
+    v, files = log.snapshot()
+    assert v == 0
+    assert len(files) == len(list(log.root.rglob("*.parquet")))
+    assert log.read(spark).count() == 200
+    with pytest.raises(ValueError, match="already exists"):
+        log.init()
+
+
+def test_committed_delete_matches_plain_semantics_and_is_versioned(
+    spark, tmp_path
+):
+    log = _mk_table(spark, tmp_path)
+    before = _digests(log.root)
+    out = log.delete_where(spark, F.col("k") % 10 == 3)
+    assert out["n_deleted"] == 20
+    assert out["version"] == 1
+    got = log.read(spark)
+    assert got.count() == 180
+    assert got.where(F.col("k") % 10 == 3).count() == 0
+    # data files are immutable: every v0 file still on disk, bytes intact
+    after = _digests(log.root)
+    for rel, dig in before.items():
+        assert after[rel] == dig, f"writer mutated committed file {rel}"
+    # time travel: the pinned v0 read still sees all 200 rows
+    assert log.read(spark, version=0).count() == 200
+
+
+def test_concurrent_writers_one_loses_cleanly_and_retry_succeeds(
+    spark, tmp_path
+):
+    """The race the protocol exists for: both writers pin v0; B commits
+    v1 first; A's publish must fail with CommitConflict, leave the table
+    exactly at B's v1 (no staged files referenced or left), and a retry
+    of A against the fresh snapshot must apply BOTH effects."""
+    log_a = _mk_table(spark, tmp_path)
+    log_b = TableLog(str(log_a.root))
+
+    # simulate interleaving: A pins v0 by grabbing the snapshot, B runs a
+    # full committed op to v1, then A tries to publish against parent 0.
+    v0, files0 = log_a.snapshot()
+    out_b = log_b.delete_where(spark, F.col("k") < 50)
+    assert out_b["version"] == 1
+
+    staged = log_a._stage(
+        log_a.read(spark, version=v0).where(F.col("k") < 150), "cmp", []
+    )
+    n_staged_before = len(staged)
+    assert all((log_a.root / r).exists() for r in staged)
+    with pytest.raises(CommitConflict):
+        try:
+            log_a._publish(v0, staged, "compact")
+        except CommitConflict:
+            log_a._abort(staged)
+            raise
+    # loser cleaned up: none of its staged files remain
+    assert not any((log_a.root / r).exists() for r in staged)
+    assert n_staged_before > 0
+    # table is exactly B's commit
+    v, _ = log_a.snapshot()
+    assert v == 1
+    assert log_a.read(spark).count() == 150
+
+    # retry against the fresh snapshot: both effects now visible
+    out_retry = log_a.compact(spark, target_rows_per_file=1000)
+    assert out_retry["version"] == 2
+    got = log_a.read(spark)
+    assert got.count() == 150
+    assert got.where(F.col("k") < 50).count() == 0
+
+
+def test_snapshot_isolation_reader_pinned_across_commit(spark, tmp_path):
+    log = _mk_table(spark, tmp_path)
+    pinned = log.read(spark, version=0)  # lazy plan over v0's file list
+    log.merge_upsert(
+        spark,
+        spark.range(0, 5).select(
+            F.col("id").alias("k"),
+            F.lit(0).cast("int").alias("part"),
+            F.lit(-1).cast("bigint").alias("v"),
+        ),
+        key_cols=["k"],
+    )
+    # the pinned plan executes AFTER the commit and still sees v0: the
+    # superseded files are untouched on disk until vacuum
+    assert pinned.where(F.col("v") < 0).count() == 0
+    assert pinned.count() == 200
+    assert log.read(spark).where(F.col("v") < 0).count() == 5
+
+
+def test_merge_rewrites_only_matched_files(spark, tmp_path):
+    log = _mk_table(spark, tmp_path)
+    _, files0 = log.snapshot()
+    upd = spark.createDataFrame(
+        [(7, 3, 777), (1000, 0, 1)], "k bigint, part int, v bigint"
+    )
+    out = log.merge_upsert(spark, upd, key_cols=["k"])
+    assert out["n_matched"] == 1 and out["n_inserted"] == 1
+    _, files1 = log.snapshot()
+    # untouched v0 files carried forward by reference into v1
+    untouched = set(files0) & set(files1)
+    assert len(untouched) == len(files0) - out["files_touched"]
+    got = log.read(spark)
+    assert got.count() == 201
+    assert got.where("k = 7").head()["v"] == 777
+
+
+def test_partitioned_table_keeps_hive_layout_through_committed_ops(
+    spark, tmp_path
+):
+    log = _mk_table(spark, tmp_path, partitioned=True)
+    log.delete_where(spark, "part = 2 AND k < 100")
+    log.compact(spark, target_rows_per_file=1000)
+    _, files = log.snapshot()
+    # every live file sits under a part=N dir and reads carry the column
+    assert all(f.startswith("part=") for f in files)
+    got = log.read(spark)
+    assert got.where("part = 2").count() == 25
+    assert got.count() == 175
+    assert set(got.columns) == {"k", "part", "v"}
+
+
+def test_vacuum_reclaims_superseded_and_orphan_files(spark, tmp_path):
+    log = _mk_table(spark, tmp_path)
+    log.delete_where(spark, "k >= 100")
+    # crashed writer: staged files exist but were never committed
+    orphans = log._stage(log.read(spark).limit(3), "mrg", [])
+    assert all((log.root / r).exists() for r in orphans)
+    # orphans are invisible to readers even before vacuum
+    assert log.read(spark).count() == 100
+
+    out = log.vacuum(keep_versions=1)
+    assert out["dropped_manifests"] == 1
+    assert out["dropped_files"] > 0
+    # exactly the live manifest's files remain on disk
+    _, live = log.snapshot()
+    on_disk = {str(p.relative_to(log.root)) for p in log.root.rglob("*.parquet")}
+    assert on_disk == set(live)
+    assert log.read(spark).count() == 100
+    # dropped version is gone
+    with pytest.raises(ValueError, match="not in log"):
+        log.snapshot(version=0)
+
+
+def test_delete_to_empty_table_stays_readable(spark, tmp_path):
+    log = _mk_table(spark, tmp_path)
+    out = log.delete_where(spark, F.lit(True))
+    assert out["n_deleted"] == 200
+    got = log.read(spark)
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "part", "v"}
+
+
+def test_conflict_manifest_is_well_formed_json(spark, tmp_path):
+    """The commit artifact itself: versions chain by parent and list
+    only files that exist."""
+    log = _mk_table(spark, tmp_path)
+    log.delete_where(spark, "k = 0")
+    for v in log.versions():
+        with open(log.root / "_commits" / f"v{v:012d}.json") as f:
+            m = json.load(f)
+        assert m["version"] == v
+        assert m["parent"] == v - 1
+        for rel in m["files"]:
+            assert (log.root / rel).exists()
