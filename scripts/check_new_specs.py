@@ -1,22 +1,28 @@
-"""Dev harness: run plans.analytics specs against the DuckDB oracle.
+"""Dev harness: run one plans module's specs against the DuckDB oracle.
 
-Usage: python scripts/check_new_specs.py [sf_dir] [name ...]
-Not part of the committed gate — tests/test_registry_oracle.py covers
-registered specs; this exists for fast iteration on a module before it
-is wired into the registry.
+Usage: python scripts/check_new_specs.py [--module=NAME] [sf_dir] [name ...]
+(--module defaults to analytics). Not part of the committed gate —
+tests/test_registry_oracle.py covers registered specs; this exists for
+fast iteration on a module before/while it is wired into the registry.
 """
 
 from __future__ import annotations
 
+import importlib
 import sys
 import time
 
-from cve_manager_spark.plans import analytics
 from cve_manager_spark.session import get_session
 from tests.oracle import compare, duckdb_conn
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-only = set(sys.argv[2:])
+args = sys.argv[1:]
+mod_name = "analytics"
+if args and args[0].startswith("--module="):
+    mod_name = args.pop(0).split("=", 1)[1]
+analytics = importlib.import_module(f"cve_manager_spark.plans.{mod_name}")
+
+sf = args[0] if args else "/root/testdata/sf0.01"
+only = set(args[1:])
 
 spark = get_session("check-new-specs")
 con = duckdb_conn(sf)
