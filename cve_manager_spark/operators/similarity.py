@@ -735,6 +735,7 @@ def write_ivf_pq_index(
     books: list[list[list[int]]],
     path: str,
     target_rows_per_file: int = 1_000_000,
+    committed: bool = False,
 ) -> None:
     """Persist an IVF×PQ index as a lake table hive-partitioned by
     ``list_id``, with the integer centroids and codebooks in an
@@ -745,7 +746,15 @@ def write_ivf_pq_index(
     ``list_id IN (probes)`` becomes PARTITION pruning, so the ADC stage
     lists and reads only the probed cells' code files — n_probe/n_lists
     of the CODES (~m bytes/row), never the vectors. Train/encode once,
-    query many."""
+    query many.
+
+    ``committed=True`` additionally bootstraps a
+    :class:`cve_manager_spark.commitlog.TableLog` on the table (v0 =
+    this write), opting the index into snapshot-isolated maintenance:
+    subsequent :func:`ivf_pq_upsert` calls publish through the log, so
+    a nightly upsert racing a compaction resolves by conflict-and-retry
+    instead of interleaving into a mixed layout, and in-flight probes
+    keep reading the snapshot they pinned."""
     import json as _json
     from pathlib import Path as _Path
 
@@ -755,16 +764,36 @@ def write_ivf_pq_index(
     meta = {"centroids": [[int(v) for v in c] for c in cents],
             "books": [[[int(v) for v in cw] for cw in b] for b in books]}
     (_Path(path) / "_ivf_pq_meta.json").write_text(_json.dumps(meta))
+    if committed:
+        from cve_manager_spark.commitlog import TableLog
+
+        TableLog(path).init()
+
+
+def _index_log(path: str):
+    """TableLog handle if ``path`` is commit-logged, else None."""
+    from pathlib import Path as _Path
+
+    from cve_manager_spark.commitlog import TableLog
+
+    log = TableLog(path)
+    if (_Path(path) / "_commits").exists() and log.versions():
+        return log
+    return None
 
 
 def read_ivf_pq_index(spark: SparkSession, path: str):
     """Load a persisted IVF×PQ index: ``(index_df, cents, books)`` —
-    directly usable as :func:`ivf_pq_topk`'s prebuilt index."""
+    directly usable as :func:`ivf_pq_topk`'s prebuilt index. A
+    commit-logged table resolves through its latest manifest (the
+    directory itself accumulates superseded files until vacuum)."""
     import json as _json
     from pathlib import Path as _Path
 
     meta = _json.loads((_Path(path) / "_ivf_pq_meta.json").read_text())
-    return spark.read.parquet(path), meta["centroids"], meta["books"]
+    log = _index_log(path)
+    df = log.read(spark) if log is not None else spark.read.parquet(path)
+    return df, meta["centroids"], meta["books"]
 
 
 def ivf_pq_topk(
@@ -903,12 +932,23 @@ def ivf_pq_upsert(
     encode pass over the delta plus a sliver-merge, never a rebuild;
     the O(N·k·d) retrain is reserved for scheduled meta refreshes.
 
-    Returns merge_upsert's counters
-    {"n_matched", "n_inserted", "files_touched", "files_total"}."""
+    On a commit-logged index (``write_ivf_pq_index(committed=True)``)
+    the merge publishes through the table's
+    :class:`~cve_manager_spark.commitlog.TableLog` instead: the swap is
+    one atomic manifest commit, a concurrent writer surfaces as
+    :class:`~cve_manager_spark.commitlog.CommitConflict` (re-run to
+    retry against the fresh snapshot), and pinned readers keep their
+    snapshot until vacuum.
+
+    Returns merge counters {"n_matched", "n_inserted", "files_touched",
+    ...} — plus "version" on the commit-logged path."""
     from cve_manager_spark.maintenance import merge_upsert
 
     _, cents, books = read_ivf_pq_index(spark, path)
     delta_idx = ivf_pq_encode_delta(
         delta_df, cents, books, id_col=id_col, vec_col=vec_col
     )
+    log = _index_log(path)
+    if log is not None:
+        return log.merge_upsert(spark, delta_idx, key_cols=[id_col])
     return merge_upsert(spark, path, delta_idx, key_cols=[id_col])

@@ -509,3 +509,60 @@ def test_ivf_pq_upsert_replaces_reembedded_id(spark, tmp_path):
     ).collect()
     key = lambda r: (r[0], r[1], tuple(r[2]), r[3])  # noqa: E731
     assert len(got) == 1 and [key(r) for r in got] == [key(r) for r in want]
+
+
+def test_ivf_pq_upsert_commit_logged_snapshot_isolated(spark, tmp_path):
+    """write_ivf_pq_index(committed=True) opts the index into the commit
+    log: the upsert publishes an atomic manifest (version 1), the grown
+    index read through the log is row-identical to a plain-path upsert,
+    every v0 file keeps its exact bytes ON DISK (nothing unlinked —
+    superseded files await vacuum), a reader pinned to v0 still sees the
+    pre-upsert index after the commit, and a writer racing on the same
+    parent version loses with CommitConflict."""
+    import pytest
+
+    from cve_manager_spark.commitlog import CommitConflict, TableLog
+    from cve_manager_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_upsert,
+        read_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+    from cve_manager_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    delta = emb.where(F.col("vec_id") % 5 == 4)
+    n_base, n_delta = base.count(), delta.count()
+
+    idx, cents, books = ivf_pq_index(base, n_lists=8, m=8, k_codes=16)
+    path = str(tmp_path / "ivf_pq_logged")
+    write_ivf_pq_index(idx, cents, books, path, committed=True)
+    log = TableLog(path)
+    v0, files0 = log.snapshot()
+    assert v0 == 0 and files0
+    before = _file_digests(path)
+
+    stats = ivf_pq_upsert(spark, path, delta)
+    assert stats["n_inserted"] == n_delta
+    assert stats["version"] == 1
+
+    # read path resolves through the manifest: grown index, exact rows
+    didx, dcents, dbooks = read_ivf_pq_index(spark, path)
+    assert dcents == cents and dbooks == books
+    assert didx.count() == n_base + n_delta
+
+    # immutability: every v0 file still on disk with identical bytes
+    after = _file_digests(path)
+    assert set(before) <= set(after)
+    assert all(after[f] == h for f, h in before.items())
+
+    # snapshot isolation: a v0-pinned read executes post-commit and
+    # still sees only the base index
+    assert log.read(spark, version=0).count() == n_base
+
+    # conflict: a writer that pinned v0 cannot publish v1 again
+    with pytest.raises(CommitConflict):
+        log._publish(v0, list(files0), "merge")
