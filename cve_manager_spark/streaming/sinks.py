@@ -399,6 +399,7 @@ def foreach_batch_merge_lake(
     key_cols: list[str],
     order_cols: list[str],
     trigger_available_now: bool = True,
+    committed: bool = False,
 ):
     """Streaming CDC MERGE into a plain parquet lake table: each
     micro-batch is reduced to its newest row per key, then applied with
@@ -418,10 +419,22 @@ def foreach_batch_merge_lake(
     merge, so a crash between them re-applies one batch; application
     order per key is newest-wins WITHIN a batch and the marker keeps
     batches ordered, so the re-application converges to the same table.
+
+    ``committed=True`` runs the table through
+    :class:`cve_manager_spark.commitlog.TableLog`: each micro-batch
+    merge publishes one atomic manifest version, incumbents are read
+    through the latest manifest, and a CONCURRENT writer — the
+    stream-vs-batch-maintenance race the ``_last_batch`` marker cannot
+    arbitrate, since it is per-stream — surfaces as a commit conflict
+    that the batch resolves by recomputing its winners against the
+    fresh snapshot and retrying (bounded, then loud). Maintenance jobs
+    (compaction, retention deletes) on the same table go through the
+    same log, so neither side can interleave files into a mixed layout.
     """
     from pathlib import Path
 
     from cve_manager_spark import maintenance
+    from cve_manager_spark.commitlog import CommitConflict, TableLog
 
     # checkpoint and marker live BESIDE the table dir: the first batch
     # bootstraps the table with mode("overwrite"), which would wipe
@@ -439,16 +452,13 @@ def foreach_batch_merge_lake(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        tdir = Path(table_dir)
-        if not any(tdir.glob("*.parquet")):
-            newest.write.mode("overwrite").parquet(table_dir)
-        else:
+        def winners_vs(incumbent_df: DataFrame) -> DataFrame:
             # MERGE condition: update only when the incoming row is newer.
             # Batches are not time-ordered (a later file can carry older
             # events), so the row applied per key is the winner between
             # the incumbent table row and the batch row — ties to the
             # incoming side (same as foreach_batch_upsert).
-            incumbent = spark.read.parquet(table_dir).join(
+            incumbent = incumbent_df.join(
                 newest.select(*key_cols), key_cols, "left_semi"
             )
             both = incumbent.withColumn("__src", F.lit(0)).unionByName(
@@ -457,11 +467,35 @@ def foreach_batch_merge_lake(
             ww = Window.partitionBy(*key_cols).orderBy(
                 *[F.col(c).desc() for c in order_cols], F.col("__src").desc()
             )
-            winner = (
+            return (
                 both.withColumn("__rn", F.row_number().over(ww))
                 .where(F.col("__rn") == 1)
                 .drop("__rn", "__src")
             )
+
+        tdir = Path(table_dir)
+        if not any(tdir.glob("*.parquet")):
+            newest.write.mode("overwrite").parquet(table_dir)
+            if committed:
+                TableLog(table_dir).init()
+        elif committed:
+            # winners computed against the SNAPSHOT being merged into; a
+            # concurrent maintenance commit (compact/delete through the
+            # same log) invalidates both, so recompute-and-retry — the
+            # optimistic-concurrency loop a streaming writer runs against
+            # a shared table's transaction log
+            log = TableLog(table_dir)
+            for attempt in range(3):
+                try:
+                    log.merge_upsert(
+                        spark, winners_vs(log.read(spark)), key_cols=key_cols
+                    )
+                    break
+                except CommitConflict:
+                    if attempt == 2:
+                        raise
+        else:
+            winner = winners_vs(spark.read.parquet(table_dir))
             maintenance.merge_upsert(spark, table_dir, winner, key_cols=key_cols)
         marker.write_text(str(batch_id))
 

@@ -889,3 +889,63 @@ def test_keyset_null_ts_rows_dropped_not_null_partition(spark, tmp_path):
     got = read_dau_state(spark, out)
     assert got.where(F.col("day").isNull()).count() == 0
     assert got.count() == 1  # the one valid-ts day
+
+
+def test_foreach_batch_merge_lake_committed_survives_concurrent_compaction(
+    spark, tmp_path
+):
+    """committed=True runs the streaming CDC MERGE through the table's
+    commit log: versions advance one per applied batch, the final table
+    (read via the manifest) equals batch keep-newest, a mid-stream
+    COMPACTION through the same log does not corrupt or lose rows —
+    the stream's next batch retries against the compacted snapshot —
+    and replay is still idempotent via the _last_batch marker."""
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.streaming.sinks import foreach_batch_merge_lake
+
+    src_dir = str(tmp_path / "events_lake_src_c")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "lake_table_c")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_merge_lake(
+            stream,
+            out,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            committed=True,
+        )
+
+    start().awaitTermination()
+    log = TableLog(out)
+    v_after_stream = log.snapshot()[0]
+    # 3 source files -> batch 0 bootstraps v0, batches 1..2 merge
+    assert v_after_stream >= 2
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cols = ["user_id", "event_id", "event_type", "value"]
+    assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
+
+    # a maintenance compaction through the same log (the batch writer in
+    # the stream-vs-batch race) — then replay: marker skips all batches,
+    # table unchanged, and the compacted snapshot is what readers see
+    log.compact(spark, target_rows_per_file=100_000)
+    start().awaitTermination()
+    assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
+
+    # superseded + orphan files reclaim; content still identical
+    log.vacuum(keep_versions=1)
+    assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
