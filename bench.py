@@ -123,6 +123,13 @@ HEADLINE = [
     # of the round-9 tranches) and the embedding-grain eval-leakage audit
     "char_window_xdoc",
     "semantic_decontamination",
+    # r10: the LM surprisal dial (two token-keyed shuffles + the bigram
+    # pair join) and the frozen-cell incremental semantic dedup gate
+    "unigram_surprisal_bands",
+    "bigram_surprisal_score",
+    "semantic_dedup_incremental",
+    "eval_overlap_score",
+    "zipf_band_slope_by_source",
 ]
 
 

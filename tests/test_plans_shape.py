@@ -839,3 +839,49 @@ def test_split_drift_topwords_topk_without_vocab_window(spark):
     assert "Window" not in tree
     # the split totals ride a broadcast, not a shuffled join
     assert "BroadcastExchange" in tree
+
+
+def test_incremental_semantic_dedup_joins_only_within_cell(spark):
+    """Cross-snapshot SemDeDup must candidate delta x base through the
+    cell equi-join — never an all-pairs nested-loop/cartesian blowup —
+    and both assignment passes are map-side (centroid literals), so the
+    only exchanges are the pair join's hash partitionings."""
+    plan = plan_of(spark, "semantic_dedup_incremental")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_unigram_surprisal_total_rides_one_broadcast_row(spark):
+    """The corpus token total joins as a broadcast single-row relation
+    (the accepted 1-row-stats cross-join shape); the token-count join
+    itself must be a hash equi-join, and no single-partition funnel
+    anywhere — at 100 TB both shuffles are token-keyed."""
+    plan = plan_of(spark, "unigram_surprisal_bands")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree  # instance ⋈ word-count
+    assert "SinglePartition" not in tree or "BroadcastExchange" in tree
+
+
+def test_zipf_slope_fits_on_bands_not_rows(spark):
+    """The Zipf fit must never sort or window the vocabulary: the OLS
+    runs on per-source log2-band aggregates (<= ~40 rows/source), so
+    the plan is aggregates only — no Window, no global Sort, no
+    single-partition exchange of a data-sized relation."""
+    plan = plan_of(spark, "zipf_band_slope_by_source")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "TakeOrderedAndProject" not in tree
+    assert "SinglePartition" not in tree
+
+
+def test_eval_overlap_probe_broadcasts_eval_shingles(spark):
+    """Scored decontamination probes the eval shingle set as a broadcast
+    build side (eval sets are small by construction); the training-side
+    shingle relation must never shuffle for that join."""
+    plan = plan_of(spark, "eval_overlap_score")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastExchange" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
