@@ -210,3 +210,55 @@ def test_conflict_manifest_is_well_formed_json(spark, tmp_path):
         assert m["parent"] == v - 1
         for rel in m["files"]:
             assert (log.root / rel).exists()
+
+
+def _race_attempt(root_str: str, i: int, q) -> None:
+    """Module-level worker (spawn requires a picklable target): try to
+    publish v1 of the shared table; report win or conflict."""
+    from cve_manager_spark.commitlog import CommitConflict, TableLog
+
+    log = TableLog(root_str)
+    try:
+        log._publish(0, [f"part-{i:05d}.parquet"], op=f"writer-{i}")
+        q.put(("win", i))
+    except CommitConflict:
+        q.put(("conflict", i))
+
+
+def test_publish_race_across_real_processes(tmp_path):
+    """The commit primitive under REAL concurrency: N OS processes race
+    to publish the same version of the same table; exactly one hard-link
+    must win, every loser must observe CommitConflict, and the winning
+    manifest must be one of the staged bodies intact (no torn/partial
+    JSON). No Spark involved — this is the pure protocol."""
+    import json
+    import multiprocessing as mp
+
+    from cve_manager_spark.commitlog import TableLog
+
+    root = tmp_path / "race_table"
+    (root / "_commits").mkdir(parents=True)
+    TableLog(str(root))._publish(parent=-1, files=[], op="init")
+
+    n = 8
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_race_attempt, args=(str(root), i, q))
+        for i in range(n)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(60)
+    results = [q.get(timeout=10) for _ in range(n)]
+    wins = [i for kind, i in results if kind == "win"]
+    conflicts = [i for kind, i in results if kind == "conflict"]
+    assert len(wins) == 1, f"expected exactly one winner, got {wins}"
+    assert len(conflicts) == n - 1
+    with open(root / "_commits" / "v000000000001.json") as f:
+        m = json.load(f)
+    assert m["op"] == f"writer-{wins[0]}"
+    assert m["files"] == [f"part-{wins[0]:05d}.parquet"]
+    # no stray tmp manifests left behind
+    assert not list((root / "_commits").glob(".tmp-*"))

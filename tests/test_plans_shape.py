@@ -885,3 +885,43 @@ def test_eval_overlap_probe_broadcasts_eval_shingles(spark):
     assert "BroadcastExchange" in tree
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_minhash_incremental_join_is_directional_band_equi(spark):
+    """Incremental MinHash candidates come from the (band, key)
+    equi-join of NEW signatures against OLD — never a nested-loop
+    pair blowup, and the shingle relation joins back by id, not by
+    content."""
+    plan = plan_of(spark, "minhash_incremental_dups")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_boilerplate_topk_is_take_ordered(spark):
+    """The top-20 repeated segments must plan as TakeOrderedAndProject —
+    the segment vocabulary is corpus-sized at 100 TB, so no Window and
+    no single-partition sort of it."""
+    plan = plan_of(spark, "boilerplate_segments_topk")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "Window" not in tree
+
+
+def test_hits_avoids_cartesian_and_runs_equi_joins(spark):
+    """Each HITS update is edges ⋈ ranks on a key (equi-join); the only
+    nested-loop/broadcast-cross allowed is the 1-row max used by the
+    block-floating-point normalize."""
+    plan = plan_of(spark, "hits_hubs_authorities")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+
+
+def test_hard_negative_mining_pairs_only_within_cell(spark):
+    """Hard-negative candidates are cell-bounded: the self-join rides
+    the cluster equi-key (label/id inequalities are residual filters),
+    never an all-pairs nested loop."""
+    plan = plan_of(spark, "hard_negative_mining")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
