@@ -85,6 +85,12 @@ FLAGSHIP = {
     "rollup_cascade": "one fact scan; three chained partial+final aggregates — each exchange carries the previous level's cardinality, never raw events",
     "dedup_simhash_det": "in-row md5-bit fingerprint fold (no signature shuffle); banded 4x16-bit equi-join; in-row Hamming verify",
     "multimodal_audio_energy": "Arrow-batched mapInPandas windows before any wide op; output grain is (doc, frame), no shuffle until a consumer asks",
+    "split_drift_topwords": "r9 re-plan: top-20 corpus words via TakeOrderedAndProject (per-partition 20-row heaps) — the row_number vocabulary Window is gone; split totals ride one broadcast row",
+    "unigram_surprisal_bands": "LM surprisal dial: two token-keyed shuffles (count + instance join), corpus total as a broadcast 1-row cross join, integer log2 in-row via bin()-length",
+    "semantic_dedup_incremental": "frozen-cell SemDeDup: both assignment passes map-side against centroid literals; candidates only delta x base through the cluster equi-join",
+    "minhash_incremental_dups": "directional (band,key) equi-join of new signatures against old; signature pass is one hash aggregate of 32 MINs; exact integer Jaccard verify",
+    "hits_hubs_authorities": "two O(|E|) join+aggregate pairs per iteration; block-floating-point normalize reads one broadcast max row; lineage checkpoint-truncated",
+    "boilerplate_segments_topk": "segment digests built in-row (indexed transform, md5 shuffle key); top-20 via TakeOrderedAndProject, never a vocabulary window",
 }
 
 
