@@ -272,14 +272,15 @@ def main() -> None:
         },
         "sf": sf,
         "notes": {
-            "r9_low_load_runs": "two r9 runs at before-load 0.9/0.5 (the "
-            "discipline VERDICT r6-r8 asked for) measured 105.8s/93.3s on "
-            "the shared-73 vs r8's 66.5s AT load 9.7 — /proc/stat steal "
-            "(~900 stolen core-seconds in run 2, now recorded per-run) "
-            "plus Python-worker churn explain it: solo min-of-3 at "
-            "quiet-box matches r8 (dedup_image_phash 2.24s vs suite 9.9, "
-            "dedup_simhash_det 1.68 vs 3.6), and the r1-gate ratio on the "
-            "shared-17 is 0.92x — the box got slower, the plans did not",
+            "r9_low_load_runs": "three r9 runs at before-load 0.9/0.5/1.2 "
+            "(the discipline VERDICT r6-r8 asked for) measured "
+            "105.8/93.3/77.6s on the shared-73 vs r8's 66.5s AT load 9.7 "
+            "— /proc/stat steal (896/422 stolen core-seconds in runs 2/3, "
+            "now recorded per-run) plus Python-worker churn explain it: "
+            "solo min-of-3 at quiet-box matches r8 (dedup_image_phash "
+            "2.24s vs suite 9.9, dedup_simhash_det 1.68 vs 3.6), and the "
+            "r1-gate ratio on the shared-17 is 1.00/0.92x across runs — "
+            "the box is noisier this round, the plans did not regress",
             "window_session": "r3->r4 0.40->0.85s was suite-load noise, not a "
             "re-plan: solo min-of-6 at sf0.1 is 0.397s == r3, and in-suite "
             "min with per-trial cache clearing is ~0.34s (VERDICT r4 #5)",

@@ -322,7 +322,8 @@ def perplexity_filter_rate(spark: SparkSession, sf: str) -> DataFrame:
   WHERE e.doc_id % 97 <> 0
   GROUP BY e.doc_id
 )
-SELECT (ov.hit = 1) AS is_contaminated, CAST(COUNT(*) AS BIGINT) AS n_docs,
+SELECT CAST(ov.hit AS INTEGER) AS is_contaminated,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(sc.millibits) AS BIGINT) AS sum_millibits,
        CAST(SUM(sc.millibits) // COUNT(*) AS BIGINT) AS mean_millibits
 FROM sc JOIN ov USING (doc_id)
@@ -364,9 +365,12 @@ def surprisal_contamination_interaction(
         .groupBy("doc_id")
         .agg(F.max(F.coalesce("is_ev", F.lit(0))).alias("hit"))
     )
+    # INT flag, not boolean: no green spec has ever emitted a boolean
+    # column through the driver canonicalizer (the r6 array-cell lesson —
+    # don't make a staged tranche the first to probe it)
     return (
         sc.join(ov, "doc_id")
-        .groupBy((F.col("hit") == 1).alias("is_contaminated"))
+        .groupBy(F.col("hit").cast("int").alias("is_contaminated"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("millibits").cast("bigint").alias("sum_millibits"),
