@@ -925,3 +925,24 @@ def test_hard_negative_mining_pairs_only_within_cell(spark):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_countmin_bucket_totals_broadcast_back(spark):
+    """The CMS audit joins four 16-row bucket-total relations back onto
+    the per-user exact relation — all four must broadcast; the only
+    data-sized work is the user-grain aggregate."""
+    plan = plan_of(spark, "countmin_estimate_error")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_dau_jaccard_rides_user_keyed_equi_join(spark):
+    """The consecutive-day intersection is an equi-join on (day, user)
+    over the distinct relation — never a range/nested-loop pair — and
+    the day-size spine joins are day-keyed."""
+    plan = plan_of(spark, "dau_jaccard_consecutive")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
