@@ -142,6 +142,26 @@ SAMPLE = [
     "cohort_ltv_matrix",
     "embedding_pca_power",
     "pca_projection_by_label",
+    # round-10/10b/10c tranche representatives — every day-grain or
+    # engine-division face gets a TZ-shifted fresh-process check here
+    "unigram_surprisal_bands",
+    "bigram_surprisal_score",
+    "surprisal_contamination_interaction",
+    "semantic_dedup_incremental",
+    "pca_residual_norms",
+    "quality_importance_sample",
+    "zipf_band_slope_by_source",
+    "bigram_backoff_surprisal",
+    "minhash_incremental_dups",
+    "ivm_rollup_delta",
+    "hits_hubs_authorities",
+    "hard_negative_mining",
+    "pq_reconstruction_error",
+    "countmin_estimate_error",
+    "bloom_fp_audit",
+    "seasonal_decompose_dow",
+    "rolling_7d_median_events",
+    "dau_jaccard_consecutive",
 ]
 fails = []
 for name in SAMPLE:
