@@ -256,6 +256,8 @@ def hits_int(
     checkpoint-truncated per iteration. Returns (node, hub, auth);
     hub starts at 1e6, sinks/sources settle at 0 on their dead side.
     """
+    if iterations < 1:
+        raise ValueError("hits_int needs at least one iteration")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint(eager=True)
     nodes = (

@@ -118,6 +118,8 @@ JOIN t0 USING (b0) JOIN t1 USING (b1) JOIN t2 USING (b2) JOIN t3 USING (b3)
     "this query is how its width gets chosen.",
 )
 def countmin_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     ev = load_table(spark, sf, "events")
     ue = ev.select(
         "user_id",
@@ -126,10 +128,14 @@ def countmin_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
             for r in range(4)
         ],
     )
+    # persist the key-grain relation: it feeds the 4 bucket-total
+    # aggregates AND the final probe — without this each consumer
+    # re-scans the raw events (5 full passes at 100 TB for one audit);
+    # cached it is bounded by #keys (the kmeans_quantized precedent)
     exact = ue.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         *[F.min(f"b{r}").alias(f"b{r}") for r in range(4)],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     out = exact
     for r in range(4):
         t = exact.groupBy(f"b{r}").agg(F.sum("n").alias(f"c{r}"))
@@ -189,6 +195,8 @@ def _cms_sweep_oracle() -> str:
     "construction); the audit makes the improvement a number.",
 )
 def cms_width_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     ev = load_table(spark, sf, "events")
 
     def prof(width: int, digits: int) -> DataFrame:
@@ -202,10 +210,12 @@ def cms_width_sweep(spark: SparkSession, sf: str) -> DataFrame:
         ue = ev.select(
             "user_id", *[bucket(r).alias(f"b{r}") for r in range(4)]
         )
+        # same persist rationale as countmin_estimate_error: 5 consumers
+        # per width profile, bounded key-grain cache instead of rescans
         exact = ue.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.min(f"b{r}").alias(f"b{r}") for r in range(4)],
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         out = exact
         for r in range(4):
             t = exact.groupBy(f"b{r}").agg(F.sum("n").alias(f"c{r}"))
