@@ -50,47 +50,85 @@ DRIVER_GREEN = frozenset({
     "cast_date",
     "cast_to_string",
     "cdc_upsert",
+    "chars_per_word_hist",
     "chunk_documents",
     "corpus_clean",
     "corpus_profile",
+    "corpus_quality_dup_matrix",
     "corr_regress",
     "cosine_threshold",
     "cumulative_unique_users",
+    "customer_balance_band_profile",
+    "customer_order_gap_stats",
     "customer_order_recency",
+    "customer_repeat_rate",
     "customer_rfm",
+    "customer_top_decile_concentration",
+    "dau_wau_stickiness",
+    "decontam_source_summary",
     "decontaminate_ngram",
+    "decontaminate_spans",
     "dedup_cascade_funnel",
     "dedup_cluster_rep",
     "dedup_clusters",
     "dedup_embedding",
     "dedup_exact",
+    "dedup_image_phash",
+    "dedup_incremental",
     "dedup_keyed",
     "dedup_minhash_det",
     "dedup_ngram_jaccard",
     "dedup_normalized",
     "dedup_prefix",
+    "dedup_savings_by_source",
+    "dedup_simhash_det",
+    "discount_band_revenue",
+    "discount_tax_corr",
     "doc_fingerprint",
+    "doc_len_ttr_corr",
     "doc_length_histogram",
+    "doc_prefix_collision",
+    "doc_sentence_stats",
     "dq_checks",
     "dq_freshness",
     "dq_quarantine",
+    "dup_bigram_mass_by_source",
+    "dup_cluster_length_stats",
+    "dup_cluster_size_hist",
     "dup_rate_by_source",
     "embedding_bucket_histogram",
     "embedding_centroid",
+    "embedding_component_extremes",
     "embedding_dim_stats",
+    "embedding_kmeans",
     "embedding_norm_stats",
+    "embedding_norm_zscore_outliers",
+    "embedding_octant_occupancy",
     "embedding_quantize",
+    "embedding_sign_balance",
     "error_rate_hourly",
     "event_transitions",
     "event_type_share",
+    "event_value_deciles_by_type",
     "events_burst_minutes",
+    "events_churn_bands",
+    "events_daily_new_vs_returning",
+    "events_daily_top_user_share",
     "events_debounce",
     "events_dow_hour_heatmap",
+    "events_fano_daily",
     "events_funnel",
+    "events_hour_of_week_peak",
     "events_interarrival_hist",
+    "events_lag1_value_autocorr",
     "events_lag_gap",
+    "events_peak_hour_ratio",
     "events_retention",
+    "events_session_gap_sweep",
     "events_top_user_per_type_day",
+    "events_type_cooccurrence",
+    "events_user_lifespan",
+    "events_weekend_share",
     "explode_conditional",
     "explode_nested",
     "explode_outer_nulls",
@@ -101,15 +139,25 @@ DRIVER_GREEN = frozenset({
     "filter_eq_int",
     "filter_like",
     "filter_or_threshold",
+    "first_week_retention",
     "fuzzy_pairs_levenshtein",
+    "gopher_quality_flags",
     "graph_degree_assortativity",
     "graph_degree_hist",
+    "graph_kcore",
     "group_sample_topn",
     "grouped_median_pandas",
     "heavy_hitters",
     "histogram_fixed",
+    "image_dup_cluster_sizes",
+    "image_phash",
+    "image_phash_bit_balance",
+    "image_phash_prevalence",
     "inverted_index",
     "iqr_outliers",
+    "ivf_assignments",
+    "ivf_delta_assignments",
+    "ivf_list_balance",
     "join_anti",
     "join_asof",
     "join_full_reconcile",
@@ -127,59 +175,117 @@ DRIVER_GREEN = frozenset({
     "knn_cosine_pandas",
     "knn_join_multi",
     "knn_per_label",
+    "label_centroid_cosine",
     "label_collapse_rare",
+    "label_pair_centroid_dist",
+    "lang_confusion_audit",
     "lang_source_gini",
     "late_data_audit",
     "limit_1",
+    "lines_per_order_hist",
+    "longest_doc_per_lang",
     "longest_streak",
     "max_concurrency",
     "median_exact",
+    "minhash_band_fp_rate",
     "minhash_band_stats",
     "mix_budget",
+    "monthly_revenue_momentum",
+    "multimodal_audio_energy",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_thumbnail",
+    "nation_actor_presence",
+    "nation_supplier_customer_ratio",
+    "nation_top3_customers",
     "nation_trade_balance",
+    "nation_yearly_rank_shift",
     "near_dup_source_matrix",
     "nearest_event",
     "null_fallback",
     "order_size_histogram",
+    "order_value_band_matrix",
     "orders_backlog_aging",
+    "orders_monthly_seasonality",
     "orders_monthly_yoy",
     "orders_pareto",
+    "orders_quarterly_priority_trend",
+    "orders_status_priority_matrix",
     "pack_sequences",
     "pagerank_links",
+    "part_brand_size_stats",
     "part_min_price_per_type",
+    "part_name_token_freq",
     "part_price_spread",
+    "part_supplier_degree_hist",
+    "part_type_price_iqr",
     "part_type_share",
+    "phash_hamming_hist",
+    "pii_density_by_source",
     "posexplode_index",
+    "pq_code_balance",
+    "pq_codes",
+    "price_band_discount_profile",
     "project_cols",
     "project_nested",
     "purchase_conversion_lag",
+    "quality_by_source_profile",
+    "quality_classifier_score",
+    "quality_flag_cooccurrence",
+    "quality_length_calibration",
+    "quality_score_deciles",
     "quantile_exact",
+    "quantity_mode_by_flag",
     "regexp_extract_numbers",
     "retention_cohort",
+    "returned_share_by_brand",
     "rolling_active_users",
+    "rollup_cascade",
     "sample_hash",
     "scd2_intervals",
+    "segment_priority_mix",
+    "semantic_dedup",
+    "semantic_dedup_keep",
+    "session_duration_hist",
     "sessionize_stats",
     "set_except",
     "set_ops",
     "shard_balance_audit",
     "shingle_containment",
+    "shingle_novelty",
+    "ship_delay_quartiles",
     "shipping_delay_stats",
+    "slow_fulfillment_share",
     "snapshot_diff",
     "sort_topk",
+    "source_lang_matrix",
+    "source_ngram_novelty",
+    "source_vocab_overlap",
+    "split_assign_3way",
+    "split_drift_topwords",
+    "split_dup_leakage",
     "sql_tpch_q1",
     "sql_tpch_q10",
+    "sql_tpch_q11",
     "sql_tpch_q12lite",
+    "sql_tpch_q13",
     "sql_tpch_q14",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q17",
     "sql_tpch_q18",
     "sql_tpch_q19",
+    "sql_tpch_q2",
+    "sql_tpch_q20",
+    "sql_tpch_q21",
+    "sql_tpch_q22",
     "sql_tpch_q3",
     "sql_tpch_q4",
     "sql_tpch_q5",
     "sql_tpch_q6",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
     "stop_shingle_report",
     "stopword_profile",
     "str_concat_fold",
@@ -188,26 +294,37 @@ DRIVER_GREEN = frozenset({
     "str_strip_prefix",
     "stratified_sample",
     "supplier_balance_decile",
+    "supplier_balance_health",
     "supplier_coverage",
+    "supplier_nation_balance_share",
     "table_profile",
     "text_char_class_profile",
+    "text_digit_density",
     "text_hapax_rate",
     "text_lang_id",
     "text_ngram_freq",
     "text_pii_mask",
+    "text_punct_density",
     "text_quality",
     "text_repetition_ratio",
+    "text_simpson_diversity",
     "text_tfidf",
     "text_tokenize_count",
     "text_top_terms",
     "text_ttr_by_source",
+    "text_word_len_profile",
+    "token_budget_by_source",
     "token_count",
     "token_len_histogram",
+    "tokenizer_fertility",
     "top_customer_by_priority",
     "top_ngram_per_lang",
+    "top_word_mass_bands",
     "triangle_count",
+    "unigram_entropy_by_lang",
     "union_all",
     "unpivot_melt",
+    "user_inter_event_cv",
     "user_profile",
     "user_type_gini",
     "value_mad",
@@ -226,6 +343,9 @@ DRIVER_GREEN = frozenset({
     "window_tumbling",
     "winsorize_stats",
     "wma_trailing",
+    "word_df_zipf_buckets",
+    "word_len_hist",
+    "word_position_profile",
 })
 
 
