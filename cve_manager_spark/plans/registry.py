@@ -18,7 +18,7 @@ from cve_manager_spark.plans.spec import Builder, QuerySpec
 # error: silently dropping a family would shrink queries()/oracle_sql() with
 # no signal and under-report coverage (numpy/pandas/pyspark.ml are baked into
 # the runtime, so an ImportError here is always a real defect).
-EXPECTED_QUERY_COUNT = 400
+EXPECTED_QUERY_COUNT = 402
 
 # Queries the round-1 driver gate hash-verified (CORRECTNESS_r01.json, all
 # green). The driver samples a PREFIX of the registry, so ordering is a
@@ -394,6 +394,7 @@ def _all_specs() -> list[QuerySpec]:
     from cve_manager_spark.plans import round10b as round10b_mod
     from cve_manager_spark.plans import round10c as round10c_mod
     from cve_manager_spark.plans import round10d as round10d_mod
+    from cve_manager_spark.plans import round10e as round10e_mod
     from cve_manager_spark.plans import semantic as semantic_mod
 
     in_module_order = (
@@ -417,6 +418,7 @@ def _all_specs() -> list[QuerySpec]:
         + round10b_mod.SPECS
         + round10c_mod.SPECS
         + round10d_mod.SPECS
+        + round10e_mod.SPECS
     )
 
     green = driver_green()
