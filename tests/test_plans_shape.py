@@ -946,3 +946,23 @@ def test_dau_jaccard_rides_user_keyed_equi_join(spark):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_quality_threshold_sweep_broadcasts_spine_not_rescans(spark):
+    """Five thresholds must come from ONE scoring pass: the 5-row spine
+    broadcasts into the conditional aggregate — no union of five scans,
+    no sort-merge join."""
+    plan = plan_of(spark, "quality_threshold_sweep")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in tree
+
+
+def test_shingle_size_sweep_is_digest_counts_only(spark):
+    """Each n-gram profile is a digest-keyed count + a 1-row aggregate —
+    no joins at all, no window, no sort; the union stacks three bounded
+    rows."""
+    plan = plan_of(spark, "shingle_size_sweep")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert "Window" not in tree
