@@ -368,14 +368,27 @@ class TableLog:
         return {"n_rows": n_rows, "files_before": len(files),
                 "files_after": len(new_rel), "version": v}
 
-    def vacuum(self, keep_versions: int = 1) -> dict[str, int]:
+    def vacuum(
+        self, keep_versions: int = 1, min_age_seconds: float = 0.0
+    ) -> dict[str, int]:
         """Reclaim storage: drop all but the newest ``keep_versions``
         manifests, then unlink every part file no retained manifest
         references — superseded COW originals and crashed writers'
         orphans alike. Run on maintenance cadence; ``keep_versions`` is
         the time-travel / in-flight-reader retention window (a reader
         pinned to a dropped version fails loudly at its next file open,
-        the standard VACUUM trade)."""
+        the standard VACUUM trade).
+
+        ``min_age_seconds``: an unreferenced file younger than this is
+        SKIPPED — an in-flight writer's freshly staged files are
+        indistinguishable from a crashed writer's orphans by reference
+        alone, so a vacuum racing a live writer would yank its staging
+        out from under the commit. Set it above the longest expected
+        write duration in any multi-writer deployment (the same role
+        as a table format's vacuum retention window); 0 reclaims
+        everything and is only safe when no writer can be in flight."""
+        import time
+
         vs = self.versions()
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
@@ -390,8 +403,14 @@ class TableLog:
                 _manifest_path(self.root, v).unlink()
                 dropped_manifests += 1
         dropped_files = 0
+        now = time.time()
         for p in self.root.rglob("*.parquet"):
             if str(p.relative_to(self.root)) not in live:
+                if (
+                    min_age_seconds > 0
+                    and now - p.stat().st_mtime < min_age_seconds
+                ):
+                    continue
                 p.unlink()
                 dropped_files += 1
         # prune now-empty partition dirs so _partition_cols stays honest

@@ -262,3 +262,32 @@ def test_publish_race_across_real_processes(tmp_path):
     assert m["files"] == [f"part-{wins[0]:05d}.parquet"]
     # no stray tmp manifests left behind
     assert not list((root / "_commits").glob(".tmp-*"))
+
+
+def test_vacuum_age_guard_spares_live_writers_staging(spark, tmp_path):
+    """min_age_seconds protects an IN-FLIGHT writer: its freshly staged
+    (unreferenced) files survive an age-guarded vacuum, while an old
+    superseded file is still reclaimed — the retention-window trade a
+    multi-writer deployment needs."""
+    import os
+    import time
+
+    log = _mk_table(spark, tmp_path)
+    _, files0 = log.snapshot()
+    log.delete_where(spark, "k >= 100")  # supersedes v0 files
+    # backdate the superseded originals so they read as old
+    for rel in files0:
+        old = time.time() - 3600
+        os.utime(log.root / rel, (old, old))
+    # a "live writer" stages fresh files right now
+    staged = log._stage(log.read(spark).limit(3), "mrg", [])
+    assert all((log.root / r).exists() for r in staged)
+
+    out = log.vacuum(keep_versions=1, min_age_seconds=600)
+    assert out["dropped_files"] > 0  # old superseded files reclaimed
+    # the live writer's staging survived
+    assert all((log.root / r).exists() for r in staged)
+    # a later unguarded vacuum (writer done/crashed) reclaims them
+    log.vacuum(keep_versions=1)
+    assert not any((log.root / r).exists() for r in staged)
+    assert log.read(spark).count() == 100
