@@ -81,7 +81,11 @@ class TableLog:
     """Handle on a commit-logged parquet table rooted at ``path``."""
 
     def __init__(self, path: str):
-        self.root = Path(path)
+        # resolve(): delete_where/merge_upsert map input_file_name()'s
+        # absolute file:// URIs back to manifest-relative paths via
+        # Path.relative_to(self.root) — with a relative root that raises
+        # ValueError mid-operation, so normalize once at construction
+        self.root = Path(path).resolve()
 
     # -- log bootstrap / inspection ------------------------------------
 
@@ -224,7 +228,11 @@ class TableLog:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         version, files = self.snapshot()
         pcols = _partition_cols_logged(self.root)
-        df = self.read(spark)
+        # read the PINNED version, not the latest: a commit landing after
+        # snapshot() must not leak its files into this rewrite (the publish
+        # below would still conflict on parent, but the abort is cheaper
+        # and the row-count guard stays meaningful)
+        df = self.read(spark, version=version)
         hits = (
             df.withColumn("__f", F.input_file_name())
             .where(pred)
@@ -264,19 +272,45 @@ class TableLog:
                 "version": v}
 
     def merge_upsert(
-        self, spark: SparkSession, updates: DataFrame, key_cols: list[str]
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        expected_version: int | None = None,
     ) -> dict[str, int]:
         """Committed COW MERGE by key (exact-schema form of
         ``maintenance.merge_upsert``): matched keys replaced, unmatched
         appended, only matched files rewritten — published as one atomic
-        manifest commit."""
-        version, files = self.snapshot()
+        manifest commit.
+
+        ``expected_version`` pins the snapshot this merge reads AND the
+        parent it publishes against. A caller that derived ``updates``
+        from a read of version v must pass v: otherwise a commit landing
+        between that read and this call would be silently clobbered —
+        merge_upsert would re-pin the newer snapshot and publish on top
+        of it, resurrecting rows the caller never saw (lost update).
+        With the pin, any intervening commit makes the publish target
+        v+1 already exist, so the caller gets :class:`CommitConflict`
+        and recomputes against the fresh snapshot."""
+        version, files = self.snapshot(expected_version)
         pcols = _partition_cols_logged(self.root)
-        df = self.read(spark)
+        df = self.read(spark, version=version)
         if sorted(df.columns) != sorted(updates.columns):
             raise ValueError(
                 f"merge schema mismatch: table {sorted(df.columns)} vs "
                 f"updates {sorted(updates.columns)}"
+            )
+        tab_types, upd_types = dict(df.dtypes), dict(updates.dtypes)
+        type_clash = {
+            c: (tab_types[c], upd_types[c])
+            for c in tab_types
+            if tab_types[c] != upd_types[c]
+        }
+        if type_clash:
+            raise ValueError(
+                "merge schema mismatch: column types diverge "
+                f"{type_clash} — a silent widen would fork the table "
+                "schema across rewritten files"
             )
         n_updates = updates.count()
         if n_updates == 0:
@@ -339,7 +373,7 @@ class TableLog:
         retries, never a mixed layout."""
         version, files = self.snapshot()
         pcols = _partition_cols_logged(self.root)
-        df = self.read(spark)
+        df = self.read(spark, version=version)
         n_rows = df.count()
         if n_rows == 0:
             return {"n_rows": 0, "files_before": len(files),
@@ -369,7 +403,7 @@ class TableLog:
                 "files_after": len(new_rel), "version": v}
 
     def vacuum(
-        self, keep_versions: int = 1, min_age_seconds: float = 0.0
+        self, keep_versions: int = 1, min_age_seconds: float = 600.0
     ) -> dict[str, int]:
         """Reclaim storage: drop all but the newest ``keep_versions``
         manifests, then unlink every part file no retained manifest
@@ -383,10 +417,12 @@ class TableLog:
         SKIPPED — an in-flight writer's freshly staged files are
         indistinguishable from a crashed writer's orphans by reference
         alone, so a vacuum racing a live writer would yank its staging
-        out from under the commit. Set it above the longest expected
-        write duration in any multi-writer deployment (the same role
-        as a table format's vacuum retention window); 0 reclaims
-        everything and is only safe when no writer can be in flight."""
+        out from under the commit. The default (600s) is a conservative
+        retention window so routine maintenance can never shoot a live
+        writer; raise it above the longest expected write duration in
+        a slow-writer deployment, and pass an EXPLICIT 0 to opt into
+        aggressive reclaim when no writer can be in flight (tests,
+        decommissioned tables)."""
         import time
 
         vs = self.versions()

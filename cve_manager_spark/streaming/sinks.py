@@ -479,16 +479,30 @@ def foreach_batch_merge_lake(
             if committed:
                 TableLog(table_dir).init()
         elif committed:
+            log = TableLog(table_dir)
+            if not log.versions():
+                # crash-safe bootstrap: a crash between the first batch's
+                # overwrite write and init() leaves data files with no
+                # log; adopting them here keeps the documented
+                # "re-application converges" property instead of wedging
+                # the stream on merge_upsert's no-commit-log error
+                log.init()
             # winners computed against the SNAPSHOT being merged into; a
             # concurrent maintenance commit (compact/delete through the
             # same log) invalidates both, so recompute-and-retry — the
             # optimistic-concurrency loop a streaming writer runs against
-            # a shared table's transaction log
-            log = TableLog(table_dir)
+            # a shared table's transaction log. ONE version is pinned per
+            # attempt (read and publish-parent alike): winners derived
+            # from v must publish against v, or a commit landing between
+            # the read and the merge would be silently clobbered.
             for attempt in range(3):
+                v, _ = log.snapshot()
                 try:
                     log.merge_upsert(
-                        spark, winners_vs(log.read(spark)), key_cols=key_cols
+                        spark,
+                        winners_vs(log.read(spark, version=v)),
+                        key_cols=key_cols,
+                        expected_version=v,
                     )
                     break
                 except CommitConflict:

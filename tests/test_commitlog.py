@@ -176,7 +176,9 @@ def test_vacuum_reclaims_superseded_and_orphan_files(spark, tmp_path):
     # orphans are invisible to readers even before vacuum
     assert log.read(spark).count() == 100
 
-    out = log.vacuum(keep_versions=1)
+    # explicit 0 opts into aggressive reclaim (no writer can be in
+    # flight here); the conservative default would spare these fresh files
+    out = log.vacuum(keep_versions=1, min_age_seconds=0)
     assert out["dropped_manifests"] == 1
     assert out["dropped_files"] > 0
     # exactly the live manifest's files remain on disk
@@ -287,7 +289,65 @@ def test_vacuum_age_guard_spares_live_writers_staging(spark, tmp_path):
     assert out["dropped_files"] > 0  # old superseded files reclaimed
     # the live writer's staging survived
     assert all((log.root / r).exists() for r in staged)
-    # a later unguarded vacuum (writer done/crashed) reclaims them
-    log.vacuum(keep_versions=1)
+    # the DEFAULT is the guarded setting: a vacuum invoked with no
+    # retention argument (routine maintenance) must also spare them
+    out_default = log.vacuum(keep_versions=1)
+    assert all((log.root / r).exists() for r in staged)
+    assert out_default["dropped_files"] == 0
+    # a later explicit-0 vacuum (writer done/crashed) reclaims them
+    log.vacuum(keep_versions=1, min_age_seconds=0)
     assert not any((log.root / r).exists() for r in staged)
     assert log.read(spark).count() == 100
+
+
+def test_relative_table_path_is_normalized(spark, tmp_path, monkeypatch):
+    """TableLog('rel/dir') must behave like its absolute form:
+    delete_where maps input_file_name()'s absolute file:// URIs back to
+    manifest-relative paths via relative_to(self.root), which raises
+    mid-operation if root stayed relative."""
+    log_abs = _mk_table(spark, tmp_path)
+    monkeypatch.chdir(tmp_path)
+    log = TableLog("t_flat")
+    assert log.root.is_absolute()
+    out = log.delete_where(spark, "k < 20")
+    assert out["n_deleted"] == 20
+    assert log.read(spark).count() == 180
+
+
+def test_merge_rejects_type_divergence(spark, tmp_path):
+    """Same column names, different type: the guard must refuse instead
+    of silently widening the table schema in the rewritten files."""
+    log = _mk_table(spark, tmp_path)
+    upd = spark.createDataFrame([(7, 3, 777)], "k int, part int, v bigint")
+    with pytest.raises(ValueError, match="types diverge"):
+        log.merge_upsert(spark, upd, key_cols=["k"])
+    v, _ = log.snapshot()
+    assert v == 0  # nothing committed
+
+
+def test_merge_with_stale_expected_version_conflicts(spark, tmp_path):
+    """The TOCTOU the streaming sink retry loop arbitrates: updates
+    derived from a v0 read, another writer commits v1 in between. A
+    merge pinned to expected_version=0 must surface CommitConflict (so
+    the caller recomputes) instead of publishing winners computed from
+    the stale snapshot on top of the interleaved commit."""
+    log = _mk_table(spark, tmp_path)
+    v0, _ = log.snapshot()
+    upd = spark.createDataFrame(
+        [(7, 3, 777)], "k bigint, part int, v bigint"
+    )
+    # interleaved writer commits v1
+    other = TableLog(str(log.root))
+    assert other.delete_where(spark, "k >= 150")["version"] == 1
+    with pytest.raises(CommitConflict):
+        log.merge_upsert(spark, upd, key_cols=["k"], expected_version=v0)
+    # the interleaved delete was NOT clobbered and no merge leaked in
+    got = log.read(spark)
+    assert got.count() == 150
+    assert got.where("k = 7").head()["v"] == 70
+    # unpinned retry against the fresh snapshot applies both effects
+    out = log.merge_upsert(spark, upd, key_cols=["k"])
+    assert out["version"] == 2
+    got = log.read(spark)
+    assert got.count() == 150
+    assert got.where("k = 7").head()["v"] == 777

@@ -4,6 +4,7 @@ testdata events via availableNow, plus a rate-source watermark smoke."""
 from __future__ import annotations
 
 import time
+from pathlib import Path
 
 import pytest
 from pyspark.sql import Window
@@ -946,6 +947,64 @@ def test_foreach_batch_merge_lake_committed_survives_concurrent_compaction(
     start().awaitTermination()
     assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
 
-    # superseded + orphan files reclaim; content still identical
-    log.vacuum(keep_versions=1)
+    # superseded + orphan files reclaim (explicit 0: no writer in
+    # flight here); content still identical
+    log.vacuum(keep_versions=1, min_age_seconds=0)
+    assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
+
+
+def test_foreach_batch_merge_lake_committed_bootstrap_crash_recovery(
+    spark, tmp_path
+):
+    """Crash window between the bootstrap batch's parquet overwrite and
+    TableLog.init(): data files exist with no commit log and no
+    _last_batch marker. Replay must ADOPT the files into a fresh log
+    instead of wedging on merge_upsert's no-commit-log error, and the
+    stream must still converge to batch keep-newest."""
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.streaming.sinks import foreach_batch_merge_lake
+
+    src_dir = str(tmp_path / "events_lake_src_b")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "lake_table_b")
+    # the crashed bootstrap's remnant: keep-newest over a slice of the
+    # source, written as plain parquet with NO _commits dir
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    remnant = (
+        events.orderBy("event_id")
+        .limit(200)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        # the real crashed bootstrap wrote from the STREAM's schema,
+        # where ts is a TIMESTAMP (ltz), not the batch reader's ntz
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    remnant.write.mode("overwrite").parquet(out)
+    assert not (Path(out) / "_commits").exists()
+
+    stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    foreach_batch_merge_lake(
+        stream,
+        out,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        committed=True,
+    ).awaitTermination()
+
+    log = TableLog(out)
+    assert log.versions(), "replay did not bootstrap the commit log"
+    want = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cols = ["user_id", "event_id", "event_type", "value"]
     assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
