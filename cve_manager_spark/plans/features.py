@@ -3928,3 +3928,172 @@ def bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.text import bpe_train
 
     return bpe_train(load_table(spark, sf, "documents"), n_merges=12)
+
+
+# ---------------------------------------------------------------------------
+# commit-log time travel (round 10): the read-side half of the isolation
+# story commitlog.py guarantees — pinned-version reads and cross-version
+# diffs through the SAME manifest mechanism the writers commit through.
+# ---------------------------------------------------------------------------
+
+
+def _timetravel_log(spark: SparkSession, sf: str):
+    """Materialize a small commit-logged table with three versions carved
+    deterministically out of ``documents``:
+
+    - v0 ``init``: every doc as (doc_id, digest = md5(text));
+    - v1 ``delete``: doc_id % 11 = 0 removed (a retention purge);
+    - v2 ``merge``: doc_id % 7 = 0 survivors re-digested over
+      text || ' v2' (a re-crawl), plus doc_id % 17 = 0 docs re-keyed
+      to doc_id + 1000000 and digested over text || ' new' (fresh
+      ingest, unmatched -> appended).
+
+    The table lives in a scratch dir keyed by ``sf``: every version's
+    content is a pure function of the input parquet, so a COMPLETED
+    build (v2 manifest present) is reused across calls — repeated spec
+    runs read the same three manifests instead of re-writing the table
+    — and the DuckDB oracle recomputes each snapshot from ``documents``
+    directly. A half-built leftover (no v2) is torn down and rebuilt in
+    a private dir, then published with an atomic rename, so two racing
+    builders resolve to one complete table. Scratch size is
+    O(|documents|) with 3 tiny commits — negligible next to the scan
+    the oracle itself performs.
+    """
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cve_manager_spark.commitlog import TableLog
+
+    slug = sf.strip("/").replace("/", "_").replace(".", "_")
+    tdir = Path(tempfile.gettempdir()) / f"cve_spark_tt_{slug}" / "docs_log"
+    if (tdir / "_commits" / "v2.json").exists():
+        return TableLog(str(tdir))
+
+    docs = load_table(spark, sf, "documents")
+    scratch = Path(tempfile.mkdtemp(prefix="cve_spark_tt_build_")) / "docs_log"
+    docs.select("doc_id", F.md5("text").alias("digest")).write.parquet(
+        str(scratch)
+    )
+    log = TableLog(str(scratch))
+    log.init()
+    log.delete_where(spark, "doc_id % 11 = 0")
+    updates = (
+        docs.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0))
+        .select(
+            "doc_id",
+            F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("digest"),
+        )
+    )
+    inserts = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("digest"),
+    )
+    log.merge_upsert(spark, updates.unionByName(inserts), key_cols=["doc_id"])
+
+    tdir.parent.mkdir(parents=True, exist_ok=True)
+    if tdir.exists():  # stale half-build from a crashed caller
+        shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.replace(scratch, tdir)
+    except OSError:
+        pass  # concurrent builder published a complete table first
+    shutil.rmtree(scratch.parent, ignore_errors=True)
+    return TableLog(str(tdir))
+
+
+_TIMETRAVEL_DIFF_ORACLE = """
+WITH v0 AS (
+  SELECT doc_id, md5(text) AS digest FROM documents
+), v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2')
+              ELSE md5(text) END AS digest
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS digest
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT COALESCE(v0.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v0.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM v0 FULL OUTER JOIN v2 ON v0.doc_id = v2.doc_id
+WHERE v0.doc_id IS NULL OR v2.doc_id IS NULL OR v0.digest <> v2.digest
+"""
+
+
+@_register(
+    "timetravel_snapshot_diff",
+    _TIMETRAVEL_DIFF_ORACLE,
+    doc="Time travel through the commit log as a QUERY face: build a "
+    "commit-logged table (init -> retention delete -> re-crawl merge), "
+    "then diff TableLog.read(version=0) against the latest manifest — "
+    "added/removed/changed keys across a version pair, the audit a "
+    "lakehouse runs before promoting a snapshot. Unlike the "
+    "snapshot_diff spec (which carves both versions out of the scan), "
+    "both sides here are pinned-manifest reads through the SAME "
+    "mechanism writers commit through, so the diff exercises snapshot "
+    "isolation end-to-end: a v0 reader is byte-stable while v1/v2 land "
+    "(commitlog.py hard-link publish). Rows reduce to (key, 16-byte "
+    "digest) before the full outer join; at 100 TB the scratch table "
+    "is the real lake and the diff is one hash join on the key, "
+    "partition-pruned to the manifests' file lists.",
+    priority=7,
+)
+def timetravel_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    log = _timetravel_log(spark, sf)
+    old = log.read(spark, version=0).select(
+        F.col("doc_id").alias("id0"), F.col("digest").alias("d0")
+    )
+    new = log.read(spark).select(
+        F.col("doc_id").alias("id2"), F.col("digest").alias("d2")
+    )
+    j = old.join(new, old.id0 == new.id2, "full_outer")
+    change = (
+        F.when(F.col("id0").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.where(
+        F.col("id0").isNull() | F.col("id2").isNull() | (F.col("d0") != F.col("d2"))
+    ).select(F.coalesce("id0", "id2").alias("doc_id"), change.alias("change"))
+
+
+_TIMETRAVEL_COUNTS_ORACLE = """
+SELECT 0 AS version, COUNT(*) AS n_rows FROM documents
+UNION ALL
+SELECT 1 AS version, COUNT(*) AS n_rows FROM documents WHERE doc_id % 11 <> 0
+UNION ALL
+SELECT 2 AS version,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 11 <> 0)
+       + (SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0) AS n_rows
+"""
+
+
+@_register(
+    "timetravel_version_counts",
+    _TIMETRAVEL_COUNTS_ORACLE,
+    doc="Version history of a commit-logged table: row count at EVERY "
+    "manifest (init / delete / merge), each read as a pinned snapshot "
+    "via TableLog.read(version=v) — 'describe history' for the lake "
+    "table. Verifies the manifests compose: v1 = v0 minus the "
+    "retention delete, v2 = v1 plus the unmatched inserts (matched "
+    "updates replace in place, leaving the count unchanged). Each "
+    "count is one metadata-pruned scan of that manifest's file list; "
+    "the union is k tiny rows for k versions.",
+    priority=7,
+)
+def timetravel_version_counts(spark: SparkSession, sf: str) -> DataFrame:
+    log = _timetravel_log(spark, sf)
+    parts = [
+        log.read(spark, version=v)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(v).cast("int").alias("version"), "n_rows")
+        for v in log.versions()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("version", "n_rows")

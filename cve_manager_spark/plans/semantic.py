@@ -387,3 +387,148 @@ def pq_codes(spark: SparkSession, sf: str) -> DataFrame:
             for j in range(4)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding drift monitor (round 10): PSI-style bucket histogram over the
+# corpus top-PC projection, reference window vs current window.
+# ---------------------------------------------------------------------------
+
+
+def _drift_oracle() -> str:
+    from cve_manager_spark.plans.round9d import _PCA_CTE
+
+    return _PCA_CTE + """
+, proj AS (
+  SELECT x.vec_id,
+         CAST(FLOOR(CAST(SUM(x.xv * v2.v) AS DOUBLE) / 1000000) AS BIGINT)
+           AS p
+  FROM x JOIN v2 USING (pos) GROUP BY x.vec_id
+), pr AS (
+  SELECT CAST(vec_id % 2 AS INTEGER) AS win, p FROM proj
+), st AS (
+  SELECT MIN(p) AS pmin, MAX(p) AS pmax,
+         SUM(CASE WHEN win = 0 THEN 1 ELSE 0 END) AS nrt,
+         SUM(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS nct
+  FROM pr
+), g AS (
+  SELECT CAST((pr.p - st.pmin) * 16 // (st.pmax - st.pmin + 1) AS INTEGER)
+           AS bucket,
+         SUM(CASE WHEN pr.win = 0 THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN pr.win = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM pr, st GROUP BY 1
+)
+SELECT g.bucket,
+       CAST(g.n_ref AS BIGINT) AS n_ref,
+       CAST(g.n_cur AS BIGINT) AS n_cur,
+       CAST(g.n_ref * 1000000 // st.nrt AS BIGINT) AS ppm_ref,
+       CAST(g.n_cur * 1000000 // st.nct AS BIGINT) AS ppm_cur,
+       CAST(g.n_cur * 1000000 // st.nct
+            - g.n_ref * 1000000 // st.nrt AS BIGINT) AS delta_ppm
+FROM g, st
+"""
+
+
+@_register(
+    "embedding_drift_buckets",
+    _drift_oracle(),
+    doc="Embedding-distribution drift monitor: project every vector onto "
+    "the corpus top principal direction (the exact-integer power-method "
+    "pipeline of embedding_pca_power), histogram the projection into 16 "
+    "equal-width buckets between the global min/max, and compare the "
+    "REFERENCE window against the CURRENT window per bucket — counts "
+    "plus ppm shares plus the signed per-bucket share delta, i.e. the "
+    "exact-integer inputs of a PSI / total-variation drift score (the "
+    "transcendental ln of PSI stays OUT of the engine, computed driver-"
+    "side over these 16 rows; sum(|delta_ppm|)/2e6 IS the total "
+    "variation distance). Windows here are the vec_id-parity A/A split "
+    "— the null-drift calibration run every monitor needs; in "
+    "production the windows are crawl snapshots and the reference "
+    "histogram is a frozen artifact. Cluster cost: the PCA passes (one "
+    "d-sum aggregate per iteration), one projection pass, a 1-row "
+    "stats broadcast, and a 16-key partial-agg'd groupBy — no shuffle "
+    "carries vector payloads, and the monitor's per-window state is 16 "
+    "integers regardless of corpus size.",
+    priority=7,
+)
+def embedding_drift_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
+    from cve_manager_spark.operators.semantic import (
+        pca_power_top,
+        quantize_vec,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    v_rows = pca_power_top(
+        emb, vec_col="embedding", id_col="vec_id", iters=2
+    ).collect()
+    v = [0] * len(v_rows)
+    for r in v_rows:
+        v[r["dim"]] = r["loading"]
+
+    q = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("q"))
+    sums = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("q", j + 1)).alias(f"s{j}")
+            for j in range(len(v))
+        ],
+    ).head()
+    n = sums["n"]
+    mu = [math.floor(sums[f"s{j}"] / n) for j in range(len(v))]
+    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    v_lit = F.array(*[F.lit(int(vj)).cast("long") for vj in v])
+    x = q.select(
+        "vec_id", F.zip_with("q", mu_lit, lambda a, b: a - b).alias("x")
+    )
+    dot = F.aggregate(
+        F.zip_with("x", v_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    p = F.floor(dot.cast("double") / F.lit(1000000.0)).cast("long")
+    pr = x.select(
+        (F.col("vec_id") % 2).cast("int").alias("win"), p.alias("p")
+    )
+    stats = pr.agg(
+        F.min("p").alias("pmin"),
+        F.max("p").alias("pmax"),
+        F.sum(F.when(F.col("win") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nrt"),
+        F.sum(F.when(F.col("win") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nct"),
+    )
+    g = (
+        pr.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr("CAST((p - pmin) * 16 div (pmax - pmin + 1) AS INT)")
+            .alias("bucket"),
+            "win",
+            "nrt",
+            "nct",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("win") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("win") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cur"),
+            F.max("nrt").alias("nrt"),
+            F.max("nct").alias("nct"),
+        )
+    )
+    return g.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.expr("CAST(n_ref * 1000000 div nrt AS BIGINT)").alias("ppm_ref"),
+        F.expr("CAST(n_cur * 1000000 div nct AS BIGINT)").alias("ppm_cur"),
+        F.expr(
+            "CAST(n_cur * 1000000 div nct - n_ref * 1000000 div nrt AS BIGINT)"
+        ).alias("delta_ppm"),
+    )

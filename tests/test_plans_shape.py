@@ -966,3 +966,37 @@ def test_shingle_size_sweep_is_digest_counts_only(spark):
     tree = plan.split("\n\n")[0]
     assert "Join" not in tree
     assert "Window" not in tree
+
+
+def test_embedding_drift_stats_ride_one_broadcast_row(spark):
+    """The bucket bounds and window totals come from ONE 1-row stats
+    aggregate broadcast back over the projection relation (cross build
+    right) — never a re-scan per bucket, never a shuffle join — and the
+    16-key histogram aggregates partial-then-final."""
+    plan = plan_of(spark, "embedding_drift_buckets")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in tree
+    assert "SortMergeJoin" not in tree and "Window" not in tree
+    assert tree.count("Scan parquet") == 2  # stats pass + bucket pass
+    assert tree.count("HashAggregate") >= 4  # partial+final, both aggs
+
+
+def test_timetravel_diff_joins_pinned_manifests_on_key(spark):
+    """Both sides are pinned-manifest file-list scans reduced to
+    (key, digest) BEFORE the full outer join — only 16-byte digests
+    cross the shuffle, and the join is key-equi (never nested-loop)."""
+    plan = plan_of(spark, "timetravel_snapshot_diff")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin FullOuter" in tree
+    assert tree.count("Scan parquet") == 2  # v0 manifest + latest manifest
+    assert "NestedLoop" not in tree and "Window" not in tree
+
+
+def test_timetravel_version_counts_is_joinless_union_of_counts(spark):
+    """One metadata-pruned count per manifest, partial-then-final,
+    stacked by a union — no join anywhere."""
+    plan = plan_of(spark, "timetravel_version_counts")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 3  # one per version
+    assert tree.count("HashAggregate") >= 6
