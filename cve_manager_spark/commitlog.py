@@ -218,6 +218,70 @@ class TableLog:
         for rel in new_rel:
             (self.root / rel).unlink(missing_ok=True)
 
+    def append(
+        self,
+        spark: SparkSession,
+        rows: DataFrame,
+        expected_version: int | None = None,
+        max_retries: int = 5,
+    ) -> dict[str, int]:
+        """Committed blind APPEND: stage ``rows`` as fresh part files and
+        publish (snapshot ∪ new) — the streaming-ingest primitive.
+
+        Unlike delete/merge, an append derives nothing from the rows it
+        read: it commutes with any concurrent commit (the Delta/Iceberg
+        blind-append rule). So on :class:`CommitConflict` the staged
+        files are NOT discarded — the retry re-reads the latest manifest
+        and re-publishes the SAME staged files against the new parent,
+        paying one tiny JSON write instead of a Spark job. Passing
+        ``expected_version`` opts out of that (strict serialization:
+        conflict propagates), for callers whose appended rows WERE
+        derived from a snapshot read — e.g. a dedup gate that must not
+        land on top of an interleaved writer it never compared against.
+        """
+        version, files = self.snapshot(expected_version)
+        pcols = _partition_cols_logged(self.root)
+        df = self.read(spark, version=version)
+        if sorted(df.columns) != sorted(rows.columns):
+            raise ValueError(
+                f"append schema mismatch: table {sorted(df.columns)} vs "
+                f"rows {sorted(rows.columns)}"
+            )
+        tab_types, row_types = dict(df.dtypes), dict(rows.dtypes)
+        type_clash = {
+            c: (tab_types[c], row_types[c])
+            for c in tab_types
+            if tab_types[c] != row_types[c]
+        }
+        if type_clash:
+            raise ValueError(
+                "append schema mismatch: column types diverge "
+                f"{type_clash} — a silent widen would fork the table "
+                "schema across files"
+            )
+        n_rows = rows.count()
+        if n_rows == 0:
+            return {"n_appended": 0, "version": version}
+        new_rel = self._stage(rows.select(*df.columns), "app", pcols)
+        n_new = _count_files(spark, self.root, new_rel)
+        if n_new != n_rows:
+            self._abort(new_rel)
+            raise RuntimeError(
+                f"append row mismatch for {self.root}: staged {n_new} of "
+                f"{n_rows} rows; nothing committed"
+            )
+        parent, base = version, files
+        for attempt in range(max_retries):
+            try:
+                v = self._publish(parent, list(base) + new_rel, "append")
+                return {"n_appended": n_rows, "version": v}
+            except CommitConflict:
+                if expected_version is not None or attempt == max_retries - 1:
+                    self._abort(new_rel)
+                    raise
+                parent, base = self.snapshot()
+        raise AssertionError("unreachable")
+
     def delete_where(
         self, spark: SparkSession, predicate: "F.Column | str"
     ) -> dict[str, int]:

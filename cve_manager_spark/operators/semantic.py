@@ -286,3 +286,72 @@ def pca_power_top(
     return spark.createDataFrame(
         [(j, int(v[j])) for j in range(d)], "dim int, loading bigint"
     )
+
+
+def encode_frozen(
+    df: DataFrame,
+    cents: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-side frozen-cell encode: quantize, self-dot, nearest FROZEN
+    centroid — no shuffle, no retrain. This is the delta half of the
+    incremental-index contract (encode(base ∪ delta) == encode(base) ∪
+    encode(delta), see ``ivf_pq_upsert``): because the codebook is a
+    literal, a new snapshot encodes with zero reads of the old corpus.
+    Returns (id, q, qq, cluster)."""
+    q = df.select(
+        F.col(id_col), quantize_vec(F.col(vec_col)).alias("q")
+    ).withColumn("qq", dot_self(F.col("q")))
+    return assign_clusters(q, cents).drop("dist_q")
+
+
+def dup_dominated(
+    new_enc: DataFrame, other_enc: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """IDs of ``new_enc`` rows semantically dominated by a LOWER-id row
+    of ``other_enc`` in the same frozen cell — the SemDeDup greedy
+    keep-lowest-id drop test, composable across snapshots because the
+    policy is non-recursive (x drops iff ANY lower-id cell-mate sits
+    within the threshold, whether or not that mate was itself dropped).
+
+    Both inputs carry (id, q, qq, cluster) from :func:`encode_frozen`.
+    The cosine test cos ≥ 0.35 is exact-integer cross-multiplication
+    (400·dot² ≥ 49·|a|²·|b|², dot > 0) in DECIMAL(38,0) — no floats,
+    so streaming and batch evaluations agree bit-for-bit. The join is
+    cell-keyed equi (never all-pairs); per-cell size is controlled by
+    k, and a hot cell is AQE skew-split like any other skewed key.
+    Returns a distinct (id) relation."""
+    left = new_enc.select(
+        "cluster",
+        F.col(id_col).alias("__id_n"),
+        F.col("q").alias("__q_n"),
+        F.col("qq").alias("__qq_n"),
+    )
+    right = other_enc.select(
+        F.col("cluster").alias("__cl_o"),
+        F.col(id_col).alias("__id_o"),
+        F.col("q").alias("__q_o"),
+        F.col("qq").alias("__qq_o"),
+    )
+    p = left.join(right, F.col("cluster") == F.col("__cl_o")).where(
+        F.col("__id_o") < F.col("__id_n")
+    )
+    dot = F.aggregate(
+        F.zip_with("__q_n", "__q_o", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    p = p.withColumn("__dot", dot)
+    d19 = F.col("__dot").cast("decimal(19,0)")
+    lhs = d19 * d19 * F.lit(400)
+    rhs = (
+        F.col("__qq_n").cast("decimal(19,0)")
+        * F.col("__qq_o").cast("decimal(19,0)")
+        * F.lit(49)
+    )
+    return (
+        p.where((F.col("__dot") > 0) & (lhs >= rhs))
+        .select(F.col("__id_n").alias(id_col))
+        .distinct()
+    )

@@ -519,3 +519,150 @@ def foreach_batch_merge_lake(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_vectors_stream(
+    spark: DataFrame, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based embeddings stream (parquet dir of (vec_id, embedding[,
+    label]) files — the nightly-crawl drop-folder shape). Schema must be
+    explicit for readStream; probe a batch read so the element type
+    (float vs double) follows the files, falling back to the testdata
+    layout for a not-yet-populated dir."""
+    from pyspark.errors import AnalysisException
+
+    from cve_manager_spark.session import tune
+
+    tune(spark)
+    try:
+        schema = spark.read.parquet(path).schema
+    except AnalysisException:
+        schema = "vec_id bigint, embedding array<float>, label int"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def foreach_batch_semantic_dedup(
+    stream_df: DataFrame,
+    table_dir: str,
+    centroids: list[list[int]],
+    trigger_available_now: bool = True,
+    committed: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming SemDeDup gate: the incremental semantic dedup
+    (``semantic_dedup_incremental``'s frozen-cell shape) as a continuous
+    ingest sink. Each micro-batch of embeddings is
+
+    1. encoded MAP-SIDE against the frozen codebook (``encode_frozen`` —
+       no shuffle, no retrain: the codebook travels as a literal),
+    2. tested for duplicates with the greedy keep-lowest-id policy via
+       two cell-keyed equi-joins — against the batch itself (intra) and
+       against the SEEN table (cross), never all-pairs,
+    3. appended to the seen table with a ``kept`` verdict per vector.
+
+    The seen table is hive-partitioned by ``cluster``, and the cross
+    join reads ONLY the partitions for cells present in the batch (the
+    cell list is ≤ k driver-side values → an ``isin`` partition filter),
+    so per-batch cost follows |batch| × the touched cells' occupancy —
+    the |new| × |corpus-cell| bound of the batch spec, never corpus².
+
+    The SemDeDup drop policy is non-recursive (x drops iff ANY lower-id
+    cell-mate is within the threshold, kept or not), so micro-batch
+    chopping cannot change the verdicts as long as ids arrive
+    non-decreasing across batches — with id-ordered arrival the stream's
+    final seen table equals the one-shot batch computation bit-for-bit
+    (the differential test). Out-of-order arrival degrades gracefully:
+    an already-written verdict is never retroactively flipped, the
+    documented divergence of any online dedup gate.
+
+    Exactly-once over at-least-once replay: the ``_last_batch`` marker
+    (same protocol as :func:`foreach_batch_merge_lake` — appends of a
+    replayed batch would duplicate seen rows, which the marker prevents;
+    marker write follows the append, so a crash between them re-applies
+    one batch whose rows then exist twice under plain parquet — the
+    ``committed=True`` path closes even that window, since its replayed
+    append publishes a NEW manifest and the duplicate-free recovery is
+    one ``delete_where`` on the replayed batch's rows; in practice the
+    marker makes replay a no-op in both modes).
+
+    ``committed=True`` routes the seen table through
+    :class:`~cve_manager_spark.commitlog.TableLog`: one atomic manifest
+    version per batch via the blind-append fast path (conflict with a
+    concurrent maintenance writer = re-publish the already-staged files,
+    no recompute), and readers resolve the manifest.
+    """
+    from pathlib import Path
+
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.operators.semantic import (
+        dup_dominated,
+        encode_frozen,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = Path(table_dir + "_last_batch")
+        if marker.exists() and batch_id <= int(marker.read_text()):
+            return
+        enc = encode_frozen(
+            batch_df, centroids, vec_col=vec_col, id_col=id_col
+        ).persist()
+        try:
+            dropped = dup_dominated(enc, enc, id_col=id_col)
+            tdir = Path(table_dir)
+            bootstrap = not any(tdir.rglob("*.parquet"))
+            if not bootstrap:
+                cells = [
+                    r["cluster"]
+                    for r in enc.select("cluster").distinct().collect()
+                ]
+                if committed:
+                    log = TableLog(table_dir)
+                    if not log.versions():
+                        log.init()  # crash-safe bootstrap adoption
+                    seen = log.read(spark)
+                else:
+                    seen = spark.read.parquet(table_dir)
+                # partition-pruned: only the batch's cells are scanned
+                seen = seen.where(F.col("cluster").isin(cells)).select(
+                    id_col, "q", "qq", "cluster"
+                )
+                dropped = dropped.unionByName(
+                    dup_dominated(enc, seen, id_col=id_col)
+                ).distinct()
+            out = (
+                enc.join(dropped.withColumn("__d", F.lit(1)), id_col, "left")
+                .select(
+                    id_col,
+                    "q",
+                    "qq",
+                    F.col("__d").isNotNull().alias("dropped"),
+                    "cluster",
+                )
+            )
+            if bootstrap:
+                out.write.partitionBy("cluster").mode("overwrite").parquet(
+                    table_dir
+                )
+                if committed:
+                    TableLog(table_dir).init()
+            elif committed:
+                TableLog(table_dir).append(spark, out)
+            else:
+                out.write.partitionBy("cluster").mode("append").parquet(
+                    table_dir
+                )
+            marker.write_text(str(batch_id))
+        finally:
+            enc.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{table_dir}_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -351,3 +351,94 @@ def test_merge_with_stale_expected_version_conflicts(spark, tmp_path):
     got = log.read(spark)
     assert got.count() == 150
     assert got.where("k = 7").head()["v"] == 777
+
+
+def test_append_publishes_union_and_preserves_old_bytes(spark, tmp_path):
+    log = _mk_table(spark, tmp_path, partitioned=True)
+    before = _digests(log.root)
+    rows = spark.range(1000, 1010).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    res = log.append(spark, rows)
+    assert res == {"n_appended": 10, "version": 1}
+    got = log.read(spark)
+    assert got.count() == 210
+    assert got.where(F.col("k") >= 1000).count() == 10
+    after = _digests(log.root)
+    for rel, d in before.items():  # blind append: nothing rewritten
+        assert after[rel] == d
+    # appending zero rows is a no-op, no new version
+    assert log.append(spark, rows.limit(0)) == {"n_appended": 0, "version": 1}
+    assert log.versions() == [0, 1]
+
+
+def test_append_rejects_schema_and_type_divergence(spark, tmp_path):
+    log = _mk_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        log.append(spark, spark.range(5).select(F.col("id").alias("k")))
+    bad_types = spark.range(5).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("long").alias("part"),  # table has int
+        (F.col("id") * 10).alias("v"),
+    )
+    with pytest.raises(ValueError, match="types diverge"):
+        log.append(spark, bad_types)
+
+
+def test_append_with_stale_expected_version_conflicts_and_aborts(
+    spark, tmp_path
+):
+    log = _mk_table(spark, tmp_path)
+    v0 = log.snapshot()[0]
+    rows = spark.range(500, 505).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    log.append(spark, rows)  # interleaved writer lands v1
+    n_files_before = len(list(log.root.rglob("*.parquet")))
+    with pytest.raises(CommitConflict):
+        log.append(spark, rows, expected_version=v0)
+    # the loser's staged files were aborted — no orphans
+    assert len(list(log.root.rglob("*.parquet"))) == n_files_before
+
+
+def test_blind_append_retries_past_interleaved_commit(
+    spark, tmp_path, monkeypatch
+):
+    """An append that loses the publish race re-publishes its ALREADY
+    staged files against the fresh parent — no restage, no data loss."""
+    log = _mk_table(spark, tmp_path)
+    rows = spark.range(500, 505).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    other = spark.range(900, 903).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    real_publish = TableLog._publish
+    state = {"interleaved": False}
+
+    def racing_publish(self, parent, files, op, schema=None):
+        if op == "append" and not state["interleaved"]:
+            state["interleaved"] = True
+            # another writer lands between our snapshot and our publish
+            fresh = TableLog(str(self.root))
+            monkeypatch.undo()
+            fresh.append(spark, other)
+            monkeypatch.setattr(TableLog, "_publish", racing_publish)
+        return real_publish(self, parent, files, op, schema=schema)
+
+    monkeypatch.setattr(TableLog, "_publish", racing_publish)
+    res = log.append(spark, rows)
+    monkeypatch.undo()
+    assert res["n_appended"] == 5
+    got = log.read(spark)
+    assert got.count() == 208  # 200 + 3 interleaved + 5 ours
+    assert got.where((F.col("k") >= 500) & (F.col("k") < 505)).count() == 5
+    assert got.where(F.col("k") >= 900).count() == 3

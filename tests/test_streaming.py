@@ -1008,3 +1008,113 @@ def test_foreach_batch_merge_lake_committed_bootstrap_crash_recovery(
     )
     cols = ["user_id", "event_id", "event_type", "value"]
     assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
+
+
+def _seed_vec_batches(spark, tmp_path, n_batches=3):
+    """Write embeddings as ``n_batches`` id-ordered single-file drops
+    (ascending ranges, ascending mtimes) so the file source replays
+    them as ordered micro-batches."""
+    import os
+    import shutil
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    ids = sorted(r[0] for r in emb.select("vec_id").collect())
+    cuts = [ids[(i + 1) * len(ids) // n_batches] for i in range(n_batches - 1)]
+    bounds = [min(ids)] + cuts + [max(ids) + 1]
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    for i in range(n_batches):
+        part = emb.where(
+            (F.col("vec_id") >= bounds[i]) & (F.col("vec_id") < bounds[i + 1])
+        )
+        scratch = tmp_path / f"vec_scratch{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        dest = src / f"b{i}.parquet"
+        shutil.move(str(next(scratch.glob("*.parquet"))), str(dest))
+        os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+    return emb, str(src)
+
+
+def _batch_semantic_verdicts(emb, cents):
+    """One-shot batch twin: greedy keep-lowest-id over the frozen-cell
+    assignment of the WHOLE corpus."""
+    from cve_manager_spark.operators.semantic import (
+        dup_dominated,
+        encode_frozen,
+    )
+
+    enc = encode_frozen(emb, cents)
+    dropped = dup_dominated(enc, enc)
+    return enc.join(
+        dropped.withColumn("__d", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id", F.col("__d").isNotNull().alias("dropped"), "cluster"
+    )
+
+
+def test_foreach_batch_semantic_dedup_equals_batch(spark, tmp_path):
+    """Streaming SemDeDup gate: after an id-ordered multi-batch
+    availableNow pass, the seen table's per-vector keep/drop verdicts
+    equal the one-shot batch computation exactly (the policy is
+    non-recursive, so micro-batch chopping cannot change them), and a
+    replay against the same checkpoint changes nothing."""
+    from cve_manager_spark.operators.semantic import kmeans_fit
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_semantic_dedup,
+        read_vectors_stream,
+    )
+
+    emb, src = _seed_vec_batches(spark, tmp_path)
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    _, cents = kmeans_fit(base, vec_col="embedding", id_col="vec_id", k=8, iters=2)
+    out = str(tmp_path / "seen_table")
+
+    def start():
+        stream = read_vectors_stream(spark, src, max_files_per_trigger=1)
+        return foreach_batch_semantic_dedup(stream, out, cents)
+
+    start().awaitTermination()
+    got = spark.read.parquet(out)
+    want = _batch_semantic_verdicts(emb, cents)
+    cols = ["vec_id", "dropped", "cluster"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    # seen table is hive-partitioned by cell → the cross join's per-batch
+    # read is partition-pruned to the batch's cells
+    assert any(Path(out).glob("cluster=*"))
+
+    start().awaitTermination()  # replay: marker skips applied batches
+    assert _sorted_rows(spark.read.parquet(out), cols) == _sorted_rows(want, cols)
+
+
+def test_foreach_batch_semantic_dedup_committed_versions(spark, tmp_path):
+    """committed=True: one manifest version per applied batch via the
+    blind-append fast path, manifest read equals batch verdicts, and a
+    mid-stream maintenance writer through the same log is survived."""
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.operators.semantic import kmeans_fit
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_semantic_dedup,
+        read_vectors_stream,
+    )
+
+    emb, src = _seed_vec_batches(spark, tmp_path)
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    _, cents = kmeans_fit(base, vec_col="embedding", id_col="vec_id", k=8, iters=2)
+    out = str(tmp_path / "seen_table_c")
+
+    def start():
+        stream = read_vectors_stream(spark, src, max_files_per_trigger=1)
+        return foreach_batch_semantic_dedup(stream, out, cents, committed=True)
+
+    start().awaitTermination()
+    log = TableLog(out)
+    assert log.snapshot()[0] >= 2  # bootstrap v0 + 2 appended batches
+    want = _batch_semantic_verdicts(emb, cents)
+    cols = ["vec_id", "dropped", "cluster"]
+    assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
+
+    # maintenance compaction through the same log, then replay: marker
+    # skips all batches; content unchanged, reads resolve the manifest
+    log.compact(spark, target_rows_per_file=100_000)
+    start().awaitTermination()
+    assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
