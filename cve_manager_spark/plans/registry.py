@@ -18,7 +18,7 @@ from cve_manager_spark.plans.spec import Builder, QuerySpec
 # error: silently dropping a family would shrink queries()/oracle_sql() with
 # no signal and under-report coverage (numpy/pandas/pyspark.ml are baked into
 # the runtime, so an ImportError here is always a real defect).
-EXPECTED_QUERY_COUNT = 405
+EXPECTED_QUERY_COUNT = 406
 
 # Queries the round-1 driver gate hash-verified (CORRECTNESS_r01.json, all
 # green). The driver samples a PREFIX of the registry, so ordering is a
@@ -393,33 +393,51 @@ def _all_specs() -> list[QuerySpec]:
     from cve_manager_spark.plans import round10 as round10_mod
     from cve_manager_spark.plans import round10b as round10b_mod
     from cve_manager_spark.plans import round10c as round10c_mod
-    from cve_manager_spark.plans import round10d as round10d_mod
-    from cve_manager_spark.plans import round10e as round10e_mod
     from cve_manager_spark.plans import semantic as semantic_mod
+    from cve_manager_spark.plans.order import BASE_ORDER
 
-    in_module_order = (
-        corpus_mod.SPECS
-        + pipeline_mod.SPECS
-        + events_mod.SPECS
-        + relational.SPECS
-        + features_mod.SPECS
-        + analytics_mod.SPECS
-        + semantic_mod.SPECS
-        + round6_mod.SPECS
-        + round7_mod.SPECS
-        + round8_mod.SPECS
-        + round8b_mod.SPECS
-        + round8c_mod.SPECS
-        + round9_mod.SPECS
-        + round9b_mod.SPECS
-        + round9c_mod.SPECS
-        + round9d_mod.SPECS
-        + round10_mod.SPECS
-        + round10b_mod.SPECS
-        + round10c_mod.SPECS
-        + round10d_mod.SPECS
-        + round10e_mod.SPECS
+    modules = (
+        corpus_mod,
+        pipeline_mod,
+        events_mod,
+        relational,
+        features_mod,
+        analytics_mod,
+        semantic_mod,
+        round6_mod,
+        round7_mod,
+        round8_mod,
+        round8b_mod,
+        round8c_mod,
+        round9_mod,
+        round9b_mod,
+        round9c_mod,
+        round9d_mod,
+        round10_mod,
+        round10b_mod,
+        round10c_mod,
     )
+    by_name: dict[str, QuerySpec] = {}
+    for mod in modules:
+        for spec in mod.SPECS:
+            if spec.name in by_name:
+                raise ValueError(f"duplicate query name: {spec.name}")
+            by_name[spec.name] = spec
+
+    # The pre-sort input order is the EXPLICIT list in plans/order.py, not
+    # module concatenation: specs can move between modules without
+    # reshuffling the driver's sampling prefix, and a spec registered but
+    # not listed (or listed but lost) is a hard error in either direction.
+    unlisted = sorted(set(by_name) - set(BASE_ORDER))
+    lost = sorted(set(BASE_ORDER) - set(by_name))
+    if unlisted or lost:
+        raise RuntimeError(
+            "registry/order mismatch: "
+            f"registered-but-unlisted={unlisted or 'none'}, "
+            f"listed-but-missing={lost or 'none'} — append new spec names "
+            "to plans/order.py BASE_ORDER when registering them"
+        )
+    in_base_order = [by_name[name] for name in BASE_ORDER]
 
     green = driver_green()
 
@@ -432,7 +450,7 @@ def _all_specs() -> list[QuerySpec]:
         # for their first driver verdict (spec.py QuerySpec.priority)
         return (tier, spec.priority)
 
-    specs = sorted(in_module_order, key=key)  # stable: module order within key
+    specs = sorted(in_base_order, key=key)  # stable: BASE_ORDER within key
     if len(specs) != EXPECTED_QUERY_COUNT:
         raise RuntimeError(
             f"registry expected {EXPECTED_QUERY_COUNT} queries, found {len(specs)} — "
