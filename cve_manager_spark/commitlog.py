@@ -282,6 +282,30 @@ class TableLog:
                 parent, base = self.snapshot()
         raise AssertionError("unreachable")
 
+    def rollback(self, to_version: int) -> dict[str, int]:
+        """Restore the table to ``to_version`` — published as a NEW
+        commit whose manifest is a copy of the old one (Delta's
+        RESTORE): history moves forward, nothing is deleted, and any
+        reader pinned to an intermediate version is untouched. Rewrites
+        zero data bytes — data files are immutable, so restoring is one
+        manifest write referencing the old files (they are still on
+        disk unless vacuum dropped that manifest, in which case
+        ``snapshot`` already failed loudly). Publish races resolve like
+        every other commit: loser gets :class:`CommitConflict` and
+        decides whether the rollback still makes sense against the new
+        history — retrying blindly is wrong here, since the conflicting
+        commit may BE the correction the rollback was for."""
+        _, files = self.snapshot(to_version)
+        latest = self.versions()[-1]
+        if latest == to_version:
+            return {"version": latest, "n_files": len(files)}
+        schema = None
+        if not files:  # carry the empty manifest's recorded schema
+            with open(_manifest_path(self.root, to_version)) as f:
+                schema = json.load(f).get("schema")
+        v = self._publish(latest, files, "rollback", schema=schema)
+        return {"version": v, "n_files": len(files)}
+
     def delete_where(
         self, spark: SparkSession, predicate: "F.Column | str"
     ) -> dict[str, int]:

@@ -532,3 +532,76 @@ def embedding_drift_buckets(spark: SparkSession, sf: str) -> DataFrame:
             "CAST(n_cur * 1000000 div nct - n_ref * 1000000 div nrt AS BIGINT)"
         ).alias("delta_ppm"),
     )
+
+
+def _frozen_keep_oracle() -> str:
+    from cve_manager_spark.plans.round10 import _incr_semantic_cte
+
+    return _incr_semantic_cte() + """
+, allv AS (
+  SELECT vec_id, q, cid,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+              AS BIGINT) AS nq
+  FROM a2
+  UNION ALL
+  SELECT vec_id, q, cid,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+              AS BIGINT) AS nq
+  FROM ad
+), dr AS (
+  SELECT DISTINCT b.cid, b.vec_id
+  FROM allv a JOIN allv b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                              CAST(b.q AS DOUBLE[])) AS BIGINT) > 0
+    AND CAST(CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                   CAST(b.q AS DOUBLE[])) AS BIGINT)
+             AS HUGEINT)
+        * CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                CAST(b.q AS DOUBLE[])) AS BIGINT) * 400
+        >= CAST(a.nq AS HUGEINT) * b.nq * 49
+), mem AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM allv GROUP BY cid
+), drc AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM dr GROUP BY cid
+)
+SELECT CAST(mem.cid AS INTEGER) AS cluster, mem.n_members,
+       CAST(COALESCE(drc.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(mem.n_members - COALESCE(drc.n_dropped, 0) AS BIGINT) AS n_kept
+FROM mem LEFT JOIN drc ON mem.cid = drc.cid
+"""
+
+
+@_register(
+    "semantic_dedup_frozen_keep",
+    _frozen_keep_oracle(),
+    doc="The streaming SemDeDup gate's one-shot batch face, oracle-"
+    "verified: greedy keep-lowest-id over the WHOLE corpus (base ∪ "
+    "delta) under the FROZEN base-trained codebook — exactly the final "
+    "seen-table the foreach_batch_semantic_dedup sink converges to "
+    "over id-ordered micro-batches (tests/test_streaming.py proves the "
+    "stream==batch equality; this spec hash-verifies the batch side "
+    "against DuckDB, closing the loop driver-side). Per cell: members, "
+    "dropped, kept. Unlike semantic_dedup_keep (codebook retrained on "
+    "everything), the codebook here never sees the delta — the "
+    "no-retrain nightly-ingest contract. Cell-keyed equi self-join "
+    "(never all-pairs), exact-integer cosine in DECIMAL(38,0).",
+    priority=7,
+)
+def semantic_dedup_frozen_keep(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import dup_dominated
+    from cve_manager_spark.plans.round10 import _incr_assignments
+
+    ab, ad, _ = _incr_assignments(spark, sf)
+    cols = ["vec_id", "q", "qq", "cluster"]
+    allv = ab.select(*cols).unionByName(ad.select(*cols))
+    dropped = dup_dominated(allv, allv).withColumn("__d", F.lit(1))
+    j = allv.select("cluster", "vec_id").join(dropped, "vec_id", "left")
+    return j.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.count("__d").alias("n_dropped"),
+    ).select(
+        "cluster",
+        "n_members",
+        "n_dropped",
+        (F.col("n_members") - F.col("n_dropped")).alias("n_kept"),
+    )

@@ -442,3 +442,22 @@ def test_blind_append_retries_past_interleaved_commit(
     assert got.count() == 208  # 200 + 3 interleaved + 5 ours
     assert got.where((F.col("k") >= 500) & (F.col("k") < 505)).count() == 5
     assert got.where(F.col("k") >= 900).count() == 3
+
+
+def test_rollback_restores_old_snapshot_as_new_commit(spark, tmp_path):
+    """RESTORE semantics: rolling back publishes a new version whose
+    manifest copies the old one — zero data bytes rewritten, history
+    moves forward, intermediate readers stay pinned."""
+    log = _mk_table(spark, tmp_path)
+    v0_files = set(log.snapshot()[0:2][1])
+    log.delete_where(spark, "k % 2 = 0")  # v1
+    assert log.read(spark).count() == 100
+    res = log.rollback(0)
+    assert res["version"] == 2
+    v2, files2 = log.snapshot()
+    assert v2 == 2 and set(files2) == v0_files  # manifest copy, no new parts
+    assert log.read(spark).count() == 200
+    # a reader pinned to the deleted-state version still sees it
+    assert log.read(spark, version=1).count() == 100
+    # rolling back to the current state is a no-op, no version burned
+    assert log.rollback(2) == {"version": 2, "n_files": len(files2)}
