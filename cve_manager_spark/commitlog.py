@@ -73,6 +73,19 @@ def _manifest_path(table: Path, version: int) -> Path:
     return table / _LOG_DIR / f"v{version:012d}.json"
 
 
+def _schema_json(df: DataFrame) -> str:
+    """Table schema as manifest-recorded JSON, nullability normalized to
+    True: parquet scans are nullable-on-read anyway, and an evolved
+    column is NULL in every pre-evolution file, so recording a
+    non-nullable field (e.g. from a lit() expression) would promise
+    something old files cannot keep."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    ).json()
+
+
 def _fresh_stem(op: str) -> str:
     return f"part-{op}-{uuid.uuid4().hex[:12]}"
 
@@ -123,23 +136,56 @@ class TableLog:
             m = json.load(f)
         return v, list(m["files"])
 
+    def schema_of(self, version: int | None = None):
+        """The table schema recorded in a manifest (``StructType``), or
+        None for manifests that predate schema recording (init-adopted
+        tables before their first committed write). With schema
+        evolution, the schema is versioned WITH the data: time travel
+        returns both as of that version."""
+        from pyspark.sql.types import StructType
+
+        v, _ = self.snapshot(version)
+        with open(_manifest_path(self.root, v)) as f:
+            s = json.load(f).get("schema")
+        if s is None:
+            return None
+        if s.lstrip().startswith("{"):
+            return StructType.fromJson(json.loads(s))
+        # legacy manifests recorded simpleString; only empty reads used it
+        return s
+
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
         """Scan exactly the manifest's files. ``basePath`` pins the table
         root so hive partition-directory columns survive the explicit
         file list; an empty manifest reads as an empty relation via the
-        schema recorded at commit time."""
+        schema recorded at commit time. When the manifest records a
+        schema (every committed write since schema evolution landed),
+        the scan applies it explicitly: files written BEFORE an additive
+        evolution lack the new columns and project NULL for them — the
+        Delta/Iceberg add-column semantics, no rewrite of old files."""
         v, files = self.snapshot(version)
+        schema = self.schema_of(v)
         if not files:
-            with open(_manifest_path(self.root, v)) as f:
-                schema = json.load(f).get("schema")
             if schema is None:
                 raise ValueError(f"v{v} is empty and carries no schema")
             return spark.createDataFrame([], schema)
-        return spark.read.option("basePath", str(self.root)).parquet(
-            *(str(self.root / rel) for rel in files)
-        )
+        reader = spark.read.option("basePath", str(self.root))
+        if schema is not None and not isinstance(schema, str):
+            reader = reader.schema(schema)
+        return reader.parquet(*(str(self.root / rel) for rel in files))
+
+    def _read_files(self, spark: SparkSession, rel: list[str], schema):
+        """Scan an explicit relative-file subset under the table's
+        recorded schema — the affected-file re-read inside COW ops must
+        see the SAME shape as the snapshot read (pre-evolution files
+        lack evolved columns; without the schema the rewrite predicate
+        would fail to resolve, or silently fork the layout)."""
+        reader = spark.read.option("basePath", str(self.root))
+        if schema is not None and not isinstance(schema, str):
+            reader = reader.schema(schema)
+        return reader.parquet(*(str(self.root / r) for r in rel))
 
     # -- the commit primitive ------------------------------------------
 
@@ -224,6 +270,7 @@ class TableLog:
         rows: DataFrame,
         expected_version: int | None = None,
         max_retries: int = 5,
+        allow_evolution: bool = False,
     ) -> dict[str, int]:
         """Committed blind APPEND: stage ``rows`` as fresh part files and
         publish (snapshot ∪ new) — the streaming-ingest primitive.
@@ -238,14 +285,30 @@ class TableLog:
         conflict propagates), for callers whose appended rows WERE
         derived from a snapshot read — e.g. a dedup gate that must not
         land on top of an interleaved writer it never compared against.
+
+        ``allow_evolution=True`` permits ADDITIVE schema evolution: the
+        rows may carry new columns on top of every existing one (same
+        types for the shared columns; dropping or retyping stays an
+        error). The widened schema is recorded in the new manifest, so
+        readers of this and later versions project NULL for the new
+        columns in pre-evolution files — no rewrite — while readers
+        pinned at or before the parent version keep the old schema
+        (schema is versioned WITH the data).
         """
         version, files = self.snapshot(expected_version)
         pcols = _partition_cols_logged(self.root)
         df = self.read(spark, version=version)
-        if sorted(df.columns) != sorted(rows.columns):
+        tab_cols, row_cols = set(df.columns), set(rows.columns)
+        added = sorted(row_cols - tab_cols)
+        if tab_cols - row_cols or (added and not allow_evolution):
             raise ValueError(
                 f"append schema mismatch: table {sorted(df.columns)} vs "
                 f"rows {sorted(rows.columns)}"
+                + (
+                    " (pass allow_evolution=True to add columns)"
+                    if added and not (tab_cols - row_cols)
+                    else ""
+                )
             )
         tab_types, row_types = dict(df.dtypes), dict(rows.dtypes)
         type_clash = {
@@ -262,7 +325,8 @@ class TableLog:
         n_rows = rows.count()
         if n_rows == 0:
             return {"n_appended": 0, "version": version}
-        new_rel = self._stage(rows.select(*df.columns), "app", pcols)
+        out_cols = list(df.columns) + added
+        new_rel = self._stage(rows.select(*out_cols), "app", pcols)
         n_new = _count_files(spark, self.root, new_rel)
         if n_new != n_rows:
             self._abort(new_rel)
@@ -270,10 +334,13 @@ class TableLog:
                 f"append row mismatch for {self.root}: staged {n_new} of "
                 f"{n_rows} rows; nothing committed"
             )
+        out_schema = _schema_json(rows.select(*out_cols))
         parent, base = version, files
         for attempt in range(max_retries):
             try:
-                v = self._publish(parent, list(base) + new_rel, "append")
+                v = self._publish(
+                    parent, list(base) + new_rel, "append", schema=out_schema
+                )
                 return {"n_appended": n_rows, "version": v}
             except CommitConflict:
                 if expected_version is not None or attempt == max_retries - 1:
@@ -299,10 +366,10 @@ class TableLog:
         latest = self.versions()[-1]
         if latest == to_version:
             return {"version": latest, "n_files": len(files)}
-        schema = None
-        if not files:  # carry the empty manifest's recorded schema
-            with open(_manifest_path(self.root, to_version)) as f:
-                schema = json.load(f).get("schema")
+        # carry the target version's recorded schema: a rollback past an
+        # evolution restores the OLD schema too (schema travels with data)
+        with open(_manifest_path(self.root, to_version)) as f:
+            schema = json.load(f).get("schema")
         v = self._publish(latest, files, "rollback", schema=schema)
         return {"version": v, "n_files": len(files)}
 
@@ -334,9 +401,7 @@ class TableLog:
         touched_rel = sorted(
             str(_local_path(r["__f"]).relative_to(self.root)) for r in hits
         )
-        affected = spark.read.option("basePath", str(self.root)).parquet(
-            *(str(self.root / rel) for rel in touched_rel)
-        )
+        affected = self._read_files(spark, touched_rel, self.schema_of(version))
         n_affected = affected.count()
         survivors = affected.where(~pred.eqNullSafe(F.lit(True)))
         new_rel = self._stage(survivors, "del", pcols)
@@ -350,8 +415,7 @@ class TableLog:
         out_files = [f for f in files if f not in set(touched_rel)] + new_rel
         try:
             v = self._publish(
-                version, out_files, "delete",
-                schema=df.schema.simpleString() if not out_files else None,
+                version, out_files, "delete", schema=_schema_json(df)
             )
         except CommitConflict:
             self._abort(new_rel)
@@ -419,8 +483,8 @@ class TableLog:
             str(_local_path(r["__f"]).relative_to(self.root)) for r in hits
         )
         if touched_rel:
-            affected = spark.read.option("basePath", str(self.root)).parquet(
-                *(str(self.root / rel) for rel in touched_rel)
+            affected = self._read_files(
+                spark, touched_rel, self.schema_of(version)
             )
             n_affected = affected.count()
             out = affected.join(
@@ -440,7 +504,9 @@ class TableLog:
             )
         out_files = [f for f in files if f not in set(touched_rel)] + new_rel
         try:
-            v = self._publish(version, out_files, "merge")
+            v = self._publish(
+                version, out_files, "merge", schema=_schema_json(df)
+            )
         except CommitConflict:
             self._abort(new_rel)
             raise
@@ -483,7 +549,9 @@ class TableLog:
                 f"{n_new}; nothing committed"
             )
         try:
-            v = self._publish(version, new_rel, "compact")
+            v = self._publish(
+                version, new_rel, "compact", schema=_schema_json(df)
+            )
         except CommitConflict:
             self._abort(new_rel)
             raise

@@ -461,3 +461,56 @@ def test_rollback_restores_old_snapshot_as_new_commit(spark, tmp_path):
     assert log.read(spark, version=1).count() == 100
     # rolling back to the current state is a no-op, no version burned
     assert log.rollback(2) == {"version": 2, "n_files": len(files2)}
+
+
+def test_append_evolution_adds_column_nulls_old_rows_versions_schema(
+    spark, tmp_path
+):
+    """Additive schema evolution: the widened schema is recorded in the
+    new manifest (old files project NULL for the new column, zero
+    rewrite), pinned readers keep the pre-evolution schema, and a
+    rollback past the evolution restores the old schema too."""
+    log = _mk_table(spark, tmp_path, partitioned=True)
+    before = _digests(log.root)
+    widened = spark.range(1000, 1010).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("fr").alias("lang"),
+    )
+    with pytest.raises(ValueError, match="allow_evolution"):
+        log.append(spark, widened)
+    res = log.append(spark, widened, allow_evolution=True)
+    assert res == {"n_appended": 10, "version": 1}
+
+    got = log.read(spark)
+    assert set(got.columns) == {"k", "part", "v", "lang"}
+    assert got.count() == 210
+    assert got.where(F.col("lang").isNull()).count() == 200  # old files
+    assert got.where(F.col("lang") == "fr").count() == 10
+    after = _digests(log.root)
+    for rel, d in before.items():  # no old file rewritten
+        assert after[rel] == d
+
+    # schema is versioned with the data: pinned v0 keeps the old shape
+    assert set(log.read(spark, version=0).columns) == {"k", "part", "v"}
+
+    # dropping a table column is still an error, evolution or not
+    with pytest.raises(ValueError, match="schema mismatch"):
+        log.append(
+            spark,
+            widened.drop("v"),
+            allow_evolution=True,
+        )
+
+    # committed ops on the evolved table carry the evolved schema
+    log.delete_where(spark, "k % 2 = 0 AND lang IS NULL")
+    got2 = log.read(spark)
+    assert set(got2.columns) == {"k", "part", "v", "lang"}
+    assert got2.count() == 110
+
+    # rollback past the evolution restores the OLD schema with the data
+    log.rollback(0)
+    got3 = log.read(spark)
+    assert set(got3.columns) == {"k", "part", "v"}
+    assert got3.count() == 200
