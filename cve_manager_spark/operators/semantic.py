@@ -355,3 +355,57 @@ def dup_dominated(
         .select(F.col("__id_n").alias(id_col))
         .distinct()
     )
+
+
+def drift_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 2,
+) -> tuple[list[int], list[int]]:
+    """Fit the frozen drift-monitor artifact: (mu, v) — the integer
+    corpus mean (k-means floor semantics) and the top principal
+    direction (:func:`pca_power_top`), both exact integers. Driver
+    traffic is 2·d scalars; this is the periodic batch job that
+    re-freezes the reference, not a streaming concern."""
+    import math
+
+    v_rows = pca_power_top(df, vec_col=vec_col, id_col=id_col, iters=iters).collect()
+    v = [0] * len(v_rows)
+    for r in v_rows:
+        v[r["dim"]] = r["loading"]
+    q = df.select(quantize_vec(F.col(vec_col)).alias("q"))
+    sums = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("q", j + 1)).alias(f"s{j}") for j in range(len(v))],
+    ).head()
+    n = sums["n"]
+    mu = [math.floor(sums[f"s{j}"] / n) for j in range(len(v))]
+    return mu, v
+
+
+def drift_projection(
+    df: DataFrame,
+    mu: list[int],
+    v: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-side projection onto the frozen top-PC artifact: quantize,
+    center by the mu literal, fold the dot with the v literal in-row,
+    rescale by floor(·/1e6) — (id, p BIGINT), no join, no shuffle.
+    Exact-integer throughout, so batch and stream evaluations agree
+    bit-for-bit (the embedding_drift_buckets oracle recipe)."""
+    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    v_lit = F.array(*[F.lit(int(vj)).cast("long") for vj in v])
+    q = df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("q"))
+    x = q.select(
+        id_col, F.zip_with("q", mu_lit, lambda a, b: a - b).alias("x")
+    )
+    dot = F.aggregate(
+        F.zip_with("x", v_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    p = F.floor(dot.cast("double") / F.lit(1000000.0)).cast("long")
+    return x.select(id_col, p.alias("p"))

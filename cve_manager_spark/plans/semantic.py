@@ -452,44 +452,15 @@ FROM g, st
     priority=7,
 )
 def embedding_drift_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    import math
-
     from cve_manager_spark.operators.semantic import (
-        pca_power_top,
-        quantize_vec,
+        drift_fit,
+        drift_projection,
     )
 
     emb = load_table(spark, sf, "embeddings")
-    v_rows = pca_power_top(
-        emb, vec_col="embedding", id_col="vec_id", iters=2
-    ).collect()
-    v = [0] * len(v_rows)
-    for r in v_rows:
-        v[r["dim"]] = r["loading"]
-
-    q = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("q"))
-    sums = q.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("q", j + 1)).alias(f"s{j}")
-            for j in range(len(v))
-        ],
-    ).head()
-    n = sums["n"]
-    mu = [math.floor(sums[f"s{j}"] / n) for j in range(len(v))]
-    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
-    v_lit = F.array(*[F.lit(int(vj)).cast("long") for vj in v])
-    x = q.select(
-        "vec_id", F.zip_with("q", mu_lit, lambda a, b: a - b).alias("x")
-    )
-    dot = F.aggregate(
-        F.zip_with("x", v_lit, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, e: acc + e,
-    )
-    p = F.floor(dot.cast("double") / F.lit(1000000.0)).cast("long")
-    pr = x.select(
-        (F.col("vec_id") % 2).cast("int").alias("win"), p.alias("p")
+    mu, v = drift_fit(emb, vec_col="embedding", id_col="vec_id", iters=2)
+    pr = drift_projection(emb, mu, v).select(
+        (F.col("vec_id") % 2).cast("int").alias("win"), "p"
     )
     stats = pr.agg(
         F.min("p").alias("pmin"),

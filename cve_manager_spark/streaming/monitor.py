@@ -58,3 +58,151 @@ def score_zscore(
             F.floor(z * 1000000.0).cast("long").alias("z_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming embedding-drift monitor: the continuous twin of the batch
+# ``embedding_drift_buckets`` spec (plans/semantic.py). Same production
+# shape as the z-score monitor above — the expensive statistics (mu, the
+# top-PC direction, the bucket bounds, the reference histogram) are
+# computed ONCE by a batch pass and FROZEN; the stream then projects and
+# buckets each embedding map-side against literals (no join, no shuffle,
+# no watermark) and folds per-bucket counts into a tiny accumulated
+# state. Per-window state is n_buckets integers regardless of corpus
+# size, and every arithmetic step is the exact-integer recipe of the
+# batch spec, so stream(availableNow) == batch bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def drift_bucket_expr(n_buckets: int, pmin: int, pmax: int):
+    """The batch spec's equal-width bucket id for a projection ``p``,
+    with frozen bounds: (p - pmin) * n div (pmax - pmin + 1), clamped to
+    [0, n-1] so a live value escaping the frozen range lands in the edge
+    bucket instead of a phantom one (a monitor must keep counting when
+    the distribution drifts PAST the reference — that count IS the
+    signal)."""
+    raw = F.expr(
+        f"CAST((p - {pmin}) * {n_buckets} div ({pmax} - {pmin} + 1) AS INT)"
+    )
+    return F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), raw))
+
+
+def drift_bucket_counts(
+    df: DataFrame,
+    mu: list[int],
+    v: list[int],
+    pmin: int,
+    pmax: int,
+    n_buckets: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(bucket, n) histogram of a relation under the frozen artifact —
+    the batch half used both to build the reference histogram and as the
+    stream's per-batch aggregate."""
+    from cve_manager_spark.operators.semantic import drift_projection
+
+    pr = drift_projection(df, mu, v, vec_col=vec_col, id_col=id_col)
+    return (
+        pr.select(drift_bucket_expr(n_buckets, pmin, pmax).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def foreach_batch_drift_histogram(
+    stream_df: DataFrame,
+    out_dir: str,
+    mu: list[int],
+    v: list[int],
+    pmin: int,
+    pmax: int,
+    n_buckets: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    trigger_available_now: bool = True,
+):
+    """Accumulate the CURRENT-window drift histogram from an embedding
+    stream: each micro-batch projects map-side against the frozen
+    artifact, aggregates to ≤ n_buckets rows, and merges into the
+    previous snapshot (sum-of-counts is associative, so batch chopping
+    cannot change the histogram). Snapshots are keyed by batch id, each
+    derived from the newest PREDECESSOR — replayed batches rebuild the
+    same snapshot (the foreach_batch_rollup idempotency discipline)."""
+    from cve_manager_spark.streaming.sinks import (
+        _STATE_PREFIX,
+        _list_state_versions,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = drift_bucket_counts(
+            batch_df, mu, v, pmin, pmax, n_buckets,
+            vec_col=vec_col, id_col=id_col,
+        )
+        versions = [
+            b for b in _list_state_versions(spark, out_dir) if b < batch_id
+        ]
+        if versions:
+            prev = spark.read.parquet(
+                f"{out_dir}/{_STATE_PREFIX}{versions[-1]}"
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("bucket")
+                .agg(F.sum("n").alias("n"))
+            )
+        part.write.mode("overwrite").parquet(
+            f"{out_dir}/{_STATE_PREFIX}{batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_drift_report(
+    spark, out_dir: str, ref_hist: DataFrame
+) -> DataFrame | None:
+    """Compose the accumulated current histogram with the frozen
+    reference one into the batch spec's report shape: (bucket, n_ref,
+    n_cur, ppm_ref, ppm_cur, delta_ppm) — exact integer ppm, the PSI /
+    total-variation inputs. 2·n_buckets rows in, n_buckets out."""
+    from cve_manager_spark.streaming.sinks import (
+        _STATE_PREFIX,
+        _list_state_versions,
+    )
+
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    cur = spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+    both = ref_hist.select(
+        "bucket", F.col("n").alias("n_ref"), F.lit(0).cast("long").alias("n_cur")
+    ).unionByName(
+        cur.select(
+            "bucket", F.lit(0).cast("long").alias("n_ref"),
+            F.col("n").alias("n_cur"),
+        )
+    )
+    g = both.groupBy("bucket").agg(
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+    )
+    tot = g.agg(
+        F.sum("n_ref").cast("long").alias("nrt"),
+        F.sum("n_cur").cast("long").alias("nct"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.expr("CAST(n_ref * 1000000 div nrt AS BIGINT)").alias("ppm_ref"),
+        F.expr("CAST(n_cur * 1000000 div nct AS BIGINT)").alias("ppm_cur"),
+        F.expr(
+            "CAST(n_cur * 1000000 div nct - n_ref * 1000000 div nrt AS BIGINT)"
+        ).alias("delta_ppm"),
+    )

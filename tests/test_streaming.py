@@ -1010,7 +1010,7 @@ def test_foreach_batch_merge_lake_committed_bootstrap_crash_recovery(
     assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
 
 
-def _seed_vec_batches(spark, tmp_path, n_batches=3):
+def _seed_vec_batches(spark, tmp_path, n_batches=3, where=None):
     """Write embeddings as ``n_batches`` id-ordered single-file drops
     (ascending ranges, ascending mtimes) so the file source replays
     them as ordered micro-batches."""
@@ -1018,6 +1018,8 @@ def _seed_vec_batches(spark, tmp_path, n_batches=3):
     import shutil
 
     emb = load_table(spark, SF_SMALL, "embeddings")
+    if where is not None:
+        emb = emb.where(where)
     ids = sorted(r[0] for r in emb.select("vec_id").collect())
     cuts = [ids[(i + 1) * len(ids) // n_batches] for i in range(n_batches - 1)]
     bounds = [min(ids)] + cuts + [max(ids) + 1]
@@ -1118,3 +1120,53 @@ def test_foreach_batch_semantic_dedup_committed_versions(spark, tmp_path):
     log.compact(spark, target_rows_per_file=100_000)
     start().awaitTermination()
     assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
+
+
+def test_stream_drift_histogram_equals_batch_spec(spark, tmp_path):
+    """Streaming drift monitor == the batch embedding_drift_buckets
+    spec bit-for-bit: freeze (mu, v, bounds) and the win-0 reference
+    histogram batch-side, stream the win-1 embeddings as id-ordered
+    micro-batches, and the composed report equals the registry spec's
+    output. A replay against the same checkpoint changes nothing."""
+    from cve_manager_spark.operators.semantic import (
+        drift_fit,
+        drift_projection,
+    )
+    from cve_manager_spark.plans.semantic import embedding_drift_buckets
+    from cve_manager_spark.streaming.monitor import (
+        drift_bucket_counts,
+        foreach_batch_drift_histogram,
+        read_drift_report,
+    )
+    from cve_manager_spark.streaming.sinks import read_vectors_stream
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    mu, v = drift_fit(emb)
+    b = drift_projection(emb, mu, v).agg(
+        F.min("p").alias("lo"), F.max("p").alias("hi")
+    ).head()
+    pmin, pmax = int(b["lo"]), int(b["hi"])
+    ref_hist = drift_bucket_counts(
+        emb.where(F.col("vec_id") % 2 == 0), mu, v, pmin, pmax
+    )
+
+    _, src = _seed_vec_batches(
+        spark, tmp_path, where=F.col("vec_id") % 2 == 1
+    )
+    out = str(tmp_path / "drift_state")
+
+    def start():
+        stream = read_vectors_stream(spark, src, max_files_per_trigger=1)
+        return foreach_batch_drift_histogram(
+            stream, out, mu, v, pmin, pmax
+        )
+
+    start().awaitTermination()
+    got = read_drift_report(spark, out, ref_hist)
+    want = embedding_drift_buckets(spark, SF_SMALL)
+    cols = ["bucket", "n_ref", "n_cur", "ppm_ref", "ppm_cur", "delta_ppm"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    start().awaitTermination()  # replay: snapshots rebuild identically
+    got2 = read_drift_report(spark, out, ref_hist)
+    assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
