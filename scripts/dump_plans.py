@@ -91,6 +91,10 @@ FLAGSHIP = {
     "minhash_incremental_dups": "directional (band,key) equi-join of new signatures against old; signature pass is one hash aggregate of 32 MINs; exact integer Jaccard verify",
     "hits_hubs_authorities": "two O(|E|) join+aggregate pairs per iteration; block-floating-point normalize reads one broadcast max row; lineage checkpoint-truncated",
     "boilerplate_segments_topk": "segment digests built in-row (indexed transform, md5 shuffle key); top-20 via TakeOrderedAndProject, never a vocabulary window",
+    "timetravel_snapshot_diff": "both sides are pinned-manifest file scans reduced to (key, digest) before the full outer sort-merge join — 16-byte digests cross the shuffle, never payloads",
+    "timetravel_version_counts": "one metadata-pruned count per manifest (partial+final), stacked by a joinless union — k tiny rows for k versions",
+    "embedding_drift_buckets": "map-side integer projection against frozen (mu, v) literals; ONE 1-row stats aggregate broadcast back (cross build-right); 16-key partial+final histogram",
+    "semantic_dedup_frozen_keep": "frozen-codebook assignment map-side; keep-lowest-id drop test as a cell-keyed equi self-join; per-cell roll-up — never all-pairs, never a retrain",
 }
 
 
