@@ -2696,3 +2696,114 @@ def quasi_id_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
             "div sum(k) AS BIGINT)"
         ).alias("below_k5_ppm"),
     )
+
+
+_HASH_SAMPLE_Q_ORACLE = """
+WITH ev AS (
+  SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events
+), samp AS (
+  SELECT event_id, v FROM (
+    SELECT event_id, v, md5(CAST(event_id AS VARCHAR)) AS d
+    FROM ev ORDER BY d, event_id LIMIT 256)
+), r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, event_id) AS rn FROM samp
+), ns AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM samp
+), qs AS (
+  SELECT unnest([500000, 900000, 990000]) AS q_ppm
+), est AS (
+  SELECT qs.q_ppm, r.v AS est_milli
+  FROM qs CROSS JOIN ns JOIN r ON r.rn = 1 + qs.q_ppm * (ns.ns - 1) // 1000000
+), cnt AS (
+  SELECT est.q_ppm, est.est_milli, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ev.v <= est.est_milli THEN 1 ELSE 0 END)
+              AS BIGINT) AS cnt_le
+  FROM ev CROSS JOIN est GROUP BY est.q_ppm, est.est_milli
+)
+SELECT CAST(q_ppm AS INTEGER) AS q_ppm, est_milli,
+       CAST(cnt_le * 1000000 // n AS BIGINT) AS achieved_ppm,
+       CAST(ABS(cnt_le * 1000000 // n - q_ppm) AS BIGINT) AS abs_err_ppm
+FROM cnt
+"""
+
+
+@_register(
+    "hash_sample_quantile_error",
+    _HASH_SAMPLE_Q_ORACLE,
+    doc="Sampling-based quantile estimation, audited: estimate P50/P90/"
+    "P99 of the event value from the 256 rows with the SMALLEST "
+    "md5(event_id) — a uniform random sample that is deterministic and "
+    "engine-reproducible because the randomness is the hash, not an "
+    "RNG (the md5-rebuilt-sketch discipline of the CMS/Bloom audits "
+    "applied to the sampling estimator family) — then measure each "
+    "estimate's TRUE rank on the full table and report the achieved "
+    "quantile and absolute rank error in ppm. This is the "
+    "capacity-planning curve for 'how small a sample dares estimate "
+    "the tail': k=256 holds P50 within ~2^-8-scale error but the P99 "
+    "rank error shows the tail undersampling directly. Cluster cost: "
+    "one TakeOrderedAndProject(256) over the scan (per-partition "
+    "digest heaps — no shuffle of the data, no RNG seed to "
+    "distribute), a 256-row single-partition window, and ONE "
+    "conditional-aggregate pass with the 3-row estimate relation "
+    "broadcast — the full table is scanned exactly twice regardless "
+    "of how many quantiles are audited.",
+    priority=7,
+)
+def hash_sample_quantile_error(spark: SparkSession, sf: str) -> DataFrame:
+    k = 256
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.floor(F.col("value") * 1000).cast("long").alias("v")
+    )
+    samp = (
+        ev.select(
+            "event_id", "v", F.md5(F.col("event_id").cast("string")).alias("d")
+        )
+        .orderBy("d", "event_id")
+        .limit(k)
+        .select("event_id", "v")
+    )
+    # 256 rows: the single-partition windows are bounded by k, not the
+    # data; ns rides the SAME window pass so the sample branch scans the
+    # table once, not twice
+    w = Window.orderBy("v", "event_id")
+    ranked = (
+        samp.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "ns",
+            F.count(F.lit(1)).over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select("v", "rn", "ns")
+    )
+    qs = spark.createDataFrame(
+        [(500000,), (900000,), (990000,)], "q_ppm int"
+    )
+    est = (
+        qs.join(
+            F.broadcast(ranked),
+            F.col("rn")
+            == F.expr("CAST(1 + q_ppm * (ns - 1) div 1000000 AS INT)"),
+        )
+        .select("q_ppm", F.col("v").alias("est_milli"))
+    )
+    cnt = (
+        ev.crossJoin(F.broadcast(est))
+        .groupBy("q_ppm", "est_milli")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v") <= F.col("est_milli"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_le"),
+        )
+    )
+    return cnt.select(
+        "q_ppm",
+        "est_milli",
+        F.expr("CAST(cnt_le * 1000000 div n AS BIGINT)").alias("achieved_ppm"),
+        F.expr("CAST(ABS(cnt_le * 1000000 div n - q_ppm) AS BIGINT)").alias(
+            "abs_err_ppm"
+        ),
+    )

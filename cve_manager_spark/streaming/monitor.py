@@ -206,3 +206,36 @@ def read_drift_report(
             "CAST(n_cur * 1000000 div nct - n_ref * 1000000 div nrt AS BIGINT)"
         ).alias("delta_ppm"),
     )
+
+
+def drift_scores(report_rows) -> dict:
+    """Driver-side drift scores over the n_buckets-row report (the ONLY
+    place a transcendental enters the monitor — the engine's report is
+    exact integers; ln runs here over ≤ n_buckets scalars):
+
+    - ``tvd_ppm``: total variation distance = Σ|delta_ppm| / 2, exact
+      integer arithmetic end-to-end;
+    - ``psi``: Population Stability Index Σ (p_cur - p_ref)·ln(p_cur /
+      p_ref) over buckets with mass in BOTH windows (the standard
+      smoothing-free convention; a bucket empty on one side contributes
+      to ``n_onesided_buckets`` instead of an infinite term — at the
+      usual >0.2 alert threshold a one-sided bucket is already the
+      louder signal).
+    """
+    import math
+
+    tvd2 = 0
+    psi = 0.0
+    onesided = 0
+    for r in report_rows:
+        tvd2 += abs(int(r["delta_ppm"]))
+        pr, pc = int(r["ppm_ref"]), int(r["ppm_cur"])
+        if pr > 0 and pc > 0:
+            psi += (pc - pr) / 1e6 * math.log(pc / pr)
+        elif pr != pc:
+            onesided += 1
+    return {
+        "tvd_ppm": tvd2 // 2,
+        "psi": psi,
+        "n_onesided_buckets": onesided,
+    }

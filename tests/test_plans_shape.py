@@ -1000,3 +1000,16 @@ def test_timetravel_version_counts_is_joinless_union_of_counts(spark):
     assert "Join" not in tree
     assert tree.count("Scan parquet") == 3  # one per version
     assert tree.count("HashAggregate") >= 6
+
+
+def test_hash_sample_quantile_scans_table_exactly_twice(spark):
+    """One TakeOrderedAndProject(k) digest-sample pass + one broadcast
+    conditional-aggregate pass — two table scans total regardless of
+    how many quantiles are audited; the k-row window is broadcast, and
+    no exchange carries the data rows."""
+    plan = plan_of(spark, "hash_sample_quantile_error")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert tree.count("TakeOrderedAndProject") == 1
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in tree

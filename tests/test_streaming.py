@@ -1170,3 +1170,37 @@ def test_stream_drift_histogram_equals_batch_spec(spark, tmp_path):
     start().awaitTermination()  # replay: snapshots rebuild identically
     got2 = read_drift_report(spark, out, ref_hist)
     assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
+
+
+def test_drift_scores_identity_and_shift(spark):
+    """A/A report scores ~zero; a synthetic one-bucket mass shift scores
+    the hand-computed PSI/TVD exactly."""
+    from cve_manager_spark.streaming.monitor import drift_scores
+
+    same = [
+        {"delta_ppm": 0, "ppm_ref": 500000, "ppm_cur": 500000},
+        {"delta_ppm": 0, "ppm_ref": 500000, "ppm_cur": 500000},
+    ]
+    s = drift_scores(same)
+    assert s == {"tvd_ppm": 0, "psi": 0.0, "n_onesided_buckets": 0}
+
+    import math
+
+    shifted = [
+        {"delta_ppm": -200000, "ppm_ref": 500000, "ppm_cur": 300000},
+        {"delta_ppm": 200000, "ppm_ref": 500000, "ppm_cur": 700000},
+    ]
+    s = drift_scores(shifted)
+    assert s["tvd_ppm"] == 200000
+    want_psi = (0.3 - 0.5) * math.log(0.3 / 0.5) + (0.7 - 0.5) * math.log(
+        0.7 / 0.5
+    )
+    assert abs(s["psi"] - want_psi) < 1e-12
+    assert s["n_onesided_buckets"] == 0
+
+    onesided = [
+        {"delta_ppm": -500000, "ppm_ref": 500000, "ppm_cur": 0},
+        {"delta_ppm": 500000, "ppm_ref": 500000, "ppm_cur": 1000000},
+    ]
+    s = drift_scores(onesided)
+    assert s["n_onesided_buckets"] == 1
