@@ -389,10 +389,9 @@ def _all_specs() -> list[QuerySpec]:
     from cve_manager_spark.plans import round9 as round9_mod
     from cve_manager_spark.plans import round9b as round9b_mod
     from cve_manager_spark.plans import round9c as round9c_mod
-    from cve_manager_spark.plans import round9d as round9d_mod
     from cve_manager_spark.plans import round10 as round10_mod
     from cve_manager_spark.plans import round10b as round10b_mod
-    from cve_manager_spark.plans import round10c as round10c_mod
+    from cve_manager_spark.plans import sketches as sketches_mod
     from cve_manager_spark.plans import semantic as semantic_mod
     from cve_manager_spark.plans.order import BASE_ORDER
 
@@ -412,10 +411,9 @@ def _all_specs() -> list[QuerySpec]:
         round9_mod,
         round9b_mod,
         round9c_mod,
-        round9d_mod,
         round10_mod,
         round10b_mod,
-        round10c_mod,
+        sketches_mod,
     )
     by_name: dict[str, QuerySpec] = {}
     for mod in modules:

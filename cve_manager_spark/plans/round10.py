@@ -594,7 +594,7 @@ def semantic_cell_drift(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _pca_residual_oracle() -> str:
-    from cve_manager_spark.plans.round9d import _PCA_CTE
+    from cve_manager_spark.plans.semantic import _PCA_CTE
 
     return _PCA_CTE + """
 , proj AS (

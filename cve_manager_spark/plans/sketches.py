@@ -1,6 +1,6 @@
-"""Round-10c tranche: deterministic sketch accuracy audits and bounded
-time-series decomposition — the capacity-planning layer for streaming
-aggregation at 100 TB.
+"""Deterministic sketch accuracy audits and bounded time-series
+decomposition — the capacity-planning layer for streaming aggregation
+at 100 TB (staged as the round-10c tranche; renamed to its content).
 
 Production pipelines run CountMin / Bloom / linear-counting sketches
 because exact state does not fit; the engineering question is always
