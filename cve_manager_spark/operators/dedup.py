@@ -848,3 +848,95 @@ def simhash_det_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def minhash_encode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """The encode half of the deterministic MinHash pipeline, split out
+    for incremental/streaming composition: returns (sh, keys) — the
+    doc → distinct-shingle relation and the (id, band, key) band-key
+    relation, built with exactly ``minhash_det_pairs``' recipe (md5
+    hash family, min-of-digests signature, ``bands`` concat keys).
+    Encode is per-document (one doc-keyed aggregate of the exploded
+    shingles), so encode(base ∪ delta) == encode(base) ∪ encode(delta)
+    — the same contract frozen-cell encoding gives the semantic
+    incremental path. Zero-shingle documents are excluded."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    sh = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    ex = sh.select("id", F.explode("shingles").alias("sh"))
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
+        for s in range(num_hashes)
+    ]
+    sigs = ex.groupBy("id").agg(*sig_aggs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    keys = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return sh, keys
+
+
+def minhash_dominated(
+    new_keys: DataFrame,
+    new_sh: DataFrame,
+    other_keys: DataFrame,
+    other_sh: DataFrame,
+) -> DataFrame:
+    """IDs of new docs that near-duplicate a LOWER-id doc of the other
+    side: candidates = (band, key) collisions with ``id_other < id_new``
+    (directional equi-join, never other × other), verified by exact
+    integer Jaccard ≥ 0.5 via cross-multiplication (inter·2 ≥ union —
+    no float). Non-recursive greedy keep-lowest-id, so the test is
+    composable across snapshots/micro-batches like ``dup_dominated``.
+    Inputs are (id, band, key) / (id, shingles) relations from
+    :func:`minhash_encode`. Returns a distinct (id) relation."""
+    cand = (
+        new_keys.select(F.col("id").alias("id_new"), "band", "key")
+        .join(
+            other_keys.select(
+                F.col("id").alias("id_old"),
+                F.col("band").alias("__b"),
+                F.col("key").alias("__k"),
+            ),
+            (F.col("band") == F.col("__b")) & (F.col("key") == F.col("__k")),
+        )
+        .where(F.col("id_old") < F.col("id_new"))
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    pairs = cand.join(
+        new_sh.select(F.col("id").alias("id_new"), F.col("shingles").alias("__sa")),
+        "id_new",
+    ).join(
+        other_sh.select(
+            F.col("id").alias("id_old"), F.col("shingles").alias("__sb")
+        ),
+        "id_old",
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
+    union = (
+        F.size("__sa").cast("bigint") + F.size("__sb").cast("bigint") - inter
+    )
+    return (
+        pairs.where(inter * 2 >= union).select(F.col("id_new").alias("id")).distinct()
+    )

@@ -666,3 +666,126 @@ def foreach_batch_semantic_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_documents_stream(
+    spark, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based documents stream (parquet dir of crawl drops); schema
+    probed from a batch read, falling back to the testdata layout."""
+    from pyspark.errors import AnalysisException
+
+    from cve_manager_spark.session import tune
+
+    tune(spark)
+    try:
+        schema = spark.read.parquet(path).schema
+    except AnalysisException:
+        schema = "doc_id bigint, source string, lang string, text string"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def foreach_batch_minhash_dedup(
+    stream_df: DataFrame,
+    table_dir: str,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 16,
+    trigger_available_now: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming incremental-MinHash gate: the third dedup modality
+    (after exact digests and embedding cells) as a continuous ingest
+    sink. Each micro-batch of documents is
+
+    1. encoded per-document (``minhash_encode``: md5 min-hash
+       signatures, ``bands`` band keys — one batch-local doc-keyed
+       aggregate, nothing read from the corpus),
+    2. tested with the greedy keep-lowest-id policy via the directional
+       band equi-join (``minhash_dominated``) against the batch itself
+       PLUS the seen state — candidates are band collisions only, never
+       corpus²,
+    3. appended to two state relations: ``docs/`` (doc_id, shingles,
+       dup) and ``bands/`` (band, key, doc_id) hive-partitioned by
+       ``kb`` — the first 2 hex chars of md5(key) — so the cross-join's
+       band-side read is PARTITION-PRUNED to the ≤ 256 key-prefix
+       buckets the batch actually probes (the local analogue of a
+       (band, key)-bucketed LSH index).
+
+    The verify side reads the doc-grain state relation un-pruned (a
+    candidate's old doc can live anywhere); at 100 TB that relation is
+    bucketed by doc_id so the verify join is zero-exchange on the state
+    side — the ``maintenance.bucketed`` story, same trade the batch
+    ``minhash_incremental_dups`` spec documents. Zero-shingle documents
+    carry no signature and are not recorded (same exclusion as every
+    det-MinHash face).
+
+    Like the semantic gate: the drop policy is non-recursive, so with
+    ids non-decreasing across batches the final state equals the
+    one-shot batch computation exactly (differential-tested); replay is
+    idempotent through the ``_last_batch`` marker."""
+    from pathlib import Path
+
+    from cve_manager_spark.operators.dedup import (
+        minhash_dominated,
+        minhash_encode,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = Path(table_dir + "_last_batch")
+        if marker.exists() and batch_id <= int(marker.read_text()):
+            return
+        sh, keys = minhash_encode(
+            batch_df, id_col=id_col, text_col=text_col,
+            n=n, num_hashes=num_hashes, bands=bands,
+        )
+        sh = sh.persist()
+        keys = keys.persist()
+        try:
+            docs_dir = str(Path(table_dir) / "docs")
+            bands_dir = str(Path(table_dir) / "bands")
+            other_keys, other_sh = keys, sh
+            if any(Path(bands_dir).rglob("*.parquet")):
+                kbs = [
+                    r["kb"]
+                    for r in keys.select(
+                        F.substring(F.md5("key"), 1, 2).alias("kb")
+                    ).distinct().collect()
+                ]
+                seen_keys = (
+                    spark.read.parquet(bands_dir)
+                    .where(F.col("kb").isin(kbs))
+                    .select("id", "band", "key")
+                )
+                seen_sh = spark.read.parquet(docs_dir).select(
+                    F.col("id"), F.col("shingles")
+                )
+                other_keys = keys.unionByName(seen_keys)
+                other_sh = sh.unionByName(seen_sh)
+            dropped = minhash_dominated(keys, sh, other_keys, other_sh)
+            out = (
+                sh.join(dropped.withColumn("__d", F.lit(1)), "id", "left")
+                .select(
+                    "id", "shingles", F.col("__d").isNotNull().alias("dup")
+                )
+            )
+            out.write.mode("append").parquet(docs_dir)
+            keys.select(
+                F.substring(F.md5("key"), 1, 2).alias("kb"), "band", "key", "id"
+            ).write.partitionBy("kb").mode("append").parquet(bands_dir)
+            marker.write_text(str(batch_id))
+        finally:
+            sh.unpersist()
+            keys.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{table_dir}_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

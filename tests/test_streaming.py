@@ -1204,3 +1204,62 @@ def test_drift_scores_identity_and_shift(spark):
     ]
     s = drift_scores(onesided)
     assert s["n_onesided_buckets"] == 1
+
+
+def test_foreach_batch_minhash_dedup_equals_batch(spark, tmp_path):
+    """Streaming incremental-MinHash gate: after an id-ordered
+    multi-batch availableNow pass, the docs-state keep/drop verdicts
+    equal the one-shot batch computation (greedy keep-lowest-id over
+    band collisions + exact Jaccard >= 0.5), the band state is
+    hive-partitioned by key prefix, and replay changes nothing."""
+    import os
+    import shutil
+
+    from cve_manager_spark.operators.dedup import (
+        minhash_dominated,
+        minhash_encode,
+    )
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_minhash_dedup,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    bounds = [min(ids)] + cuts + [max(ids) + 1]
+    src = tmp_path / "doc_src"
+    src.mkdir()
+    for i in range(3):
+        part = docs.where(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        )
+        scratch = tmp_path / f"doc_scratch{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        dest = src / f"b{i}.parquet"
+        shutil.move(str(next(scratch.glob("*.parquet"))), str(dest))
+        os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+
+    out = str(tmp_path / "mh_state")
+
+    def start():
+        stream = read_documents_stream(spark, str(src), max_files_per_trigger=1)
+        return foreach_batch_minhash_dedup(stream, out)
+
+    start().awaitTermination()
+    got = spark.read.parquet(out + "/docs").select("id", "dup")
+
+    sh, keys = minhash_encode(docs)
+    dropped = minhash_dominated(keys, sh, keys, sh)
+    want = sh.join(
+        dropped.withColumn("__d", F.lit(1)), "id", "left"
+    ).select("id", F.col("__d").isNotNull().alias("dup"))
+
+    cols = ["id", "dup"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert got.count() == sh.count()  # zero-shingle docs excluded alike
+    assert any((Path(out) / "bands").glob("kb=*"))  # pruned band index
+
+    start().awaitTermination()  # replay: marker skips applied batches
+    got2 = spark.read.parquet(out + "/docs").select("id", "dup")
+    assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
