@@ -789,3 +789,127 @@ def foreach_batch_minhash_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_phash_dedup(
+    stream_df: DataFrame,
+    table_dir: str,
+    threshold: int = 6,
+    trigger_available_now: bool = True,
+):
+    """Streaming perceptual-hash dedup gate — the FOURTH continuous
+    dedup modality (exact digests / embedding cells / MinHash bands /
+    now Hamming-banded image aHash). Each micro-batch of documents is
+
+    1. encoded map-side: attach_binary → decode_resize(8×8) →
+       phash_ahash (Arrow mapInPandas kernels; the stub decoder is the
+       deterministic sha256 tiling — in production the stream carries
+       real image bytes and ``real_decoder`` swaps in, changing ONLY
+       the pixel source),
+    2. tested with greedy keep-lowest-id via the 4×16-bit band
+       equi-join against the batch plus the seen band index, both
+       sides' band ints carried IN-ROW so the exact Hamming ≤ threshold
+       verify needs no join-back fetch (the dedup_image_phash plan
+       discipline),
+    3. appended: verdicts to ``docs/`` (id, phash_hex, dup), band rows
+       to ``bands/`` hive-partitioned by ``vb = v div 256`` so the
+       cross-join's state read is partition-pruned to the ≤ 256 value
+       buckets the batch actually probes.
+
+    Same composability argument as the other gates: the drop test is
+    non-recursive, so id-ordered arrival reproduces the one-shot batch
+    verdicts exactly (differential-tested); replay is idempotent via
+    the ``_last_batch`` marker."""
+    from pathlib import Path
+
+    from cve_manager_spark.operators.multimodal import (
+        attach_binary,
+        decode_resize,
+        phash_ahash,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = Path(table_dir + "_last_batch")
+        if marker.exists() and batch_id <= int(marker.read_text()):
+            return
+        docs = batch_df.withColumn("text", F.substring("text", 1, 32))
+        ph = phash_ahash(
+            decode_resize(attach_binary(docs), target=(8, 8))
+        ).persist()
+        try:
+            bandcols = [f"band{j}" for j in range(4)]
+            m = ph.select(
+                F.col("doc_id").alias("id"),
+                *[F.col(c).alias(f"b{j}") for j, c in enumerate(bandcols)],
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"), F.col(c).alias("v")
+                            )
+                            for j, c in enumerate(bandcols)
+                        ]
+                    )
+                ).alias("bk"),
+            ).select(
+                "id", "b0", "b1", "b2", "b3",
+                F.col("bk.j").alias("j"), F.col("bk.v").alias("v"),
+            )
+            bands_dir = str(Path(table_dir) / "bands")
+            docs_dir = str(Path(table_dir) / "docs")
+            others = m
+            if any(Path(bands_dir).rglob("*.parquet")):
+                vbs = [
+                    r["vb"]
+                    for r in m.select(
+                        F.expr("v div 256").alias("vb")
+                    ).distinct().collect()
+                ]
+                seen = (
+                    spark.read.parquet(bands_dir)
+                    .where(F.col("vb").isin(vbs))
+                    .select("id", "b0", "b1", "b2", "b3", "j", "v")
+                )
+                others = m.unionByName(seen)
+            o = others.select(
+                F.col("id").alias("id_o"), "j", "v",
+                *[F.col(f"b{j}").alias(f"ob{j}") for j in range(4)],
+            )
+            hamming = sum(
+                F.bit_count(
+                    F.col(f"b{j}").cast("bigint").bitwiseXOR(
+                        F.col(f"ob{j}").cast("bigint")
+                    )
+                )
+                for j in range(4)
+            )
+            dropped = (
+                m.join(o, ["j", "v"])
+                .where(F.col("id_o") < F.col("id"))
+                .where(hamming <= threshold)
+                .select("id")
+                .distinct()
+                .withColumn("__d", F.lit(1))
+            )
+            out = ph.select(
+                F.col("doc_id").alias("id"), "phash_hex", "band0",
+                "band1", "band2", "band3",
+            ).join(dropped, "id", "left")
+            out.select(
+                "id", "phash_hex", F.col("__d").isNotNull().alias("dup")
+            ).write.mode("append").parquet(docs_dir)
+            m.select(
+                F.expr("v div 256").alias("vb"),
+                "j", "v", "id", "b0", "b1", "b2", "b3",
+            ).write.partitionBy("vb").mode("append").parquet(bands_dir)
+            marker.write_text(str(batch_id))
+        finally:
+            ph.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{table_dir}_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1263,3 +1263,69 @@ def test_foreach_batch_minhash_dedup_equals_batch(spark, tmp_path):
     start().awaitTermination()  # replay: marker skips applied batches
     got2 = spark.read.parquet(out + "/docs").select("id", "dup")
     assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
+
+
+def test_foreach_batch_phash_dedup_equals_batch(spark, tmp_path):
+    """Streaming perceptual-hash gate: after an id-ordered multi-batch
+    availableNow pass, the docs-state keep/drop verdicts equal the
+    one-shot batch computation (greedy keep-lowest-id over 4x16-bit
+    band collisions + exact Hamming <= 6), the band index is
+    hive-partitioned by value bucket, and replay changes nothing."""
+    import os
+    import shutil
+
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_phash_dedup,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    bounds = [min(ids)] + cuts + [max(ids) + 1]
+    src = tmp_path / "doc_src_ph"
+    src.mkdir()
+    for i in range(3):
+        part = docs.where(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        )
+        scratch = tmp_path / f"ph_scratch{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        dest = src / f"b{i}.parquet"
+        shutil.move(str(next(scratch.glob("*.parquet"))), str(dest))
+        os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+
+    out = str(tmp_path / "ph_state")
+
+    def start():
+        stream = read_documents_stream(spark, str(src), max_files_per_trigger=1)
+        return foreach_batch_phash_dedup(stream, out)
+
+    start().awaitTermination()
+    got = spark.read.parquet(out + "/docs").select("id", "phash_hex", "dup")
+
+    # batch twin: the dedup_image_phash pair relation, reduced to
+    # higher-id-is-dropped verdicts
+    from cve_manager_spark.plans.round8 import (
+        _phash_band_candidates,
+        _phash_df,
+        _phash_hamming,
+    )
+
+    ph = _phash_df(spark, SF_SMALL)
+    pairs = _phash_band_candidates(ph).where(_phash_hamming() <= 6)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct().withColumn(
+        "__d", F.lit(1)
+    )
+    want = ph.join(dropped, "doc_id", "left").select(
+        F.col("doc_id").alias("id"),
+        "phash_hex",
+        F.col("__d").isNotNull().alias("dup"),
+    )
+    cols = ["id", "phash_hex", "dup"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert any((Path(out) / "bands").glob("vb=*"))
+
+    start().awaitTermination()  # replay
+    got2 = spark.read.parquet(out + "/docs").select("id", "phash_hex", "dup")
+    assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
