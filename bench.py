@@ -130,6 +130,15 @@ HEADLINE = [
     "semantic_dedup_incremental",
     "eval_overlap_score",
     "zipf_band_slope_by_source",
+    # r10 session: the frozen-artifact drift histogram (PCA passes + one
+    # broadcast stats row), the streaming gate's one-shot batch face
+    # (frozen-codebook cell self-join), and the two-scan hash-sample
+    # quantile audit. The timetravel faces stay OUT (they materialize a
+    # commit-logged scratch table on first run — state-build cost, not
+    # query cost).
+    "embedding_drift_buckets",
+    "semantic_dedup_frozen_keep",
+    "hash_sample_quantile_error",
 ]
 
 
@@ -307,16 +316,7 @@ def main() -> None:
         "n_passes": n_passes,
         "sf": sf,
         "notes": {
-            "r10_runs": "three full r10 runs on one day: 109.46s (total "
-            "steal 140 core-s), 106.32s (573), 103.75s (270; per-pass "
-            "steal 154/106/9.6 — the final pass ~clean, headline). All "
-            "three land 1.04-1.10x of r9's committed 99.35s regardless "
-            "of steal, i.e. today's host floor is ambient (the judge-"
-            "prescribed lowest-steal discipline is now AUTOMATED: "
-            "per-pass steal is recorded and a stolen final pass "
-            "triggers extra passes, so min-of-k absorbs bursts). No "
-            "plan changed; the only perf-affecting r10 code is the "
-            "round-11 specs, which are outside the headline set",
+            "r10_runs": "four full r10 runs in one day: 109.46s (total steal 140 core-s), 106.32s (573), 103.75s (270; per-pass 154/106/9.6) on the 79-query set, and the committed headline 118.63s on the GROWN 82-query set (+drift histogram 6.5s, frozen-keep gate 6.2s, quantile audit 0.9s) with per-pass steal 10.9/11.3/11.1 core-s (~0.3% — the judge-prescribed ~zero-steal embedded run). Shared-78 ratio vs r9's committed run = 1.06x at zero steal, i.e. today's host floor is ambient, not plan regression (all three same-day 79-query runs landed 1.04-1.10x regardless of steal). The lowest-steal discipline is AUTOMATED now: per-pass steal is recorded and a stolen final pass triggers extra passes, so min-of-k absorbs bursts. No plan changed for the worse; the only perf-affecting r10 code is new specs",
             "dedup_image_phash_r9_attributed": "VERDICT r9 #2 closed: "
             "solo min-of-6 at ~zero steal (0.99 stolen core-s, before-"
             "load 0.68) trials [7.11, 2.21, 1.96, 1.89, 1.83, 1.78] -> "
