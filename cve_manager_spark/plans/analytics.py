@@ -2807,3 +2807,115 @@ def hash_sample_quantile_error(spark: SparkSession, sf: str) -> DataFrame:
             "abs_err_ppm"
         ),
     )
+
+
+_SAMPLE_SWEEP_ORACLE = """
+WITH ev AS (
+  SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events
+), samp AS (
+  SELECT event_id, v, ROW_NUMBER() OVER (ORDER BY d, event_id) AS rs
+  FROM (
+    SELECT event_id, v, md5(CAST(event_id AS VARCHAR)) AS d
+    FROM ev ORDER BY d, event_id LIMIT 1024)
+), ks AS (
+  SELECT unnest([64, 256, 1024]) AS k
+), r AS (
+  SELECT ks.k, s.v,
+         ROW_NUMBER() OVER (PARTITION BY ks.k ORDER BY s.v, s.event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY ks.k) AS ns
+  FROM samp s CROSS JOIN ks WHERE s.rs <= ks.k
+), qs AS (
+  SELECT unnest([500000, 900000, 990000]) AS q_ppm
+), est AS (
+  SELECT r.k, qs.q_ppm, r.v AS est_milli
+  FROM r CROSS JOIN qs WHERE r.rn = 1 + qs.q_ppm * (r.ns - 1) // 1000000
+), cnt AS (
+  SELECT est.k, est.q_ppm, est.est_milli, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ev.v <= est.est_milli THEN 1 ELSE 0 END)
+              AS BIGINT) AS cnt_le
+  FROM ev CROSS JOIN est GROUP BY est.k, est.q_ppm, est.est_milli
+)
+SELECT CAST(k AS INTEGER) AS k, CAST(q_ppm AS INTEGER) AS q_ppm, est_milli,
+       CAST(cnt_le * 1000000 // n AS BIGINT) AS achieved_ppm,
+       CAST(ABS(cnt_le * 1000000 // n - q_ppm) AS BIGINT) AS abs_err_ppm
+FROM cnt
+"""
+
+
+@_register(
+    "sample_size_quantile_sweep",
+    _SAMPLE_SWEEP_ORACLE,
+    doc="The sample-size dial for hash-sample quantile estimation, "
+    "measured as a curve: P50/P90/P99 estimated at k in {64, 256, "
+    "1024} and each estimate's TRUE rank error on the full table, in "
+    "one report. The md5-ordered sample is NESTED (the k=64 sample is "
+    "a prefix of the k=1024 one — bottom-k by a fixed hash is "
+    "monotone in k), so ONE TakeOrderedAndProject(1024) pass serves "
+    "every k, and one broadcast conditional-aggregate pass audits all "
+    "9 (k, q) cells — two table scans for the whole sweep, the "
+    "shingle_size_sweep one-scan-per-dial discipline applied to the "
+    "sampling family. Read next to hash_sample_quantile_error: that "
+    "is the production gate at the chosen k, this is how k gets "
+    "chosen.",
+    priority=7,
+)
+def sample_size_quantile_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    kmax = 1024
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.floor(F.col("value") * 1000).cast("long").alias("v")
+    )
+    samp = (
+        ev.select(
+            "event_id", "v", F.md5(F.col("event_id").cast("string")).alias("d")
+        )
+        .orderBy("d", "event_id")
+        .limit(kmax)
+    )
+    # <= 1024 rows past this point: single-partition windows bounded by
+    # kmax, then broadcast — the data-sized work is the two ev scans
+    ws = Window.orderBy("d", "event_id")
+    samp = samp.withColumn("rs", F.row_number().over(ws)).select(
+        "event_id", "v", "rs"
+    )
+    ks = spark.createDataFrame([(64,), (256,), (1024,)], "k int")
+    r = samp.crossJoin(F.broadcast(ks)).where(F.col("rs") <= F.col("k"))
+    wk = Window.partitionBy("k").orderBy("v", "event_id")
+    r = r.withColumn("rn", F.row_number().over(wk)).withColumn(
+        "ns",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("k").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    qs = spark.createDataFrame(
+        [(500000,), (900000,), (990000,)], "q_ppm int"
+    )
+    est = (
+        r.crossJoin(F.broadcast(qs))
+        .where(
+            F.col("rn")
+            == F.expr("CAST(1 + q_ppm * (ns - 1) div 1000000 AS INT)")
+        )
+        .select("k", "q_ppm", F.col("v").alias("est_milli"))
+    )
+    cnt = (
+        ev.crossJoin(F.broadcast(est))
+        .groupBy("k", "q_ppm", "est_milli")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v") <= F.col("est_milli"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_le"),
+        )
+    )
+    return cnt.select(
+        "k",
+        "q_ppm",
+        "est_milli",
+        F.expr("CAST(cnt_le * 1000000 div n AS BIGINT)").alias("achieved_ppm"),
+        F.expr("CAST(ABS(cnt_le * 1000000 div n - q_ppm) AS BIGINT)").alias(
+            "abs_err_ppm"
+        ),
+    )

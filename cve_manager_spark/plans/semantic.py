@@ -743,3 +743,79 @@ def semantic_dedup_frozen_keep(spark: SparkSession, sf: str) -> DataFrame:
         "n_dropped",
         (F.col("n_members") - F.col("n_dropped")).alias("n_kept"),
     )
+
+
+_DRIFT_ESCAPE_TAIL = """
+, proj AS (
+  SELECT x.vec_id,
+         CAST(FLOOR(CAST(SUM(x.xv * v2.v) AS DOUBLE) / 1000000) AS BIGINT)
+           AS p
+  FROM x JOIN v2 USING (pos) GROUP BY x.vec_id
+), pr AS (
+  SELECT CAST(vec_id % 2 AS INTEGER) AS win, p FROM proj
+), rb AS (
+  SELECT MIN(p) AS pmin, MAX(p) AS pmax,
+         CAST(COUNT(*) AS BIGINT) AS n_ref
+  FROM pr WHERE win = 0
+)
+SELECT rb.n_ref,
+       CAST(COUNT(*) AS BIGINT) AS n_cur,
+       CAST(SUM(CASE WHEN pr.p < rb.pmin THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below,
+       CAST(SUM(CASE WHEN pr.p > rb.pmax THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       CAST(SUM(CASE WHEN pr.p < rb.pmin THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS below_ppm,
+       CAST(SUM(CASE WHEN pr.p > rb.pmax THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS above_ppm
+FROM pr, rb WHERE pr.win = 1 GROUP BY rb.n_ref
+"""
+
+
+@_register(
+    "drift_escape_report",
+    _PCA_CTE + _DRIFT_ESCAPE_TAIL,
+    doc="The drift monitor's ALERT face: how much of the CURRENT window "
+    "escapes the reference window's projection range entirely — counts "
+    "and exact ppm below pmin and above pmax of the reference (win-0) "
+    "projections. The bucketed histogram (embedding_drift_buckets) "
+    "sees shape changes INSIDE the range; escape mass is the "
+    "out-of-range half — in the streaming twin these are exactly the "
+    "rows the frozen-bound bucketizer clamps into edge buckets, so "
+    "this report quantifies what the clamp absorbed. One projection "
+    "pass, a 1-row reference-bounds broadcast, one conditional "
+    "aggregate — per-window state is 4 integers.",
+    priority=7,
+)
+def drift_escape_report(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import (
+        drift_fit,
+        drift_projection,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    mu, v = drift_fit(emb, vec_col="embedding", id_col="vec_id", iters=2)
+    pr = drift_projection(emb, mu, v).select(
+        (F.col("vec_id") % 2).cast("int").alias("win"), "p"
+    )
+    rb = pr.where(F.col("win") == 0).agg(
+        F.min("p").alias("pmin"),
+        F.max("p").alias("pmax"),
+        F.count(F.lit(1)).alias("n_ref"),
+    )
+    cur = pr.where(F.col("win") == 1).crossJoin(F.broadcast(rb))
+    below = F.when(F.col("p") < F.col("pmin"), 1).otherwise(0)
+    above = F.when(F.col("p") > F.col("pmax"), 1).otherwise(0)
+    return cur.groupBy("n_ref").agg(
+        F.count(F.lit(1)).alias("n_cur"),
+        F.sum(below).cast("bigint").alias("n_below"),
+        F.sum(above).cast("bigint").alias("n_above"),
+        F.expr(
+            "CAST(sum(CASE WHEN p < pmin THEN 1 ELSE 0 END) * 1000000 "
+            "div count(1) AS BIGINT)"
+        ).alias("below_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN p > pmax THEN 1 ELSE 0 END) * 1000000 "
+            "div count(1) AS BIGINT)"
+        ).alias("above_ppm"),
+    ).select("n_ref", "n_cur", "n_below", "n_above", "below_ppm", "above_ppm")

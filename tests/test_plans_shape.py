@@ -1013,3 +1013,27 @@ def test_hash_sample_quantile_scans_table_exactly_twice(spark):
     assert tree.count("TakeOrderedAndProject") == 1
     assert "SortMergeJoin" not in tree
     assert "BroadcastNestedLoopJoin Cross BuildRight" in tree
+
+
+def test_sample_size_sweep_is_two_scans_nested_sample(spark):
+    """The nested md5 sample serves every k from ONE
+    TakeOrderedAndProject(1024) pass; all 9 (k, q) cells audit in one
+    broadcast conditional-aggregate pass — two table scans total."""
+    plan = plan_of(spark, "sample_size_quantile_sweep")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert tree.count("TakeOrderedAndProject") == 1
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in tree
+
+
+def test_drift_escape_is_two_scans_one_bounds_row(spark):
+    """Reference bounds ride ONE 1-row broadcast back over the
+    current-window projection — two projection scans, partial+final
+    aggregates, no shuffle join, no window."""
+    plan = plan_of(spark, "drift_escape_report")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in tree
+    assert "SortMergeJoin" not in tree and "Window" not in tree
+    assert tree.count("HashAggregate") >= 4
