@@ -514,3 +514,59 @@ def test_append_evolution_adds_column_nulls_old_rows_versions_schema(
     got3 = log.read(spark)
     assert set(got3.columns) == {"k", "part", "v"}
     assert got3.count() == 200
+
+
+def _append_race_attempt(root: str, i: int, q):
+    from cve_manager_spark.commitlog import CommitConflict, TableLog
+
+    log = TableLog(root)
+    rel = f"part-app-{i:05d}.parquet"
+    (log.root / rel).write_bytes(b"x")  # pre-staged data file
+    retries = 0
+    for _ in range(50):
+        version, files = log.snapshot()
+        try:
+            log._publish(version, list(files) + [rel], f"append-{i}")
+            q.put(("ok", i, retries))
+            return
+        except CommitConflict:
+            retries += 1
+    q.put(("fail", i, retries))
+
+
+def test_blind_append_protocol_under_real_process_race(tmp_path):
+    """The blind-append commutation argument under REAL concurrency:
+    N OS processes each append one distinct pre-staged file using the
+    snapshot -> publish -> retry-on-conflict loop (the protocol inside
+    TableLog.append). Every append must eventually land, the final
+    manifest must contain ALL N files (no lost update — the exact
+    failure the retry-against-fresh-parent publish prevents), and the
+    version chain must be a clean 1..N."""
+    import multiprocessing as mp
+
+    from cve_manager_spark.commitlog import TableLog
+
+    root = tmp_path / "append_race_table"
+    (root / "_commits").mkdir(parents=True)
+    TableLog(str(root))._publish(parent=-1, files=[], op="init")
+
+    n = 8
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_append_race_attempt, args=(str(root), i, q))
+        for i in range(n)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+    results = [q.get(timeout=10) for _ in range(n)]
+    assert all(kind == "ok" for kind, _, _ in results), results
+
+    log = TableLog(str(root))
+    assert log.versions() == list(range(n + 1))
+    _, files = log.snapshot()
+    assert sorted(files) == sorted(
+        f"part-app-{i:05d}.parquet" for i in range(n)
+    )
