@@ -714,3 +714,97 @@ def quality_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
             "* 1000000 div count(1) AS BIGINT)"
         ).alias("pass_ppm"),
     )
+
+
+_MODALITY_AGREEMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id AS id,
+         list_distinct(CASE WHEN len(w) >= 2
+           THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+           ELSE [] END) AS shingles
+  FROM toks
+), ne AS (
+  SELECT id, shingles FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT id, shingles,
+         list_transform(range(0, 32), s ->
+           list_min(list_transform(shingles, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sigs
+  FROM ne
+), keys AS (
+  SELECT id, b, sigs[b*2+1] || '|' || sigs[b*2+2] AS bkey
+  FROM (SELECT id, sigs, unnest(range(0, 16)) AS b FROM sig)
+), cand AS (
+  SELECT DISTINCT a.id AS id_old, b.id AS id_new
+  FROM keys a JOIN keys b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id
+), mh AS (
+  SELECT DISTINCT c.id_new AS id
+  FROM cand c JOIN ne sa ON sa.id = c.id_old JOIN ne sb ON sb.id = c.id_new
+  WHERE len(list_intersect(sa.shingles, sb.shingles)) * 2
+        >= len(sa.shingles) + len(sb.shingles)
+          - len(list_intersect(sa.shingles, sb.shingles))
+), dg AS (
+  SELECT doc_id, md5(text) AS g FROM documents
+), gm AS (
+  SELECT g, MIN(doc_id) AS keep_id FROM dg GROUP BY g
+), exd AS (
+  SELECT dg.doc_id AS id FROM dg JOIN gm ON dg.g = gm.g
+  WHERE dg.doc_id > gm.keep_id
+)
+SELECT exd.id IS NOT NULL AS exact_dup,
+       mh.id IS NOT NULL AS minhash_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d
+LEFT JOIN exd ON d.doc_id = exd.id
+LEFT JOIN mh ON d.doc_id = mh.id
+GROUP BY 1, 2
+"""
+
+
+@_register(
+    "dedup_modality_agreement",
+    _MODALITY_AGREEMENT_ORACLE,
+    doc="Calibration audit ACROSS dedup modalities: every document "
+    "flagged by the exact gate (a lower-id doc with the same md5 "
+    "digest) and by the MinHash gate (a lower-id verified J >= 0.5 "
+    "band-mate, dedup_minhash_det's 16x2 pipeline), cross-tabbed as a "
+    "2x2 matrix. The cells are the modality-design report: "
+    "(true, false) is exact dups the LSH missed — in a calibrated "
+    "setup only zero-shingle docs land there, since identical text "
+    "yields identical signatures; (false, true) is the near-dup mass "
+    "only MinHash sees — the value the fuzzier modality adds over "
+    "hashing; and the diagonal sizes how much the gates overlap, "
+    "which prices running one pipeline instead of two. Cost: the "
+    "digest test is a 16-byte-digest groupBy + join-back (never a "
+    "self-join of text), MinHash is the banded directional join, and "
+    "the cross-tab is a 4-key aggregate.",
+    priority=7,
+)
+def dedup_modality_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.dedup import (
+        minhash_dominated,
+        minhash_encode,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    dg = docs.select("doc_id", F.md5("text").alias("g"))
+    gm = dg.groupBy("g").agg(F.min("doc_id").alias("keep_id"))
+    exd = (
+        dg.join(gm, "g")
+        .where(F.col("doc_id") > F.col("keep_id"))
+        .select(F.col("doc_id").alias("id"))
+        .withColumn("__e", F.lit(1))
+    )
+    sh, keys = minhash_encode(docs)
+    mh = minhash_dominated(keys, sh, keys, sh).withColumn("__m", F.lit(1))
+    j = (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(exd, "id", "left")
+        .join(mh, "id", "left")
+    )
+    return j.groupBy(
+        F.col("__e").isNotNull().alias("exact_dup"),
+        F.col("__m").isNotNull().alias("minhash_dup"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
