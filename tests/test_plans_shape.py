@@ -1037,3 +1037,14 @@ def test_drift_escape_is_two_scans_one_bounds_row(spark):
     assert "BroadcastNestedLoopJoin Cross BuildRight" in tree
     assert "SortMergeJoin" not in tree and "Window" not in tree
     assert tree.count("HashAggregate") >= 4
+
+
+def test_modality_agreement_has_no_all_pairs_join(spark):
+    """Both modality tests stay key-gated: the digest side is a
+    16-byte-digest groupBy + equi join-back, the MinHash side the
+    banded directional equi-join — never a cartesian / nested-loop
+    pairing of documents."""
+    plan = plan_of(spark, "dedup_modality_agreement")
+    tree = plan.split("\n\n")[0]
+    assert "Cartesian" not in tree
+    assert "NestedLoop" not in tree
