@@ -95,6 +95,10 @@ FLAGSHIP = {
     "timetravel_version_counts": "one metadata-pruned count per manifest (partial+final), stacked by a joinless union — k tiny rows for k versions",
     "embedding_drift_buckets": "map-side integer projection against frozen (mu, v) literals; ONE 1-row stats aggregate broadcast back (cross build-right); 16-key partial+final histogram",
     "semantic_dedup_frozen_keep": "frozen-codebook assignment map-side; keep-lowest-id drop test as a cell-keyed equi self-join; per-cell roll-up — never all-pairs, never a retrain",
+    "hash_sample_quantile_error": "one TakeOrderedAndProject(256) digest pass + one broadcast conditional-aggregate pass — two table scans regardless of quantile count",
+    "sample_size_quantile_sweep": "nested md5 sample: ONE TakeOrderedAndProject(1024) serves every k; all 9 (k,q) cells audit in one broadcast conditional-aggregate pass",
+    "drift_escape_report": "reference bounds ride one 1-row broadcast back over the current-window projection; two scans, no shuffle join, no window",
+    "dedup_modality_agreement": "digest groupBy + equi join-back vs banded directional MinHash join, cross-tabbed by a 4-key aggregate — no cartesian anywhere",
 }
 
 
