@@ -28,7 +28,7 @@ splitting handles (same hatch as operators/skew.py documents).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cve_manager_spark.operators.semantic import kmeans_quantized
@@ -819,3 +819,115 @@ def drift_escape_report(spark: SparkSession, sf: str) -> DataFrame:
             "div count(1) AS BIGINT)"
         ).alias("above_ppm"),
     ).select("n_ref", "n_cur", "n_below", "n_above", "below_ppm", "above_ppm")
+
+
+_PQ_BALANCE_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+), t AS (
+  SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS val
+  FROM e
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
+), mu AS (
+  SELECT dim,
+         CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / (SELECT n FROM nn)) AS BIGINT)
+           AS m
+  FROM t GROUP BY dim
+), en AS (
+  SELECT t.dim,
+         CAST(SUM(CAST((t.val - mu.m) AS HUGEINT) * (t.val - mu.m))
+              AS DECIMAL(38,0)) AS energy
+  FROM t JOIN mu USING (dim) GROUP BY t.dim
+), asg AS (
+  SELECT dim, energy,
+         CAST(dim // 16 AS INTEGER) AS naive_sub,
+         CAST((ROW_NUMBER() OVER (ORDER BY energy DESC, dim) - 1) % 4
+              AS INTEGER) AS balanced_sub
+  FROM en
+), nv AS (
+  SELECT naive_sub AS subspace,
+         CAST(CAST(SUM(energy) AS DECIMAL(38,0)) AS DOUBLE) AS naive_energy
+  FROM asg GROUP BY naive_sub
+), bl AS (
+  SELECT balanced_sub AS subspace,
+         CAST(CAST(SUM(energy) AS DECIMAL(38,0)) AS DOUBLE)
+           AS balanced_energy
+  FROM asg GROUP BY balanced_sub
+)
+SELECT nv.subspace, nv.naive_energy, bl.balanced_energy
+FROM nv JOIN bl ON nv.subspace = bl.subspace
+"""
+
+
+@_register(
+    "pq_subspace_balance",
+    _PQ_BALANCE_ORACLE,
+    doc="OPQ-lite for the product quantizer, deterministic and audited: "
+    "instead of a learned rotation (float-iterative, not oracle-"
+    "pairable), balance the SUBSPACES by permuting dimensions — rank "
+    "dims by exact centered energy sum((q - mu)^2) and deal them "
+    "round-robin into the 4 subspaces, the standard cheap OPQ "
+    "approximation (dimension permutation captures most of the "
+    "rotation's benefit when dims are near-independent). Emits per "
+    "subspace the energy under pq_codes' naive contiguous split vs "
+    "the balanced split: a large naive spread means one sub-codebook "
+    "is starved while another saturates — the signal to adopt the "
+    "permutation (it composes freely with pq_train, which treats "
+    "dims as opaque positions). Cluster cost: one posexplode pass "
+    "with d-key partial aggregates (energy in DECIMAL(38,0) via "
+    "HUGEINT-exact products), a d-row ranking window, two 4-key "
+    "roll-ups — no vector-sized shuffle.",
+    priority=7,
+)
+def pq_subspace_balance(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import quantize_vec
+
+    emb = load_table(spark, sf, "embeddings")
+    t = emb.select(
+        F.posexplode(quantize_vec(F.col("embedding"))).alias("dim", "val")
+    )
+    mu = t.groupBy("dim").agg(
+        F.floor(
+            F.sum("val").cast("double") / F.count(F.lit(1))
+        ).cast("long").alias("m"),
+        F.sum(
+            (F.col("val").cast("decimal(19,0)") * F.col("val")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+        F.sum("val").alias("s1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # exact centered energy via the moment identity:
+    # sum((v-m)^2) = sum(v^2) - 2*m*sum(v) + n*m^2 — one pass, no re-scan
+    energy = (
+        F.col("s2")
+        - (F.col("m").cast("decimal(19,0)") * F.col("s1") * F.lit(2)).cast(
+            "decimal(38,0)"
+        )
+        + (F.col("m").cast("decimal(19,0)") * F.col("m") * F.col("n")).cast(
+            "decimal(38,0)"
+        )
+    ).cast("decimal(38,0)")
+    en = mu.select("dim", energy.alias("energy"))
+    w = Window.orderBy(F.col("energy").desc(), "dim")  # d rows only
+    asg = en.select(
+        "dim",
+        "energy",
+        F.expr("CAST(dim div 16 AS INT)").alias("naive_sub"),
+        ((F.row_number().over(w) - 1) % 4).cast("int").alias("balanced_sub"),
+    )
+    nv = asg.groupBy(F.col("naive_sub").alias("subspace")).agg(
+        F.sum("energy").cast("decimal(38,0)").cast("double").alias("naive_energy")
+    )
+    bl = asg.groupBy(F.col("balanced_sub").alias("subspace")).agg(
+        F.sum("energy")
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("balanced_energy")
+    )
+    return nv.join(bl, "subspace")
