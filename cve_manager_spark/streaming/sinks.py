@@ -913,3 +913,110 @@ def foreach_batch_phash_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _hex_bucket(expr: str) -> str:
+    """First hex digit of md5(expr) as 0..15 — the engine-reproducible
+    bucket function the batch CMS specs use (plans/sketches.py)."""
+    return f"(locate(substring(md5({expr}), 1, 1), '0123456789abcdef') - 1)"
+
+
+def foreach_batch_cms(
+    stream_df: DataFrame,
+    out_dir: str,
+    key_expr: str = "cast(user_id as string)",
+    rows: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Streaming CountMin sketch — the capacity-bounded frequency state
+    the batch ``countmin_estimate_error`` audit prices (same md5 bucket
+    family, d=4 × w=16): each micro-batch reduces to ≤ d·w (row,
+    bucket, count) increments and merges into the previous snapshot by
+    SUM. Counter addition is associative and commutative, so batch
+    chopping cannot change the sketch — the defining CMS property, here
+    proven stream == batch instead of assumed. State is d·w integers
+    regardless of stream volume; snapshots are keyed by batch id with
+    each derived from the newest predecessor (the foreach_batch_rollup
+    idempotency discipline), so replays rebuild identical state."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = (
+            batch_df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r).alias("r"),
+                                F.expr(
+                                    _hex_bucket(
+                                        f"concat(cast({r} as string), ':', "
+                                        f"{key_expr})"
+                                    )
+                                )
+                                .cast("int")
+                                .alias("b"),
+                            )
+                            for r in range(rows)
+                        ]
+                    )
+                ).alias("rb")
+            )
+            .select("rb.r", "rb.b")
+            .groupBy("r", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        versions = [
+            v for v in _list_state_versions(spark, out_dir) if v < batch_id
+        ]
+        if versions:
+            prev = spark.read.parquet(
+                f"{out_dir}/{_STATE_PREFIX}{versions[-1]}"
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("r", "b")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+        part.write.mode("overwrite").parquet(
+            f"{out_dir}/{_STATE_PREFIX}{batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_state(spark, out_dir: str) -> DataFrame | None:
+    """Newest CMS snapshot: (r, b, c)."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+
+
+def cms_estimate(
+    keys_df: DataFrame, state_df: DataFrame, key_col: str = "key",
+    rows: int = 4,
+) -> DataFrame:
+    """Point-query the sketch: per key, min over rows of its bucket's
+    total — the CMS upper-bound estimate. The ≤ d·w-row state
+    broadcasts; the probe is d narrow joins over the key relation."""
+    out = keys_df
+    for r in range(rows):
+        br = F.expr(
+            _hex_bucket(f"concat(cast({r} as string), ':', {key_col})")
+        ).cast("int")
+        t = state_df.where(F.col("r") == r).select(
+            F.col("b").alias(f"__b{r}"), F.col("c").alias(f"__c{r}")
+        )
+        out = out.withColumn(f"__b{r}", br).join(
+            F.broadcast(t), f"__b{r}", "left"
+        )
+    est = F.least(*[F.coalesce(F.col(f"__c{r}"), F.lit(0)) for r in range(rows)])
+    return out.select(
+        key_col, est.cast("bigint").alias("estimate")
+    )

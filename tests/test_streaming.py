@@ -1329,3 +1329,52 @@ def test_foreach_batch_phash_dedup_equals_batch(spark, tmp_path):
     start().awaitTermination()  # replay
     got2 = spark.read.parquet(out + "/docs").select("id", "phash_hex", "dup")
     assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
+
+
+def test_foreach_batch_cms_equals_batch_sketch(spark, tmp_path):
+    """Streaming CountMin state == the batch sketch exactly (counter
+    addition is associative+commutative, so micro-batch chopping cannot
+    change it), and point estimates through the accumulated state match
+    the registry countmin_estimate_error spec's estimates key-for-key.
+    Replay rebuilds identical state."""
+    from cve_manager_spark.plans.sketches import countmin_estimate_error
+    from cve_manager_spark.streaming.sinks import (
+        cms_estimate,
+        foreach_batch_cms,
+        read_cms_state,
+    )
+
+    src_dir = str(tmp_path / "events_cms_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "cms_state")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_cms(stream, out)
+
+    start().awaitTermination()
+    state = read_cms_state(spark, out)
+    assert state.agg(F.sum("c")).head()[0] == events.count() * 4
+
+    keys = events.select(
+        F.col("user_id").cast("string").alias("key")
+    ).distinct()
+    got = cms_estimate(keys, state).select(
+        F.col("key").cast("bigint").alias("user_id"), "estimate"
+    )
+    want = countmin_estimate_error(spark, SF_SMALL).select(
+        "user_id", "estimate"
+    )
+    cols = ["user_id", "estimate"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    start().awaitTermination()  # replay: snapshots rebuild identically
+    state2 = read_cms_state(spark, out)
+    assert _sorted_rows(state2, ["r", "b", "c"]) == _sorted_rows(
+        state, ["r", "b", "c"]
+    )
