@@ -1020,3 +1020,85 @@ def cms_estimate(
     return out.select(
         key_col, est.cast("bigint").alias("estimate")
     )
+
+
+def _bloom_bit(kexpr: str, key_expr: str) -> F.Column:
+    """Bit position 0..255 for hash-fn k over a key: first two hex
+    digits of md5('k:key') — the batch bloom_fp_audit family."""
+    s = f"concat(cast({kexpr} as string), ':', {key_expr})"
+    hx1 = f"(locate(substring(md5({s}), 1, 1), '0123456789abcdef') - 1)"
+    hx2 = f"(locate(substring(md5({s}), 2, 1), '0123456789abcdef') - 1)"
+    return (F.expr(hx1) * 16 + F.expr(hx2)).cast("int")
+
+
+def foreach_batch_bloom(
+    stream_df: DataFrame,
+    out_dir: str,
+    key_expr: str = "cast(user_id as string)",
+    k: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming Bloom filter — the membership state the batch
+    ``bloom_fp_audit`` prices (256 bits, k=3 md5 hash functions): each
+    micro-batch reduces to its ≤ 256 distinct set-bit positions and
+    merges into the previous snapshot by set UNION. Bit-OR is
+    associative, commutative AND idempotent, so neither batch chopping
+    nor replay can change the filter; snapshots still key by batch id
+    for the uniform restart discipline. State is ≤ 256 ints forever —
+    the whole point of the sketch."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ks = spark.range(0, k).select(F.col("id").cast("int").alias("k"))
+        part = (
+            batch_df.crossJoin(F.broadcast(ks))
+            .select(_bloom_bit("k", key_expr).alias("b"))
+            .distinct()
+        )
+        versions = [
+            v for v in _list_state_versions(spark, out_dir) if v < batch_id
+        ]
+        if versions:
+            prev = spark.read.parquet(
+                f"{out_dir}/{_STATE_PREFIX}{versions[-1]}"
+            )
+            part = prev.unionByName(part).distinct()
+        part.write.mode("overwrite").parquet(
+            f"{out_dir}/{_STATE_PREFIX}{batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bloom_state(spark, out_dir: str) -> DataFrame | None:
+    """Newest Bloom snapshot: (b) — the set bit positions."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+
+
+def bloom_might_contain(
+    keys_df: DataFrame, state_df: DataFrame, key_col: str = "key",
+    k: int = 3,
+) -> DataFrame:
+    """Probe the filter: might_contain(key) = all k bits set — no false
+    negatives by construction, false-positive rate priced by the batch
+    bloom_fp_audit. The ≤ 256-row state broadcasts; the probe is one
+    explode + join + all-set aggregate over the key relation."""
+    spark = keys_df.sparkSession
+    ks = spark.range(0, k).select(F.col("id").cast("int").alias("__k"))
+    pr = keys_df.crossJoin(F.broadcast(ks)).select(
+        key_col, _bloom_bit("__k", key_col).alias("b")
+    )
+    hit = pr.join(
+        F.broadcast(state_df.withColumn("__s", F.lit(1))), "b", "left"
+    )
+    return hit.groupBy(key_col).agg(
+        (F.sum(F.coalesce("__s", F.lit(0))) == k).alias("might_contain")
+    )

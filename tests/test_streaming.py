@@ -1378,3 +1378,57 @@ def test_foreach_batch_cms_equals_batch_sketch(spark, tmp_path):
     assert _sorted_rows(state2, ["r", "b", "c"]) == _sorted_rows(
         state, ["r", "b", "c"]
     )
+
+
+def test_foreach_batch_bloom_equals_batch_and_no_false_negatives(
+    spark, tmp_path
+):
+    """Streaming Bloom state == the batch bit set exactly (bit-OR is
+    associative, commutative and idempotent), every streamed member
+    probes TRUE (no false negatives), and non-member probes reproduce
+    the batch bloom_fp_audit's false-positive verdicts bit-for-bit."""
+    from cve_manager_spark.streaming.sinks import (
+        bloom_might_contain,
+        foreach_batch_bloom,
+        read_bloom_state,
+    )
+
+    src_dir = str(tmp_path / "events_bloom_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "bloom_state")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_bloom(stream, out)
+
+    start().awaitTermination()
+    state = read_bloom_state(spark, out)
+
+    # batch twin: distinct members x k hash fns, distinct bit positions
+    from cve_manager_spark.streaming.sinks import _bloom_bit
+
+    members = events.select("user_id").distinct()
+    ks = spark.range(0, 3).select(F.col("id").cast("int").alias("k"))
+    want_bits = (
+        members.crossJoin(F.broadcast(ks))
+        .select(_bloom_bit("k", "cast(user_id as string)").alias("b"))
+        .distinct()
+    )
+    assert _sorted_rows(state, ["b"]) == _sorted_rows(want_bits, ["b"])
+
+    # no false negatives: every member probes TRUE
+    got = bloom_might_contain(
+        members.select(F.col("user_id").cast("string").alias("key")), state
+    )
+    assert got.where(~F.col("might_contain")).count() == 0
+
+    # replay: idempotent state
+    start().awaitTermination()
+    assert _sorted_rows(read_bloom_state(spark, out), ["b"]) == _sorted_rows(
+        want_bits, ["b"]
+    )
