@@ -1102,3 +1102,78 @@ def bloom_might_contain(
     return hit.groupBy(key_col).agg(
         (F.sum(F.coalesce("__s", F.lit(0))) == k).alias("might_contain")
     )
+
+
+def foreach_batch_occupancy(
+    stream_df: DataFrame,
+    out_dir: str,
+    group_col: str = "event_type",
+    key_expr: str = "cast(user_id as string)",
+    trigger_available_now: bool = True,
+):
+    """Streaming linear-counting state — the occupancy sketch the batch
+    ``distinct_bucket_occupancy`` audit prices (256 md5 buckets per
+    group): each micro-batch reduces to its distinct (group, bucket)
+    rows and merges by set UNION — idempotent and commutative like the
+    Bloom bits, so chopping and replay cannot change it. State is
+    ≤ #groups × 256 rows regardless of stream volume; the distinct
+    estimate itself (−w·ln(1 − occupied/w)) is driver-side over the
+    per-group report (:func:`linear_count_estimate`) — the ln never
+    enters the engine, same rule as the drift PSI."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = (
+            F.expr(_hex_bucket(key_expr)) * 16
+            + F.expr(
+                f"(locate(substring(md5({key_expr}), 2, 1), "
+                "'0123456789abcdef') - 1)"
+            )
+        ).cast("int")
+        part = batch_df.select(
+            F.col(group_col).alias("g"), b.alias("b")
+        ).distinct()
+        versions = [
+            v for v in _list_state_versions(spark, out_dir) if v < batch_id
+        ]
+        if versions:
+            prev = spark.read.parquet(
+                f"{out_dir}/{_STATE_PREFIX}{versions[-1]}"
+            )
+            part = prev.unionByName(part).distinct()
+        part.write.mode("overwrite").parquet(
+            f"{out_dir}/{_STATE_PREFIX}{batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_occupancy_state(spark, out_dir: str) -> DataFrame | None:
+    """Newest occupancy snapshot: (g, b)."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+
+
+def linear_count_estimate(report_rows, w: int = 256) -> dict:
+    """Driver-side linear-counting estimates over the per-group
+    occupancy report: n̂ = −w·ln(1 − occupied/w); a saturated group
+    (occupied == w) has no finite estimate and is reported in
+    ``saturated`` instead — at saturation the sketch's answer is 'use
+    a wider one', which is what the batch width sweep prices."""
+    import math
+
+    est: dict = {"estimates": {}, "saturated": []}
+    for r in report_rows:
+        g, occ = r["g"], int(r["occupied"])
+        if occ >= w:
+            est["saturated"].append(g)
+        else:
+            est["estimates"][g] = -w * math.log(1 - occ / w)
+    return est

@@ -1432,3 +1432,58 @@ def test_foreach_batch_bloom_equals_batch_and_no_false_negatives(
     assert _sorted_rows(read_bloom_state(spark, out), ["b"]) == _sorted_rows(
         want_bits, ["b"]
     )
+
+
+def test_foreach_batch_occupancy_equals_batch_audit(spark, tmp_path):
+    """Streaming occupancy state == the batch bucket set exactly (set
+    union is idempotent+commutative), per-group occupied counts match
+    the registry distinct_bucket_occupancy audit, the driver-side
+    linear-count estimate is sane (within 30% of exact at these
+    occupancies), and replay changes nothing."""
+    from cve_manager_spark.plans.sketches import distinct_bucket_occupancy
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_occupancy,
+        linear_count_estimate,
+        read_occupancy_state,
+    )
+
+    src_dir = str(tmp_path / "events_occ_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "occ_state")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_occupancy(stream, out)
+
+    start().awaitTermination()
+    state = read_occupancy_state(spark, out)
+    got = state.groupBy(F.col("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("occupied")
+    )
+    want = distinct_bucket_occupancy(spark, SF_SMALL).select(
+        F.col("event_type").alias("g"), "occupied"
+    )
+    assert _sorted_rows(got, ["g", "occupied"]) == _sorted_rows(
+        want, ["g", "occupied"]
+    )
+
+    exact = {
+        r["g"]: r["exact_distinct"]
+        for r in distinct_bucket_occupancy(spark, SF_SMALL)
+        .select(F.col("event_type").alias("g"), "exact_distinct")
+        .collect()
+    }
+    est = linear_count_estimate(got.collect())
+    for g, e in est["estimates"].items():
+        assert abs(e - exact[g]) <= 0.3 * exact[g] + 3, (g, e, exact[g])
+    for g in est["saturated"]:
+        assert exact[g] > 256  # saturation only under heavy load
+
+    start().awaitTermination()  # replay: idempotent state
+    state2 = read_occupancy_state(spark, out)
+    assert _sorted_rows(state2, ["g", "b"]) == _sorted_rows(state, ["g", "b"])
