@@ -263,11 +263,12 @@ def main() -> None:
     # Self-healing min-of-k (VERDICT r9 #2): the shared host steals CPU in
     # bursts, and a round whose 3 passes all landed inside a burst used to
     # transmit host noise to the judge as a fake regression. Per-pass
-    # /proc/stat steal makes each pass self-attributing; when a pass shows
-    # material steal (> ~2% of the pass's core-seconds), run extra passes —
-    # min-of-k per query absorbs transient steal without curating runs by
-    # hand. Capped at 5 passes so a chronically stolen host still
-    # terminates (and reports its steal, which IS the attribution).
+    # /proc/stat steal makes each pass self-attributing; when the FINAL
+    # pass shows material steal (> ~2% of the pass's core-seconds), run
+    # one extra pass — min-of-k per query absorbs transient steal without
+    # curating runs by hand. Capped at 4 passes total: a chronically
+    # stolen host still terminates inside the driver's capture window,
+    # and the recorded per-pass steal IS the attribution either way.
     n_passes = 3
     for pass_i in range(n_passes):
         wall = _run_pass(pass_i)
@@ -275,7 +276,7 @@ def main() -> None:
         cores = float(cpus) if str(cpus).isdigit() else 32.0
         if (
             pass_i == n_passes - 1
-            and n_passes < 5
+            and n_passes < 4
             and stolen == stolen  # not NaN
             and stolen > 0.02 * wall * cores
         ):
