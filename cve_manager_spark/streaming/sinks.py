@@ -697,6 +697,8 @@ def foreach_batch_minhash_dedup(
     trigger_available_now: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
+    docs_bucket_table: str | None = None,
+    n_buckets: int = 8,
 ):
     """Streaming incremental-MinHash gate: the third dedup modality
     (after exact digests and embedding cells) as a continuous ingest
@@ -717,10 +719,14 @@ def foreach_batch_minhash_dedup(
        (band, key)-bucketed LSH index).
 
     The verify side reads the doc-grain state relation un-pruned (a
-    candidate's old doc can live anywhere); at 100 TB that relation is
-    bucketed by doc_id so the verify join is zero-exchange on the state
-    side — the ``maintenance.bucketed`` story, same trade the batch
-    ``minhash_incremental_dups`` spec documents. Zero-shingle documents
+    candidate's old doc can live anywhere). Passing ``docs_bucket_table``
+    (a catalog table name) stores that relation BUCKETED by id via
+    ``maintenance.write_bucketed``'s contract: the per-batch verify join
+    then consumes the on-disk hash distribution — the state side never
+    exchanges, only the (small) candidate side shuffles to match
+    (plan-asserted in tests). Without it the state is a plain parquet
+    dir and the trade stays documented, as in the batch
+    ``minhash_incremental_dups`` spec. Zero-shingle documents
     carry no signature and are not recorded (same exclusion as every
     det-MinHash face).
 
@@ -749,7 +755,7 @@ def foreach_batch_minhash_dedup(
         try:
             docs_dir = str(Path(table_dir) / "docs")
             bands_dir = str(Path(table_dir) / "bands")
-            other_keys, other_sh = keys, sh
+            dropped = minhash_dominated(keys, sh, keys, sh)
             if any(Path(bands_dir).rglob("*.parquet")):
                 kbs = [
                     r["kb"]
@@ -762,19 +768,30 @@ def foreach_batch_minhash_dedup(
                     .where(F.col("kb").isin(kbs))
                     .select("id", "band", "key")
                 )
-                seen_sh = spark.read.parquet(docs_dir).select(
-                    F.col("id"), F.col("shingles")
-                )
-                other_keys = keys.unionByName(seen_keys)
-                other_sh = sh.unionByName(seen_sh)
-            dropped = minhash_dominated(keys, sh, other_keys, other_sh)
+                # the seen side verifies SEPARATELY from the intra-batch
+                # pass: a union with the batch relation would erase the
+                # bucketed table's on-disk distribution and bring the
+                # state-side exchange back
+                seen_sh = (
+                    spark.table(docs_bucket_table)
+                    if docs_bucket_table
+                    else spark.read.parquet(docs_dir)
+                ).select("id", "shingles")
+                dropped = dropped.unionByName(
+                    minhash_dominated(keys, sh, seen_keys, seen_sh)
+                ).distinct()
             out = (
                 sh.join(dropped.withColumn("__d", F.lit(1)), "id", "left")
                 .select(
                     "id", "shingles", F.col("__d").isNotNull().alias("dup")
                 )
             )
-            out.write.mode("append").parquet(docs_dir)
+            if docs_bucket_table:
+                out.write.format("parquet").bucketBy(
+                    n_buckets, "id"
+                ).sortBy("id").mode("append").saveAsTable(docs_bucket_table)
+            else:
+                out.write.mode("append").parquet(docs_dir)
             keys.select(
                 F.substring(F.md5("key"), 1, 2).alias("kb"), "band", "key", "id"
             ).write.partitionBy("kb").mode("append").parquet(bands_dir)

@@ -1487,3 +1487,83 @@ def test_foreach_batch_occupancy_equals_batch_audit(spark, tmp_path):
     start().awaitTermination()  # replay: idempotent state
     state2 = read_occupancy_state(spark, out)
     assert _sorted_rows(state2, ["g", "b"]) == _sorted_rows(state, ["g", "b"])
+
+
+def test_minhash_gate_bucketed_state_equals_plain_and_no_state_exchange(
+    spark, tmp_path
+):
+    """docs_bucket_table stores the gate's doc-state bucketed by id:
+    verdicts are identical to the plain-parquet run, and the verify
+    join consumes the on-disk hash distribution — under a merge-join
+    hint only the (small) candidate side exchanges, the state side
+    scans bucketed."""
+    import os
+    import shutil
+
+    from cve_manager_spark.operators.dedup import (
+        minhash_dominated,
+        minhash_encode,
+    )
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_minhash_dedup,
+        read_documents_stream,
+    )
+
+    db = "mh_gate_test"
+    loc = tmp_path / "gate_wh"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    try:
+        docs = load_table(spark, SF_SMALL, "documents")
+        ids = sorted(r[0] for r in docs.select("doc_id").collect())
+        cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+        bounds = [min(ids)] + cuts + [max(ids) + 1]
+        src = tmp_path / "doc_src_b"
+        src.mkdir()
+        for i in range(3):
+            part = docs.where(
+                (F.col("doc_id") >= bounds[i])
+                & (F.col("doc_id") < bounds[i + 1])
+            )
+            scratch = tmp_path / f"bk_scratch{i}"
+            part.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+            dest = src / f"b{i}.parquet"
+            shutil.move(str(next(scratch.glob("*.parquet"))), str(dest))
+            os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+
+        out = str(tmp_path / "mh_state_b")
+        table = f"{db}.gate_docs"
+        stream = read_documents_stream(spark, str(src), max_files_per_trigger=1)
+        foreach_batch_minhash_dedup(
+            stream, out, docs_bucket_table=table
+        ).awaitTermination()
+
+        got = spark.table(table).select("id", "dup")
+        sh, keys = minhash_encode(docs)
+        dropped = minhash_dominated(keys, sh, keys, sh)
+        want = sh.join(
+            dropped.withColumn("__d", F.lit(1)), "id", "left"
+        ).select("id", F.col("__d").isNotNull().alias("dup"))
+        cols = ["id", "dup"]
+        assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+        # the verify-join shape: with a merge hint, the bucketed state
+        # side needs no Exchange — only the candidate side shuffles
+        cand = spark.range(0, 50).select(F.col("id"))
+        j = spark.table(table).hint("MERGE").join(cand, "id")
+        plan = (
+            j.sparkSession._jsparkSession.sessionState()
+            .executePlan(
+                j._jdf.queryExecution().logical(),
+                j._jdf.queryExecution().mode(),
+            )
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") == 1  # candidate side only
+        assert "Bucketed: true" in plan  # state scan consumes the layout
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
