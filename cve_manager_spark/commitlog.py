@@ -122,6 +122,19 @@ class TableLog:
             return []
         return sorted(int(p.stem[1:]) for p in log_dir.glob("v*.json"))
 
+    def last_op(self, version: int | None = None) -> str | None:
+        """The op string recorded in the latest (or a pinned) manifest —
+        None for an un-initialized table. Writers that must apply a
+        multi-log operation exactly once tag their appends (see
+        :meth:`append`) and consult this on replay: a log whose newest
+        commit already carries the tag is skipped, which closes the
+        crash window between two logs' commits."""
+        if not self.versions():
+            return None
+        v, _ = self.snapshot(version)
+        with open(_manifest_path(self.root, v)) as f:
+            return json.load(f).get("op")
+
     def snapshot(self, version: int | None = None) -> tuple[int, list[str]]:
         """(version, relative file list) of the latest — or a pinned —
         manifest. Reading a pinned version is time travel; it stays
@@ -271,6 +284,7 @@ class TableLog:
         expected_version: int | None = None,
         max_retries: int = 5,
         allow_evolution: bool = False,
+        tag: str | None = None,
     ) -> dict[str, int]:
         """Committed blind APPEND: stage ``rows`` as fresh part files and
         publish (snapshot ∪ new) — the streaming-ingest primitive.
@@ -285,6 +299,13 @@ class TableLog:
         conflict propagates), for callers whose appended rows WERE
         derived from a snapshot read — e.g. a dedup gate that must not
         land on top of an interleaved writer it never compared against.
+
+        ``tag`` stamps the manifest op as ``append@<tag>`` — the
+        idempotency hook for writers applying one logical operation
+        across SEVERAL logs: on replay they consult :meth:`last_op` and
+        skip a log whose newest commit already carries their tag, so a
+        crash between two logs' commits re-applies only the missing
+        half.
 
         ``allow_evolution=True`` permits ADDITIVE schema evolution: the
         rows may carry new columns on top of every existing one (same
@@ -335,11 +356,12 @@ class TableLog:
                 f"{n_rows} rows; nothing committed"
             )
         out_schema = _schema_json(rows.select(*out_cols))
+        op = "append" if tag is None else f"append@{tag}"
         parent, base = version, files
         for attempt in range(max_retries):
             try:
                 v = self._publish(
-                    parent, list(base) + new_rel, "append", schema=out_schema
+                    parent, list(base) + new_rel, op, schema=out_schema
                 )
                 return {"n_appended": n_rows, "version": v}
             except CommitConflict:

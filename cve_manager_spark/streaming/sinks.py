@@ -699,6 +699,7 @@ def foreach_batch_minhash_dedup(
     text_col: str = "text",
     docs_bucket_table: str | None = None,
     n_buckets: int = 8,
+    committed: bool = False,
 ):
     """Streaming incremental-MinHash gate: the third dedup modality
     (after exact digests and embedding cells) as a continuous ingest
@@ -733,13 +734,29 @@ def foreach_batch_minhash_dedup(
     Like the semantic gate: the drop policy is non-recursive, so with
     ids non-decreasing across batches the final state equals the
     one-shot batch computation exactly (differential-tested); replay is
-    idempotent through the ``_last_batch`` marker."""
+    idempotent through the ``_last_batch`` marker.
+
+    ``committed=True`` routes BOTH state relations through their own
+    :class:`~cve_manager_spark.commitlog.TableLog` (one atomic manifest
+    version per applied batch each). The crash window between the two
+    logs' commits is closed by TAGGED appends: each append stamps
+    ``append@b<batch_id>`` into its manifest, and a replayed batch
+    skips any log whose newest commit already carries its tag — so a
+    crash after the bands commit but before the docs commit re-applies
+    only the missing half, never double-appends. Incompatible with
+    ``docs_bucket_table`` (catalog tables are not commit-logged)."""
     from pathlib import Path
 
+    from cve_manager_spark.commitlog import TableLog
     from cve_manager_spark.operators.dedup import (
         minhash_dominated,
         minhash_encode,
     )
+
+    if committed and docs_bucket_table:
+        raise ValueError(
+            "committed=True and docs_bucket_table are mutually exclusive"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -756,27 +773,37 @@ def foreach_batch_minhash_dedup(
             docs_dir = str(Path(table_dir) / "docs")
             bands_dir = str(Path(table_dir) / "bands")
             dropped = minhash_dominated(keys, sh, keys, sh)
-            if any(Path(bands_dir).rglob("*.parquet")):
+            seen_exists = (
+                bool(TableLog(bands_dir).versions())
+                if committed
+                else any(Path(bands_dir).rglob("*.parquet"))
+            )
+            if seen_exists:
                 kbs = [
                     r["kb"]
                     for r in keys.select(
                         F.substring(F.md5("key"), 1, 2).alias("kb")
                     ).distinct().collect()
                 ]
-                seen_keys = (
-                    spark.read.parquet(bands_dir)
-                    .where(F.col("kb").isin(kbs))
-                    .select("id", "band", "key")
+                bands_rel = (
+                    TableLog(bands_dir).read(spark)
+                    if committed
+                    else spark.read.parquet(bands_dir)
+                )
+                seen_keys = bands_rel.where(F.col("kb").isin(kbs)).select(
+                    "id", "band", "key"
                 )
                 # the seen side verifies SEPARATELY from the intra-batch
                 # pass: a union with the batch relation would erase the
                 # bucketed table's on-disk distribution and bring the
                 # state-side exchange back
-                seen_sh = (
-                    spark.table(docs_bucket_table)
-                    if docs_bucket_table
-                    else spark.read.parquet(docs_dir)
-                ).select("id", "shingles")
+                if docs_bucket_table:
+                    docs_rel = spark.table(docs_bucket_table)
+                elif committed:
+                    docs_rel = TableLog(docs_dir).read(spark)
+                else:
+                    docs_rel = spark.read.parquet(docs_dir)
+                seen_sh = docs_rel.select("id", "shingles")
                 dropped = dropped.unionByName(
                     minhash_dominated(keys, sh, seen_keys, seen_sh)
                 ).distinct()
@@ -786,15 +813,47 @@ def foreach_batch_minhash_dedup(
                     "id", "shingles", F.col("__d").isNotNull().alias("dup")
                 )
             )
+            band_rows = keys.select(
+                F.substring(F.md5("key"), 1, 2).alias("kb"), "band", "key", "id"
+            )
             if docs_bucket_table:
                 out.write.format("parquet").bucketBy(
                     n_buckets, "id"
                 ).sortBy("id").mode("append").saveAsTable(docs_bucket_table)
+                band_rows.write.partitionBy("kb").mode("append").parquet(
+                    bands_dir
+                )
+            elif committed:
+                tag = f"b{batch_id}"
+                # the bands log is initialized LAST, so its absence marks
+                # an incomplete bootstrap — every crash window inside the
+                # first batch replays into this branch and each half is
+                # individually resumable (docs skipped once ITS log
+                # exists; bands overwrite clobbers any crashed remnant)
+                if not TableLog(bands_dir).versions():
+                    dlog = TableLog(docs_dir)
+                    if not dlog.versions():
+                        out.write.mode("overwrite").parquet(docs_dir)
+                        dlog.init()
+                    band_rows.write.partitionBy("kb").mode(
+                        "overwrite"
+                    ).parquet(bands_dir)
+                    TableLog(bands_dir).init()
+                else:
+                    # tagged appends close the two-log crash window: a
+                    # replayed batch skips a log whose newest commit
+                    # already carries its tag
+                    blog = TableLog(bands_dir)
+                    if blog.last_op() != f"append@{tag}":
+                        blog.append(spark, band_rows, tag=tag)
+                    dlog = TableLog(docs_dir)
+                    if dlog.last_op() != f"append@{tag}":
+                        dlog.append(spark, out, tag=tag)
             else:
                 out.write.mode("append").parquet(docs_dir)
-            keys.select(
-                F.substring(F.md5("key"), 1, 2).alias("kb"), "band", "key", "id"
-            ).write.partitionBy("kb").mode("append").parquet(bands_dir)
+                band_rows.write.partitionBy("kb").mode("append").parquet(
+                    bands_dir
+                )
             marker.write_text(str(batch_id))
         finally:
             sh.unpersist()

@@ -1567,3 +1567,87 @@ def test_minhash_gate_bucketed_state_equals_plain_and_no_state_exchange(
         assert "Bucketed: true" in plan  # state scan consumes the layout
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_minhash_gate_committed_two_log_crash_recovery(spark, tmp_path):
+    """committed=True: both state relations version through their own
+    commit log (one manifest per applied batch), verdicts equal the
+    batch twin, and the two-log crash window is closed by tagged
+    appends — a replay after a simulated crash between the bands and
+    docs commits re-applies ONLY the missing half (no double-append)."""
+    import json
+    import os
+    import shutil
+
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.operators.dedup import (
+        minhash_dominated,
+        minhash_encode,
+    )
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_minhash_dedup,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    bounds = [min(ids)] + cuts + [max(ids) + 1]
+    src = tmp_path / "doc_src_c"
+    src.mkdir()
+    for i in range(3):
+        part = docs.where(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        )
+        scratch = tmp_path / f"c_scratch{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        dest = src / f"b{i}.parquet"
+        shutil.move(str(next(scratch.glob("*.parquet"))), str(dest))
+        os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+
+    out = str(tmp_path / "mh_state_c")
+
+    def start():
+        stream = read_documents_stream(spark, str(src), max_files_per_trigger=1)
+        return foreach_batch_minhash_dedup(stream, out, committed=True)
+
+    start().awaitTermination()
+    dlog = TableLog(out + "/docs")
+    blog = TableLog(out + "/bands")
+    assert dlog.snapshot()[0] >= 2 and blog.snapshot()[0] >= 2
+
+    sh, keys = minhash_encode(docs)
+    dropped = minhash_dominated(keys, sh, keys, sh)
+    want = sh.join(
+        dropped.withColumn("__d", F.lit(1)), "id", "left"
+    ).select("id", F.col("__d").isNotNull().alias("dup"))
+    cols = ["id", "dup"]
+    assert _sorted_rows(dlog.read(spark).select(*cols), cols) == _sorted_rows(
+        want, cols
+    )
+
+    # simulate the crash between the two logs' commits on the LAST
+    # batch: roll the docs log back one version (as if its append never
+    # committed) and delete the marker — the replayed batch must skip
+    # the bands append (its tag is already the newest commit) and
+    # re-apply only the docs half
+    n_docs_rows = dlog.read(spark).count()
+    dv, _ = dlog.snapshot()
+    bv, _ = blog.snapshot()
+    marker = tmp_path / "mh_state_c_last_batch"
+    last_batch = int(marker.read_text())
+    # drop the newest docs manifest == un-commit the docs append; the
+    # marker still shows the PREVIOUS batch (the crash hit mid-batch),
+    # and the checkpoint goes too so the source actually redelivers
+    (dlog.root / "_commits" / f"v{dv:012d}.json").unlink()
+    marker.write_text(str(last_batch - 1))
+    shutil.rmtree(str(tmp_path / "mh_state_c_checkpoint"))
+
+    start().awaitTermination()
+    assert blog.snapshot()[0] == bv  # bands half skipped via its tag
+    assert dlog.snapshot()[0] == dv  # docs half re-applied, same version
+    assert dlog.read(spark).count() == n_docs_rows
+    assert _sorted_rows(dlog.read(spark).select(*cols), cols) == _sorted_rows(
+        want, cols
+    )
+    assert int(marker.read_text()) == last_batch
