@@ -872,6 +872,7 @@ def foreach_batch_phash_dedup(
     table_dir: str,
     threshold: int = 6,
     trigger_available_now: bool = True,
+    committed: bool = False,
 ):
     """Streaming perceptual-hash dedup gate — the FOURTH continuous
     dedup modality (exact digests / embedding cells / MinHash bands /
@@ -895,9 +896,14 @@ def foreach_batch_phash_dedup(
     Same composability argument as the other gates: the drop test is
     non-recursive, so id-ordered arrival reproduces the one-shot batch
     verdicts exactly (differential-tested); replay is idempotent via
-    the ``_last_batch`` marker."""
+    the ``_last_batch`` marker. ``committed=True`` versions both state
+    relations through their own commit log with the tagged two-log
+    protocol the MinHash gate proves (append@b<batch_id> tags +
+    last_op() skip on replay; bands log initialized last marks the
+    bootstrap complete)."""
     from pathlib import Path
 
+    from cve_manager_spark.commitlog import TableLog
     from cve_manager_spark.operators.multimodal import (
         attach_binary,
         decode_resize,
@@ -935,17 +941,25 @@ def foreach_batch_phash_dedup(
             bands_dir = str(Path(table_dir) / "bands")
             docs_dir = str(Path(table_dir) / "docs")
             others = m
-            if any(Path(bands_dir).rglob("*.parquet")):
+            seen_exists = (
+                bool(TableLog(bands_dir).versions())
+                if committed
+                else any(Path(bands_dir).rglob("*.parquet"))
+            )
+            if seen_exists:
                 vbs = [
                     r["vb"]
                     for r in m.select(
-                        F.expr("v div 256").alias("vb")
+                        F.expr("CAST(v div 256 AS INT)").alias("vb")
                     ).distinct().collect()
                 ]
-                seen = (
-                    spark.read.parquet(bands_dir)
-                    .where(F.col("vb").isin(vbs))
-                    .select("id", "b0", "b1", "b2", "b3", "j", "v")
+                bands_rel = (
+                    TableLog(bands_dir).read(spark)
+                    if committed
+                    else spark.read.parquet(bands_dir)
+                )
+                seen = bands_rel.where(F.col("vb").isin(vbs)).select(
+                    "id", "b0", "b1", "b2", "b3", "j", "v"
                 )
                 others = m.unionByName(seen)
             o = others.select(
@@ -972,13 +986,36 @@ def foreach_batch_phash_dedup(
                 F.col("doc_id").alias("id"), "phash_hex", "band0",
                 "band1", "band2", "band3",
             ).join(dropped, "id", "left")
-            out.select(
+            verdicts = out.select(
                 "id", "phash_hex", F.col("__d").isNotNull().alias("dup")
-            ).write.mode("append").parquet(docs_dir)
-            m.select(
-                F.expr("v div 256").alias("vb"),
+            )
+            band_rows = m.select(
+                F.expr("CAST(v div 256 AS INT)").alias("vb"),
                 "j", "v", "id", "b0", "b1", "b2", "b3",
-            ).write.partitionBy("vb").mode("append").parquet(bands_dir)
+            )
+            if committed:
+                tag = f"b{batch_id}"
+                if not TableLog(bands_dir).versions():
+                    dlog = TableLog(docs_dir)
+                    if not dlog.versions():
+                        verdicts.write.mode("overwrite").parquet(docs_dir)
+                        dlog.init()
+                    band_rows.write.partitionBy("vb").mode(
+                        "overwrite"
+                    ).parquet(bands_dir)
+                    TableLog(bands_dir).init()
+                else:
+                    blog = TableLog(bands_dir)
+                    if blog.last_op() != f"append@{tag}":
+                        blog.append(spark, band_rows, tag=tag)
+                    dlog = TableLog(docs_dir)
+                    if dlog.last_op() != f"append@{tag}":
+                        dlog.append(spark, verdicts, tag=tag)
+            else:
+                verdicts.write.mode("append").parquet(docs_dir)
+                band_rows.write.partitionBy("vb").mode("append").parquet(
+                    bands_dir
+                )
             marker.write_text(str(batch_id))
         finally:
             ph.unpersist()

@@ -1651,3 +1651,68 @@ def test_minhash_gate_committed_two_log_crash_recovery(spark, tmp_path):
         want, cols
     )
     assert int(marker.read_text()) == last_batch
+
+
+def test_foreach_batch_phash_dedup_committed_equals_batch(spark, tmp_path):
+    """committed=True on the phash gate: both state relations version
+    through their commit logs (manifest per applied batch), manifest
+    reads reproduce the batch verdicts, replay changes nothing."""
+    import os
+    import shutil
+
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_phash_dedup,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    bounds = [min(ids)] + cuts + [max(ids) + 1]
+    src = tmp_path / "doc_src_phc"
+    src.mkdir()
+    for i in range(3):
+        part = docs.where(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        )
+        scratch = tmp_path / f"phc_scratch{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        dest = src / f"b{i}.parquet"
+        shutil.move(str(next(scratch.glob("*.parquet"))), str(dest))
+        os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+
+    out = str(tmp_path / "ph_state_c")
+
+    def start():
+        stream = read_documents_stream(spark, str(src), max_files_per_trigger=1)
+        return foreach_batch_phash_dedup(stream, out, committed=True)
+
+    start().awaitTermination()
+    dlog = TableLog(out + "/docs")
+    assert dlog.snapshot()[0] >= 2
+    got = dlog.read(spark).select("id", "phash_hex", "dup")
+
+    from cve_manager_spark.plans.round8 import (
+        _phash_band_candidates,
+        _phash_df,
+        _phash_hamming,
+    )
+
+    ph = _phash_df(spark, SF_SMALL)
+    pairs = _phash_band_candidates(ph).where(_phash_hamming() <= 6)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct().withColumn(
+        "__d", F.lit(1)
+    )
+    want = ph.join(dropped, "doc_id", "left").select(
+        F.col("doc_id").alias("id"),
+        "phash_hex",
+        F.col("__d").isNotNull().alias("dup"),
+    )
+    cols = ["id", "phash_hex", "dup"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    start().awaitTermination()  # replay: markers + tags, no change
+    assert _sorted_rows(dlog.read(spark).select(*cols), cols) == _sorted_rows(
+        want, cols
+    )
