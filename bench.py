@@ -2,8 +2,12 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": <sf>}
+    {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+     "n_queries": N, "queries": {"_detail": "BENCH_LOCAL.json"}}
+
+The driver tail-captures only 2000 chars of stdout, so the stdout line
+carries scalars only; the full per-query map / spreads / trials /
+shuffle bytes are written to BENCH_LOCAL.json next to this file.
 
 Each query is forced to full materialization with the noop sink (count()
 would let Catalyst prune the very work being measured). Spark logs go to
@@ -269,8 +273,13 @@ def main() -> None:
     # curating runs by hand. Capped at 4 passes total: a chronically
     # stolen host still terminates inside the driver's capture window,
     # and the recorded per-pass steal IS the attribution either way.
+    # ADVICE r10: `for pass_i in range(n_passes)` froze the bound at 3, so
+    # the bump below never produced a 4th pass while n_passes=4 was still
+    # recorded. A while-loop re-reads the (possibly bumped) bound, and
+    # n_passes now only reflects passes that actually executed.
     n_passes = 3
-    for pass_i in range(n_passes):
+    pass_i = 0
+    while pass_i < n_passes:
         wall = _run_pass(pass_i)
         stolen = steal_per_pass[-1]
         cores = float(cpus) if str(cpus).isdigit() else 32.0
@@ -281,6 +290,7 @@ def main() -> None:
             and stolen > 0.02 * wall * cores
         ):
             n_passes += 1
+        pass_i += 1
 
     timings = {name: round(min(ts), 4) for name, ts in trials.items()}
     spread = {name: round(max(ts) / min(ts), 2) for name, ts in trials.items()}
@@ -389,14 +399,21 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass  # read-only checkout: stdout line still carries the headline
+    # VERDICT r10 #1: the driver captures only the last 2000 chars of
+    # stdout, and the per-query map (82 queries and growing) outgrew it —
+    # BENCH_r10.json came back "parsed": null. The stdout line now carries
+    # only the scalars (always < 200 chars regardless of registry growth);
+    # the per-query map, spreads, trials and shuffle bytes live in
+    # BENCH_LOCAL.json, written above.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": {n: round(t, 2) for n, t in timings.items()},
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries": {"_detail": "BENCH_LOCAL.json"},
             },
             separators=(",", ":"),
         )

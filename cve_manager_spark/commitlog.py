@@ -86,6 +86,34 @@ def _schema_json(df: DataFrame) -> str:
     ).json()
 
 
+def _union_schema_json(ours: str, theirs: "str | None") -> str:
+    """Field-union of two manifest schema JSONs (ours first, then fields
+    only theirs carries). Used by append's blind-retry path: the commit
+    that beat us may have performed an additive evolution, and
+    re-publishing the schema computed before the conflict would record
+    the narrower pre-evolution schema — hiding the concurrently added
+    column from every later reader (``read`` applies the manifest schema
+    explicitly). A type clash on a shared field is a real fork and
+    raises instead of silently picking a side."""
+    from pyspark.sql.types import StructType
+
+    if theirs is None or not theirs.lstrip().startswith("{"):
+        return ours
+    a = StructType.fromJson(json.loads(ours))
+    b = StructType.fromJson(json.loads(theirs))
+    ours_by_name = {f.name: f for f in a.fields}
+    for f in b.fields:
+        mine = ours_by_name.get(f.name)
+        if mine is not None and mine.dataType != f.dataType:
+            raise CommitConflict(
+                f"retry would fork schema: column {f.name!r} is "
+                f"{mine.dataType.simpleString()} here but "
+                f"{f.dataType.simpleString()} in the interleaved commit"
+            )
+    extra = [f for f in b.fields if f.name not in ours_by_name]
+    return StructType(list(a.fields) + extra).json()
+
+
 def _fresh_stem(op: str) -> str:
     return f"part-{op}-{uuid.uuid4().hex[:12]}"
 
@@ -369,6 +397,16 @@ class TableLog:
                     self._abort(new_rel)
                     raise
                 parent, base = self.snapshot()
+                # the interleaved commit may have evolved the schema;
+                # merge its recorded fields into ours so the retried
+                # manifest doesn't shadow the concurrently added column
+                with open(_manifest_path(self.root, parent)) as f:
+                    theirs = json.load(f).get("schema")
+                try:
+                    out_schema = _union_schema_json(out_schema, theirs)
+                except CommitConflict:
+                    self._abort(new_rel)
+                    raise
         raise AssertionError("unreachable")
 
     def rollback(self, to_version: int) -> dict[str, int]:

@@ -3968,7 +3968,10 @@ def _timetravel_log(spark: SparkSession, sf: str):
 
     slug = sf.strip("/").replace("/", "_").replace(".", "_")
     tdir = Path(tempfile.gettempdir()) / f"cve_spark_tt_{slug}" / "docs_log"
-    if (tdir / "_commits" / "v2.json").exists():
+    # Manifests are zero-padded (``v{N:012d}.json`` — commitlog.py:73);
+    # checking the unpadded name never matched, so every call rebuilt the
+    # table (and rmtree'd the published one under a concurrent reader).
+    if (tdir / "_commits" / f"v{2:012d}.json").exists():
         return TableLog(str(tdir))
 
     docs = load_table(spark, sf, "documents")

@@ -393,6 +393,152 @@ def read_stickiness_state(spark, out_dir: str) -> DataFrame | None:
     )
 
 
+def _marker_sink(stream_df, table_dir, apply_batch, trigger_available_now):
+    """Shared foreachBatch scaffolding for the stateful-table sinks:
+    the ``_last_batch`` replay marker (a replayed batch with id ≤ the
+    marker is skipped — exactly-once effect over at-least-once
+    delivery), the checkpoint location beside the table dir, and the
+    availableNow trigger. ``apply_batch(batch_df, batch_id)`` runs only
+    for fresh batches; the marker write FOLLOWS it, so a crash between
+    them re-applies one batch (each sink documents how that window is
+    closed — tagged commits for the dedup gates, newest-wins
+    convergence for the merge sink)."""
+    from pathlib import Path
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = Path(table_dir + "_last_batch")
+        if marker.exists() and batch_id <= int(marker.read_text()):
+            return
+        apply_batch(batch_df, batch_id)
+        marker.write_text(str(batch_id))
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{table_dir}_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _gated_dedup_sink(
+    stream_df: DataFrame,
+    table_dir: str,
+    *,
+    relations: "list[tuple[str, str | None]]",
+    encode,
+    candidates,
+    outputs,
+    committed: bool = False,
+    trigger_available_now: bool = True,
+    read_override: "dict | None" = None,
+    write_override: "dict | None" = None,
+):
+    """The streaming dedup-gate protocol, extracted once (VERDICT r10
+    #5) so the per-modality gates are thin configs instead of four
+    copies of the same ~160-line skeleton:
+
+        marker check → encode batch → candidate joins (batch×batch +
+        batch×seen-state) → verdict/index append → marker write
+
+    Parameterization:
+
+    - ``relations``: ordered ``[(name, partition_col)]`` state
+      relations under ``table_dir`` (name ``""`` = the table dir
+      itself). The LAST relation's log/dir presence marks the bootstrap
+      complete; on a committed bootstrap it is initialized last, so
+      every crash window inside the first batch replays into the
+      bootstrap branch and each relation is individually resumable (a
+      relation whose log already exists is skipped; the last is
+      re-overwritten, clobbering any crashed remnant).
+    - ``encode(batch_df) -> ctx``: modality encoding (map-side, no
+      state read); DataFrames in ctx may be persisted — the skeleton
+      unpersists every DataFrame value afterwards.
+    - ``candidates(spark, ctx, state_of) -> DataFrame``: the dropped-id
+      relation. ``state_of(name)`` reads a state relation through the
+      commit log (committed) or plain parquet, or returns None during
+      bootstrap; pruning (cell / key-prefix / value-bucket ``isin``)
+      happens inside, where the modality knows its partition column.
+    - ``outputs(ctx, dropped) -> {name: DataFrame}``: the rows to
+      append per relation.
+    - ``committed=True`` routes every relation through its own
+      :class:`~cve_manager_spark.commitlog.TableLog` with TAGGED
+      appends (``append@b<batch_id>``): on replay a log whose newest
+      commit already carries the batch's tag is skipped, so a crash
+      between two logs' commits — or between the single log's commit
+      and the marker write — re-applies only the missing half, never
+      double-appends.
+    - ``read_override`` / ``write_override``: per-relation hooks for
+      state kept outside the parquet-dir convention (the MinHash gate's
+      bucketed catalog doc table).
+    """
+    from pathlib import Path
+
+    from cve_manager_spark.commitlog import TableLog
+
+    def rel_dir(name: str) -> str:
+        return table_dir if name == "" else str(Path(table_dir) / name)
+
+    def _write(df: DataFrame, d: str, pcol: "str | None", mode: str) -> None:
+        w = df.write
+        if pcol:
+            w = w.partitionBy(pcol)
+        w.mode(mode).parquet(d)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ctx = encode(batch_df)
+        try:
+            last_name, last_pcol = relations[-1]
+            ldir = rel_dir(last_name)
+            boot_complete = (
+                bool(TableLog(ldir).versions())
+                if committed
+                else any(Path(ldir).rglob("*.parquet"))
+            )
+
+            def state_of(name: str) -> "DataFrame | None":
+                if not boot_complete:
+                    return None
+                if read_override and name in read_override:
+                    return read_override[name](spark)
+                d = rel_dir(name)
+                return (
+                    TableLog(d).read(spark)
+                    if committed
+                    else spark.read.parquet(d)
+                )
+
+            dropped = candidates(spark, ctx, state_of)
+            outs = outputs(ctx, dropped)
+            if committed and not boot_complete:
+                for name, pcol in relations[:-1]:
+                    log = TableLog(rel_dir(name))
+                    if not log.versions():
+                        _write(outs[name], rel_dir(name), pcol, "overwrite")
+                        log.init()
+                _write(outs[last_name], ldir, last_pcol, "overwrite")
+                TableLog(ldir).init()
+            elif committed:
+                tag = f"b{batch_id}"
+                for name, _pcol in reversed(relations):
+                    log = TableLog(rel_dir(name))
+                    if log.last_op() != f"append@{tag}":
+                        log.append(spark, outs[name], tag=tag)
+            else:
+                mode = "append" if boot_complete else "overwrite"
+                for name, pcol in relations:
+                    if write_override and name in write_override:
+                        write_override[name](outs[name])
+                    else:
+                        _write(outs[name], rel_dir(name), pcol, mode)
+        finally:
+            for v in ctx.values():
+                if isinstance(v, DataFrame):
+                    v.unpersist()
+
+    return _marker_sink(stream_df, table_dir, apply_batch, trigger_available_now)
+
+
 def foreach_batch_merge_lake(
     stream_df: DataFrame,
     table_dir: str,
@@ -439,11 +585,8 @@ def foreach_batch_merge_lake(
     # checkpoint and marker live BESIDE the table dir: the first batch
     # bootstraps the table with mode("overwrite"), which would wipe
     # anything stored inside it
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = Path(table_dir + "_last_batch")
-        if marker.exists() and batch_id <= int(marker.read_text()):
-            return
         w = Window.partitionBy(*key_cols).orderBy(
             *[F.col(c).desc() for c in order_cols]
         )
@@ -511,14 +654,8 @@ def foreach_batch_merge_lake(
         else:
             winner = winners_vs(spark.read.parquet(table_dir))
             maintenance.merge_upsert(spark, table_dir, winner, key_cols=key_cols)
-        marker.write_text(str(batch_id))
 
-    writer = stream_df.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", f"{table_dir}_checkpoint"
-    )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _marker_sink(stream_df, table_dir, apply_batch, trigger_available_now)
 
 
 def read_vectors_stream(
@@ -584,10 +721,9 @@ def foreach_batch_semantic_dedup(
     replayed batch would duplicate seen rows, which the marker prevents;
     marker write follows the append, so a crash between them re-applies
     one batch whose rows then exist twice under plain parquet — the
-    ``committed=True`` path closes even that window, since its replayed
-    append publishes a NEW manifest and the duplicate-free recovery is
-    one ``delete_where`` on the replayed batch's rows; in practice the
-    marker makes replay a no-op in both modes).
+    ``committed=True`` path closes even that window with the TAGGED
+    append protocol shared by every gate: the replayed batch sees its
+    ``append@b<batch_id>`` tag in the log's newest commit and skips).
 
     ``committed=True`` routes the seen table through
     :class:`~cve_manager_spark.commitlog.TableLog`: one atomic manifest
@@ -595,77 +731,60 @@ def foreach_batch_semantic_dedup(
     concurrent maintenance writer = re-publish the already-staged files,
     no recompute), and readers resolve the manifest.
     """
-    from pathlib import Path
-
-    from cve_manager_spark.commitlog import TableLog
     from cve_manager_spark.operators.semantic import (
         dup_dominated,
         encode_frozen,
     )
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        marker = Path(table_dir + "_last_batch")
-        if marker.exists() and batch_id <= int(marker.read_text()):
-            return
-        enc = encode_frozen(
-            batch_df, centroids, vec_col=vec_col, id_col=id_col
-        ).persist()
-        try:
-            dropped = dup_dominated(enc, enc, id_col=id_col)
-            tdir = Path(table_dir)
-            bootstrap = not any(tdir.rglob("*.parquet"))
-            if not bootstrap:
-                cells = [
-                    r["cluster"]
-                    for r in enc.select("cluster").distinct().collect()
-                ]
-                if committed:
-                    log = TableLog(table_dir)
-                    if not log.versions():
-                        log.init()  # crash-safe bootstrap adoption
-                    seen = log.read(spark)
-                else:
-                    seen = spark.read.parquet(table_dir)
-                # partition-pruned: only the batch's cells are scanned
-                seen = seen.where(F.col("cluster").isin(cells)).select(
-                    id_col, "q", "qq", "cluster"
-                )
-                dropped = dropped.unionByName(
-                    dup_dominated(enc, seen, id_col=id_col)
-                ).distinct()
-            out = (
-                enc.join(dropped.withColumn("__d", F.lit(1)), id_col, "left")
-                .select(
-                    id_col,
-                    "q",
-                    "qq",
-                    F.col("__d").isNotNull().alias("dropped"),
-                    "cluster",
-                )
-            )
-            if bootstrap:
-                out.write.partitionBy("cluster").mode("overwrite").parquet(
-                    table_dir
-                )
-                if committed:
-                    TableLog(table_dir).init()
-            elif committed:
-                TableLog(table_dir).append(spark, out)
-            else:
-                out.write.partitionBy("cluster").mode("append").parquet(
-                    table_dir
-                )
-            marker.write_text(str(batch_id))
-        finally:
-            enc.unpersist()
+    def encode(batch_df: DataFrame) -> dict:
+        return {
+            "enc": encode_frozen(
+                batch_df, centroids, vec_col=vec_col, id_col=id_col
+            ).persist()
+        }
 
-    writer = stream_df.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", f"{table_dir}_checkpoint"
+    def candidates(spark, ctx, state_of):
+        enc = ctx["enc"]
+        dropped = dup_dominated(enc, enc, id_col=id_col)
+        seen = state_of("")
+        if seen is not None:
+            cells = [
+                r["cluster"]
+                for r in enc.select("cluster").distinct().collect()
+            ]
+            # partition-pruned: only the batch's cells are scanned
+            seen = seen.where(F.col("cluster").isin(cells)).select(
+                id_col, "q", "qq", "cluster"
+            )
+            dropped = dropped.unionByName(
+                dup_dominated(enc, seen, id_col=id_col)
+            ).distinct()
+        return dropped
+
+    def outputs(ctx, dropped) -> dict:
+        out = (
+            ctx["enc"]
+            .join(dropped.withColumn("__d", F.lit(1)), id_col, "left")
+            .select(
+                id_col,
+                "q",
+                "qq",
+                F.col("__d").isNotNull().alias("dropped"),
+                "cluster",
+            )
+        )
+        return {"": out}
+
+    return _gated_dedup_sink(
+        stream_df,
+        table_dir,
+        relations=[("", "cluster")],
+        encode=encode,
+        candidates=candidates,
+        outputs=outputs,
+        committed=committed,
+        trigger_available_now=trigger_available_now,
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_documents_stream(
@@ -745,9 +864,6 @@ def foreach_batch_minhash_dedup(
     crash after the bands commit but before the docs commit re-applies
     only the missing half, never double-appends. Incompatible with
     ``docs_bucket_table`` (catalog tables are not commit-logged)."""
-    from pathlib import Path
-
-    from cve_manager_spark.commitlog import TableLog
     from cve_manager_spark.operators.dedup import (
         minhash_dominated,
         minhash_encode,
@@ -758,113 +874,71 @@ def foreach_batch_minhash_dedup(
             "committed=True and docs_bucket_table are mutually exclusive"
         )
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        marker = Path(table_dir + "_last_batch")
-        if marker.exists() and batch_id <= int(marker.read_text()):
-            return
+    def encode(batch_df: DataFrame) -> dict:
         sh, keys = minhash_encode(
             batch_df, id_col=id_col, text_col=text_col,
             n=n, num_hashes=num_hashes, bands=bands,
         )
-        sh = sh.persist()
-        keys = keys.persist()
-        try:
-            docs_dir = str(Path(table_dir) / "docs")
-            bands_dir = str(Path(table_dir) / "bands")
-            dropped = minhash_dominated(keys, sh, keys, sh)
-            seen_exists = (
-                bool(TableLog(bands_dir).versions())
-                if committed
-                else any(Path(bands_dir).rglob("*.parquet"))
-            )
-            if seen_exists:
-                kbs = [
-                    r["kb"]
-                    for r in keys.select(
-                        F.substring(F.md5("key"), 1, 2).alias("kb")
-                    ).distinct().collect()
-                ]
-                bands_rel = (
-                    TableLog(bands_dir).read(spark)
-                    if committed
-                    else spark.read.parquet(bands_dir)
-                )
-                seen_keys = bands_rel.where(F.col("kb").isin(kbs)).select(
-                    "id", "band", "key"
-                )
-                # the seen side verifies SEPARATELY from the intra-batch
-                # pass: a union with the batch relation would erase the
-                # bucketed table's on-disk distribution and bring the
-                # state-side exchange back
-                if docs_bucket_table:
-                    docs_rel = spark.table(docs_bucket_table)
-                elif committed:
-                    docs_rel = TableLog(docs_dir).read(spark)
-                else:
-                    docs_rel = spark.read.parquet(docs_dir)
-                seen_sh = docs_rel.select("id", "shingles")
-                dropped = dropped.unionByName(
-                    minhash_dominated(keys, sh, seen_keys, seen_sh)
-                ).distinct()
-            out = (
-                sh.join(dropped.withColumn("__d", F.lit(1)), "id", "left")
-                .select(
-                    "id", "shingles", F.col("__d").isNotNull().alias("dup")
-                )
-            )
-            band_rows = keys.select(
-                F.substring(F.md5("key"), 1, 2).alias("kb"), "band", "key", "id"
-            )
-            if docs_bucket_table:
-                out.write.format("parquet").bucketBy(
-                    n_buckets, "id"
-                ).sortBy("id").mode("append").saveAsTable(docs_bucket_table)
-                band_rows.write.partitionBy("kb").mode("append").parquet(
-                    bands_dir
-                )
-            elif committed:
-                tag = f"b{batch_id}"
-                # the bands log is initialized LAST, so its absence marks
-                # an incomplete bootstrap — every crash window inside the
-                # first batch replays into this branch and each half is
-                # individually resumable (docs skipped once ITS log
-                # exists; bands overwrite clobbers any crashed remnant)
-                if not TableLog(bands_dir).versions():
-                    dlog = TableLog(docs_dir)
-                    if not dlog.versions():
-                        out.write.mode("overwrite").parquet(docs_dir)
-                        dlog.init()
-                    band_rows.write.partitionBy("kb").mode(
-                        "overwrite"
-                    ).parquet(bands_dir)
-                    TableLog(bands_dir).init()
-                else:
-                    # tagged appends close the two-log crash window: a
-                    # replayed batch skips a log whose newest commit
-                    # already carries its tag
-                    blog = TableLog(bands_dir)
-                    if blog.last_op() != f"append@{tag}":
-                        blog.append(spark, band_rows, tag=tag)
-                    dlog = TableLog(docs_dir)
-                    if dlog.last_op() != f"append@{tag}":
-                        dlog.append(spark, out, tag=tag)
-            else:
-                out.write.mode("append").parquet(docs_dir)
-                band_rows.write.partitionBy("kb").mode("append").parquet(
-                    bands_dir
-                )
-            marker.write_text(str(batch_id))
-        finally:
-            sh.unpersist()
-            keys.unpersist()
+        return {"sh": sh.persist(), "keys": keys.persist()}
 
-    writer = stream_df.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", f"{table_dir}_checkpoint"
+    def candidates(spark, ctx, state_of):
+        sh, keys = ctx["sh"], ctx["keys"]
+        dropped = minhash_dominated(keys, sh, keys, sh)
+        bands_rel = state_of("bands")
+        if bands_rel is not None:
+            kbs = [
+                r["kb"]
+                for r in keys.select(
+                    F.substring(F.md5("key"), 1, 2).alias("kb")
+                ).distinct().collect()
+            ]
+            seen_keys = bands_rel.where(F.col("kb").isin(kbs)).select(
+                "id", "band", "key"
+            )
+            # the seen side verifies SEPARATELY from the intra-batch
+            # pass: a union with the batch relation would erase the
+            # bucketed table's on-disk distribution and bring the
+            # state-side exchange back
+            seen_sh = state_of("docs").select("id", "shingles")
+            dropped = dropped.unionByName(
+                minhash_dominated(keys, sh, seen_keys, seen_sh)
+            ).distinct()
+        return dropped
+
+    def outputs(ctx, dropped) -> dict:
+        out = (
+            ctx["sh"]
+            .join(dropped.withColumn("__d", F.lit(1)), "id", "left")
+            .select("id", "shingles", F.col("__d").isNotNull().alias("dup"))
+        )
+        band_rows = ctx["keys"].select(
+            F.substring(F.md5("key"), 1, 2).alias("kb"), "band", "key", "id"
+        )
+        return {"docs": out, "bands": band_rows}
+
+    read_override = write_override = None
+    if docs_bucket_table:
+        read_override = {"docs": lambda spark: spark.table(docs_bucket_table)}
+        write_override = {
+            "docs": lambda df: df.write.format("parquet")
+            .bucketBy(n_buckets, "id")
+            .sortBy("id")
+            .mode("append")
+            .saveAsTable(docs_bucket_table)
+        }
+
+    return _gated_dedup_sink(
+        stream_df,
+        table_dir,
+        relations=[("docs", None), ("bands", "kb")],
+        encode=encode,
+        candidates=candidates,
+        outputs=outputs,
+        committed=committed,
+        trigger_available_now=trigger_available_now,
+        read_override=read_override,
+        write_override=write_override,
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def foreach_batch_phash_dedup(
@@ -901,131 +975,94 @@ def foreach_batch_phash_dedup(
     protocol the MinHash gate proves (append@b<batch_id> tags +
     last_op() skip on replay; bands log initialized last marks the
     bootstrap complete)."""
-    from pathlib import Path
-
-    from cve_manager_spark.commitlog import TableLog
     from cve_manager_spark.operators.multimodal import (
         attach_binary,
         decode_resize,
         phash_ahash,
     )
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        marker = Path(table_dir + "_last_batch")
-        if marker.exists() and batch_id <= int(marker.read_text()):
-            return
+    def encode(batch_df: DataFrame) -> dict:
         docs = batch_df.withColumn("text", F.substring("text", 1, 32))
         ph = phash_ahash(
             decode_resize(attach_binary(docs), target=(8, 8))
         ).persist()
-        try:
-            bandcols = [f"band{j}" for j in range(4)]
-            m = ph.select(
-                F.col("doc_id").alias("id"),
-                *[F.col(c).alias(f"b{j}") for j, c in enumerate(bandcols)],
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(j).alias("j"), F.col(c).alias("v")
-                            )
-                            for j, c in enumerate(bandcols)
-                        ]
-                    )
-                ).alias("bk"),
-            ).select(
-                "id", "b0", "b1", "b2", "b3",
-                F.col("bk.j").alias("j"), F.col("bk.v").alias("v"),
-            )
-            bands_dir = str(Path(table_dir) / "bands")
-            docs_dir = str(Path(table_dir) / "docs")
-            others = m
-            seen_exists = (
-                bool(TableLog(bands_dir).versions())
-                if committed
-                else any(Path(bands_dir).rglob("*.parquet"))
-            )
-            if seen_exists:
-                vbs = [
-                    r["vb"]
-                    for r in m.select(
-                        F.expr("CAST(v div 256 AS INT)").alias("vb")
-                    ).distinct().collect()
-                ]
-                bands_rel = (
-                    TableLog(bands_dir).read(spark)
-                    if committed
-                    else spark.read.parquet(bands_dir)
+        bandcols = [f"band{j}" for j in range(4)]
+        m = ph.select(
+            F.col("doc_id").alias("id"),
+            *[F.col(c).alias(f"b{j}") for j, c in enumerate(bandcols)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), F.col(c).alias("v"))
+                        for j, c in enumerate(bandcols)
+                    ]
                 )
-                seen = bands_rel.where(F.col("vb").isin(vbs)).select(
-                    "id", "b0", "b1", "b2", "b3", "j", "v"
-                )
-                others = m.unionByName(seen)
-            o = others.select(
-                F.col("id").alias("id_o"), "j", "v",
-                *[F.col(f"b{j}").alias(f"ob{j}") for j in range(4)],
-            )
-            hamming = sum(
-                F.bit_count(
-                    F.col(f"b{j}").cast("bigint").bitwiseXOR(
-                        F.col(f"ob{j}").cast("bigint")
-                    )
-                )
-                for j in range(4)
-            )
-            dropped = (
-                m.join(o, ["j", "v"])
-                .where(F.col("id_o") < F.col("id"))
-                .where(hamming <= threshold)
-                .select("id")
-                .distinct()
-                .withColumn("__d", F.lit(1))
-            )
-            out = ph.select(
-                F.col("doc_id").alias("id"), "phash_hex", "band0",
-                "band1", "band2", "band3",
-            ).join(dropped, "id", "left")
-            verdicts = out.select(
-                "id", "phash_hex", F.col("__d").isNotNull().alias("dup")
-            )
-            band_rows = m.select(
-                F.expr("CAST(v div 256 AS INT)").alias("vb"),
-                "j", "v", "id", "b0", "b1", "b2", "b3",
-            )
-            if committed:
-                tag = f"b{batch_id}"
-                if not TableLog(bands_dir).versions():
-                    dlog = TableLog(docs_dir)
-                    if not dlog.versions():
-                        verdicts.write.mode("overwrite").parquet(docs_dir)
-                        dlog.init()
-                    band_rows.write.partitionBy("vb").mode(
-                        "overwrite"
-                    ).parquet(bands_dir)
-                    TableLog(bands_dir).init()
-                else:
-                    blog = TableLog(bands_dir)
-                    if blog.last_op() != f"append@{tag}":
-                        blog.append(spark, band_rows, tag=tag)
-                    dlog = TableLog(docs_dir)
-                    if dlog.last_op() != f"append@{tag}":
-                        dlog.append(spark, verdicts, tag=tag)
-            else:
-                verdicts.write.mode("append").parquet(docs_dir)
-                band_rows.write.partitionBy("vb").mode("append").parquet(
-                    bands_dir
-                )
-            marker.write_text(str(batch_id))
-        finally:
-            ph.unpersist()
+            ).alias("bk"),
+        ).select(
+            "id", "b0", "b1", "b2", "b3",
+            F.col("bk.j").alias("j"), F.col("bk.v").alias("v"),
+        )
+        return {"ph": ph, "m": m}
 
-    writer = stream_df.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", f"{table_dir}_checkpoint"
+    def candidates(spark, ctx, state_of):
+        m = ctx["m"]
+        others = m
+        bands_rel = state_of("bands")
+        if bands_rel is not None:
+            vbs = [
+                r["vb"]
+                for r in m.select(
+                    F.expr("CAST(v div 256 AS INT)").alias("vb")
+                ).distinct().collect()
+            ]
+            seen = bands_rel.where(F.col("vb").isin(vbs)).select(
+                "id", "b0", "b1", "b2", "b3", "j", "v"
+            )
+            others = m.unionByName(seen)
+        o = others.select(
+            F.col("id").alias("id_o"), "j", "v",
+            *[F.col(f"b{j}").alias(f"ob{j}") for j in range(4)],
+        )
+        hamming = sum(
+            F.bit_count(
+                F.col(f"b{j}").cast("bigint").bitwiseXOR(
+                    F.col(f"ob{j}").cast("bigint")
+                )
+            )
+            for j in range(4)
+        )
+        return (
+            m.join(o, ["j", "v"])
+            .where(F.col("id_o") < F.col("id"))
+            .where(hamming <= threshold)
+            .select("id")
+            .distinct()
+        )
+
+    def outputs(ctx, dropped) -> dict:
+        out = ctx["ph"].select(
+            F.col("doc_id").alias("id"), "phash_hex", "band0",
+            "band1", "band2", "band3",
+        ).join(dropped.withColumn("__d", F.lit(1)), "id", "left")
+        verdicts = out.select(
+            "id", "phash_hex", F.col("__d").isNotNull().alias("dup")
+        )
+        band_rows = ctx["m"].select(
+            F.expr("CAST(v div 256 AS INT)").alias("vb"),
+            "j", "v", "id", "b0", "b1", "b2", "b3",
+        )
+        return {"docs": verdicts, "bands": band_rows}
+
+    return _gated_dedup_sink(
+        stream_df,
+        table_dir,
+        relations=[("docs", None), ("bands", "vb")],
+        encode=encode,
+        candidates=candidates,
+        outputs=outputs,
+        committed=committed,
+        trigger_available_now=trigger_available_now,
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def _hex_bucket(expr: str) -> str:

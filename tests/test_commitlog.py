@@ -444,6 +444,51 @@ def test_blind_append_retries_past_interleaved_commit(
     assert got.where(F.col("k") >= 900).count() == 3
 
 
+def test_blind_append_retry_keeps_interleaved_evolved_schema(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: when the commit that wins the race performed an
+    additive schema evolution, the retried append must publish the
+    UNION of schemas — re-publishing the pre-conflict schema would
+    record the narrower shape and hide the concurrently added column
+    from every later reader (read() applies the manifest schema)."""
+    log = _mk_table(spark, tmp_path)
+    rows = spark.range(500, 505).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    evolved = spark.range(900, 903).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("fr").alias("lang"),
+    )
+    real_publish = TableLog._publish
+    state = {"interleaved": False}
+
+    def racing_publish(self, parent, files, op, schema=None):
+        if op == "append" and not state["interleaved"]:
+            state["interleaved"] = True
+            fresh = TableLog(str(self.root))
+            monkeypatch.undo()
+            fresh.append(spark, evolved, allow_evolution=True)
+            monkeypatch.setattr(TableLog, "_publish", racing_publish)
+        return real_publish(self, parent, files, op, schema=schema)
+
+    monkeypatch.setattr(TableLog, "_publish", racing_publish)
+    res = log.append(spark, rows)
+    monkeypatch.undo()
+    assert res["n_appended"] == 5
+
+    got = log.read(spark)
+    # the interleaved evolution's column survives the retried publish
+    assert set(got.columns) == {"k", "part", "v", "lang"}
+    assert got.where(F.col("lang") == "fr").count() == 3
+    assert got.where((F.col("k") >= 500) & (F.col("k") < 505)).count() == 5
+    assert got.count() == 208
+
+
 def test_rollback_restores_old_snapshot_as_new_commit(spark, tmp_path):
     """RESTORE semantics: rolling back publishes a new version whose
     manifest copies the old one — zero data bytes rewritten, history

@@ -1002,6 +1002,26 @@ def test_timetravel_version_counts_is_joinless_union_of_counts(spark):
     assert tree.count("HashAggregate") >= 6
 
 
+def test_timetravel_log_reuses_completed_build(spark):
+    """ADVICE r10: the completed-build check must test the real
+    zero-padded manifest name (v000000000002.json). Before the fix the
+    check never matched, so every spec invocation rmtree'd the
+    published table and rebuilt — here the second call must return the
+    SAME on-disk table untouched (manifest mtimes unchanged)."""
+    from cve_manager_spark.plans.features import _timetravel_log
+
+    log1 = _timetravel_log(spark, SF_ORACLE)
+    mdir = log1.root / "_commits"
+    manifests = sorted(mdir.glob("v*.json"))
+    assert (mdir / f"v{2:012d}.json").exists()
+    stamps = {p.name: p.stat().st_mtime_ns for p in manifests}
+
+    log2 = _timetravel_log(spark, SF_ORACLE)
+    assert log2.root == log1.root
+    after = {p.name: p.stat().st_mtime_ns for p in sorted(mdir.glob("v*.json"))}
+    assert after == stamps  # reused, not rebuilt
+
+
 def test_hash_sample_quantile_scans_table_exactly_twice(spark):
     """One TakeOrderedAndProject(k) digest-sample pass + one broadcast
     conditional-aggregate pass — two table scans total regardless of

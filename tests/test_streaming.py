@@ -1122,6 +1122,55 @@ def test_foreach_batch_semantic_dedup_committed_versions(spark, tmp_path):
     assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
 
 
+def test_semantic_gate_committed_tagged_append_crash_recovery(
+    spark, tmp_path
+):
+    """ADVICE r10: the semantic gate's committed append is TAGGED like
+    the minhash/phash gates, so a crash between the append commit and
+    the marker write does not double-append on replay — the replayed
+    batch sees its ``append@b<id>`` tag in the newest commit and skips."""
+    import shutil
+
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.operators.semantic import kmeans_fit
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_semantic_dedup,
+        read_vectors_stream,
+    )
+
+    emb, src = _seed_vec_batches(spark, tmp_path)
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    _, cents = kmeans_fit(base, vec_col="embedding", id_col="vec_id", k=8, iters=2)
+    out = str(tmp_path / "seen_table_crash")
+
+    def start():
+        stream = read_vectors_stream(spark, src, max_files_per_trigger=1)
+        return foreach_batch_semantic_dedup(stream, out, cents, committed=True)
+
+    start().awaitTermination()
+    log = TableLog(out)
+    v_before, _ = log.snapshot()
+    n_before = log.read(spark).count()
+    assert log.last_op().startswith("append@b")
+
+    # crash between the last batch's append commit and the marker write:
+    # rewind the marker one batch and drop the checkpoint so the source
+    # redelivers — the append must be skipped via its tag
+    marker = tmp_path / "seen_table_crash_last_batch"
+    last_batch = int(marker.read_text())
+    marker.write_text(str(last_batch - 1))
+    shutil.rmtree(str(tmp_path / "seen_table_crash_checkpoint"))
+
+    start().awaitTermination()
+    assert log.snapshot()[0] == v_before  # no new version published
+    assert log.read(spark).count() == n_before  # no double-appended rows
+    assert int(marker.read_text()) == last_batch
+
+    want = _batch_semantic_verdicts(emb, cents)
+    cols = ["vec_id", "dropped", "cluster"]
+    assert _sorted_rows(log.read(spark), cols) == _sorted_rows(want, cols)
+
+
 def test_stream_drift_histogram_equals_batch_spec(spark, tmp_path):
     """Streaming drift monitor == the batch embedding_drift_buckets
     spec bit-for-bit: freeze (mu, v, bounds) and the win-0 reference
