@@ -374,6 +374,27 @@ def driver_green() -> frozenset[str]:
     return frozenset(names)
 
 
+def driver_seen() -> frozenset[str]:
+    """Every query name that has EVER appeared in a driver CORRECTNESS
+    window (any verdict — green, rows-only, or error). Rows-only specs
+    can never go hash-green, so :func:`driver_green` can't retire them
+    from the sampling queue; this set can. VERDICT r10 #2: ten
+    registered rows-only specs had never been sampled at all because
+    they always sorted behind the entire green rotation."""
+    names: set[str] = set()
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        names.update(k for k, r in rows.items() if isinstance(r, dict))
+    return frozenset(names)
+
+
 def _all_specs() -> list[QuerySpec]:
     from cve_manager_spark.plans import analytics as analytics_mod
     from cve_manager_spark.plans import corpus as corpus_mod
@@ -438,12 +459,19 @@ def _all_specs() -> list[QuerySpec]:
     in_base_order = [by_name[name] for name in BASE_ORDER]
 
     green = driver_green()
+    seen = driver_seen()
 
     def key(spec: QuerySpec) -> tuple[int, int]:
+        # Verification-priority tiers for the driver's 50-slot prefix:
+        #   0 oracle-paired, no green verdict yet (hash check pending)
+        #   1 rows-only, never sampled (a rows/err verdict is pending —
+        #     VERDICT r10 #2: these starved forever behind the rotation)
+        #   2 oracle-paired green (pure rotation)
+        #   3 rows-only already sampled (another slot adds nothing)
         if spec.oracle is None:
-            tier = 2  # rows-only: a driver slot adds no hash verdict
+            tier = 3 if spec.name in seen else 1
         else:
-            tier = 1 if spec.name in green else 0
+            tier = 2 if spec.name in green else 0
         # priority queues later-added specs behind older ones still waiting
         # for their first driver verdict (spec.py QuerySpec.priority)
         return (tier, spec.priority)

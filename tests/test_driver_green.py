@@ -41,3 +41,32 @@ def test_window_prioritizes_unverified():
     ]
     first_green = tiers.index(1) if 1 in tiers else len(tiers)
     assert all(t == 1 for t in tiers[first_green:])
+
+
+def test_never_sampled_rows_only_specs_outrank_green_rotation():
+    """VERDICT r10 #2: a rows-only spec (oracle=None) that has never
+    appeared in any CORRECTNESS window sorts ahead of every
+    already-green spec — otherwise it starves behind the rotation
+    forever and never even gets a rows/err verdict."""
+    specs = registry._all_specs()
+    green = registry.driver_green()
+    seen = registry.driver_seen()
+    first_green_idx = next(
+        i
+        for i, s in enumerate(specs)
+        if s.oracle is not None and s.name in green
+    )
+    unsampled_rows_only = [
+        i
+        for i, s in enumerate(specs)
+        if s.oracle is None and s.name not in seen
+    ]
+    assert all(i < first_green_idx for i in unsampled_rows_only)
+    # and a rows-only spec the driver HAS sampled stops occupying the
+    # front of the queue
+    sampled_rows_only = [
+        i
+        for i, s in enumerate(specs)
+        if s.oracle is None and s.name in seen
+    ]
+    assert all(i > first_green_idx for i in sampled_rows_only)
