@@ -466,10 +466,20 @@ def _incr_assignments(spark: SparkSession, sf: str):
         quantize_vec,
     )
 
+    from cve_manager_spark.plans.artifacts import frozen
+
     emb = load_table(spark, sf, "embeddings")
     base = emb.where(F.col("vec_id") % 5 != 4)
     delta = emb.where(F.col("vec_id") % 5 == 4)
-    _, cents = kmeans_fit(base, vec_col="embedding", id_col="vec_id", k=8, iters=2)
+    # frozen base-trained codebook (the contract: the codebook never
+    # sees the delta and is NOT retrained per query) — trained once per
+    # (sf, recipe) and shared across the incremental-dedup spec family
+    cents = frozen(
+        ("incr_codebook", sf, "embeddings", 8, 2),
+        lambda: kmeans_fit(
+            base, vec_col="embedding", id_col="vec_id", k=8, iters=2
+        )[1],
+    )
 
     def prep(side: DataFrame) -> DataFrame:
         q = side.select(
@@ -498,19 +508,34 @@ def _incr_assignments(spark: SparkSession, sf: str):
 )
 def semantic_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     ab, ad, _ = _incr_assignments(spark, sf)
+    # deterministic cell-salt, same rationale as dup_dominated(n_salt=):
+    # the delta side replicates (small by construction), the base side
+    # takes pmod(id) — each pair meets once, hot cells split 16 ways,
+    # and the explicit repartition pins the per-pair cosine arithmetic
+    # to the shuffle width instead of AQE's byte-coalesced 1-2 tasks
+    n_salt = 16
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     left = ad.select(
         F.col("cluster"),
         F.col("vec_id").alias("vec_new"),
         F.col("q").alias("qa"),
         F.col("qq").alias("na"),
-    )
+    ).withColumn(
+        "__s", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).repartition(npart, "cluster", "__s")
     right = ab.select(
         F.col("cluster").alias("cluster_b"),
         F.col("vec_id").alias("vec_old"),
         F.col("q").alias("qb"),
         F.col("qq").alias("nb"),
+    ).withColumn(
+        "__s_o", F.pmod(F.col("vec_old"), F.lit(n_salt)).cast("int")
+    ).repartition(npart, "cluster_b", "__s_o")
+    p = left.join(
+        right,
+        (F.col("cluster") == F.col("cluster_b"))
+        & (F.col("__s") == F.col("__s_o")),
     )
-    p = left.join(right, F.col("cluster") == F.col("cluster_b"))
     dot = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y),
         F.lit(0).cast("long"),

@@ -123,10 +123,19 @@ def ivf_delta_assignments(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.semantic import kmeans_fit
     from cve_manager_spark.operators.similarity import ivf_pq_encode_delta
 
+    from cve_manager_spark.plans.artifacts import frozen
+
     emb = load_table(spark, sf, "embeddings")
     base = emb.where(F.col("vec_id") % 5 != 4)
     delta = emb.where(F.col("vec_id") % 5 == 4)
-    _, cents = kmeans_fit(base, vec_col="embedding", id_col="vec_id", k=16, iters=2)
+    # frozen coarse quantizer (the spec's own contract: "WITHOUT
+    # retraining") — trained once per (sf, recipe), plans/artifacts.py
+    cents = frozen(
+        ("ivf_coarse", sf, "embeddings", 16, 2),
+        lambda: kmeans_fit(
+            base, vec_col="embedding", id_col="vec_id", k=16, iters=2
+        )[1],
+    )
     # books=None: this face verifies the assignment math only, so skip PQ
     # codebook training outright instead of training books whose pq_code
     # output Catalyst would prune anyway (the training collects are eager

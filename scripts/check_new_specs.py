@@ -19,6 +19,10 @@ args = sys.argv[1:]
 mod_name = "analytics"
 if args and args[0].startswith("--module="):
     mod_name = args.pop(0).split("=", 1)[1]
+# load via the registry first: it imports the plan modules in an order
+# that resolves their oracle-CTE cross-imports (importing e.g. round10
+# directly first trips a circular import through round8 -> semantic)
+importlib.import_module("cve_manager_spark.plans.registry").collect()
 analytics = importlib.import_module(f"cve_manager_spark.plans.{mod_name}")
 
 sf = args[0] if args else "/root/testdata/sf0.01"
