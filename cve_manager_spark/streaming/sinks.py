@@ -491,7 +491,7 @@ def _gated_dedup_sink(
             last_name, last_pcol = relations[-1]
             ldir = rel_dir(last_name)
             boot_complete = (
-                bool(TableLog(ldir).versions())
+                TableLog(ldir).latest_version() is not None
                 if committed
                 else any(Path(ldir).rglob("*.parquet"))
             )
@@ -513,7 +513,7 @@ def _gated_dedup_sink(
             if committed and not boot_complete:
                 for name, pcol in relations[:-1]:
                     log = TableLog(rel_dir(name))
-                    if not log.versions():
+                    if log.latest_version() is None:
                         _write(outs[name], rel_dir(name), pcol, "overwrite")
                         log.init()
                 _write(outs[last_name], ldir, last_pcol, "overwrite")
@@ -623,7 +623,7 @@ def foreach_batch_merge_lake(
                 TableLog(table_dir).init()
         elif committed:
             log = TableLog(table_dir)
-            if not log.versions():
+            if log.latest_version() is None:
                 # crash-safe bootstrap: a crash between the first batch's
                 # overwrite write and init() leaves data files with no
                 # log; adopting them here keeps the documented

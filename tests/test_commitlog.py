@@ -615,3 +615,63 @@ def test_blind_append_protocol_under_real_process_race(tmp_path):
     assert sorted(files) == sorted(
         f"part-app-{i:05d}.parquet" for i in range(n)
     )
+
+
+def test_latest_pointer_gives_o1_reads_at_500_versions(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 #6: a long-lived table (≈500 committed versions) must
+    not pay an all-versions directory listing on every read. snapshot()
+    and read() resolve through the ``_latest`` pointer — zero log-dir
+    listings on the hot path — the pointer survives lagging (probe
+    forward) and deletion (fallback + self-heal), vacuum prunes old
+    manifests, and pinned reads stay isolated: a retained old version
+    still reads, a vacuumed one fails loudly."""
+    import cve_manager_spark.commitlog as cl
+
+    log = _mk_table(spark, tmp_path)
+    # 500 metadata-only commits (the manifest protocol is the thing
+    # under test; staging real part files 500x would test Spark I/O)
+    _, files = log.snapshot()
+    for _ in range(500):
+        v, _ = log.snapshot()
+        log._publish(v, files, "noop-meta")
+    assert log.latest_version() == 500
+
+    # hot path does ZERO log-dir listings once the pointer is warm
+    real_glob = Path.glob
+    calls = {"n": 0}
+
+    def counting_glob(self, pattern, *a, **kw):
+        if "_commits" in str(self):
+            calls["n"] += 1
+        return real_glob(self, pattern, *a, **kw)
+
+    monkeypatch.setattr(Path, "glob", counting_glob)
+    v, fs = log.snapshot()
+    assert (v, sorted(fs)) == (500, sorted(files))
+    assert log.last_op() == "noop-meta"
+    got = log.read(spark)
+    assert got.count() == 200
+    assert calls["n"] == 0, f"hot path listed the log dir {calls['n']}x"
+    monkeypatch.undo()
+
+    # lagging pointer (crash between link and pointer write): probe
+    # forward finds the real latest and self-heals the pointer
+    cl._latest_hint_path(log.root).write_text("490")
+    assert log.latest_version() == 500
+    assert cl._read_latest_hint(log.root) == 500
+    # missing pointer (pre-pointer table): fallback lists, then heals
+    cl._latest_hint_path(log.root).unlink()
+    assert log.latest_version() == 500
+    assert cl._read_latest_hint(log.root) == 500
+
+    # manifest retention: vacuum keeps the newest K manifests only
+    res = log.vacuum(keep_versions=5, min_age_seconds=0)
+    assert res["dropped_manifests"] == 496  # v0..v495 pruned
+    assert log.versions() == [496, 497, 498, 499, 500]
+    # pinned read of a RETAINED old version still isolated
+    assert log.read(spark, version=496).count() == 200
+    # a vacuumed version fails loudly, not silently-latest
+    with pytest.raises(ValueError, match="not in log"):
+        log.snapshot(version=3)
