@@ -2919,3 +2919,2091 @@ def sample_size_quantile_sweep(spark: SparkSession, sf: str) -> DataFrame:
             "abs_err_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round6 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# 2. behavioral analytics
+# ---------------------------------------------------------------------------
+
+_DECILES_ORACLE = """
+WITH d AS (
+  SELECT event_type, value, event_id,
+         NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS decile
+  FROM events
+)
+SELECT event_type, CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM d GROUP BY event_type, decile
+"""
+
+
+@_register(
+    "event_value_deciles_by_type",
+    _DECILES_ORACLE,
+    doc="Per-type value deciles: ntile over a total order (value, "
+    "event_id — the unique tie-break the determinism contract "
+    "requires), then per-decile count/min/max and an exact DECIMAL "
+    "sum. The window partitions by event_type and its exchange is "
+    "reused by the following aggregate. Exact ntile sorts each type's "
+    "full volume — at 100 TB swap in the rank-selection recipe "
+    "(value-histogram aggregate + in-row quantile fold, the "
+    "median_exact/winsorize_stats plan) or approx_percentile; this "
+    "spec is the exact-semantics face.",
+)
+def event_value_deciles_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    d = ev.select(
+        "event_type", "value", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    return d.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        dec_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+_SESS_HIST_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx,
+         ts
+  FROM g
+), d AS (
+  SELECT user_id, session_idx,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 60000000 AS dur_min
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT LEAST(dur_min // 10, 12) AS dur_band,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MIN(dur_min) AS BIGINT) AS min_minutes,
+       CAST(MAX(dur_min) AS BIGINT) AS max_minutes
+FROM d GROUP BY 1
+"""
+
+
+@_register(
+    "session_duration_hist",
+    _SESS_HIST_ORACLE,
+    doc="Session-duration histogram in 10-minute bands (capped at 2h+): "
+    "gap-based sessionization (30-min silence, the sessionize_stats "
+    "recipe) reduced to the distribution product managers actually "
+    "read. Every stage partitions on user_id until the final tiny "
+    "band aggregate; durations are exact integer microseconds "
+    "floor-divided to minutes.",
+)
+def session_duration_hist(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | (us - prev > 1_800_000_000), 1).otherwise(0)
+    s = ev.select(
+        "user_id", "ts", "event_id", new_sess.alias("new_sess")
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    d = s.groupBy("user_id", "session_idx").agg(
+        F.expr(
+            "(unix_micros(cast(max(ts) as timestamp))"
+            " - unix_micros(cast(min(ts) as timestamp))) div 60000000"
+        ).alias("dur_min")
+    )
+    band = F.least(F.expr("dur_min div 10"), F.lit(12).cast("long"))
+    return d.groupBy(band.alias("dur_band")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.min("dur_min").alias("min_minutes"),
+        F.max("dur_min").alias("max_minutes"),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+), r AS (
+  SELECT f.user_id, CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+         MAX(CASE WHEN e.ts >= f.first_ts + INTERVAL 7 DAY
+                   AND e.ts < f.first_ts + INTERVAL 14 DAY
+              THEN 1 ELSE 0 END) AS retained
+  FROM f JOIN events e ON e.user_id = f.user_id
+  GROUP BY f.user_id, CAST(date_trunc('week', f.first_ts) AS DATE)
+)
+SELECT cohort_week,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(retained) AS BIGINT) AS n_retained,
+       CAST(SUM(retained) * 1000000 // COUNT(*) AS BIGINT) AS retained_ppm
+FROM r GROUP BY cohort_week
+"""
+
+
+@_register(
+    "first_week_retention",
+    _RETENTION_ORACLE,
+    doc="Classic week-1 cohort retention: users grouped by the week of "
+    "their first event; retained = any activity in days [7, 14). The "
+    "first-touch relation joins back to events on user_id (both sides "
+    "hash-partition on the key Spark already grouped by, so the "
+    "exchange is reused); the ratio is exact integer ppm.",
+)
+def first_week_retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    f = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(f, "user_id")
+    in_week2 = (
+        (F.col("ts") >= F.col("first_ts") + F.expr("INTERVAL 7 DAY"))
+        & (F.col("ts") < F.col("first_ts") + F.expr("INTERVAL 14 DAY"))
+    )
+    r = j.groupBy(
+        "user_id", F.date_trunc("week", F.col("first_ts")).cast("date").alias("cohort_week")
+    ).agg(F.max(F.when(in_week2, 1).otherwise(0)).alias("retained"))
+    return r.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("retained").alias("n_retained"),
+        F.expr("sum(retained) * 1000000 div count(1)").alias("retained_ppm"),
+    )
+
+
+_COOC_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, event_type FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
+@_register(
+    "events_type_cooccurrence",
+    _COOC_ORACLE,
+    doc="Event-type co-occurrence: how many users perform both types, "
+    "for every unordered type pair — the adjacency matrix behind "
+    "next-action models. The distinct (user, type) relation is tiny "
+    "relative to events (bounded by users × type cardinality), and "
+    "the self-join keys on user_id, reusing the distinct's exchange.",
+)
+def events_type_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    d = ev.select("user_id", "event_type").distinct()
+    a = d.select("user_id", F.col("event_type").alias("type_a"))
+    b = d.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, ["user_id"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_STICKINESS_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), expanded AS (
+  SELECT du.day + CAST(o.i AS INTEGER) AS w_day, du.user_id
+  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS i) o
+), wau AS (
+  SELECT w_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM expanded GROUP BY w_day
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
+@_register(
+    "dau_wau_stickiness",
+    _STICKINESS_ORACLE,
+    doc="DAU/WAU stickiness per day via the explode-offsets rewrite: "
+    "each (day, user) activity row is replicated to the 7 trailing "
+    "windows it belongs to, turning 'distinct users over a 7-day "
+    "RANGE' — a window no engine can evaluate distinctly, and a range "
+    "self-join that degenerates to a nested loop — into a plain "
+    "hash-partitioned COUNT(DISTINCT) per day. Cost is a bounded 7× "
+    "replication of the (day, user) relation, not of raw events; only "
+    "days with activity are emitted (matching the oracle).",
+)
+def dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    expanded = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day", "user_id"
+    ).select(F.date_add(F.col("day"), F.col("i")).alias("w_day"), "user_id")
+    wau = expanded.groupBy(F.col("w_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau", F.expr("dau * 1000000 div wau").alias("stickiness_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. warehouse reporting
+# ---------------------------------------------------------------------------
+
+_TOP3_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name, c.c_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey
+), ranked AS (
+  SELECT n_name, c_custkey, revenue,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY revenue DESC, c_custkey) AS rk
+  FROM rev
+)
+SELECT n_name, CAST(rk AS BIGINT) AS rk, CAST(c_custkey AS BIGINT) AS c_custkey,
+       revenue
+FROM ranked WHERE rk <= 3
+"""
+
+
+@_register(
+    "nation_top3_customers",
+    _TOP3_ORACLE,
+    doc="Top-3 customers by lifetime revenue per nation: star join with "
+    "broadcast dims (customer, nation), exact DECIMAL revenue, then a "
+    "rank window over (revenue DESC, custkey) — ties broken "
+    "deterministically on the key, per the contract. The rank filter "
+    "k=3 prunes before anything else reads the result.",
+)
+def nation_top3_customers(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(dec_sum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), "c_custkey")
+    return (
+        rev.select(
+            "n_name",
+            F.row_number().over(w).cast("long").alias("rk"),
+            "c_custkey",
+            "revenue",
+        ).where(F.col("rk") <= 3)
+    )
+
+
+_LPO_ORACLE = """
+WITH c AS (
+  SELECT o.o_orderkey, CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines
+  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey
+)
+SELECT n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey
+FROM c GROUP BY n_lines
+"""
+
+
+@_register(
+    "lines_per_order_hist",
+    _LPO_ORACLE,
+    doc="Order-width histogram (lineitems per order, INCLUDING zero-line "
+    "orders via the left join — the rows an inner-join histogram "
+    "silently drops): the fan-out statistic that sizes every "
+    "order-grain shuffle. COUNT(l_orderkey) counts only matched "
+    "lines, exactly as in the oracle.",
+)
+def lines_per_order_hist(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    c = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+    return c.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("first_orderkey"),
+    )
+
+
+_DISCOUNT_ORACLE = """
+SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS discount_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS gross_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS net_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS discount_given
+FROM lineitem GROUP BY 1
+"""
+
+
+@_register(
+    "discount_band_revenue",
+    _DISCOUNT_ORACLE,
+    doc="Discount-band economics: gross/net revenue and discount spend "
+    "per integer discount percent. The band key rounds the double "
+    "discount to its stored percent (no floor-of-.9999 hazards); all "
+    "money flows through exact DECIMAL products and sums, emitted as "
+    "one final double each. Single scan, tiny aggregate.",
+)
+def discount_band_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    band = F.round(F.col("l_discount") * 100).cast("long")
+    price = dec(F.col("l_extendedprice"))
+    disc = dec(F.col("l_discount"))
+    return li.groupBy(band.alias("discount_pct")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(price).cast("double").alias("gross_revenue"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("net_revenue"),
+        F.sum(price * disc).cast("double").alias("discount_given"),
+    )
+
+
+_SEGMIX_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment, o.o_orderpriority
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), seg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS seg_total
+  FROM j GROUP BY c_mktsegment
+)
+SELECT j.c_mktsegment, j.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) * 1000000 // MAX(seg.seg_total) AS BIGINT) AS share_ppm
+FROM j JOIN seg ON j.c_mktsegment = seg.c_mktsegment
+GROUP BY j.c_mktsegment, j.o_orderpriority
+"""
+
+
+@_register(
+    "segment_priority_mix",
+    _SEGMIX_ORACLE,
+    doc="Order-priority mix per market segment with exact integer ppm "
+    "shares: fact⋈broadcast-dim join, one aggregate at the "
+    "(segment, priority) grain, segment totals joined back as a "
+    "broadcast — the composition report that would read wrong under "
+    "any floating-point share arithmetic.",
+)
+def segment_priority_mix(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    j = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_mktsegment", "o_orderpriority")
+    seg = j.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("seg_total"))
+    return (
+        j.join(F.broadcast(seg), "c_mktsegment")
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("count(1) * 1000000 div max(seg_total)").alias("share_ppm"),
+        )
+    )
+
+
+_BRAND_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_sizes,
+       CAST(MAX(p_size) AS BIGINT) AS max_size,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+         / COUNT(*) AS avg_price
+FROM part GROUP BY p_brand
+"""
+
+
+@_register(
+    "part_brand_size_stats",
+    _BRAND_ORACLE,
+    doc="Catalog morphology per brand: part count, size diversity, and "
+    "exact average retail price (DECIMAL sum divided once). Scan + "
+    "one aggregate with a distinct-count — the dimension-table health "
+    "check run before trusting any brand-grain rollup.",
+)
+def part_brand_size_stats(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.max("p_size").cast("long").alias("max_size"),
+        (F.sum(dec(F.col("p_retailprice"))).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
+    )
+
+
+_NATION_SHARE_ORACLE = """
+WITH nb AS (
+  SELECT n.n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         SUM(CAST(s.s_acctbal AS DECIMAL(18,4))) AS bal
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), tot AS (
+  SELECT SUM(bal) AS total_bal FROM nb
+)
+SELECT n_name, n_suppliers,
+       CAST(bal AS DOUBLE) AS balance,
+       CAST(bal AS DOUBLE) / CAST(total_bal AS DOUBLE) AS share
+FROM nb CROSS JOIN tot
+"""
+
+
+@_register(
+    "supplier_nation_balance_share",
+    _NATION_SHARE_ORACLE,
+    doc="Supplier account-balance share per nation: exact DECIMAL "
+    "balances per nation, the corpus total joined as a broadcast "
+    "1-row relation (the stats-total crossJoin pattern — never a "
+    "driver-side scalar), shares as one double division of two exact "
+    "values.",
+)
+def supplier_nation_balance_share(spark: SparkSession, sf: str) -> DataFrame:
+    sup = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    nb = (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(dec(F.col("s_acctbal"))).alias("bal"),
+        )
+    )
+    tot = nb.agg(F.sum("bal").alias("total_bal"))
+    return nb.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_suppliers",
+        F.col("bal").cast("double").alias("balance"),
+        (F.col("bal").cast("double") / F.col("total_bal").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+_MOMENTUM_ORACLE = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec - LAG(rev_dec) OVER w AS DOUBLE) AS mom_delta,
+       CAST(SUM(rev_dec) OVER (ORDER BY month
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 3 AS ma3
+FROM m WINDOW w AS (ORDER BY month)
+"""
+
+
+@_register(
+    "monthly_revenue_momentum",
+    _MOMENTUM_ORACLE,
+    doc="Monthly revenue with month-over-month delta and a trailing "
+    "3-month moving average: the window math runs ON THE EXACT DECIMAL "
+    "sums (lag-difference and 3-row sum stay exact; each emits one "
+    "double) — running it on doubles would make every delta "
+    "order-dependent. The single global window is over months "
+    "(bounded rows), not orders.",
+)
+def monthly_revenue_momentum(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.sum(dec(F.col("o_totalprice"))).alias("rev_dec"))
+    w = Window.orderBy("month")
+    ma_w = w.rowsBetween(-2, 0)
+    return m.select(
+        "month",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec") - F.lag("rev_dec").over(w)).cast("double").alias("mom_delta"),
+        (F.sum("rev_dec").over(ma_w).cast("double") / F.lit(3)).alias("ma3"),
+    )
+
+
+_RETURNS_ORACLE = """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS returned_ppm,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         AS returned_value
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+@_register(
+    "returned_share_by_brand",
+    _RETURNS_ORACLE,
+    doc="Return-rate and value-at-return per brand: fact⋈broadcast-part "
+    "join, conditional integer counts with exact ppm, conditional "
+    "DECIMAL value sum — the quality report that decides recalls. "
+    "One aggregate at brand grain.",
+)
+def returned_share_by_brand(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    ret_val = F.when(
+        F.col("l_returnflag") == "R", dec(F.col("l_extendedprice"))
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(ret).alias("n_returned"),
+            F.expr(
+                "sum(case when l_returnflag = 'R' then 1 else 0 end)"
+                " * 1000000 div count(1)"
+            ).alias("returned_ppm"),
+            F.sum(ret_val).cast("double").alias("returned_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round7 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# behavioral analytics II
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, dow, hr) AS rk
+  FROM c
+)
+SELECT event_type, dow AS peak_dow, hr AS peak_hr, n AS peak_events
+FROM r WHERE rk = 1
+"""
+
+
+@_register(
+    "events_hour_of_week_peak",
+    _PEAK_ORACLE,
+    doc="Peak hour-of-week per event type (ties to the earliest "
+    "(dow, hr) slot): the heatmap's argmax face — the rank window "
+    "sorts the 168-bounded bucket relation, never raw events.",
+)
+def events_hour_of_week_peak(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    c = ev.groupBy(
+        "event_type",
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "dow", "hr")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("dow").alias("peak_dow"),
+            F.col("hr").alias("peak_hr"),
+            F.col("n").alias("peak_events"),
+        )
+    )
+
+
+_AUTOCORR_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS v,
+         LAG(CAST(floor(value * 1000) AS BIGINT)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS pv
+  FROM events
+), p AS (
+  SELECT event_type, v, pv FROM s WHERE pv IS NOT NULL
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(pv AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(v AS DECIMAL(19,0)) * pv) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(v AS DECIMAL(19,0)) * v) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(pv AS DECIMAL(19,0)) * pv) AS DOUBLE) AS syy
+  FROM p GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor((n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+            * 1000000.0) AS BIGINT) AS autocorr_micro
+FROM m
+"""
+
+
+@_register(
+    "events_lag1_value_autocorr",
+    _AUTOCORR_ORACLE,
+    doc="Lag-1 autocorrelation of event values per type (time-ordered "
+    "with the event_id tie-break): the memory/burstiness statistic. "
+    "Values quantize to exact milli integers, the lag pairs feed the "
+    "corr_regress sufficient-statistics recipe (five DECIMAL moment "
+    "sums, one identical double combine, floored micro units) — "
+    "reproducible on any partitioning; the window and aggregate share "
+    "the event_type exchange.",
+)
+def events_lag1_value_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    v = F.floor(F.col("value") * 1000).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select("event_type", "ts", "event_id", v.alias("v")).withColumn(
+        "pv", F.lag("v").over(w)
+    )
+    p = s.where(F.col("pv").isNotNull()).select("event_type", "v", "pv")
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    m = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("v"))).cast("double").alias("sx"),
+        F.sum(d(F.col("pv"))).cast("double").alias("sy"),
+        F.sum(d(F.col("v")) * F.col("pv")).cast("double").alias("sxy"),
+        F.sum(d(F.col("v")) * F.col("v")).cast("double").alias("sxx"),
+        F.sum(d(F.col("pv")) * F.col("pv")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "event_type", "n",
+        F.floor(corr * 1000000.0).cast("long").alias("autocorr_micro"),
+    )
+
+
+_CV_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+), p AS (
+  SELECT user_id, CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL
+), m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(gap AS DECIMAL(19,0)) * gap) AS DOUBLE) AS s2
+  FROM p GROUP BY user_id HAVING COUNT(*) >= 3
+)
+SELECT user_id, n,
+       CAST(floor(s1 / n) AS BIGINT) AS mean_gap_us,
+       CAST(floor(sqrt((n * s2 - s1 * s1)) / s1 * 1000000.0) AS BIGINT)
+         AS cv_micro
+FROM m
+"""
+
+
+@_register(
+    "user_inter_event_cv",
+    _CV_ORACLE,
+    doc="Coefficient of variation of inter-event gaps per user (≥3 gaps): "
+    "CV ≈ 1 is Poisson-random arrival, CV >> 1 is bursty — the "
+    "per-entity regularity screen. Gaps are exact integer "
+    "microseconds; mean/σ come from two DECIMAL moment sums combined "
+    "in one identical double expression (σ/μ computed as "
+    "√(n·s2−s1²)/s1, avoiding a second divide), floored to micro "
+    "units. Window and aggregate share the user_id exchange.",
+)
+def user_inter_event_cv(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select("user_id", (us - F.lag(us).over(w)).alias("gap"))
+    p = g.where(F.col("gap").isNotNull())
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    m = (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d(F.col("gap"))).cast("double").alias("s1"),
+            F.sum(d(F.col("gap")) * F.col("gap")).cast("double").alias("s2"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return m.select(
+        "user_id", "n",
+        F.floor(s1 / n).cast("long").alias("mean_gap_us"),
+        F.floor(F.sqrt(n * s2 - s1 * s1) / s1 * 1000000.0)
+        .cast("long")
+        .alias("cv_micro"),
+    )
+
+
+_TOPSHARE_ORACLE = """
+WITH uv AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT day, user_id, v,
+         ROW_NUMBER() OVER (PARTITION BY day ORDER BY v DESC, user_id) AS rk,
+         CAST(SUM(v) OVER (PARTITION BY day) AS BIGINT) AS day_total
+  FROM uv
+)
+SELECT day, user_id AS top_user, v AS top_value_milli, day_total,
+       CAST(v * 1000000 // day_total AS BIGINT) AS share_ppm
+FROM r WHERE rk = 1 AND day_total > 0
+"""
+
+
+@_register(
+    "events_daily_top_user_share",
+    _TOPSHARE_ORACLE,
+    doc="Whale detection: per day, the top user by exact milli-value and "
+    "their integer-ppm share of the day's total. Rank and total "
+    "windows both partition on day OVER the (day, user) pre-aggregate "
+    "(bounded by actives, never raw events), reusing one exchange.",
+)
+def events_daily_top_user_share(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    uv = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).agg(F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("v"))
+    w = Window.partitionBy("day")
+    r = uv.select(
+        "day", "user_id", "v",
+        F.row_number().over(w.orderBy(F.col("v").desc(), "user_id")).alias("rk"),
+        F.sum("v").over(w).alias("day_total"),
+    )
+    return (
+        r.where((F.col("rk") == 1) & (F.col("day_total") > 0))
+        .select(
+            "day",
+            F.col("user_id").alias("top_user"),
+            F.col("v").alias("top_value_milli"),
+            "day_total",
+            F.expr("v * 1000000 div day_total").alias("share_ppm"),
+        )
+    )
+
+
+_WEEKEND_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS weekend_events,
+       CAST(SUM(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS weekend_ppm,
+       CAST(SUM(CASE WHEN isodow(ts) >= 6
+                 THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS weekend_value_milli
+FROM events GROUP BY event_type
+"""
+
+
+@_register(
+    "events_weekend_share",
+    _WEEKEND_ORACLE,
+    doc="Weekend share of activity and value per event type (ISO dow ≥ 6), "
+    "exact integer ppm and milli-value — the seasonality split feeding "
+    "capacity planning. One conditional aggregate over the scan.",
+)
+def events_weekend_share(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    is_we = (F.weekday("ts") + 1) >= 6
+    vmilli = F.floor(F.col("value") * 1000).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(is_we, 1).otherwise(0)).alias("weekend_events"),
+        F.expr(
+            "sum(case when weekday(ts) + 1 >= 6 then 1 else 0 end)"
+            " * 1000000 div count(1)"
+        ).alias("weekend_ppm"),
+        F.sum(F.when(is_we, vmilli).otherwise(0)).alias("weekend_value_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# warehouse reporting II
+# ---------------------------------------------------------------------------
+
+_BAND_MATRIX_ORACLE = """
+SELECT LEAST(CAST(floor(o_totalprice / 50000) AS BIGINT), 8) AS value_band,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS band_value
+FROM orders GROUP BY 1, 2
+"""
+
+
+@_register(
+    "order_value_band_matrix",
+    _BAND_MATRIX_ORACLE,
+    doc="Order-value band × priority mix (50k bands capped at 8+): both "
+    "engines compute the identical double division before the floor, "
+    "so banding is reproducible; values aggregate as exact DECIMAL. "
+    "One scan, bounded-key aggregate.",
+)
+def order_value_band_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    band = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(8).cast("long")
+    )
+    return orders.groupBy(
+        band.alias("value_band"), "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("band_value"),
+    )
+
+
+_REPEAT_ORACLE = """
+WITH c AS (
+  SELECT c.c_mktsegment, o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS repeat_ppm
+FROM c GROUP BY c_mktsegment
+"""
+
+
+@_register(
+    "customer_repeat_rate",
+    _REPEAT_ORACLE,
+    doc="Repeat-buyer rate per market segment in exact integer ppm: "
+    "orders ⋈ broadcast customer, a per-customer count, then a "
+    "segment rollup of the ≥2 flag — two chained aggregates whose "
+    "second input is bounded by customers.",
+)
+def customer_repeat_rate(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    c = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_repeat"),
+        F.expr(
+            "sum(case when n >= 2 then 1 else 0 end) * 1000000 div count(1)"
+        ).alias("repeat_ppm"),
+    )
+
+
+_PNAME_ORACLE = """
+WITH w AS (
+  SELECT unnest(string_split(p_name, ' ')) AS token FROM part
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY token HAVING COUNT(*) >= 5
+"""
+
+
+@_register(
+    "part_name_token_freq",
+    _PNAME_ORACLE,
+    doc="Part-name vocabulary above support 5 — the dimension-text "
+    "profile behind fuzzy-match blocking keys (fuzzy_pairs_levenshtein "
+    "blocks on exactly these tokens). Explode + count, HAVING instead "
+    "of a limit so no ordering is needed.",
+)
+def part_name_token_freq(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    w = part.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
+    return (
+        w.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+    )
+
+
+_PRESENCE_ORACLE = """
+WITH s AS (
+  SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+), c AS (
+  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n.n_name,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       CAST(CASE WHEN s.n_suppliers IS NOT NULL AND c.n_customers IS NOT NULL
+            THEN 1 ELSE 0 END AS BIGINT) AS both_sides
+FROM nation n
+LEFT JOIN s ON n.n_nationkey = s.nk
+LEFT JOIN c ON n.n_nationkey = c.nk
+"""
+
+
+@_register(
+    "nation_actor_presence",
+    _PRESENCE_ORACLE,
+    doc="Marketplace-liquidity readout per nation: supplier and customer "
+    "counts side by side with a both-sides flag, nations with neither "
+    "kept at zero (LEFT joins off the dimension — an inner join would "
+    "silently drop them). Aggregates run before the joins, so only "
+    "nation-grain rows join.",
+)
+def nation_actor_presence(spark: SparkSession, sf: str) -> DataFrame:
+    nation = load_table(spark, sf, "nation")
+    sup = load_table(spark, sf, "supplier")
+    cust = load_table(spark, sf, "customer")
+    s = sup.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("ns")
+    )
+    c = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    return (
+        nation.join(F.broadcast(s), nation["n_nationkey"] == s["nk"], "left")
+        .join(F.broadcast(c), nation["n_nationkey"] == c["nk"], "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("ns"), F.lit(0)).alias("n_suppliers"),
+            F.coalesce(F.col("nc"), F.lit(0)).alias("n_customers"),
+            F.when(
+                F.col("ns").isNotNull() & F.col("nc").isNotNull(), 1
+            ).otherwise(0).cast("long").alias("both_sides"),
+        )
+    )
+
+
+_QTREND_ORACLE = """
+WITH q AS (
+  SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+         o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT quarter, o_orderpriority, n_orders,
+       n_orders - LAG(n_orders) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY quarter) AS qoq_delta
+FROM q
+"""
+
+
+@_register(
+    "orders_quarterly_priority_trend",
+    _QTREND_ORACLE,
+    doc="Quarterly order counts per priority with quarter-over-quarter "
+    "integer deltas: lag over the quarter-grain aggregate (bounded "
+    "rows), partitioned per priority; quarter truncation cast to DATE "
+    "on both sides (the Spark date_trunc TZ hazard).",
+)
+def orders_quarterly_priority_trend(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    q = orders.groupBy(
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("quarter"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("o_orderpriority").orderBy("quarter")
+    return q.select(
+        "quarter", "o_orderpriority", "n_orders",
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias("qoq_delta"),
+    )
+
+
+_TAXCORR_ORACLE = """
+WITH v AS (
+  SELECT l_linestatus,
+         CAST(floor(l_discount * 10000) AS BIGINT) AS x,
+         CAST(floor(l_tax * 10000) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT l_linestatus,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DOUBLE) AS syy
+  FROM v GROUP BY l_linestatus
+)
+SELECT l_linestatus, n,
+       CAST(floor((n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+            * 1000000.0) AS BIGINT) AS corr_micro
+FROM m
+"""
+
+
+@_register(
+    "discount_tax_corr",
+    _TAXCORR_ORACLE,
+    doc="Pearson correlation between discount and tax per line status — "
+    "the pricing-policy dependence check, same exact "
+    "sufficient-statistics recipe as corr_regress (basis-point "
+    "quantization, DECIMAL moment sums, one identical double combine, "
+    "floored micro units).",
+)
+def discount_tax_corr(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    x = F.floor(F.col("l_discount") * 10000).cast("long")
+    y = F.floor(F.col("l_tax") * 10000).cast("long")
+    v = li.select("l_linestatus", x.alias("x"), y.alias("y"))
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    m = v.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d(F.col("x")) * F.col("y")).cast("double").alias("sxy"),
+        F.sum(d(F.col("x")) * F.col("x")).cast("double").alias("sxx"),
+        F.sum(d(F.col("y")) * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "l_linestatus", "n",
+        F.floor(corr * 1000000.0).cast("long").alias("corr_micro"),
+    )
+
+
+_BALBAND_ORACLE = """
+WITH b AS (
+  SELECT c_custkey,
+         LEAST(GREATEST(CAST(floor(c_acctbal / 2000) AS BIGINT), -1), 5)
+           AS bal_band
+  FROM customer
+), oc AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey
+)
+SELECT b.bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(COALESCE(oc.n, 0)) AS BIGINT) AS n_orders,
+       CAST(SUM(COALESCE(oc.n, 0)) * 1000000 // COUNT(*) AS BIGINT)
+         AS orders_per_customer_ppm
+FROM b LEFT JOIN oc ON b.c_custkey = oc.o_custkey
+GROUP BY b.bal_band
+"""
+
+
+@_register(
+    "customer_balance_band_profile",
+    _BALBAND_ORACLE,
+    doc="Order intensity by account-balance band (2k bands clamped to "
+    "[-1, 5]): customers with zero orders stay in their band via the "
+    "LEFT join onto the per-customer order counts; the intensity is "
+    "exact integer ppm (orders per customer × 1e6).",
+)
+def customer_balance_band_profile(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    band = F.least(
+        F.greatest(F.floor(F.col("c_acctbal") / 2000).cast("long"), F.lit(-1)),
+        F.lit(5).cast("long"),
+    )
+    b = cust.select("c_custkey", band.alias("bal_band"))
+    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        b.join(oc, b["c_custkey"] == oc["o_custkey"], "left")
+        .groupBy("bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("n_orders"),
+            F.expr(
+                "sum(coalesce(n, 0)) * 1000000 div count(1)"
+            ).alias("orders_per_customer_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round8 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+_LIFESPAN_ORACLE = """
+SELECT user_id,
+       CAST(MIN(CAST(ts AS DATE)) AS DATE) AS first_day,
+       CAST(MAX(CAST(ts AS DATE)) AS DATE) AS last_day,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+            + 1 AS BIGINT) AS span_days
+FROM events GROUP BY user_id
+"""
+
+
+@_register(
+    "events_user_lifespan",
+    _LIFESPAN_ORACLE,
+    doc="Per-user lifespan: first/last active day, distinct active days, "
+    "calendar span — the cohort-health base table (active_days / "
+    "span_days is the engagement density downstream dashboards read). "
+    "One user-keyed aggregate; DATE cast on both engines (the "
+    "retention-cohort TZ discipline).",
+)
+def events_user_lifespan(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    d = F.col("ts").cast("date")
+    return ev.groupBy("user_id").agg(
+        F.min(d).alias("first_day"),
+        F.max(d).alias("last_day"),
+        F.countDistinct(d).alias("active_days"),
+        (F.datediff(F.max(d), F.min(d)) + 1).cast("bigint").alias("span_days"),
+    )
+
+
+_NATION_RATIO_ORACLE = """
+WITH s AS (
+  SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+), c AS (
+  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n.n_name, COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       CASE WHEN COALESCE(s.n_suppliers, 0) > 0
+            THEN COALESCE(c.n_customers, 0) * 1000000 // s.n_suppliers
+            ELSE -1 END AS cust_per_supp_ppm
+FROM nation n
+LEFT JOIN s ON n.n_nationkey = s.nk
+LEFT JOIN c ON n.n_nationkey = c.nk
+"""
+
+
+@_register(
+    "nation_supplier_customer_ratio",
+    _NATION_RATIO_ORACLE,
+    doc="Supply/demand balance per nation: supplier and customer counts "
+    "with their ratio (ppm; -1 sentinel for supplierless nations — "
+    "LEFT joins keep zero-activity nations, the r7 discipline). Two "
+    "pre-aggregates broadcast-join the 25-row dim.",
+)
+def nation_supplier_customer_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    nation = load_table(spark, sf, "nation")
+    sup = (
+        load_table(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    cust = (
+        load_table(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    j = (
+        nation.join(sup, nation.n_nationkey == sup.nk, "left")
+        .join(cust, nation.n_nationkey == cust.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
+    return j.withColumn(
+        "cust_per_supp_ppm",
+        F.when(
+            F.col("n_suppliers") > 0,
+            F.expr("n_customers * 1000000 div n_suppliers"),
+        ).otherwise(F.lit(-1).cast("bigint")),
+    )
+
+
+_IQR_ORACLE = """
+WITH r AS (
+  SELECT p_type, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_type
+                            ORDER BY p_retailprice, p_partkey) AS rn,
+         COUNT(*) OVER (PARTITION BY p_type) AS n
+  FROM part
+)
+SELECT p_type, CAST(MAX(n) AS BIGINT) AS n_parts,
+       MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN p_retailprice END) AS q1,
+       MAX(CASE WHEN rn = 3 * (n - 1) // 4 + 1 THEN p_retailprice END) AS q3,
+       MAX(CASE WHEN rn = 3 * (n - 1) // 4 + 1 THEN p_retailprice END)
+     - MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN p_retailprice END) AS iqr
+FROM r GROUP BY p_type
+"""
+
+
+@_register(
+    "part_type_price_iqr",
+    _IQR_ORACLE,
+    doc="Exact interquartile price range per part type: Q1/Q3 are the "
+    "VALUES at positions floor((n-1)/4)+1 and floor(3(n-1)/4)+1 of the "
+    "(price, partkey) total order — picked, not interpolated, so two "
+    "engines agree bitwise (the median_exact discipline, per-group). "
+    "One partitioned window; the IQR subtraction of two exact doubles "
+    "is deterministic.",
+)
+def part_type_price_iqr(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    w = Window.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    wn = Window.partitionBy("p_type")
+    r = part.select(
+        "p_type",
+        "p_retailprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q1 = F.max(
+        F.when(F.col("rn") == F.expr("(n - 1) div 4 + 1"), F.col("p_retailprice"))
+    )
+    q3 = F.max(
+        F.when(
+            F.col("rn") == F.expr("3 * (n - 1) div 4 + 1"), F.col("p_retailprice")
+        )
+    )
+    return r.groupBy("p_type").agg(
+        F.max("n").alias("n_parts"),
+        q1.alias("q1"),
+        q3.alias("q3"),
+        (q3 - q1).alias("iqr"),
+    )
+
+
+_STATUS_PRIORITY_ORACLE = """
+WITH m AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), t AS (
+  SELECT o_orderstatus, CAST(SUM(n_orders) AS BIGINT) AS status_total FROM m
+  GROUP BY o_orderstatus
+)
+SELECT m.o_orderstatus, m.o_orderpriority, m.n_orders, m.revenue,
+       m.n_orders * 1000000 // t.status_total AS share_ppm
+FROM m JOIN t ON m.o_orderstatus = t.o_orderstatus
+"""
+
+
+@_register(
+    "orders_status_priority_matrix",
+    _STATUS_PRIORITY_ORACLE,
+    doc="Order status × priority mix: counts, exact-DECIMAL revenue and "
+    "each priority's integer ppm share within its status — the "
+    "backlog-composition report (are urgent orders piling up in 'O'?). "
+    "Two chained aggregates on the same key prefix; the share join is "
+    "a broadcast of |statuses| rows.",
+)
+def orders_status_priority_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    m = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+    t = m.groupBy("o_orderstatus").agg(F.sum("n_orders").alias("status_total"))
+    return (
+        m.join(F.broadcast(t), "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            "revenue",
+            F.expr("n_orders * 1000000 div status_total").alias("share_ppm"),
+        )
+    )
+
+
+_TOP_DECILE_ORACLE = """
+WITH spend AS (
+  SELECT c.c_nationkey AS nk, c.c_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+           AS units
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, c.c_custkey
+), d AS (
+  SELECT nk, units,
+         NTILE(10) OVER (PARTITION BY nk ORDER BY units DESC, c_custkey)
+           AS decile
+  FROM spend
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(SUM(units) AS DOUBLE) / 10000 AS total_spend,
+       CAST(SUM(CASE WHEN decile = 1 THEN units ELSE 0 END) AS DOUBLE) / 10000
+         AS top_decile_spend,
+       CAST(SUM(CASE WHEN decile = 1 THEN units ELSE 0 END) * 1000000
+            // SUM(units) AS BIGINT) AS concentration_ppm
+FROM d JOIN nation n ON d.nk = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@_register(
+    "customer_top_decile_concentration",
+    _TOP_DECILE_ORACLE,
+    doc="Revenue concentration per nation: the ppm of order value "
+    "contributed by the top spending decile of that nation's buyers — "
+    "the whale-dependence metric. Per-customer spend is summed as "
+    "exact DECIMAL and converted ONCE to integer 1/10000-currency "
+    "units, so the decile cut (NTILE over units DESC with custkey "
+    "tie-break), the ppm share (integer product div sum — BIGINT "
+    "headroom to ~sf100; re-cast the product DECIMAL(38,0) past that, "
+    "the label_pair_centroid_dist precedent) and the emitted doubles "
+    "(exact integer / 10000, identical IEEE op both engines) are all "
+    "engine-exact. Aggregate → window within nation → rollup; nothing "
+    "wider than the customer key.",
+)
+def customer_top_decile_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), "c_custkey")
+        .agg(
+            (F.sum(dec(F.col("o_totalprice"))) * 10000)
+            .cast("bigint")
+            .alias("units")
+        )
+    )
+    d = spend.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.partitionBy("nk").orderBy(F.col("units").desc(), "c_custkey")
+        ),
+    )
+    nation = load_table(spark, sf, "nation")
+    top_units = F.sum(F.when(F.col("decile") == 1, F.col("units")).otherwise(0))
+    return (
+        d.join(F.broadcast(nation), d.nk == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_buyers"),
+            (F.sum("units").cast("double") / 10000).alias("total_spend"),
+            (top_units.cast("double") / 10000).alias("top_decile_spend"),
+            F.expr(
+                "sum(CASE WHEN decile = 1 THEN units ELSE 0 END) * 1000000"
+                " div sum(units)"
+            ).alias("concentration_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round8b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# behavioral analytics
+# ---------------------------------------------------------------------------
+
+_NEW_RETURNING_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), f AS (
+  SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id
+)
+SELECT d.day,
+       CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning
+FROM d JOIN f ON d.user_id = f.user_id
+GROUP BY d.day
+"""
+
+
+@_register(
+    "events_daily_new_vs_returning",
+    _NEW_RETURNING_ORACLE,
+    doc="Daily split of active users into first-ever-seen vs returning — "
+    "the growth-vs-retention decomposition every DAU chart hides. The "
+    "(user, day) relation is distinct-reduced FIRST; first-seen day is "
+    "a user-keyed MIN merged back on the user key (same exchange "
+    "layout, no second shuffle family).",
+)
+def events_daily_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    d = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    f = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = d.join(f, "user_id")
+    return j.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returning"),
+    )
+
+
+_PEAK_HOUR_ORACLE = """
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day, EXTRACT(hour FROM ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT day, cnt,
+         ROW_NUMBER() OVER (PARTITION BY day ORDER BY cnt, hr) AS rn,
+         COUNT(*) OVER (PARTITION BY day) AS n
+  FROM h
+)
+SELECT day,
+       MAX(cnt) AS peak_cnt,
+       MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN cnt END) AS median_cnt,
+       CAST(MAX(cnt) * 1000000 //
+            MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN cnt END) AS BIGINT)
+         AS peak_to_median_ppm
+FROM r GROUP BY day
+"""
+
+
+@_register(
+    "events_peak_hour_ratio",
+    _PEAK_HOUR_ORACLE,
+    doc="Per-day peak-to-median hourly load: the capacity-planning "
+    "number (how much burstier is the worst hour than a typical one). "
+    "The median hourly count is PICKED at position floor((n-1)/2)+1 of "
+    "the (count, hour) order over hours present that day — exact on "
+    "both engines; ratio is integer ppm.",
+)
+def events_peak_hour_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    h = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("day").orderBy("cnt", "hr")
+    wn = Window.partitionBy("day")
+    r = h.select(
+        "day",
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = F.max(F.when(F.col("rn") == F.expr("(n - 1) div 2 + 1"), F.col("cnt")))
+    return r.groupBy("day").agg(
+        F.max("cnt").alias("peak_cnt"),
+        med.alias("median_cnt"),
+        (F.max("cnt") * 1000000 / med).cast("bigint").alias("peak_to_median_ppm"),
+    )
+
+
+_SESSION_SWEEP_ORACLE = """
+WITH o AS (
+  SELECT user_id, epoch(ts) AS t,
+         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), gaps AS (
+  SELECT user_id, t - prev AS gap FROM o WHERE prev IS NOT NULL
+), u AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+), thr AS (
+  SELECT unnest([1800, 3600, 7200]) AS threshold_s
+)
+SELECT CAST(thr.threshold_s AS BIGINT) AS threshold_s,
+       CAST(u.n_users + (SELECT COUNT(*) FROM gaps WHERE gap > thr.threshold_s)
+            AS BIGINT) AS n_sessions,
+       u.n_users,
+       CAST((u.n_users + (SELECT COUNT(*) FROM gaps
+                          WHERE gap > thr.threshold_s)) * 1000
+            // u.n_users AS BIGINT) AS sessions_per_user_milli
+FROM thr, u
+"""
+
+
+@_register(
+    "events_session_gap_sweep",
+    _SESSION_SWEEP_ORACLE,
+    doc="Sessionization threshold sweep (30/60/120 min) from ONE scan: "
+    "total sessions at gap threshold t is n_users + #(inter-event gaps "
+    "> t), so a single LAG window yields the gap relation and each "
+    "threshold is a conditional count over it — the sweep a pipeline "
+    "runs to pick its session gap without re-sessionizing per "
+    "candidate. Ties broken (ts, event_id) in the LAG order.",
+)
+def events_session_gap_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ (UTC session): NTZ→TIMESTAMP cast then exact
+    # BIGINT micros — thresholds compare in micros so the sweep is pure
+    # integer arithmetic (same verdicts as the oracle's epoch-seconds).
+    t_us = F.expr("unix_micros(cast(ts as timestamp))")
+    o = ev.select(
+        "user_id",
+        t_us.alias("t"),
+        F.lag(t_us).over(w).alias("prev"),
+    )
+    gaps = o.where(F.col("prev").isNotNull()).select(
+        (F.col("t") - F.col("prev")).alias("gap")
+    )
+    counts = gaps.select(
+        *[
+            F.sum(F.when(F.col("gap") > t * 1_000_000, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"b{t}")
+            for t in (1800, 3600, 7200)
+        ]
+    )
+    users = ev.select(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    base = counts.crossJoin(F.broadcast(users))
+    rows = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("bigint").alias("threshold_s"),
+                        (F.col(f"b{t}") + F.col("n_users")).alias("n_sessions"),
+                        F.col("n_users").alias("n_users"),
+                    )
+                    for t in (1800, 3600, 7200)
+                ]
+            )
+        ).alias("u")
+    ).select("u.threshold_s", "u.n_sessions", "u.n_users")
+    return rows.withColumn(
+        "sessions_per_user_milli",
+        F.expr("n_sessions * 1000 div n_users"),
+    )
+
+
+_CHURN_ORACLE = """
+WITH mx AS (
+  SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events
+), lastd AS (
+  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day FROM events
+  GROUP BY user_id
+), b AS (
+  SELECT date_diff('day', l.last_day, mx.max_day) AS inactive
+  FROM lastd l, mx
+)
+SELECT CAST(CASE WHEN inactive <= 1 THEN 0
+            WHEN inactive <= 7 THEN 1
+            WHEN inactive <= 30 THEN 2
+            ELSE 3 END AS INTEGER) AS churn_band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM b GROUP BY 1
+"""
+
+
+@_register(
+    "events_churn_bands",
+    _CHURN_ORACLE,
+    doc="Churn-risk snapshot: users banded by days since last activity "
+    "relative to the corpus max day (active ≤1d, lapsing ≤7d, dormant "
+    "≤30d, churned) — the re-engagement funnel input. The corpus max "
+    "day is ONE broadcast scalar row; everything else is a user-keyed "
+    "aggregate.",
+)
+def events_churn_bands(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    d = F.col("ts").cast("date")
+    mx = ev.select(F.max(d).alias("max_day"))
+    lastd = ev.groupBy("user_id").agg(F.max(d).alias("last_day"))
+    b = lastd.crossJoin(F.broadcast(mx)).select(
+        F.datediff("max_day", "last_day").alias("inactive")
+    )
+    band = (
+        F.when(F.col("inactive") <= 1, 0)
+        .when(F.col("inactive") <= 7, 1)
+        .when(F.col("inactive") <= 30, 2)
+        .otherwise(3)
+    )
+    return b.groupBy(band.cast("int").alias("churn_band")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# warehouse reporting
+# ---------------------------------------------------------------------------
+
+_SHIP_QUARTILE_ORACLE = """
+WITH d AS (
+  SELECT l.l_returnflag AS flag,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS delay,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), r AS (
+  SELECT flag, delay,
+         ROW_NUMBER() OVER (PARTITION BY flag
+                            ORDER BY delay, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY flag) AS n
+  FROM d
+)
+SELECT flag, CAST(MAX(n) AS BIGINT) AS n_lines,
+       CAST(MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN delay END) AS BIGINT)
+         AS q1_days,
+       CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN delay END) AS BIGINT)
+         AS median_days,
+       CAST(MAX(CASE WHEN rn = 3 * (n - 1) // 4 + 1 THEN delay END) AS BIGINT)
+         AS q3_days
+FROM r GROUP BY flag
+"""
+
+
+@_register(
+    "ship_delay_quartiles",
+    _SHIP_QUARTILE_ORACLE,
+    doc="Order-to-ship delay quartiles per return flag: Q1/median/Q3 are "
+    "VALUES picked at the exact rank positions of the (delay, orderkey, "
+    "linenumber) total order — the part_type_price_iqr discipline on "
+    "the fulfillment latency distribution (complements "
+    "shipping_delay_stats' min/max/mean with the robust spread).",
+)
+def ship_delay_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("delay"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("flag").orderBy("delay", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("flag")
+    r = d.select(
+        "flag",
+        "delay",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(pos_expr: str):
+        return F.max(
+            F.when(F.col("rn") == F.expr(pos_expr), F.col("delay"))
+        ).cast("bigint")
+
+    return r.groupBy("flag").agg(
+        F.max("n").alias("n_lines"),
+        pick("(n - 1) div 4 + 1").alias("q1_days"),
+        pick("(n - 1) div 2 + 1").alias("median_days"),
+        pick("3 * (n - 1) div 4 + 1").alias("q3_days"),
+    )
+
+
+_SLOW_FULFILL_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                    CAST(l.l_shipdate AS DATE)) > 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                    CAST(l.l_shipdate AS DATE)) > 90
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS slow_ppm
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@_register(
+    "slow_fulfillment_share",
+    _SLOW_FULFILL_ORACLE,
+    doc="Share of lineitems shipped more than 90 days after the order, "
+    "per priority class — the SLA breach report (urgent orders "
+    "shipping slow is the anomaly to page on). One join, one "
+    "aggregate, integer ppm.",
+)
+def slow_fulfillment_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    slow = F.when(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        > 90,
+        1,
+    ).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(slow).cast("bigint").alias("n_slow"),
+            F.expr(
+                "sum(CASE WHEN datediff(CAST(l_shipdate AS DATE),"
+                " CAST(o_orderdate AS DATE)) > 90 THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1)"
+            ).alias("slow_ppm"),
+        )
+    )
+
+
+_RANK_SHIFT_ORACLE = """
+WITH yr AS (
+  SELECT MIN(EXTRACT(year FROM o_orderdate)) AS y0,
+         MAX(EXTRACT(year FROM o_orderdate)) AS y1
+  FROM orders
+), rev AS (
+  SELECT c.c_nationkey AS nk, EXTRACT(year FROM o.o_orderdate) AS yr,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+           AS units
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT r.nk, r.yr,
+         ROW_NUMBER() OVER (PARTITION BY r.yr
+                            ORDER BY r.units DESC, r.nk) AS rnk
+  FROM rev r, yr WHERE r.yr = yr.y0 OR r.yr = yr.y1
+)
+SELECT n.n_name,
+       CAST(a.rnk AS BIGINT) AS rank_first,
+       CAST(b.rnk AS BIGINT) AS rank_last,
+       CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain
+FROM ranked a
+JOIN ranked b ON a.nk = b.nk AND a.yr <> b.yr AND a.yr < b.yr
+JOIN nation n ON a.nk = n.n_nationkey
+"""
+
+
+@_register(
+    "nation_yearly_rank_shift",
+    _RANK_SHIFT_ORACLE,
+    doc="Nation revenue-rank movement between the corpus's first and "
+    "last order year: rank within each year (units DESC, nationkey "
+    "tie-break over exact integer 1/10000-currency units) and the "
+    "gain — the market-share momentum table. The two year scalars are "
+    "one broadcast row; ranking windows are per-year (25 rows each).",
+)
+def nation_yearly_rank_shift(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    nation = load_table(spark, sf, "nation")
+    yr = orders.select(
+        F.min(F.year("o_orderdate")).alias("y0"),
+        F.max(F.year("o_orderdate")).alias("y1"),
+    )
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg((F.sum(dec(F.col("o_totalprice"))) * 10000).cast("bigint").alias("units"))
+    )
+    sel = rev.crossJoin(F.broadcast(yr)).where(
+        (F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y1"))
+    )
+    ranked = sel.select(
+        "nk",
+        "yr",
+        F.row_number()
+        .over(Window.partitionBy("yr").orderBy(F.col("units").desc(), "nk"))
+        .alias("rnk"),
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.nk") == F.col("b.nk")) & (F.col("a.yr") < F.col("b.yr")),
+    )
+    return (
+        j.join(F.broadcast(nation), F.col("a.nk") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("a.rnk").cast("bigint").alias("rank_first"),
+            F.col("b.rnk").cast("bigint").alias("rank_last"),
+            (F.col("a.rnk") - F.col("b.rnk")).cast("bigint").alias("rank_gain"),
+        )
+    )
+
+
+_QTY_MODE_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT flag, qty, cnt,
+         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cnt DESC, qty) AS rn
+  FROM q
+)
+SELECT flag, qty AS modal_qty, cnt AS n_at_mode
+FROM r WHERE rn = 1
+"""
+
+
+@_register(
+    "quantity_mode_by_flag",
+    _QTY_MODE_ORACLE,
+    doc="Modal order quantity per return flag (tie → lowest quantity): "
+    "the argmax-per-key discipline on the quantity histogram — mode is "
+    "the one central statistic SQL has no aggregate for, so it is a "
+    "count aggregate + ROW_NUMBER pick, never a self-join.",
+)
+def quantity_mode_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    q = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    r = q.select(
+        "flag",
+        "qty",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("flag").orderBy(F.col("cnt").desc(), "qty"))
+        .alias("rn"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "flag", F.col("qty").alias("modal_qty"), F.col("cnt").alias("n_at_mode")
+    )
+
+
+_PRICE_BAND_DISCOUNT_ORACLE = """
+SELECT CAST(floor(p.p_retailprice) AS BIGINT) // 500 AS price_band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_discount AS DECIMAL(18,4))) * 1000 / COUNT(*)
+            AS DOUBLE) AS mean_discount_milli,
+       CAST(floor(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) * 100) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
+@_register(
+    "price_band_discount_profile",
+    _PRICE_BAND_DISCOUNT_ORACLE,
+    doc="Discount behavior by part price band (500-currency bands): do "
+    "expensive parts get discounted deeper? Discounts and revenue are "
+    "summed as exact DECIMAL (the dec_sum contract); the mean discount "
+    "is the exact decimal sum scaled by 1000 and divided once — the "
+    "single IEEE division both engines perform identically. Revenue is "
+    "emitted as exact integer cents (floored), not a double: a whole-"
+    "band money sum needs 17 significant digits, where the two engines' "
+    "decimal→double conversions can land on adjacent doubles.",
+)
+def price_band_discount_profile(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    return j.groupBy(
+        # floor() before the BIGINT cast: DuckDB's double→BIGINT cast
+        # ROUNDS while Spark's truncates — floor makes both engines agree
+        # on boundary prices (…999.6 stays in the lower band).
+        F.expr("CAST(floor(p_retailprice) AS BIGINT) div 500").alias("price_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        # exact decimal numerator, ONE IEEE division (duck divides decimal
+        # by count in double; dividing in Spark's decimal arithmetic would
+        # truncate scale before the double cast and disagree in the tail)
+        ((F.sum(dec(F.col("l_discount"))) * 1000).cast("double") / F.count(F.lit(1)))
+        .alias("mean_discount_milli"),
+        F.expr(
+            "CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100) AS BIGINT)"
+        ).alias("revenue_cents"),
+    )
+
+
+_SUPP_SIGN_ORACLE = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS negative_ppm,
+       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@_register(
+    "supplier_balance_health",
+    _SUPP_SIGN_ORACLE,
+    doc="Supplier account-balance health per nation: how many suppliers "
+    "are in the red, their ppm share, and the exact DECIMAL net "
+    "balance — the credit-risk rollup next to "
+    "supplier_nation_balance_share's volume view. Broadcast 25-row "
+    "dim join.",
+)
+def supplier_balance_health(spark: SparkSession, sf: str) -> DataFrame:
+    sup = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+            F.expr(
+                "sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) * 1000000"
+                " div count(1)"
+            ).alias("negative_ppm"),
+            dec_sum(F.col("s_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round8c tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Behavioral Fano-factor bands
+# ---------------------------------------------------------------------------
+
+_FANO_BAND_CASE = (
+    "CASE WHEN fano < 500 THEN 0 WHEN fano < 650 THEN 1 WHEN fano < 800 THEN 2"
+    " WHEN fano < 950 THEN 3 WHEN fano < 1100 THEN 4 ELSE 5 END"
+)
+
+_FANO_ORACLE = f"""
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS dy, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, dy
+), u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS q
+  FROM d GROUP BY user_id
+), fv AS (
+  SELECT 1000 * (n * q - s * s) // (n * s) AS fano FROM u
+)
+SELECT CAST({_FANO_BAND_CASE} AS INTEGER) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM fv GROUP BY 1
+"""
+
+
+@_register(
+    "events_fano_daily",
+    _FANO_ORACLE,
+    doc="Burstiness via the Fano factor of per-user daily event counts "
+    "(population variance / mean, exact integer milli: 1000*(n*Sq - "
+    "S^2) div (n*S)) — under 1000 means steadier than Poisson, over "
+    "means bursty; banded user counts. Two stacked aggregates (user x "
+    "day, then user), band thresholds calibrated on the sf0.01 "
+    "distribution (med 713, q3 817 milli).",
+)
+def events_fano_daily(spark: SparkSession, sf: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf, "events"))
+    d = ev.groupBy("user_id", F.to_date("ts").alias("dy")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    fv = u.select(F.expr("1000 * (n * q - s * s) div (n * s)").alias("fano"))
+    return fv.groupBy(
+        F.expr(_FANO_BAND_CASE).cast("int").alias("band")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Warehouse faces
+# ---------------------------------------------------------------------------
+
+_SEASONALITY_ORACLE = """
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS INTEGER) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT m, n_orders,
+       CAST(n_orders * 12 * 1000000 // SUM(n_orders) OVER () AS BIGINT)
+         AS index_ppm
+FROM m
+"""
+
+
+@_register(
+    "orders_monthly_seasonality",
+    _SEASONALITY_ORACLE,
+    doc="Month-of-year seasonality index: each calendar month's order "
+    "count against the uniform expectation (12 * count / total, ppm — "
+    "1000000 = exactly average). One month-keyed aggregate; the "
+    "total is a window over the 12-row result.",
+)
+def orders_monthly_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    o = fan_out(load_table(spark, sf, "orders"))
+    m = o.groupBy(F.month("o_orderdate").cast("int").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return m.select(
+        "m",
+        "n_orders",
+        F.expr("n_orders * 12 * 1000000 div sum(n_orders) over ()").alias(
+            "index_ppm"
+        ),
+    )
+
+
+_DEGREE_ORACLE = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), sp AS (
+  SELECT 'suppliers_per_part' AS side, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM ps GROUP BY l_partkey
+), pp AS (
+  SELECT 'parts_per_supplier' AS side, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM ps GROUP BY l_suppkey
+), uni AS (
+  SELECT * FROM sp UNION ALL SELECT * FROM pp
+)
+SELECT side, degree, CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM uni GROUP BY side, degree
+"""
+
+
+@_register(
+    "part_supplier_degree_hist",
+    _DEGREE_ORACLE,
+    doc="Degree distribution of the part-supplier bipartite graph "
+    "implied by lineitem (distinct (part, supplier) pairs): suppliers "
+    "per part and parts per supplier histograms in one face — the "
+    "fan-out profile that prices a part->supplier join and flags "
+    "skewed hub keys. One distinct-pair reduction feeds both "
+    "directions.",
+)
+def part_supplier_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
+    li = fan_out(load_table(spark, sf, "lineitem"))
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    sp = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    ).select(F.lit("suppliers_per_part").alias("side"), "degree")
+    pp = ps.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    ).select(F.lit("parts_per_supplier").alias("side"), "degree")
+    return sp.unionByName(pp).groupBy("side", "degree").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )

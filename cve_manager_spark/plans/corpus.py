@@ -658,12 +658,390 @@ def shingle_size_sweep(spark: SparkSession, sf: str) -> DataFrame:
     return prof(2).unionByName(prof(3)).unionByName(prof(5))
 
 
-def _quality_sweep_oracle() -> str:
-    from cve_manager_spark.plans.round8 import (
-        _QUALITY_EXPR_SQL,
-        _QUALITY_SCORE_SQL,
+# ---------------------------------------------------------------------------
+# folded from the round8 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: span-grain decontamination + quality classifier
+# ---------------------------------------------------------------------------
+
+_SPAN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+           i -> struct_pack(pos := i, s := array_to_string(w[i:i+2], ' ')))) AS u
+  FROM toks WHERE len(w) >= 3
+), ex AS (
+  SELECT doc_id, u.pos AS pos, u.s AS s FROM sh
+), ev AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT e.doc_id, e.pos FROM ex e JOIN ev ON e.s = ev.s
+  WHERE e.doc_id % 97 <> 0
+), g AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN prev IS NULL THEN 3
+                     ELSE least(3, pos - prev) END) AS BIGINT)
+         AS n_contam_tokens
+FROM g GROUP BY doc_id
+"""
+
+
+@_register(
+    "decontaminate_spans",
+    _SPAN_ORACLE,
+    doc="SPAN-grain test-set decontamination (the public-pipeline shape "
+    "next to doc-grain decontaminate_ngram): every POSITION whose word "
+    "n-gram appears in the held-out set (doc_id % 97 == 0; n=3 for "
+    "test-corpus density, production 8-13) is a contaminated span, and "
+    "the contaminated-TOKEN count is the union of the fixed-length "
+    "span intervals — computed with one LAG window per doc (intervals "
+    "are equal length, so each span adds min(n, pos - prev) new "
+    "tokens), never an interval self-join. The eval shingle set "
+    "broadcasts; the only shuffles are the hit join key and the "
+    "per-doc window — the 100 TB shape of doc-grain decontamination "
+    "with position fidelity added.",
+)
+def decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
+    sh = toks.where(F.size("w") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.col("w"),
+                    lambda x, i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice(F.col("w"), i + F.lit(1), 3)).alias(
+                            "s"
+                        ),
+                    ),
+                ),
+                lambda st: st["pos"] <= F.size(F.col("w")) - 3,
+            )
+        ).alias("u"),
+    ).select("doc_id", F.col("u.pos").alias("pos"), F.col("u.s").alias("s"))
+    ev = sh.where(F.col("doc_id") % 97 == 0).select("s").distinct()
+    hits = (
+        sh.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "s")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = hits.withColumn("prev", F.lag("pos").over(w))
+    contrib = F.when(F.col("prev").isNull(), F.lit(3)).otherwise(
+        F.least(F.lit(3), F.col("pos") - F.col("prev"))
+    )
+    return g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(contrib).alias("n_contam_tokens"),
     )
 
+
+# Deterministic integer-weight quality classifier: every feature is an
+# exact integer rate (ppm / milli), the score one integer linear form.
+_QUALITY_EXPR_SQL = """
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_words,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> list_contains(['the','a','an','of','and','to','in','is',
+                                 'it','that'], x))) AS n_stop,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_nospace
+  FROM documents
+"""
+
+_QUALITY_SCORE_SQL = """
+  SELECT doc_id, source,
+         CASE WHEN n_words > 0 AND n_chars > 0 THEN
+              2 * (n_stop * 1000000 // n_words)
+            - 3 * (n_punct * 1000000 // n_chars)
+            - 2 * (n_digit * 1000000 // n_chars)
+            + 5000 * least(n_words, 64)
+            - abs((n_nospace * 1000 // n_words) - 5000) * 100
+         ELSE -1000000 END AS score
+  FROM f
+"""
+
+_QUALITY_ORACLE = (
+    "WITH f AS (" + _QUALITY_EXPR_SQL + "), s AS (" + _QUALITY_SCORE_SQL + """
+)
+SELECT doc_id, score,
+       CASE WHEN score >= 600000 THEN 'high'
+            WHEN score >= 300000 THEN 'mid'
+            ELSE 'low' END AS label
+FROM s
+"""
+)
+
+
+def _quality_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, score, label) — shared by the scorer face, the
+    decile profile and the dup×quality matrix."""
+    from cve_manager_spark.operators.text import _is_stopword, words
+
+    t = F.col("text")
+    n_words = F.size(words(t))
+    n_chars = F.length(t)
+    n_stop = F.size(F.filter(words(F.lower(t)), _is_stopword))
+    n_punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_nospace = F.length(F.regexp_replace(t, r"\s", ""))
+    # materialize the integer features as columns, then one linear form
+    f = docs.select(
+        "doc_id",
+        "source",
+        n_words.cast("bigint").alias("n_words"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_stop.cast("bigint").alias("n_stop"),
+        n_punct.cast("bigint").alias("n_punct"),
+        n_digit.cast("bigint").alias("n_digit"),
+        n_nospace.cast("bigint").alias("n_nospace"),
+    )
+    score = F.when(
+        (F.col("n_words") > 0) & (F.col("n_chars") > 0),
+        2 * F.expr("n_stop * 1000000 div n_words")
+        - 3 * F.expr("n_punct * 1000000 div n_chars")
+        - 2 * F.expr("n_digit * 1000000 div n_chars")
+        + 5000 * F.least(F.col("n_words"), F.lit(64))
+        - F.abs(F.expr("n_nospace * 1000 div n_words") - 5000) * 100,
+    ).otherwise(F.lit(-1000000))
+    s = f.select("doc_id", "source", score.cast("bigint").alias("score"))
+    label = (
+        F.when(F.col("score") >= 600000, "high")
+        .when(F.col("score") >= 300000, "mid")
+        .otherwise("low")
+    )
+    return s.withColumn("label", label)
+
+
+@_register(
+    "quality_classifier_score",
+    _QUALITY_ORACLE,
+    doc="Deterministic quality-classifier scorer (VERDICT r7 #2): an "
+    "integer-weight linear model over exact token features — stopword "
+    "ppm (fluency proxy, +), punctuation/digit ppm (boilerplate "
+    "proxies, −), a capped length bonus, and a penalty for mean word "
+    "length far from 5 chars — with fixed thresholds binning docs into "
+    "high/mid/low. Every feature is an integer rate (ppm/milli via "
+    "integer div), the score one integer linear form: bit-identical on "
+    "any engine/partitioning, which is what makes a *classifier* "
+    "auditable at 100 TB (the float-logit version never hashes). Pure "
+    "narrow projection — no shuffle at all.",
+)
+def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    return _quality_scored(docs).select("doc_id", "score", "label")
+
+
+_QUALITY_DECILE_ORACLE = (
+    "WITH f AS (" + _QUALITY_EXPR_SQL + "), s AS (" + _QUALITY_SCORE_SQL + """
+), d AS (
+  SELECT doc_id, score, NTILE(10) OVER (ORDER BY score, doc_id) AS decile
+  FROM s
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(score) AS min_score, MAX(score) AS max_score
+FROM d GROUP BY decile
+"""
+)
+
+
+@_register(
+    "quality_score_deciles",
+    _QUALITY_DECILE_ORACLE,
+    doc="Decile profile of the quality score — the filtering dial a "
+    "pipeline reads before choosing a keep threshold ('keep the top 7 "
+    "deciles' = min_score of decile 4). The oracle states it as NTILE "
+    "over (score, doc_id); the Spark plan computes the IDENTICAL "
+    "output without ever globally sorting rows (a global NTILE window "
+    "funnels every row through ONE task): the score HISTOGRAM "
+    "(bounded by distinct scores) gets cumulative counts, the ten "
+    "NTILE bucket boundaries are pure arithmetic on the total, and a "
+    "broadcast range-intersection join of the 10-row decile relation "
+    "with the histogram yields each decile's count and min/max score "
+    "— the scalable form of an exact global order statistic.",
+)
+def quality_score_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    s = _quality_scored(docs)
+    # score histogram + cumulative range [cum_lo, cum_hi] per score
+    hist = s.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    wh = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    hist = hist.withColumn("cum_hi", F.sum("cnt").over(wh)).withColumn(
+        "cum_lo", F.col("cum_hi") - F.col("cnt") + 1
+    )
+    total = hist.groupBy().agg(F.sum("cnt").alias("n"))
+    # NTILE bucket math: q = n div 10, r = n mod 10; bucket d (1-based)
+    # holds q+1 rows for d <= r else q, starting at (d-1)q + min(d-1, r) + 1
+    dec10 = (
+        total.select(
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.lit(10).cast("bigint"))
+            ).alias("decile"),
+            "n",
+        )
+        .withColumn("q", F.expr("n div 10"))
+        .withColumn("r", F.expr("n % 10"))
+        .withColumn(
+            "lo", F.expr("(decile - 1) * q + least(decile - 1, r) + 1")
+        )
+        .withColumn(
+            "hi",
+            F.expr("lo + q + (CASE WHEN decile <= r THEN 1 ELSE 0 END) - 1"),
+        )
+        .where(F.col("hi") >= F.col("lo"))
+        .select("decile", "lo", "hi")
+    )
+    j = hist.join(
+        F.broadcast(dec10),
+        (F.col("cum_lo") <= F.col("hi")) & (F.col("cum_hi") >= F.col("lo")),
+    )
+    overlap = F.least(F.col("cum_hi"), F.col("hi")) - F.greatest(
+        F.col("cum_lo"), F.col("lo")
+    ) + 1
+    return j.groupBy("decile").agg(
+        F.sum(overlap).alias("n_docs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+_DUP_QUALITY_ORACLE = (
+    "WITH f AS (" + _QUALITY_EXPR_SQL + "), s AS (" + _QUALITY_SCORE_SQL + """
+), lab AS (
+  SELECT doc_id,
+         CASE WHEN score >= 600000 THEN 'high'
+              WHEN score >= 300000 THEN 'mid'
+              ELSE 'low' END AS label
+  FROM s
+), dup AS (
+  SELECT doc_id,
+         CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS is_dup,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT l.label, d.is_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+FROM lab l JOIN dup d ON l.doc_id = d.doc_id
+GROUP BY l.label, d.is_dup
+"""
+)
+
+
+@_register(
+    "corpus_quality_dup_matrix",
+    _DUP_QUALITY_ORACLE,
+    doc="Joint dedup × quality audit: the 2×3 matrix of (exact-duplicate "
+    "copy?, quality label) with doc and char volumes — the first table "
+    "a pipeline owner reads to see WHERE the duplicate bytes live "
+    "(duplicated boilerplate is overwhelmingly low-quality, so dedup "
+    "and quality filtering overlap; this measures by how much). "
+    "Duplicate copies flagged with the min-over-md5-digest window "
+    "(dedup_savings_by_source recipe); the two sides join on doc_id.",
+)
+def corpus_quality_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    lab = _quality_scored(docs).select("doc_id", "label")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    dup = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") > F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("is_dup"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        lab.join(dup, "doc_id")
+        .groupBy("label", "is_dup")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus linguistics III / behavioral / warehouse reporting
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 3
+    THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+    ELSE [] END) AS s
+  FROM toks
+), spread AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_sources FROM sh GROUP BY s
+)
+SELECT sh.source,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       CAST(SUM(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END) * 1000000
+         // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN spread ON sh.s = spread.s
+GROUP BY sh.source
+"""
+
+
+@_register(
+    "source_ngram_novelty",
+    _NOVELTY_ORACLE,
+    doc="Per-source 3-gram novelty: the share of a source's distinct "
+    "shingles appearing in NO other source — the data-mixing signal "
+    "for whether a source adds new text or re-serves the common crawl "
+    "(novelty ≈ 0 ⇒ candidate for down-weighting in mix_budget). "
+    "(source, shingle) pairs are distinct-reduced FIRST, the spread "
+    "count shuffles on the shingle key (the shingle-join discipline), "
+    "and the final rollup is per source. Integer ppm.",
+)
+def source_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.dedup import word_shingles
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    sh = docs.select(
+        "source", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    spread = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_sources"))
+    uniq = F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+    return (
+        sh.join(spread, "s")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.alias("n_unique"),
+            F.expr(
+                "sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) * 1000000"
+                " div count(1)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+def _quality_sweep_oracle() -> str:
     return (
         "WITH f AS ("
         + _QUALITY_EXPR_SQL
@@ -696,8 +1074,6 @@ GROUP BY th.threshold
     priority=6,
 )
 def quality_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
-    from cve_manager_spark.plans.round8 import _quality_scored
-
     docs = fan_out(load_table(spark, sf, "documents"))
     s = _quality_scored(docs).select("doc_id", "score")
     th = spark.createDataFrame(
@@ -808,3 +1184,1524 @@ def dedup_modality_agreement(spark: SparkSession, sf: str) -> DataFrame:
         F.col("__e").isNotNull().alias("exact_dup"),
         F.col("__m").isNotNull().alias("minhash_dup"),
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# folded from the round6 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# 1. corpus linguistics
+# ---------------------------------------------------------------------------
+
+_WORD_LEN_ORACLE = """
+WITH t AS (
+  SELECT source,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+), p AS (
+  SELECT source,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS sum_len,
+         CAST(COALESCE(list_max(list_transform(w, x -> length(x))), 0) AS BIGINT) AS max_len
+  FROM t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(MAX(max_len) AS BIGINT) AS max_word_len,
+       CAST(SUM(sum_len) AS DOUBLE) / SUM(n_words) AS avg_word_len
+FROM p GROUP BY source
+"""
+
+
+@_register(
+    "text_word_len_profile",
+    _WORD_LEN_ORACLE,
+    doc="Per-source word-length morphology: token counts, the longest "
+    "token, and exact average word length (bigint length sums divided "
+    "once). One narrow tokenize pass + one hash aggregate on source — "
+    "the length profile that flags machine-generated or concatenated "
+    "text before any model sees it.",
+)
+def text_word_len_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    from cve_manager_spark.operators.text import words
+
+    lens = F.transform(words(F.col("text")), lambda x: F.length(x))
+    p = docs.select(
+        "source",
+        F.size(lens).cast("long").alias("n_words"),
+        F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_len"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("long").alias("max_len"),
+    )
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.max("max_len").alias("max_word_len"),
+        (F.sum("sum_len").cast("double") / F.sum("n_words")).alias("avg_word_len"),
+    )
+
+
+_DIGIT_ORACLE = """
+SELECT lang,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT)
+         AS n_digits,
+       CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g'))) * 1000000
+            // SUM(length(text)) AS BIGINT) AS digit_ppm
+FROM documents GROUP BY lang
+"""
+
+
+@_register(
+    "text_digit_density",
+    _DIGIT_ORACLE,
+    doc="Digit-character density per language in exact integer ppm — "
+    "the cheap detector for tables/logs/serial dumps masquerading as "
+    "prose. Single scan, one aggregate; the regex strip runs JVM-side.",
+)
+def text_digit_density(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("long")
+    chars = F.length("text").cast("long")
+    return (
+        docs.select("lang", chars.alias("c"), digits.alias("d"))
+        .groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.sum("d").alias("n_digits"),
+            F.expr("sum(d) * 1000000 div sum(c)").alias("digit_ppm"),
+        )
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+           AS word
+  FROM documents
+), cnt AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, word
+), tot AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM cnt GROUP BY lang
+)
+SELECT cnt.lang,
+       CAST(MAX(tot.t) AS BIGINT) AS n_tokens,
+       CAST(MAX(tot.n_types) AS BIGINT) AS n_types,
+       CAST(SUM(CAST(ROUND(
+         -(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+           * ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+         AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+FROM cnt JOIN tot ON cnt.lang = tot.lang
+GROUP BY cnt.lang
+"""
+
+
+@_register(
+    "unigram_entropy_by_lang",
+    _ENTROPY_ORACLE,
+    doc="Shannon entropy of the unigram distribution per language — the "
+    "diversity statistic that separates natural prose from template "
+    "spam. Each -p·ln(p) term is rounded to 6dp and summed as exact "
+    "DECIMAL (the text_tfidf transcendental precedent), so the result "
+    "is order-independent; token counts and the totals join carry "
+    "exact integers. Two hash aggregates + one broadcast-able join on "
+    "lang.",
+)
+def unigram_entropy_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    tok = docs.select(
+        "lang", F.explode(words(F.lower(F.col("text")))).alias("word")
+    )
+    cnt = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        cnt.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("t").alias("n_tokens"),
+            F.max("n_types").alias("n_types"),
+            F.sum(term).cast("double").alias("entropy"),
+        )
+    )
+
+
+_DUPLEN_ORACLE = """
+WITH g AS (
+  SELECT text, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(doc_id) AS BIGINT) AS keep_id
+  FROM documents GROUP BY text HAVING COUNT(*) >= 2
+)
+SELECT n_dups,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sum_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(keep_id) AS BIGINT) AS first_keep_id
+FROM g GROUP BY n_dups
+"""
+
+
+@_register(
+    "dup_cluster_length_stats",
+    _DUPLEN_ORACLE,
+    doc="Morphology of exact-duplicate clusters: for each cluster SIZE, "
+    "how many clusters exist and how many characters they pin — the "
+    "report that says whether dedup savings come from a few giant "
+    "boilerplate clusters or a long tail of pairs. Two chained hash "
+    "aggregates (text digest grain, then size grain), all integers — "
+    "the length-weighted companion to dup_cluster_size_hist.",
+)
+def dup_cluster_length_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    g = (
+        docs.groupBy("text")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("n_dups") >= 2)
+    )
+    return g.groupBy("n_dups").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sum_chars").alias("total_chars"),
+        F.min("keep_id").alias("first_keep_id"),
+    )
+
+
+_VOCAB_OVERLAP_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+           AS word
+  FROM documents
+), sz AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM d a JOIN d b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, common,
+       CAST(common * 1000000 // (sa.n + sb.n - common) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs
+JOIN sz sa ON sa.source = source_a
+JOIN sz sb ON sb.source = source_b
+"""
+
+
+@_register(
+    "source_vocab_overlap",
+    _VOCAB_OVERLAP_ORACLE,
+    doc="Pairwise vocabulary Jaccard between sources in exact integer "
+    "ppm — the corpus-mixing diagnostic (two crawls sharing 90% of "
+    "their vocabulary add less diversity than their row counts "
+    "suggest). The (source, word) relation is distinct-deduped ONCE, "
+    "then the pair join is word-bucketed exactly like the shingle "
+    "dedup joins (never all-pairs over documents); vocabulary sizes "
+    "join back as a broadcast.",
+)
+def source_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    d = docs.select(
+        "source", F.explode(words(F.lower(F.col("text")))).alias("word")
+    ).distinct()
+    sz = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("source").alias("source_a"), "word")
+    b = d.select(F.col("source").alias("source_b"), "word")
+    pairs = (
+        a.join(b, ["word"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "common",
+            F.expr("common * 1000000 div (na + nb - common)").alias("jaccard_ppm"),
+        )
+    )
+
+
+_PREFIX_ORACLE = """
+SELECT md5(substring(text, 1, 40)) AS prefix_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts
+FROM documents
+GROUP BY md5(substring(text, 1, 40))
+HAVING COUNT(*) >= 2
+"""
+
+
+@_register(
+    "doc_prefix_collision",
+    _PREFIX_ORACLE,
+    doc="Shared-prefix detector: documents opening with the same 40 "
+    "characters (boilerplate headers, templated intros) grouped by "
+    "prefix digest, with how many distinct full texts hide behind each "
+    "— prefix-equal but text-distinct groups are the near-dup seeds "
+    "exact dedup misses. One aggregate on a 16-byte digest key (the "
+    "prefix itself never shuffles).",
+)
+def doc_prefix_collision(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy(F.md5(F.substring("text", 1, 40)).alias("prefix_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+_CPW_ORACLE = """
+WITH p AS (
+  SELECT n_chars,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT LEAST(CAST(n_chars AS BIGINT) // n_words, 12) AS cpw_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM p WHERE n_words > 0 GROUP BY 1
+"""
+
+
+@_register(
+    "chars_per_word_hist",
+    _CPW_ORACLE,
+    doc="Histogram of documents by integer chars-per-word band (capped "
+    "at 12+): the compactness profile that flags CJK-like scripts, "
+    "URL dumps and minified blobs in one readout. Integer division "
+    "keeps banding exact; one scan, one small aggregate.",
+)
+def chars_per_word_hist(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    p = docs.select(
+        "n_chars", F.size(words(F.col("text"))).cast("long").alias("n_words")
+    ).where(F.col("n_words") > 0)
+    band = F.least(F.expr("n_chars div n_words").cast("long"), F.lit(12).cast("long"))
+    return p.groupBy(band.alias("cpw_band")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round7 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# corpus linguistics II
+# ---------------------------------------------------------------------------
+
+_SIMPSON_ORACLE = """
+WITH cnt AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+           AS word
+  FROM documents
+), c AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM cnt GROUP BY source, word
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * (SUM(c) - 1)), 9) AS simpson
+FROM c GROUP BY source
+"""
+
+
+@_register(
+    "text_simpson_diversity",
+    _SIMPSON_ORACLE,
+    doc="Simpson concentration index of the unigram distribution per "
+    "source — the no-transcendental twin of unigram_entropy_by_lang: "
+    "λ = Σ c(c−1) / (T(T−1)) is a ratio of exact integers (numerator "
+    "summed in DECIMAL(38,0) — c² overflows bigint at corpus scale), "
+    "so the only double is one identical final division, rounded 9dp. "
+    "High λ = template/boilerplate-dominated source.",
+)
+def text_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    c = (
+        docs.select("source", F.explode(words(F.lower(F.col("text")))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = F.sum("c")
+    num = F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1)).cast("double")
+    return c.groupBy("source").agg(
+        t.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(num / (t.cast("double") * (t - F.lit(1))), 9).alias("simpson"),
+    )
+
+
+_SRC_LANG_ORACLE = """
+WITH m AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+), st AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS src_total FROM m GROUP BY source
+)
+SELECT m.source, m.lang, m.n,
+       CAST(m.n * 1000000 // st.src_total AS BIGINT) AS share_ppm
+FROM m JOIN st ON m.source = st.source
+"""
+
+
+@_register(
+    "source_lang_matrix",
+    _SRC_LANG_ORACLE,
+    doc="Source × language composition matrix with exact integer ppm "
+    "row shares — the mixing table a corpus curator reads before "
+    "setting per-source language filters. Two chained aggregates; the "
+    "source totals join back as a broadcast.",
+)
+def source_lang_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    m = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    st = m.groupBy("source").agg(F.sum("n").alias("src_total"))
+    return (
+        m.join(F.broadcast(st), "source")
+        .select(
+            "source", "lang", "n",
+            F.expr("n * 1000000 div src_total").alias("share_ppm"),
+        )
+    )
+
+
+_PUNCT_ORACLE = """
+SELECT source,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')))
+            AS BIGINT) AS n_punct,
+       CAST(SUM(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))) * 1000000
+            // SUM(length(text)) AS BIGINT) AS punct_ppm
+FROM documents GROUP BY source
+"""
+
+
+@_register(
+    "text_punct_density",
+    _PUNCT_ORACLE,
+    doc="Punctuation/symbol density per source in exact integer ppm "
+    "(everything outside [A-Za-z0-9 whitespace]) — flags markup dumps "
+    "and code masquerading as prose; complements text_digit_density. "
+    "One scan, JVM-side regex strip, tiny aggregate.",
+)
+def text_punct_density(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")).cast("long")
+    return (
+        docs.select("source", F.length("text").cast("long").alias("c"), punct.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.sum("p").alias("n_punct"),
+            F.expr("sum(p) * 1000000 div sum(c)").alias("punct_ppm"),
+        )
+    )
+
+
+_LONGEST_ORACLE = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM r WHERE rk = 1
+"""
+
+
+@_register(
+    "longest_doc_per_lang",
+    _LONGEST_ORACLE,
+    doc="Argmax per group with a deterministic tie-break: the longest "
+    "document per language (ties to the smaller doc_id) — max_by's "
+    "arbitrary-tie hazard avoided via the rank-1 window, the same "
+    "contract as embedding_component_extremes.",
+)
+def longest_doc_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+_WLEN_ORACLE = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+           AS word
+  FROM documents
+)
+SELECT LEAST(CAST(length(word) AS BIGINT), 24) AS word_len,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types
+FROM w GROUP BY 1
+"""
+
+
+@_register(
+    "word_len_hist",
+    _WLEN_ORACLE,
+    doc="Corpus-wide word-length histogram (capped at 24+) with per-band "
+    "type counts — the tokenizer-design input (band mass decides "
+    "character-coverage vs merge budget). Explode → one bounded-key "
+    "aggregate with a distinct count.",
+)
+def word_len_hist(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    w = docs.select(F.explode(words(F.lower(F.col("text")))).alias("word"))
+    band = F.least(F.length("word").cast("long"), F.lit(24).cast("long"))
+    return w.groupBy(band.alias("word_len")).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("word").alias("n_types"),
+    )
+
+
+_SAVINGS_ORACLE = """
+WITH k AS (
+  SELECT source, n_chars,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+              THEN 0 ELSE 1 END AS is_dup
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN is_dup = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS dup_chars,
+       CAST(SUM(CASE WHEN is_dup = 1 THEN n_chars ELSE 0 END) * 1000000
+            // SUM(n_chars) AS BIGINT) AS savings_ppm
+FROM k GROUP BY source
+"""
+
+
+@_register(
+    "dedup_savings_by_source",
+    _SAVINGS_ORACLE,
+    doc="Exact-dedup economics per source: how many documents and "
+    "characters the min-id keep rule would drop — the report that "
+    "prices a dedup pass before running it. The keeper id comes from a "
+    "digest-grain AGGREGATE joined back on the 16-byte md5 (the text "
+    "itself never keys an exchange, and both join sides share the "
+    "digest partitioning) — the oracle's window form is semantically "
+    "identical, but a window would buffer each duplicate CLUSTER in "
+    "one task, and cluster sizes are exactly what this report exists "
+    "to distrust. Savings are exact integer ppm.",
+)
+def dedup_savings_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").withColumn("__d", F.md5("text"))
+    keep = docs.groupBy("__d").agg(F.min("doc_id").alias("__keep"))
+    is_dup = F.when(F.col("doc_id") == F.col("__keep"), 0).otherwise(1)
+    k = docs.join(keep, "__d").select("source", "n_chars", is_dup.alias("is_dup"))
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").alias("n_dup_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("is_dup") == 1, F.col("n_chars")).otherwise(0)).alias(
+            "dup_chars"
+        ),
+        F.expr(
+            "sum(case when is_dup = 1 then n_chars else 0 end) * 1000000"
+            " div sum(n_chars)"
+        ).alias("savings_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round8b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# quality-classifier composition faces
+# ---------------------------------------------------------------------------
+
+
+def _quality_cte() -> str:
+    from cve_manager_spark.plans.corpus import _QUALITY_EXPR_SQL, _QUALITY_SCORE_SQL
+
+    return (
+        "WITH f AS ("
+        + _QUALITY_EXPR_SQL
+        + "), s AS ("
+        + _QUALITY_SCORE_SQL
+        + """
+), lab AS (
+  SELECT doc_id, source, score,
+         CASE WHEN score >= 600000 THEN 'high'
+              WHEN score >= 300000 THEN 'mid'
+              ELSE 'low' END AS label
+  FROM s
+)"""
+    )
+
+
+_QUALITY_SOURCE_ORACLE = _quality_cte() + """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN label = 'high' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       CAST(SUM(CASE WHEN label = 'mid' THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+       CAST(SUM(CASE WHEN label = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score
+FROM lab GROUP BY source
+"""
+
+
+@_register(
+    "quality_by_source_profile",
+    _QUALITY_SOURCE_ORACLE,
+    doc="Per-source quality profile: label mix and integer mean score — "
+    "the table that decides which crawl sources feed the high-quality "
+    "mix and which get the aggressive filter. One source-keyed "
+    "aggregate over the shuffle-free scorer projection; mean is an "
+    "exact BIGINT sum divided once (integer div both engines).",
+)
+def quality_by_source_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.corpus import _quality_scored
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    s = _quality_scored(docs)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("label") == "high", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high"),
+        F.sum(F.when(F.col("label") == "mid", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mid"),
+        F.sum(F.when(F.col("label") == "low", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low"),
+        F.expr("sum(score) div count(1)").alias("mean_score"),
+    )
+
+
+_QUALITY_LEN_ORACLE = _quality_cte() + """
+, b AS (
+  SELECT l.score, least(d.n_chars // 256, 7) AS len_band
+  FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+)
+SELECT len_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(score) AS min_score,
+       MAX(score) AS max_score,
+       CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score
+FROM b GROUP BY len_band
+"""
+
+
+@_register(
+    "quality_length_calibration",
+    _QUALITY_LEN_ORACLE,
+    doc="Quality-score calibration against document length: 256-char "
+    "bands (capped at band 7) with count and min/mean/max score — the "
+    "audit that catches a scorer degenerating into a length detector "
+    "(a known failure of integer linear quality models). Uses the "
+    "table's n_chars column so both engines band identical integers.",
+)
+def quality_length_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.corpus import _quality_scored
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    s = _quality_scored(docs).select("doc_id", "score")
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.least(F.expr("n_chars div 256"), F.lit(7).cast("bigint")).alias("len_band")
+    )
+    return (
+        s.join(d, "doc_id")
+        .groupBy("len_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.expr("sum(score) div count(1)").alias("mean_score"),
+        )
+    )
+
+
+_DECONTAM_SUMMARY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+           i -> struct_pack(pos := i, s := array_to_string(w[i:i+2], ' ')))) AS u
+  FROM toks WHERE len(w) >= 3
+), ex AS (
+  SELECT doc_id, u.pos AS pos, u.s AS s FROM sh
+), ev AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT e.doc_id, e.pos FROM ex e JOIN ev ON e.s = ev.s
+  WHERE e.doc_id % 97 <> 0
+), g AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN prev IS NULL THEN 3
+                       ELSE least(3, pos - prev) END) AS BIGINT) AS contam
+  FROM g GROUP BY doc_id
+), base AS (
+  SELECT t.source, len(t.w) AS n_tokens,
+         COALESCE(p.contam, 0) AS contam,
+         CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+  WHERE t.doc_id % 97 <> 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(hit) AS BIGINT) AS n_docs_contam,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(contam) AS BIGINT) AS n_contam_tokens,
+       CAST(SUM(contam) * 1000000 // greatest(SUM(n_tokens), 1) AS BIGINT)
+         AS contam_ppm
+FROM base GROUP BY source
+"""
+
+
+@_register(
+    "decontam_source_summary",
+    _DECONTAM_SUMMARY_ORACLE,
+    doc="Per-source contamination rollup over the span-grain "
+    "decontamination: affected docs, contaminated tokens and their ppm "
+    "of the source's token volume — the report a pipeline owner reads "
+    "to decide whether a source needs span-surgery or can be dropped "
+    "wholesale. Reuses the decontaminate_spans per-doc relation "
+    "LEFT-joined back onto all non-eval docs (zero-hit docs count in "
+    "the denominator).",
+)
+def decontam_source_summary(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+    from cve_manager_spark.plans.corpus import decontaminate_spans
+
+    spans = decontaminate_spans(spark, sf).select("doc_id", "n_contam_tokens")
+    docs = fan_out(load_table(spark, sf, "documents"))
+    base = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(words(F.lower(F.col("text")))).cast("bigint").alias("n_tokens"),
+        )
+        .join(spans, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce("n_contam_tokens", F.lit(0)).alias("contam"),
+            F.when(F.col("n_contam_tokens").isNotNull(), 1).otherwise(0).alias("hit"),
+        )
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("hit").cast("bigint").alias("n_docs_contam"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("contam").alias("n_contam_tokens"),
+        F.expr("sum(contam) * 1000000 div greatest(sum(n_tokens), 1)").alias(
+            "contam_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics
+# ---------------------------------------------------------------------------
+
+_SENTENCE_ORACLE = """
+WITH s AS (
+  SELECT source,
+         length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_marks,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_words
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_marks) AS BIGINT) AS n_marks,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_words) * 1000 // greatest(SUM(n_marks), 1) AS BIGINT)
+         AS words_per_sentence_milli
+FROM s GROUP BY source
+"""
+
+
+@_register(
+    "doc_sentence_stats",
+    _SENTENCE_ORACLE,
+    doc="Sentence-length proxy per source: terminal punctuation marks "
+    "(.!?) as sentence delimiters, words-per-sentence in exact integer "
+    "milli — long run-on text and list-like boilerplate separate "
+    "cleanly on this axis. Pure projection + one source-keyed "
+    "aggregate.",
+)
+def doc_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    s = docs.select(
+        "source",
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?]", "")).alias("n_marks"),
+        F.size(words(F.col("text"))).alias("n_words"),
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_marks").cast("bigint").alias("n_marks"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.expr("sum(n_words) * 1000 div greatest(sum(n_marks), 1)").alias(
+            "words_per_sentence_milli"
+        ),
+    )
+
+
+def _df_bucket_case(col: str) -> str:
+    """Power-of-two doc-frequency bucket, identical SQL on both engines
+    (no float log2 — its rounding at exact powers is engine-dependent)."""
+    return (
+        f"CASE WHEN {col} = 1 THEN 0"
+        f" WHEN {col} < 4 THEN 1"
+        f" WHEN {col} < 8 THEN 2"
+        f" WHEN {col} < 16 THEN 3"
+        f" WHEN {col} < 32 THEN 4"
+        f" WHEN {col} < 64 THEN 5"
+        f" WHEN {col} < 128 THEN 6"
+        f" ELSE 7 END"
+    )
+
+
+_ZIPF_ORACLE = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), df AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY w
+)
+SELECT CAST({_df_bucket_case("df")} AS INTEGER) AS df_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(df) AS BIGINT) AS n_doc_pairs
+FROM df GROUP BY 1
+"""
+
+
+@_register(
+    "word_df_zipf_buckets",
+    _ZIPF_ORACLE,
+    doc="Vocabulary doc-frequency spectrum in power-of-two buckets — the "
+    "Zipf audit (hapax mass vs head mass) that sizes stopword lists "
+    "and min-df cuts. Bucketing is an explicit CASE ladder, NOT "
+    "float log2 (whose rounding at exact powers differs per engine); "
+    "the (doc, word) relation distinct-reduces before the word-keyed "
+    "count.",
+)
+def word_df_zipf_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    dw = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("w")
+    ).distinct()
+    df = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return df.groupBy(
+        F.expr(_df_bucket_case("df")).cast("int").alias("df_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("df").cast("bigint").alias("n_doc_pairs"),
+    )
+
+
+_TOKEN_BUDGET_ORACLE = """
+WITH t AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), r AS (
+  SELECT source, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS rnk,
+         SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         SUM(n_tokens) OVER () AS total
+  FROM t
+)
+SELECT source, n_tokens, CAST(rnk AS BIGINT) AS rnk,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_tokens * 1000000 // total AS BIGINT) AS cum_share_ppm
+FROM r
+"""
+
+
+@_register(
+    "token_budget_by_source",
+    _TOKEN_BUDGET_ORACLE,
+    doc="Token budget ledger: sources ranked by whitespace-token volume "
+    "with cumulative share — 'the top k sources hold X% of the corpus' "
+    "is the first line of any mix plan. The global window runs on the "
+    "per-source AGGREGATE (≤ #sources rows), never row-grain data.",
+)
+def token_budget_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(words(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    wo = Window.orderBy(F.col("n_tokens").desc(), "source")
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    r = t.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(wo).cast("bigint").alias("rnk"),
+        F.sum("n_tokens").over(wc).cast("bigint").alias("cum_tokens"),
+        F.sum("n_tokens").over(wt).alias("total"),
+    )
+    return r.select(
+        "source",
+        "n_tokens",
+        "rnk",
+        "cum_tokens",
+        F.expr("cum_tokens * 1000000 div total").alias("cum_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round8c tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# In-row Gopher repetition features — shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# Per-document features computed entirely in-row (array HOFs over the
+# token list): no (doc, word) shuffle anywhere — at 100 TB these are
+# pure map-side compute. The top-word counter is O(distinct * n) per
+# document, bounded by document length, never by corpus size.
+_TOKS_CTE = """
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), f AS (
+  SELECT doc_id, lang, source,
+         len(w) AS n,
+         len(list_distinct(w)) AS nd,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x)))) AS topc,
+         list_sum(list_transform(w, x -> len(x))) AS chars
+  FROM toks WHERE len(w) > 0
+)
+"""
+
+
+def _doc_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    w = F.filter(w, lambda x: x != F.lit(""))
+    return (
+        docs.select("doc_id", "lang", "source", w.alias("w"))
+        .where(F.size("w") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size("w").cast("bigint").alias("n"),
+            F.size(F.array_distinct("w")).cast("bigint").alias("nd"),
+            F.array_max(
+                F.transform(
+                    F.array_distinct("w"),
+                    lambda x: F.size(F.filter(F.col("w"), lambda y: y == x)),
+                )
+            )
+            .cast("bigint")
+            .alias("topc"),
+            F.aggregate(
+                "w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            ).alias("chars"),
+        )
+    )
+
+
+_TOPMASS_BAND_CASE = (
+    "CASE WHEN ppm < 70000 THEN 0 WHEN ppm < 90000 THEN 1"
+    " WHEN ppm < 110000 THEN 2 WHEN ppm < 150000 THEN 3"
+    " WHEN ppm < 220000 THEN 4 ELSE 5 END"
+)
+
+_TOPMASS_ORACLE = _TOKS_CTE + f"""
+, p AS (SELECT lang, topc * 1000000 // n AS ppm FROM f)
+SELECT lang, CAST({_TOPMASS_BAND_CASE} AS INTEGER) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang, 2
+"""
+
+
+@_register(
+    "top_word_mass_bands",
+    _TOPMASS_ORACLE,
+    doc="Gopher-style repetition rule #1, banded: the mass of each "
+    "document's single most frequent word (ppm of its tokens), "
+    "histogrammed per language. The top-word count is an in-row array "
+    "HOF (max over distinct tokens of their in-doc frequency) — "
+    "O(distinct x n) per document, zero doc-grain shuffle; band "
+    "thresholds are documented integer constants calibrated on the "
+    "sf0.01 corpus (q1 79k / med 93k / q3 111k ppm).",
+)
+def top_word_mass_bands(spark: SparkSession, sf: str) -> DataFrame:
+    f = _doc_features(spark, sf).select(
+        "lang", F.expr("topc * 1000000 div n").alias("ppm")
+    )
+    return f.groupBy(
+        "lang", F.expr(_TOPMASS_BAND_CASE).cast("int").alias("band")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_BIGRAM_SQL_DUCK = (
+    "CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),"
+    " i -> array_to_string(w[i:i+1], ' ')) ELSE [] END"
+)
+
+_DUP_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT source,
+         CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+              i -> array_to_string(w[i:i+1], ' ')) ELSE [] END AS b
+  FROM toks
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(b)) AS BIGINT) AS n_bigrams,
+       CAST(SUM(len(b) - len(list_distinct(b))) * 1000000
+            // GREATEST(SUM(len(b)), 1) AS BIGINT) AS dup_mass_ppm
+FROM bg GROUP BY source
+"""
+
+
+@_register(
+    "dup_bigram_mass_by_source",
+    _DUP_BIGRAM_ORACLE,
+    doc="Gopher-style repetition rule #2: duplicate-bigram mass — the "
+    "fraction of adjacent-token bigram INSTANCES that are repeats of "
+    "an earlier bigram in the same document — aggregated per source. "
+    "Bigrams are built in-row (zip_with over two shifted slices) and "
+    "deduplicated in-row (array_distinct); the only shuffle is the "
+    "final source-keyed aggregate.",
+)
+def dup_bigram_mass_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    w = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    b = F.expr(
+        "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+        " slice(w, 2, greatest(size(w) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    d = docs.select("source", w.alias("w")).select("source", b.alias("b"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("b")).cast("bigint").alias("n_bigrams"),
+        F.expr(
+            "sum(size(b) - size(array_distinct(b))) * 1000000"
+            " div greatest(sum(size(b)), 1)"
+        ).alias("dup_mass_ppm"),
+    )
+
+
+# Flag thresholds: documented integer constants, calibrated so each
+# rule fires on a real minority of this corpus (top-heavy > 150k ppm ~
+# top decile; low TTR < 380 milli ~ bottom decile; word-length window
+# [4000, 5000] milli straddles the 3708-5300 observed range; short =
+# under 20 tokens against a 10-99 range).
+_FLAGS_SQL = """
+  SELECT source,
+         CASE WHEN topc * 1000000 // n > 150000 THEN 1 ELSE 0 END AS top_heavy,
+         CASE WHEN nd * 1000 // n < 380 THEN 1 ELSE 0 END AS low_ttr,
+         CASE WHEN chars * 1000 // n < 4000 OR chars * 1000 // n > 5000
+              THEN 1 ELSE 0 END AS wlen_out,
+         CASE WHEN n < 20 THEN 1 ELSE 0 END AS short_doc
+  FROM f
+"""
+
+_GOPHER_ORACLE = _TOKS_CTE + f""", fl AS ({_FLAGS_SQL})
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(top_heavy) AS BIGINT) AS n_top_heavy,
+       CAST(SUM(low_ttr) AS BIGINT) AS n_low_ttr,
+       CAST(SUM(wlen_out) AS BIGINT) AS n_wlen_out,
+       CAST(SUM(short_doc) AS BIGINT) AS n_short,
+       CAST(SUM(CASE WHEN top_heavy + low_ttr + wlen_out + short_doc = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM fl GROUP BY source
+"""
+
+
+def _doc_flags(spark: SparkSession, sf: str) -> DataFrame:
+    f = _doc_features(spark, sf)
+    return f.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CASE WHEN topc * 1000000 div n > 150000 THEN 1 ELSE 0 END"
+        ).alias("top_heavy"),
+        F.expr("CASE WHEN nd * 1000 div n < 380 THEN 1 ELSE 0 END").alias(
+            "low_ttr"
+        ),
+        F.expr(
+            "CASE WHEN chars * 1000 div n < 4000 OR chars * 1000 div n > 5000"
+            " THEN 1 ELSE 0 END"
+        ).alias("wlen_out"),
+        F.expr("CASE WHEN n < 20 THEN 1 ELSE 0 END").alias("short_doc"),
+    )
+
+
+@_register(
+    "gopher_quality_flags",
+    _GOPHER_ORACLE,
+    doc="Composite Gopher-style quality report per source: how many "
+    "documents fail each of four deterministic integer rules "
+    "(top-word mass > 15%, type-token ratio < 0.38, mean word length "
+    "outside [4.0, 5.0] chars, under 20 tokens) and how many are "
+    "clean. All four features are in-row array HOFs — one scan, one "
+    "source-keyed aggregate.",
+)
+def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
+    fl = _doc_flags(spark, sf)
+    return fl.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("top_heavy").cast("bigint").alias("n_top_heavy"),
+        F.sum("low_ttr").cast("bigint").alias("n_low_ttr"),
+        F.sum("wlen_out").cast("bigint").alias("n_wlen_out"),
+        F.sum("short_doc").cast("bigint").alias("n_short"),
+        F.sum(
+            F.expr(
+                "CASE WHEN top_heavy + low_ttr + wlen_out + short_doc = 0"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_clean"),
+    )
+
+
+_FLAG_NAMES = ("top_heavy", "low_ttr", "wlen_out", "short_doc")
+
+_COOC_ORACLE = _TOKS_CTE + f""", fl AS ({_FLAGS_SQL})
+SELECT * FROM (
+""" + "\nUNION ALL\n".join(
+    f"  SELECT '{a}' AS flag_a, '{b}' AS flag_b,"
+    f" CAST(SUM({a} * {b}) AS BIGINT) AS n_docs FROM fl"
+    for i, a in enumerate(_FLAG_NAMES)
+    for b in _FLAG_NAMES[i:]
+) + "\n)"
+
+
+@_register(
+    "quality_flag_cooccurrence",
+    _COOC_ORACLE,
+    doc="Pairwise co-occurrence matrix of the four Gopher quality flags "
+    "(upper triangle incl. diagonal, 10 rows): which failure modes "
+    "travel together decides whether rules are redundant or "
+    "complementary before wiring them into a filter cascade. One "
+    "scan; the 10 cells are conditional sums in a single global "
+    "aggregate (map-side partials, a 1-row shuffle).",
+)
+def quality_flag_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    fl = _doc_flags(spark, sf)
+    cells = [
+        F.sum(F.col(a) * F.col(b)).cast("bigint").alias(f"c_{i}_{j}")
+        for i, a in enumerate(_FLAG_NAMES)
+        for j, b in enumerate(_FLAG_NAMES)
+        if j >= i
+    ]
+    one = fl.agg(*cells)
+    pairs = [
+        F.struct(
+            F.lit(a).alias("flag_a"),
+            F.lit(b).alias("flag_b"),
+            F.col(f"c_{i}_{j}").alias("n_docs"),
+        )
+        for i, a in enumerate(_FLAG_NAMES)
+        for j, b in enumerate(_FLAG_NAMES)
+        if j >= i
+    ]
+    return one.select(F.explode(F.array(*pairs)).alias("u")).select(
+        "u.flag_a", "u.flag_b", "u.n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split + audits
+# ---------------------------------------------------------------------------
+
+# Split bucket: the first two hex digits of md5(doc_id) as a uniform
+# 0..255 value (each digit decoded by position in the hex alphabet —
+# md5 is the one digest both engines share bit-for-bit; same family as
+# sample_hash / pack_sequences). 80/10/10 => thresholds 204 / 230.
+_BUCKET_DUCK = (
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " * 16 + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))"
+    " - 1"
+)
+_BUCKET_SPARK = (
+    "(locate(substring(md5(cast(doc_id as string)), 1, 1), '0123456789abcdef') - 1)"
+    " * 16 + locate(substring(md5(cast(doc_id as string)), 2, 1), '0123456789abcdef')"
+    " - 1"
+)
+
+
+def _split_case(bucket_sql: str) -> str:
+    return (
+        f"CASE WHEN ({bucket_sql}) < 204 THEN 'train'"
+        f" WHEN ({bucket_sql}) < 230 THEN 'val' ELSE 'test' END"
+    )
+
+
+_SPLIT_ORACLE = f"""
+WITH d AS (
+  SELECT source, {_split_case(_BUCKET_DUCK)} AS split,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+), a AS (
+  SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM d GROUP BY split, source
+)
+SELECT split, source, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // SUM(n_tokens) OVER (PARTITION BY source)
+            AS BIGINT) AS tok_share_ppm
+FROM a
+"""
+
+
+@_register(
+    "split_assign_3way",
+    _SPLIT_ORACLE,
+    doc="Deterministic 80/10/10 train/val/test assignment: a uniform "
+    "0..255 bucket from the first two md5(doc_id) hex digits, "
+    "thresholds 204/230 — reproducible across engines, runs, and "
+    "cluster layouts (the property rand()-based splits lack), with "
+    "per-(split, source) document and token budgets and each split's "
+    "ppm share of its source's tokens. The share window runs on the "
+    "<= 60-row aggregate, never row-grain data.",
+)
+def split_assign_3way(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    d = docs.select(
+        "source",
+        F.expr(_split_case(_BUCKET_SPARK)).alias("split"),
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    a = d.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    return a.select(
+        "split",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "n_tokens * 1000000 div sum(n_tokens) over (partition by source)"
+        ).alias("tok_share_ppm"),
+    )
+
+
+_DRIFT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_split_case(_BUCKET_DUCK)} AS split,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), wc AS (
+  SELECT u.w AS w, d.split, CAST(COUNT(*) AS BIGINT) AS c
+  FROM d, unnest(d.w) AS u(w) GROUP BY u.w, d.split
+), tot AS (
+  SELECT split, SUM(c) AS t FROM wc GROUP BY split
+), byw AS (
+  SELECT w,
+         SUM(c) AS c_all,
+         SUM(CASE WHEN split = 'train' THEN c ELSE 0 END) AS c_train,
+         SUM(CASE WHEN split = 'test' THEN c ELSE 0 END) AS c_test
+  FROM wc GROUP BY w
+), top AS (
+  SELECT w, c_train, c_test,
+         ROW_NUMBER() OVER (ORDER BY c_all DESC, w) AS rnk
+  FROM byw
+)
+SELECT w,
+       CAST(c_train * 1000000 // (SELECT t FROM tot WHERE split = 'train')
+            AS BIGINT) AS train_ppm,
+       CAST(c_test * 1000000 // (SELECT t FROM tot WHERE split = 'test')
+            AS BIGINT) AS test_ppm,
+       CAST(ABS(c_train * 1000000 // (SELECT t FROM tot WHERE split = 'train')
+            - c_test * 1000000 // (SELECT t FROM tot WHERE split = 'test'))
+            AS BIGINT) AS drift_ppm
+FROM top WHERE rnk <= 20
+"""
+
+
+@_register(
+    "split_drift_topwords",
+    _DRIFT_ORACLE,
+    doc="Split drift audit: the 20 highest-mass corpus words with their "
+    "token-mass ppm inside train vs test and the absolute drift — a "
+    "hash split should show near-zero drift, a time- or source-"
+    "correlated split shows it immediately. Word counts aggregate "
+    "once; the split totals are two broadcast scalars; the top-20 is "
+    "orderBy().limit() (TakeOrderedAndProject — per-partition 20-row "
+    "heaps, never a single-partition vocabulary sort) with a (count "
+    "desc, word) tie-break making it deterministic.",
+)
+def split_drift_topwords(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    w = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    d = docs.select(F.expr(_split_case(_BUCKET_SPARK)).alias("split"), w.alias("w"))
+    wc = d.select("split", F.explode("w").alias("w")).groupBy("w", "split").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    byw = wc.groupBy("w").agg(
+        F.sum("c").alias("c_all"),
+        F.sum(F.when(F.col("split") == "train", F.col("c")).otherwise(0)).alias(
+            "c_train"
+        ),
+        F.sum(F.when(F.col("split") == "test", F.col("c")).otherwise(0)).alias(
+            "c_test"
+        ),
+    )
+    tot = wc.groupBy().agg(
+        F.sum(F.when(F.col("split") == "train", F.col("c")).otherwise(0)).alias(
+            "t_train"
+        ),
+        F.sum(F.when(F.col("split") == "test", F.col("c")).otherwise(0)).alias(
+            "t_test"
+        ),
+    )
+    # top-20 via orderBy().limit() — TakeOrderedAndProject: per-partition
+    # top-k + driver merge of 20-row heaps. A row_number() Window without
+    # PARTITION BY would funnel the ENTIRE vocabulary (1e8-1e9 unigrams at
+    # 100 TB) through one task; the (c_all desc, w) tie-break makes the
+    # limit deterministic, so both plans return the identical 20 rows.
+    top = byw.orderBy(F.col("c_all").desc(), F.col("w")).limit(20)
+    joined = top.crossJoin(F.broadcast(tot))
+    return joined.select(
+        "w",
+        F.expr("c_train * 1000000 div t_train").alias("train_ppm"),
+        F.expr("c_test * 1000000 div t_test").alias("test_ppm"),
+        F.expr(
+            "abs(c_train * 1000000 div t_train - c_test * 1000000 div t_test)"
+        ).alias("drift_ppm"),
+    )
+
+
+_LEAK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS dig, {_split_case(_BUCKET_DUCK)} AS split
+  FROM documents
+), g AS (
+  SELECT dig, MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train
+  FROM d GROUP BY dig
+), t AS (
+  SELECT d.source,
+         CASE WHEN g.has_train = 1 THEN 1 ELSE 0 END AS leaked
+  FROM d JOIN g ON d.dig = g.dig WHERE d.split = 'test'
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+       CAST(SUM(leaked) AS BIGINT) AS n_leaked,
+       CAST(SUM(leaked) * 1000000 // COUNT(*) AS BIGINT) AS leak_ppm
+FROM t GROUP BY source
+"""
+
+
+@_register(
+    "split_dup_leakage",
+    _LEAK_ORACLE,
+    doc="Train->test duplicate leakage: test documents whose EXACT text "
+    "(md5 digest) also appears in train — the contamination a naive "
+    "doc-id hash split admits whenever duplicates exist, and the "
+    "reason production splits run AFTER dedup. One digest-keyed "
+    "aggregate marks train presence; the test side joins on digest "
+    "only (no text comparison at shuffle time).",
+)
+def split_dup_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    d = docs.select(
+        "source",
+        F.md5(F.col("text")).alias("dig"),
+        F.expr(_split_case(_BUCKET_SPARK)).alias("split"),
+    )
+    g = d.groupBy("dig").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "has_train"
+        )
+    )
+    t = (
+        d.where(F.col("split") == "test")
+        .join(g, "dig")
+        .select(
+            "source",
+            F.when(F.col("has_train") == 1, 1).otherwise(0).alias("leaked"),
+        )
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        F.sum("leaked").cast("bigint").alias("n_leaked"),
+        F.expr("sum(leaked) * 1000000 div count(1)").alias("leak_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional / correlation text profiles
+# ---------------------------------------------------------------------------
+
+_POSITION_ORACLE = """
+WITH toks AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), x AS (
+  SELECT lang, w, len(w) AS nw, unnest(range(0, len(w))) AS i
+  FROM toks WHERE len(w) > 0
+), e AS (
+  SELECT lang, CAST(i * 3 // nw AS INTEGER) AS tercile, len(w[i + 1]) AS wl
+  FROM x
+)
+SELECT lang, tercile,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(wl) * 1000 // COUNT(*) AS BIGINT) AS mean_len_milli
+FROM e GROUP BY lang, tercile
+"""
+
+
+@_register(
+    "word_position_profile",
+    _POSITION_ORACLE,
+    doc="Positional homogeneity: mean word length (milli) by document "
+    "tercile (leading / middle / trailing third of each document's "
+    "token stream) per language — templated boilerplate shows up as a "
+    "positional skew natural text lacks. The tercile is integer "
+    "position arithmetic on posexplode output; one (lang, tercile) "
+    "aggregate.",
+)
+def word_position_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    w = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    d = docs.select("lang", w.alias("w")).where(F.size("w") > 0)
+    e = d.select(
+        "lang", F.size("w").alias("nw"), F.posexplode("w").alias("i", "word")
+    ).select(
+        "lang",
+        F.expr("i * 3 div nw").cast("int").alias("tercile"),
+        F.length("word").alias("wl"),
+    )
+    return e.groupBy("lang", "tercile").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("sum(wl) * 1000 div count(1)").alias("mean_len_milli"),
+    )
+
+
+_TTR_CORR_ORACLE = _TOKS_CTE + """
+, m AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(n AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(nd AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(n AS DECIMAL(19,0)) * nd) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(n AS DECIMAL(19,0)) * n) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(nd AS DECIMAL(19,0)) * nd) AS DOUBLE) AS syy
+  FROM f GROUP BY lang
+)
+SELECT lang, n,
+       CAST(floor((n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+            * 1000000.0) AS BIGINT) AS corr_micro
+FROM m
+"""
+
+
+@_register(
+    "doc_len_ttr_corr",
+    _TTR_CORR_ORACLE,
+    doc="Pearson correlation (micro) between document length and "
+    "distinct-word count per language — the length-vs-vocabulary "
+    "coupling that says whether a raw TTR threshold double-counts the "
+    "length filter. Exact DECIMAL moments, one final double op tree "
+    "(the round7 autocorr recipe), floor to integer micro.",
+)
+def doc_len_ttr_corr(spark: SparkSession, sf: str) -> DataFrame:
+    f = _doc_features(spark, sf)
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    m = f.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("n"))).cast("double").alias("sx"),
+        F.sum(d(F.col("nd"))).cast("double").alias("sy"),
+        F.sum(d(F.col("n")) * F.col("nd")).cast("double").alias("sxy"),
+        F.sum(d(F.col("n")) * F.col("n")).cast("double").alias("sxx"),
+        F.sum(d(F.col("nd")) * F.col("nd")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "lang", "n", F.floor(corr * 1000000.0).cast("long").alias("corr_micro")
+    )

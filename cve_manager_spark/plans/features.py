@@ -4100,3 +4100,37 @@ def timetravel_version_counts(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("version", "n_rows")
+
+
+# ---------------------------------------------------------------------------
+# folded from the round6 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "bpe_fertility",
+    None,
+    doc="Tokenizer-fertility report under a TRAINED BPE vocabulary "
+    "(rows-only: merge training is iterative, not SQL-expressible; the "
+    "apply rule is hand-verified and property-tested in "
+    "tests/test_operators.py): train 12 merges on the corpus "
+    "(operators/text.bpe_train — one corpus scan total), encode every "
+    "document with them (bpe_apply — narrow Arrow map, per-batch word "
+    "memo), and report per-language words, tokens, and exact integer "
+    "tokens-per-word ppm. The fertility gap across languages is the "
+    "classic under-trained-tokenizer diagnostic.",
+)
+def bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import bpe_apply, bpe_train
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=12).orderBy("rank").collect()
+    ]
+    stats = bpe_apply(docs, merges)
+    j = docs.select(F.col("doc_id").alias("id"), "lang").join(stats, "id")
+    return j.groupBy("lang").agg(
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.expr("sum(n_tokens) * 1000000 div sum(n_words)").alias("fertility_ppm"),
+    )

@@ -22,9 +22,9 @@ from cve_manager_spark.sources.testdata import load_table
 SPECS: list[QuerySpec] = []
 
 
-def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = (), priority: int = 0):
     def deco(fn):
-        SPECS.append(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags))
+        SPECS.append(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags, priority=priority))
         return fn
 
     return deco
@@ -954,3 +954,474 @@ def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
     )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round8 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (multimodal dedup — the missing modality)
+# ---------------------------------------------------------------------------
+
+
+def _phash_oracle_cte() -> str:
+    """Machine-built oracle for the aHash over the deterministic stub
+    decode: pixels are the bytes of repeat(sha256(text), 2) (the stub
+    tiles the 32-byte digest to the 8×8 target), extracted as hex-pair
+    integers; bit i = px[i]·64 > Σpx (integer mean test); the hash
+    surfaces as 16 hex chars + 4×16-bit band ints."""
+    hv = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    # The demo payload is the 32-char text PREFIX (not the full text): the
+    # sf0.01 driver corpus has zero exact full-text duplicates, while
+    # prefix-32 has ~23 natural collision groups — so the prevalence/near-dup
+    # faces verify on NONZERO rows at driver scale instead of 0==0.
+    px = ", ".join(
+        f"{hv.format(p=2 * i + 1)}*16 + {hv.format(p=2 * i + 2)}" for i in range(64)
+    )
+    nib = " || ".join(
+        "substr('0123456789abcdef', "
+        + " + ".join(f"bits[{4 * k + j + 1}]*{8 >> j}" for j in range(4))
+        + " + 1, 1)"
+        for k in range(16)
+    )
+    bands = ", ".join(
+        "CAST("
+        + " + ".join(f"bits[{16 * j + t + 1}]*{1 << (15 - t)}" for t in range(16))
+        + f" AS INTEGER) AS band{j}"
+        for j in range(4)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, repeat(sha256(substr(text, 1, 32)), 2) AS h FROM documents
+), p AS (
+  SELECT doc_id, [{px}] AS px FROM t
+), s AS (
+  SELECT doc_id, px, list_sum(px) AS tot FROM p
+), b AS (
+  SELECT doc_id,
+         list_transform(px, x -> CASE WHEN x * 64 > tot THEN 1 ELSE 0 END)
+           AS bits
+  FROM s
+), ph AS (
+  SELECT doc_id, {nib} AS phash_hex, {bands} FROM b
+)
+"""
+
+
+_PHASH_ORACLE = _phash_oracle_cte() + """
+SELECT doc_id, phash_hex, band0, band1, band2, band3 FROM ph
+"""
+
+
+def _phash_df(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.multimodal import (
+        attach_binary,
+        decode_resize,
+        phash_ahash,
+    )
+
+    docs = fan_out(load_table(spark, sf, "documents")).withColumn(
+        "text", F.substring("text", 1, 32)
+    )
+    thumbs = decode_resize(attach_binary(docs), target=(8, 8))
+    return phash_ahash(thumbs)
+
+
+@_register(
+    "image_phash",
+    _PHASH_ORACLE,
+    doc="Perceptual image hash (aHash) over the decode_resize thumbnail "
+    "(VERDICT r7 #2 — multimodal dedup plumbing): 8×8 grayscale pixels "
+    "→ 64 bits of 'pixel above image mean', folded MSB-first into a "
+    "16-hex-char fingerprint plus 4×16-bit LSH bands. The mean test is "
+    "pure integers (px·64 > Σpx — no float mean, no rounding edge), "
+    "the kernel one numpy pass per Arrow batch, and the banding reuses "
+    "the SimHash discipline so Hamming-banded candidate joins work "
+    "unchanged. The stub decoder is sha256-tiling (media libs absent), "
+    "which the oracle reproduces hex-pair-wise — swap real_decoder= "
+    "for PIL and ONLY the pixel source changes.",
+)
+def image_phash(spark: SparkSession, sf: str) -> DataFrame:
+    return _phash_df(spark, sf).select(
+        "doc_id", "phash_hex", "band0", "band1", "band2", "band3"
+    )
+
+
+_PHASH_PREV_ORACLE = _phash_oracle_cte() + """
+SELECT phash_hex, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM ph GROUP BY phash_hex HAVING COUNT(*) > 1
+"""
+
+
+@_register(
+    "image_phash_prevalence",
+    _PHASH_PREV_ORACLE,
+    doc="Exact perceptual-duplicate groups: images sharing an identical "
+    "aHash, with the canonical keeper (min doc_id) — the image-side "
+    "twin of dedup_exact's digest groupBy. One hash-keyed shuffle of "
+    "16-byte fingerprints, never pixels.",
+)
+def image_phash_prevalence(spark: SparkSession, sf: str) -> DataFrame:
+    ph = _phash_df(spark, sf)
+    return (
+        ph.groupBy("phash_hex")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+_PHASH_DEDUP_ORACLE = _phash_oracle_cte() + """
+, m AS (
+  SELECT doc_id, band0, band1, band2, band3,
+         unnest([struct_pack(j := 0, v := band0),
+                 struct_pack(j := 1, v := band1),
+                 struct_pack(j := 2, v := band2),
+                 struct_pack(j := 3, v := band3)]) AS bk
+  FROM ph
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM m a JOIN m b ON a.bk.j = b.bk.j AND a.bk.v = b.bk.v
+  WHERE a.doc_id < b.doc_id
+), hp AS (
+  SELECT doc_id, band0, band1, band2, band3 FROM ph
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(CAST(x.band0 AS BIGINT), CAST(y.band0 AS BIGINT)))
+          + bit_count(xor(CAST(x.band1 AS BIGINT), CAST(y.band1 AS BIGINT)))
+          + bit_count(xor(CAST(x.band2 AS BIGINT), CAST(y.band2 AS BIGINT)))
+          + bit_count(xor(CAST(x.band3 AS BIGINT), CAST(y.band3 AS BIGINT)))
+          AS INTEGER) AS hamming
+FROM cand c
+JOIN hp x ON c.id_a = x.doc_id
+JOIN hp y ON c.id_b = y.doc_id
+WHERE bit_count(xor(CAST(x.band0 AS BIGINT), CAST(y.band0 AS BIGINT)))
+    + bit_count(xor(CAST(x.band1 AS BIGINT), CAST(y.band1 AS BIGINT)))
+    + bit_count(xor(CAST(x.band2 AS BIGINT), CAST(y.band2 AS BIGINT)))
+    + bit_count(xor(CAST(x.band3 AS BIGINT), CAST(y.band3 AS BIGINT))) <= 6
+"""
+
+
+@_register(
+    "dedup_image_phash",
+    _PHASH_DEDUP_ORACLE,
+    doc="Hamming-banded image near-dup pairs (VERDICT r7 #2 — composes "
+    "the decode_resize Arrow kernel with the SimHash banding "
+    "discipline, operators/dedup.py:768): candidates are pairs "
+    "agreeing on ANY 16-bit band of the 64-bit aHash (an equi-join on "
+    "(band#, key) — a true near-dup at Hamming ≤ 6 disagrees in ≤ 6 "
+    "bits, which cannot hit all 4 bands unless ≥... pigeonhole: 6 "
+    "bits into 4 bands leaves ≥1 band untouched, so banding recall "
+    "is EXACT at this radius), verified by the exact Hamming distance "
+    "as Σ per-band bit_count(xor) — no 64-bit signed arithmetic "
+    "anywhere. On the sha256-stub pixels only identical payloads "
+    "collide (random pairs sit at Hamming ≈ 32), which makes the "
+    "result deterministic AND the operator shape production-real; the "
+    "payload is the 32-char text prefix, whose natural collision "
+    "groups give the face nonzero rows at every driver scale.",
+)
+def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
+    cand = _phash_band_candidates(_phash_df(spark, sf))
+    return (
+        cand.withColumn("hamming", _phash_hamming().cast("int"))
+        .where(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _phash_band_candidates(ph: DataFrame) -> DataFrame:
+    """Band-collision candidate pairs with BOTH sides' band ints carried
+    in-row (the simhash_det_pairs discipline, operators/dedup.py:768):
+    the fingerprint rides through the explode so the self-join yields
+    (xa*, yb*) directly — the decode kernel runs once per join side,
+    never re-executed by a join-back fetch."""
+    m = ph.select(
+        "doc_id",
+        *[F.col(f"band{j}") for j in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"band{j}").alias("v")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        F.col("bk.j").alias("j"),
+        F.col("bk.v").alias("v"),
+        *[F.col(f"band{j}") for j in range(4)],
+    )
+    a = m.select(
+        F.col("doc_id").alias("id_a"),
+        "j",
+        "v",
+        *[F.col(f"band{j}").alias(f"xa{j}") for j in range(4)],
+    )
+    b = m.select(
+        F.col("doc_id").alias("id_b"),
+        "j",
+        "v",
+        *[F.col(f"band{j}").alias(f"yb{j}") for j in range(4)],
+    )
+    return (
+        a.join(b, ["j", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop("j", "v")
+        .distinct()
+    )
+
+
+def _phash_hamming():
+    return sum(
+        F.bit_count(
+            F.col(f"xa{j}").cast("bigint").bitwiseXOR(F.col(f"yb{j}").cast("bigint"))
+        )
+        for j in range(4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round8b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# image-phash composition faces
+# ---------------------------------------------------------------------------
+
+
+def _phash_cte() -> str:
+    from cve_manager_spark.plans.pipeline import _phash_oracle_cte
+
+    return _phash_oracle_cte()
+
+
+_PHASH_HIST_ORACLE_TAIL = """
+, m AS (
+  SELECT doc_id,
+         unnest([struct_pack(j := 0, v := band0),
+                 struct_pack(j := 1, v := band1),
+                 struct_pack(j := 2, v := band2),
+                 struct_pack(j := 3, v := band3)]) AS bk
+  FROM ph
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM m a JOIN m b ON a.bk.j = b.bk.j AND a.bk.v = b.bk.v
+  WHERE a.doc_id < b.doc_id
+), hp AS (
+  SELECT doc_id, band0, band1, band2, band3 FROM ph
+), pairs AS (
+  SELECT CAST(bit_count(xor(CAST(x.band0 AS BIGINT), CAST(y.band0 AS BIGINT)))
+            + bit_count(xor(CAST(x.band1 AS BIGINT), CAST(y.band1 AS BIGINT)))
+            + bit_count(xor(CAST(x.band2 AS BIGINT), CAST(y.band2 AS BIGINT)))
+            + bit_count(xor(CAST(x.band3 AS BIGINT), CAST(y.band3 AS BIGINT)))
+            AS INTEGER) AS hamming
+  FROM cand c
+  JOIN hp x ON c.id_a = x.doc_id
+  JOIN hp y ON c.id_b = y.doc_id
+)
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY hamming
+"""
+
+
+@_register(
+    "phash_hamming_hist",
+    None,  # assembled lazily below (needs round8 import); see _finalize
+    doc="Hamming-distance histogram over ALL band-collision candidate "
+    "pairs (no radius cut) — the calibration plot that justifies the "
+    "dedup threshold: true dups cluster at 0, band-coincidence noise "
+    "sits near the random-pair mean (~32 of 64 bits). Same banded "
+    "equi-join as dedup_image_phash; the histogram is the audit face.",
+)
+def phash_hamming_hist(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.pipeline import (
+        _phash_band_candidates,
+        _phash_df,
+        _phash_hamming,
+    )
+
+    cand = _phash_band_candidates(_phash_df(spark, sf))
+    return (
+        cand.select(_phash_hamming().cast("int").alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_BIT_BALANCE_ORACLE_TAIL = """
+, e AS (
+  SELECT CAST(r.i AS INTEGER) AS pos, bits[r.i + 1] AS bit
+  FROM b, range(0, 64) r(i)
+)
+SELECT pos,
+       CAST(SUM(bit) AS BIGINT) AS n_ones,
+       CAST(SUM(bit) * 1000000 // COUNT(*) AS BIGINT) AS ones_ppm
+FROM e GROUP BY pos
+"""
+
+
+@_register(
+    "image_phash_bit_balance",
+    None,  # assembled lazily below
+    doc="Per-bit-position 1-share of the corpus aHash — the uniformity "
+    "audit for the banding scheme (a skewed bit position degrades a "
+    "band's selectivity and blows up its candidate count). The Spark "
+    "side re-derives each bit from the 16-bit band integers with "
+    "shift-and-mask (no re-decode); 64-row output, integer ppm.",
+)
+def image_phash_bit_balance(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.pipeline import _phash_df
+
+    ph = _phash_df(spark, sf).select("band0", "band1", "band2", "band3")
+    bits = ph.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(16 * j + t).alias("pos"),
+                        F.shiftright(F.col(f"band{j}"), 15 - t)
+                        .bitwiseAND(F.lit(1))
+                        .alias("bit"),
+                    )
+                    for j in range(4)
+                    for t in range(16)
+                ]
+            )
+        ).alias("u")
+    ).select(F.col("u.pos").alias("pos"), F.col("u.bit").alias("bit"))
+    return bits.groupBy("pos").agg(
+        F.sum("bit").cast("bigint").alias("n_ones"),
+        F.expr("sum(bit) * 1000000 div count(1)").alias("ones_ppm"),
+    )
+
+
+_PHASH_CLUSTER_ORACLE_TAIL = """
+, grp AS (
+  SELECT phash_hex, CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM ph GROUP BY phash_hex HAVING COUNT(*) > 1
+)
+SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM grp GROUP BY group_size
+"""
+
+
+@_register(
+    "image_dup_cluster_sizes",
+    None,  # assembled lazily below
+    doc="Histogram of exact perceptual-duplicate group sizes — the "
+    "image-side twin of dup_cluster_size_hist: how much of the image "
+    "corpus is pairs vs deep boilerplate stacks (the size decides "
+    "whether keep-one dedup or cluster sampling is the right policy).",
+)
+def image_dup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.pipeline import _phash_df
+
+    ph = _phash_df(spark, sf)
+    grp = (
+        ph.groupBy("phash_hex")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") > 1)
+    )
+    return grp.groupBy("group_size").agg(F.count(F.lit(1)).alias("n_groups"))
+
+
+def _finalize() -> None:
+    """Attach the oracles that need lazy CTE builders — done once at
+    module import, keeping SPECS declarative. (The ivf/pq halves of the
+    old round8b finalizer live in plans/semantic.py with their specs.)"""
+    lazy = {
+        "phash_hamming_hist": _phash_cte() + _PHASH_HIST_ORACLE_TAIL,
+        "image_phash_bit_balance": _phash_cte() + _BIT_BALANCE_ORACLE_TAIL,
+        "image_dup_cluster_sizes": _phash_cte() + _PHASH_CLUSTER_ORACLE_TAIL,
+    }
+    for i, spec in enumerate(SPECS):
+        if spec.name in lazy:
+            SPECS[i] = QuerySpec(
+                name=spec.name,
+                build=spec.build,
+                oracle=lazy[spec.name],
+                doc=spec.doc,
+                tags=spec.tags,
+                priority=spec.priority,
+            )
+
+
+_finalize()
+
+
+# ---------------------------------------------------------------------------
+# folded from the round8c tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# MinHash band calibration
+# ---------------------------------------------------------------------------
+
+# Candidate CTE mirrors plans/pipeline.py _MINHASH_DET_ORACLE (same
+# md5 family, 32 hashes, 16 bands x 2 rows) up to the verify stage,
+# then buckets by exact integer Jaccard decile instead of thresholding.
+_MINHASH_FP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id AS id,
+         list_distinct(CASE WHEN len(w) >= 2
+           THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+           ELSE [] END) AS shingles
+  FROM toks
+), ne AS (
+  SELECT id, shingles FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT id, shingles,
+         list_transform(range(0, 32), s ->
+           list_min(list_transform(shingles, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sigs
+  FROM ne
+), keys AS (
+  SELECT id, b, sigs[b*2+1] || '|' || sigs[b*2+2] AS bkey
+  FROM (SELECT id, sigs, unnest(range(0, 16)) AS b FROM sig)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keys a JOIN keys b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id
+), j AS (
+  SELECT len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles)) AS u
+  FROM cand c JOIN ne sa ON sa.id = c.id_a JOIN ne sb ON sb.id = c.id_b
+)
+SELECT CAST(LEAST(9, inter * 10 // u) AS INTEGER) AS jacc_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1
+"""
+
+
+@_register(
+    "minhash_band_fp_rate",
+    _MINHASH_FP_ORACLE,
+    doc="MinHash band calibration: ALL band-collision candidate pairs "
+    "bucketed by exact integer Jaccard decile — the measured "
+    "candidate-quality curve behind the 16x2 banding choice (mass in "
+    "low deciles = wasted verify work, the S-curve knee should sit at "
+    "the 0.5 threshold). Reuses the dedup_minhash_det pipeline "
+    "(operators/dedup.minhash_det_pairs with_counts=True); deciles "
+    "are integer div, no float Jaccard anywhere.",
+)
+def minhash_band_fp_rate(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators import dedup as D
+
+    pairs = D.minhash_det_pairs(
+        load_table(spark, sf, "documents"),
+        n=2,
+        num_hashes=32,
+        bands=16,
+        with_counts=True,
+    )
+    return pairs.groupBy(
+        F.expr("least(9, inter * 10 div union_sz)").cast("int").alias(
+            "jacc_decile"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -402,11 +402,6 @@ def _all_specs() -> list[QuerySpec]:
     from cve_manager_spark.plans import features as features_mod
     from cve_manager_spark.plans import pipeline as pipeline_mod
     from cve_manager_spark.plans import relational
-    from cve_manager_spark.plans import round6 as round6_mod
-    from cve_manager_spark.plans import round7 as round7_mod
-    from cve_manager_spark.plans import round8 as round8_mod
-    from cve_manager_spark.plans import round8b as round8b_mod
-    from cve_manager_spark.plans import round8c as round8c_mod
     from cve_manager_spark.plans import round9 as round9_mod
     from cve_manager_spark.plans import round9b as round9b_mod
     from cve_manager_spark.plans import round9c as round9c_mod
@@ -424,11 +419,6 @@ def _all_specs() -> list[QuerySpec]:
         features_mod,
         analytics_mod,
         semantic_mod,
-        round6_mod,
-        round7_mod,
-        round8_mod,
-        round8b_mod,
-        round8c_mod,
         round9_mod,
         round9b_mod,
         round9c_mod,

@@ -29,9 +29,9 @@ from cve_manager_spark.sources.testdata import load_table
 SPECS: list[QuerySpec] = []
 
 
-def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = (), priority: int = 0):
     def deco(fn):
-        SPECS.append(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags))
+        SPECS.append(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags, priority=priority))
         return fn
 
     return deco

@@ -220,7 +220,7 @@ def bigram_surprisal_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _surprisal_quality_oracle() -> str:
-    from cve_manager_spark.plans.round8 import (
+    from cve_manager_spark.plans.corpus import (
         _QUALITY_EXPR_SQL,
         _QUALITY_SCORE_SQL,
     )
@@ -258,7 +258,7 @@ GROUP BY band, ql.label
     "Both sides are exact integers; the join is doc-keyed.",
 )
 def surprisal_quality_matrix(spark: SparkSession, sf: str) -> DataFrame:
-    from cve_manager_spark.plans.round8 import _quality_scored
+    from cve_manager_spark.plans.corpus import _quality_scored
 
     docs = fan_out(load_table(spark, sf, "documents"))
     sc = _doc_surprisal(docs).select(
@@ -729,11 +729,11 @@ def pca_residual_norms(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _importance_oracle() -> str:
-    from cve_manager_spark.plans.round8 import (
+    from cve_manager_spark.plans.corpus import (
         _QUALITY_EXPR_SQL,
         _QUALITY_SCORE_SQL,
     )
-    from cve_manager_spark.plans.round8c import _BUCKET_DUCK
+    from cve_manager_spark.plans.corpus import _BUCKET_DUCK
 
     return (
         "WITH f AS ("
@@ -776,8 +776,8 @@ FROM kp GROUP BY source, label
     "Zero shuffles beyond the final small aggregate.",
 )
 def quality_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
-    from cve_manager_spark.plans.round8 import _quality_scored
-    from cve_manager_spark.plans.round8c import _BUCKET_SPARK
+    from cve_manager_spark.plans.corpus import _quality_scored
+    from cve_manager_spark.plans.corpus import _BUCKET_SPARK
 
     docs = fan_out(load_table(spark, sf, "documents"))
     s = _quality_scored(docs)

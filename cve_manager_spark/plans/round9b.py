@@ -67,7 +67,7 @@ def _register(
 
 
 def _semdecon_oracle() -> str:
-    from cve_manager_spark.plans.round8c import _BUCKET_DUCK, _split_case
+    from cve_manager_spark.plans.corpus import _BUCKET_DUCK, _split_case
     from cve_manager_spark.plans.semantic import _KMEANS_CTE
 
     return _KMEANS_CTE + f"""
@@ -122,7 +122,7 @@ FROM te LEFT JOIN ag ON te.vec_id = ag.vec_id
 )
 def semantic_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.semantic import kmeans_quantized
-    from cve_manager_spark.plans.round8c import _BUCKET_SPARK, _split_case
+    from cve_manager_spark.plans.corpus import _BUCKET_SPARK, _split_case
 
     emb = load_table(spark, sf, "embeddings")
     a = kmeans_quantized(emb, vec_col="embedding", id_col="vec_id", k=8, iters=2)
@@ -692,9 +692,9 @@ def tokens_per_kchar_bands(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_err_oracle() -> str:
-    from cve_manager_spark.plans import round8c as _r8c
+    from cve_manager_spark.plans import pipeline as _pl
 
-    base = _r8c._MINHASH_FP_ORACLE
+    base = _pl._MINHASH_FP_ORACLE
     cut = base.index("), j AS (")
     cte = base[:cut] + ")"
     assert cte.rstrip().endswith(")") and "cand AS (" in cte

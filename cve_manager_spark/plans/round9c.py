@@ -63,13 +63,13 @@ def _register(
 
 
 def _split_sql(engine_bucket: str) -> str:
-    from cve_manager_spark.plans.round8c import _split_case
+    from cve_manager_spark.plans.corpus import _split_case
 
     return _split_case(engine_bucket)
 
 
 def _psi_oracle() -> str:
-    from cve_manager_spark.plans.round8c import _BUCKET_DUCK
+    from cve_manager_spark.plans.corpus import _BUCKET_DUCK
 
     return f"""
 WITH d AS (
@@ -122,7 +122,7 @@ FROM terms
     "broadcast join; nothing scales past the band count.",
 )
 def split_psi(spark: SparkSession, sf: str) -> DataFrame:
-    from cve_manager_spark.plans.round8c import _BUCKET_SPARK
+    from cve_manager_spark.plans.corpus import _BUCKET_SPARK
 
     docs = fan_out(load_table(spark, sf, "documents"))
     d = docs.select(

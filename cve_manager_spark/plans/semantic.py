@@ -952,3 +952,572 @@ def pq_subspace_balance(spark: SparkSession, sf: str) -> DataFrame:
         .alias("balanced_energy")
     )
     return nv.join(bl, "subspace")
+
+
+# ---------------------------------------------------------------------------
+# folded from the round6 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# 4. embedding diagnostics
+# ---------------------------------------------------------------------------
+
+_NORM_OUTLIER_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+              * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+           AS BIGINT) AS norm2q
+  FROM embeddings
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(norm2q) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(norm2q AS DECIMAL(38,0)) * norm2q) AS DOUBLE) AS s2
+  FROM q
+)
+SELECT vec_id, norm2q,
+       ROUND((norm2q - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+FROM q CROSS JOIN stats
+WHERE abs((norm2q - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) >= 2
+"""
+
+
+@_register(
+    "embedding_norm_zscore_outliers",
+    _NORM_OUTLIER_ORACLE,
+    doc="Vectors whose quantized squared L2 norm is ≥2σ from the corpus "
+    "mean — the sanity gate that catches unnormalized or degenerate "
+    "embeddings before any cosine math trusts them. Norms are exact "
+    "BIGINTs (floor(x·1e6)² summed in-row), the corpus moments are "
+    "exact (second moment accumulates in DECIMAL(38,0)), so mean/σ/z "
+    "are bit-identical across engines and partitionings; z is rounded "
+    "to 6dp for the hash. Stats ride as a broadcast 1-row relation.",
+)
+def embedding_norm_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import dot_self, quantize_vec
+
+    emb = fan_out(load_table(spark, sf, "embeddings"))
+    q = emb.select(
+        "vec_id", dot_self(quantize_vec(F.col("embedding"))).alias("norm2q")
+    )
+    stats = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("norm2q").cast("double").alias("s1"),
+        F.sum(F.col("norm2q").cast("decimal(38,0)") * F.col("norm2q"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("norm2q") - mean) / F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    return (
+        q.crossJoin(F.broadcast(stats))
+        .where(F.abs(z) >= 2)
+        .select("vec_id", "norm2q", F.round(z, 6).alias("z"))
+    )
+
+
+_LABEL_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label, CAST(i AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+), lbl AS (
+  SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s
+  FROM e GROUP BY label, dim
+), gsum AS (
+  SELECT dim, CAST(SUM(s) AS BIGINT) AS g FROM lbl GROUP BY dim
+), dots AS (
+  SELECT label,
+         CAST(SUM(CAST(s AS DECIMAL(38,0)) * g) AS DOUBLE) AS dot_lg,
+         CAST(SUM(CAST(s AS DECIMAL(38,0)) * s) AS DOUBLE) AS dot_ll,
+         CAST(SUM(CAST(g AS DECIMAL(38,0)) * g) AS DOUBLE) AS dot_gg
+  FROM lbl JOIN gsum USING (dim) GROUP BY label
+), n AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label
+)
+SELECT dots.label, n.n_vecs,
+       ROUND(dot_lg / (sqrt(dot_ll) * sqrt(dot_gg)), 6) AS centroid_cos
+FROM dots JOIN n ON dots.label = n.label
+"""
+
+
+@_register(
+    "label_centroid_cosine",
+    _LABEL_CENTROID_ORACLE,
+    doc="Cosine of each label's centroid direction against the global "
+    "centroid — the class-drift diagnostic (a label pointing away "
+    "from the corpus mean is either signal or contamination). "
+    "Component sums are exact BIGINTs over quantized values "
+    "(posexplode → (label, dim) grain, 64·|labels| rows), dot "
+    "products accumulate in DECIMAL(38,0) (bigint·bigint at sf1 "
+    "overflows long), and only the final cosine divides in double, "
+    "rounded to 6dp. Un-normalized centroid SUMS share the direction "
+    "of the mean, so the cosine is identical and no division by n "
+    "ever happens.",
+)
+def label_centroid_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import quantize_vec
+
+    emb = fan_out(load_table(spark, sf, "embeddings"))
+    e = emb.select(
+        "label", F.posexplode(quantize_vec(F.col("embedding"))).alias("dim0", "qv")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "qv")
+    lbl = e.groupBy("label", "dim").agg(F.sum("qv").alias("s"))
+    glob = lbl.groupBy("dim").agg(F.sum("s").alias("g"))
+    dots = (
+        lbl.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("g"))
+            .cast("double")
+            .alias("dot_lg"),
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("s"))
+            .cast("double")
+            .alias("dot_ll"),
+            F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
+            .cast("double")
+            .alias("dot_gg"),
+        )
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return dots.join(n, "label").select(
+        "label",
+        "n_vecs",
+        F.round(
+            F.col("dot_lg") / (F.sqrt(F.col("dot_ll")) * F.sqrt(F.col("dot_gg"))), 6
+        ).alias("centroid_cos"),
+    )
+
+
+_EXTREMES_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+), r AS (
+  SELECT dim, vec_id, val,
+         ROW_NUMBER() OVER (PARTITION BY dim ORDER BY val DESC, vec_id) AS rk
+  FROM e
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(vec_id AS BIGINT) AS argmax_vec_id,
+       val AS max_val
+FROM r WHERE rk = 1
+"""
+
+
+@_register(
+    "embedding_component_extremes",
+    _EXTREMES_ORACLE,
+    doc="Per-dimension maximum component and its argmax vector (ties "
+    "broken on the smaller vec_id): the saturation probe that finds "
+    "dimensions dominated by a single vector. Rank window partitions "
+    "by dim (64 partitions of corpus-size rows — at scale, a "
+    "max_by-style pre-aggregate per partition feeds the same answer); "
+    "float32 values widen to float64 exactly, so cross-engine "
+    "comparison is bitwise.",
+)
+def embedding_component_extremes(spark: SparkSession, sf: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf, "embeddings"))
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim0", "val0")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    w = Window.partitionBy("dim").orderBy(F.col("val").desc(), "vec_id")
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("dim", F.col("vec_id").alias("argmax_vec_id"), F.col("val").alias("max_val"))
+    )
+
+
+@_register(
+    "ann_pq_rerank",
+    None,
+    doc="PQ retrieve-then-rerank face (rows-only: codebook training is "
+    "not SQL-expressible, but the pipeline is fully deterministic — "
+    "integer Lloyd's codebooks, integer ADC, exact float64 re-rank "
+    "with (score, id) tie-breaks): top-10 cosine neighbors of the "
+    "vec_id=0 query via a 128-bit-per-vector code scan + C=50 exact "
+    "re-rank. Recall vs exact audited in ANN_RECALL.json (0.97@128 "
+    "bits at sf0.1); the C>=corpus == exact property is pinned in "
+    "tests/test_ann_quality.py.",
+)
+def ann_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.similarity import pq_topk_rerank, pq_train
+
+    emb = fan_out(load_table(spark, sf, "embeddings"))
+    books = pq_train(emb, m=32, k=16)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    corpus = emb.where(F.col("vec_id") != 0)
+    return pq_topk_rerank(corpus, q, books, k=10, n_candidates=50)
+
+
+# ---------------------------------------------------------------------------
+# folded from the round7 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# embedding geometry II
+# ---------------------------------------------------------------------------
+
+_SIGN_ORACLE = """
+SELECT CAST(i AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN embedding[CAST(i AS INT)] > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_positive,
+       CAST(SUM(CASE WHEN embedding[CAST(i AS INT)] > 0 THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS positive_ppm
+FROM embeddings CROSS JOIN range(1, 65) t(i)
+GROUP BY i
+"""
+
+
+@_register(
+    "embedding_sign_balance",
+    _SIGN_ORACLE,
+    doc="Per-dimension sign balance in exact integer ppm: a dimension "
+    "far from 50% positive is biased or dead — the cheap geometry "
+    "screen before trusting hyperplane-style partitions of the space. "
+    "Posexplode → bounded (64-key) aggregate; float32 sign tests are "
+    "exact.",
+)
+def embedding_sign_balance(spark: SparkSession, sf: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf, "embeddings"))
+    e = emb.select(F.posexplode("embedding").alias("dim0", "val")).select(
+        (F.col("dim0") + 1).cast("long").alias("dim"), "val"
+    )
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("val") > 0, 1).otherwise(0)).alias("n_positive"),
+        F.expr(
+            "sum(case when val > 0 then 1 else 0 end) * 1000000 div count(1)"
+        ).alias("positive_ppm"),
+    )
+
+
+_LABELDIST_ORACLE = """
+WITH e AS (
+  SELECT label, CAST(i AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+), lbl AS (
+  SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY label, dim
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.n AS na, b.n AS nb,
+         SUM((CAST(a.s AS DECIMAL(38,0)) * b.n - CAST(b.s AS DECIMAL(38,0)) * a.n)
+             * (CAST(a.s AS DECIMAL(38,0)) * b.n - CAST(b.s AS DECIMAL(38,0)) * a.n))
+           AS d2
+  FROM lbl a JOIN lbl b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label, a.n, b.n
+)
+SELECT label_a, label_b,
+       CAST(d2 AS DOUBLE)
+         / (CAST(na * nb AS DOUBLE) * CAST(na * nb AS DOUBLE))
+         AS centroid_dist2
+FROM pairs
+"""
+
+
+@_register(
+    "label_pair_centroid_dist",
+    _LABELDIST_ORACLE,
+    doc="Squared L2 distance between every pair of label centroids (in "
+    "quantized units): the class-separability matrix behind "
+    "SemDeDup-style cluster audits. Fully exact until ONE final "
+    "division: the per-dim mean difference is cleared of its "
+    "denominators — diff = s_a·n_b − s_b·n_a is an exact DECIMAL — "
+    "its squares sum exactly, and dist² divides once by (n_a·n_b)² "
+    "(itself exact in double). No rounding of doubles anywhere (the "
+    "ROUND-on-double half-way gotcha this spec originally hit); the "
+    "pair join is keyed on dim with label-bounded fan-out.",
+)
+def label_pair_centroid_dist(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import quantize_vec
+
+    emb = fan_out(load_table(spark, sf, "embeddings"))
+    e = emb.select(
+        "label", F.posexplode(quantize_vec(F.col("embedding"))).alias("dim0", "qv")
+    ).select("label", (F.col("dim0") + 1).cast("long").alias("dim"), "qv")
+    lbl = e.groupBy("label", "dim").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = lbl.select(
+        F.col("label").alias("label_a"), "dim",
+        F.col("s").alias("sa"), F.col("n").alias("na"),
+    )
+    b = lbl.select(
+        F.col("label").alias("label_b"), "dim",
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    diff = (
+        F.col("sa").cast("decimal(38,0)") * F.col("nb")
+        - F.col("sb").cast("decimal(38,0)") * F.col("na")
+    )
+    pairs = (
+        a.join(b, ["dim"])
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b", "na", "nb")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    denom = (F.col("na") * F.col("nb")).cast("double")
+    return pairs.select(
+        "label_a", "label_b",
+        (F.col("d2").cast("double") / (denom * denom)).alias("centroid_dist2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round8 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# IVF coarse-quantizer hash face + composed ANN rows-only face
+# ---------------------------------------------------------------------------
+
+
+def _ivf_assign_oracle(n_lists: int) -> str:
+    """The k-means CTE from plans/semantic.py with the seed LIMIT
+    re-parameterized to n_lists — the SAME two unrolled Lloyd
+    iterations, so the oracle verifies exactly the coarse quantizer
+    ivf_pq_index trains (operators/semantic.kmeans_fit)."""
+    from cve_manager_spark.plans.semantic import _KMEANS_CTE
+
+    assert _KMEANS_CTE.count("LIMIT 8") == 1
+    return _KMEANS_CTE.replace("LIMIT 8", f"LIMIT {n_lists}") + """
+SELECT vec_id, CAST(cid AS INTEGER) AS list_id, dist AS dist_q FROM a2
+"""
+
+
+@_register(
+    "ivf_assignments",
+    _ivf_assign_oracle(16),
+    doc="IVF coarse-quantizer list assignment, hash-checked (VERDICT r7 "
+    "#2 — the pq_codes pattern applied to the IVF tier, turning the "
+    "last rows-only ANN family into a verified one): the deterministic "
+    "quantized Lloyd's (k=16 cells, 2 iterations — lowest-id seeds, "
+    "integer distances, ties to the lowest cell) that ivf_pq_index "
+    "uses as its coarse stage, emitted as (vec_id, list_id, dist_q) "
+    "and reproduced bit-for-bit by the machine-parameterized DuckDB "
+    "unroll. Assignment is map-side (centroid literals); the driver "
+    "sees k·d scalars per iteration.",
+)
+def ivf_assignments(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import assign_clusters, kmeans_fit
+
+    emb = load_table(spark, sf, "embeddings")
+    q, cents = kmeans_fit(emb, vec_col="embedding", id_col="vec_id", k=16, iters=2)
+    out = assign_clusters(q, cents)
+    return out.select(
+        "vec_id", F.col("cluster").cast("int").alias("list_id"), F.col("dist_q")
+    )
+
+
+@_register(
+    "ann_ivf_pq",
+    None,  # approximate retrieval: rows-only face; quality gated by
+    # tests/test_ann_quality.py (exactness/determinism properties) and
+    # ANN_RECALL.json (recall 0.91 @ 8.2% exact-scan-equivalent bytes)
+    doc="Composed IVF×PQ retrieve-then-rerank top-k (VERDICT r6 #7 / r7 "
+    "#1): probe the nearest coarse cells, ADC-rank codes only within "
+    "them, exact-rerank the survivors. Registered as the flagship ANN "
+    "search face; deterministic end-to-end (integer probe ranking, "
+    "integer ADC, (score,id) tie-breaks) but not SQL-expressible as a "
+    "fixed oracle economically — its exactness property (full probe + "
+    "full candidates == cosine_topk, ids AND order) and recall "
+    "frontier are pinned in test_ann_quality.py / ANN_RECALL.json.",
+)
+def ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.similarity import ivf_pq_index, ivf_pq_topk
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") == 7).select(F.col("embedding").alias("qvec"))
+    corpus = emb.where(F.col("vec_id") != 7)
+    idx, cents, books = ivf_pq_index(corpus, n_lists=8, m=8, k_codes=16)
+    return ivf_pq_topk(
+        corpus, q, idx, cents, books, k=10, n_probe=4, n_candidates=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round8b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# ANN index-balance faces
+# ---------------------------------------------------------------------------
+
+
+def _ivf_balance_oracle() -> str:
+    from cve_manager_spark.plans.semantic import _ivf_assign_oracle
+
+    return f"""
+SELECT list_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+         AS share_ppm
+FROM ({_ivf_assign_oracle(16)}) t
+GROUP BY list_id
+"""
+
+
+@_register(
+    "ivf_list_balance",
+    None,  # assembled lazily below
+    doc="IVF cell-occupancy balance: vectors per coarse cell with ppm "
+    "share — the index-health metric that predicts probe cost variance "
+    "(one hot cell = one straggler partition at query time). Wraps "
+    "the verified ivf_assignments face in a list-keyed count.",
+)
+def ivf_list_balance(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.semantic import ivf_assignments
+
+    asg = ivf_assignments(spark, sf)
+    c = asg.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    wt = Window.partitionBy()
+    return c.select(
+        "list_id",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.expr("n_vecs * 1000000").cast("bigint").alias("_num"),
+        F.sum("n_vecs").over(wt).alias("_tot"),
+    ).select(
+        "list_id",
+        "n_vecs",
+        F.expr("_num div _tot").alias("share_ppm"),
+    )
+
+
+def _pq_balance_oracle() -> str:
+    from cve_manager_spark.plans.semantic import _pq_codes_oracle
+
+    return f"""
+SELECT CAST(u.j AS INTEGER) AS subspace, CAST(u.c AS INTEGER) AS code,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM ({_pq_codes_oracle()}) base,
+     UNNEST([struct_pack(j := 0, c := base.code_0),
+             struct_pack(j := 1, c := base.code_1),
+             struct_pack(j := 2, c := base.code_2),
+             struct_pack(j := 3, c := base.code_3)]) t(u)
+GROUP BY 1, 2
+"""
+
+
+@_register(
+    "pq_code_balance",
+    None,  # assembled lazily below
+    doc="Product-quantizer codebook utilization: vectors per (subspace, "
+    "code) — dead or hot codes mean the codebook wastes bits and ADC "
+    "distances lose resolution. Wraps the verified pq_codes face in "
+    "an unpivot + count; 32-row output (4 subspaces × 8 codes).",
+)
+def pq_code_balance(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.semantic import pq_codes
+
+    base = pq_codes(spark, sf)
+    rows = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"code_{j}").alias("c")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("u")
+    ).select(
+        F.col("u.j").cast("int").alias("subspace"),
+        F.col("u.c").cast("int").alias("code"),
+    )
+    return rows.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+
+
+def _finalize_lazy_oracles() -> None:
+    """Attach the oracles that need lazy CTE builders — once at module
+    import, keeping SPECS declarative (the ivf/pq half of the finalizer
+    that travelled here with its specs; the phash half lives in
+    plans/pipeline.py)."""
+    lazy = {
+        "ivf_list_balance": _ivf_balance_oracle(),
+        "pq_code_balance": _pq_balance_oracle(),
+    }
+    for i, spec in enumerate(SPECS):
+        if spec.name in lazy:
+            SPECS[i] = QuerySpec(
+                name=spec.name,
+                build=spec.build,
+                oracle=lazy[spec.name],
+                doc=spec.doc,
+                tags=spec.tags,
+                priority=spec.priority,
+            )
+
+
+_finalize_lazy_oracles()
+
+
+# ---------------------------------------------------------------------------
+# folded from the round8c tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Embedding sign-octant occupancy
+# ---------------------------------------------------------------------------
+
+_OCTANT_ORACLE = """
+WITH o AS (
+  SELECT label,
+         CAST(CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS octant
+  FROM embeddings
+), a AS (
+  SELECT label, octant, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM o GROUP BY label, octant
+)
+SELECT label, octant, n_vecs,
+       CAST(n_vecs * 1000000 // SUM(n_vecs) OVER (PARTITION BY label)
+            AS BIGINT) AS share_ppm
+FROM a
+"""
+
+
+@_register(
+    "embedding_octant_occupancy",
+    _OCTANT_ORACLE,
+    doc="Sign-octant occupancy of the first three embedding dimensions "
+    "per label — the joint-sign coverage audit (complements the "
+    "per-dimension embedding_sign_balance): a label collapsed into "
+    "few octants signals anisotropy the per-dim marginals hide. Sign "
+    "tests are exact float comparisons; the share window runs on the "
+    "<= labels x 8 aggregate.",
+)
+def embedding_octant_occupancy(spark: SparkSession, sf: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf, "embeddings"))
+    octant = (
+        F.when(F.element_at("embedding", 1) >= 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 2) >= 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) >= 0, 1).otherwise(0)
+    )
+    a = emb.select("label", octant.cast("int").alias("octant")).groupBy(
+        "label", "octant"
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))
+    return a.select(
+        "label",
+        "octant",
+        "n_vecs",
+        F.expr(
+            "n_vecs * 1000000 div sum(n_vecs) over (partition by label)"
+        ).alias("share_ppm"),
+    )

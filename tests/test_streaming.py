@@ -1355,7 +1355,7 @@ def test_foreach_batch_phash_dedup_equals_batch(spark, tmp_path):
 
     # batch twin: the dedup_image_phash pair relation, reduced to
     # higher-id-is-dropped verdicts
-    from cve_manager_spark.plans.round8 import (
+    from cve_manager_spark.plans.pipeline import (
         _phash_band_candidates,
         _phash_df,
         _phash_hamming,
@@ -1742,7 +1742,7 @@ def test_foreach_batch_phash_dedup_committed_equals_batch(spark, tmp_path):
     assert dlog.snapshot()[0] >= 2
     got = dlog.read(spark).select("id", "phash_hex", "dup")
 
-    from cve_manager_spark.plans.round8 import (
+    from cve_manager_spark.plans.pipeline import (
         _phash_band_candidates,
         _phash_df,
         _phash_hamming,
