@@ -29,11 +29,14 @@ stable module order, which alone queues unverified specs correctly).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cve_manager_spark.functions.helpers import dec, dec_sum, fan_out
 from cve_manager_spark.plans.spec import QuerySpec
+from cve_manager_spark.plans.corpus import _GINI_DOC
 from cve_manager_spark.sources.testdata import load_table, register_views
 
 SPECS: list[QuerySpec] = []
@@ -5006,4 +5009,710 @@ def part_supplier_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
     ).select(F.lit("parts_per_supplier").alias("side"), "degree")
     return sp.unionByName(pp).groupBy("side", "degree").agg(
         F.count(F.lit(1)).alias("n_keys")
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# behavioral drift
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), tot AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(cnt) AS BIGINT) AS total
+  FROM daily GROUP BY user_id
+), cum AS (
+  SELECT d.user_id, t.n_days, t.total,
+         SUM(t.n_days * d.cnt) OVER (PARTITION BY d.user_id ORDER BY d.day
+                                     ROWS UNBOUNDED PRECEDING)
+           - ROW_NUMBER() OVER (PARTITION BY d.user_id ORDER BY d.day) * t.total
+           AS cusum
+  FROM daily d JOIN tot t ON d.user_id = t.user_id
+)
+SELECT user_id, MAX(n_days) AS n_days, MAX(total) AS total_events,
+       CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+       CAST(MIN(cusum) AS BIGINT) AS min_cusum
+FROM cum GROUP BY user_id
+"""
+
+
+@_register(
+    "events_cusum_extremes",
+    _CUSUM_ORACLE,
+    doc="Per-user activity drift via integer CUSUM: daily counts minus "
+    "the user's lifetime mean, accumulated in day order, with the "
+    "whole series scaled by n_days so the running sum is EXACT integer "
+    "arithmetic (cusum_k = sum(n_days*cnt_d, d<=k) − k*total — no "
+    "float mean anywhere). Large |max|/|min| extremes mark burst and "
+    "dormancy regimes; a flat user pins both near 0. Shuffles: the "
+    "(user, day) aggregate, a broadcast-sized per-user totals join, "
+    "and a per-user day window — the same keys, so AQE coalesces to "
+    "one exchange.",
+    priority=1,
+)
+def events_cusum_extremes(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    cum = (
+        daily.join(tot, "user_id")
+        .withColumn(
+            "cusum",
+            F.sum(F.col("n_days") * F.col("cnt")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.row_number().over(w) * F.col("total"),
+        )
+    )
+    return cum.groupBy("user_id").agg(
+        F.max("n_days").alias("n_days"),
+        F.max("total").alias("total_events"),
+        F.max("cusum").cast("bigint").alias("max_cusum"),
+        F.min("cusum").cast("bigint").alias("min_cusum"),
+    )
+
+
+_BENFORD_PPM = {d: int(math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+@_register(
+    "events_benford_first_digit",
+    f"""
+WITH v AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM events WHERE value > 0
+), agg AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_events FROM v GROUP BY digit
+)
+SELECT digit, n_events,
+       CAST(n_events * 1000000 // SUM(n_events) OVER () AS BIGINT) AS ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm
+FROM agg
+""",
+    doc="Benford first-significant-digit profile of event values — the "
+    "classic synthetic-data / fraud smell test. The digit is extracted "
+    "through INTEGER cents (round(value*100) → bigint → first char of "
+    "the integer's decimal string), never through float log10, so both "
+    "engines bucket identically; the Benford reference ppm is a "
+    "python-precomputed constant table inlined as the SAME literal "
+    "CASE in both engines. One narrow pass + a 9-row aggregate.",
+    priority=1,
+)
+def events_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    v = ev.where(F.col("value") > 0).select(
+        F.substring(
+            F.round(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    agg = v.groupBy("digit").agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "digit",
+        "n_events",
+        F.expr("n_events * 1000000 div sum(n_events) over ()").alias("ppm"),
+        F.expr(_BENFORD_CASE).cast("bigint").alias("benford_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# warehouse faces
+# ---------------------------------------------------------------------------
+
+_NATION_BS_ORACLE = """
+WITH s AS (
+  SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS supp_bal
+  FROM supplier GROUP BY s_nationkey
+), c AS (
+  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS cust_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n.n_name,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       COALESCE(s.supp_bal, 0.0) AS supp_bal,
+       COALESCE(c.cust_bal, 0.0) AS cust_bal
+FROM nation n
+LEFT JOIN s ON n.n_nationkey = s.nk
+LEFT JOIN c ON n.n_nationkey = c.nk
+"""
+
+
+@_register(
+    "nation_balance_sheet",
+    _NATION_BS_ORACLE,
+    doc="Per-nation balance sheet across BOTH sides of the trade graph: "
+    "supplier headcount + exact-DECIMAL account-balance total joined "
+    "against the customer-side twins, anchored on the 25-row nation "
+    "dim (left joins, zero-filled) so nations missing a side still "
+    "report. Two independent fact aggregates reduce each table to "
+    "<= 25 rows BEFORE any join — the join inputs are dimension-sized "
+    "regardless of fact scale.",
+    priority=1,
+)
+def nation_balance_sheet(spark: SparkSession, sf: str) -> DataFrame:
+    sup = load_table(spark, sf, "supplier")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    s = sup.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dec_sum(F.col("s_acctbal")).alias("supp_bal"),
+    )
+    c = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dec_sum(F.col("c_acctbal")).alias("cust_bal"),
+    )
+    return (
+        nation.join(F.broadcast(s), nation.n_nationkey == s.nk, "left")
+        .join(F.broadcast(c), nation.n_nationkey == c.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_suppliers", F.lit(0)).cast("bigint").alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).cast("bigint").alias("n_customers"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        )
+    )
+
+
+_SEGMENT_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment,
+         LEAST(CAST(FLOOR(o.o_totalprice / 50000) AS BIGINT), 8) AS value_band,
+         o.o_totalprice AS price
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), agg AS (
+  SELECT segment, value_band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS band_value
+  FROM j GROUP BY segment, value_band
+)
+SELECT segment, value_band, n_orders, band_value,
+       CAST(n_orders * 1000000 //
+            SUM(n_orders) OVER (PARTITION BY segment) AS BIGINT) AS seg_ppm
+FROM agg
+"""
+
+
+@_register(
+    "segment_value_profile",
+    _SEGMENT_ORACLE,
+    doc="Market-segment × order-value-band profile: the 50k-wide band "
+    "ladder (capped at 8+, identical double divide before the floor in "
+    "both engines) crossed with the customer segment via the "
+    "orders→customer key join, with each band's ppm share within its "
+    "segment. The fact-side join shuffles on o_custkey once; the share "
+    "window runs on the <= 45-row aggregate. The segment dimension "
+    "lives on the customer row — this is the canonical 'enrich facts "
+    "with a customer attribute then profile' shape.",
+    priority=1,
+)
+def segment_value_profile(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    j = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("long"),
+            F.lit(8).cast("long"),
+        ).alias("value_band"),
+        F.col("o_totalprice").alias("price"),
+    )
+    agg = j.groupBy("segment", "value_band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("price")).alias("band_value"),
+    )
+    return agg.select(
+        "segment",
+        "value_band",
+        "n_orders",
+        "band_value",
+        F.expr(
+            "n_orders * 1000000 div sum(n_orders) over (partition by segment)"
+        ).alias("seg_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Behavioral sequences: per-user entropy + second-order Markov
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "user_event_entropy",
+    """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id, event_type
+), t AS (
+  SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT c.user_id, MAX(t.n) AS n_events, MAX(t.n_types) AS n_types,
+       CAST(SUM(CAST(ROUND(
+         -(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id
+""",
+    doc="Per-user Shannon entropy of the event-type distribution — the "
+    "behavioral-diversity feature separating single-purpose accounts "
+    "(entropy ~0) from engaged users (~ln 5): each -p*ln(p) term "
+    "rounded to 6dp and summed as exact DECIMAL (the "
+    "unigram_entropy_by_lang recipe), so the sum is order-independent. "
+    "Both aggregates and the totals join share the user_id key — one "
+    "shuffle, zero extra exchanges.",
+    priority=1,
+)
+def user_event_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf, "events"))
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.max("n_types").alias("n_types"),
+            F.sum(term).cast("double").alias("entropy"),
+        )
+    )
+
+
+@_register(
+    "events_markov_2step",
+    """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER w AS t1,
+         LAG(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+  SELECT t2, t1, event_type AS t0, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE t2 IS NOT NULL GROUP BY t2, t1, event_type
+)
+SELECT t2, t1, t0, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY t2, t1) AS BIGINT)
+         AS cond_ppm
+FROM c
+""",
+    doc="Second-order Markov transition model of user behavior: counts "
+    "and conditional ppm of event_type given the two preceding events "
+    "in the user's (ts, event_id)-ordered stream — the sequence-model "
+    "upgrade of event_transitions (first-order) that exposes e.g. "
+    "view->click->purchase vs click->view->purchase asymmetry. One "
+    "user-partitioned window sort for both lags, one (t2,t1,t0) "
+    "aggregate, and the conditional total is a window over the "
+    "|types|^2-row result — nothing scales with the corpus but the "
+    "first sort.",
+    priority=1,
+)
+def events_markov_2step(spark: SparkSession, sf: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+    )
+    c = (
+        s.where(F.col("t2").isNotNull())
+        .groupBy("t2", "t1", F.col("event_type").alias("t0"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.withColumn(
+        "cond_ppm",
+        F.expr("n * 1000000 div sum(n) over (partition by t2, t1)").cast(
+            "bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9c tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "order_value_gini_by_segment",
+    """
+WITH o AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(FLOOR(CAST(o.o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT)
+           AS cents,
+         o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), r AS (
+  SELECT segment, cents,
+         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, o_orderkey)
+           AS i,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM o
+)
+SELECT segment, CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM((2 * i - n - 1) * cents) * 1000000
+            // (MAX(n) * SUM(cents)) AS BIGINT) AS gini_ppm
+FROM r GROUP BY segment
+""",
+    doc="Spend inequality per market segment: the Gini of order values — "
+    "whale-dominance per segment, the revenue-risk statistic next to "
+    "orders_pareto's top-share. Money enters as DECIMAL and becomes "
+    "exact integer cents via FLOOR(x*100) (explicit floor: Spark "
+    "truncates decimal->bigint casts while DuckDB rounds, so the "
+    "recipe forces the same floor on both). " + _GINI_DOC,
+    priority=1,
+)
+def order_value_gini_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    o = fan_out(load_table(spark, sf, "orders"))
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(dec(F.col("o_totalprice")) * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("segment")
+    r = j.select(
+        "segment",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # DECIMAL(38,0) numerator: see token_gini_by_source — BIGINT wraps at
+    # sf0.01 already (~2.7e20) while DuckDB's SUM auto-promotes to HUGEINT
+    return r.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.expr(
+            "cast(sum(cast(2 * i - n - 1 as decimal(19,0))"
+            "         * cast(cents as decimal(19,0))) * 1000000"
+            " div cast(max(n) as decimal(19,0)) div sum(cast(cents as decimal(19,0)))"
+            " as bigint)"
+        ).alias("gini_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete inter-arrival hazard curve
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "interarrival_hazard",
+    """
+WITH g AS (
+  SELECT (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_s
+  FROM events
+), b AS (
+  SELECT CASE WHEN gap_s < 60 THEN 0 WHEN gap_s < 300 THEN 60
+              WHEN gap_s < 900 THEN 300 WHEN gap_s < 3600 THEN 900
+              ELSE 3600 END AS band_lo
+  FROM g WHERE gap_s IS NOT NULL
+), c AS (
+  SELECT band_lo, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY band_lo
+)
+SELECT band_lo, n,
+       CAST(SUM(n) OVER (ORDER BY band_lo DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_at_risk,
+       CAST(n * 1000000
+            // SUM(n) OVER (ORDER BY band_lo DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS hazard_ppm
+FROM c
+""",
+    doc="Discrete hazard curve of user inter-arrival times: for each gap "
+    "band, P(return in this band | gap survived past its lower edge) "
+    "in ppm — the survival-analysis read of interarrival data that a "
+    "raw histogram hides (a hazard cliff at the 30-min band is where "
+    "the session-gap threshold belongs; events_session_gap_sweep "
+    "measures the consequence, this measures the cause). n_at_risk is "
+    "a descending-band cumulative window; gaps from the one "
+    "user-partitioned LAG pass (epoch_us recipe).",
+    priority=1,
+)
+def interarrival_hazard(spark: SparkSession, sf: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf, "events"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select((us - F.lag(us).over(w)).alias("gap_us")).where(
+        F.col("gap_us").isNotNull()
+    )
+    g = g.select(F.expr("gap_us div 1000000").alias("gap_s"))
+    b = g.select(
+        F.when(F.col("gap_s") < 60, 0)
+        .when(F.col("gap_s") < 300, 60)
+        .when(F.col("gap_s") < 900, 300)
+        .when(F.col("gap_s") < 3600, 900)
+        .otherwise(3600)
+        .cast("int")
+        .alias("band_lo")
+    )
+    c = b.groupBy("band_lo").agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        "band_lo",
+        "n",
+        F.expr(
+            "sum(n) over (order by band_lo desc rows unbounded preceding)"
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+        F.expr(
+            "n * 1000000 div sum(n) over (order by band_lo desc"
+            " rows unbounded preceding)"
+        )
+        .cast("bigint")
+        .alias("hazard_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV matrix (exact-decimal money)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cohort_ltv_matrix",
+    """
+WITH f AS (
+  SELECT o_custkey,
+         MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+  FROM orders GROUP BY o_custkey
+), o AS (
+  SELECT o.o_custkey,
+         CAST((f.m0 - 1) // 12 AS INTEGER) AS cohort_year,
+         CAST((f.m0 - 1) % 12 + 1 AS INTEGER) AS cohort_month,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.m0
+              AS INTEGER) AS age_months,
+         CAST(o.o_totalprice AS DECIMAL(18,4)) AS v
+  FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+), g AS (
+  SELECT cohort_year, cohort_month, age_months,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         SUM(v) AS rev
+  FROM o GROUP BY 1, 2, 3
+)
+SELECT cohort_year, cohort_month, age_months, n_customers,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER (PARTITION BY cohort_year, cohort_month
+                           ORDER BY age_months ROWS UNBOUNDED PRECEDING)
+            AS DOUBLE) AS cum_revenue
+FROM g
+""",
+    doc="Cohort lifetime-value matrix: customers grouped by first-order "
+    "month, revenue by months-since-first-order with the cumulative "
+    "LTV running sum — the standard finance triangle. Months compare "
+    "as y*12+m integers (no date arithmetic ambiguity); money rides "
+    "DECIMAL end-to-end (dec_sum discipline) and both the cell revenue "
+    "and the cumulative window sum cast to double only at emission. "
+    "One first-order aggregate joined back customer-keyed, one "
+    "(cohort, age) aggregate, one bounded window.",
+    priority=1,
+)
+def cohort_ltv_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    o = fan_out(load_table(spark, sf, "orders"))
+    m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    f = o.groupBy("o_custkey").agg(F.min(m).alias("m0"))
+    j = o.join(f, "o_custkey").select(
+        "o_custkey",
+        F.expr("(m0 - 1) div 12").cast("int").alias("cohort_year"),
+        F.expr("(m0 - 1) % 12 + 1").cast("int").alias("cohort_month"),
+        (m - F.col("m0")).cast("int").alias("age_months"),
+        dec(F.col("o_totalprice")).alias("v"),
+    )
+    g = j.groupBy("cohort_year", "cohort_month", "age_months").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.sum("v").alias("rev"),
+    )
+    wc = (
+        Window.partitionBy("cohort_year", "cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort_year",
+        "cohort_month",
+        "age_months",
+        "n_customers",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(wc).cast("double").alias("cum_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: HHI per nation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "supplier_hhi_by_nation",
+    """
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+  FROM lineitem GROUP BY l_suppkey
+), sc AS (
+  SELECT s.s_nationkey, CAST(FLOOR(r.rev * 100) AS BIGINT) AS cents
+  FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+), sh AS (
+  SELECT s_nationkey, cents,
+         CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY s_nationkey)
+              AS BIGINT) AS share_ppm
+  FROM sc
+)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(sh.cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(sh.share_ppm * sh.share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+FROM sh JOIN nation n ON sh.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    doc="Herfindahl-Hirschman revenue concentration per supplier nation: "
+    "HHI = sum of squared revenue shares, in ppm (1e6/n = perfectly "
+    "competitive, 1e6 = monopoly) — the antitrust-grade concentration "
+    "statistic next to the top-k shares the repo already reports. "
+    "Revenue is the exact-DECIMAL TPC-H expression folded per "
+    "supplier, floored to integer cents (explicit FLOOR: engines "
+    "disagree on decimal->int cast rounding), shares are integer ppm "
+    "via one nation-partitioned window total, and HHI is a BIGINT "
+    "square-sum. One lineitem aggregate + a broadcast supplier/nation "
+    "dim join.",
+    priority=1,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    li = fan_out(load_table(spark, sf, "lineitem"))
+    su = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    na = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    r = li.groupBy("l_suppkey").agg(
+        F.sum(
+            dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount")))
+        ).alias("rev")
+    )
+    sc = r.join(F.broadcast(su), r["l_suppkey"] == su["s_suppkey"]).select(
+        "s_nationkey", F.floor(F.col("rev") * 100).cast("bigint").alias("cents")
+    )
+    wn = Window.partitionBy("s_nationkey")
+    sh = sc.select(
+        "s_nationkey",
+        "cents",
+        F.expr(
+            "cents * 1000000 div sum(cents) over (partition by s_nationkey)"
+        )
+        .cast("bigint")
+        .alias("share_ppm"),
+    )
+    return (
+        sh.join(F.broadcast(na), sh["s_nationkey"] == na["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.expr("sum(share_ppm * share_ppm) div 1000000")
+            .cast("bigint")
+            .alias("hhi_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov conditional entropy
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "markov_conditional_entropy",
+    """
+WITH s AS (
+  SELECT event_type AS t0,
+         LAG(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t1
+  FROM events
+), c AS (
+  SELECT t1, t0, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM s WHERE t1 IS NOT NULL GROUP BY t1, t0
+), t AS (
+  SELECT t1, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY t1
+), g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM t
+)
+SELECT c.t1, MAX(t.n) AS n_transitions,
+       CAST(MAX(t.n) * 1000000 // MAX(g.total) AS BIGINT) AS share_ppm,
+       CAST(SUM(CAST(ROUND(
+         -(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+FROM c JOIN t ON c.t1 = t.t1 CROSS JOIN g
+GROUP BY c.t1
+""",
+    doc="First-order Markov conditional entropy H(next | prev) per "
+    "previous event type, with each state's stationary share in ppm — "
+    "how predictable the next action is given the last one; the "
+    "weighted sum is the chain's entropy rate, the sequence-"
+    "compressibility number that complements events_markov_2step's "
+    "raw transition table. 6dp-DECIMAL entropy recipe; one LAG pass, "
+    "then aggregates over |types|^2 rows.",
+    priority=1,
+)
+def markov_conditional_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("t0"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+    )
+    c = (
+        s.where(F.col("t1").isNotNull())
+        .groupBy("t1", "t0")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = c.groupBy("t1").agg(F.sum("cnt").alias("n"))
+    g = t.agg(F.sum("n").alias("total"))
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        c.join(F.broadcast(t), "t1")
+        .crossJoin(F.broadcast(g))
+        .groupBy("t1")
+        .agg(
+            F.max("n").alias("n_transitions"),
+            F.expr("max(n) * 1000000 div max(total)")
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.sum(term).cast("double").alias("entropy"),
+        )
     )

@@ -2705,3 +2705,2191 @@ def doc_len_ttr_corr(spark: SparkSession, sf: str) -> DataFrame:
     return m.select(
         "lang", "n", F.floor(corr * 1000000.0).cast("long").alias("corr_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# boilerplate / template detection
+# ---------------------------------------------------------------------------
+
+_BOILER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM toks WHERE len(w) >= 3
+), per_doc_sh AS (
+  SELECT doc_id, source, s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM sh GROUP BY doc_id, source, s
+), src_docs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM toks WHERE len(w) >= 3 GROUP BY source
+), spread AS (
+  SELECT source, s, CAST(COUNT(*) AS BIGINT) AS df
+  FROM per_doc_sh GROUP BY source, s
+), boiler AS (
+  SELECT sp.source, sp.s
+  FROM spread sp JOIN src_docs sd ON sp.source = sd.source
+  WHERE sp.df >= 2 AND sp.df * 10 >= sd.n_docs
+)
+SELECT p.doc_id, p.source,
+       CAST(SUM(p.cnt) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN b.s IS NOT NULL THEN p.cnt ELSE 0 END) AS BIGINT)
+         AS n_boiler_pos,
+       CAST(SUM(CASE WHEN b.s IS NOT NULL THEN p.cnt ELSE 0 END) * 1000000
+            // SUM(p.cnt) AS BIGINT) AS boiler_ppm
+FROM per_doc_sh p
+LEFT JOIN boiler b ON p.source = b.source AND p.s = b.s
+GROUP BY p.doc_id, p.source
+"""
+
+
+@_register(
+    "boilerplate_ngrams",
+    _BOILER_ORACLE,
+    doc="Boilerplate detection, the RefinedWeb line-dedup family on this "
+    "corpus's shingle grain: a word 3-gram is BOILERPLATE within its "
+    "source when it appears in >= 2 docs AND >= 10%% of the source's "
+    "docs (integer df*10 >= n_docs — no float threshold), and each "
+    "document reports its boilerplate POSITION mass (occurrences, with "
+    "multiplicity) in ppm. Shuffles: one (source, shingle)-keyed "
+    "aggregate for df, re-joined to the per-doc shingle counts on the "
+    "same key (co-partitioned), plus a broadcast ~20-row per-source "
+    "doc-count dim; at 100 TB the boilerplate set is the banded join "
+    "key, never a pairwise comparison.",
+    priority=1,
+)
+def boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    toks = docs.select("doc_id", "source", w.alias("w")).where(F.size("w") >= 3)
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("w"), i + 1, 3)
+                ),
+            )
+        ).alias("s"),
+    )
+    per_doc = sh.groupBy("doc_id", "source", "s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    src_docs = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    spread = per_doc.groupBy("source", "s").agg(F.count(F.lit(1)).alias("df"))
+    boiler = (
+        spread.join(F.broadcast(src_docs), "source")
+        .where((F.col("df") >= 2) & (F.col("df") * 10 >= F.col("n_docs")))
+        .select(F.col("source").alias("bsource"), F.col("s").alias("bs"))
+    )
+    joined = per_doc.join(
+        boiler,
+        (F.col("source") == F.col("bsource")) & (F.col("s") == F.col("bs")),
+        "left",
+    ).select("doc_id", "source", "s", "cnt", "bs")
+    return joined.groupBy("doc_id", "source").agg(
+        F.sum("cnt").cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("bs").isNotNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler_pos"),
+        F.expr(
+            "sum(CASE WHEN bs IS NOT NULL THEN cnt ELSE 0 END) * 1000000"
+            " div sum(cnt)"
+        ).alias("boiler_ppm"),
+    )
+
+
+_PREFIX_CTE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), pfx AS (
+  SELECT doc_id, source, array_to_string(w[1:1], ' ') AS prefix
+  FROM toks WHERE len(w) >= 2
+)
+"""
+
+
+@_register(
+    "prefix_bucket_sizes",
+    _PREFIX_CTE.replace("w[1:1]", "w[1:1]")  # 2-word prefix: see below
+    .replace("array_to_string(w[1:1], ' ')", "array_to_string(w[1:2], ' ')")
+    + """
+SELECT prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS rep_doc
+FROM pfx GROUP BY prefix HAVING COUNT(*) >= 2
+""",
+    doc="Template-candidate buckets: documents sharing an identical "
+    "leading word 2-gram (2 for test-corpus density; production "
+    "template detection uses 16+) grouped into buckets of >= 2 docs "
+    "with their source spread and lowest-id representative — the "
+    "scraped-template / mirror-page detector that runs BEFORE "
+    "pairwise near-dup at 100 TB because its key is O(1) per doc and "
+    "the bucket join is one exact-key aggregate, no banding needed.",
+    priority=1,
+)
+def prefix_bucket_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    pfx = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice(w, 1, 2)).alias("prefix"),
+        F.size(w).alias("nw"),
+    ).where(F.col("nw") >= 2)
+    return (
+        pfx.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@_register(
+    "prefix_source_flow",
+    _PREFIX_CTE.replace("array_to_string(w[1:1], ' ')", "array_to_string(w[1:2], ' ')")
+    + """
+, per_src AS (
+  SELECT prefix, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pfx GROUP BY prefix, source
+), flows AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+              ELSE a.n * b.n END AS n_pairs
+  FROM per_src a JOIN per_src b
+    ON a.prefix = b.prefix AND a.source <= b.source
+  WHERE a.source < b.source OR (a.source = b.source AND a.n >= 2)
+)
+SELECT src_a, src_b, CAST(SUM(n_pairs) AS BIGINT) AS n_pairs
+FROM flows GROUP BY src_a, src_b
+""",
+    doc="Cross-source duplication flow matrix over the template-prefix "
+    "key: for every bucket of docs sharing a leading 2-gram, pair "
+    "counts aggregate to an (src_a <= src_b) flow matrix — within-"
+    "source pairs as C(n,2), cross-source as n_a*n_b — the 'which "
+    "sources mirror each other' report. The pair counting is "
+    "ARITHMETIC over per-(prefix, source) counts (one aggregate + one "
+    "equi-self-join on the prefix key); no doc-level pair is ever "
+    "materialized, so a viral bucket costs integers, not O(n^2) rows.",
+    priority=1,
+)
+def prefix_source_flow(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    pfx = docs.select(
+        "source",
+        F.concat_ws(" ", F.slice(w, 1, 2)).alias("prefix"),
+        F.size(w).alias("nw"),
+    ).where(F.col("nw") >= 2)
+    per_src = pfx.groupBy("prefix", "source").agg(F.count(F.lit(1)).alias("n"))
+    a = per_src.alias("a")
+    b = per_src.alias("b")
+    flows = (
+        a.join(
+            b,
+            (F.col("a.prefix") == F.col("b.prefix"))
+            & (F.col("a.source") <= F.col("b.source")),
+        )
+        .where(
+            (F.col("a.source") < F.col("b.source"))
+            | ((F.col("a.source") == F.col("b.source")) & (F.col("a.n") >= 2))
+        )
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.when(
+                F.col("a.source") == F.col("b.source"),
+                # integer halving via shiftright, not /2-with-cast: the float
+                # quotient is only exact while n*(n-1) < 2^53 (~9.4e7 docs per
+                # prefix) — a viral bucket at scale would diverge from the
+                # oracle's //. n*(n-1) >= 0 so the shift IS the exact div 2.
+                F.shiftright((F.col("a.n") * (F.col("a.n") - 1)).cast("bigint"), 1),
+            )
+            .otherwise(F.col("a.n") * F.col("b.n"))
+            .alias("n_pairs"),
+        )
+    )
+    return flows.groupBy("src_a", "src_b").agg(
+        F.sum("n_pairs").cast("bigint").alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID calibration
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from cve_manager_spark.plans.pipeline import _LANG_ORACLE
+
+    return f"""
+WITH pred AS ({_LANG_ORACLE})
+SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * 1000000 //
+            SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS BIGINT) AS row_ppm
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.pred_lang
+"""
+
+
+@_register(
+    "langid_confusion",
+    _langid_confusion_oracle(),
+    doc="Language-ID calibration: confusion matrix of the stored truth "
+    "label against the deterministic marker-word heuristic "
+    "(operators.text.lang_id — argmax with en>de>fr>es tie-break, "
+    "'und' on zero evidence), with each cell's ppm share of its truth "
+    "row. The matrix quantifies exactly where the cheap heuristic is "
+    "trustworthy (zh has no markers and must land in 'und'/confusions) "
+    "— the audit you run before using heuristic lang-id as a 100 TB "
+    "routing key. One narrow map pass + a <= 25-cell aggregate; the "
+    "share window runs on the aggregate only.",
+    priority=1,
+)
+def langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators import text as T
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    pred = T.lang_id(docs)
+    agg = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return agg.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.expr(
+            "n_docs * 1000000 div sum(n_docs) over (partition by lang)"
+        ).alias("row_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# in-row repetition (Gopher family)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "max_trigram_repeat",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - 1),
+                        i -> array_to_string(w[i:i+2], ' ')) AS tri
+  FROM toks WHERE len(w) >= 3
+)
+SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_tri,
+       CAST(list_max(list_transform(list_distinct(tri),
+              d -> len(list_filter(tri, x -> x = d)))) AS BIGINT) AS max_rep,
+       CAST(list_max(list_transform(list_distinct(tri),
+              d -> len(list_filter(tri, x -> x = d)))) * 1000000
+            // len(tri) AS BIGINT) AS rep_ppm
+FROM sh
+""",
+    doc="Gopher-style repetition rule at trigram grain, computed "
+    "entirely IN-ROW: the most-repeated word 3-gram's occurrence count "
+    "per document, via array HOFs over the shingle list (distinct × "
+    "filter-count, O(distinct·n) per doc, bounded by document length). "
+    "Zero doc-grain shuffle — at 100 TB this is pure map-side compute "
+    "like top_word_mass_bands/dup_bigram_mass, completing the "
+    "unigram/bigram/trigram repetition ladder.",
+    priority=1,
+)
+def max_trigram_repeat(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("w")) - 3),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 3)),
+    )
+    sh = (
+        docs.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", tri.alias("tri"))
+    )
+    max_rep = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("tri")),
+            lambda d: F.size(F.filter(F.col("tri"), lambda x: x == d)),
+        )
+    ).cast("bigint")
+    return sh.select(
+        "doc_id",
+        F.size("tri").cast("bigint").alias("n_tri"),
+        max_rep.alias("max_rep"),
+        (max_rep * 1_000_000 / F.size("tri")).cast("bigint").alias("rep_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataloader packing utilization
+# ---------------------------------------------------------------------------
+
+
+def _packing_util_oracle() -> str:
+    from cve_manager_spark.plans.corpus import _PACK_ORACLE
+
+    return f"""
+WITH packed AS ({_PACK_ORACLE})
+SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens) * 1000000 // 2048 AS BIGINT) AS fill_ppm
+FROM packed GROUP BY shard, seq_id
+"""
+
+
+@_register(
+    "packing_utilization",
+    _packing_util_oracle(),
+    doc="Packing utilization audit over pack_sequences' output: per "
+    "(shard, sequence) document count, token total, and fill ppm "
+    "against the 2048-token budget (straddling docs land in the "
+    "sequence where they started, so fills jitter around 10^6 — the "
+    "report a dataloader owner reads to size the budget and spot "
+    "pathological shards). Reuses the registered packing plan verbatim "
+    "and adds one aggregate on the (shard, seq) key the window "
+    "already partitioned by.",
+    priority=1,
+)
+def packing_utilization(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.corpus import pack_sequences
+
+    packed = pack_sequences(spark, sf)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("sum(n_tokens) * 1000000 div 2048").alias("fill_ppm"),
+    )
+
+
+_LEN_BANDS = [(0, 16), (16, 32), (32, 64), (64, 128), (128, 256), (256, None)]
+
+
+def _len_band_case(col: str) -> str:
+    parts = []
+    for lo, hi in _LEN_BANDS:
+        cond = f"{col} >= {lo}" + (f" AND {col} < {hi}" if hi else "")
+        parts.append(f"WHEN {cond} THEN {lo}")
+    return "CASE " + " ".join(parts) + " END"
+
+
+@_register(
+    "doc_length_mass_bands",
+    f"""
+WITH d AS (
+  SELECT CAST({_len_band_case("n_tok")} AS BIGINT) AS band_lo, n_tok
+  FROM (SELECT len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents)
+), agg AS (
+  SELECT band_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS token_mass
+  FROM d GROUP BY band_lo
+)
+SELECT band_lo, n_docs, token_mass,
+       CAST(SUM(token_mass) OVER (ORDER BY band_lo DESC
+                                  ROWS UNBOUNDED PRECEDING) * 1000000
+            // SUM(token_mass) OVER () AS BIGINT) AS cum_ppm_from_longest
+FROM agg
+""",
+    doc="Document-length MASS concentration: an explicit power-of-two "
+    "band ladder (CASE literals, never float log2 — the "
+    "word_df_zipf_buckets discipline) over whitespace token counts, "
+    "reporting each band's doc count, token mass, and the cumulative "
+    "ppm of corpus tokens held by this band and all LONGER bands — "
+    "'what share of training tokens comes from long documents', the "
+    "at-scale substitute for an exact per-doc Pareto sort: the "
+    "cumulative window runs over <= 6 band rows, row-grain data never "
+    "passes a global sort.",
+    priority=1,
+)
+def doc_length_mass_bands(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    n_tok = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    )
+    d = docs.select(n_tok.alias("n_tok")).select(
+        F.expr(_len_band_case("n_tok")).cast("bigint").alias("band_lo"), "n_tok"
+    )
+    agg = d.groupBy("band_lo").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("token_mass"),
+    )
+    return agg.select(
+        "band_lo",
+        "n_docs",
+        "token_mass",
+        F.expr(
+            "sum(token_mass) over (order by band_lo desc"
+            " rows unbounded preceding) * 1000000"
+            " div sum(token_mass) over ()"
+        ).alias("cum_ppm_from_longest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Char-grain cross-doc window repetition (exact-substring dedup family)
+# ---------------------------------------------------------------------------
+
+_CHARWIN_CTE = """
+WITH nt AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, length(t) - 30, 16),
+                               p -> substr(t, p, 32))) AS win
+  FROM nt WHERE length(t) >= 32
+)
+"""
+
+_CHARWIN_SPARK = (
+    "transform(sequence(1, length(t) - 31, 16), p -> substring(t, p, 32))"
+)
+
+
+def _charwin_df(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    nt = docs.select(
+        "doc_id",
+        "source",
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("t"),
+    )
+    return nt.where(F.length("t") >= 32).select(
+        "doc_id", "source", F.explode(F.expr(_CHARWIN_SPARK)).alias("win")
+    )
+
+
+@_register(
+    "char_window_xdoc",
+    _CHARWIN_CTE
+    + """
+, rep AS (
+  SELECT win FROM (
+    SELECT win, COUNT(DISTINCT doc_id) AS dd FROM w GROUP BY win
+  ) WHERE dd >= 2
+)
+SELECT w.source,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN r.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rep,
+       CAST(SUM(CASE WHEN r.win IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS rep_ppm
+FROM w LEFT JOIN rep r ON w.win = r.win
+GROUP BY w.source
+""",
+    doc="Char-grain cross-doc repetition mass — the character-window half "
+    "of the exact-substring dedup family (word-shingle grain already "
+    "verified): text normalized (lower, whitespace collapsed), cut into "
+    "32-char windows at stride 16, a window is REPEATED when its exact "
+    "string occurs in >= 2 distinct docs; per source report the ppm of "
+    "window positions covered by repeated windows. The stride bounds "
+    "blowup to ~len/16 windows per doc; the repeated set is one "
+    "(window)-keyed aggregate re-joined on the same key — "
+    "co-partitioned, no pairwise comparison anywhere (at 100 TB the "
+    "window hash is the shuffle key exactly like the shingle recipes).",
+    priority=1,
+)
+def char_window_xdoc(spark: SparkSession, sf: str) -> DataFrame:
+    w = _charwin_df(spark, sf)
+    rep = (
+        w.groupBy("win")
+        .agg(F.count_distinct("doc_id").alias("dd"))
+        .where(F.col("dd") >= 2)
+        .select("win", F.lit(1).alias("__rep"))
+    )
+    return (
+        w.join(rep, "win", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("__rep", F.lit(0))).cast("bigint").alias("n_rep"),
+            F.expr("sum(coalesce(__rep, 0)) * 1000000 div count(1)").alias(
+                "rep_ppm"
+            ),
+        )
+    )
+
+
+@_register(
+    "char_window_source_leakage",
+    _CHARWIN_CTE
+    + """
+SELECT ns AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_window_values,
+       CAST(SUM(n_occ) AS BIGINT) AS n_occurrences
+FROM (
+  SELECT win, CAST(COUNT(DISTINCT source) AS INTEGER) AS ns,
+         CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM w GROUP BY win
+) GROUP BY ns
+""",
+    doc="Cross-SOURCE char-window leakage profile: distinct 32-char "
+    "windows bucketed by how many sources they appear in — n_sources=1 "
+    "is source-local phrasing, the >= 2 tail is template/boilerplate "
+    "text that crossed crawl boundaries (syndication, mirrors) and is "
+    "exactly the text char-grain dedup recovers corpus-wide where "
+    "per-source boilerplate rules cannot. Two chained hash aggregates "
+    "on (win) then (n_sources); no joins.",
+    priority=1,
+)
+def char_window_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    w = _charwin_df(spark, sf)
+    per = w.groupBy("win").agg(
+        F.count_distinct("source").cast("int").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    return per.groupBy("n_sources").agg(
+        F.count(F.lit(1)).alias("n_window_values"),
+        F.sum("n_occ").cast("bigint").alias("n_occurrences"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing weights (tau = 0.5, exact integer sqrt)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mix_temperature",
+    """
+WITH d AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tok
+  FROM documents
+), s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS tok_mass
+  FROM d GROUP BY source
+), q AS (
+  SELECT source, n_docs, tok_mass,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS sq_docs,
+         CAST(FLOOR(SQRT(CAST(tok_mass AS DOUBLE))) AS BIGINT) AS sq_tok
+  FROM s
+)
+SELECT source, n_docs, tok_mass,
+       CAST(sq_docs * 1000000 // SUM(sq_docs) OVER () AS BIGINT) AS w_doc_ppm,
+       CAST(sq_tok * 1000000 // SUM(sq_tok) OVER () AS BIGINT) AS w_tok_ppm
+FROM q
+""",
+    doc="Temperature-based source sampling weights, tau = 0.5: the "
+    "p^tau renormalization LLM training mixes use to up-weight small "
+    "sources (multilingual-sampling literature), computed EXACTLY — "
+    "w_i = floor(sqrt(mass_i)) * 1e6 div sum_j floor(sqrt(mass_j)). "
+    "floor(sqrt(n)) is deterministic across engines for n < 2^40 "
+    "because IEEE sqrt is correctly rounded and the nearest integer "
+    "boundary is >= 2^-21 away vs a ~2^-32 ulp; everything after is "
+    "BIGINT arithmetic. Complements mix_budget (fixed-share budgeter): "
+    "this derives the shares. One groupBy(source) aggregate + a 20-row "
+    "broadcast total.",
+    priority=1,
+)
+def mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    d = docs.select(
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("n_tok"),
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_mass"),
+    )
+    q = s.select(
+        "source",
+        "n_docs",
+        "tok_mass",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("bigint").alias("sq_docs"),
+        F.floor(F.sqrt(F.col("tok_mass").cast("double")))
+        .cast("bigint")
+        .alias("sq_tok"),
+    )
+    tot = q.agg(F.sum("sq_docs").alias("td"), F.sum("sq_tok").alias("tt"))
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tok_mass",
+        F.expr("sq_docs * 1000000 div td").alias("w_doc_ppm"),
+        F.expr("sq_tok * 1000000 div tt").alias("w_tok_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokens-per-char quality bands
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tokens_per_kchar_bands",
+    """
+WITH d AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tok,
+         length(text) AS n_char
+  FROM documents
+), b AS (
+  SELECT source, n_tok,
+         CAST(LEAST(19, (n_tok * 1000 // n_char) // 20) AS INTEGER) AS band
+  FROM d
+)
+SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_mass
+FROM b GROUP BY source, band
+""",
+    doc="Token-density quality bands: tokens per kilochar (n_tok * 1000 "
+    "div n_char, banded by 20) per source — the compression-ratio "
+    "proxy CCNet-style filters use: very low density = code/tables/"
+    "markup, very high = word-salad; prose clusters mid-band. Pure "
+    "integer band ladder, one in-row expression + one (source, band) "
+    "aggregate; band count is bounded (<= 20) so the result never "
+    "scales with the corpus.",
+    priority=1,
+)
+def tokens_per_kchar_bands(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    d = docs.select(
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("n_tok"),
+        F.length("text").alias("n_char"),
+    )
+    b = d.select(
+        "source",
+        "n_tok",
+        F.expr("least(19, (n_tok * 1000 div n_char) div 20)")
+        .cast("int")
+        .alias("band"),
+    )
+    return b.groupBy("source", "band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_mass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9c tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Split drift: PSI over a fixed band spine
+# ---------------------------------------------------------------------------
+
+
+def _split_sql(engine_bucket: str) -> str:
+    from cve_manager_spark.plans.corpus import _split_case
+
+    return _split_case(engine_bucket)
+
+
+def _psi_oracle() -> str:
+    from cve_manager_spark.plans.corpus import _BUCKET_DUCK
+
+    return f"""
+WITH d AS (
+  SELECT {_split_sql(_BUCKET_DUCK)} AS split,
+         LEAST(19, len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')) // 25) AS band
+  FROM documents
+), spine AS (
+  SELECT unnest(range(0, 20)) AS band
+), c AS (
+  SELECT s.band,
+         CAST(COALESCE(SUM(CASE WHEN d.split = 'train' THEN 1 END), 0)
+              AS BIGINT) AS n_train,
+         CAST(COALESCE(SUM(CASE WHEN d.split = 'test' THEN 1 END), 0)
+              AS BIGINT) AS n_test
+  FROM spine s LEFT JOIN d ON d.band = s.band
+  GROUP BY s.band
+), t AS (
+  SELECT CAST(SUM(n_train) AS BIGINT) AS tt, CAST(SUM(n_test) AS BIGINT) AS te
+  FROM c
+), p AS (
+  SELECT band, n_train, n_test,
+         (CAST(n_train + 1 AS DOUBLE) / CAST(tt + 20 AS DOUBLE)) AS pt,
+         (CAST(n_test + 1 AS DOUBLE) / CAST(te + 20 AS DOUBLE)) AS pe
+  FROM c CROSS JOIN t
+), terms AS (
+  SELECT band, n_train, n_test,
+         CAST(ROUND((pt - pe) * ln(pt / pe), 6) AS DECIMAL(18,6)) AS term
+  FROM p
+)
+SELECT band, n_train, n_test,
+       CAST(term AS DOUBLE) AS psi_term,
+       CAST(SUM(term) OVER () AS DOUBLE) AS psi_total
+FROM terms
+"""
+
+
+@_register(
+    "split_psi",
+    _psi_oracle(),
+    doc="Population Stability Index between the train and test splits "
+    "over a FIXED 20-band doc-length spine (band = n_tok div 25, "
+    "capped) — the ML-ops drift gauge: PSI < 0.1 stable, > 0.25 the "
+    "split is not exchangeable and eval numbers are suspect. Laplace "
+    "+1 smoothing keeps empty bands defined; each (pt-pe)*ln(pt/pe) "
+    "term is rounded to 6dp and summed as exact DECIMAL (round6 "
+    "entropy recipe) so the total is order-independent. The spine is "
+    "generated, not observed — missing bands surface as zero rows "
+    "instead of silently shrinking the sum. One scan + a 20-row "
+    "broadcast join; nothing scales past the band count.",
+    priority=1,
+)
+def split_psi(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.corpus import _BUCKET_SPARK
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    d = docs.select(
+        F.expr(_split_sql(_BUCKET_SPARK)).alias("split"),
+        F.expr(
+            "least(19, size(filter(split(text, '\\\\s+'), x -> x != '')) div 25)"
+        ).alias("band"),
+    )
+    spine = spark.range(0, 20).select(F.col("id").cast("bigint").alias("band"))
+    c = (
+        spine.join(d, "band", "left")
+        .groupBy("band")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("split") == "train", 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_train"),
+            F.coalesce(F.sum(F.when(F.col("split") == "test", 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_test"),
+        )
+    )
+    t = c.agg(F.sum("n_train").alias("tt"), F.sum("n_test").alias("te"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "band",
+        "n_train",
+        "n_test",
+        ((F.col("n_train") + 1).cast("double") / (F.col("tt") + 20).cast("double")).alias("pt"),
+        ((F.col("n_test") + 1).cast("double") / (F.col("te") + 20).cast("double")).alias("pe"),
+    )
+    term = F.round(
+        (F.col("pt") - F.col("pe")) * F.log(F.col("pt") / F.col("pe")), 6
+    ).cast("decimal(18,6)")
+    terms = p.select("band", "n_train", "n_test", term.alias("term"))
+    return terms.select(
+        "band",
+        "n_train",
+        "n_test",
+        F.col("term").cast("double").alias("psi_term"),
+        F.sum("term").over(Window.partitionBy()).cast("double").alias("psi_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus unigram LM
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "source_unigram_kl",
+    """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), sw AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), st AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS ts,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM sw GROUP BY source
+), cw AS (
+  SELECT word, CAST(SUM(c) AS BIGINT) AS cc FROM sw GROUP BY word
+), tt AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t FROM sw
+)
+SELECT sw.source, MAX(st.ts) AS n_tokens, MAX(st.n_types) AS n_types,
+       CAST(SUM(CAST(ROUND(
+         (CAST(sw.c AS DOUBLE) / CAST(st.ts AS DOUBLE))
+           * ln((CAST(sw.c AS DOUBLE) / CAST(st.ts AS DOUBLE))
+                / (CAST(cw.cc AS DOUBLE) / CAST(tt.t AS DOUBLE))), 6)
+         AS DECIMAL(18,6))) AS DOUBLE) AS kl
+FROM sw
+JOIN st ON sw.source = st.source
+JOIN cw ON sw.word = cw.word
+CROSS JOIN tt
+GROUP BY sw.source
+""",
+    doc="KL divergence of each source's unigram distribution from the "
+    "corpus LM — the domain-shift score data-mixing decisions read "
+    "(a source with high KL is stylistically far from the blend; "
+    "CCNet uses the same quantity as LM perplexity). Defined without "
+    "smoothing because source vocabularies are subsets of the corpus "
+    "vocabulary (p_corpus > 0 wherever p_source > 0). Each "
+    "p*ln(p/q) term rounded to 6dp, summed as exact DECIMAL; counts "
+    "join word-keyed (co-partitioned with the count aggregate), "
+    "totals ride a 20-row broadcast + a 1-row cross join.",
+    priority=1,
+)
+def source_unigram_kl(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    tok = docs.select(
+        "source", F.explode(words(F.lower(F.col("text")))).alias("word")
+    )
+    sw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    st = sw.groupBy("source").agg(
+        F.sum("c").alias("ts"), F.count(F.lit(1)).alias("n_types")
+    )
+    cw = sw.groupBy("word").agg(F.sum("c").alias("cc"))
+    tt = sw.agg(F.sum("c").alias("t"))
+    ps = F.col("c").cast("double") / F.col("ts").cast("double")
+    pc = F.col("cc").cast("double") / F.col("t").cast("double")
+    term = F.round(ps * F.log(ps / pc), 6).cast("decimal(18,6)")
+    return (
+        sw.join(F.broadcast(st), "source")
+        .join(cw, "word")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("source")
+        .agg(
+            F.max("ts").alias("n_tokens"),
+            F.max("n_types").alias("n_types"),
+            F.sum(term).cast("double").alias("kl"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact integer Gini: token mass per source, order values per segment
+# ---------------------------------------------------------------------------
+
+_GINI_DOC = (
+    "Gini = sum_i (2i - n - 1) x_(i) / (n sum x) with x ascending; the "
+    "numerator is exact BIGINT (rank coefficients sum identically over "
+    "ties, so any stable tie order gives the same value) and the ppm is "
+    "one integer division — no float anywhere."
+)
+
+
+@_register(
+    "token_gini_by_source",
+    """
+WITH d AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tok
+  FROM documents
+), r AS (
+  SELECT source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS i,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_mass,
+       CAST(SUM((2 * i - n - 1) * n_tok) * 1000000
+            // (MAX(n) * SUM(n_tok)) AS BIGINT) AS gini_ppm
+FROM r GROUP BY source
+""",
+    doc="Token-mass inequality WITHIN each source: are a source's tokens "
+    "spread evenly across its documents or concentrated in a few "
+    "mega-docs (which dominate training batches and skew dedup "
+    "savings)? " + _GINI_DOC + " One source-partitioned window sort "
+    "then a per-source fold.",
+    priority=1,
+)
+def token_gini_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_tok",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # the Gini numerator sum reaches ~n^2 * max(x) * 1e6 — BIGINT wraps
+    # silently where DuckDB auto-promotes SUM to HUGEINT, so Spark carries
+    # it as exact DECIMAL(38,0) (d19*d19 product pattern) and divides with
+    # integral `div`
+    return r.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_mass"),
+        F.expr(
+            "cast(sum(cast(2 * i - n - 1 as decimal(19,0))"
+            "         * cast(n_tok as decimal(19,0))) * 1000000"
+            " div cast(max(n) * sum(n_tok) as decimal(19,0)) as bigint)"
+        ).alias("gini_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character coverage curve (tokenizer design input)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "char_coverage_curve",
+    """
+WITH ch AS (
+  SELECT unnest(list_transform(range(1, length(text) + 1),
+                               i -> substr(text, i, 1))) AS c
+  FROM documents
+), cc AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM ch WHERE c <> ' ' GROUP BY c
+), r AS (
+  SELECT c, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, c) AS rnk FROM cc
+), b AS (
+  SELECT CASE WHEN rnk <= 10 THEN 1 WHEN rnk <= 20 THEN 11
+              WHEN rnk <= 50 THEN 21 WHEN rnk <= 100 THEN 51
+              ELSE 101 END AS rank_band, cnt
+  FROM r
+), g AS (
+  SELECT rank_band, CAST(COUNT(*) AS BIGINT) AS n_chars,
+         CAST(SUM(cnt) AS BIGINT) AS char_mass
+  FROM b GROUP BY rank_band
+)
+SELECT rank_band, n_chars, char_mass,
+       CAST(SUM(char_mass) OVER (ORDER BY rank_band
+                                 ROWS UNBOUNDED PRECEDING) * 1000000
+            // SUM(char_mass) OVER () AS BIGINT) AS cum_ppm
+FROM g
+""",
+    doc="Character coverage curve — the SentencePiece character_coverage "
+    "input: non-space characters ranked by frequency (count desc, char "
+    "asc tie-break), banded by rank (top-10/20/50/100/rest) with "
+    "cumulative corpus-mass ppm per band; where the curve crosses "
+    "0.9995e6 sets the tokenizer's byte-fallback alphabet. The "
+    "explode is one map-side-combinable char count (alphabet-bounded "
+    "output), then windows over <= 5 rows.",
+    priority=1,
+)
+def char_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    ch = docs.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("c")
+    ).where(F.col("c") != " ")
+    cc = ch.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    r = cc.select(
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("cnt").desc(), F.col("c")))
+        .alias("rnk"),
+    )
+    b = r.select(
+        F.when(F.col("rnk") <= 10, 1)
+        .when(F.col("rnk") <= 20, 11)
+        .when(F.col("rnk") <= 50, 21)
+        .when(F.col("rnk") <= 100, 51)
+        .otherwise(101)
+        .cast("int")
+        .alias("rank_band"),
+        "cnt",
+    )
+    g = b.groupBy("rank_band").agg(
+        F.count(F.lit(1)).alias("n_chars"),
+        F.sum("cnt").cast("bigint").alias("char_mass"),
+    )
+    return g.select(
+        "rank_band",
+        "n_chars",
+        "char_mass",
+        F.expr(
+            "sum(char_mass) over (order by rank_band rows unbounded preceding)"
+            " * 1000000 div sum(char_mass) over ()"
+        ).alias("cum_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact KS statistic per source (length distributions)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "length_ks_by_source",
+    """
+WITH d AS (
+  SELECT source, length(text) AS v FROM documents
+), sv AS (
+  SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2
+), st AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS ns FROM sv GROUP BY source
+), vv AS (
+  SELECT DISTINCT v FROM d
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d
+), cv AS (
+  SELECT v, CAST(SUM(cnt) AS BIGINT) AS ccnt FROM sv GROUP BY v
+), ccum AS (
+  SELECT v, SUM(ccnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM cv
+), spine AS (
+  SELECT st.source, st.ns, vv.v FROM st CROSS JOIN vv
+), scum AS (
+  SELECT sp.source, sp.ns, sp.v,
+         SUM(COALESCE(sv.cnt, 0)) OVER (PARTITION BY sp.source ORDER BY sp.v
+                                        ROWS UNBOUNDED PRECEDING) AS cum_s
+  FROM spine sp LEFT JOIN sv ON sp.source = sv.source AND sp.v = sv.v
+), diff AS (
+  SELECT s.source, s.ns, s.v,
+         abs(s.cum_s * (t.nn - s.ns) - (c.cum_c - s.cum_s) * s.ns) AS dd
+  FROM scum s JOIN ccum c ON s.v = c.v CROSS JOIN tot t
+), mx AS (
+  SELECT source, MAX(ns) AS ns, MAX(dd) AS mdd FROM diff GROUP BY source
+)
+SELECT mx.source, CAST(mx.ns AS BIGINT) AS n_docs,
+       CAST(mx.mdd * 1000000 // (mx.ns * ((SELECT nn FROM tot) - mx.ns))
+            AS BIGINT) AS ks_ppm,
+       CAST(MIN(diff.v) AS BIGINT) AS ks_at_len
+FROM mx JOIN diff ON mx.source = diff.source AND mx.mdd = diff.dd
+GROUP BY mx.source, mx.ns, mx.mdd
+""",
+    doc="Exact two-sample Kolmogorov-Smirnov statistic per source vs the "
+    "REST of the corpus over doc-length distributions: D = max_v "
+    "|F_s(v) - F_rest(v)|, computed as the integer cross-"
+    "multiplication |cum_s*n_r - cum_r*n_s| (never a float CDF), "
+    "emitted in ppm of n_s*n_r with the argmax length (min on ties) — "
+    "the drift detector for 'does this source even look like the "
+    "blend'. The value spine is sources x distinct-lengths (bounded: "
+    "lengths are data-bounded, sources ~20); cumulative sums are two "
+    "window passes.",
+    priority=1,
+)
+def length_ks_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    d = docs.select("source", F.length("text").cast("bigint").alias("v"))
+    sv = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    st = sv.groupBy("source").agg(F.sum("cnt").alias("ns"))
+    vv = d.select("v").distinct()
+    tot = d.agg(F.count(F.lit(1)).alias("nn"))
+    cv = sv.groupBy("v").agg(F.sum("cnt").alias("ccnt"))
+    wv = Window.partitionBy().orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ccum = cv.select("v", F.sum("ccnt").over(wv).alias("cum_c"))
+    spine = st.crossJoin(F.broadcast(vv))
+    ws = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scum = (
+        spine.join(sv, ["source", "v"], "left")
+        .select(
+            "source",
+            "ns",
+            "v",
+            F.coalesce("cnt", F.lit(0)).alias("cnt0"),
+        )
+        .select(
+            "source", "ns", "v", F.sum("cnt0").over(ws).alias("cum_s")
+        )
+    )
+    diff = (
+        scum.join(F.broadcast(ccum), "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "ns",
+            "v",
+            F.abs(
+                F.col("cum_s") * (F.col("nn") - F.col("ns"))
+                - (F.col("cum_c") - F.col("cum_s")) * F.col("ns")
+            ).alias("dd"),
+            "nn",
+        )
+    )
+    mx = diff.groupBy("source").agg(
+        F.max("ns").alias("ns"), F.max("dd").alias("mdd"), F.max("nn").alias("nn")
+    )
+    return (
+        mx.join(
+            diff.select(F.col("source").alias("src2"), "dd", "v"),
+            (F.col("source") == F.col("src2")) & (F.col("mdd") == F.col("dd")),
+        )
+        .groupBy("source", "ns", "mdd", "nn")
+        .agg(F.min("v").alias("ks_at_len"))
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_docs"),
+            F.expr("mdd * 1000000 div (ns * (nn - ns))")
+            .cast("bigint")
+            .alias("ks_ppm"),
+            F.col("ks_at_len").cast("bigint"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round10 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# unigram LM surprisal — the perplexity-proxy quality dial
+# ---------------------------------------------------------------------------
+
+# Shared CTE: per-doc mean unigram surprisal in millibits/token.
+# Token surprisal = floor(log2(T / c)) whole bits where T = corpus token
+# instances, c = the token's corpus count (T div c >= 1 always).
+_SURP_CTE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), inst AS (
+  SELECT doc_id, source, unnest(w) AS tok FROM toks
+), wc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM inst GROUP BY tok
+), tt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM inst
+), bits AS (
+  SELECT i.doc_id, i.source,
+         CAST(length(bin((SELECT t FROM tt) // wc.c)) - 1 AS BIGINT) AS b
+  FROM inst i JOIN wc USING (tok)
+), sc AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(b) * 1000 // COUNT(*) AS BIGINT) AS millibits
+  FROM bits GROUP BY doc_id, source
+)
+"""
+
+
+def _doc_surprisal(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tok, millibits) — per-doc mean unigram
+    surprisal in millibits/token, exact integers end to end. Two
+    token-keyed shuffles (count + instance join) and one doc-grain
+    aggregate; the corpus-total rides a broadcast 1-row cross join."""
+    from cve_manager_spark.operators.text import words
+
+    toks = docs.select(
+        "doc_id", "source", words(F.lower(F.col("text"))).alias("w")
+    )
+    inst = toks.select("doc_id", "source", F.explode("w").alias("tok"))
+    wc = inst.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tt = inst.groupBy().agg(F.count(F.lit(1)).alias("t"))
+    bits = (
+        inst.join(wc, "tok")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            "source",
+            (F.length(F.bin(F.expr("t div c"))) - 1).cast("bigint").alias("b"),
+        )
+    )
+    return bits.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.expr("CAST(sum(b) * 1000 div count(1) AS BIGINT)").alias("millibits"),
+    )
+
+
+@_register(
+    "unigram_surprisal_bands",
+    _SURP_CTE
+    + """
+SELECT source, CAST(millibits // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM sc GROUP BY source, band
+""",
+    doc="Per-source histogram of per-doc mean unigram surprisal "
+    "(0.1-bit bands of millibits/token) — the n-gram-LM perplexity-proxy "
+    "quality profile next to the linear classifier: low-surprisal "
+    "bands are repetitive/boilerplate-heavy sources, high bands are "
+    "rare-token/noise-heavy ones. Surprisal is integer log2 via "
+    "binary-string length (floor(log2(T div c)) = length(bin(..))-1), "
+    "so the whole dial is exact integers: two token-keyed shuffles + "
+    "one doc aggregate, the corpus total a broadcast scalar.",
+    priority=2,
+)
+def unigram_surprisal_bands(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    sc = _doc_surprisal(docs)
+    return sc.select(
+        "source", F.expr("CAST(millibits div 100 AS BIGINT)").alias("band")
+    ).groupBy("source", "band").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+           i -> struct_pack(b1 := w[i], b2 := w[i+1]))) AS u
+  FROM toks WHERE len(w) >= 2
+), i2 AS (
+  SELECT doc_id, u.b1 AS b1, u.b2 AS b2 FROM bg
+), c2 AS (
+  SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c FROM i2 GROUP BY b1, b2
+), c1 AS (
+  SELECT b1, CAST(SUM(c) AS BIGINT) AS cp FROM c2 GROUP BY b1
+), bb AS (
+  SELECT i2.doc_id,
+         CAST(length(bin(c1.cp // c2.c)) - 1 AS BIGINT) AS b
+  FROM i2 JOIN c2 USING (b1, b2) JOIN c1 USING (b1)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(b) * 1000 // COUNT(*) AS BIGINT) AS ppl_millibits
+FROM bb GROUP BY doc_id
+"""
+
+
+@_register(
+    "bigram_surprisal_score",
+    _BIGRAM_ORACLE,
+    doc="Per-doc mean CONDITIONAL bigram surprisal in millibits/bigram — "
+    "a true 2-gram LM perplexity proxy: surprisal of (w1,w2) is "
+    "floor(log2(c(w1·) div c(w1,w2))) whole bits against the corpus "
+    "bigram LM, integer-exact via binary length. The prefix count "
+    "c(w1·) reaggregates from the bigram counts (never a second corpus "
+    "pass); bigrams are built IN-ROW (indexed transform over the token "
+    "array, no self-join), so the plan is one pair-keyed count + one "
+    "instance join + a doc aggregate.",
+    priority=2,
+)
+def bigram_surprisal_score(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
+    pairs = F.transform(
+        F.slice(F.col("w"), 1, F.size("w") - 1),
+        lambda x, i: F.struct(
+            x.alias("b1"),
+            F.element_at(F.col("w"), i + F.lit(2)).alias("b2"),
+        ),
+    )
+    i2 = (
+        toks.where(F.size("w") >= 2)
+        .select("doc_id", F.explode(pairs).alias("u"))
+        .select("doc_id", F.col("u.b1").alias("b1"), F.col("u.b2").alias("b2"))
+    )
+    c2 = i2.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("b1").agg(F.sum("c").alias("cp"))
+    bb = (
+        i2.join(c2, ["b1", "b2"])
+        .join(c1, "b1")
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("cp div c"))) - 1).cast("bigint").alias("b"),
+        )
+    )
+    return bb.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("CAST(sum(b) * 1000 div count(1) AS BIGINT)").alias(
+            "ppl_millibits"
+        ),
+    )
+
+
+def _surprisal_quality_oracle() -> str:
+    from cve_manager_spark.plans.corpus import (
+        _QUALITY_EXPR_SQL,
+        _QUALITY_SCORE_SQL,
+    )
+
+    return (
+        _SURP_CTE
+        + ", f AS ("
+        + _QUALITY_EXPR_SQL
+        + "), qs AS ("
+        + _QUALITY_SCORE_SQL
+        + """
+), ql AS (
+  SELECT doc_id,
+         CASE WHEN score >= 600000 THEN 'high'
+              WHEN score >= 300000 THEN 'mid'
+              ELSE 'low' END AS label
+  FROM qs
+)
+SELECT CAST(sc.millibits // 100 AS BIGINT) AS band, ql.label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM sc JOIN ql USING (doc_id)
+GROUP BY band, ql.label
+"""
+    )
+
+
+@_register(
+    "surprisal_quality_matrix",
+    _surprisal_quality_oracle(),
+    doc="Co-occurrence of the LM surprisal band × the linear quality-"
+    "classifier label — the calibration check run before wiring either "
+    "dial into a filter: if 'high'-quality docs concentrate in the "
+    "same surprisal bands as 'low', the two signals are independent "
+    "and compose; if they collapse onto a diagonal, one is redundant. "
+    "Both sides are exact integers; the join is doc-keyed.",
+    priority=2,
+)
+def surprisal_quality_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.corpus import _quality_scored
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    sc = _doc_surprisal(docs).select(
+        "doc_id", F.expr("CAST(millibits div 100 AS BIGINT)").alias("band")
+    )
+    ql = _quality_scored(docs).select("doc_id", "label")
+    return sc.join(ql, "doc_id").groupBy("band", "label").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@_register(
+    "perplexity_filter_rate",
+    _SURP_CTE
+    + """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN millibits <= 4030 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       CAST(SUM(CASE WHEN millibits <= 4030 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS pass_ppm
+FROM sc GROUP BY source
+""",
+    doc="The filter face of the surprisal dial: per source, how many "
+    "docs pass a mean-surprisal threshold (the 'drop the high-"
+    "perplexity tail' cut a perplexity filter applies), as count + "
+    "exact ppm. The 4030-millibit threshold sits at the test corpus's "
+    "median so both branches carry real counts (a production cut is "
+    "picked off the unigram_surprisal_bands histogram the same way). "
+    "Reads the same integer surprisal pipeline; the threshold "
+    "compares millibits, so no rounding ambiguity.",
+    priority=2,
+)
+def perplexity_filter_rate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf, "documents"))
+    sc = _doc_surprisal(docs)
+    passed = F.when(F.col("millibits") <= 4030, 1).otherwise(0)
+    return sc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(passed).cast("bigint").alias("n_pass"),
+        F.expr(
+            "CAST(sum(CASE WHEN millibits <= 4030 THEN 1 ELSE 0 END) "
+            "* 1000000 div count(1) AS BIGINT)"
+        ).alias("pass_ppm"),
+    )
+
+
+@_register(
+    "surprisal_contamination_interaction",
+    _SURP_CTE
+    + """
+, ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM toks WHERE len(w) >= 3
+), ev AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+), ov AS (
+  SELECT e.doc_id,
+         MAX(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM ex e LEFT JOIN ev ON e.s = ev.s
+  WHERE e.doc_id % 97 <> 0
+  GROUP BY e.doc_id
+)
+SELECT CAST(ov.hit AS INTEGER) AS is_contaminated,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sc.millibits) AS BIGINT) AS sum_millibits,
+       CAST(SUM(sc.millibits) // COUNT(*) AS BIGINT) AS mean_millibits
+FROM sc JOIN ov USING (doc_id)
+GROUP BY is_contaminated
+""",
+    doc="Does eval-set contamination correlate with LM surprisal? Mean "
+    "surprisal of training docs sharing at least one 3-gram shingle "
+    "with the held-out set vs clean docs — contaminated text is "
+    "usually templated/low-surprisal, which is why decontamination "
+    "and perplexity filtering remove OVERLAPPING but not identical "
+    "doc sets (running only one under-cleans). Composition face: the "
+    "broadcast eval probe from eval_overlap_score joined doc-grain "
+    "onto the surprisal relation, two exact-integer aggregates.",
+    priority=2,
+)
+def surprisal_contamination_interaction(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    sc = _doc_surprisal(docs)
+    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
+    grams = F.transform(
+        F.slice(F.col("w"), 1, F.size("w") - 2),
+        lambda x, i: F.concat_ws(" ", F.slice(F.col("w"), i + F.lit(1), 3)),
+    )
+    ex = toks.where(F.size("w") >= 3).select(
+        "doc_id", F.explode(grams).alias("s")
+    )
+    ev = (
+        ex.where(F.col("doc_id") % 97 == 0)
+        .select("s")
+        .distinct()
+        .withColumn("is_ev", F.lit(1))
+    )
+    ov = (
+        ex.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.max(F.coalesce("is_ev", F.lit(0))).alias("hit"))
+    )
+    # INT flag, not boolean: no green spec has ever emitted a boolean
+    # column through the driver canonicalizer (the r6 array-cell lesson —
+    # don't make a staged tranche the first to probe it)
+    return (
+        sc.join(ov, "doc_id")
+        .groupBy(F.col("hit").cast("int").alias("is_contaminated"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("millibits").cast("bigint").alias("sum_millibits"),
+            F.expr("CAST(sum(millibits) div count(1) AS BIGINT)").alias(
+                "mean_millibits"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted importance sampling
+# ---------------------------------------------------------------------------
+
+
+def _importance_oracle() -> str:
+    from cve_manager_spark.plans.corpus import (
+        _QUALITY_EXPR_SQL,
+        _QUALITY_SCORE_SQL,
+    )
+    from cve_manager_spark.plans.corpus import _BUCKET_DUCK
+
+    return (
+        "WITH f AS ("
+        + _QUALITY_EXPR_SQL
+        + "), qs AS ("
+        + _QUALITY_SCORE_SQL
+        + f"""
+), ql AS (
+  SELECT doc_id, source,
+         CASE WHEN score >= 600000 THEN 'high'
+              WHEN score >= 300000 THEN 'mid'
+              ELSE 'low' END AS label,
+         ({_BUCKET_DUCK}) AS bucket
+  FROM qs
+), kp AS (
+  SELECT *, CASE label WHEN 'high' THEN 256 WHEN 'mid' THEN 128
+                       ELSE 32 END AS keep_256
+  FROM ql
+)
+SELECT source, label, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN bucket < keep_256 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN bucket < keep_256 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS kept_ppm
+FROM kp GROUP BY source, label
+"""
+    )
+
+
+@_register(
+    "quality_importance_sample",
+    _importance_oracle(),
+    doc="Deterministic quality-weighted importance sampling (the DoReMi/"
+    "quality-resampling shape): per quality label a fixed keep rate "
+    "(high keeps all 256/256 hash buckets, mid 128, low 32), applied "
+    "by the shared md5 hex-digit bucket of doc_id — so the SAMPLE is "
+    "a pure row predicate, reproducible across engines, reruns and "
+    "partitionings, and composable with the split assigner (different "
+    "digest positions). Emits per (source, label) total/kept/ppm. "
+    "Zero shuffles beyond the final small aggregate.",
+    priority=2,
+)
+def quality_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.corpus import _quality_scored
+    from cve_manager_spark.plans.corpus import _BUCKET_SPARK
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    s = _quality_scored(docs)
+    kp = s.select(
+        "source",
+        "label",
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+        F.when(F.col("label") == "high", 256)
+        .when(F.col("label") == "mid", 128)
+        .otherwise(32)
+        .alias("keep_256"),
+    )
+    kept = F.when(F.col("bucket") < F.col("keep_256"), 1).otherwise(0)
+    return kp.groupBy("source", "label").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.expr(
+            "CAST(sum(CASE WHEN bucket < keep_256 THEN 1 ELSE 0 END) "
+            "* 1000000 div count(1) AS BIGINT)"
+        ).alias("kept_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution diagnostics: Zipf band slope, trigram novelty
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), inst AS (
+  SELECT source, unnest(w) AS tok FROM toks
+), wc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM inst GROUP BY source, tok
+), bands AS (
+  SELECT source, CAST(length(bin(c)) - 1 AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM wc GROUP BY source, x
+), pts AS (
+  SELECT source, x, CAST(length(bin(m)) - 1 AS BIGINT) AS y FROM bands
+), s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY source
+)
+SELECT source, n AS n_bands,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+            ELSE (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) END
+            AS BIGINT) AS slope_milli
+FROM s
+"""
+
+
+@_register(
+    "zipf_band_slope_by_source",
+    _ZIPF_ORACLE,
+    doc="Zipf power-law exponent per source, estimated WITHOUT a global "
+    "rank sort: bucket the word-frequency table by floor(log2(count)) "
+    "(binary length — exact integers), take y = floor(log2(#words in "
+    "band)), and fit the OLS slope over the <= ~40 (x, y) band points "
+    "in exact integer arithmetic, emitted as a trunc-div milli-slope. "
+    "A natural corpus sits near slope -1; a flat or bimodal profile "
+    "flags templated/synthetic text. The expensive step is ONE "
+    "(source, word)-keyed count; the fit itself touches only band "
+    "rows — the histogram-not-sort discipline (quality_score_deciles) "
+    "applied to vocabulary statistics.",
+    priority=2,
+)
+def zipf_band_slope_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    inst = docs.select(
+        "source", F.explode(words(F.lower(F.col("text")))).alias("tok")
+    )
+    wc = inst.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    bands = wc.select(
+        "source", (F.length(F.bin("c")) - 1).cast("bigint").alias("x")
+    ).groupBy("source", "x").agg(F.count(F.lit(1)).alias("m"))
+    pts = bands.select(
+        "source", "x", (F.length(F.bin("m")) - 1).cast("bigint").alias("y")
+    )
+    s = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_bands"),
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 "
+            "ELSE (n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) END "
+            "AS BIGINT)"
+        ).alias("slope_milli"),
+    )
+
+
+_TRIGRAM_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), tri AS (
+  SELECT DISTINCT source,
+         md5(unnest(list_transform(range(1, len(w) - 1),
+           i -> array_to_string(w[i:i+2], ' ')))) AS g
+  FROM toks WHERE len(w) >= 3
+), gc AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS ns FROM tri GROUP BY g
+)
+SELECT tri.source, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN gc.ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN gc.ns = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS unique_ppm
+FROM tri JOIN gc USING (g)
+GROUP BY tri.source
+"""
+
+
+@_register(
+    "trigram_novelty_by_source",
+    _TRIGRAM_NOVELTY_ORACLE,
+    doc="Per source: how much of its distinct trigram vocabulary appears "
+    "in NO other source — the uniqueness/contamination diagnostic "
+    "(near-1 ppm = genuinely novel text, low ppm = the source restates "
+    "the rest of the corpus and near-dup passes will collapse it). "
+    "Trigrams travel as md5 digests so the shuffle key is fixed-width "
+    "(16 bytes, never a long n-gram string); one digest-keyed "
+    "source-count + one join back — the same two-aggregate shape as "
+    "split_dup_leakage at trigram grain.",
+    priority=2,
+)
+def trigram_novelty_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    toks = docs.select("source", words(F.lower(F.col("text"))).alias("w"))
+    grams = F.transform(
+        F.slice(F.col("w"), 1, F.size("w") - 2),
+        lambda x, i: F.concat_ws(" ", F.slice(F.col("w"), i + F.lit(1), 3)),
+    )
+    tri = (
+        toks.where(F.size("w") >= 3)
+        .select("source", F.explode(grams).alias("s"))
+        .select("source", F.md5("s").alias("g"))
+        .distinct()
+    )
+    gc = tri.groupBy("g").agg(F.count(F.lit(1)).alias("ns"))
+    uniq = F.when(F.col("ns") == 1, 1).otherwise(0)
+    return tri.join(gc, "g").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(uniq).cast("bigint").alias("n_unique"),
+        F.expr(
+            "CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) * 1000000 "
+            "div count(1) AS BIGINT)"
+        ).alias("unique_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scored decontamination: per-doc eval-overlap ppm
+# ---------------------------------------------------------------------------
+
+_EVAL_OVERLAP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM toks WHERE len(w) >= 3
+), ev AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+)
+SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS overlap_ppm
+FROM ex e LEFT JOIN ev ON e.s = ev.s
+WHERE e.doc_id % 97 <> 0
+GROUP BY e.doc_id
+"""
+
+
+@_register(
+    "eval_overlap_score",
+    _EVAL_OVERLAP_ORACLE,
+    doc="SCORED decontamination (the graded dial next to the binary "
+    "decontaminate_ngram and span-grain decontaminate_spans): per "
+    "training doc, the exact fraction (ppm) of its 3-gram positions "
+    "whose shingle appears in the held-out set (doc_id %% 97 == 0) — "
+    "pipelines drop docs above ~80% overlap but only REDACT spans "
+    "below it, so the score, not just the flag, is the operational "
+    "signal. Zero-hit docs are kept (LEFT join against the broadcast "
+    "eval set); shingles are built in-row, so the plan is one "
+    "broadcast probe + a doc-grain aggregate.",
+    priority=2,
+)
+def eval_overlap_score(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
+    grams = F.transform(
+        F.slice(F.col("w"), 1, F.size("w") - 2),
+        lambda x, i: F.concat_ws(" ", F.slice(F.col("w"), i + F.lit(1), 3)),
+    )
+    ex = toks.where(F.size("w") >= 3).select(
+        "doc_id", F.explode(grams).alias("s")
+    )
+    ev = (
+        ex.where(F.col("doc_id") % 97 == 0)
+        .select("s")
+        .distinct()
+        .withColumn("is_ev", F.lit(1))
+    )
+    hit = F.coalesce(F.col("is_ev"), F.lit(0))
+    return (
+        ex.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            F.expr(
+                "CAST(sum(coalesce(is_ev, 0)) * 1000000 div count(1) "
+                "AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round10b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+_TOKS = """
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# backoff bigram LM + surprisal interactions
+# ---------------------------------------------------------------------------
+
+_BACKOFF_ORACLE = f"""
+WITH toks AS ({_TOKS}), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+           i -> struct_pack(b1 := w[i], b2 := w[i+1]))) AS u
+  FROM toks WHERE len(w) >= 2
+), i2 AS (
+  SELECT doc_id, u.b1 AS b1, u.b2 AS b2 FROM bg
+), c2 AS (
+  SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c FROM i2 GROUP BY b1, b2
+), c1 AS (
+  SELECT b1, CAST(SUM(c) AS BIGINT) AS cp FROM c2 GROUP BY b1
+), inst AS (
+  SELECT doc_id, unnest(w) AS tok FROM toks
+), wc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM inst GROUP BY tok
+), tt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM inst
+), bb AS (
+  SELECT i2.doc_id,
+         CASE WHEN c2.c >= 2
+              THEN CAST(length(bin(c1.cp // c2.c)) - 1 AS BIGINT)
+              ELSE CAST(length(bin((SELECT t FROM tt) // wc.c)) + 1 AS BIGINT)
+         END AS b,
+         CASE WHEN c2.c >= 2 THEN 0 ELSE 1 END AS backed
+  FROM i2 JOIN c2 USING (b1, b2) JOIN c1 USING (b1)
+       JOIN wc ON wc.tok = i2.b2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(backed) AS BIGINT) AS n_backoff,
+       CAST(SUM(b) * 1000 // COUNT(*) AS BIGINT) AS ppl_millibits
+FROM bb GROUP BY doc_id
+"""
+
+
+@_register(
+    "bigram_backoff_surprisal",
+    _BACKOFF_ORACLE,
+    doc="Backoff bigram LM scoring — the production-shaped sibling of "
+    "bigram_surprisal_score: a bigram seen >= 2 times scores its "
+    "conditional surprisal floor(log2(c(w1.) div c(w1,w2))); a rare "
+    "bigram (count 1 == only this occurrence) BACKS OFF to the "
+    "unigram surprisal of w2 plus a fixed 2-bit penalty (the "
+    "stupid-backoff shape with an integer penalty instead of a float "
+    "alpha). Emits per doc the bigram count, how many backed off, and "
+    "mean millibits — still pure integer log2 via binary length, so "
+    "the interpolated score hash-verifies. Joins: bigram counts, "
+    "prefix counts (reaggregated from bigram counts), unigram counts.",
+    priority=3,
+)
+def bigram_backoff_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
+    pairs = F.transform(
+        F.slice(F.col("w"), 1, F.size("w") - 1),
+        lambda x, i: F.struct(
+            x.alias("b1"),
+            F.element_at(F.col("w"), i + F.lit(2)).alias("b2"),
+        ),
+    )
+    i2 = (
+        toks.where(F.size("w") >= 2)
+        .select("doc_id", F.explode(pairs).alias("u"))
+        .select("doc_id", F.col("u.b1").alias("b1"), F.col("u.b2").alias("b2"))
+    )
+    c2 = i2.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("b1").agg(F.sum("c").alias("cp"))
+    inst = toks.select(F.explode("w").alias("tok"))
+    wc = inst.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    tt = inst.groupBy().agg(F.count(F.lit(1)).alias("t"))
+    joined = (
+        i2.join(c2, ["b1", "b2"])
+        .join(c1, "b1")
+        .join(wc, F.col("b2") == F.col("tok"))
+        .crossJoin(F.broadcast(tt))
+    )
+    bits = F.when(
+        F.col("c") >= 2,
+        (F.length(F.bin(F.expr("cp div c"))) - 1).cast("bigint"),
+    ).otherwise((F.length(F.bin(F.expr("t div cu"))) + 1).cast("bigint"))
+    backed = F.when(F.col("c") >= 2, 0).otherwise(1)
+    bb = joined.select("doc_id", bits.alias("b"), backed.alias("backed"))
+    return bb.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("backed").cast("bigint").alias("n_backoff"),
+        F.expr("CAST(sum(b) * 1000 div count(1) AS BIGINT)").alias(
+            "ppl_millibits"
+        ),
+    )
+
+
+_STOPSPLIT_ORACLE = f"""
+WITH toks AS ({_TOKS}), inst AS (
+  SELECT source, unnest(w) AS tok FROM toks
+), wc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM inst GROUP BY tok
+), tt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM inst
+), bits AS (
+  SELECT i.source,
+         CASE WHEN list_contains(['the','a','an','of','and','to','in','is',
+                                  'it','that'], i.tok) THEN 1 ELSE 0 END AS stop,
+         CAST(length(bin((SELECT t FROM tt) // wc.c)) - 1 AS BIGINT) AS b
+  FROM inst i JOIN wc USING (tok)
+)
+SELECT source,
+       CAST(SUM(stop) AS BIGINT) AS n_stop_tok,
+       CAST(CASE WHEN SUM(stop) = 0 THEN 0
+            ELSE SUM(CASE WHEN stop = 1 THEN b ELSE 0 END) * 1000 // SUM(stop)
+            END AS BIGINT) AS stop_millibits,
+       CAST(SUM(1 - stop) AS BIGINT) AS n_content_tok,
+       CAST(CASE WHEN SUM(1 - stop) = 0 THEN 0
+            ELSE SUM(CASE WHEN stop = 0 THEN b ELSE 0 END) * 1000
+                 // SUM(1 - stop) END AS BIGINT) AS content_millibits
+FROM bits GROUP BY source
+"""
+
+
+@_register(
+    "stopword_surprisal_split",
+    _STOPSPLIT_ORACLE,
+    doc="Two-channel LM diagnostic: per source, mean unigram surprisal "
+    "computed separately over stopword and content tokens. A source "
+    "whose CONTENT channel is low-surprisal is templated even if its "
+    "stopword channel looks normal — the split localizes what a "
+    "blended perplexity score averages away. Same integer-log2 "
+    "pipeline; the channel flag is the shared 10-word stopword list.",
+    priority=3,
+)
+def stopword_surprisal_split(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import _is_stopword, words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    inst = docs.select(
+        "source", F.explode(words(F.lower(F.col("text")))).alias("tok")
+    )
+    wc = inst.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tt = inst.groupBy().agg(F.count(F.lit(1)).alias("t"))
+    bits = (
+        inst.join(wc, "tok")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            F.when(_is_stopword(F.col("tok")), 1).otherwise(0).alias("stop"),
+            (F.length(F.bin(F.expr("t div c"))) - 1).cast("bigint").alias("b"),
+        )
+    )
+    return bits.groupBy("source").agg(
+        F.sum("stop").cast("bigint").alias("n_stop_tok"),
+        F.expr(
+            "CAST(CASE WHEN sum(stop) = 0 THEN 0 ELSE "
+            "sum(CASE WHEN stop = 1 THEN b ELSE 0 END) * 1000 div sum(stop) "
+            "END AS BIGINT)"
+        ).alias("stop_millibits"),
+        F.sum(1 - F.col("stop")).cast("bigint").alias("n_content_tok"),
+        F.expr(
+            "CAST(CASE WHEN sum(1 - stop) = 0 THEN 0 ELSE "
+            "sum(CASE WHEN stop = 0 THEN b ELSE 0 END) * 1000 "
+            "div sum(1 - stop) END AS BIGINT)"
+        ).alias("content_millibits"),
+    )
+
+
+_CORR_ORACLE = f"""
+WITH toks AS ({_TOKS}), inst AS (
+  SELECT doc_id, source, unnest(w) AS tok FROM toks
+), wc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM inst GROUP BY tok
+), tt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM inst
+), bits AS (
+  SELECT i.doc_id, i.source,
+         CAST(length(bin((SELECT t FROM tt) // wc.c)) - 1 AS BIGINT) AS b
+  FROM inst i JOIN wc USING (tok)
+), d AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(b) * 1000 // COUNT(*) AS BIGINT) AS y
+  FROM bits GROUP BY doc_id, source
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+            AS DOUBLE) AS sxy,
+       CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+            AS DOUBLE) AS sxx,
+       CAST(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+            AS DOUBLE) AS syy
+FROM d GROUP BY source
+"""
+
+
+@_register(
+    "corr_surprisal_length",
+    _CORR_ORACLE,
+    doc="Sufficient statistics for the per-source correlation between "
+    "doc length (tokens) and mean surprisal (millibits/token): n, Sx, "
+    "Sy exact BIGINT, and the second moments Sxy/Sxx/Syy folded as "
+    "DECIMAL(38,0) (x^2 at 1e5-token docs times 1e12 docs wraps "
+    "BIGINT) emitted via the one-final-double-cast convention. "
+    "Downstream computes r = (nSxy-SxSy)/sqrt(...) — the sqrt stays "
+    "out of the engine so the emitted relation is exact.",
+    priority=3,
+)
+def corr_surprisal_length(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.plans.corpus import _doc_surprisal
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    d = _doc_surprisal(docs).select(
+        "source", F.col("n_tok").alias("x"), F.col("millibits").alias("y")
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dx * F.col("y")).cast("double").alias("sxy"),
+        F.sum(dx * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dy * F.col("y")).cast("double").alias("syy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-segment boilerplate dedup + survivorship attribution
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = f"""
+WITH toks AS ({_TOKS}), seg AS (
+  SELECT doc_id, source,
+         md5(unnest(list_transform(range(0, CAST(len(w) // 8 AS INTEGER)),
+           i -> array_to_string(w[i*8+1:i*8+8], ' ')))) AS g
+  FROM toks WHERE len(w) >= 8
+), gc AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM seg GROUP BY g
+)
+"""
+
+
+@_register(
+    "segment_dedup_savings",
+    _SEGMENTS
+    + """
+SELECT seg.source, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN gc.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_segments,
+       CAST(SUM(CASE WHEN gc.n >= 2 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS dup_ppm
+FROM seg JOIN gc USING (g)
+GROUP BY seg.source
+""",
+    doc="Token-segment (paragraph-proxy) boilerplate savings: documents "
+    "are cut into NON-overlapping 8-token segments (the line/paragraph "
+    "dedup grain of public web pipelines, transposed to a corpus "
+    "without newlines), and each source reports how many of its "
+    "segment OCCURRENCES repeat anywhere in the corpus — the token "
+    "mass a segment-grain dedup pass would reclaim. Segments travel "
+    "as md5 digests (fixed-width shuffle key); one digest-keyed count "
+    "+ one join back. Complements char_window_xdoc (overlapping "
+    "char-grain windows, leakage framing) with the non-overlapping "
+    "token grain and savings framing.",
+    priority=3,
+)
+def segment_dedup_savings(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    toks = docs.select(
+        "doc_id", "source", words(F.lower(F.col("text"))).alias("w")
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), (F.size("w") / 8).cast("int") - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("w"), i * 8 + 1, 8))
+        ),
+    )
+    seg = toks.where(F.size("w") >= 8).select(
+        "doc_id", "source", F.explode(segs).alias("g")
+    )
+    gc = seg.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.when(F.col("n") >= 2, 1).otherwise(0)
+    return seg.join(gc, "g").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(dup).cast("bigint").alias("n_dup_segments"),
+        F.expr(
+            "CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) * 1000000 "
+            "div count(1) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+
+
+@_register(
+    "boilerplate_segments_topk",
+    _SEGMENTS
+    + """
+, occ AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM seg GROUP BY g
+)
+SELECT g, n_occurrences, n_docs FROM occ
+ORDER BY n_occurrences DESC, g LIMIT 20
+""",
+    doc="The 20 most-repeated 8-token segments corpus-wide (by "
+    "occurrence count, digest tie-break) — the candidate boilerplate "
+    "list a pipeline reviews before turning segment dedup on. Top-20 "
+    "via orderBy().limit() = TakeOrderedAndProject (the "
+    "split_drift_topwords lesson: never a row_number window over the "
+    "segment-vocabulary relation, which is corpus-sized at 100 TB).",
+    priority=3,
+)
+def boilerplate_segments_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
+    segs = F.transform(
+        F.sequence(F.lit(0), (F.size("w") / 8).cast("int") - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("w"), i * 8 + 1, 8))
+        ),
+    )
+    seg = toks.where(F.size("w") >= 8).select(
+        "doc_id", F.explode(segs).alias("g")
+    )
+    occ = seg.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    return occ.orderBy(F.col("n_occurrences").desc(), "g").limit(20)
+
+
+_SURVIVOR_ORACLE = f"""
+WITH toks AS ({_TOKS}), pf AS (
+  SELECT doc_id, source, md5(array_to_string(w[1:16], ' ')) AS g
+  FROM toks WHERE len(w) >= 16
+), keep AS (
+  SELECT g, MIN(doc_id) AS keeper FROM pf GROUP BY g
+), ks AS (
+  SELECT keep.g, keep.keeper, pf.source AS keeper_source
+  FROM keep JOIN pf ON pf.doc_id = keep.keeper
+)
+SELECT pf.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pf.doc_id <> ks.keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lost,
+       CAST(SUM(CASE WHEN pf.doc_id <> ks.keeper
+                      AND pf.source <> ks.keeper_source
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_cross_source
+FROM pf JOIN ks USING (g)
+GROUP BY pf.source
+"""
+
+
+@_register(
+    "dedup_survivorship_bias",
+    _SURVIVOR_ORACLE,
+    doc="Survivorship attribution for prefix dedup: group docs by their "
+    "16-token prefix digest, keep the lowest doc_id, and report per "
+    "source how many docs are lost — and how many are lost TO A "
+    "KEEPER FROM A DIFFERENT SOURCE. Cross-source loss is the dedup "
+    "bias a mix designer must re-weight for: keep-first silently "
+    "shifts token share toward whichever source tends to hold the "
+    "lowest ids (usually the earliest-crawled). One digest aggregate "
+    "+ one keeper join.",
+    priority=3,
+)
+def dedup_survivorship_bias(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.text import words
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    pf = (
+        docs.select(
+            "doc_id", "source", words(F.lower(F.col("text"))).alias("w")
+        )
+        .where(F.size("w") >= 16)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.concat_ws(" ", F.slice("w", 1, 16))).alias("g"),
+        )
+    )
+    keep = pf.groupBy("g").agg(F.min("doc_id").alias("keeper"))
+    ks = keep.join(
+        pf.select(F.col("doc_id").alias("keeper"),
+                  F.col("source").alias("keeper_source")),
+        "keeper",
+    )
+    j = pf.join(ks, "g")
+    lost = F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+    cross = F.when(
+        (F.col("doc_id") != F.col("keeper"))
+        & (F.col("source") != F.col("keeper_source")),
+        1,
+    ).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(lost).cast("bigint").alias("n_lost"),
+        F.sum(cross).cast("bigint").alias("n_lost_cross_source"),
+    )

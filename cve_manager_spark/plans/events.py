@@ -321,3 +321,74 @@ def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round10b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance proof
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY day, event_type
+"""
+
+
+@_register(
+    "ivm_rollup_delta",
+    _IVM_ORACLE,
+    doc="Incremental view maintenance, proven: the (day, event_type) "
+    "rollup is computed as BASE VIEW (event_id %% 7 <> 3) plus a DELTA "
+    "increment (the held-out slice) applied by full-outer join-add — "
+    "and the oracle is the FULL RECOMPUTE, so the driver hash "
+    "certifies increment-apply == recompute. This works only because "
+    "the measures are associative exact types (BIGINT count, "
+    "DECIMAL(18,4) sum added BEFORE the final double cast — adding "
+    "doubles would drift); it is the correctness core of every "
+    "streaming rollup sink in streaming/sinks.py, stated as a "
+    "hash-checked batch face. Delta cost is delta-sized, never "
+    "view-sized.",
+    priority=3,
+)
+def ivm_rollup_delta(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.functions.helpers import dec
+
+    ev = load_table(spark, sf, "events")
+
+    def roll(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.to_date("ts").alias("day"), "event_type", "value"
+            )
+            .groupBy("day", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec(F.col("value"))).alias("dsum"),
+            )
+        )
+
+    base = roll(ev.where(F.col("event_id") % 7 != 3))
+    delta = roll(ev.where(F.col("event_id") % 7 == 3))
+    b = base.select(
+        "day", "event_type", F.col("n").alias("n_b"), F.col("dsum").alias("d_b")
+    )
+    d = delta.select(
+        "day", "event_type", F.col("n").alias("n_d"), F.col("dsum").alias("d_d")
+    )
+    merged = b.join(d, ["day", "event_type"], "full_outer")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return merged.select(
+        "day",
+        "event_type",
+        (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (F.coalesce(F.col("d_b"), zero) + F.coalesce(F.col("d_d"), zero))
+        .cast("double")
+        .alias("sum_value"),
+    )

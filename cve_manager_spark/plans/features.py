@@ -4134,3 +4134,367 @@ def bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.expr("sum(n_tokens) * 1000000 div sum(n_words)").alias("fertility_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Structural graph similarity: supplier-pair part-set Jaccard
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "graph_neighbor_jaccard",
+    """
+WITH e AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), deg AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY s
+), pr AS (
+  SELECT a.s AS s_a, b.s AS s_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+), j AS (
+  SELECT pr.inter,
+         CAST(pr.inter * 1000000 // (da.d + db.d - pr.inter) AS BIGINT)
+           AS jac_ppm
+  FROM pr JOIN deg da ON pr.s_a = da.s JOIN deg db ON pr.s_b = db.s
+)
+SELECT CAST(LEAST(9, jac_ppm // 100000) AS INTEGER) AS jac_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(inter) AS BIGINT) AS shared_parts,
+       CAST(MAX(jac_ppm) AS BIGINT) AS max_jac_ppm
+FROM j GROUP BY 1
+""",
+    doc="Structural similarity on the part-supplier bipartite graph: for "
+    "every supplier pair sharing >= 1 part, the exact Jaccard of their "
+    "part sets (inter * 1e6 div union, pure integers), histogrammed by "
+    "decile — the neighborhood-overlap statistic behind co-sourcing / "
+    "substitutability analysis and link prediction. Pairs are generated "
+    "through the shared part (one self-equi-join on p, never supplier "
+    "x supplier), so the blowup is bounded by per-part supplier fan-out "
+    "— on skewed real graphs cap that fan-out df-style exactly like the "
+    "shingle stop-lists; degrees ride in on two co-partitioned joins.",
+    priority=1,
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    li = fan_out(load_table(spark, sf, "lineitem"))
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = e.select("p", F.col("s").alias("s_a"))
+    b = e.select(F.col("p").alias("pb"), F.col("s").alias("s_b"))
+    pr = (
+        a.join(b, (F.col("p") == F.col("pb")) & (F.col("s_a") < F.col("s_b")))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        pr.join(deg.select(F.col("s").alias("s_a"), F.col("d").alias("da")), "s_a")
+        .join(deg.select(F.col("s").alias("s_b"), F.col("d").alias("db")), "s_b")
+        .select(
+            "inter", F.expr("inter * 1000000 div (da + db - inter)").alias("jac_ppm")
+        )
+    )
+    return j.groupBy(
+        F.expr("least(9, jac_ppm div 100000)").cast("int").alias("jac_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("inter").cast("bigint").alias("shared_parts"),
+        F.max("jac_ppm").cast("bigint").alias("max_jac_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency profiling
+# ---------------------------------------------------------------------------
+
+_FD_ORACLE_TMPL = """
+  SELECT '{name}' AS fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS viol_ppm,
+         CAST(MAX(nd) AS BIGINT) AS max_fanout
+  FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd FROM {table} GROUP BY {lhs})
+"""
+
+_FD_CANDIDATES = [
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("part.p_type->p_brand", "part", "p_type", "p_brand"),
+    ("documents.lang->source", "documents", "lang", "source"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+]
+
+
+@_register(
+    "fd_profile",
+    " UNION ALL ".join(
+        _FD_ORACLE_TMPL.format(name=n, table=t, lhs=l, rhs=r)
+        for n, t, l, r in _FD_CANDIDATES
+    ),
+    doc="Functional-dependency discovery profile — the data-profiling "
+    "primitive behind schema inference and key detection: for each "
+    "candidate FD lhs->rhs, the number of lhs keys, how many keys "
+    "VIOLATE the dependency (> 1 distinct rhs), the violation ppm and "
+    "the worst fan-out. A dependency holds iff n_violating = 0; the "
+    "ppm grades 'approximate FDs' (holds for 99% of keys) that exact "
+    "checkers miss. Per candidate: one (lhs)-keyed distinct-count "
+    "aggregate folded to a single row — candidates union to a "
+    "4-row report, each independently parallel.",
+    priority=1,
+)
+def fd_profile(spark: SparkSession, sf: str) -> DataFrame:
+    def prof(name: str, table: str, lhs: str, rhs: str) -> DataFrame:
+        df = fan_out(load_table(spark, sf, table))
+        g = df.groupBy(lhs).agg(F.count_distinct(rhs).alias("nd"))
+        return g.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.expr(
+                "sum(case when nd > 1 then 1 else 0 end) * 1000000 div count(1)"
+            ).alias("viol_ppm"),
+            F.max("nd").cast("bigint").alias("max_fanout"),
+        ).select(
+            F.lit(name).alias("fd"),
+            "n_keys",
+            "n_violating",
+            "viol_ppm",
+            "max_fanout",
+        )
+
+    out = None
+    for n, t, l, r in _FD_CANDIDATES:
+        part = prof(n, t, l, r)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup (ASOF JOIN oracle)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scd2_asof_lookup",
+    """
+WITH p0 AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC)
+           AS rn
+  FROM events WHERE event_type = 'purchase'
+), p AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+           AS version
+  FROM p0 WHERE rn = 1
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.version AS last_purchase_version,
+       p.v_milli AS last_purchase_v_milli
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    doc="Point-in-time SCD2 lookup: every click event annotated with the "
+    "purchase-history VERSION in effect at its timestamp (inclusive "
+    "<=; NULL before the first purchase) — the effective-dated "
+    "dimension probe every feature pipeline runs, here verified "
+    "against DuckDB's native ASOF LEFT JOIN (a new oracle pattern: "
+    "the engine's asof operator vs a reference implementation of asof "
+    "semantics, not a SQL re-derivation). Spark side is "
+    "operators/asof.asof_join — the union+window formulation, one "
+    "user_id shuffle, no per-row probes; equal-ts purchase duplicates "
+    "are deduplicated to max event_id first so both engines pick the "
+    "same row.",
+    priority=1,
+)
+def scd2_asof_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    w_ts = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    p1 = pur.withColumn("rn", F.row_number().over(w_ts)).where(F.col("rn") == 1)
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    p = p1.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+        F.row_number().over(wv).cast("bigint").alias("version"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks, p, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["version", "v_milli"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_version").alias("last_purchase_version"),
+        F.col("asof_v_milli").alias("last_purchase_v_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9c tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Tolerance-bounded as-of lookup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scd2_asof_tolerance",
+    """
+WITH p0 AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC)
+           AS rn
+  FROM events WHERE event_type = 'purchase'
+), p AS (
+  SELECT user_id, ts,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+           AS version
+  FROM p0 WHERE rn = 1
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT c.event_id, c.user_id, c.ts, p.version, p.ts AS pts
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN pts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(pts) <= 604800000000
+            THEN version END AS fresh_version
+FROM j
+""",
+    doc="Tolerance-bounded point-in-time lookup: view events annotated "
+    "with the purchase-history version in effect at their timestamp "
+    "ONLY if it is at most 7 days stale — the max-staleness asof "
+    "variant every feature store needs (a quote from last month is "
+    "not a usable feature). operators/asof.asof_join carries the "
+    "matched right timestamp out, and the staleness guard nulls the "
+    "value past tolerance while KEEPING the row (left semantics); "
+    "oracle = DuckDB native ASOF LEFT JOIN + an epoch_us interval "
+    "guard. Same one-shuffle union+window plan as scd2_asof_lookup.",
+    priority=1,
+)
+def scd2_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    w_ts = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    p1 = pur.withColumn("rn", F.row_number().over(w_ts)).where(F.col("rn") == 1)
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    p = p1.select(
+        "user_id",
+        "ts",
+        F.row_number().over(wv).cast("bigint").alias("version"),
+        F.col("ts").alias("pts"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        views, p, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["version", "pts"],
+    )
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("asof_pts").cast("timestamp")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("asof_pts").isNotNull() & (gap_us <= 604800000000),
+            F.col("asof_version"),
+        ).alias("fresh_version"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round10b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# integer HITS over the shipment graph
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle(iterations: int = 2) -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000 AS dst FROM lineitem
+), n AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), h0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n
+)"""
+    parts = [head]
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        parts.append(f""", ar{i} AS (
+  SELECT e.dst AS node, CAST(SUM(hub) AS BIGINT) AS raw
+  FROM e JOIN {prev_h} p ON p.node = e.src GROUP BY e.dst
+), arf{i} AS (
+  SELECT n.node, COALESCE(ar{i}.raw, 0) AS raw FROM n LEFT JOIN ar{i} USING (node)
+), ms_a{i} AS (
+  SELECT GREATEST(length(bin(MAX(raw))) - 21, 0) AS s FROM arf{i}
+), a{i} AS (
+  SELECT node, CAST(raw >> (SELECT s FROM ms_a{i}) AS BIGINT) AS auth FROM arf{i}
+), hr{i} AS (
+  SELECT e.src AS node, CAST(SUM(auth) AS BIGINT) AS raw
+  FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY e.src
+), hrf{i} AS (
+  SELECT n.node, COALESCE(hr{i}.raw, 0) AS raw FROM n LEFT JOIN hr{i} USING (node)
+), ms_h{i} AS (
+  SELECT GREATEST(length(bin(MAX(raw))) - 21, 0) AS s FROM hrf{i}
+), h{i} AS (
+  SELECT node, CAST(raw >> (SELECT s FROM ms_h{i}) AS BIGINT) AS hub FROM hrf{i}
+)""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+SELECT h{iterations}.node, h{iterations}.hub, a{iterations}.auth
+FROM h{iterations} JOIN a{iterations} ON h{iterations}.node = a{iterations}.node
+""")
+    return "".join(parts)
+
+
+@_register(
+    "hits_hubs_authorities",
+    _hits_oracle(2),
+    doc="Fixed-2-iteration HITS over the part->supplier shipment graph "
+    "(operators/graph.hits_int) — the mutual-reinforcement face of "
+    "link analysis next to pagerank_links' damped propagation: parts "
+    "shipped by authoritative suppliers are good hubs and vice versa. "
+    "Floating HITS L2-renormalizes (order-dependent, never "
+    "hash-stable); here normalization is block-floating-point — shift "
+    "right by max(bitlength(max)-21, 0), pure integer, shared "
+    "bit-for-bit by both engines, overflow-free at any graph size "
+    "where a multiply-then-divide rescale wraps at ~1e7 nodes. Two "
+    "O(|E|) join+aggregate pairs per iteration; the max rides a "
+    "broadcast scalar.",
+    priority=3,
+)
+def hits_hubs_authorities(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.graph import hits_int
+
+    li = load_table(spark, sf, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1000000000).alias("dst"),
+    )
+    return hits_int(edges, iterations=2)

@@ -1425,3 +1425,188 @@ def minhash_band_fp_rate(spark: SparkSession, sf: str) -> DataFrame:
             "jacc_decile"
         )
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-error calibration
+# ---------------------------------------------------------------------------
+
+
+def _minhash_err_oracle() -> str:
+    from cve_manager_spark.plans import pipeline as _pl
+
+    base = _pl._MINHASH_FP_ORACLE
+    cut = base.index("), j AS (")
+    cte = base[:cut] + ")"
+    assert cte.rstrip().endswith(")") and "cand AS (" in cte
+    return cte + """
+, jm AS (
+  SELECT len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles)) AS u,
+         len(list_filter(range(0, 32), s -> sa.sigs[s+1] = sb.sigs[s+1])) AS m
+  FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b
+)
+SELECT CAST(LEAST(9, abs(m * 1000000 // 32 - inter * 1000000 // u) // 100000)
+            AS INTEGER) AS err_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM jm GROUP BY 1
+"""
+
+
+@_register(
+    "minhash_estimate_error",
+    _minhash_err_oracle(),
+    doc="MinHash estimator-error calibration: for EVERY band-collision "
+    "candidate pair, |estimated - exact| Jaccard where the estimate is "
+    "matching-signature-elements/32 — the measured accuracy of the "
+    "estimator the banding thresholds implicitly trust (expected error "
+    "~1/sqrt(32) ~ 0.18; mass above decile 3 means 32 hashes is too "
+    "few for the dial setting). Both quantities are exact integers "
+    "(ppm div), reusing the dedup_minhash_det pipeline "
+    "(operators/dedup.minhash_det_pairs with_counts=True, which now "
+    "also emits sig_matches).",
+    priority=1,
+)
+def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators import dedup as D
+
+    pairs = D.minhash_det_pairs(
+        load_table(spark, sf, "documents"),
+        n=2,
+        num_hashes=32,
+        bands=16,
+        with_counts=True,
+    )
+    err = F.expr(
+        "abs(sig_matches * 1000000 div 32 - inter * 1000000 div union_sz)"
+    )
+    return pairs.groupBy(
+        F.least(F.lit(9), (err / 100000).cast("bigint"))
+        .cast("int")
+        .alias("err_decile")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# folded from the round10b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# incremental MinHash dedup — the third incremental modality
+# ---------------------------------------------------------------------------
+
+_MINHASH_INCR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id AS id, doc_id % 5 = 4 AS is_new,
+         list_distinct(CASE WHEN len(w) >= 2
+           THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+           ELSE [] END) AS shingles
+  FROM toks
+), ne AS (
+  SELECT id, is_new, shingles FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT id, is_new, shingles,
+         list_transform(range(0, 32), s ->
+           list_min(list_transform(shingles, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sigs
+  FROM ne
+), keys AS (
+  SELECT id, is_new, b, sigs[b*2+1] || '|' || sigs[b*2+2] AS bkey
+  FROM (SELECT id, is_new, sigs, unnest(range(0, 16)) AS b FROM sig)
+), cand AS (
+  SELECT DISTINCT nw.id AS id_new, old.id AS id_old
+  FROM keys nw JOIN keys old ON nw.b = old.b AND nw.bkey = old.bkey
+  WHERE nw.is_new AND NOT old.is_new
+), j AS (
+  SELECT c.id_new, c.id_old,
+         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles)) AS un
+  FROM cand c JOIN ne sa ON sa.id = c.id_new JOIN ne sb ON sb.id = c.id_old
+)
+SELECT id_new, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN inter * 2 >= un THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups
+FROM j GROUP BY id_new
+"""
+
+
+@_register(
+    "minhash_incremental_dups",
+    _MINHASH_INCR_ORACLE,
+    doc="Incremental MinHash near-dup gate — the third incremental "
+    "modality next to dedup_incremental (exact digests) and "
+    "semantic_dedup_incremental (embedding cells): NEW-snapshot docs "
+    "(doc_id %% 5 == 4) probe the OLD corpus through the deterministic "
+    "md5 minhash family (32 hashes, 16 bands x 2 rows — "
+    "dedup_minhash_det's engine-reproducible pipeline), candidates = "
+    "new x old band collisions only (directional equi-join, never "
+    "old x old), verified by exact integer Jaccard >= 0.5 via "
+    "cross-multiplication (inter*2 >= union — no float). Emits per "
+    "new doc its old-side candidate and verified-dup counts. At scale "
+    "old signatures are precomputed index state; the one tagged scan "
+    "here mirrors dedup_incremental's shape.",
+    priority=3,
+)
+def minhash_incremental_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.dedup import word_shingles
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 5 == 4).alias("is_new"),
+        word_shingles(F.col("text"), 2).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    num_hashes, bands, rpb = 32, 16, 2
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
+        for s in range(num_hashes)
+    ]
+    sigs = (
+        sh.select("id", "is_new", F.explode("shingles").alias("sh"))
+        .groupBy("id", "is_new")
+        .agg(*sig_aggs)
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"s{b * rpb + r}") for r in range(rpb)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    keys = sigs.select(
+        "id", "is_new", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "is_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    new_k = keys.where(F.col("is_new")).select(
+        F.col("id").alias("id_new"), "band", "key"
+    )
+    old_k = keys.where(~F.col("is_new")).select(
+        F.col("id").alias("id_old"), "band", "key"
+    )
+    cand = (
+        new_k.join(old_k, ["band", "key"]).select("id_new", "id_old").distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("id").alias("id_new"), F.col("shingles").alias("__sa")),
+        "id_new",
+    ).join(
+        sh.select(F.col("id").alias("id_old"), F.col("shingles").alias("__sb")),
+        "id_old",
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
+    un = F.size("__sa").cast("bigint") + F.size("__sb").cast("bigint") - inter
+    j = pairs.select("id_new", inter.alias("inter"), un.alias("un"))
+    dup = F.when(F.col("inter") * 2 >= F.col("un"), 1).otherwise(0)
+    return j.groupBy("id_new").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(dup).cast("bigint").alias("n_dups"),
+    )

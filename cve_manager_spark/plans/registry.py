@@ -18,7 +18,7 @@ from cve_manager_spark.plans.spec import Builder, QuerySpec
 # error: silently dropping a family would shrink queries()/oracle_sql() with
 # no signal and under-report coverage (numpy/pandas/pyspark.ml are baked into
 # the runtime, so an ImportError here is always a real defect).
-EXPECTED_QUERY_COUNT = 411
+EXPECTED_QUERY_COUNT = 412
 
 # Queries the round-1 driver gate hash-verified (CORRECTNESS_r01.json, all
 # green). The driver samples a PREFIX of the registry, so ordering is a
@@ -402,11 +402,6 @@ def _all_specs() -> list[QuerySpec]:
     from cve_manager_spark.plans import features as features_mod
     from cve_manager_spark.plans import pipeline as pipeline_mod
     from cve_manager_spark.plans import relational
-    from cve_manager_spark.plans import round9 as round9_mod
-    from cve_manager_spark.plans import round9b as round9b_mod
-    from cve_manager_spark.plans import round9c as round9c_mod
-    from cve_manager_spark.plans import round10 as round10_mod
-    from cve_manager_spark.plans import round10b as round10b_mod
     from cve_manager_spark.plans import sketches as sketches_mod
     from cve_manager_spark.plans import semantic as semantic_mod
     from cve_manager_spark.plans.order import BASE_ORDER
@@ -419,11 +414,6 @@ def _all_specs() -> list[QuerySpec]:
         features_mod,
         analytics_mod,
         semantic_mod,
-        round9_mod,
-        round9b_mod,
-        round9c_mod,
-        round10_mod,
-        round10b_mod,
         sketches_mod,
     )
     by_name: dict[str, QuerySpec] = {}

@@ -842,3 +842,47 @@ def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# cume_dist analytic face
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "window_cume_dist",
+    """
+SELECT s.s_suppkey, n.n_name,
+       cume_dist() OVER (PARTITION BY s.s_nationkey ORDER BY s.s_acctbal)
+         AS cd,
+       CAST(RANK() OVER (PARTITION BY s.s_nationkey ORDER BY s.s_acctbal)
+            AS BIGINT) AS rnk
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+""",
+    doc="cume_dist analytic face — the last ranking-window function "
+    "family member not yet verified (rank/dense_rank/ntile/"
+    "percent_rank are green): each supplier's cumulative account-"
+    "balance position within its nation, peers-inclusive. cume_dist = "
+    "c/n is ONE IEEE division of two exact small integers, identical "
+    "across engines — no rounding recipe needed; rank rides along as "
+    "the tie witness. One nation-partitioned window sort over a "
+    "broadcast-joined 25-row nation dim.",
+    priority=1,
+)
+def window_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
+    su = load_table(spark, sf, "supplier")
+    na = load_table(spark, sf, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return (
+        su.join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .select(
+            "s_suppkey",
+            "n_name",
+            F.cume_dist().over(w).alias("cd"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+    )
