@@ -143,6 +143,10 @@ HEADLINE = [
     "embedding_drift_buckets",
     "semantic_dedup_frozen_keep",
     "hash_sample_quantile_error",
+    # r11: the top-r deflation ladder (three stacked in-row projection
+    # removals over one scan; directions are frozen artifacts, so
+    # min-of-k prices the steady-state apply like the drift histogram)
+    "pca_topr_residual_norms",
 ]
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cve_manager_spark.operators.semantic import kmeans_quantized
+from cve_manager_spark.functions.helpers import dec, dec_sum, fan_out
 from cve_manager_spark.plans.spec import QuerySpec
 from cve_manager_spark.sources.testdata import load_table
 
@@ -680,9 +681,356 @@ def embedding_drift_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _frozen_keep_oracle() -> str:
-    from cve_manager_spark.plans.round10 import _incr_semantic_cte
+# ---------------------------------------------------------------------------
+# folded from the round10 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# cross-snapshot (incremental) semantic dedup — SemDeDup without retrain
+# ---------------------------------------------------------------------------
+
+
+def _incr_semantic_cte() -> str:
+    """Rescoped k-means unroll (base = vec_id %% 5 <> 4, k=8) + delta
+    assignment against the FROZEN final centroids — the
+    _ivf_delta_oracle composition, kept with q available for pair
+    cosines."""
+    from cve_manager_spark.plans.semantic import _KMEANS_CTE
+
+    cte = _KMEANS_CTE
+    assert cte.count("FROM embeddings") == 1
+    cte = cte.replace("FROM embeddings", "FROM embeddings WHERE vec_id % 5 <> 4")
+    return cte + """
+, ed AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 5 = 4
+), dd AS (
+  SELECT vec_id, q, cid,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+            - 2 * list_dot_product(CAST(q AS DOUBLE[]), CAST(c AS DOUBLE[]))
+            + list_dot_product(CAST(c AS DOUBLE[]), CAST(c AS DOUBLE[])) AS BIGINT)
+           AS dist
+  FROM ed CROSS JOIN c2
+), ad AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dd) WHERE rn = 1
+)
+"""
+
+
+def _incr_dup_oracle() -> str:
+    return _incr_semantic_cte() + """
+, bn AS (
+  SELECT vec_id, q, cid,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+              AS BIGINT) AS qq
+  FROM a2
+), dn AS (
+  SELECT vec_id, q, cid,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+              AS BIGINT) AS qq
+  FROM ad
+), pr AS (
+  SELECT dn.vec_id AS vec_new, bn.vec_id AS vec_old,
+         CAST(list_dot_product(CAST(dn.q AS DOUBLE[]), CAST(bn.q AS DOUBLE[]))
+              AS BIGINT) AS dot_q,
+         dn.qq AS na, bn.qq AS nb
+  FROM dn JOIN bn ON dn.cid = bn.cid
+), dup AS (
+  SELECT vec_new, vec_old, dot_q FROM pr
+  WHERE dot_q > 0
+    AND CAST(dot_q AS HUGEINT) * dot_q * 400
+        >= CAST(na AS HUGEINT) * nb * 49
+), rk AS (
+  SELECT vec_new, vec_old, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY vec_new
+                            ORDER BY dot_q DESC, vec_old) AS rn,
+         COUNT(*) OVER (PARTITION BY vec_new) AS n
+  FROM dup
+)
+SELECT vec_new, CAST(n AS BIGINT) AS n_dup_base,
+       vec_old AS best_old, dot_q AS best_dot
+FROM rk WHERE rn = 1
+"""
+
+
+def _incr_assignments(spark: SparkSession, sf: str):
+    """Shared Spark half: frozen-cell base + delta assignments, each as
+    (vec_id, q, qq, cluster). Training sees ONLY the base snapshot; the
+    delta pass is map-side against centroid literals (no join, no
+    shuffle, no retrain) — encode(base ∪ delta) == encode(base) ∪
+    encode(delta), the ivf_pq_upsert contract."""
+    from cve_manager_spark.operators.semantic import (
+        assign_clusters,
+        dot_self,
+        kmeans_fit,
+        quantize_vec,
+    )
+
+    from cve_manager_spark.plans.artifacts import frozen
+
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    delta = emb.where(F.col("vec_id") % 5 == 4)
+    # frozen base-trained codebook (the contract: the codebook never
+    # sees the delta and is NOT retrained per query) — trained once per
+    # (sf, recipe) and shared across the incremental-dedup spec family
+    cents = frozen(
+        ("incr_codebook", sf, "embeddings", 8, 2),
+        lambda: kmeans_fit(
+            base, vec_col="embedding", id_col="vec_id", k=8, iters=2
+        )[1],
+    )
+
+    def prep(side: DataFrame) -> DataFrame:
+        q = side.select(
+            "vec_id", quantize_vec(F.col("embedding")).alias("q")
+        ).withColumn("qq", dot_self(F.col("q")))
+        return assign_clusters(q, cents)
+
+    return prep(base), prep(delta), len(cents)
+
+
+@_register(
+    "semantic_dedup_incremental",
+    _incr_dup_oracle(),
+    doc="Cross-snapshot SemDeDup: which NEW-snapshot embeddings "
+    "(vec_id %% 5 == 4) semantically duplicate the EXISTING corpus, "
+    "WITHOUT retraining — k-means cells are fit on the base snapshot "
+    "only (k=8, 2 Lloyd iterations), the delta assigns map-side "
+    "against the frozen centroids (the ivf_pq_upsert delta-encode "
+    "shape), and candidate pairs are delta x base WITHIN a cell only, "
+    "kept at exact integer cosine >= 0.35 by cross-multiplication "
+    "(dot^2*400 >= |a|^2|b|^2*49, dot > 0). Emits per new vec its "
+    "base-duplicate count and the best (highest-dot, lowest-id) base "
+    "match — the nightly-ingest dedup gate at 100 TB: one frozen-"
+    "meta encode pass + one cell-bucketed join, never all-pairs, "
+    "never a retrain.",
+    priority=2,
+)
+def semantic_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    ab, ad, _ = _incr_assignments(spark, sf)
+    # deterministic cell-salt, same rationale as dup_dominated(n_salt=):
+    # the delta side replicates (small by construction), the base side
+    # takes pmod(id) — each pair meets once, hot cells split 16 ways,
+    # and the explicit repartition pins the per-pair cosine arithmetic
+    # to the shuffle width instead of AQE's byte-coalesced 1-2 tasks
+    n_salt = 16
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    left = ad.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_new"),
+        F.col("q").alias("qa"),
+        F.col("qq").alias("na"),
+    ).withColumn(
+        "__s", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).repartition(npart, "cluster", "__s")
+    right = ab.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_old"),
+        F.col("q").alias("qb"),
+        F.col("qq").alias("nb"),
+    ).withColumn(
+        "__s_o", F.pmod(F.col("vec_old"), F.lit(n_salt)).cast("int")
+    ).repartition(npart, "cluster_b", "__s_o")
+    p = left.join(
+        right,
+        (F.col("cluster") == F.col("cluster_b"))
+        & (F.col("__s") == F.col("__s_o")),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    p = p.withColumn("dot_q", dot)
+    d19 = F.col("dot_q").cast("decimal(19,0)")
+    lhs = d19 * d19 * F.lit(400)
+    rhs = (
+        F.col("na").cast("decimal(19,0)")
+        * F.col("nb").cast("decimal(19,0)")
+        * F.lit(49)
+    )
+    dup = p.where((F.col("dot_q") > 0) & (lhs >= rhs))
+    best = F.max(F.struct(F.col("dot_q"), (-F.col("vec_old")).alias("neg")))
+    return (
+        dup.groupBy("vec_new")
+        .agg(F.count(F.lit(1)).alias("n_dup_base"), best.alias("b"))
+        .select(
+            "vec_new",
+            "n_dup_base",
+            (-F.col("b.neg")).cast("bigint").alias("best_old"),
+            F.col("b.dot_q").alias("best_dot"),
+        )
+    )
+
+
+@_register(
+    "semantic_cell_drift",
+    _incr_semantic_cte() + """
+SELECT CAST(c2.cid AS INTEGER) AS list_id,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_base,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_delta,
+       CAST(CASE WHEN COALESCE(b.n, 0) + COALESCE(d.n, 0) = 0 THEN 0
+            ELSE COALESCE(d.n, 0) * 1000000
+                 // (COALESCE(b.n, 0) + COALESCE(d.n, 0)) END AS BIGINT)
+         AS delta_ppm
+FROM c2
+LEFT JOIN (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid) b ON c2.cid = b.cid
+LEFT JOIN (SELECT cid, COUNT(*) AS n FROM ad GROUP BY cid) d ON c2.cid = d.cid
+""",
+    doc="Distribution-drift monitor for the frozen-cell incremental "
+    "index: per cell, base-snapshot vs delta-snapshot member counts "
+    "and the delta share in ppm. A cell whose delta_ppm is far above "
+    "the global delta fraction is where the new data's geometry "
+    "drifts from the training corpus — the retrain trigger the "
+    "upsert-between-rebuilds trade relies on. Two cell-keyed "
+    "aggregates over assignments already computed map-side; the "
+    "k-row spine comes from the centroid list itself.",
+    priority=2,
+)
+def semantic_cell_drift(spark: SparkSession, sf: str) -> DataFrame:
+    ab, ad, k = _incr_assignments(spark, sf)
+    spine = spark.range(0, k).select(F.col("id").cast("int").alias("list_id"))
+    nb = ab.groupBy(F.col("cluster").alias("list_id")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    nd = ad.groupBy(F.col("cluster").alias("list_id")).agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    j = (
+        spine.join(nb, "list_id", "left")
+        .join(nd, "list_id", "left")
+        .select(
+            "list_id",
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_d", F.lit(0)).cast("bigint").alias("n_delta"),
+        )
+    )
+    return j.withColumn(
+        "delta_ppm",
+        F.expr(
+            "CAST(CASE WHEN n_base + n_delta = 0 THEN 0 "
+            "ELSE n_delta * 1000000 div (n_base + n_delta) END AS BIGINT)"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# applied PCA: residual norms after removing the top direction
+# ---------------------------------------------------------------------------
+
+
+def _pca_residual_oracle() -> str:
+    from cve_manager_spark.plans.semantic import _PCA_CTE
+
+    return _PCA_CTE + """
+, proj AS (
+  SELECT x.vec_id,
+         CAST(FLOOR(CAST(SUM(x.xv * v2.v) AS DOUBLE) / 1000000) AS BIGINT)
+           AS p
+  FROM x JOIN v2 USING (pos) GROUP BY x.vec_id
+), rx AS (
+  SELECT x.vec_id, x.xv,
+         (x.xv * 1000000 - proj.p * v2.v) // 1000000 AS rd
+  FROM x JOIN v2 USING (pos) JOIN proj USING (vec_id)
+), pv AS (
+  SELECT vec_id, CAST(SUM(xv * xv) AS BIGINT) AS x2,
+         CAST(SUM(rd * rd) AS BIGINT) AS r2
+  FROM rx GROUP BY vec_id
+)
+SELECT e2.label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(pv.x2) AS DECIMAL(38,0)) AS DOUBLE) AS sum_x2,
+       CAST(CAST(SUM(pv.r2) AS DECIMAL(38,0)) AS DOUBLE) AS sum_r2
+FROM pv JOIN embeddings e2 ON pv.vec_id = e2.vec_id
+GROUP BY e2.label
+"""
+
+
+@_register(
+    "pca_residual_norms",
+    _pca_residual_oracle(),
+    doc="'All-but-the-top' APPLIED: per label, the exact squared norm "
+    "of each centered embedding before (sum_x2) and after (sum_r2) "
+    "removing its projection on the corpus top principal direction — "
+    "the variance-explained audit that decides whether common-"
+    "direction removal is worth a corpus rewrite. Residuals stay "
+    "integer: r_j = x_j*1e6 - p*v_j (|r| <= 1.3e14, BIGINT), scaled "
+    "back by truncation-toward-zero division (Spark div == DuckDB //, "
+    "both -7/2 -> -3), squared in-row (<= 1.1e18, BIGINT), folded "
+    "cross-row as DECIMAL(38,0) (exact through ~1e21 rows), and "
+    "emitted via one final double cast (the dec_sum convention — both "
+    "engines correctly round the same exact decimal). One extra "
+    "corpus pass over the power-iteration pipeline.",
+    priority=2,
+)
+def pca_residual_norms(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
+    from cve_manager_spark.operators.semantic import (
+        pca_power_top,
+        quantize_vec,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    v_rows = pca_power_top(
+        emb, vec_col="embedding", id_col="vec_id", iters=2
+    ).collect()
+    v = [0] * len(v_rows)
+    for r in v_rows:
+        v[r["dim"]] = r["loading"]
+
+    q = emb.select("vec_id", "label", quantize_vec(F.col("embedding")).alias("q"))
+    sums = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("q", j + 1)).alias(f"s{j}") for j in range(len(v))],
+    ).head()
+    n = sums["n"]
+    mu = [math.floor(sums[f"s{j}"] / n) for j in range(len(v))]
+    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    v_lit = F.array(*[F.lit(int(vj)).cast("long") for vj in v])
+    x = q.select(
+        "vec_id", "label", F.zip_with("q", mu_lit, lambda a, b: a - b).alias("x")
+    )
+    dot = F.aggregate(
+        F.zip_with("x", v_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    p = F.floor(dot.cast("double") / F.lit(1000000.0)).cast("long")
+    xx = x.withColumn("p", p)
+    x2 = F.aggregate(
+        F.col("x"), F.lit(0).cast("long"), lambda acc, e: acc + e * e
+    )
+
+    def rd(a, b):
+        # truncation-toward-zero div by 1e6: (val - val % 1e6) is an exact
+        # multiple of 1e6 (Java % has the dividend's sign), so the double
+        # quotient is exact and matches DuckDB's truncating //
+        val = a * F.lit(1000000) - F.col("p") * b
+        return (
+            (val - val % F.lit(1000000)).cast("double") / F.lit(1000000.0)
+        ).cast("long")
+
+    r2 = F.aggregate(
+        F.zip_with("x", v_lit, rd),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e * e,
+    )
+    per = xx.select("label", x2.alias("x2"), r2.alias("r2"))
+    # DECIMAL(38,0) fold (exact through ~1e21 rows), one final double cast
+    # out — the dec_sum emission convention shared with the money specs
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x2").cast("decimal(38,0)")).cast("double").alias("sum_x2"),
+        F.sum(F.col("r2").cast("decimal(38,0)")).cast("double").alias("sum_r2"),
+    )
+
+
+def _frozen_keep_oracle() -> str:
     return _incr_semantic_cte() + """
 , allv AS (
   SELECT vec_id, q, cid,
@@ -735,8 +1083,6 @@ FROM mem LEFT JOIN drc ON mem.cid = drc.cid
 )
 def semantic_dedup_frozen_keep(spark: SparkSession, sf: str) -> DataFrame:
     from cve_manager_spark.operators.semantic import dup_dominated
-    from cve_manager_spark.plans.round10 import _incr_assignments
-
     ab, ad, _ = _incr_assignments(spark, sf)
     cols = ["vec_id", "q", "qq", "cluster"]
     # persist the encoded corpus: it feeds BOTH sides of the pair join
@@ -1520,4 +1866,683 @@ def embedding_octant_occupancy(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(
             "n_vecs * 1000000 div sum(n_vecs) over (partition by label)"
         ).alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9 tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# ANN incremental maintenance face
+# ---------------------------------------------------------------------------
+
+
+def _ivf_delta_oracle(n_lists: int) -> str:
+    """Machine-parameterized delta-assignment oracle: train the coarse
+    quantizer on the BASE corpus only (vec_id % 5 <> 4 — the
+    _KMEANS_CTE re-scoped), then assign the held-out DELTA rows against
+    the final centroids with the same integer distance and (dist, cid)
+    tie-break — exactly what ivf_pq_upsert's encode stage does against
+    a frozen sidecar meta."""
+    from cve_manager_spark.plans.semantic import _KMEANS_CTE
+
+    cte = _KMEANS_CTE.replace("LIMIT 8", f"LIMIT {n_lists}")
+    assert cte.count("LIMIT 8") == 0
+    assert cte.count("FROM embeddings") == 1
+    cte = cte.replace("FROM embeddings", "FROM embeddings WHERE vec_id % 5 <> 4")
+    return cte + """
+, ed AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 5 = 4
+), dd AS (
+  SELECT vec_id, q, cid,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+            - 2 * list_dot_product(CAST(q AS DOUBLE[]), CAST(c AS DOUBLE[]))
+            + list_dot_product(CAST(c AS DOUBLE[]), CAST(c AS DOUBLE[])) AS BIGINT)
+           AS dist
+  FROM ed CROSS JOIN c2
+), ad AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dd) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS INTEGER) AS list_id,
+       CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+            AS BIGINT) AS vnorm2
+FROM ad
+"""
+
+
+@_register(
+    "ivf_delta_assignments",
+    _ivf_delta_oracle(16),
+    doc="Incremental-index maintenance face: the frozen-meta delta "
+    "assignment that operators.similarity.ivf_pq_upsert applies when "
+    "growing a persisted IVF×PQ index WITHOUT retraining — train the "
+    "coarse quantizer on the base corpus (vec_id %% 5 <> 4, k=16, "
+    "2 Lloyd iterations), then run ivf_pq_encode_delta over the "
+    "held-out delta against those frozen centroids, emitted as "
+    "(vec_id, list_id, vnorm2) and reproduced bit-for-bit by the "
+    "re-scoped DuckDB kmeans unroll. The delta pass is map-side "
+    "(centroid literals; no join, no shuffle, no retrain) — the 100 TB "
+    "nightly-refresh shape where index growth costs one narrow encode "
+    "pass plus a sliver-merge.",
+    priority=1,
+)
+def ivf_delta_assignments(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import kmeans_fit
+    from cve_manager_spark.operators.similarity import ivf_pq_encode_delta
+
+    from cve_manager_spark.plans.artifacts import frozen
+
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    delta = emb.where(F.col("vec_id") % 5 == 4)
+    # frozen coarse quantizer (the spec's own contract: "WITHOUT
+    # retraining") — trained once per (sf, recipe), plans/artifacts.py
+    cents = frozen(
+        ("ivf_coarse", sf, "embeddings", 16, 2),
+        lambda: kmeans_fit(
+            base, vec_col="embedding", id_col="vec_id", k=16, iters=2
+        )[1],
+    )
+    # books=None: this face verifies the assignment math only, so skip PQ
+    # codebook training outright instead of training books whose pq_code
+    # output Catalyst would prune anyway (the training collects are eager
+    # driver work Catalyst can't elide)
+    out = ivf_pq_encode_delta(delta, cents, books=None)
+    return out.select("vec_id", "list_id", "vnorm2")
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-grain eval leakage)
+# ---------------------------------------------------------------------------
+
+
+def _semdecon_oracle() -> str:
+    from cve_manager_spark.plans.corpus import _BUCKET_DUCK, _split_case
+    from cve_manager_spark.plans.semantic import _KMEANS_CTE
+
+    return _KMEANS_CTE + f"""
+, nq AS (
+  SELECT vec_id, q, cid,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+              AS BIGINT) AS qq
+  FROM a2
+), sp AS (
+  SELECT doc_id, source, {_split_case(_BUCKET_DUCK)} AS split FROM documents
+), te AS (
+  SELECT nq.vec_id, nq.q, nq.cid, nq.qq, sp.source
+  FROM nq JOIN sp ON nq.vec_id = sp.doc_id WHERE sp.split = 'test'
+), tr AS (
+  SELECT nq.vec_id, nq.q, nq.cid, nq.qq
+  FROM nq JOIN sp ON nq.vec_id = sp.doc_id WHERE sp.split = 'train'
+), pr AS (
+  SELECT te.vec_id,
+         CAST(list_dot_product(CAST(te.q AS DOUBLE[]), CAST(tr.q AS DOUBLE[]))
+              AS BIGINT) AS dot_q,
+         te.qq AS na, tr.qq AS nb
+  FROM te JOIN tr ON te.cid = tr.cid
+), ag AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot_q > 0 AND CAST(dot_q AS HUGEINT) * dot_q * 400
+                       >= CAST(na AS HUGEINT) * nb * 49 THEN 1 ELSE 0 END) AS nn,
+         SUM(CASE WHEN dot_q > 0 AND CAST(dot_q AS HUGEINT) * dot_q * 25
+                       >= CAST(na AS HUGEINT) * nb * 9 THEN 1 ELSE 0 END) AS ncl
+  FROM pr GROUP BY vec_id
+)
+SELECT te.vec_id AS doc_id, te.source,
+       CAST(COALESCE(ag.nn, 0) AS BIGINT) AS n_sem_neighbors,
+       CAST(COALESCE(ag.ncl, 0) AS BIGINT) AS n_close
+FROM te LEFT JOIN ag ON te.vec_id = ag.vec_id
+"""
+
+
+@_register(
+    "semantic_decontamination",
+    _semdecon_oracle(),
+    doc="Embedding-grain eval decontamination: for every TEST-split "
+    "document (md5 80/10/10 split, split_assign_3way recipe), count the "
+    "TRAIN-split documents that are semantic neighbors — same "
+    "deterministic k-means cell (k=8, 2 Lloyd iterations, quantized "
+    "integer metric) with cosine >= 0.35, plus the tighter >= 0.6 "
+    "count — the SemDeDup-style leakage audit run BEFORE trusting an "
+    "eval score. Candidates are within-cell pairs only (never the "
+    "corpus square); the threshold test is the exact integer "
+    "cross-multiplication from semantic_dedup (dot^2 * 400 >= na*nb*49 "
+    "in DECIMAL(38)); zero-neighbor test docs are kept via left join "
+    "so the report is the full test manifest.",
+    priority=1,
+)
+def semantic_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import kmeans_quantized
+    from cve_manager_spark.plans.corpus import _BUCKET_SPARK, _split_case
+
+    emb = load_table(spark, sf, "embeddings")
+    a = kmeans_quantized(emb, vec_col="embedding", id_col="vec_id", k=8, iters=2)
+    sp_d = load_table(spark, sf, "documents").select(
+        F.col("doc_id"),
+        F.col("source"),
+        F.expr(_split_case(_BUCKET_SPARK)).alias("split"),
+    )
+    j = a.join(sp_d, a["vec_id"] == sp_d["doc_id"]).select(
+        "vec_id", "q", "qq", "cluster", "source", "split"
+    )
+    te = j.where(F.col("split") == "test").select(
+        "vec_id",
+        F.col("q").alias("qa"),
+        F.col("qq").alias("na"),
+        "cluster",
+        "source",
+    )
+    tr = j.where(F.col("split") == "train").select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("q").alias("qb"),
+        F.col("qq").alias("nb"),
+    )
+    p = te.join(tr, F.col("cluster") == F.col("cluster_b"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    p = p.withColumn("dot_q", dot)
+    d19 = F.col("dot_q").cast("decimal(19,0)")
+    na19 = F.col("na").cast("decimal(19,0)")
+    nb19 = F.col("nb").cast("decimal(19,0)")
+    neigh = (F.col("dot_q") > 0) & (d19 * d19 * F.lit(400) >= na19 * nb19 * F.lit(49))
+    close = (F.col("dot_q") > 0) & (d19 * d19 * F.lit(25) >= na19 * nb19 * F.lit(9))
+    ag = p.groupBy("vec_id").agg(
+        F.sum(F.when(neigh, 1).otherwise(0)).alias("nn"),
+        F.sum(F.when(close, 1).otherwise(0)).alias("ncl"),
+    )
+    return (
+        te.select("vec_id", "source")
+        .join(ag, "vec_id", "left")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "source",
+            F.coalesce("nn", F.lit(0)).cast("bigint").alias("n_sem_neighbors"),
+            F.coalesce("ncl", F.lit(0)).cast("bigint").alias("n_close"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# folded from the round9c tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Embedding-quality eval: leave-one-out 1-NN label accuracy
+# ---------------------------------------------------------------------------
+
+
+def _knn_loo_oracle() -> str:
+    from cve_manager_spark.plans.semantic import _KMEANS_CTE
+
+    return _KMEANS_CTE + """
+, lab AS (
+  SELECT a2.vec_id, a2.q, a2.cid, e2.label
+  FROM a2 JOIN embeddings e2 ON a2.vec_id = e2.vec_id
+), qq AS (
+  SELECT vec_id, q, cid, label,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+              AS BIGINT) AS qq
+  FROM lab
+), pairs AS (
+  SELECT a.vec_id, a.label AS la, b.label AS lb,
+         a.qq - 2 * CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                          CAST(b.q AS DOUBLE[])) AS BIGINT)
+              + b.qq AS dist,
+         b.vec_id AS nb_id
+  FROM qq a JOIN qq b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+), nn AS (
+  SELECT vec_id, la, lb FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, nb_id) AS rn
+    FROM pairs) WHERE rn = 1
+)
+SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS acc_ppm
+FROM nn GROUP BY la
+"""
+
+
+@_register(
+    "knn_loo_accuracy",
+    _knn_loo_oracle(),
+    doc="Leave-one-out 1-NN label accuracy inside the deterministic "
+    "k-means cells — the standard embedding-quality eval (do nearest "
+    "neighbors share labels?) made exactly reproducible: neighbors "
+    "compete on the INTEGER quantized squared-euclidean (qq_a - 2 dot "
+    "+ qq_b, the k-means metric) with (dist, vec_id) tie-break, so "
+    "both engines pick the identical neighbor; accuracy in ppm per "
+    "label. Candidates are within-cell only (the IVF/SemDeDup "
+    "candidate shape — at 100 TB this IS the eval you can afford; "
+    "cross-cell misses are the known recall trade measured by the ANN "
+    "audits).",
+    priority=1,
+)
+def knn_loo_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import kmeans_quantized
+
+    emb = load_table(spark, sf, "embeddings")
+    a = kmeans_quantized(emb, vec_col="embedding", id_col="vec_id", k=8, iters=2)
+    lab = a.join(
+        emb.select(F.col("vec_id").alias("vid2"), "label"),
+        F.col("vec_id") == F.col("vid2"),
+    ).select("vec_id", "q", "qq", "cluster", "label")
+    left = lab.select(
+        "vec_id",
+        F.col("q").alias("qa"),
+        F.col("qq").alias("na"),
+        "cluster",
+        F.col("label").alias("la"),
+    )
+    right = lab.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("q").alias("qb"),
+        F.col("qq").alias("nb"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("label").alias("lb"),
+    )
+    p = left.join(
+        right,
+        (F.col("cluster") == F.col("cluster_b"))
+        & (F.col("vec_id") != F.col("nb_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    p = p.select(
+        "vec_id",
+        "la",
+        "lb",
+        "nb_id",
+        (F.col("na") - 2 * dot + F.col("nb")).alias("dist"),
+    )
+    wn = Window.partitionBy("vec_id").orderBy("dist", "nb_id")
+    nn = p.withColumn("rn", F.row_number().over(wn)).where(F.col("rn") == 1)
+    return nn.groupBy(F.col("la").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.expr(
+            "sum(case when la = lb then 1 else 0 end) * 1000000 div count(1)"
+        ).alias("acc_ppm"),
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# folded from the round10b tranche (round-11 consolidation)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# hard-negative mining + PQ health diagnostics
+# ---------------------------------------------------------------------------
+
+
+def _hardneg_oracle() -> str:
+    from cve_manager_spark.plans.semantic import _KMEANS_CTE
+
+    return _KMEANS_CTE + """
+, lab AS (
+  SELECT a2.vec_id, a2.cid, a2.q, e2.label
+  FROM a2 JOIN embeddings e2 ON a2.vec_id = e2.vec_id
+), pr AS (
+  SELECT x.vec_id, y.vec_id AS neg_id,
+         CAST(list_dot_product(CAST(x.q AS DOUBLE[]), CAST(y.q AS DOUBLE[]))
+              AS BIGINT) AS dot_q
+  FROM lab x JOIN lab y
+    ON x.cid = y.cid AND x.vec_id <> y.vec_id AND x.label <> y.label
+), rk AS (
+  SELECT vec_id, neg_id, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot_q DESC, neg_id) AS rn
+  FROM pr
+)
+SELECT vec_id, neg_id, dot_q FROM rk WHERE rn = 1
+"""
+
+
+@_register(
+    "hard_negative_mining",
+    _hardneg_oracle(),
+    doc="Hard-negative mining for contrastive training: per embedding, "
+    "the HIGHEST-dot-product vector with a DIFFERENT label inside its "
+    "k-means cell (k=8, the shared deterministic Lloyd's) — the "
+    "near-but-wrong example a contrastive loss learns most from. "
+    "Candidates are cell-bounded (the semantic_dedup discipline: "
+    "never all-pairs), the argmax is an exact integer dot with "
+    "(dot desc, id) tie-break, so the mined pairs hash-verify. Vecs "
+    "whose cell holds no other label are absent (no negative to "
+    "mine).",
+    priority=3,
+)
+def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import kmeans_quantized
+
+    emb = load_table(spark, sf, "embeddings")
+    a = kmeans_quantized(emb, vec_col="embedding", id_col="vec_id", k=8, iters=2)
+    lab = a.join(emb.select("vec_id", "label"), "vec_id")
+    left = lab.select(
+        "cluster",
+        F.col("vec_id").alias("vid"),
+        F.col("label").alias("la"),
+        F.col("q").alias("qa"),
+    )
+    right = lab.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("lb"),
+        F.col("q").alias("qb"),
+    )
+    p = left.join(
+        right,
+        (F.col("cluster") == F.col("cluster_b"))
+        & (F.col("vid") != F.col("neg_id"))
+        & (F.col("la") != F.col("lb")),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    p = p.select("vid", "neg_id", dot.alias("dot_q"))
+    best = F.max(F.struct(F.col("dot_q"), (-F.col("neg_id")).alias("neg")))
+    return (
+        p.groupBy("vid")
+        .agg(best.alias("b"))
+        .select(
+            F.col("vid").alias("vec_id"),
+            (-F.col("b.neg")).cast("bigint").alias("neg_id"),
+            F.col("b.dot_q").alias("dot_q"),
+        )
+    )
+
+
+def _pq_recon_oracle(m: int = 4, w: int = 16, k: int = 8) -> str:
+    from cve_manager_spark.plans.semantic import _pq_subspace_cte
+
+    parts = [
+        """eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+)"""
+    ]
+    parts += [_pq_subspace_cte(j, w, k) for j in range(m)]
+    dist = (
+        "CAST(list_dot_product(CAST(e.qs AS DOUBLE[]), CAST(e.qs AS DOUBLE[]))"
+        " - 2 * list_dot_product(CAST(e.qs AS DOUBLE[]), CAST(c.c AS DOUBLE[]))"
+        " + list_dot_product(CAST(c.c AS DOUBLE[]), CAST(c.c AS DOUBLE[])) AS BIGINT)"
+    )
+    errs = [
+        f"""err{j} AS (
+  SELECT {dist} AS d
+  FROM asg_s{j} a JOIN e_s{j} e ON a.vec_id = e.vec_id
+       JOIN c2_s{j} c ON a.cid = c.cid
+)"""
+        for j in range(m)
+    ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {j} AS subspace, CAST(COUNT(*) AS BIGINT) AS n,"
+        f" CAST(CAST(SUM(d) AS DECIMAL(38,0)) AS DOUBLE) AS sum_sq_err"
+        f" FROM err{j}"
+        for j in range(m)
+    )
+    return "WITH " + ",\n".join(parts + errs) + "\n" + unions
+
+
+@_register(
+    "pq_reconstruction_error",
+    _pq_recon_oracle(),
+    doc="PQ reconstruction error per subspace: the exact integer squared "
+    "distance between each sub-vector and its assigned codeword, "
+    "summed (DECIMAL fold, double out). THE quantizer quality number "
+    "— ADC distance error is bounded by reconstruction error, so this "
+    "is what an index rebuild is judged on (paired with "
+    "pq_code_balance's usage skew). Spark computes it in-row against "
+    "the broadcast codebook literals (sum of (a-b)^2 == the "
+    "|q|^2-2qc+|c|^2 the oracle recomputes); one narrow pass, one "
+    "m-row aggregate.",
+    priority=3,
+)
+def pq_reconstruction_error(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import quantize_vec
+    from cve_manager_spark.operators.similarity import pq_encode, pq_train
+
+    m, w = 4, 16
+    emb = load_table(spark, sf, "embeddings")
+    books = pq_train(emb, m=m, k=8, iters=2)
+    enc = pq_encode(emb, books).withColumn(
+        "__q", quantize_vec(F.col("embedding"))
+    )
+    cols = []
+    for j in range(m):
+        sub = F.slice("__q", j * w + 1, w)
+        book_lit = F.lit([[int(v) for v in cw] for cw in books[j]]).cast(
+            "array<array<bigint>>"
+        )
+        cw = F.element_at(book_lit, F.element_at("pq_code", j + 1) + 1)
+        err = F.aggregate(
+            F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+        cols.append(err.alias(f"e{j}"))
+    per = enc.select(*cols)
+    rows = per.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("subspace"),
+                        F.col(f"e{j}").alias("d"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("u")
+    ).select("u.subspace", "u.d")
+    return rows.groupBy("subspace").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("d").cast("decimal(38,0)")).cast("double").alias(
+            "sum_sq_err"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-r PCA by deflation (round 11): the full "all-but-the-top" ladder
+# ---------------------------------------------------------------------------
+
+
+def _pca_power_cte(xrel: str, sfx: str) -> str:
+    """One integer power iteration pair (2 Lloyd-style passes) over the
+    centered relation ``xrel`` (vec_id, pos, xv) — the _PCA_CTE recipe
+    parameterized so the deflation ladder can reuse it per direction.
+    Emits ``v2{sfx}`` (pos, v) scaled to max |v| = 1e6."""
+    return f"""
+, y1{sfx} AS (
+  SELECT vec_id, xv AS yq FROM {xrel} WHERE pos = 1
+), w1{sfx} AS (
+  SELECT x.pos, CAST(SUM(x.xv * y.yq) AS BIGINT) AS w
+  FROM {xrel} x JOIN y1{sfx} y USING (vec_id) GROUP BY x.pos
+), m1{sfx} AS (
+  SELECT MAX(abs(w)) AS mw FROM w1{sfx}
+), v1{sfx} AS (
+  SELECT pos,
+         CAST(CAST(w AS HUGEINT) * 1000000 // (SELECT mw FROM m1{sfx})
+              AS BIGINT) AS v
+  FROM w1{sfx}
+), y2{sfx} AS (
+  SELECT x.vec_id,
+         CAST(FLOOR(CAST(SUM(x.xv * v.v) AS DOUBLE) / 1000000) AS BIGINT)
+           AS yq
+  FROM {xrel} x JOIN v1{sfx} v USING (pos) GROUP BY x.vec_id
+), w2{sfx} AS (
+  SELECT x.pos, CAST(SUM(x.xv * y.yq) AS BIGINT) AS w
+  FROM {xrel} x JOIN y2{sfx} y USING (vec_id) GROUP BY x.pos
+), m2{sfx} AS (
+  SELECT MAX(abs(w)) AS mw FROM w2{sfx}
+), v2{sfx} AS (
+  SELECT pos,
+         CAST(CAST(w AS HUGEINT) * 1000000 // (SELECT mw FROM m2{sfx})
+              AS BIGINT) AS v
+  FROM w2{sfx}
+)"""
+
+
+def _pca_deflate_cte(xrel: str, vrel: str, sfx: str) -> str:
+    """Exact in-row deflation of ``xrel`` by direction ``vrel``. The
+    direction is first rescaled from max-|loading|=1e6 to L2-norm≈1e6
+    (``u``) — the projection-removal p·u/1e6 assumes <u,u>≈1e12, and
+    deflating with the max-scaled v leaves a PC1 component the next
+    power iteration re-amplifies (operators.semantic.unit_scale).
+    floor(sqrt(BIGINT)) is exact at this magnitude (≤ 64e12), and
+    HUGEINT ``//`` truncates toward zero like the Spark driver's
+    sign-split division. Then p = floor(<x,u>/1e6) and
+    r_j = (x_j·1e6 − p·u_j) // 1e6 — the pca_residual_norms recipe.
+    Emits ``x{sfx}``."""
+    return f"""
+, nv{sfx} AS (
+  SELECT CAST(FLOOR(SQRT(CAST(SUM(v * v) AS DOUBLE))) AS BIGINT) AS nrm
+  FROM {vrel}
+), u{sfx} AS (
+  SELECT pos,
+         CAST(CAST(v AS HUGEINT) * 1000000 // (SELECT nrm FROM nv{sfx})
+              AS BIGINT) AS v
+  FROM {vrel}
+), p{sfx} AS (
+  SELECT x.vec_id,
+         CAST(FLOOR(CAST(SUM(x.xv * v.v) AS DOUBLE) / 1000000) AS BIGINT)
+           AS p
+  FROM {xrel} x JOIN u{sfx} v USING (pos) GROUP BY x.vec_id
+), x{sfx} AS (
+  SELECT x.vec_id, x.pos, (x.xv * 1000000 - p.p * v.v) // 1000000 AS xv
+  FROM {xrel} x JOIN u{sfx} v USING (pos) JOIN p{sfx} p USING (vec_id)
+)"""
+
+
+def _pca_topr_oracle() -> str:
+    import re
+
+    sql = (
+        _PCA_CTE
+        + _pca_deflate_cte("x", "v2", "b")
+        + _pca_power_cte("xb", "b")
+        + _pca_deflate_cte("xb", "v2b", "c")
+        + _pca_power_cte("xc", "c")
+        + _pca_deflate_cte("xc", "v2c", "d")
+        + """
+, s0 AS (SELECT vec_id, CAST(SUM(xv * xv) AS BIGINT) AS s FROM x GROUP BY vec_id)
+, s1 AS (SELECT vec_id, CAST(SUM(xv * xv) AS BIGINT) AS s FROM xb GROUP BY vec_id)
+, s2 AS (SELECT vec_id, CAST(SUM(xv * xv) AS BIGINT) AS s FROM xc GROUP BY vec_id)
+, s3 AS (SELECT vec_id, CAST(SUM(xv * xv) AS BIGINT) AS s FROM xd GROUP BY vec_id)
+SELECT e2.label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(s0.s) AS DECIMAL(38,0)) AS DOUBLE) AS sum_x2,
+       CAST(CAST(SUM(s1.s) AS DECIMAL(38,0)) AS DOUBLE) AS sum_r1,
+       CAST(CAST(SUM(s2.s) AS DECIMAL(38,0)) AS DOUBLE) AS sum_r2,
+       CAST(CAST(SUM(s3.s) AS DECIMAL(38,0)) AS DOUBLE) AS sum_r3
+FROM s0 JOIN s1 USING (vec_id) JOIN s2 USING (vec_id) JOIN s3 USING (vec_id)
+JOIN embeddings e2 ON s0.vec_id = e2.vec_id
+GROUP BY e2.label
+"""
+    )
+    # DuckDB inlines plain CTEs PER REFERENCE, and the deflation ladder
+    # re-references each level several times — the expansion multiplies
+    # parquet scans exponentially (measured: EMFILE on a 20k-fd limit at
+    # depth 3). Materializing every CTE makes each level one scan; the
+    # values are identical, only the evaluation strategy changes.
+    return re.sub(r"(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
+
+
+@_register(
+    "pca_topr_residual_norms",
+    _pca_topr_oracle(),
+    doc="The FULL 'all-but-the-top' audit (VERDICT r10 #8 — the "
+    "literature removes top-r, not top-1): per label, the exact "
+    "squared norm of each centered embedding before (sum_x2) and "
+    "after removing its projection on the top one / two / three "
+    "principal directions (sum_r1/r2/r3), directions found by "
+    "DEFLATION — power-iterate, subtract the projection in-row "
+    "(truncating integer rescale, the pca_residual_norms recipe), "
+    "iterate on the residual. Every stage is exact-integer, so the "
+    "DuckDB unroll (three chained power+deflate CTE blocks) matches "
+    "bit-for-bit. The variance ladder sum_x2→r1→r2→r3 is the "
+    "diminishing-returns curve that decides HOW MANY common "
+    "directions a corpus rewrite should remove. Cluster cost: r "
+    "power iterations (one d-sum aggregate each, partials map-side "
+    "combinable) + ONE final corpus pass stacking the r in-row "
+    "deflations — no joins, no vector payload in any shuffle. The "
+    "direction set is a frozen artifact (plans/artifacts.py) shared "
+    "across invocations, the production train-once contract.",
+)
+def pca_topr_residual_norms(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.semantic import (
+        pca_deflate_expr,
+        pca_power_topr,
+        proj_expr,
+        quantize_vec,
+        unit_scale,
+    )
+    from cve_manager_spark.plans.artifacts import frozen
+
+    emb = load_table(spark, sf, "embeddings")
+    mu, vs = frozen(
+        ("pca_topr", sf, "embeddings", 3, 2),
+        lambda: pca_power_topr(
+            emb, vec_col="embedding", id_col="vec_id", r=3, iters=2
+        ),
+    )
+    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    q = emb.select(
+        "vec_id", "label", quantize_vec(F.col("embedding")).alias("q")
+    )
+    x = q.select(
+        "vec_id",
+        "label",
+        F.zip_with("q", mu_lit, lambda a, b: a - b).alias("c0"),
+    )
+    cur = "c0"
+    for k, v in enumerate(vs):
+        u = unit_scale(v)  # deflation needs the L2-1e6 scale
+        x = x.withColumn(f"__p{k}", proj_expr(cur, u))
+        x = x.withColumn(f"c{k + 1}", pca_deflate_expr(cur, f"__p{k}", u))
+        cur = f"c{k + 1}"
+
+    def sq(c: str):
+        return F.aggregate(
+            F.col(c), F.lit(0).cast("long"), lambda acc, e: acc + e * e
+        )
+
+    per = x.select(
+        "label",
+        sq("c0").alias("s0"),
+        sq("c1").alias("s1"),
+        sq("c2").alias("s2"),
+        sq("c3").alias("s3"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s0").cast("decimal(38,0)")).cast("double").alias("sum_x2"),
+        F.sum(F.col("s1").cast("decimal(38,0)")).cast("double").alias("sum_r1"),
+        F.sum(F.col("s2").cast("decimal(38,0)")).cast("double").alias("sum_r2"),
+        F.sum(F.col("s3").cast("decimal(38,0)")).cast("double").alias("sum_r3"),
     )

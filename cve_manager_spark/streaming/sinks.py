@@ -787,6 +787,86 @@ def foreach_batch_semantic_dedup(
     )
 
 
+def foreach_batch_digest_dedup(
+    stream_df: DataFrame,
+    table_dir: str,
+    trigger_available_now: bool = True,
+    committed: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming EXACT-digest dedup gate — the first dedup modality
+    (16-byte md5 content digests), expressed as a thin config of the
+    shared :func:`_gated_dedup_sink` protocol like the semantic /
+    MinHash / pHash gates. Where :mod:`streaming.stateful`'s
+    ``transformWithStateInPandas`` processor keeps digest state inside
+    the streaming engine (TTL'd, per-partition), this gate keeps it in
+    a QUERYABLE table — one relation at ``table_dir``, hive-partitioned
+    by the first 2 hex chars of the digest, so the per-batch cross join
+    is partition-pruned to ≤ 256 prefix buckets and the verdicts are a
+    plain parquet/commit-log table any batch job can read.
+
+    Exact match needs no verify join: the partition key prefix + digest
+    equality IS the test, so per-batch cost is |batch| × touched-bucket
+    occupancy — never corpus². Greedy keep-lowest-id is non-recursive,
+    so id-ordered arrival reproduces the one-shot batch verdicts
+    exactly (differential-tested); replay is idempotent via the marker,
+    and ``committed=True`` adds the tagged-append protocol (a crash
+    between the append commit and the marker write cannot double-append
+    on replay)."""
+
+    def encode(batch_df: DataFrame) -> dict:
+        enc = batch_df.select(
+            F.col(id_col).alias("id"),
+            F.md5(F.col(text_col)).alias("digest"),
+        ).withColumn("db", F.substring("digest", 1, 2)).persist()
+        return {"enc": enc}
+
+    def candidates(spark, ctx, state_of):
+        enc = ctx["enc"]
+        own = enc.select(
+            "digest", F.col("id").alias("id_o")
+        )
+        seen = state_of("")
+        if seen is not None:
+            dbs = [
+                r["db"] for r in enc.select("db").distinct().collect()
+            ]
+            # partition-pruned: only the batch's prefix buckets scanned
+            own = own.unionByName(
+                seen.where(F.col("db").isin(dbs)).select(
+                    "digest", F.col("id").alias("id_o")
+                )
+            )
+        return (
+            enc.join(own, "digest")
+            .where(F.col("id_o") < F.col("id"))
+            .select("id")
+            .distinct()
+        )
+
+    def outputs(ctx, dropped) -> dict:
+        out = (
+            ctx["enc"]
+            .join(dropped.withColumn("__d", F.lit(1)), "id", "left")
+            .select(
+                "db", "digest", "id", F.col("__d").isNotNull().alias("dup")
+            )
+        )
+        return {"": out}
+
+    return _gated_dedup_sink(
+        stream_df,
+        table_dir,
+        relations=[("", "db")],
+        encode=encode,
+        candidates=candidates,
+        outputs=outputs,
+        committed=committed,
+        trigger_available_now=trigger_available_now,
+    )
+
+
 def read_documents_stream(
     spark, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

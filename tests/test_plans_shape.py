@@ -1068,3 +1068,28 @@ def test_modality_agreement_has_no_all_pairs_join(spark):
     tree = plan.split("\n\n")[0]
     assert "Cartesian" not in tree
     assert "NestedLoop" not in tree
+
+
+def test_frozen_keep_pair_join_is_salted_to_shuffle_width(spark):
+    """The frozen-keep pair join carries the deterministic cell salt:
+    both sides repartition on (cluster, salt) by explicit count —
+    REPARTITION_BY_NUM, which AQE's byte-based coalescer must not fold
+    back onto 1-2 cores (the per-pair integer-cosine arithmetic is the
+    cost, invisible to byte statistics) — and the join stays equi
+    (never nested-loop)."""
+    plan = plan_of(spark, "semantic_dedup_frozen_keep")
+    assert "REPARTITION_BY_NUM" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "NestedLoop" not in plan.split("\n\n")[0]
+
+
+def test_pca_topr_ladder_is_joinless_single_scan(spark):
+    """The top-r residual ladder applies all three deflations IN-ROW:
+    one embeddings scan, stacked projections, a label-grain partial+
+    final aggregate — no join, no window, no second scan (the
+    directions are frozen literals from plans/artifacts.py)."""
+    plan = plan_of(spark, "pca_topr_residual_norms")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree and "Window" not in tree
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("HashAggregate") >= 2  # partial + final

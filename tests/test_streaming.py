@@ -1765,3 +1765,94 @@ def test_foreach_batch_phash_dedup_committed_equals_batch(spark, tmp_path):
     assert _sorted_rows(dlog.read(spark).select(*cols), cols) == _sorted_rows(
         want, cols
     )
+
+
+def _seed_doc_batches(spark, tmp_path, n_batches=3):
+    """Documents as id-ordered single-file drops (the _seed_vec_batches
+    pattern over the documents table). The corpus carries no exact text
+    dups at sf0.001, so each doc is re-ingested under doc_id+100000 —
+    the recrawl shape that guarantees cross-batch digest collisions."""
+    import os
+    import shutil
+
+    base = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cuts = [ids[(i + 1) * len(ids) // n_batches] for i in range(n_batches - 1)]
+    bounds = [min(ids)] + cuts + [max(ids) + 1]
+    src = tmp_path / "doc_src"
+    src.mkdir()
+    for i in range(n_batches):
+        part = docs.where(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        )
+        scratch = tmp_path / f"doc_scratch{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        dest = src / f"b{i}.parquet"
+        shutil.move(str(next(scratch.glob("*.parquet"))), str(dest))
+        os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+    return docs, str(src)
+
+
+def test_foreach_batch_digest_dedup_equals_batch_and_committed_crash(
+    spark, tmp_path
+):
+    """The exact-digest gate as a thin _gated_dedup_sink config: after
+    an id-ordered availableNow pass the state table's verdicts equal
+    the one-shot batch greedy keep-lowest-id per digest, the state is
+    hive-partitioned by digest prefix (the cross join's pruning key),
+    replay is a no-op, and committed mode survives the marker-rewind
+    crash via its tagged append."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_digest_dedup,
+        read_documents_stream,
+    )
+
+    docs, src = _seed_doc_batches(spark, tmp_path)
+    w = Window.partitionBy(F.md5("text"))
+    want_df = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") > F.min("doc_id").over(w)).alias("dup"),
+    )
+    cols = ["id", "dup"]
+    want = _sorted_rows(want_df, cols)
+    assert any(r[1] for r in want), "corpus has no exact dups — test is vacuous"
+
+    out = str(tmp_path / "digest_state")
+
+    def start(committed=False, o=out):
+        stream = read_documents_stream(spark, src, max_files_per_trigger=1)
+        return foreach_batch_digest_dedup(stream, o, committed=committed)
+
+    start().awaitTermination()
+    got = spark.read.parquet(out)
+    assert _sorted_rows(got.select(*cols), cols) == want
+    assert any(Path(out).glob("db=*"))  # prefix-partitioned state
+
+    start().awaitTermination()  # replay: marker skips applied batches
+    assert _sorted_rows(spark.read.parquet(out).select(*cols), cols) == want
+
+    # committed mode: one manifest per applied batch; a crash between
+    # the last append commit and the marker write must not double-append
+    outc = str(tmp_path / "digest_state_c")
+    start(committed=True, o=outc).awaitTermination()
+    log = TableLog(outc)
+    v_before, _ = log.snapshot()
+    assert v_before >= 2 and log.last_op().startswith("append@b")
+    assert _sorted_rows(log.read(spark).select(*cols), cols) == want
+
+    marker = tmp_path / "digest_state_c_last_batch"
+    last_batch = int(marker.read_text())
+    marker.write_text(str(last_batch - 1))
+    shutil.rmtree(str(tmp_path / "digest_state_c_checkpoint"))
+    start(committed=True, o=outc).awaitTermination()
+    assert log.snapshot()[0] == v_before  # tag-skipped, no new version
+    assert _sorted_rows(log.read(spark).select(*cols), cols) == want
+    assert int(marker.read_text()) == last_batch
