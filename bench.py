@@ -147,6 +147,11 @@ HEADLINE = [
     # removals over one scan; directions are frozen artifacts, so
     # min-of-k prices the steady-state apply like the drift histogram)
     "pca_topr_residual_norms",
+    # r11: the quantile member of the sketch family and the third
+    # privacy-release gate — both histogram-grain plans, priced so the
+    # new capability surface carries a number like the rest
+    "logbucket_quantile_error",
+    "t_closeness_audit",
 ]
 
 

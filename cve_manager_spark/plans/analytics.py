@@ -2701,6 +2701,112 @@ def quasi_id_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# t-closeness (Li, Ninghui et al.): a group can be k-anonymous AND
+# l-diverse yet still leak if its sensitive-value DISTRIBUTION skews
+# far from the table's — knowing someone is in an all-URGENT nation
+# segment is a disclosure even with all 5 priorities present. The
+# metric is the earth-mover's distance between group and global
+# distributions over the ORDERED sensitive attribute; for m ordered
+# categories with unit spacing, EMD = sum_j |cumsum_j(p - q)| / (m-1).
+# Exactness: fractions n_i/N vs m_i/M are cleared by cross-multiplying
+# — diff_i = n_i*M - m_i*N is an exact integer, cumulative sums stay
+# integers, and t_ppm = 1e6 * sum|cum| / ((m-1)*N*M) truncates once at
+# the end. At warehouse scale N*M overflows int64 (1e9 * 1.5e11), so
+# both engines run the cumsum in DECIMAL(38,0), the same discipline as
+# the semantic-dedup integer cosine.
+
+_TCLOSE_ORACLE = """
+WITH j AS (
+  SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS p
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+), gp AS (
+  SELECT c_nationkey, c_mktsegment, p, CAST(COUNT(*) AS BIGINT) AS np
+  FROM j GROUP BY c_nationkey, c_mktsegment, p
+), g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(np) AS BIGINT) AS n
+  FROM gp GROUP BY c_nationkey, c_mktsegment
+), gl AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS mp FROM j GROUP BY p
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(COUNT(DISTINCT p) AS BIGINT) AS nprio
+  FROM j
+), grid AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.n, gl.p, gl.mp,
+         CAST(COALESCE(gp.np, 0) AS BIGINT) AS np
+  FROM g CROSS JOIN gl
+  LEFT JOIN gp ON gp.c_nationkey = g.c_nationkey
+             AND gp.c_mktsegment = g.c_mktsegment AND gp.p = gl.p
+), cum AS (
+  SELECT c_nationkey, c_mktsegment, n,
+         SUM(CAST(np AS DECIMAL(38, 0)) * (SELECT m FROM tot)
+             - CAST(mp AS DECIMAL(38, 0)) * n)
+           OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY p) AS c
+  FROM grid
+)
+SELECT c_nationkey, c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(ABS(c)) AS HUGEINT) * 1000000
+            // (((SELECT nprio FROM tot) - 1)
+                * MAX(n) * (SELECT m FROM tot)) AS BIGINT) AS t_ppm
+FROM cum GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@_register(
+    "t_closeness_audit",
+    _TCLOSE_ORACLE,
+    doc="t-closeness of order priority within each (nation, segment) "
+    "quasi-identifier group — the third privacy-release gate after "
+    "k_anonymity_audit and l_diversity_audit: earth-mover's distance "
+    "between the group's ordered sensitive-value distribution and the "
+    "table-wide one, in exact integer ppm (cross-multiplied counts, "
+    "DECIMAL(38,0) cumsum — no float division until the final single "
+    "truncation). Groups with t above threshold leak by skew even when "
+    "k and l pass. Plan: one fact group-by; the 5-row global "
+    "distribution broadcasts onto the dimension-bounded group grid, "
+    "and the EMD window runs over groups x 5 rows, never facts.",
+    priority=5,
+)
+def t_closeness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("p")
+    )
+    gp = j.groupBy("c_nationkey", "c_mktsegment", "p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("np")
+    )
+    g = gp.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("np").cast("bigint").alias("n")
+    )
+    glob = j.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("mp"))
+    tot = j.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.countDistinct("p").cast("bigint").alias("nprio"),
+    )
+    grid = (
+        g.crossJoin(F.broadcast(glob))
+        .join(gp, ["c_nationkey", "c_mktsegment", "p"], "left")
+        .withColumn("np", F.coalesce("np", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    diff = F.col("np").cast("decimal(38,0)") * F.col("m") - F.col(
+        "mp"
+    ).cast("decimal(38,0)") * F.col("n")
+    cum = grid.withColumn("c", F.sum(diff).over(w))
+    return cum.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST(sum(abs(c)) * 1000000 div "
+            "((max(nprio) - 1) * max(n) * max(m)) AS BIGINT)"
+        ).alias("t_ppm"),
+    )
+
+
 _HASH_SAMPLE_Q_ORACLE = """
 WITH ev AS (
   SELECT event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events

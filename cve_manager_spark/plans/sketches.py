@@ -556,3 +556,176 @@ def dau_jaccard_consecutive(spark: SparkSession, sf: str) -> DataFrame:
             "AS BIGINT)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# log2-bucket mergeable quantile sketch: estimate vs exact
+# ---------------------------------------------------------------------------
+
+# The quantile member of the sketch family (CMS = frequency, Bloom =
+# membership, occupancy = cardinality): a KLL/t-digest stand-in whose
+# state is the per-group histogram over log2 value buckets. Bucket of
+# v = LENGTH(bin(v)) — the binary digit count, identical in both
+# engines, no float log2 whose boundary rounding differs. Counts merge
+# by SUM (associative + commutative), so the sketch is shard- and
+# micro-batch-mergeable by construction; the streaming twin
+# (streaming.sinks.foreach_batch_quantile_hist) maintains exactly this
+# state. Estimate for quantile q = upper bound 2^b - 1 of the first
+# bucket whose cumulative count reaches rank ceil(q*n), so est >= exact
+# always and est/exact <= 2 (one bucket's width) — the audit prices
+# that guarantee per event_type as exact integer ppm.
+
+_LOGBUCKET_Q_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events
+), vh AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY event_type, v
+), vr AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM vh
+), exact AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.5 * n) AS BIGINT) THEN v END) AS p50_exact,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.9 * n) AS BIGINT) THEN v END) AS p90_exact,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.99 * n) AS BIGINT) THEN v END) AS p99_exact
+  FROM vr GROUP BY event_type
+), bh AS (
+  SELECT event_type, CAST(LENGTH(bin(v)) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY event_type, LENGTH(bin(v))
+), br AS (
+  SELECT event_type, b, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM bh
+), est AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.5 * n) AS BIGINT) THEN b END) AS b50,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.9 * n) AS BIGINT) THEN b END) AS b90,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.99 * n) AS BIGINT) THEN b END) AS b99
+  FROM br GROUP BY event_type
+)
+SELECT x.event_type, x.n,
+       x.p50_exact,
+       (CAST(1 AS BIGINT) << e.b50) - 1 AS p50_est,
+       CAST(((CAST(1 AS BIGINT) << e.b50) - 1) * 1000000
+            // GREATEST(x.p50_exact, 1) AS BIGINT) AS p50_ratio_ppm,
+       x.p90_exact,
+       (CAST(1 AS BIGINT) << e.b90) - 1 AS p90_est,
+       CAST(((CAST(1 AS BIGINT) << e.b90) - 1) * 1000000
+            // GREATEST(x.p90_exact, 1) AS BIGINT) AS p90_ratio_ppm,
+       x.p99_exact,
+       (CAST(1 AS BIGINT) << e.b99) - 1 AS p99_est,
+       CAST(((CAST(1 AS BIGINT) << e.b99) - 1) * 1000000
+            // GREATEST(x.p99_exact, 1) AS BIGINT) AS p99_ratio_ppm
+FROM exact x JOIN est e ON e.event_type = x.event_type
+"""
+
+
+def _rank_fold(xname: str):
+    """Fold over a sorted (x, c) histogram picking the x at percentile-
+    disc ranks ceil(p*n) for p in (0.5, 0.9, 0.99) — the single-pass
+    codegen rank selection quantile_exact established."""
+    ranks = {p: F.ceil(F.lit(p) * F.col("n")) for p in (0.5, 0.9, 0.99)}
+
+    def merge(acc, s):
+        def pick(prev, r):
+            return F.coalesce(
+                prev,
+                F.when(
+                    (r > acc.cum) & (r <= acc.cum + s.c),
+                    getattr(s, xname).cast("long"),
+                ),
+            )
+
+        return F.struct(
+            (acc.cum + s.c).alias("cum"),
+            pick(acc.q50, ranks[0.5]).alias("q50"),
+            pick(acc.q90, ranks[0.9]).alias("q90"),
+            pick(acc.q99, ranks[0.99]).alias("q99"),
+        )
+
+    nul = F.lit(None).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        nul.alias("q50"),
+        nul.alias("q90"),
+        nul.alias("q99"),
+    )
+    return F.aggregate(F.array_sort(F.col("hist")), init, merge)
+
+
+@_register(
+    "logbucket_quantile_error",
+    _LOGBUCKET_Q_ORACLE,
+    doc="Mergeable quantile sketch accuracy audit, hash-checked end to "
+    "end — the quantile member of the sketch family (CMS frequency, "
+    "Bloom membership, occupancy cardinality, now quantiles): per "
+    "event_type, p50/p90/p99 estimated from the <=64-counter log2-"
+    "bucket histogram (bucket = LENGTH(bin(v)), engine-exact; estimate "
+    "= bucket upper bound 2^b - 1, so estimate/exact <= 2 by "
+    "construction) against the exact rank-selection quantile, error as "
+    "exact integer ppm. Counts merge by SUM, so the same state is "
+    "shard-parallel at 100 TB and micro-batch-mergeable in streaming "
+    "(foreach_batch_quantile_hist is the twin); the sketch-side "
+    "shuffle carries <=64 (type, bucket, count) triples per group "
+    "regardless of row count. The exact side rides the domain-bounded "
+    "(type, value) histogram, present only to price the error.",
+)
+def logbucket_quantile_error(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v"),
+    )
+    vh = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+
+    ex = vh.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.collect_list(F.struct("v", "c")).alias("hist"),
+    )
+    fx = _rank_fold("v")
+    exact = ex.select(
+        "event_type",
+        "n",
+        fx.getField("q50").alias("p50_exact"),
+        fx.getField("q90").alias("p90_exact"),
+        fx.getField("q99").alias("p99_exact"),
+    )
+
+    bh = (
+        vh.select(
+            "event_type",
+            F.length(F.bin("v")).cast("long").alias("b"),
+            "c",
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    es = bh.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.collect_list(F.struct("b", "c")).alias("hist"),
+    )
+    fb = _rank_fold("b")
+    est = es.select(
+        "event_type",
+        fb.getField("q50").alias("b50"),
+        fb.getField("q90").alias("b90"),
+        fb.getField("q99").alias("b99"),
+    )
+
+    j = exact.join(est, "event_type")
+    cols = ["event_type", "n"]
+    for p in ("50", "90", "99"):
+        e = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(b{p} AS INT)) - 1")
+        cols += [
+            F.col(f"p{p}_exact"),
+            e.alias(f"p{p}_est"),
+            F.expr(
+                f"CAST((shiftleft(CAST(1 AS BIGINT), CAST(b{p} AS INT)) - 1) "
+                f"* 1000000 div GREATEST(p{p}_exact, 1) AS BIGINT)"
+            ).alias(f"p{p}_ratio_ppm"),
+        ]
+    return j.select(*cols)

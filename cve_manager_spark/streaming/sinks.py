@@ -1407,3 +1407,99 @@ def linear_count_estimate(report_rows, w: int = 256) -> dict:
         else:
             est["estimates"][g] = -w * math.log(1 - occ / w)
     return est
+
+
+def foreach_batch_quantile_hist(
+    stream_df: DataFrame,
+    out_dir: str,
+    group_col: str = "event_type",
+    value_expr: str = "CAST(FLOOR(value * 1000) AS BIGINT)",
+    trigger_available_now: bool = True,
+):
+    """Streaming log2-bucket quantile histogram — the quantile member
+    of the sketch-state family (CMS frequency, Bloom membership,
+    occupancy cardinality), and the twin of the batch
+    ``logbucket_quantile_error`` audit: each micro-batch reduces to
+    <= #groups x 64 (group, bucket, count) rows (bucket =
+    LENGTH(bin(v)), engine-exact — no float log2) and merges into the
+    previous snapshot by SUM. Counter addition is associative and
+    commutative, so micro-batch chopping cannot change the sketch —
+    the merge law KLL/t-digest implementations assume, here proven
+    stream == batch. State is bounded by #groups x 64 counters
+    regardless of stream volume; snapshots are keyed by batch id, each
+    derived from the newest predecessor (the foreach_batch_rollup
+    idempotency discipline), so replays rebuild identical state."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = (
+            batch_df.select(
+                F.col(group_col).alias("g"),
+                F.length(F.bin(F.expr(value_expr))).cast("long").alias("b"),
+            )
+            .groupBy("g", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        versions = [
+            v for v in _list_state_versions(spark, out_dir) if v < batch_id
+        ]
+        if versions:
+            prev = spark.read.parquet(
+                f"{out_dir}/{_STATE_PREFIX}{versions[-1]}"
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("g", "b")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+        part.write.mode("overwrite").parquet(
+            f"{out_dir}/{_STATE_PREFIX}{batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_quantile_hist_state(spark, out_dir: str) -> DataFrame | None:
+    """Newest quantile-histogram snapshot: (g, b, c)."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+
+
+def quantile_hist_estimate(
+    state_df: DataFrame, probs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Quantile point-queries over the accumulated histogram state:
+    per group, the percentile-disc estimate 2^b - 1 of the first
+    bucket whose cumulative count reaches rank ceil(p*n) — identical
+    arithmetic to the batch audit, run over the <= #groups x 64-row
+    state (the windows sort counters, never events)."""
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("g")
+    d = state_df.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    flags = [
+        (F.col("cum") >= F.ceil(F.lit(p) * F.col("n"))).alias(f"_ok{i}")
+        for i, p in enumerate(probs)
+    ]
+    d = d.select("g", "b", "n", *flags)
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for i, p in enumerate(probs):
+        aggs.append(
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), CAST(min(CASE WHEN "
+                f"_ok{i} THEN b END) AS INT)) - 1 AS BIGINT)"
+            ).alias(f"p{int(p * 100)}_est")
+        )
+    return d.groupBy("g").agg(*aggs)

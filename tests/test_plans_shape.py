@@ -1093,3 +1093,28 @@ def test_pca_topr_ladder_is_joinless_single_scan(spark):
     assert "Join" not in tree and "Window" not in tree
     assert tree.count("Scan parquet") == 1
     assert tree.count("HashAggregate") >= 2  # partial + final
+
+
+def test_logbucket_quantile_shuffles_histograms_not_rows(spark):
+    """Both sides of the quantile-sketch audit aggregate BEFORE the
+    exchange: the sketch side reduces to <= 64 (type, bucket, count)
+    triples per group and the exact side to the domain-bounded (type,
+    value) histogram — partial hash aggregation must precede every
+    shuffle, and the 5-row join back must broadcast, never sort-merge."""
+    plan = plan_of(spark, "logbucket_quantile_error")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    # partial aggregation map-side: more HashAggregates than Exchanges
+    assert tree.count("HashAggregate") > tree.count("Exchange")
+
+
+def test_t_closeness_grid_broadcasts_global_distribution(spark):
+    """The EMD grid is (groups x 5 priorities): the 5-row global
+    distribution and the 1-row total must broadcast onto the
+    dimension-bounded group relation — no sort-merge on the fact join
+    side effects, no cartesian at data size."""
+    plan = plan_of(spark, "t_closeness_audit")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
+    assert "CartesianProduct" not in tree

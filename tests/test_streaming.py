@@ -1856,3 +1856,50 @@ def test_foreach_batch_digest_dedup_equals_batch_and_committed_crash(
     assert log.snapshot()[0] == v_before  # tag-skipped, no new version
     assert _sorted_rows(log.read(spark).select(*cols), cols) == want
     assert int(marker.read_text()) == last_batch
+
+
+def test_foreach_batch_quantile_hist_equals_batch_sketch(spark, tmp_path):
+    """Streaming log2-bucket quantile state == the batch sketch exactly
+    (counter addition is associative+commutative, so micro-batch
+    chopping cannot change the histogram), and the quantile estimates
+    through the accumulated state match the registry
+    logbucket_quantile_error spec's estimates group-for-group. Replay
+    rebuilds identical state."""
+    from cve_manager_spark.plans.sketches import logbucket_quantile_error
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_quantile_hist,
+        quantile_hist_estimate,
+        read_quantile_hist_state,
+    )
+
+    src_dir = str(tmp_path / "events_qhist_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "qhist_state")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_quantile_hist(stream, out)
+
+    start().awaitTermination()
+    state = read_quantile_hist_state(spark, out)
+    assert state.agg(F.sum("c")).head()[0] == events.count()
+
+    got = quantile_hist_estimate(state).select(
+        F.col("g").alias("event_type"), "p50_est", "p90_est", "p99_est"
+    )
+    want = logbucket_quantile_error(spark, SF_SMALL).select(
+        "event_type", "p50_est", "p90_est", "p99_est"
+    )
+    cols = ["event_type", "p50_est", "p90_est", "p99_est"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    start().awaitTermination()  # replay: snapshots rebuild identically
+    state2 = read_quantile_hist_state(spark, out)
+    assert _sorted_rows(state2, ["g", "b", "c"]) == _sorted_rows(
+        state, ["g", "b", "c"]
+    )
