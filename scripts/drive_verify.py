@@ -162,6 +162,9 @@ SAMPLE = [
     "seasonal_decompose_dow",
     "rolling_7d_median_events",
     "dau_jaccard_consecutive",
+    # round-11 additions: quantile sketch + privacy trio closer
+    "logbucket_quantile_error",
+    "t_closeness_audit",
 ]
 fails = []
 for name in SAMPLE:
