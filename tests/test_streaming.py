@@ -1903,3 +1903,47 @@ def test_foreach_batch_quantile_hist_equals_batch_sketch(spark, tmp_path):
     assert _sorted_rows(state2, ["g", "b", "c"]) == _sorted_rows(
         state, ["g", "b", "c"]
     )
+
+
+def test_vacuum_snapshot_state_keeps_reads_and_resume_intact(spark, tmp_path):
+    """Sketch-state retention (the commit-log manifest-retention
+    counterpart): after vacuuming all but the newest snapshot, reads
+    see the identical state, and a LATER micro-batch still merges from
+    the surviving newest predecessor — the stream resumes across the
+    vacuum with nothing lost."""
+    from cve_manager_spark.streaming.sinks import (
+        _list_state_versions,
+        foreach_batch_quantile_hist,
+        read_quantile_hist_state,
+        vacuum_snapshot_state,
+    )
+
+    src_dir = str(tmp_path / "events_vac_src")
+    events = load_table(spark, SF_SMALL, "events")
+    stamped = events.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    )
+    first = stamped.where(F.col("event_id") % 4 != 0)
+    later = stamped.where(F.col("event_id") % 4 == 0)
+    first.repartition(3).write.parquet(src_dir)
+    out = str(tmp_path / "qhist_state_vac")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_quantile_hist(stream, out)
+
+    start().awaitTermination()
+    assert len(_list_state_versions(spark, out)) >= 2
+    before = _sorted_rows(read_quantile_hist_state(spark, out), ["g", "b", "c"])
+
+    report = vacuum_snapshot_state(spark, out, keep_last=1)
+    assert report["dropped"] >= 1
+    assert len(_list_state_versions(spark, out)) == 1
+    after = _sorted_rows(read_quantile_hist_state(spark, out), ["g", "b", "c"])
+    assert after == before  # snapshots are self-contained
+
+    # the stream resumes: a later batch merges from the survivor
+    later.repartition(1).write.mode("append").parquet(src_dir)
+    start().awaitTermination()
+    state = read_quantile_hist_state(spark, out)
+    assert state.agg(F.sum("c")).head()[0] == events.count()
