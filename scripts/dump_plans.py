@@ -99,6 +99,9 @@ FLAGSHIP = {
     "sample_size_quantile_sweep": "nested md5 sample: ONE TakeOrderedAndProject(1024) serves every k; all 9 (k,q) cells audit in one broadcast conditional-aggregate pass",
     "drift_escape_report": "reference bounds ride one 1-row broadcast back over the current-window projection; two scans, no shuffle join, no window",
     "dedup_modality_agreement": "digest groupBy + equi join-back vs banded directional MinHash join, cross-tabbed by a 4-key aggregate — no cartesian anywhere",
+    "pca_topr_residual_norms": "top-1/2/3 deflation ladder entirely in-row over ONE scan: three stacked projection subtractions against frozen direction literals; one label-grain aggregate",
+    "logbucket_quantile_error": "sketch side shuffles <=64 (type,bucket,count) triples per group (partial+final agg); exact side rides the domain-bounded value histogram; 5-row broadcast join-back",
+    "t_closeness_audit": "one fact group-by; 5-row global distribution + 1-row total broadcast onto the dimension-bounded grid; EMD cumsum windows over groups x 5 rows, never facts",
 }
 
 
