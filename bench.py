@@ -152,6 +152,7 @@ HEADLINE = [
     # new capability surface carries a number like the rest
     "logbucket_quantile_error",
     "t_closeness_audit",
+    "kmv_set_ops_error",
 ]
 
 

@@ -729,3 +729,197 @@ def logbucket_quantile_error(spark: SparkSession, sf: str) -> DataFrame:
             ).alias(f"p{p}_ratio_ppm"),
         ]
     return j.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) theta sketch: distinct-count SET OPERATIONS
+# ---------------------------------------------------------------------------
+
+# The set-operation face of cardinality sketching: HLL unions natively
+# (agg_hll_mergeable) but its register hashing is library-private, so
+# that audit is rows-only. KMV — keep the k smallest 60-bit md5 values;
+# N-hat = (k-1) * 2^60 / theta_k; union = k smallest of the union of
+# sketches; intersection via the inclusion fraction c/k_union scaled by
+# the union estimate (Beyer et al., "On synopses for distinct-value
+# estimation under multiset operations") — is built from the shared
+# md5, so estimate AND error hash-verify exactly. A sketch that is not
+# full (k_eff < k) holds its whole set and estimates exactly; the
+# partially-filled denominators use k_eff for the same reason.
+
+_KMV_K = 64
+_POW60 = 1152921504606846976  # 2^60: h = conv(15 md5 hex chars) < 2^60
+
+_KMV_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT event_type,
+         CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS e
+  FROM events WHERE event_type IN ('click', 'view')
+), hs AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(e), 1, 15) AS BIGINT) AS h
+  FROM du
+), ak AS (SELECT h FROM hs WHERE event_type = 'click' ORDER BY h LIMIT {_KMV_K}),
+bk AS (SELECT h FROM hs WHERE event_type = 'view' ORDER BY h LIMIT {_KMV_K}),
+uk AS (
+  SELECT h FROM (SELECT h FROM ak UNION SELECT h FROM bk) ORDER BY h LIMIT {_KMV_K}
+), stats AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM hs WHERE event_type = 'click') AS n_a_exact,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM hs WHERE event_type = 'view') AS n_b_exact,
+    (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM hs) AS n_union_exact,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+       (SELECT h FROM hs WHERE event_type = 'click'
+        INTERSECT SELECT h FROM hs WHERE event_type = 'view')) AS n_inter_exact,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ak) AS ka,
+    (SELECT MAX(h) FROM ak) AS ta,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM bk) AS kb,
+    (SELECT MAX(h) FROM bk) AS tb,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM uk) AS ku,
+    (SELECT MAX(h) FROM uk) AS tu,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM uk
+      WHERE h IN (SELECT h FROM ak) AND h IN (SELECT h FROM bk)) AS c
+), est AS (
+  SELECT *,
+    CAST(CASE WHEN ka < {_KMV_K} THEN ka
+         ELSE CAST({_KMV_K - 1} AS HUGEINT) * {_POW60} // ta END AS BIGINT) AS est_a,
+    CAST(CASE WHEN kb < {_KMV_K} THEN kb
+         ELSE CAST({_KMV_K - 1} AS HUGEINT) * {_POW60} // tb END AS BIGINT) AS est_b,
+    CAST(CASE WHEN ku < {_KMV_K} THEN ku
+         ELSE CAST({_KMV_K - 1} AS HUGEINT) * {_POW60} // tu END AS BIGINT) AS est_union
+  FROM stats
+)
+SELECT n_a_exact, est_a,
+       CAST(est_a * 1000000 // GREATEST(n_a_exact, 1) AS BIGINT) AS err_a_ppm,
+       n_b_exact, est_b,
+       CAST(est_b * 1000000 // GREATEST(n_b_exact, 1) AS BIGINT) AS err_b_ppm,
+       n_union_exact, est_union,
+       CAST(est_union * 1000000 // GREATEST(n_union_exact, 1) AS BIGINT) AS err_union_ppm,
+       n_inter_exact,
+       CAST(c * CAST(est_union AS HUGEINT) // ku AS BIGINT) AS est_inter,
+       CAST((c * CAST(est_union AS HUGEINT) // ku) * 1000000
+            // GREATEST(n_inter_exact, 1) AS BIGINT) AS err_inter_ppm
+FROM est
+"""
+
+
+@_register(
+    "kmv_set_ops_error",
+    _KMV_ORACLE,
+    doc="KMV theta-sketch set operations, hash-checked end to end — the "
+    "distinct-count face HLL cannot verify (library registers are "
+    "seed-private; agg_hll_mergeable is rows-only): k=64 minimum "
+    "60-bit md5 values per active-user-day set ('click' vs 'view'), "
+    "N-hat = (k-1)*2^60/theta_k, union sketch = k smallest of the "
+    "sketch union, intersection = inclusion fraction c/k_u scaled by "
+    "the union estimate (Beyer et al.), each against its exact count "
+    "with error in integer ppm. A not-full sketch holds its whole set "
+    "and estimates exactly. At 100 TB the sketches are top-k over the "
+    "distinct relation (TakeOrderedAndProject — per-partition top-k, "
+    "never a global sort); everything after is 64-row arithmetic on "
+    "1-row broadcast aggregates.",
+)
+def kmv_set_ops_error(spark: SparkSession, sf: str) -> DataFrame:
+    k = _KMV_K
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("date").cast("string"),
+            ).alias("e"),
+        )
+        .distinct()
+    )
+    hs = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5("e"), 1, 15), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    a = hs.where(F.col("event_type") == "click").select("h")
+    b = hs.where(F.col("event_type") == "view").select("h")
+    ak = a.orderBy("h").limit(k)
+    bk = b.orderBy("h").limit(k)
+    uk = ak.union(bk).distinct().orderBy("h").limit(k)
+
+    one = lambda df, *cols: df.agg(*cols)  # noqa: E731 — 1-row aggregates
+    row = (
+        one(a, F.count(F.lit(1)).cast("bigint").alias("n_a_exact"))
+        .crossJoin(one(b, F.count(F.lit(1)).cast("bigint").alias("n_b_exact")))
+        .crossJoin(
+            one(
+                hs.select("h").distinct(),
+                F.count(F.lit(1)).cast("bigint").alias("n_union_exact"),
+            )
+        )
+        .crossJoin(
+            one(
+                a.join(b, "h"),
+                F.count(F.lit(1)).cast("bigint").alias("n_inter_exact"),
+            )
+        )
+        .crossJoin(
+            one(
+                ak,
+                F.count(F.lit(1)).cast("bigint").alias("ka"),
+                F.max("h").alias("ta"),
+            )
+        )
+        .crossJoin(
+            one(
+                bk,
+                F.count(F.lit(1)).cast("bigint").alias("kb"),
+                F.max("h").alias("tb"),
+            )
+        )
+        .crossJoin(
+            one(
+                uk,
+                F.count(F.lit(1)).cast("bigint").alias("ku"),
+                F.max("h").alias("tu"),
+            )
+        )
+        .crossJoin(
+            one(
+                uk.join(ak, "h", "left_semi").join(bk, "h", "left_semi"),
+                F.count(F.lit(1)).cast("bigint").alias("c"),
+            )
+        )
+    )
+
+    def nhat(k_eff: str, theta: str) -> str:
+        return (
+            f"CAST(CASE WHEN {k_eff} < {k} THEN {k_eff} "
+            f"ELSE CAST({k - 1} AS DECIMAL(38,0)) * {_POW60} div {theta} "
+            f"END AS BIGINT)"
+        )
+
+    est = row.select(
+        "*",
+        F.expr(nhat("ka", "ta")).alias("est_a"),
+        F.expr(nhat("kb", "tb")).alias("est_b"),
+        F.expr(nhat("ku", "tu")).alias("est_union"),
+    )
+    err = lambda e, x: F.expr(  # noqa: E731
+        f"CAST({e} * 1000000 div GREATEST({x}, 1) AS BIGINT)"
+    )
+    return est.select(
+        "n_a_exact",
+        "est_a",
+        err("est_a", "n_a_exact").alias("err_a_ppm"),
+        "n_b_exact",
+        "est_b",
+        err("est_b", "n_b_exact").alias("err_b_ppm"),
+        "n_union_exact",
+        "est_union",
+        err("est_union", "n_union_exact").alias("err_union_ppm"),
+        "n_inter_exact",
+        F.expr(
+            "CAST(c * CAST(est_union AS DECIMAL(38,0)) div ku AS BIGINT)"
+        ).alias("est_inter"),
+        F.expr(
+            "CAST((c * CAST(est_union AS DECIMAL(38,0)) div ku) * 1000000 "
+            "div GREATEST(n_inter_exact, 1) AS BIGINT)"
+        ).alias("err_inter_ppm"),
+    )

@@ -1536,3 +1536,88 @@ def vacuum_snapshot_state(spark, out_dir: str, keep_last: int = 2) -> dict:
         p = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{_STATE_PREFIX}{v}")
         p.getFileSystem(conf).delete(p, True)
     return {"dropped": len(drop), "kept": versions[len(drop):]}
+
+
+def foreach_batch_kmv(
+    stream_df: DataFrame,
+    out_dir: str,
+    group_col: str = "event_type",
+    element_expr: str = (
+        "concat_ws(':', cast(user_id as string), "
+        "cast(cast(ts as date) as string))"
+    ),
+    k: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Streaming KMV theta-sketch state — the distinct-count member of
+    the sketch-state family whose SET OPERATIONS stay exact to merge:
+    per group, the k smallest 60-bit md5 values of the element
+    expression (the same hash the batch ``kmv_set_ops_error`` audit
+    prices). Merging two sketches = k smallest of their union —
+    idempotent, commutative, associative — so micro-batch chopping and
+    replay cannot change the state (the Bloom-bits argument, applied
+    to an ordered set). Each micro-batch reduces to <= #groups x k
+    rows before touching the previous snapshot; state is #groups x k
+    longs regardless of stream volume."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        h = F.conv(
+            F.substring(F.md5(F.expr(element_expr)), 1, 15), 16, 10
+        ).cast("long")
+        part = (
+            batch_df.select(F.col(group_col).alias("g"), h.alias("h"))
+            .distinct()
+        )
+        versions = [
+            v for v in _list_state_versions(spark, out_dir) if v < batch_id
+        ]
+        if versions:
+            prev = spark.read.parquet(
+                f"{out_dir}/{_STATE_PREFIX}{versions[-1]}"
+            )
+            part = prev.unionByName(part).distinct()
+        w = Window.partitionBy("g").orderBy("h")
+        trimmed = (
+            part.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        trimmed.write.mode("overwrite").parquet(
+            f"{out_dir}/{_STATE_PREFIX}{batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kmv_state(spark, out_dir: str) -> DataFrame | None:
+    """Newest KMV snapshot: (g, h)."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+
+
+def kmv_estimate(state_df: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count point-queries over the KMV state: per group,
+    N-hat = (k-1) * 2^60 / theta_k, or the exact held count when the
+    sketch is not full — identical arithmetic to the batch audit, run
+    over the <= #groups x k-row state."""
+    pow60 = 1152921504606846976
+    agg = state_df.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+        F.max("h").alias("theta"),
+    )
+    return agg.select(
+        "g",
+        F.expr(
+            f"CAST(CASE WHEN k_eff < {k} THEN k_eff "
+            f"ELSE CAST({k - 1} AS DECIMAL(38,0)) * {pow60} div theta "
+            f"END AS BIGINT)"
+        ).alias("estimate"),
+    )

@@ -165,6 +165,7 @@ SAMPLE = [
     # round-11 additions: quantile sketch + privacy trio closer
     "logbucket_quantile_error",
     "t_closeness_audit",
+    "kmv_set_ops_error",
 ]
 fails = []
 for name in SAMPLE:

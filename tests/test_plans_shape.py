@@ -1118,3 +1118,15 @@ def test_t_closeness_grid_broadcasts_global_distribution(spark):
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_kmv_sketches_are_topk_never_global_sort(spark):
+    """Every KMV sketch is a k=64 minimum-hash selection: the plan must
+    select via TakeOrderedAndProject (per-partition top-k) with no
+    global Sort, no cartesian at data size, and no sort-merge join —
+    after the top-k everything is 64-row/1-row broadcast arithmetic."""
+    plan = plan_of(spark, "kmv_set_ops_error")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree

@@ -1947,3 +1947,43 @@ def test_vacuum_snapshot_state_keeps_reads_and_resume_intact(spark, tmp_path):
     start().awaitTermination()
     state = read_quantile_hist_state(spark, out)
     assert state.agg(F.sum("c")).head()[0] == events.count()
+
+
+def test_foreach_batch_kmv_equals_batch_sketch(spark, tmp_path):
+    """Streaming KMV state == the batch sketch exactly (merge = k
+    smallest of the union — idempotent and commutative, so micro-batch
+    chopping cannot change it), and distinct-count estimates through
+    the accumulated state match the registry kmv_set_ops_error spec's
+    per-set estimates. Replay rebuilds identical state."""
+    from cve_manager_spark.plans.sketches import kmv_set_ops_error
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_kmv,
+        kmv_estimate,
+        read_kmv_state,
+    )
+
+    src_dir = str(tmp_path / "events_kmv_src")
+    events = load_table(spark, SF_SMALL, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "kmv_state")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_kmv(stream, out)
+
+    start().awaitTermination()
+    state = read_kmv_state(spark, out)
+    est = {r["g"]: r["estimate"] for r in kmv_estimate(state).collect()}
+    want = kmv_set_ops_error(spark, SF_SMALL).head()
+    assert est["click"] == want["est_a"]
+    assert est["view"] == want["est_b"]
+
+    start().awaitTermination()  # replay: snapshots rebuild identically
+    state2 = read_kmv_state(spark, out)
+    assert _sorted_rows(state2, ["g", "h"]) == _sorted_rows(state, ["g", "h"])
