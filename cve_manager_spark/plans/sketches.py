@@ -673,7 +673,10 @@ def _rank_fold(xname: str):
     "(foreach_batch_quantile_hist is the twin); the sketch-side "
     "shuffle carries <=64 (type, bucket, count) triples per group "
     "regardless of row count. The exact side rides the domain-bounded "
-    "(type, value) histogram, present only to price the error.",
+    "(type, value) histogram, present only to price the error. "
+    "Domain: milli-unit values must be non-negative (bin() of a "
+    "negative long is 64-char two's complement); shift or clamp "
+    "signed measures before sketching.",
 )
 def logbucket_quantile_error(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(

@@ -1428,7 +1428,12 @@ def foreach_batch_quantile_hist(
     stream == batch. State is bounded by #groups x 64 counters
     regardless of stream volume; snapshots are keyed by batch id, each
     derived from the newest predecessor (the foreach_batch_rollup
-    idempotency discipline), so replays rebuild identical state."""
+    idempotency discipline), so replays rebuild identical state.
+
+    Domain: value_expr must be non-negative (bin() of a negative long
+    is its 64-char two's complement in Spark, which would rank above
+    every positive bucket) — shift or clamp signed measures before
+    sketching, the same precondition the batch audit carries."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
