@@ -337,6 +337,16 @@ def main() -> None:
         "n_passes": n_passes,
         "sf": sf,
         "notes": {
+            "r11_final_run": "second full r11 run, 102.21s over 85 (the "
+            "82-set plus the three new round-11 capability headliners: "
+            "logbucket_quantile_error 1.07s, t_closeness_audit 0.84s, "
+            "kmv_set_ops_error 0.95s — all histogram/top-k-grain, "
+            "priced ~1s each). Amortized artifacts hold: "
+            "embedding_drift_buckets 0.78s, semantic_dedup_frozen_keep "
+            "2.35s. Passes' steal 38.1/9.1/18.1 core-s (final pass "
+            "1.7% < the 2% heal threshold). Shared-82 vs the first r11 "
+            "run: 99.3s vs 104.8s — the engine got FASTER while the "
+            "headline set grew",
             "r11_shared78_drift_attributed": "VERDICT r10 #4 closed: solo "
             "min-of-6 at ~zero steal (0.0-0.1 stolen core-s each, "
             "before-load ~2) for the four biggest r9->r10 relative "
