@@ -71,3 +71,33 @@ def test_count_min_sketch_bounds_heavy_hitter_error(spark):
     for k, n in exact.items():
         est = jvm_sk.estimateCount(k)
         assert n <= est <= n + eps * n_total, (k, n, est)
+
+
+def test_logbucket_estimate_bounds_hold_everywhere(spark):
+    """The log2-bucket quantile estimate is the bucket's UPPER bound,
+    so est >= exact and est <= 2*exact + 1 (one bucket's width) for
+    every group and every quantile — the guarantee the audit prices,
+    asserted as a theorem over the data rather than spot-checked."""
+    df = collect()["logbucket_quantile_error"].build(spark, SF_ORACLE)
+    for r in df.collect():
+        for p in ("p50", "p90", "p99"):
+            exact, est = r[f"{p}_exact"], r[f"{p}_est"]
+            assert est >= exact, (r["event_type"], p, exact, est)
+            assert est <= 2 * exact + 1, (r["event_type"], p, exact, est)
+
+
+def test_kmv_sketch_is_exact_below_k(spark, tmp_path):
+    """KMV theorem: a sketch holding its whole set (k_eff < k)
+    estimates EXACTLY, for the base sets AND their union AND the
+    intersection — so small groups never pay sketch error. Proven by
+    thinning the element universe below k=64 (2 users x <=30 days =
+    <=60 possible user-days at ANY scale factor): every estimate
+    column must equal its exact column."""
+    ev = load_table(spark, SF_ORACLE, "events")
+    thin_dir = str(tmp_path / "thin")
+    ev.where(F.col("user_id") < 2).write.parquet(f"{thin_dir}/events.parquet")
+    r = collect()["kmv_set_ops_error"].build(spark, thin_dir).head()
+    assert r["est_a"] == r["n_a_exact"]
+    assert r["est_b"] == r["n_b_exact"]
+    assert r["est_union"] == r["n_union_exact"]
+    assert r["est_inter"] == r["n_inter_exact"]
