@@ -153,6 +153,8 @@ HEADLINE = [
     "logbucket_quantile_error",
     "t_closeness_audit",
     "kmv_set_ops_error",
+    "seasonal_naive_backtest",
+    "join_cardinality_audit",
 ]
 
 

@@ -5822,3 +5822,97 @@ def markov_conditional_entropy(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(term).cast("double").alias("entropy"),
         )
     )
+
+
+# the cardinality-estimation audit an optimizer's join-ordering rides:
+# how wrong is the uniform-distribution estimate on a skewed key, and
+# how much of the error an end-biased histogram (exact top-k heavy
+# keys + uniform remainder — the classic System R refinement) buys
+# back. Products run in DECIMAL(38,0)/HUGEINT: sum(c^2) and N^2
+# overflow int64 at warehouse row counts.
+
+_JOINCARD_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS u,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS exact_pairs
+  FROM c
+), top AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_top,
+         CAST(SUM(c) AS BIGINT) AS n_top,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS pairs_top
+  FROM (SELECT c FROM c ORDER BY c DESC, user_id LIMIT 10)
+)
+SELECT tot.n AS rows_in, tot.u AS ndv,
+       CAST(tot.exact_pairs AS BIGINT) AS exact_pairs,
+       CAST(CAST(tot.n AS HUGEINT) * tot.n // tot.u AS BIGINT)
+         AS est_uniform,
+       CAST((CAST(tot.n AS HUGEINT) * tot.n // tot.u) * 1000000
+            // tot.exact_pairs AS BIGINT) AS uniform_ratio_ppm,
+       CAST(top.pairs_top
+            + CAST(tot.n - top.n_top AS HUGEINT) * (tot.n - top.n_top)
+              // GREATEST(tot.u - top.k_top, 1) AS BIGINT) AS est_endbiased,
+       CAST((top.pairs_top
+             + CAST(tot.n - top.n_top AS HUGEINT) * (tot.n - top.n_top)
+               // GREATEST(tot.u - top.k_top, 1)) * 1000000
+            // tot.exact_pairs AS BIGINT) AS endbiased_ratio_ppm
+FROM tot CROSS JOIN top
+"""
+
+
+@_register(
+    "join_cardinality_audit",
+    _JOINCARD_ORACLE,
+    doc="Cardinality-estimation audit for the self-join on the skewed "
+    "user key — the measurement behind cost-based join ordering: "
+    "exact |events x events on user_id| = sum(c^2) from the per-key "
+    "histogram, vs the uniform-assumption estimate N^2/ndv every "
+    "textbook optimizer starts from, vs the end-biased refinement "
+    "(top-10 heavy keys exact + uniform remainder, System R style), "
+    "each as an exact integer ratio in ppm. Under-estimates here are "
+    "how skewed shuffle joins get planned onto too few tasks. "
+    "Arithmetic in DECIMAL(38,0)/HUGEINT — sum(c^2) overflows int64 "
+    "at warehouse counts. One key-grain aggregate; the top-10 is "
+    "TakeOrderedAndProject; everything after is 1-row broadcast math.",
+    priority=5,
+)
+def join_cardinality_audit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = c.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias(
+            "exact_pairs_dec"
+        ),
+    )
+    top = (
+        c.orderBy(F.col("c").desc(), "user_id")
+        .limit(10)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_top"),
+            F.sum("c").cast("bigint").alias("n_top"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias(
+                "pairs_top_dec"
+            ),
+        )
+    )
+    est_u = "CAST(n AS DECIMAL(38,0)) * n div u"
+    est_e = (
+        "pairs_top_dec + CAST(n - n_top AS DECIMAL(38,0)) * (n - n_top) "
+        "div GREATEST(u - k_top, 1)"
+    )
+    return tot.crossJoin(top).select(
+        F.col("n").alias("rows_in"),
+        F.col("u").alias("ndv"),
+        F.col("exact_pairs_dec").cast("bigint").alias("exact_pairs"),
+        F.expr(f"CAST({est_u} AS BIGINT)").alias("est_uniform"),
+        F.expr(
+            f"CAST(({est_u}) * 1000000 div exact_pairs_dec AS BIGINT)"
+        ).alias("uniform_ratio_ppm"),
+        F.expr(f"CAST({est_e} AS BIGINT)").alias("est_endbiased"),
+        F.expr(
+            f"CAST(({est_e}) * 1000000 div exact_pairs_dec AS BIGINT)"
+        ).alias("endbiased_ratio_ppm"),
+    )

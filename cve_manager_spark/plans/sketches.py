@@ -926,3 +926,62 @@ def kmv_set_ops_error(spark: SparkSession, sf: str) -> DataFrame:
             "div GREATEST(n_inter_exact, 1) AS BIGINT)"
         ).alias("err_inter_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# walk-forward forecast backtest: seasonal-naive lag-7 on the daily series
+# ---------------------------------------------------------------------------
+
+_BACKTEST_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), scored AS (
+  SELECT a.event_type, a.day, a.n, p.n AS pred
+  FROM daily a JOIN daily p
+    ON p.event_type = a.event_type AND p.day = a.day - 7
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(n - pred)) AS BIGINT) AS sum_abs_err,
+       CAST(SUM(ABS(n - pred)) * 1000 // COUNT(*) AS BIGINT) AS mae_milli,
+       CAST(SUM(ABS(n - pred)) * 1000000 // SUM(n) AS BIGINT) AS wape_ppm
+FROM scored GROUP BY event_type
+"""
+
+
+@_register(
+    "seasonal_naive_backtest",
+    _BACKTEST_ORACLE,
+    doc="Walk-forward backtest of the seasonal-naive forecaster (predict "
+    "day d by day d-7) on the per-type daily event series — the "
+    "baseline every capacity-planning forecast must beat, and the "
+    "backtest harness that scores it honestly: only days with a "
+    "calendar lag-7 predecessor score (a row-lag would silently slip "
+    "across gaps), absolute error stays integer, MAE in exact milli "
+    "and WAPE in exact ppm (WAPE = sum|err|/sum(actual) divides ONCE "
+    "at the end, unlike MAPE's per-day ratios which no integer "
+    "arithmetic can hold). The join rides the day-grain aggregate — "
+    "#days x #types rows, never events.",
+)
+def seasonal_naive_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pred = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("n").alias("pred"),
+    )
+    scored = daily.join(pred, ["event_type", "day"])
+    err = F.abs(F.col("n") - F.col("pred"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(err).cast("bigint").alias("sum_abs_err"),
+        F.expr(
+            "CAST(sum(abs(n - pred)) * 1000 div count(*) AS BIGINT)"
+        ).alias("mae_milli"),
+        F.expr(
+            "CAST(sum(abs(n - pred)) * 1000000 div sum(n) AS BIGINT)"
+        ).alias("wape_ppm"),
+    )

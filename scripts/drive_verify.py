@@ -166,6 +166,8 @@ SAMPLE = [
     "logbucket_quantile_error",
     "t_closeness_audit",
     "kmv_set_ops_error",
+    "seasonal_naive_backtest",
+    "join_cardinality_audit",
 ]
 fails = []
 for name in SAMPLE:

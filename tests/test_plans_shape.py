@@ -1130,3 +1130,24 @@ def test_kmv_sketches_are_topk_never_global_sort(spark):
     assert "TakeOrderedAndProject" in tree
     assert "CartesianProduct" not in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_seasonal_backtest_joins_day_grain_only(spark):
+    """The lag-7 predecessor join must ride the day-grain aggregate
+    (#days x #types rows) — partial aggregation before the exchange,
+    no cartesian, no sort-merge at fact size."""
+    plan = plan_of(spark, "seasonal_naive_backtest")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert tree.count("HashAggregate") > tree.count("Exchange")
+
+
+def test_join_cardinality_audit_topk_and_broadcast_math(spark):
+    """The end-biased top-10 must be TakeOrderedAndProject (never a
+    global sort) and the estimate arithmetic is 1-row broadcast math —
+    no sort-merge join, no cartesian at data size."""
+    plan = plan_of(spark, "join_cardinality_audit")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
