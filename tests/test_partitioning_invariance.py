@@ -37,6 +37,11 @@ SAMPLE = [
     "logbucket_quantile_error",
     "t_closeness_audit",
     "quantile_exact",
+    # top-k selections with tie-break keys: TakeOrderedAndProject must
+    # pick the same rows whatever the partition boundaries
+    "kmv_set_ops_error",
+    "join_cardinality_audit",
+    "seasonal_naive_backtest",
 ]
 
 # (conf, hostile value): primes defeat any accidental alignment with the
