@@ -178,3 +178,30 @@ def fan_out(df, target: int | None = None):
     if n < target:
         return df.repartition(target)
     return df
+
+
+# --- KMV theta sketch (shared by plans.sketches and streaming.sinks) ---
+
+# h = first 15 md5 hex chars as a 60-bit integer — the engine-shared
+# uniform hash (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS
+# BIGINT) bit-for-bit on 15-char inputs, both < 2^60).
+KMV_POW60 = 1152921504606846976  # 2^60
+
+
+def kmv_hash60(elem: Column) -> Column:
+    """60-bit uniform hash of an element expression for KMV sketches."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(elem), 1, 15), 16, 10).cast("long")
+
+
+def kmv_nhat_sql(k_eff: str, theta: str, k: int) -> str:
+    """SQL for the KMV distinct estimate: a not-full sketch holds its
+    whole set (exact); a full one estimates (k-1) * 2^60 / theta_k in
+    DECIMAL(38,0). One definition keeps the batch audit and the
+    streaming probe in provable lockstep (stream == batch tests)."""
+    return (
+        f"CAST(CASE WHEN {k_eff} < {k} THEN {k_eff} "
+        f"ELSE CAST({k - 1} AS DECIMAL(38,0)) * {KMV_POW60} div {theta} "
+        f"END AS BIGINT)"
+    )

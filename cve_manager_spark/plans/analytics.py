@@ -2746,7 +2746,7 @@ WITH j AS (
 SELECT c_nationkey, c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_orders,
        CAST(CAST(SUM(ABS(c)) AS HUGEINT) * 1000000
             // (((SELECT nprio FROM tot) - 1)
-                * MAX(n) * (SELECT m FROM tot)) AS BIGINT) AS t_ppm
+                * CAST(MAX(n) AS HUGEINT) * (SELECT m FROM tot)) AS BIGINT) AS t_ppm
 FROM cum GROUP BY c_nationkey, c_mktsegment
 """
 
@@ -2802,7 +2802,8 @@ def t_closeness_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_orders"),
         F.expr(
             "CAST(sum(abs(c)) * 1000000 div "
-            "((max(nprio) - 1) * max(n) * max(m)) AS BIGINT)"
+            "((max(nprio) - 1) * CAST(max(n) AS DECIMAL(38,0)) * max(m)) "
+            "AS BIGINT)"
         ).alias("t_ppm"),
     )
 
@@ -5872,8 +5873,11 @@ FROM tot CROSS JOIN top
     "(top-10 heavy keys exact + uniform remainder, System R style), "
     "each as an exact integer ratio in ppm. Under-estimates here are "
     "how skewed shuffle joins get planned onto too few tasks. "
-    "Arithmetic in DECIMAL(38,0)/HUGEINT — sum(c^2) overflows int64 "
-    "at warehouse counts. One key-grain aggregate; the top-10 is "
+    "Intermediate arithmetic runs in DECIMAL(38,0)/HUGEINT so the ppm "
+    "ratios stay exact at any scale; the absolute pair-count OUTPUT "
+    "columns are int64 (repo convention: no decimal output) and "
+    "saturate past 2^63 pairs — beyond that consumers read the "
+    "ratios. One key-grain aggregate; the top-10 is "
     "TakeOrderedAndProject; everything after is 1-row broadcast math.",
     priority=5,
 )

@@ -749,8 +749,13 @@ def logbucket_quantile_error(spark: SparkSession, sf: str) -> DataFrame:
 # full (k_eff < k) holds its whole set and estimates exactly; the
 # partially-filled denominators use k_eff for the same reason.
 
+from cve_manager_spark.functions.helpers import (  # noqa: E402
+    KMV_POW60 as _POW60,
+    kmv_hash60 as _kmv_hash60,
+    kmv_nhat_sql as _kmv_nhat_sql,
+)
+
 _KMV_K = 64
-_POW60 = 1152921504606846976  # 2^60: h = conv(15 md5 hex chars) < 2^60
 
 _KMV_ORACLE = f"""
 WITH du AS (
@@ -837,8 +842,7 @@ def kmv_set_ops_error(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     hs = ev.select(
-        "event_type",
-        F.conv(F.substring(F.md5("e"), 1, 15), 16, 10).cast("long").alias("h"),
+        "event_type", _kmv_hash60(F.col("e")).alias("h")
     ).distinct()
     a = hs.where(F.col("event_type") == "click").select("h")
     b = hs.where(F.col("event_type") == "view").select("h")
@@ -892,11 +896,7 @@ def kmv_set_ops_error(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def nhat(k_eff: str, theta: str) -> str:
-        return (
-            f"CAST(CASE WHEN {k_eff} < {k} THEN {k_eff} "
-            f"ELSE CAST({k - 1} AS DECIMAL(38,0)) * {_POW60} div {theta} "
-            f"END AS BIGINT)"
-        )
+        return _kmv_nhat_sql(k_eff, theta, k)
 
     est = row.select(
         "*",

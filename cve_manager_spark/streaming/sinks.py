@@ -1494,18 +1494,24 @@ def quantile_hist_estimate(
     d = state_df.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
         "n", F.sum("c").over(w_all)
     )
+    names = [f"p{round(p * 100):d}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"probs {probs} collide after percent rounding ({names}); "
+            "choose probabilities at least one percent apart"
+        )
     flags = [
         (F.col("cum") >= F.ceil(F.lit(p) * F.col("n"))).alias(f"_ok{i}")
         for i, p in enumerate(probs)
     ]
     d = d.select("g", "b", "n", *flags)
     aggs = [F.max("n").cast("bigint").alias("n")]
-    for i, p in enumerate(probs):
+    for i, name in enumerate(names):
         aggs.append(
             F.expr(
                 f"CAST(shiftleft(CAST(1 AS BIGINT), CAST(min(CASE WHEN "
                 f"_ok{i} THEN b END) AS INT)) - 1 AS BIGINT)"
-            ).alias(f"p{int(p * 100)}_est")
+            ).alias(f"{name}_est")
         )
     return d.groupBy("g").agg(*aggs)
 
@@ -1523,16 +1529,24 @@ def vacuum_snapshot_state(spark, out_dir: str, keep_last: int = 2) -> dict:
 
     Replay safety: only the newest version's batch id can ever be
     re-delivered (version b existing proves batch b ran, which proves
-    batch b-1 committed its checkpoint), and the write path merges
-    from the newest version strictly below the incoming batch id —
-    both survive any ``keep_last >= 1``. NOT for the log-structured
+    batch b-1 committed its checkpoint), and a re-delivered batch b
+    merges from the newest version strictly below b — i.e. from
+    v_{b-1}, which must therefore SURVIVE the vacuum: ``keep_last``
+    is floored at 2 (newest + its merge base). With keep_last=1 a
+    crash between writing v_b and committing its checkpoint, followed
+    by a vacuum, would leave the re-delivered batch no predecessor
+    and silently rebuild state from that one micro-batch alone.
+    NOT for the log-structured
     key-set state, whose reads compose across versions — that one
     folds via :func:`compact_keyset_state` instead. Deletion goes
     through the Hadoop FS API so local disk, HDFS, and object stores
     take the same path.
     """
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2: a re-delivered newest batch merges "
+            "from its predecessor snapshot, which keep_last=1 would delete"
+        )
     versions = _list_state_versions(spark, out_dir)
     drop = versions[:-keep_last] if len(versions) > keep_last else []
     jvm = spark._jvm
@@ -1565,11 +1579,11 @@ def foreach_batch_kmv(
     rows before touching the previous snapshot; state is #groups x k
     longs regardless of stream volume."""
 
+    from cve_manager_spark.functions.helpers import kmv_hash60
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        h = F.conv(
-            F.substring(F.md5(F.expr(element_expr)), 1, 15), 16, 10
-        ).cast("long")
+        h = kmv_hash60(F.expr(element_expr))
         part = (
             batch_df.select(F.col(group_col).alias("g"), h.alias("h"))
             .distinct()
@@ -1613,16 +1627,13 @@ def kmv_estimate(state_df: DataFrame, k: int = 64) -> DataFrame:
     N-hat = (k-1) * 2^60 / theta_k, or the exact held count when the
     sketch is not full — identical arithmetic to the batch audit, run
     over the <= #groups x k-row state."""
-    pow60 = 1152921504606846976
+    from cve_manager_spark.functions.helpers import kmv_nhat_sql
+
     agg = state_df.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("k_eff"),
         F.max("h").alias("theta"),
     )
     return agg.select(
         "g",
-        F.expr(
-            f"CAST(CASE WHEN k_eff < {k} THEN k_eff "
-            f"ELSE CAST({k - 1} AS DECIMAL(38,0)) * {pow60} div theta "
-            f"END AS BIGINT)"
-        ).alias("estimate"),
+        F.expr(kmv_nhat_sql("k_eff", "theta", k)).alias("estimate"),
     )

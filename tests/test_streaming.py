@@ -3,6 +3,7 @@ testdata events via availableNow, plus a rate-source watermark smoke."""
 
 from __future__ import annotations
 
+import shutil
 import time
 from pathlib import Path
 
@@ -1422,11 +1423,15 @@ def test_foreach_batch_cms_equals_batch_sketch(spark, tmp_path):
     cols = ["user_id", "estimate"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
-    start().awaitTermination()  # replay: snapshots rebuild identically
+    # real re-delivery: drop the checkpoint so every batch id replays
+    # over the existing snapshots — the `versions < batch_id` merge-base
+    # rule must rebuild identical state, not double-count
+    pre_replay = _sorted_rows(state, ["r", "b", "c"])  # materialize now:
+    # the replay overwrites the snapshot files this lazy plan points at
+    shutil.rmtree(f"{out}/_checkpoint")
+    start().awaitTermination()
     state2 = read_cms_state(spark, out)
-    assert _sorted_rows(state2, ["r", "b", "c"]) == _sorted_rows(
-        state, ["r", "b", "c"]
-    )
+    assert _sorted_rows(state2, ["r", "b", "c"]) == pre_replay
 
 
 def test_foreach_batch_bloom_equals_batch_and_no_false_negatives(
@@ -1898,11 +1903,14 @@ def test_foreach_batch_quantile_hist_equals_batch_sketch(spark, tmp_path):
     cols = ["event_type", "p50_est", "p90_est", "p99_est"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
-    start().awaitTermination()  # replay: snapshots rebuild identically
+    # real re-delivery (not a no-op restart): drop the checkpoint so
+    # every batch id replays over the existing snapshots
+    pre_replay = _sorted_rows(state, ["g", "b", "c"])  # materialize now:
+    # the replay overwrites the snapshot files this lazy plan points at
+    shutil.rmtree(f"{out}/_checkpoint")
+    start().awaitTermination()
     state2 = read_quantile_hist_state(spark, out)
-    assert _sorted_rows(state2, ["g", "b", "c"]) == _sorted_rows(
-        state, ["g", "b", "c"]
-    )
+    assert _sorted_rows(state2, ["g", "b", "c"]) == pre_replay
 
 
 def test_vacuum_snapshot_state_keeps_reads_and_resume_intact(spark, tmp_path):
@@ -1936,9 +1944,13 @@ def test_vacuum_snapshot_state_keeps_reads_and_resume_intact(spark, tmp_path):
     assert len(_list_state_versions(spark, out)) >= 2
     before = _sorted_rows(read_quantile_hist_state(spark, out), ["g", "b", "c"])
 
-    report = vacuum_snapshot_state(spark, out, keep_last=1)
+    with pytest.raises(ValueError):
+        # keep_last=1 would delete the re-delivery merge base
+        vacuum_snapshot_state(spark, out, keep_last=1)
+
+    report = vacuum_snapshot_state(spark, out, keep_last=2)
     assert report["dropped"] >= 1
-    assert len(_list_state_versions(spark, out)) == 1
+    assert len(_list_state_versions(spark, out)) == 2
     after = _sorted_rows(read_quantile_hist_state(spark, out), ["g", "b", "c"])
     assert after == before  # snapshots are self-contained
 
@@ -1984,6 +1996,11 @@ def test_foreach_batch_kmv_equals_batch_sketch(spark, tmp_path):
     assert est["click"] == want["est_a"]
     assert est["view"] == want["est_b"]
 
-    start().awaitTermination()  # replay: snapshots rebuild identically
+    # real re-delivery (not a no-op restart): drop the checkpoint so
+    # every batch id replays over the existing snapshots
+    pre_replay = _sorted_rows(state, ["g", "h"])  # materialize now: the
+    # replay overwrites the snapshot files this lazy plan points at
+    shutil.rmtree(f"{out}/_checkpoint")
+    start().awaitTermination()
     state2 = read_kmv_state(spark, out)
-    assert _sorted_rows(state2, ["g", "h"]) == _sorted_rows(state, ["g", "h"])
+    assert _sorted_rows(state2, ["g", "h"]) == pre_replay
