@@ -169,11 +169,13 @@ def foreach_batch_rollup(
     return writer.start()
 
 
-def _list_day_dirs(spark, ver_dir: str) -> list[str]:
-    """day=<value> partition values present under one key-set version
-    dir — directory NAMES only (Hadoop FS metadata, never row data).
+def _list_day_dirs(spark, ver_dir: str, col: str = "day") -> list[str]:
+    """<col>=<value> partition values present under one log-structured
+    version dir — directory NAMES only (Hadoop FS metadata, never row
+    data). Shared by the day-keyed DAU state and the bucket-keyed join
+    view; ``col`` names the hive partition column.
 
-    A version dir holding parquet files DIRECTLY (no ``day=`` subdirs)
+    A version dir holding parquet files DIRECTLY (no ``<col>=`` subdirs)
     is a pre-r7 FLAT snapshot; silently returning [] for it would drop
     that snapshot's entire history from every subsequent compose
     (ADVICE r7), so it raises loudly with the migration instruction
@@ -185,36 +187,42 @@ def _list_day_dirs(spark, ver_dir: str) -> list[str]:
         return []
     out = []
     flat_files = []
+    prefix = f"{col}="
     for st in fs.listStatus(path):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("day="):
-            out.append(name[len("day="):])
+        if st.isDirectory() and name.startswith(prefix):
+            out.append(name[len(prefix):])
         elif st.isFile() and not name.startswith(("_", ".")):
             flat_files.append(name)
     if flat_files and not out:
         raise ValueError(
-            f"{ver_dir} is a pre-day-partitioned FLAT key-set snapshot "
-            f"(data files {sorted(flat_files)[:3]} with no day= dirs); "
-            "composing over it would silently drop its history. Migrate "
-            "once by rewriting it day-partitioned: spark.read.parquet(dir)"
-            ".write.partitionBy('day').parquet(tmp) and swap."
+            f"{ver_dir} is a FLAT snapshot (data files "
+            f"{sorted(flat_files)[:3]} with no {prefix} dirs); composing "
+            "over it would silently drop its history. Migrate once by "
+            "rewriting it partitioned: spark.read.parquet(dir)"
+            f".write.partitionBy('{col}').parquet(tmp) and swap."
         )
     return sorted(out)
 
 
-def _keyset_compose(
-    spark, out_dir: str, upto: int | None = None, days: set[str] | None = None
+def _overlay_compose(
+    spark,
+    out_dir: str,
+    col: str = "day",
+    upto: int | None = None,
+    parts_filter: set[str] | None = None,
 ) -> DataFrame | None:
-    """Current (day, user_id) key set from the log-structured state: each
-    ``_state_v{b}`` dir holds the FULL merged set for only the days batch
-    ``b`` touched, so the live state is, per day, the newest version
-    owning that day. The day→version owner map is computed driver-side
-    from directory listings (bounded: days × versions names, no rows),
-    and each version is read through path-selected ``day=`` partition
-    dirs — a version contributes only the days it still owns, pruned at
-    the file-listing level. ``upto`` excludes versions ≥ a replayed
-    batch id; ``days`` restricts composition to the merge's touched set.
-    """
+    """Current state of a log-structured overlay: each ``_state_v{b}``
+    dir holds the FULL content for only the ``col`` partitions batch
+    ``b`` touched, so the live state is, per partition value, the
+    newest version owning it. The value→version owner map is computed
+    driver-side from directory listings (bounded: values × versions
+    names, no rows), and each version is read through path-selected
+    ``<col>=`` dirs — a version contributes only the partitions it
+    still owns, pruned at the file-listing level. ``upto`` excludes
+    versions ≥ a replayed batch id; ``parts_filter`` restricts
+    composition to a touched set. Shared by the day-keyed DAU state
+    and the bucket-keyed incrementally maintained join view."""
     versions = _list_state_versions(spark, out_dir)
     if upto is not None:
         versions = [v for v in versions if v < upto]
@@ -222,10 +230,10 @@ def _keyset_compose(
         return None
     owner: dict[str, int] = {}
     for v in versions:  # ascending: later versions take ownership
-        for d in _list_day_dirs(spark, f"{out_dir}/{_STATE_PREFIX}{v}"):
+        for d in _list_day_dirs(spark, f"{out_dir}/{_STATE_PREFIX}{v}", col):
             owner[d] = v
-    if days is not None:
-        owner = {d: v for d, v in owner.items() if d in days}
+    if parts_filter is not None:
+        owner = {d: v for d, v in owner.items() if d in parts_filter}
     if not owner:
         return None
     by_version: dict[int, list[str]] = {}
@@ -234,12 +242,19 @@ def _keyset_compose(
     parts = []
     for v in sorted(by_version):
         ver_dir = f"{out_dir}/{_STATE_PREFIX}{v}"
-        paths = [f"{ver_dir}/day={d}" for d in sorted(by_version[v])]
+        paths = [f"{ver_dir}/{col}={d}" for d in sorted(by_version[v])]
         parts.append(spark.read.option("basePath", ver_dir).parquet(*paths))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
     return df
+
+
+def _keyset_compose(
+    spark, out_dir: str, upto: int | None = None, days: set[str] | None = None
+) -> DataFrame | None:
+    """Day-keyed face of :func:`_overlay_compose` (the DAU key-set)."""
+    return _overlay_compose(spark, out_dir, "day", upto, days)
 
 
 def foreach_batch_distinct_rollup(
@@ -1637,3 +1652,102 @@ def kmv_estimate(state_df: DataFrame, k: int = 64) -> DataFrame:
         "g",
         F.expr(kmv_nhat_sql("k_eff", "theta", k)).alias("estimate"),
     )
+
+
+def foreach_batch_join_view(
+    stream_df: DataFrame,
+    out_dir: str,
+    facts_path: str,
+    facts_key: str,
+    dim_key: str,
+    order_col: str,
+    n_buckets: int = 16,
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained JOIN view — the IVM face plain
+    aggregate merging cannot give (foreach_batch_rollup maintains
+    aggregates; this maintains ``facts ⋈ dim`` under a stream of dim
+    CDC upserts): each micro-batch reduces to its newest row per
+    ``dim_key`` (``order_col`` breaks intra-batch ties — it must
+    totally order updates per key, e.g. an update timestamp), joins
+    ONLY that delta against the facts table, and rewrites ONLY the
+    key-buckets the delta touches.
+
+    Scale shape: the view is bucket-partitioned (``kb =
+    crc32(dim_key) % n_buckets``) and LOG-STRUCTURED like the DAU key
+    set — a version dir holds full content for only its touched
+    buckets, reads compose per-bucket-newest (:func:`_overlay_compose`),
+    so per-batch write cost is |touched buckets|, never |view|; a
+    wide view is NOT rewritten per micro-batch. The delta join is
+    |facts ⋈ delta-keys| (broadcast when small), never a view
+    recompute. Replayed batches compose predecessors from versions <
+    batch_id and rewrite their own version dir — idempotent,
+    exactly-once effect like every snapshot sink here. An update only
+    replaces view rows that are strictly OLDER by ``order_col`` (true
+    MERGE semantics, not blind replace), so late or out-of-order CDC
+    delivery and re-delivered batches are both no-ops against newer
+    state. Facts and dim columns must be disjoint (TPC-H style
+    prefixes); inner-join semantics, upsert-only CDC (no delete op —
+    route deletes through the commit-log COW merge instead)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(dim_key).orderBy(F.col(order_col).desc())
+        delta = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        kb = F.pmod(F.crc32(F.col(dim_key).cast("string")), n_buckets).cast(
+            "int"
+        )
+        delta = delta.withColumn("kb", kb)
+        touched = {
+            str(r["kb"]) for r in delta.select("kb").distinct().collect()
+        }
+        if not touched:
+            return
+        prev = _overlay_compose(
+            spark, out_dir, "kb", upto=batch_id, parts_filter=touched
+        )
+        if prev is not None:
+            # true MERGE: an update only beats a strictly older view row
+            # (ties keep the view — re-delivering the same update is a
+            # no-op), so out-of-order CDC cannot clobber newer state
+            cur = prev.groupBy(dim_key).agg(
+                F.max(order_col).alias("__cur_ord")
+            )
+            delta = (
+                delta.join(cur, dim_key, "left")
+                .where(
+                    F.col("__cur_ord").isNull()
+                    | (F.col(order_col) > F.col("__cur_ord"))
+                )
+                .drop("__cur_ord")
+            )
+        facts = spark.read.parquet(facts_path)
+        joined = facts.join(delta, facts[facts_key] == delta[dim_key])
+        if prev is not None:
+            keep = prev.join(
+                delta.select(dim_key), on=dim_key, how="left_anti"
+            )
+            joined = keep.unionByName(joined)
+        (
+            joined.write.mode("overwrite")
+            .partitionBy("kb")
+            .parquet(f"{out_dir}/{_STATE_PREFIX}{batch_id}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_join_view(spark, out_dir: str) -> DataFrame | None:
+    """Current join view: per-bucket-newest composition, bucket column
+    dropped."""
+    df = _overlay_compose(spark, out_dir, "kb")
+    return None if df is None else df.drop("kb")

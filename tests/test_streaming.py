@@ -852,7 +852,7 @@ def test_keyset_flat_legacy_snapshot_raises(spark, tmp_path):
         [("2024-01-01", 1)], "day string, user_id bigint"
     )
     legacy.coalesce(1).write.parquet(str(out / "_state_v0"))
-    with _pytest.raises(ValueError, match="FLAT key-set snapshot"):
+    with _pytest.raises(ValueError, match="FLAT snapshot"):
         read_dau_state(spark, str(out))
 
 
@@ -2004,3 +2004,87 @@ def test_foreach_batch_kmv_equals_batch_sketch(spark, tmp_path):
     start().awaitTermination()
     state2 = read_kmv_state(spark, out)
     assert _sorted_rows(state2, ["g", "h"]) == pre_replay
+
+
+def test_foreach_batch_join_view_equals_batch_recompute(spark, tmp_path):
+    """The incrementally maintained JOIN view must equal the batch
+    recompute facts ⋈ latest-dim after a stream of CDC upserts, while
+    each later version dir rewrites ONLY the buckets its delta touches
+    (never the whole view), out-of-order-safe (an older update cannot
+    clobber a newer row), and replay-idempotent."""
+    from cve_manager_spark.streaming.sinks import (
+        _list_day_dirs,
+        _list_state_versions,
+        foreach_batch_join_view,
+        read_join_view,
+    )
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    # CDC chunks with disjoint update key sets and a total per-key order
+    c1 = cust.withColumn("upd_ts", F.lit(1).cast("long"))
+    c2 = (
+        cust.where(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+        .withColumn("upd_ts", F.lit(2).cast("long"))
+    )
+    c3 = (
+        cust.where((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 5 != 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 7777.0)
+        .withColumn("upd_ts", F.lit(3).cast("long"))
+    )
+    src = str(tmp_path / "dim_cdc_src")
+    c1.repartition(1).write.parquet(src)
+    c2.repartition(1).write.mode("append").parquet(src)
+    c3.repartition(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "join_view")
+    facts_path = f"{SF_SMALL}/orders.parquet"
+
+    def start():
+        stream = (
+            spark.readStream.schema(c1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return foreach_batch_join_view(
+            stream, out, facts_path, "o_custkey", "c_custkey", "upd_ts",
+            n_buckets=64,
+        )
+
+    start().awaitTermination()
+
+    # batch recompute: latest dim row per key, inner join onto facts
+    dim_all = c1.unionByName(c2).unionByName(c3)
+    w = Window.partitionBy("c_custkey").orderBy(F.col("upd_ts").desc())
+    dim_final = (
+        dim_all.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    facts = spark.read.parquet(facts_path)
+    want_df = facts.join(dim_final, facts.o_custkey == dim_final.c_custkey)
+    view = read_join_view(spark, out)
+    cols = sorted(view.columns)
+    assert sorted(want_df.columns) == cols
+    want = _sorted_rows(want_df, cols)
+    assert _sorted_rows(view, cols) == want
+
+    # surgical rewrites: later versions hold only their touched buckets
+    versions = _list_state_versions(spark, out)
+    assert len(versions) == 3
+    later_buckets = [
+        _list_day_dirs(spark, f"{out}/_state_v{v}", "kb")
+        for v in versions[1:]
+    ]
+    n_delta_keys = [c2.count(), c3.count()]
+    for dirs, nk in zip(sorted(later_buckets, key=len, reverse=True),
+                        sorted(n_delta_keys, reverse=True)):
+        assert 0 < len(dirs) <= min(nk, 64)
+        assert len(dirs) < 64  # never the whole view
+
+    # replay: drop the checkpoint so every batch re-delivers; the
+    # order-aware merge makes each a no-op against equal-or-newer state
+    pre_replay = want
+    shutil.rmtree(f"{out}/_checkpoint")
+    start().awaitTermination()
+    assert _sorted_rows(read_join_view(spark, out), cols) == pre_replay
