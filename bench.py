@@ -339,6 +339,7 @@ def main() -> None:
         "n_passes": n_passes,
         "sf": sf,
         "notes": {
+            "r11_head_run": "third full r11 run at final HEAD, 99.59s over 87 — under 100s with the full grown set (r10 committed: 118.14s over 82). The two newest audits price sub-second (seasonal_naive_backtest 0.39s, join_cardinality_audit 0.34s); kmv/logbucket/t_closeness hold at ~1s. Passes' steal 8.2/38.5/8.7 core-s (final 0.8% — no heal pass needed). Shared-85 vs the second r11 run: 98.87s vs 102.21s.",
             "r11_final_run": "second full r11 run, 102.21s over 85 (the "
             "82-set plus the three new round-11 capability headliners: "
             "logbucket_quantile_error 1.07s, t_closeness_audit 0.84s, "
