@@ -696,6 +696,161 @@ class TableLog:
         return {"n_rows": n_rows, "files_before": len(files),
                 "files_after": len(new_rel), "version": v}
 
+    def changes(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int | None = None,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Change data feed between two versions, computed from the
+        manifests alone — the row-level face of time travel
+        (``timetravel_snapshot_diff`` is the digest-level query twin).
+
+        The scale property: a published file is IMMUTABLE (every COW op
+        writes new files and republishes the manifest), so rows in
+        files common to both manifests are identical and cancel
+        exactly — only files ENTERING or LEAVING the manifest between
+        the two versions are read. CDF cost is proportional to changed
+        data, never table size; a compaction (rewrite without row
+        change) diffs to empty.
+
+        Without ``key_cols``: multiset diff — one output row per
+        distinct changed row with ``_change_type`` ('insert'|'delete')
+        and ``_change_count`` (how many copies appeared/disappeared).
+        With ``key_cols`` (a primary key unique per snapshot): rows are
+        classified as 'insert', 'delete', or an update pair
+        ('update_preimage' + 'update_postimage'), Delta-CDF style, with
+        ``_change_count`` fixed at 1. Rows rewritten byte-identically
+        into new files (compaction) cancel in both modes.
+
+        Schema evolution between the versions is aligned Delta-style:
+        columns absent on one side read as NULL there, so an additive
+        evolution surfaces as updates only where values actually
+        appeared."""
+        vf, files_f = self.snapshot(v_from)
+        vt, files_t = self.snapshot(v_to)
+        only_f = sorted(set(files_f) - set(files_t))
+        only_t = sorted(set(files_t) - set(files_f))
+        schema_f = self.schema_of(vf)
+        schema_t = self.schema_of(vt)
+
+        def side(rel, schema):
+            if rel:
+                return self._read_files(spark, rel, schema)
+            if schema is None or isinstance(schema, str):
+                return None
+            return spark.createDataFrame([], schema)
+
+        a = side(only_f, schema_f)  # rows leaving
+        b = side(only_t, schema_t)  # rows entering
+        if a is None and b is None:
+            raise ValueError(
+                f"neither v{vf} nor v{vt} carries a readable schema"
+            )
+        # align columns across an evolution: union field list, missing
+        # side reads NULL (the add-column read semantics, applied to CDF)
+        cols = list((b if b is not None else a).columns)
+        other = a if b is not None else None
+        if other is not None:
+            cols += [c for c in other.columns if c not in cols]
+
+        def align(df, template):
+            if df is None:
+                df = spark.createDataFrame([], template.schema)
+            by_name = dict(zip(df.columns, df.schema.fields))
+            tmpl = {f.name: f for f in template.schema.fields}
+            out = []
+            for c in cols:
+                if c in by_name:
+                    out.append(F.col(c))
+                else:
+                    out.append(
+                        F.lit(None).cast(tmpl[c].dataType).alias(c)
+                    )
+            return df.select(*out)
+
+        template = b if b is not None else a
+        a = align(a, template)
+        b = align(b, template)
+
+        if key_cols is None:
+            ga = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__cf"))
+            gb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("__ct"))
+            cond = None
+            for c in cols:
+                e = ga[c].eqNullSafe(gb[c])
+                cond = e if cond is None else (cond & e)
+            j = ga.join(gb, cond, "full_outer")
+            pick = [
+                F.coalesce(ga[c], gb[c]).alias(c) for c in cols
+            ]
+            delta = (
+                F.coalesce(F.col("__ct"), F.lit(0))
+                - F.coalesce(F.col("__cf"), F.lit(0))
+            ).alias("__d")
+            j = j.select(*pick, delta).where(F.col("__d") != 0)
+            return j.select(
+                *cols,
+                F.when(F.col("__d") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+                F.abs(F.col("__d")).cast("long").alias("_change_count"),
+            )
+
+        payload = [c for c in cols if c not in key_cols]
+        fa = a.alias("__f")
+        tb = b.alias("__t")
+        cond = None
+        for k in key_cols:
+            e = fa[k].eqNullSafe(tb[k])
+            cond = e if cond is None else (cond & e)
+        j = fa.join(tb, cond, "full_outer")
+        same = F.lit(True)
+        for c in payload:
+            same = same & fa[c].eqNullSafe(tb[c])
+        in_f = fa[key_cols[0]].isNotNull() if key_cols else F.lit(True)
+        # null keys: fall back to presence of ANY from-side column
+        has_f = None
+        has_t = None
+        for c in cols:
+            has_f = fa[c].isNotNull() if has_f is None else (
+                has_f | fa[c].isNotNull()
+            )
+            has_t = tb[c].isNotNull() if has_t is None else (
+                has_t | tb[c].isNotNull()
+            )
+        kind = (
+            F.when(has_f & ~has_t, F.lit("delete"))
+            .when(has_t & ~has_f, F.lit("insert"))
+            .when(same, F.lit(None))  # rewritten unchanged: cancels
+            .otherwise(F.lit("update"))
+        )
+        j = j.select(
+            *[F.coalesce(tb[c], fa[c]).alias(f"__to_{c}") for c in cols],
+            *[fa[c].alias(f"__from_{c}") for c in cols],
+            kind.alias("__kind"),
+        ).where(F.col("__kind").isNotNull())
+        one = F.lit(1).cast("long").alias("_change_count")
+        ins = j.where(F.col("__kind") == "insert").select(
+            *[F.col(f"__to_{c}").alias(c) for c in cols],
+            F.lit("insert").alias("_change_type"), one,
+        )
+        dele = j.where(F.col("__kind") == "delete").select(
+            *[F.col(f"__from_{c}").alias(c) for c in cols],
+            F.lit("delete").alias("_change_type"), one,
+        )
+        upd = j.where(F.col("__kind") == "update")
+        pre = upd.select(
+            *[F.col(f"__from_{c}").alias(c) for c in cols],
+            F.lit("update_preimage").alias("_change_type"), one,
+        )
+        post = upd.select(
+            *[F.col(f"__to_{c}").alias(c) for c in cols],
+            F.lit("update_postimage").alias("_change_type"), one,
+        )
+        return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
     def vacuum(
         self, keep_versions: int = 1, min_age_seconds: float = 600.0
     ) -> dict[str, int]:

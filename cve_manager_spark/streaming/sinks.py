@@ -1751,3 +1751,77 @@ def read_join_view(spark, out_dir: str) -> DataFrame | None:
     dropped."""
     df = _overlay_compose(spark, out_dir, "kb")
     return None if df is None else df.drop("kb")
+
+
+def apply_facts_changes(
+    spark,
+    out_dir: str,
+    changes_df: DataFrame,
+    dim_df: DataFrame,
+    fact_id: str,
+    facts_key: str,
+    dim_key: str,
+    n_buckets: int = 16,
+) -> dict:
+    """Apply a FACTS-side change-data-feed to an incrementally
+    maintained join view — the second side of IVM
+    (:func:`foreach_batch_join_view` maintains the dim side; this
+    consumes ``TableLog.changes(..., key_cols=[fact_id])`` from the
+    commit-logged facts table, closing the CDF → IVM loop).
+
+    Delta algebra: every view row whose ``fact_id`` appears in the
+    changeset is dropped from its touched bucket, then the surviving
+    images ('insert' + 'update_postimage') re-enter joined against the
+    CURRENT dim relation — so updates are replace-by-id, deletes fall
+    out, and re-applying the same changeset is IDEMPOTENT (the drop
+    removes the rows the previous application added, the add puts the
+    identical rows back). Buckets are touched through each change
+    row's ``facts_key`` (pre- and post-images both carry it, so a
+    key-reassigning update touches both its old and new bucket); cost
+    is |changed rows| + |touched buckets|, never |view|. Writes one
+    new log-structured version dir (latest + 1), read by the same
+    per-bucket-newest composition as the dim-side sink."""
+    adds = changes_df.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type", "_change_count")
+    kb_of = lambda c: F.pmod(  # noqa: E731
+        F.crc32(F.col(c).cast("string")), n_buckets
+    ).cast("int")
+    touched = {
+        str(r["kb"])
+        for r in changes_df.select(kb_of(facts_key).alias("kb"))
+        .distinct()
+        .collect()
+    }
+    if not touched:
+        return {"version": None, "touched_buckets": 0}
+    changed_ids = changes_df.select(fact_id).distinct()
+    joined = adds.join(dim_df, adds[facts_key] == dim_df[dim_key])
+    return _apply_view_delta(
+        spark, out_dir, joined, changed_ids, fact_id, facts_key,
+        n_buckets, touched,
+    )
+
+
+def _apply_view_delta(
+    spark, out_dir, joined, changed_ids, fact_id, facts_key, n_buckets,
+    touched,
+):
+    kb = F.pmod(F.crc32(F.col(facts_key).cast("string")), n_buckets).cast(
+        "int"
+    )
+    joined = joined.withColumn("kb", kb)
+    versions = _list_state_versions(spark, out_dir)
+    next_v = (versions[-1] + 1) if versions else 0
+    prev = _overlay_compose(
+        spark, out_dir, "kb", upto=next_v, parts_filter=touched
+    )
+    if prev is not None:
+        keep = prev.join(changed_ids, on=fact_id, how="left_anti")
+        joined = keep.unionByName(joined)
+    (
+        joined.write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(f"{out_dir}/{_STATE_PREFIX}{next_v}")
+    )
+    return {"version": next_v, "touched_buckets": len(touched)}

@@ -675,3 +675,109 @@ def test_latest_pointer_gives_o1_reads_at_500_versions(
     # a vacuumed version fails loudly, not silently-latest
     with pytest.raises(ValueError, match="not in log"):
         log.snapshot(version=3)
+
+
+def test_changes_multiset_diff_reads_only_manifest_delta(spark, tmp_path):
+    """CDF between versions: appends surface as inserts, committed
+    deletes as deletes, a compaction (rewrite without row change)
+    diffs to EMPTY — the shared-file cancellation that makes CDF cost
+    proportional to changed data. v==v diffs to empty too."""
+    log = _mk_table(spark, tmp_path)
+    v0 = log.latest_version()
+
+    extra = spark.range(200, 230).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    log.append(spark, extra)
+    v1 = log.latest_version()
+
+    ch = log.changes(spark, v0, v1)
+    rows = ch.collect()
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert sum(r["_change_count"] for r in rows) == 30
+    assert {r["k"] for r in rows} == set(range(200, 230))
+
+    log.delete_where(spark, "k >= 220")
+    v2 = log.latest_version()
+    ch = log.changes(spark, v1, v2)
+    rows = ch.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert {r["k"] for r in rows} == set(range(220, 230))
+
+    # reversed range: the same rows classify as inserts
+    back = log.changes(spark, v2, v1).collect()
+    assert all(r["_change_type"] == "insert" for r in back)
+    assert {r["k"] for r in back} == set(range(220, 230))
+
+    log.compact(spark, target_rows_per_file=1000)
+    v3 = log.latest_version()
+    assert log.changes(spark, v2, v3).count() == 0  # rewrite, no change
+    assert log.changes(spark, v2, v2).count() == 0
+
+
+def test_changes_keyed_classifies_updates_as_pre_post_pairs(spark, tmp_path):
+    """Keyed CDF: merge_upsert's matched keys emit update_preimage +
+    update_postimage pairs carrying the old and new payloads, unmatched
+    keys emit inserts — and rows merely rewritten alongside them (same
+    file, unchanged payload) cancel instead of surfacing as churn."""
+    log = _mk_table(spark, tmp_path)
+    v0 = log.latest_version()
+
+    updates = spark.range(0, 3).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        F.lit(99999).cast("long").alias("v"),
+    ).unionByName(
+        spark.range(500, 502).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("part"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+    log.merge_upsert(spark, updates, ["k"])
+    v1 = log.latest_version()
+
+    ch = log.changes(spark, v0, v1, key_cols=["k"]).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], set()).add(r["k"])
+    assert by_type["insert"] == {500, 501}
+    assert by_type["update_preimage"] == {0, 1, 2}
+    assert by_type["update_postimage"] == {0, 1, 2}
+    assert "delete" not in by_type
+    pre = {r["k"]: r["v"] for r in ch if r["_change_type"] == "update_preimage"}
+    post = {r["k"]: r["v"] for r in ch if r["_change_type"] == "update_postimage"}
+    assert pre == {0: 0, 1: 10, 2: 20}
+    assert post == {0: 99999, 1: 99999, 2: 99999}
+    # rewritten-unchanged neighbors in the merged files never surface
+    assert all(r["k"] in {0, 1, 2, 500, 501} for r in ch)
+
+
+def test_changes_aligns_an_additive_schema_evolution(spark, tmp_path):
+    """CDF across an additive evolution: the new column reads NULL on
+    the pre-evolution side, so evolved appends surface as plain inserts
+    carrying the new column — never a schema error."""
+    log = _mk_table(spark, tmp_path)
+    base = spark.range(0, 5).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    log.append(spark, base)  # first committed write records the schema
+    v1 = log.latest_version()
+    wide = spark.range(300, 305).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("tagged").alias("note"),
+    )
+    log.append(spark, wide, allow_evolution=True)
+    v2 = log.latest_version()
+    ch = log.changes(spark, v1, v2)
+    rows = ch.collect()
+    assert set(ch.columns) >= {"k", "part", "v", "note"}
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert {r["k"] for r in rows} == set(range(300, 305))
+    assert all(r["note"] == "tagged" for r in rows)

@@ -2088,3 +2088,73 @@ def test_foreach_batch_join_view_equals_batch_recompute(spark, tmp_path):
     shutil.rmtree(f"{out}/_checkpoint")
     start().awaitTermination()
     assert _sorted_rows(read_join_view(spark, out), cols) == pre_replay
+
+
+def test_apply_facts_changes_closes_the_cdf_ivm_loop(spark, tmp_path):
+    """Two-sided IVM: after the dim-side stream builds the join view,
+    facts-side commits (merge_upsert + delete) flow through the
+    commit log's CDF into the view — which must then equal the batch
+    recompute of CURRENT facts ⋈ latest dim. Re-applying the same
+    changeset is a no-op (idempotent delta algebra)."""
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.streaming.sinks import (
+        apply_facts_changes,
+        foreach_batch_join_view,
+        read_join_view,
+    )
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    dim = cust.withColumn("upd_ts", F.lit(1).cast("long"))
+    src = str(tmp_path / "dim_src_cdf")
+    dim.repartition(1).write.parquet(src)
+
+    # commit-logged facts table
+    fdir = str(tmp_path / "facts_log")
+    load_table(spark, SF_SMALL, "orders").write.parquet(fdir)
+    log = TableLog(fdir)
+    log.init()
+    v0 = log.latest_version()
+
+    out = str(tmp_path / "join_view_cdf")
+    stream = (
+        spark.readStream.schema(dim.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    foreach_batch_join_view(
+        stream, out, fdir, "o_custkey", "c_custkey", "upd_ts", n_buckets=64
+    ).awaitTermination()
+
+    # facts-side commits: reprice some orders, drop others
+    upd = (
+        log.read(spark)
+        .where(F.col("o_orderkey") % 11 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+    )
+    log.merge_upsert(spark, upd, ["o_orderkey"])
+    log.delete_where(spark, "o_orderkey % 13 = 0")
+    v2 = log.latest_version()
+
+    changes = log.changes(spark, v0, v2, key_cols=["o_orderkey"])
+    report = apply_facts_changes(
+        spark, out, changes, dim, "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=64,
+    )
+    assert report["version"] is not None
+    assert 0 < report["touched_buckets"] <= 64
+
+    want_df = log.read(spark).join(
+        dim, F.col("o_custkey") == F.col("c_custkey")
+    )
+    view = read_join_view(spark, out)
+    cols = sorted(view.columns)
+    assert sorted(want_df.columns) == cols
+    want = _sorted_rows(want_df, cols)
+    assert _sorted_rows(view, cols) == want
+
+    # idempotent: re-applying the same changeset changes nothing
+    apply_facts_changes(
+        spark, out, changes, dim, "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=64,
+    )
+    assert _sorted_rows(read_join_view(spark, out), cols) == want
