@@ -1825,3 +1825,106 @@ def _apply_view_delta(
         .parquet(f"{out_dir}/{_STATE_PREFIX}{next_v}")
     )
     return {"version": next_v, "touched_buckets": len(touched)}
+
+
+def foreach_batch_heavy_hitters(
+    stream_df: DataFrame,
+    out_dir: str,
+    key_expr: str = "cast(user_id as string)",
+    k: int = 8,
+    trigger_available_now: bool = True,
+):
+    """Streaming Misra-Gries heavy-hitter summary — the mergeable
+    frequency-SUMMARY state next to the CMS frequency SKETCH: at most
+    ``k`` (key, count) counters whatever the stream volume, with the
+    classic guarantees (Misra-Gries; merge rule from Agarwal et al.,
+    "Mergeable summaries"): every key with true count > N/(k+1) is
+    retained, and any counter undercounts by at most
+    (N − sum(counters))/(k+1).
+
+    Per micro-batch: exact per-key batch counts (one hash aggregate)
+    merge into the state by SUM; if more than ``k`` keys survive, the
+    (k+1)-th largest combined count is subtracted from every counter
+    and non-positive ones are pruned — a deterministic set rule (no
+    arbitrary tie-break row picks), so replays rebuild identical
+    state. Unlike the CMS/Bloom/KMV states the SUMMARY ITSELF is not
+    chop-invariant (merge order moves individual counters) — the
+    GUARANTEES are what survive any chopping, so the tests assert
+    containment + undercount bounds against exact counts, the HLL
+    rows-only discipline. State carries ``n_total`` (items processed)
+    so the bound is computable from the state alone."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = (
+            batch_df.select(F.expr(key_expr).alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        n_batch = part.agg(F.sum("c")).head()[0] or 0
+        n_prev = 0
+        versions = [
+            v for v in _list_state_versions(spark, out_dir) if v < batch_id
+        ]
+        if versions:
+            prev = spark.read.parquet(
+                f"{out_dir}/{_STATE_PREFIX}{versions[-1]}"
+            )
+            n_prev = prev.agg(F.max("n_total")).head()[0] or 0
+            part = (
+                prev.select("key", "c")
+                .unionByName(part)
+                .groupBy("key")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        n_keys = part.count()
+        if n_keys > k:
+            # deterministic decrement: subtract the (k+1)-th largest
+            # combined count from every counter, prune the non-positive
+            t = (
+                part.orderBy(F.col("c").desc())
+                .limit(k + 1)
+                .agg(F.min("c"))
+                .head()[0]
+            )
+            part = part.withColumn(
+                "c", (F.col("c") - F.lit(t)).cast("long")
+            ).where(F.col("c") > 0)
+        part.withColumn(
+            "n_total", F.lit(int(n_prev) + int(n_batch)).cast("long")
+        ).write.mode("overwrite").parquet(
+            f"{out_dir}/{_STATE_PREFIX}{batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_heavy_hitters_state(spark, out_dir: str) -> DataFrame | None:
+    """Newest Misra-Gries snapshot: (key, c, n_total)."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+
+
+def heavy_hitters_report(state_df: DataFrame, k: int = 8) -> DataFrame:
+    """Candidates with their guarantee: estimate (lower bound on the
+    true count) and the state-wide max undercount
+    (n_total − sum(counters)) / (k+1), carried per row so a consumer
+    can threshold on estimate + max_undercount."""
+    tot = state_df.agg(
+        F.max("n_total").alias("n_total"),
+        F.sum("c").alias("sum_c"),
+    )
+    return state_df.drop("n_total").crossJoin(F.broadcast(tot)).select(
+        "key",
+        F.col("c").cast("long").alias("estimate"),
+        F.expr(
+            f"CAST((n_total - sum_c) div {k + 1} AS BIGINT)"
+        ).alias("max_undercount"),
+    )

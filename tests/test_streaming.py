@@ -2158,3 +2158,70 @@ def test_apply_facts_changes_closes_the_cdf_ivm_loop(spark, tmp_path):
         n_buckets=64,
     )
     assert _sorted_rows(read_join_view(spark, out), cols) == want
+
+
+def test_foreach_batch_heavy_hitters_guarantees_hold(spark, tmp_path):
+    """Misra-Gries state: at most k counters; every key with true count
+    > N/(k+1) is retained; every counter is a LOWER bound whose
+    undercount obeys (N - sum(counters))/(k+1) — the guarantees that
+    survive any micro-batch chopping (the summary itself is
+    order-dependent, so bounds, not equality, are the contract).
+    Replay rebuilds identical state (the decrement rule is a
+    deterministic set operation)."""
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_heavy_hitters,
+        heavy_hitters_report,
+        read_heavy_hitters_state,
+    )
+
+    k = 8
+    src_dir = str(tmp_path / "events_mg_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "mg_state")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_heavy_hitters(stream, out, k=k)
+
+    start().awaitTermination()
+    state = read_heavy_hitters_state(spark, out)
+    rows = state.collect()
+    assert 0 < len(rows) <= k
+    n_total = rows[0]["n_total"]
+    assert n_total == events.count()
+    sum_c = sum(r["c"] for r in rows)
+
+    exact = {
+        str(r["user_id"]): r["n"]
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    in_state = {r["key"]: r["c"] for r in rows}
+    # containment: every key above the N/(k+1) frequency threshold kept
+    for key, n in exact.items():
+        if n * (k + 1) > n_total:
+            assert key in in_state, (key, n)
+    # lower bound + undercount bound, per retained key
+    for key, c in in_state.items():
+        assert c <= exact[key]
+        assert (exact[key] - c) * (k + 1) <= n_total - sum_c
+
+    # the report carries the same bound
+    rep = {r["key"]: r for r in heavy_hitters_report(state, k=k).collect()}
+    for key, r in rep.items():
+        assert exact[key] - r["estimate"] <= r["max_undercount"] + (k + 1)
+
+    # replay: deterministic decrement rule rebuilds identical state
+    pre_replay = sorted((r["key"], r["c"], r["n_total"]) for r in rows)
+    shutil.rmtree(f"{out}/_checkpoint")
+    start().awaitTermination()
+    state2 = read_heavy_hitters_state(spark, out)
+    assert sorted(
+        (r["key"], r["c"], r["n_total"]) for r in state2.collect()
+    ) == pre_replay
