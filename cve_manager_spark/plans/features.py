@@ -4498,3 +4498,42 @@ def hits_hubs_authorities(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_suppkey") + 1000000000).alias("dst"),
     )
     return hits_int(edges, iterations=2)
+
+
+_TIMETRAVEL_CDF_ORACLE = """
+WITH d AS (SELECT doc_id, text FROM documents)
+SELECT doc_id, md5(text) AS digest,
+       'delete' AS _change_type, CAST(1 AS BIGINT) AS _change_count
+FROM d WHERE doc_id % 11 = 0
+UNION ALL
+SELECT doc_id, md5(text), 'update_preimage', CAST(1 AS BIGINT)
+FROM d WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+UNION ALL
+SELECT doc_id, md5(text || ' v2'), 'update_postimage', CAST(1 AS BIGINT)
+FROM d WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+UNION ALL
+SELECT doc_id + 1000000, md5(text || ' new'), 'insert', CAST(1 AS BIGINT)
+FROM d WHERE doc_id % 17 = 0
+"""
+
+
+@_register(
+    "timetravel_changes",
+    _TIMETRAVEL_CDF_ORACLE,
+    doc="Change data feed as a QUERY face: TableLog.changes(v0, v2, "
+    "key_cols=[doc_id]) over the same three-version commit-logged "
+    "table the other timetravel faces build — the retention purge "
+    "surfaces as deletes, the re-crawl as update_preimage/"
+    "update_postimage pairs carrying old and new digests, the fresh "
+    "ingest as inserts, and every row merely REWRITTEN alongside them "
+    "(COW neighbors in affected files) cancels. The oracle recomputes "
+    "the expected change set straight from documents, so the whole "
+    "manifest-delta pipeline — only files entering/leaving the "
+    "manifest are read; shared files never open — hash-verifies end "
+    "to end. At 100 TB this is the incremental-consumer contract: "
+    "CDF cost rides |changed data|, never |table|.",
+    priority=7,
+)
+def timetravel_changes(spark: SparkSession, sf: str) -> DataFrame:
+    log = _timetravel_log(spark, sf)
+    return log.changes(spark, 0, 2, key_cols=["doc_id"])

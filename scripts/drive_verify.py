@@ -168,6 +168,7 @@ SAMPLE = [
     "kmv_set_ops_error",
     "seasonal_naive_backtest",
     "join_cardinality_audit",
+    "timetravel_changes",
 ]
 fails = []
 for name in SAMPLE:
