@@ -851,6 +851,67 @@ class TableLog:
         )
         return ins.unionByName(dele).unionByName(pre).unionByName(post)
 
+    def consume_changes(
+        self,
+        spark: SparkSession,
+        cursor_path: str,
+        key_cols: list[str] | None = None,
+        start_version: int | None = None,
+    ):
+        """Tail the log incrementally: return ``(changes_df, ack)`` for
+        everything committed since the cursor's last-consumed version,
+        or ``None`` when the cursor is already at the latest. The
+        consumer applies the changes FIRST and calls ``ack()`` after —
+        a crash before the ack re-delivers the same range next call
+        (at-least-once), which an idempotent applier
+        (streaming.sinks.apply_facts_changes drops-then-adds by id)
+        turns into exactly-once effect. The cursor is one JSON file
+        ({"version": v}) written atomically via rename, so a torn
+        write can't corrupt it.
+
+        First call (no cursor file): ``start_version`` picks where to
+        begin — an explicit version for a full backfill, or None for
+        Kafka-style "latest" (the cursor initializes to the current
+        head and the call returns None; only future commits flow).
+        Versions older than the vacuum retention window raise through
+        ``snapshot()`` — the standard CDC-retention trade, surfaced
+        loudly instead of silently skipping."""
+        import tempfile
+
+        cur = Path(cursor_path)
+        head = self.latest_version()
+        if head is None:
+            raise ValueError(f"no commit log under {self.root}")
+        if cur.exists():
+            with open(cur) as f:
+                last = int(json.load(f)["version"])
+        elif start_version is not None:
+            last = int(start_version)
+        else:
+            last = None  # initialize to head, consume nothing
+        cur.parent.mkdir(parents=True, exist_ok=True)
+
+        def _write_cursor(v: int) -> None:
+            fd, tmp = tempfile.mkstemp(
+                dir=str(cur.parent), prefix=cur.name, suffix=".tmp"
+            )
+            with os.fdopen(fd, "w") as f:
+                json.dump({"version": v}, f)
+            os.replace(tmp, str(cur))
+
+        if last is None:
+            _write_cursor(head)
+            return None
+        if last >= head:
+            return None
+        changes = self.changes(spark, last, head, key_cols=key_cols)
+
+        def ack() -> int:
+            _write_cursor(head)
+            return head
+
+        return changes, ack
+
     def vacuum(
         self, keep_versions: int = 1, min_age_seconds: float = 600.0
     ) -> dict[str, int]:

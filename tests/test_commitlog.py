@@ -781,3 +781,101 @@ def test_changes_aligns_an_additive_schema_evolution(spark, tmp_path):
     assert all(r["_change_type"] == "insert" for r in rows)
     assert {r["k"] for r in rows} == set(range(300, 305))
     assert all(r["note"] == "tagged" for r in rows)
+
+
+def test_consume_changes_tails_the_log_with_at_least_once_ack(
+    spark, tmp_path
+):
+    """Cursor-tailed CDF: each consume returns only the range since the
+    last ACK; a crash before ack re-delivers the same range; latest-mode
+    initialization consumes nothing until a new commit lands."""
+    log = _mk_table(spark, tmp_path)
+    cursor = str(tmp_path / "cdc" / "cursor.json")
+
+    # latest-mode init: cursor snaps to head, nothing flows yet
+    assert log.consume_changes(spark, cursor) is None
+    assert log.consume_changes(spark, cursor) is None
+
+    extra = spark.range(900, 910).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    log.append(spark, extra)
+
+    got = log.consume_changes(spark, cursor, key_cols=["k"])
+    assert got is not None
+    changes, ack = got
+    rows = changes.collect()
+    assert {r["k"] for r in rows} == set(range(900, 910))
+    assert all(r["_change_type"] == "insert" for r in rows)
+
+    # crash before ack: the same range re-delivers
+    redo, ack2 = log.consume_changes(spark, cursor, key_cols=["k"])
+    assert {r["k"] for r in redo.collect()} == set(range(900, 910))
+    assert ack2() == log.latest_version()
+    assert log.consume_changes(spark, cursor) is None  # drained
+
+    # only the NEW range flows after more commits
+    log.delete_where(spark, "k >= 905")
+    changes, ack = log.consume_changes(spark, cursor, key_cols=["k"])
+    rows = changes.collect()
+    assert {(r["k"], r["_change_type"]) for r in rows} == {
+        (k, "delete") for k in range(905, 910)
+    }
+    ack()
+    assert log.consume_changes(spark, cursor) is None
+
+
+def test_consume_changes_backfill_feeds_the_join_view(spark, tmp_path):
+    """The full CDC bootstrap: seed the join view from the pinned v0
+    SNAPSHOT expressed as inserts, then tail from v0 with a cursor —
+    consume → apply → ack; the view then equals the batch recompute
+    (exactly-once effect through the idempotent applier)."""
+    from cve_manager_spark.sources.testdata import load_table
+    from cve_manager_spark.streaming.sinks import (
+        apply_facts_changes,
+        read_join_view,
+    )
+    from tests.conftest import SF_SMALL
+
+    fdir = str(tmp_path / "facts_log_bf")
+    load_table(spark, SF_SMALL, "orders").write.parquet(fdir)
+    log = TableLog(fdir)
+    log.init()
+    dim = load_table(spark, SF_SMALL, "customer")
+
+    out = str(tmp_path / "jv_bf")
+    cursor = str(tmp_path / "jv_bf_cursor.json")
+    # bootstrap: the pinned v0 snapshot as synthetic inserts
+    seed = log.read(spark, version=0).select(
+        "*",
+        F.lit("insert").alias("_change_type"),
+        F.lit(1).cast("long").alias("_change_count"),
+    )
+    apply_facts_changes(
+        spark, out, seed, dim, "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=32,
+    )
+    # tail from v0: only commits after the snapshot flow
+    log.delete_where(spark, "o_orderkey % 3 = 0")
+    changes, ack = log.consume_changes(
+        spark, cursor, key_cols=["o_orderkey"], start_version=0
+    )
+    apply_facts_changes(
+        spark, out, changes, dim, "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=32,
+    )
+    ack()
+
+    want_df = log.read(spark).join(
+        dim, F.col("o_custkey") == F.col("c_custkey")
+    )
+    view = read_join_view(spark, out)
+    cols = sorted(view.columns)
+
+    def _rows(df):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert _rows(view) == _rows(want_df)
+    assert log.consume_changes(spark, cursor) is None
