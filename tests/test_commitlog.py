@@ -879,3 +879,44 @@ def test_consume_changes_backfill_feeds_the_join_view(spark, tmp_path):
 
     assert _rows(view) == _rows(want_df)
     assert log.consume_changes(spark, cursor) is None
+
+
+def test_changes_roundtrip_reconstructs_the_target_snapshot(spark, tmp_path):
+    """CDF theorem: v0 ⊎ inserts ∖ deletes == v2 as multisets — applying
+    the multiset-mode change feed to the source snapshot reconstructs
+    the target snapshot exactly, across a delete + a merge + an
+    append."""
+    from collections import Counter
+
+    log = _mk_table(spark, tmp_path)
+    v0 = log.latest_version()
+    log.delete_where(spark, "k % 9 = 0")
+    upd = (
+        log.read(spark)
+        .where(F.col("k") % 4 == 1)
+        .withColumn("v", F.col("v") + 7)
+    )
+    log.merge_upsert(spark, upd, ["k"])
+    extra = spark.range(600, 640).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    log.append(spark, extra)
+    v3 = log.latest_version()
+
+    cols = ["k", "part", "v"]
+
+    def multiset(df):
+        return Counter(tuple(r) for r in df.select(*cols).collect())
+
+    start = multiset(log.read(spark, version=v0))
+    target = multiset(log.read(spark, version=v3))
+    ch = log.changes(spark, v0, v3).collect()
+    for r in ch:
+        key = tuple(r[c] for c in cols)
+        if r["_change_type"] == "insert":
+            start[key] += r["_change_count"]
+        else:
+            start[key] -= r["_change_count"]
+    assert +start == target  # unary + drops zero/negative entries

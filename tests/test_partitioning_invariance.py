@@ -42,6 +42,9 @@ SAMPLE = [
     "kmv_set_ops_error",
     "join_cardinality_audit",
     "seasonal_naive_backtest",
+    # CDF: full-outer joins over manifest-delta files must classify
+    # identically whatever the scan/shuffle layout
+    "timetravel_changes",
 ]
 
 # (conf, hostile value): primes defeat any accidental alignment with the
