@@ -102,6 +102,7 @@ FLAGSHIP = {
     "pca_topr_residual_norms": "top-1/2/3 deflation ladder entirely in-row over ONE scan: three stacked projection subtractions against frozen direction literals; one label-grain aggregate",
     "logbucket_quantile_error": "sketch side shuffles <=64 (type,bucket,count) triples per group (partial+final agg); exact side rides the domain-bounded value histogram; 5-row broadcast join-back",
     "t_closeness_audit": "one fact group-by; 5-row global distribution + 1-row total broadcast onto the dimension-bounded grid; EMD cumsum windows over groups x 5 rows, never facts",
+    "timetravel_changes": "manifest-delta CDF: only files entering/leaving the manifest scan; keyed full-outer classify with rewritten-unchanged rows cancelled — cost rides changed data, never the table",
 }
 
 
