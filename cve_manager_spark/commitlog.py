@@ -52,6 +52,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cve_manager_spark.maintenance import (
     _count_tmp,
@@ -755,11 +756,21 @@ class TableLog:
         if other is not None:
             cols += [c for c in other.columns if c not in cols]
 
-        def align(df, template):
+        # name -> field over the UNION of both sides' schemas: a column
+        # that exists only on the from-side (reverse-direction diff
+        # across an additive evolution) must still find its type here.
+        tmpl: dict = {}
+        for src in (b, a):
+            if src is not None:
+                for f in src.schema.fields:
+                    tmpl.setdefault(f.name, f)
+
+        def align(df):
             if df is None:
-                df = spark.createDataFrame([], template.schema)
+                df = spark.createDataFrame(
+                    [], T.StructType([tmpl[c] for c in cols])
+                )
             by_name = dict(zip(df.columns, df.schema.fields))
-            tmpl = {f.name: f for f in template.schema.fields}
             out = []
             for c in cols:
                 if c in by_name:
@@ -770,9 +781,8 @@ class TableLog:
                     )
             return df.select(*out)
 
-        template = b if b is not None else a
-        a = align(a, template)
-        b = align(b, template)
+        a = align(a)
+        b = align(b)
 
         if key_cols is None:
             ga = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__cf"))
@@ -799,8 +809,12 @@ class TableLog:
             )
 
         payload = [c for c in cols if c not in key_cols]
-        fa = a.alias("__f")
-        tb = b.alias("__t")
+        # literal presence markers survive the full-outer join even for
+        # rows whose data columns are ALL NULL — value-nullness probing
+        # would misread such a row as absent and cancel its insert or
+        # delete against nothing.
+        fa = a.withColumn("__pf", F.lit(1)).alias("__f")
+        tb = b.withColumn("__pt", F.lit(1)).alias("__t")
         cond = None
         for k in key_cols:
             e = fa[k].eqNullSafe(tb[k])
@@ -809,25 +823,20 @@ class TableLog:
         same = F.lit(True)
         for c in payload:
             same = same & fa[c].eqNullSafe(tb[c])
-        in_f = fa[key_cols[0]].isNotNull() if key_cols else F.lit(True)
-        # null keys: fall back to presence of ANY from-side column
-        has_f = None
-        has_t = None
-        for c in cols:
-            has_f = fa[c].isNotNull() if has_f is None else (
-                has_f | fa[c].isNotNull()
-            )
-            has_t = tb[c].isNotNull() if has_t is None else (
-                has_t | tb[c].isNotNull()
-            )
+        has_f = fa["__pf"].isNotNull()
+        has_t = tb["__pt"].isNotNull()
         kind = (
             F.when(has_f & ~has_t, F.lit("delete"))
             .when(has_t & ~has_f, F.lit("insert"))
             .when(same, F.lit(None))  # rewritten unchanged: cancels
             .otherwise(F.lit("update"))
         )
+        # __to_ columns come from the to-side ALONE: insert rows have
+        # the from-side all-NULL and update rows always carry the
+        # to-side image, so a from-side fallback could only resurrect
+        # a stale pre-value when an update sets a column to NULL.
         j = j.select(
-            *[F.coalesce(tb[c], fa[c]).alias(f"__to_{c}") for c in cols],
+            *[tb[c].alias(f"__to_{c}") for c in cols],
             *[fa[c].alias(f"__from_{c}") for c in cols],
             kind.alias("__kind"),
         ).where(F.col("__kind").isNotNull())

@@ -1547,7 +1547,8 @@ def vacuum_snapshot_state(spark, out_dir: str, keep_last: int = 2) -> dict:
     batch b-1 committed its checkpoint), and a re-delivered batch b
     merges from the newest version strictly below b — i.e. from
     v_{b-1}, which must therefore SURVIVE the vacuum: ``keep_last``
-    is floored at 2 (newest + its merge base). With keep_last=1 a
+    below 2 is REJECTED with ``ValueError`` (the newest version and
+    its merge base must both survive). With keep_last=1 a
     crash between writing v_b and committing its checkpoint, followed
     by a vacuum, would leave the re-delivered batch no predecessor
     and silently rebuild state from that one micro-batch alone.

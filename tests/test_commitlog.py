@@ -17,6 +17,7 @@ from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cve_manager_spark.commitlog import CommitConflict, TableLog
 
@@ -780,6 +781,94 @@ def test_changes_aligns_an_additive_schema_evolution(spark, tmp_path):
     assert set(ch.columns) >= {"k", "part", "v", "note"}
     assert all(r["_change_type"] == "insert" for r in rows)
     assert {r["k"] for r in rows} == set(range(300, 305))
+    assert all(r["note"] == "tagged" for r in rows)
+
+
+def test_changes_keyed_update_to_null_emits_null_postimage(spark, tmp_path):
+    """An update that sets a payload column to NULL must surface NULL in
+    the update_postimage — a from-side fallback would resurrect the
+    stale pre-value, and a downstream applier (apply_facts_changes)
+    would then materialize the dead value into the join view."""
+    log = _mk_table(spark, tmp_path)
+    v0 = log.latest_version()
+    upd = spark.createDataFrame(
+        [(0, 0, None)],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("part", T.IntegerType()),
+                T.StructField("v", T.LongType()),
+            ]
+        ),
+    )
+    log.merge_upsert(spark, upd, ["k"])
+    v1 = log.latest_version()
+    ch = log.changes(spark, v0, v1, key_cols=["k"]).collect()
+    pre = [r for r in ch if r["_change_type"] == "update_preimage"]
+    post = [r for r in ch if r["_change_type"] == "update_postimage"]
+    assert len(pre) == 1 and pre[0]["k"] == 0 and pre[0]["v"] == 0
+    assert len(post) == 1 and post[0]["k"] == 0
+    assert post[0]["v"] is None  # NOT the resurrected pre-value 0
+
+
+def test_changes_keyed_all_null_row_is_visible(spark, tmp_path):
+    """A row whose every column is NULL still surfaces as an insert and
+    later a delete: presence in the full-outer join is decided by
+    literal markers, not value-nullness, so an all-NULL row can never
+    silently cancel against its own absence."""
+    log = _mk_table(spark, tmp_path)
+    v0 = log.latest_version()
+    nullrow = spark.createDataFrame(
+        [(None, None, None)],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("part", T.IntegerType()),
+                T.StructField("v", T.LongType()),
+            ]
+        ),
+    )
+    log.append(spark, nullrow)
+    v1 = log.latest_version()
+    ins = log.changes(spark, v0, v1, key_cols=["k"]).collect()
+    assert len(ins) == 1
+    assert ins[0]["_change_type"] == "insert"
+    assert ins[0]["k"] is None and ins[0]["v"] is None
+
+    log.delete_where(spark, "k IS NULL")
+    v2 = log.latest_version()
+    dels = log.changes(spark, v1, v2, key_cols=["k"]).collect()
+    assert len(dels) == 1
+    assert dels[0]["_change_type"] == "delete"
+    assert dels[0]["k"] is None
+
+
+def test_changes_reverse_diff_across_evolution(spark, tmp_path):
+    """Reverse-direction CDF (v_from NEWER than v_to) across an additive
+    evolution: the evolved column exists only on the from side, so the
+    alignment template must span BOTH schemas — the evolved appends
+    surface as deletes still carrying the new column's values."""
+    log = _mk_table(spark, tmp_path)
+    base = spark.range(0, 5).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    log.append(spark, base)
+    v1 = log.latest_version()
+    wide = spark.range(300, 303).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("tagged").alias("note"),
+    )
+    log.append(spark, wide, allow_evolution=True)
+    v2 = log.latest_version()
+    back = log.changes(spark, v2, v1)
+    rows = back.collect()
+    assert set(back.columns) >= {"k", "part", "v", "note"}
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert {r["k"] for r in rows} == {300, 301, 302}
     assert all(r["note"] == "tagged" for r in rows)
 
 
