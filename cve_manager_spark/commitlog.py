@@ -144,6 +144,19 @@ def _union_schema_json(ours: str, theirs: "str | None") -> str:
     return StructType(list(a.fields) + extra).json()
 
 
+def _path_layout(rel: str) -> tuple[str, ...]:
+    """Partition columns a file's own PATH declares: the ``key=value``
+    directory segments above it, in order. Files are immutable, so the
+    layout they were staged under is frozen into their path forever —
+    which makes every file self-describing and lets a reader compose a
+    manifest that MIXES layouts (partition evolution) without per-file
+    metadata."""
+    parts = rel.replace("\\", "/").split("/")[:-1]
+    return tuple(
+        p.split("=", 1)[0] for p in parts if "=" in p
+    )
+
+
 def _fresh_stem(op: str) -> str:
     return f"part-{op}-{uuid.uuid4().hex[:12]}"
 
@@ -171,7 +184,10 @@ class TableLog:
         files = sorted(
             str(p.relative_to(self.root)) for p in self.root.rglob("*.parquet")
         )
-        self._publish(parent=-1, files=files, op="init")
+        self._publish(
+            parent=-1, files=files, op="init",
+            layout=_partition_cols_logged(self.root),
+        )
         return 0
 
     def versions(self) -> list[int]:
@@ -271,6 +287,55 @@ class TableLog:
         # legacy manifests recorded simpleString; only empty reads used it
         return s
 
+    def layout_of(self, version: int | None = None) -> list[str] | None:
+        """The partition layout recorded in a manifest — the layout NEW
+        writes staged against that version use. ``None`` for manifests
+        that predate layout recording. The manifest's FILES may span
+        several historical layouts (partition evolution rewrites no
+        data); each file's own layout is declared by its path."""
+        v, _ = self.snapshot(version)
+        with open(_manifest_path(self.root, v)) as f:
+            return json.load(f).get("layout")
+
+    def _pcols(self, version: int | None = None) -> list[str]:
+        """Write layout for a COW op pinned at ``version``: the
+        manifest-recorded layout, falling back to the directory walker
+        for legacy manifests (which predate evolution and therefore
+        have one uniform layout the walker can recover)."""
+        lay = self.layout_of(version)
+        return lay if lay is not None else _partition_cols_logged(self.root)
+
+    def set_partitioning(
+        self, spark: SparkSession, pcols: list[str]
+    ) -> dict:
+        """Evolve the table's partition layout — a METADATA-ONLY commit
+        (Iceberg-style partition evolution): the manifest republishes
+        the same file list with the new layout recorded; zero data
+        bytes move. New writes stage into the new layout; readers
+        compose the mixed layouts per-file (each file's path declares
+        its own); ``compact()`` migrates everything to the current
+        layout when uniformity is worth the rewrite. Publish races
+        resolve like every commit (loser raises
+        :class:`CommitConflict`)."""
+        version, files = self.snapshot()
+        schema = self.schema_of(version)
+        if schema is not None and not isinstance(schema, str):
+            known = [f.name for f in schema.fields]
+        else:
+            known = self.read(spark, version=version).columns
+        missing = [c for c in pcols if c not in known]
+        if missing:
+            raise ValueError(
+                f"set_partitioning: {missing} not in table columns {known}"
+            )
+        with open(_manifest_path(self.root, version)) as f:
+            raw_schema = json.load(f).get("schema")
+        v = self._publish(
+            version, files, "set-partitioning",
+            schema=raw_schema, layout=list(pcols),
+        )
+        return {"version": v, "layout": list(pcols)}
+
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
@@ -288,21 +353,40 @@ class TableLog:
             if schema is None:
                 raise ValueError(f"v{v} is empty and carries no schema")
             return spark.createDataFrame([], schema)
-        reader = spark.read.option("basePath", str(self.root))
-        if schema is not None and not isinstance(schema, str):
-            reader = reader.schema(schema)
-        return reader.parquet(*(str(self.root / rel) for rel in files))
+        return self._read_files(spark, files, schema)
 
     def _read_files(self, spark: SparkSession, rel: list[str], schema):
         """Scan an explicit relative-file subset under the table's
         recorded schema — the affected-file re-read inside COW ops must
         see the SAME shape as the snapshot read (pre-evolution files
         lack evolved columns; without the schema the rewrite predicate
-        would fail to resolve, or silently fork the layout)."""
-        reader = spark.read.option("basePath", str(self.root))
+        would fail to resolve, or silently fork the layout).
+
+        Partition evolution makes the subset potentially MIXED-layout:
+        one Spark scan cannot span files whose paths declare different
+        partition schemas, so files are grouped by their path-declared
+        layout, each group scanned with ``basePath`` (hive groups
+        recover their partition columns from directories, flat groups
+        carry them in data), and the groups unioned by name. With a
+        recorded schema the result is projected into schema field
+        order, so every layout reads identically."""
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for r in rel:
+            groups.setdefault(_path_layout(r), []).append(r)
+
+        def scan(files: list[str]) -> DataFrame:
+            reader = spark.read.option("basePath", str(self.root))
+            if schema is not None and not isinstance(schema, str):
+                reader = reader.schema(schema)
+            return reader.parquet(*(str(self.root / r) for r in files))
+
+        dfs = [scan(groups[lay]) for lay in sorted(groups)]
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
         if schema is not None and not isinstance(schema, str):
-            reader = reader.schema(schema)
-        return reader.parquet(*(str(self.root / r) for r in rel))
+            df = df.select(*[f.name for f in schema.fields])
+        return df
 
     # -- the commit primitive ------------------------------------------
 
@@ -312,12 +396,22 @@ class TableLog:
         files: list[str],
         op: str,
         schema: str | None = None,
+        layout: list[str] | None = None,
     ) -> int:
         """Atomically publish version ``parent+1``. Raises
-        :class:`CommitConflict` if that version already exists."""
+        :class:`CommitConflict` if that version already exists.
+        ``layout=None`` carries the PARENT's recorded layout forward
+        (layout, like schema, travels with the version history);
+        committed ops pass the layout they actually staged under."""
         version = parent + 1
         target = _manifest_path(self.root, version)
         tmp = target.parent / f".tmp-{uuid.uuid4().hex}.json"
+        if layout is None and parent >= 0:
+            try:
+                with open(_manifest_path(self.root, parent)) as f:
+                    layout = json.load(f).get("layout")
+            except FileNotFoundError:
+                layout = None
         body = {
             "version": version,
             "parent": parent,
@@ -326,6 +420,8 @@ class TableLog:
         }
         if schema is not None:
             body["schema"] = schema
+        if layout is not None:
+            body["layout"] = layout
         tmp.write_text(json.dumps(body, indent=1))
         try:
             # hard link = atomic + exclusive: EEXIST is the conflict signal
@@ -424,7 +520,7 @@ class TableLog:
         (schema is versioned WITH the data).
         """
         version, files = self.snapshot(expected_version)
-        pcols = _partition_cols_logged(self.root)
+        pcols = self._pcols(version)
         df = self.read(spark, version=version)
         tab_cols, row_cols = set(df.columns), set(rows.columns)
         added = sorted(row_cols - tab_cols)
@@ -505,11 +601,15 @@ class TableLog:
         latest = self.latest_version()
         if latest == to_version:
             return {"version": latest, "n_files": len(files)}
-        # carry the target version's recorded schema: a rollback past an
-        # evolution restores the OLD schema too (schema travels with data)
+        # carry the target version's recorded schema AND layout: a
+        # rollback past an evolution restores the old shape too
+        # (schema and layout travel with data)
         with open(_manifest_path(self.root, to_version)) as f:
-            schema = json.load(f).get("schema")
-        v = self._publish(latest, files, "rollback", schema=schema)
+            m = json.load(f)
+        v = self._publish(
+            latest, files, "rollback",
+            schema=m.get("schema"), layout=m.get("layout"),
+        )
         return {"version": v, "n_files": len(files)}
 
     def delete_where(
@@ -521,7 +621,7 @@ class TableLog:
         survivor rows exist twice."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         version, files = self.snapshot()
-        pcols = _partition_cols_logged(self.root)
+        pcols = self._pcols(version)
         # read the PINNED version, not the latest: a commit landing after
         # snapshot() must not leak its files into this rewrite (the publish
         # below would still conflict on parent, but the abort is cheaper
@@ -584,7 +684,7 @@ class TableLog:
         v+1 already exist, so the caller gets :class:`CommitConflict`
         and recomputes against the fresh snapshot."""
         version, files = self.snapshot(expected_version)
-        pcols = _partition_cols_logged(self.root)
+        pcols = self._pcols(version)
         df = self.read(spark, version=version)
         if sorted(df.columns) != sorted(updates.columns):
             raise ValueError(
@@ -665,7 +765,7 @@ class TableLog:
         keyed MERGE — whichever commits second loses cleanly and
         retries, never a mixed layout."""
         version, files = self.snapshot()
-        pcols = _partition_cols_logged(self.root)
+        pcols = self._pcols(version)
         df = self.read(spark, version=version)
         n_rows = df.count()
         if n_rows == 0:
@@ -866,10 +966,16 @@ class TableLog:
         cursor_path: str,
         key_cols: list[str] | None = None,
         start_version: int | None = None,
+        max_versions: int | None = None,
     ):
         """Tail the log incrementally: return ``(changes_df, ack)`` for
         everything committed since the cursor's last-consumed version,
-        or ``None`` when the cursor is already at the latest. The
+        or ``None`` when the cursor is already at the latest.
+        ``max_versions`` caps one consumption span to that many commits
+        (``max_versions=1`` = strict version-by-version tailing, the
+        bounded-work-per-step mode the streaming consumer uses); the
+        ack then records only the capped head, so the next call resumes
+        exactly where this span ended. The
         consumer applies the changes FIRST and calls ``ack()`` after —
         a crash before the ack re-delivers the same range next call
         (at-least-once), which an idempotent applier
@@ -912,7 +1018,21 @@ class TableLog:
             _write_cursor(head)
             return None
         if last >= head:
+            if not cur.exists():
+                # persist an explicit start_version pin even when there
+                # is nothing to consume yet, so a later call (possibly
+                # without start_version, e.g. the streaming tailer)
+                # resumes from the pin instead of re-initializing to
+                # whatever head is by then
+                _write_cursor(last)
             return None
+        if max_versions is not None:
+            if max_versions < 1:
+                raise ValueError("max_versions must be >= 1")
+            # cap the span to committed versions only: the head of this
+            # span is the max_versions-th committed version above last
+            upcoming = [v for v in self.versions() if v > last]
+            head = upcoming[: max_versions][-1]
         changes = self.changes(spark, last, head, key_cols=key_cols)
 
         def ack() -> int:

@@ -1929,3 +1929,92 @@ def heavy_hitters_report(state_df: DataFrame, k: int = 8) -> DataFrame:
             f"CAST((n_total - sum_c) div {k + 1} AS BIGINT)"
         ).alias("max_undercount"),
     )
+
+
+def stream_cdf_tail(
+    spark,
+    log_root: str,
+    cursor_path: str,
+    out_dir: str,
+    dim_path: str,
+    fact_id: str,
+    facts_key: str,
+    dim_key: str,
+    n_buckets: int = 16,
+    max_versions_per_step: int = 1,
+    trigger_available_now: bool = True,
+    processing_interval: str = "1 second",
+):
+    """Self-driving CDC: a Structured Streaming query that TAILS the
+    commit log's change data feed into the incrementally maintained
+    join view — the continuous counterpart of the pull-based
+    :meth:`TableLog.consume_changes` + :func:`apply_facts_changes`
+    pair, closing the facts-side IVM loop without a caller poll.
+
+    Each micro-batch drains the log version-by-version
+    (``max_versions_per_step`` commits per span, default 1 — bounded
+    work per step whatever the backlog): consume a span, join the
+    surviving change images against the CURRENT dim relation, rewrite
+    only the touched view buckets, then ACK the cursor. The apply runs
+    BEFORE the ack, so a crash between them re-delivers the same span
+    on restart (at-least-once); the applier is idempotent
+    (drop-changed-ids-then-re-add), so the re-application converges to
+    the identical view — exactly-once EFFECT, anchored in the cursor
+    file, not in Spark's offset checkpoint. The tick stream (a rate
+    source) is pure scheduling: its rows are ignored and its
+    checkpoint is disposable (a fresh one is used per start), because
+    all durable progress lives in the cursor + the log-structured view
+    versions.
+
+    With ``trigger_available_now`` (the default) one batch fires and
+    drains the entire backlog to the current head, then the query
+    terminates — the availableNow semantics of CDC. Otherwise the
+    query polls every ``processing_interval`` and follows the log as
+    writers commit.
+
+    Retention interaction: a cursor older than the log's vacuum window
+    raises through ``snapshot()`` inside the batch (the streaming
+    query fails loudly) — the standard CDC-retention trade; size
+    ``vacuum(keep_versions=...)`` to cover the longest consumer
+    outage."""
+    import uuid
+
+    from cve_manager_spark.commitlog import TableLog
+
+    def drain(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        log = TableLog(log_root)
+        while True:
+            res = log.consume_changes(
+                sp,
+                cursor_path,
+                key_cols=[fact_id],
+                max_versions=max_versions_per_step,
+            )
+            if res is None:
+                return
+            changes, ack = res
+            apply_facts_changes(
+                sp,
+                out_dir,
+                changes,
+                sp.read.parquet(dim_path),
+                fact_id,
+                facts_key,
+                dim_key,
+                n_buckets=n_buckets,
+            )
+            ack()
+
+    ticks = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    writer = ticks.writeStream.foreachBatch(drain).option(
+        "checkpointLocation",
+        f"{out_dir}/_cdf_ticks/{uuid.uuid4().hex}",
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()

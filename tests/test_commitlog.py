@@ -1009,3 +1009,124 @@ def test_changes_roundtrip_reconstructs_the_target_snapshot(spark, tmp_path):
         else:
             start[key] -= r["_change_count"]
     assert +start == target  # unary + drops zero/negative entries
+
+
+def test_partition_evolution_flat_to_hive(spark, tmp_path):
+    """Iceberg-style partition evolution: set_partitioning is a
+    metadata-only commit (zero data bytes move — asserted by digest),
+    new writes land in the NEW layout, readers compose the mixed
+    layouts per-file, pinned pre-evolution reads stay green, and COW
+    ops keep working across the mix."""
+    log = _mk_table(spark, tmp_path)  # flat layout
+    v0 = log.latest_version()
+    assert log.layout_of(v0) == []
+    before = _digests(log.root)
+
+    rep = log.set_partitioning(spark, ["part"])
+    v1 = rep["version"]
+    assert log.layout_of(v1) == ["part"]
+    assert _digests(log.root) == before  # metadata-only: no byte moved
+    _, files_v0 = log.snapshot(v0)
+    _, files_v1 = log.snapshot(v1)
+    assert files_v0 == files_v1
+
+    extra = spark.range(200, 240).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+    log.append(spark, extra)
+    v2 = log.latest_version()
+    _, files_v2 = log.snapshot(v2)
+    new_files = set(files_v2) - set(files_v1)
+    assert new_files and all("part=" in f for f in new_files)
+    # unmigrated originals: byte-identical, still at the flat layout
+    after = _digests(log.root)
+    for f, d in before.items():
+        assert after[f] == d
+
+    # mixed-layout read == full expected relation
+    got = {
+        (r["k"], r["part"], r["v"]) for r in log.read(spark).collect()
+    }
+    want = {(k, k % 4, k * 10) for k in range(240)}
+    assert got == want
+    # pinned pre-evolution read unchanged
+    assert log.read(spark, version=v0).count() == 200
+
+    # COW delete across the layout mix rewrites both kinds of file
+    log.delete_where(spark, "k % 10 = 7")
+    got = {r["k"] for r in log.read(spark).collect()}
+    assert got == {k for k in range(240) if k % 10 != 7}
+
+    # compaction migrates everything to the CURRENT layout...
+    log.compact(spark, target_rows_per_file=1000)
+    _, files_cmp = log.snapshot()
+    assert files_cmp and all("part=" in f for f in files_cmp)
+    # ...and, being a pure rewrite, diffs to an EMPTY change feed
+    assert log.changes(spark, log.latest_version() - 1).count() == 0
+    got = {r["k"] for r in log.read(spark).collect()}
+    assert got == {k for k in range(240) if k % 10 != 7}
+
+
+def test_partition_evolution_changes_keys_on_live_table(spark, tmp_path):
+    """Changing partition KEYS (not just flat→hive) on a live table:
+    files staged under ['part'] and files staged under ['region']
+    coexist in one manifest and read back as one relation; merge
+    rewrites spanning the mix stay correct; rollback across the
+    evolution restores the old layout for subsequent writes."""
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") % 2).cast("int").alias("region"),
+        (F.col("id") * 7).alias("v"),
+    )
+    path = tmp_path / "t_evolve_keys"
+    df.repartition(2, "k").write.partitionBy("part").parquet(str(path))
+    log = TableLog(str(path))
+    log.init()
+    assert log.layout_of() == ["part"]
+    v0 = log.latest_version()
+
+    log.set_partitioning(spark, ["region"])
+    extra = spark.range(120, 160).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") % 2).cast("int").alias("region"),
+        (F.col("id") * 7).alias("v"),
+    )
+    log.append(spark, extra)
+    _, files = log.snapshot()
+    assert any(f.startswith("part=") for f in files)
+    assert any(f.startswith("region=") for f in files)
+
+    got = {
+        (r["k"], r["part"], r["region"], r["v"])
+        for r in log.read(spark).collect()
+    }
+    assert got == {(k, k % 4, k % 2, k * 7) for k in range(160)}
+
+    # a merge whose keys live in BOTH layouts rewrites across the mix
+    upd = spark.createDataFrame(
+        [(3, 3 % 4, 3 % 2, -1), (130, 130 % 4, 130 % 2, -1)],
+        "k long, part int, region int, v long",
+    )
+    log.merge_upsert(spark, upd, ["k"])
+    vals = {r["k"]: r["v"] for r in log.read(spark).collect()}
+    assert vals[3] == -1 and vals[130] == -1 and len(vals) == 160
+
+    # rollback across the evolution restores layout ['part']
+    log.rollback(v0)
+    assert log.layout_of() == ["part"]
+    assert log.read(spark).count() == 120
+    # ...so the next append stages back into part= dirs
+    log.append(spark, extra)
+    _, files = log.snapshot()
+    fresh = [f for f in files if "-app-" in f]
+    assert fresh and all(f.startswith("part=") for f in fresh)
+
+
+def test_set_partitioning_rejects_unknown_column(spark, tmp_path):
+    log = _mk_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="not in table columns"):
+        log.set_partitioning(spark, ["nope"])

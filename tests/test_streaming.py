@@ -2225,3 +2225,166 @@ def test_foreach_batch_heavy_hitters_guarantees_hold(spark, tmp_path):
     assert sorted(
         (r["key"], r["c"], r["n_total"]) for r in state2.collect()
     ) == pre_replay
+
+
+def _cdf_tail_fixture(spark, tmp_path, tag: str):
+    """Commit-logged orders table + dim parquet + a view bootstrapped
+    from the v0 snapshot, cursor pinned at v0 — the starting state for
+    every stream_cdf_tail scenario."""
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.streaming.sinks import apply_facts_changes
+
+    fdir = str(tmp_path / f"facts_log_{tag}")
+    load_table(spark, SF_SMALL, "orders").write.parquet(fdir)
+    log = TableLog(fdir)
+    log.init()
+    dim = load_table(spark, SF_SMALL, "customer")
+    dim_path = str(tmp_path / f"dim_{tag}")
+    dim.repartition(1).write.parquet(dim_path)
+    out = str(tmp_path / f"jv_{tag}")
+    cursor = str(tmp_path / f"cursor_{tag}.json")
+    seed = log.read(spark, version=0).select(
+        "*",
+        F.lit("insert").alias("_change_type"),
+        F.lit(1).cast("long").alias("_change_count"),
+    )
+    apply_facts_changes(
+        spark, out, seed, dim, "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=32,
+    )
+    return log, dim, dim_path, out, cursor
+
+
+def _cdf_view_matches_batch(spark, log, dim, out):
+    from cve_manager_spark.streaming.sinks import read_join_view
+
+    want_df = log.read(spark).join(
+        dim, F.col("o_custkey") == F.col("c_custkey")
+    )
+    view = read_join_view(spark, out)
+    cols = sorted(view.columns)
+    assert sorted(want_df.columns) == cols
+    assert _sorted_rows(view, cols) == _sorted_rows(want_df, cols)
+
+
+def test_stream_cdf_tail_drains_backlog_version_by_version(
+    spark, tmp_path
+):
+    """The self-driving CDC loop: three facts-side commits back up
+    behind the cursor; one availableNow run of the tail consumer
+    drains them version-by-version (one view version per commit — the
+    per-span ack granularity), after which the view equals the batch
+    recompute and a second run is a no-op."""
+    from cve_manager_spark.streaming.sinks import (
+        _list_state_versions,
+        stream_cdf_tail,
+    )
+
+    log, dim, dim_path, out, cursor = _cdf_tail_fixture(
+        spark, tmp_path, "drain"
+    )
+    # pin the cursor at v0 (latest-mode init would skip the backlog)
+    res = log.consume_changes(
+        spark, cursor, key_cols=["o_orderkey"], start_version=0
+    )
+    assert res is None  # nothing committed past v0 yet
+
+    upd = (
+        log.read(spark)
+        .where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 9.0)
+    )
+    log.merge_upsert(spark, upd, ["o_orderkey"])
+    log.delete_where(spark, "o_orderkey % 5 = 0")
+    fresh = log.read(spark).where(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        *[c for c in log.read(spark).columns if c != "o_orderkey"],
+    )
+    log.append(spark, fresh)
+
+    before = set(_list_state_versions(spark, out))
+    stream_cdf_tail(
+        spark, str(log.root), cursor, out, dim_path,
+        "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=32, max_versions_per_step=1,
+    ).awaitTermination()
+    after = set(_list_state_versions(spark, out))
+    assert len(after - before) == 3  # one view version per commit
+    _cdf_view_matches_batch(spark, log, dim, out)
+
+    # drained: a second run sees no backlog and writes nothing
+    stream_cdf_tail(
+        spark, str(log.root), cursor, out, dim_path,
+        "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=32,
+    ).awaitTermination()
+    assert set(_list_state_versions(spark, out)) == after
+    _cdf_view_matches_batch(spark, log, dim, out)
+
+
+def test_stream_cdf_tail_crash_before_ack_replays_exactly_once(
+    spark, tmp_path
+):
+    """At-least-once delivery through the cursor, exactly-once effect
+    through the idempotent applier: a consumer that applied a span but
+    crashed before acking leaves the cursor behind; the tail consumer
+    re-delivers and re-applies that span, and the view still equals
+    the batch recompute."""
+    from cve_manager_spark.streaming.sinks import (
+        apply_facts_changes,
+        stream_cdf_tail,
+    )
+
+    log, dim, dim_path, out, cursor = _cdf_tail_fixture(
+        spark, tmp_path, "crash"
+    )
+    log.consume_changes(
+        spark, cursor, key_cols=["o_orderkey"], start_version=0
+    )
+    log.delete_where(spark, "o_orderkey % 4 = 1")
+
+    # simulate the crash: consume + apply, but never ack
+    changes, _ack = log.consume_changes(
+        spark, cursor, key_cols=["o_orderkey"]
+    )
+    apply_facts_changes(
+        spark, out, changes, dim, "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=32,
+    )
+    # the restarted consumer re-delivers the un-acked span
+    stream_cdf_tail(
+        spark, str(log.root), cursor, out, dim_path,
+        "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=32,
+    ).awaitTermination()
+    _cdf_view_matches_batch(spark, log, dim, out)
+    assert log.consume_changes(spark, cursor) is None  # now acked
+
+
+def test_stream_cdf_tail_fails_loudly_past_vacuum_retention(
+    spark, tmp_path
+):
+    """A cursor older than the vacuum window must FAIL the streaming
+    query, never silently skip the reclaimed versions — the standard
+    CDC-retention trade surfaced as a query error."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from cve_manager_spark.streaming.sinks import stream_cdf_tail
+
+    log, dim, dim_path, out, cursor = _cdf_tail_fixture(
+        spark, tmp_path, "vac"
+    )
+    log.consume_changes(
+        spark, cursor, key_cols=["o_orderkey"], start_version=0
+    )
+    log.delete_where(spark, "o_orderkey % 6 = 2")
+    log.delete_where(spark, "o_orderkey % 6 = 3")
+    log.vacuum(keep_versions=1, min_age_seconds=0)
+
+    q = stream_cdf_tail(
+        spark, str(log.root), cursor, out, dim_path,
+        "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=32,
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
