@@ -2018,3 +2018,326 @@ def stream_cdf_tail(
     else:
         writer = writer.trigger(processingTime=processing_interval)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# two-stream join view: fact stream x dim stream
+# ---------------------------------------------------------------------------
+
+
+def _union_compose(
+    spark, out_dir: str, col: str = "kb",
+    parts_filter: set[str] | None = None,
+) -> DataFrame | None:
+    """Additive counterpart of :func:`_overlay_compose` for INSERT-ONLY
+    log-structured state (the accumulated facts relation): every
+    version contributes the rows it appended, so the live state is the
+    UNION of all versions' selected ``col`` partitions — pruned at the
+    file-listing level exactly like the overlay reads."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    parts = []
+    for v in versions:
+        ver_dir = f"{out_dir}/{_STATE_PREFIX}{v}"
+        days = _list_day_dirs(spark, ver_dir, col)
+        if parts_filter is not None:
+            days = [d for d in days if d in parts_filter]
+        if not days:
+            continue
+        paths = [f"{ver_dir}/{col}={d}" for d in sorted(days)]
+        parts.append(spark.read.option("basePath", ver_dir).parquet(*paths))
+    if not parts:
+        return None
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+class _StateLock:
+    """Cross-query mutex for state shared by TWO live streaming queries
+    on one host (the fact-side and dim-side sinks of the two-stream
+    join): O_CREAT|O_EXCL lockfile, stolen after ``stale_s`` seconds so
+    a crashed batch cannot deadlock the partner query forever. This is
+    HOST-LOCAL serialization — two writers on different hosts must
+    route through the commit-log protocol instead (its put-if-absent
+    publish is the distributed version of exactly this)."""
+
+    def __init__(self, out_dir: str, stale_s: float = 300.0):
+        import pathlib
+
+        self.path = pathlib.Path(out_dir) / "_ss_lock"
+        self.stale_s = stale_s
+
+    def __enter__(self):
+        import os
+        import time
+
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        while True:
+            try:
+                self._fd = os.open(
+                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - self.path.stat().st_mtime
+                    if age > self.stale_s:
+                        self.path.unlink(missing_ok=True)
+                        continue
+                except OSError:
+                    continue
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        import os
+
+        os.close(self._fd)
+        self.path.unlink(missing_ok=True)
+        return False
+
+
+def _ss_kb(col_name: str, n_buckets: int):
+    return F.pmod(
+        F.crc32(F.col(col_name).cast("string")), n_buckets
+    ).cast("int")
+
+
+def _ss_read_watermark(out_dir: str):
+    import json as _json
+    import pathlib
+
+    p = pathlib.Path(out_dir) / "_watermark.json"
+    if not p.exists():
+        return None
+    return _json.loads(p.read_text())["hw"]
+
+
+def _ss_write_watermark(out_dir: str, hw) -> None:
+    import json as _json
+    import os
+    import pathlib
+    import uuid as _uuid
+
+    p = pathlib.Path(out_dir) / "_watermark.json"
+    tmp = p.parent / f".wm-{_uuid.uuid4().hex[:8]}"
+    tmp.write_text(_json.dumps({"hw": hw}))
+    os.replace(tmp, p)
+
+
+def foreach_batch_ss_facts(
+    stream_df: DataFrame,
+    out_dir: str,
+    fact_id: str,
+    facts_key: str,
+    dim_key: str,
+    n_buckets: int = 16,
+    trigger_available_now: bool = True,
+):
+    """Fact side of the TWO-STREAM join view (fact stream ⋈ dim stream
+    — the variant :func:`foreach_batch_join_view` cannot give, whose
+    facts are a static table). Facts are INSERT-ONLY events; each
+    micro-batch (a) drops rows whose ``fact_id`` the accumulated facts
+    state already holds — the idempotency that makes replayed and
+    re-delivered batches no-ops, (b) appends the survivors to the
+    bucket-partitioned facts state (``kb = crc32(facts_key) %
+    n_buckets`` — the JOIN key's bucketing, shared with the dim and
+    view states, so every delta prunes its probe to touched buckets),
+    and (c) joins them against the CURRENT dim state to extend the
+    view. A fact arriving BEFORE its dim row waits in the facts state:
+    the dim side joins its delta against accumulated facts, so the
+    pair enters the view whichever side arrives first (inner-join
+    semantics; the final view converges to facts ⋈ newest-dim under
+    ANY interleaving of the two streams' batches).
+
+    Both sinks serialize on a host-local :class:`_StateLock` — two
+    LIVE queries' read-compute-write cycles interleave arbitrarily but
+    never overlap, which makes convergence compositional: every batch
+    sees a consistent (facts, dim, view) triple. Scale shape: per
+    batch cost is |batch| + |touched buckets|, never |state|; all
+    three states are log-structured partition overlays, and the fact
+    and dim columns must be disjoint (TPC-H prefixes)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        with _StateLock(out_dir):
+            fdir = f"{out_dir}/facts_state"
+            ddir = f"{out_dir}/dim_state"
+            vdir = f"{out_dir}/view"
+            fb = batch_df.withColumn("kb", _ss_kb(facts_key, n_buckets))
+            touched = {
+                str(r["kb"]) for r in fb.select("kb").distinct().collect()
+            }
+            if not touched:
+                return
+            prev_facts = _union_compose(
+                spark, fdir, "kb", parts_filter=touched
+            )
+            if prev_facts is not None:
+                fb = fb.join(
+                    prev_facts.select(fact_id), on=fact_id, how="left_anti"
+                )
+            # pin the delta NOW: it is defined against pre-batch state,
+            # and the writes below must not recompute it against
+            # themselves (the anti-join would otherwise erase the batch)
+            fb = fb.localCheckpoint(eager=True)
+            if fb.isEmpty():
+                return
+            fv = _list_state_versions(spark, fdir)
+            fb.write.partitionBy("kb").parquet(
+                f"{fdir}/{_STATE_PREFIX}{(fv[-1] + 1) if fv else 0}"
+            )
+            dim_cur = _overlay_compose(
+                spark, ddir, "kb", parts_filter=touched
+            )
+            if dim_cur is None:
+                return  # no dim rows yet: the facts wait in state
+            add = fb.drop("kb").join(
+                dim_cur.drop("kb"), F.col(facts_key) == F.col(dim_key)
+            ).withColumn("kb", _ss_kb(facts_key, n_buckets))
+            prev_view = _overlay_compose(
+                spark, vdir, "kb", parts_filter=touched
+            )
+            if prev_view is not None:
+                add = prev_view.unionByName(add)
+            vv = _list_state_versions(spark, vdir)
+            add.write.partitionBy("kb").parquet(
+                f"{vdir}/{_STATE_PREFIX}{(vv[-1] + 1) if vv else 0}"
+            )
+
+    return _ss_writer(stream_df, out_dir, "facts", apply,
+                      trigger_available_now)
+
+
+def foreach_batch_ss_dim(
+    stream_df: DataFrame,
+    out_dir: str,
+    facts_key: str,
+    dim_key: str,
+    order_col: str,
+    n_buckets: int = 16,
+    watermark_delay: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Dim side of the two-stream join view: a stream of CDC upserts
+    with WATERMARK-BOUNDED REORDERING. Each micro-batch reduces to its
+    newest row per ``dim_key`` (``order_col`` totally orders updates),
+    then true-MERGE filters against the dim state — an update only
+    beats a STRICTLY older image, so out-of-order delivery within the
+    watermark and re-delivered batches are no-ops (the same
+    convergence rule as :func:`foreach_batch_join_view`). With
+    ``watermark_delay`` set, a row whose ``order_col`` trails the
+    high-watermark (max event order ever accepted, tracked O(1) in
+    ``_watermark.json``) by MORE than the delay is DROPPED — the
+    late-data-drop contract of the streaming window family applied to
+    CDC: reordering is bounded, state need never answer for
+    arbitrarily ancient updates, and the drop is deterministic and
+    testable rather than dependent on state-compaction timing.
+
+    Surviving updates rewrite their touched dim buckets and REJOIN the
+    accumulated facts for exactly those keys: view rows carrying a
+    replaced dim image are dropped and rebuilt from facts ⋈ new-image
+    — cost |delta| + |touched buckets|, never |view|."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        with _StateLock(out_dir):
+            fdir = f"{out_dir}/facts_state"
+            ddir = f"{out_dir}/dim_state"
+            vdir = f"{out_dir}/view"
+            w = Window.partitionBy(dim_key).orderBy(
+                F.col(order_col).desc()
+            )
+            delta = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            hw = _ss_read_watermark(out_dir)
+            if watermark_delay is not None and hw is not None:
+                delta = delta.where(
+                    F.col(order_col) >= F.lit(hw - watermark_delay)
+                )
+            delta = delta.withColumn("kb", _ss_kb(dim_key, n_buckets))
+            touched = {
+                str(r["kb"])
+                for r in delta.select("kb").distinct().collect()
+            }
+            if not touched:
+                return
+            prev_dim = _overlay_compose(
+                spark, ddir, "kb", parts_filter=touched
+            )
+            if prev_dim is not None:
+                cur = prev_dim.groupBy(dim_key).agg(
+                    F.max(order_col).alias("__cur_ord")
+                )
+                delta = (
+                    delta.join(cur, dim_key, "left")
+                    .where(
+                        F.col("__cur_ord").isNull()
+                        | (F.col(order_col) > F.col("__cur_ord"))
+                    )
+                    .drop("__cur_ord")
+                )
+            delta = delta.localCheckpoint(eager=True)  # pin vs writes
+            if delta.isEmpty():
+                return
+            batch_max, = delta.agg(F.max(order_col)).head()
+            _ss_write_watermark(
+                out_dir, batch_max if hw is None else max(hw, batch_max)
+            )
+            keys = delta.select(dim_key)
+            new_dim = delta
+            if prev_dim is not None:
+                new_dim = prev_dim.join(
+                    keys, on=dim_key, how="left_anti"
+                ).unionByName(delta)
+            dv = _list_state_versions(spark, ddir)
+            new_dim.write.partitionBy("kb").parquet(
+                f"{ddir}/{_STATE_PREFIX}{(dv[-1] + 1) if dv else 0}"
+            )
+            prev_view = _overlay_compose(
+                spark, vdir, "kb", parts_filter=touched
+            )
+            facts_rel = _union_compose(
+                spark, fdir, "kb", parts_filter=touched
+            )
+            rebuilt = None
+            if facts_rel is not None:
+                rebuilt = facts_rel.drop("kb").join(
+                    delta.drop("kb"), F.col(facts_key) == F.col(dim_key)
+                ).withColumn("kb", _ss_kb(facts_key, n_buckets))
+            if prev_view is not None:
+                keep = prev_view.join(keys, on=dim_key, how="left_anti")
+                rebuilt = (
+                    keep if rebuilt is None
+                    else keep.unionByName(rebuilt)
+                )
+            if rebuilt is None:
+                return
+            vv = _list_state_versions(spark, vdir)
+            rebuilt.write.partitionBy("kb").parquet(
+                f"{vdir}/{_STATE_PREFIX}{(vv[-1] + 1) if vv else 0}"
+            )
+
+    return _ss_writer(stream_df, out_dir, "dim", apply,
+                      trigger_available_now)
+
+
+def _ss_writer(stream_df, out_dir, side, apply, trigger_available_now):
+    writer = stream_df.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint_{side}"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_stream_join(spark, out_dir: str) -> DataFrame | None:
+    """Current two-stream join view: per-bucket-newest composition,
+    bucket column dropped."""
+    df = _overlay_compose(spark, f"{out_dir}/view", "kb")
+    return None if df is None else df.drop("kb")

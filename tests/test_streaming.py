@@ -2388,3 +2388,189 @@ def test_stream_cdf_tail_fails_loudly_past_vacuum_retention(
     )
     with pytest.raises(StreamingQueryException):
         q.awaitTermination()
+
+
+def _ss_fixture(spark, tmp_path, tag: str, n_fact_chunks=3, n_dim_chunks=3):
+    """Fact-event and dim-CDC source dirs chopped into files (one file
+    per micro-batch under maxFilesPerTrigger=1), plus the expected
+    batch recompute: facts ⋈ newest-dim-per-key."""
+    facts = spark.range(0, 300).select(
+        F.col("id").alias("f_id"),
+        (F.col("id") % 40).alias("f_cust"),
+        (F.col("id") * 3).alias("f_val"),
+    )
+    # two updates for most keys, interleaved order, distinct upd_ts
+    dim = spark.range(0, 40).select(
+        F.col("id").alias("d_cust"),
+        F.concat(F.lit("seg-old-"), F.col("id")).alias("d_seg"),
+        (F.col("id") + 100).alias("upd_ts"),
+    ).unionByName(
+        spark.range(0, 30).select(
+            F.col("id").alias("d_cust"),
+            F.concat(F.lit("seg-new-"), F.col("id")).alias("d_seg"),
+            (F.col("id") + 1000).alias("upd_ts"),
+        )
+    )
+    fsrc = str(tmp_path / f"ss_facts_{tag}")
+    dsrc = str(tmp_path / f"ss_dim_{tag}")
+    facts.repartition(n_fact_chunks).write.parquet(fsrc)
+    dim.repartition(n_dim_chunks).write.parquet(dsrc)
+    want = facts.join(
+        dim.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("d_cust").orderBy(F.col("upd_ts").desc())
+            ),
+        ).where("__rn = 1").drop("__rn"),
+        F.col("f_cust") == F.col("d_cust"),
+    )
+    return facts, dim, fsrc, dsrc, want
+
+
+def _ss_start(spark, fsrc, dsrc, out, facts_schema, dim_schema, **kw):
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_ss_dim,
+        foreach_batch_ss_facts,
+    )
+
+    qf = foreach_batch_ss_facts(
+        spark.readStream.schema(facts_schema)
+        .option("maxFilesPerTrigger", 1).parquet(fsrc),
+        out, "f_id", "f_cust", "d_cust", n_buckets=8,
+    )
+    qd = foreach_batch_ss_dim(
+        spark.readStream.schema(dim_schema)
+        .option("maxFilesPerTrigger", 1).parquet(dsrc),
+        out, "f_cust", "d_cust", "upd_ts", n_buckets=8, **kw,
+    )
+    return qf, qd
+
+
+def test_two_stream_join_converges_under_concurrent_delivery(
+    spark, tmp_path
+):
+    """Fact stream ⋈ dim stream: both availableNow queries run
+    CONCURRENTLY, their micro-batches interleaving on the shared
+    state lock in whatever order the scheduler picks — and the drained
+    view equals the batch recompute facts ⋈ newest-dim. Replaying both
+    streams from scratch (checkpoints wiped, states kept) changes
+    nothing: fact inserts dedupe by id, dim updates lose ties to the
+    state (true MERGE)."""
+    from cve_manager_spark.streaming.sinks import read_stream_stream_join
+
+    facts, dim, fsrc, dsrc, want = _ss_fixture(spark, tmp_path, "conc")
+    out = str(tmp_path / "ss_out_conc")
+    qf, qd = _ss_start(spark, fsrc, dsrc, out, facts.schema, dim.schema)
+    qf.awaitTermination()
+    qd.awaitTermination()
+
+    view = read_stream_stream_join(spark, out)
+    cols = sorted(view.columns)
+    assert sorted(want.columns) == cols
+    want_rows = _sorted_rows(want, cols)
+    assert _sorted_rows(view, cols) == want_rows
+
+    shutil.rmtree(f"{out}/_checkpoint_facts")
+    shutil.rmtree(f"{out}/_checkpoint_dim")
+    qf, qd = _ss_start(spark, fsrc, dsrc, out, facts.schema, dim.schema)
+    qf.awaitTermination()
+    qd.awaitTermination()
+    assert _sorted_rows(read_stream_stream_join(spark, out), cols) == want_rows
+
+
+def test_two_stream_join_converges_whichever_side_arrives_first(
+    spark, tmp_path
+):
+    """Order independence at the extremes: dim fully drained before any
+    fact (facts join state on arrival) and facts fully drained before
+    any dim (facts wait in state; the dim delta back-joins them) both
+    converge to the same batch recompute."""
+    from cve_manager_spark.streaming.sinks import read_stream_stream_join
+
+    for order in ("dim_first", "facts_first"):
+        facts, dim, fsrc, dsrc, want = _ss_fixture(spark, tmp_path, order)
+        out = str(tmp_path / f"ss_out_{order}")
+        first, second = (
+            ("dim", "facts") if order == "dim_first" else ("facts", "dim")
+        )
+        from cve_manager_spark.streaming.sinks import (
+            foreach_batch_ss_dim,
+            foreach_batch_ss_facts,
+        )
+
+        def start(side):
+            if side == "facts":
+                return foreach_batch_ss_facts(
+                    spark.readStream.schema(facts.schema)
+                    .option("maxFilesPerTrigger", 1).parquet(fsrc),
+                    out, "f_id", "f_cust", "d_cust", n_buckets=8,
+                )
+            return foreach_batch_ss_dim(
+                spark.readStream.schema(dim.schema)
+                .option("maxFilesPerTrigger", 1).parquet(dsrc),
+                out, "f_cust", "d_cust", "upd_ts", n_buckets=8,
+            )
+
+        start(first).awaitTermination()
+        start(second).awaitTermination()
+        view = read_stream_stream_join(spark, out)
+        cols = sorted(view.columns)
+        assert _sorted_rows(view, cols) == _sorted_rows(want, cols), order
+
+
+def test_two_stream_join_watermark_bounds_dim_reordering(spark, tmp_path):
+    """Watermark-bounded reordering: an out-of-order dim update WITHIN
+    the delay applies (and rewrites the joined view rows); one trailing
+    the high-watermark by MORE than the delay is dropped even though it
+    is newest for its own key — the late-data-drop contract, CDC
+    edition."""
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_ss_dim,
+        foreach_batch_ss_facts,
+        read_stream_stream_join,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 10, 5), (2, 11, 7), (3, 12, 9)],
+        "f_id long, f_cust long, f_val long",
+    )
+    fsrc = str(tmp_path / "wm_facts")
+    facts.repartition(1).write.parquet(fsrc)
+    out = str(tmp_path / "wm_out")
+    foreach_batch_ss_facts(
+        spark.readStream.schema(facts.schema).parquet(fsrc),
+        out, "f_id", "f_cust", "d_cust", n_buckets=4,
+    ).awaitTermination()
+
+    dsrc = str(tmp_path / "wm_dim")
+    dim_schema = "d_cust long, d_seg string, upd_ts long"
+
+    def dim_batch(rows, tag):
+        d = spark.createDataFrame(rows, dim_schema)
+        d.repartition(1).write.mode("append").parquet(dsrc)
+        foreach_batch_ss_dim(
+            spark.readStream.schema(d.schema).parquet(dsrc),
+            out, "f_cust", "d_cust", "upd_ts",
+            n_buckets=4, watermark_delay=100,
+        ).awaitTermination()
+
+    # t=1000 for key 10 and 12: hw becomes 1000
+    dim_batch([(10, "a@1000", 1000), (12, "c@1000", 1000)], "b1")
+    # out-of-order but within delay (>= 900): applies to key 11
+    dim_batch([(11, "b@950", 950)], "b2")
+    # ancient update for key 12 (t=800 < 1000-100): dropped though
+    # it is an update its key would otherwise take... (older ts —
+    # MERGE would drop it anyway), so use a NEW key 13: dropped too
+    dim_batch([(13, "d@800", 800)], "b3")
+
+    view = read_stream_stream_join(spark, out)
+    got = {(r["f_id"], r["d_seg"]) for r in view.collect()}
+    assert got == {(1, "a@1000"), (2, "b@950"), (3, "c@1000")}
+    # and the within-delay but OLDER-than-state update for key 10 is
+    # a MERGE no-op (ties/older lose to the state)
+    dim_batch([(10, "a@999-stale", 999)], "b4")
+    got = {
+        (r["f_id"], r["d_seg"])
+        for r in read_stream_stream_join(spark, out).collect()
+    }
+    assert got == {(1, "a@1000"), (2, "b@950"), (3, "c@1000")}
