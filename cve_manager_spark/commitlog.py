@@ -584,6 +584,43 @@ class TableLog:
                     raise
         raise AssertionError("unreachable")
 
+    def overwrite(
+        self,
+        spark: SparkSession,
+        rows: DataFrame,
+        tag: str | None = None,
+    ) -> dict[str, int]:
+        """Committed REPLACE-ALL (Delta's overwrite mode): stage
+        ``rows`` as fresh part files under the current layout and
+        publish a manifest referencing ONLY them — one atomic commit,
+        so no reader ever sees an empty or half-replaced table (the
+        delete-everything-then-append composition has exactly that
+        window). The superseded files stay on disk for pinned readers
+        until vacuum, like every COW op. ``tag`` stamps the op as
+        ``overwrite@<tag>`` — the :meth:`last_op` idempotency hook the
+        drift-retrain maintenance loop keys on (a rebuild that already
+        landed is skipped, not repeated)."""
+        version, _ = self.snapshot()
+        pcols = self._pcols(version)
+        n_rows = rows.count()
+        new_rel = self._stage(rows, "ovw", pcols)
+        n_new = _count_files(spark, self.root, new_rel)
+        if n_new != n_rows:
+            self._abort(new_rel)
+            raise RuntimeError(
+                f"overwrite row mismatch for {self.root}: staged {n_new} "
+                f"of {n_rows} rows; nothing committed"
+            )
+        op = "overwrite" if tag is None else f"overwrite@{tag}"
+        try:
+            v = self._publish(
+                version, new_rel, op, schema=_schema_json(rows)
+            )
+        except CommitConflict:
+            self._abort(new_rel)
+            raise
+        return {"n_rows": n_rows, "version": v}
+
     def rollback(self, to_version: int) -> dict[str, int]:
         """Restore the table to ``to_version`` — published as a NEW
         commit whose manifest is a copy of the old one (Delta's

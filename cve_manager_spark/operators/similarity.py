@@ -952,3 +952,142 @@ def ivf_pq_upsert(
     if log is not None:
         return log.merge_upsert(spark, delta_idx, key_cols=[id_col])
     return merge_upsert(spark, path, delta_idx, key_cols=[id_col])
+
+
+def ivf_pq_drift_report(
+    spark: SparkSession, path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-cell drift of a COMMIT-LOGGED IVF×PQ index, computed from
+    the index's own change data feed — no side channel: ``n_base`` is
+    the cell's population at the last (re)build commit (``init`` or
+    ``overwrite@*``), ``n_delta`` counts rows inserted or re-encoded
+    into the cell by every upsert since (``TableLog.changes`` — cost ∝
+    changed data, the manifest-delta property), and ``delta_ppm`` is
+    the delta share per cell, the same contract as the
+    ``semantic_cell_drift`` query face. A cell whose delta share is
+    far above the global delta fraction is where new data's geometry
+    escapes the frozen centroids — the retrain trigger
+    :func:`ivf_pq_drift_retrain` thresholds on."""
+    log = _index_log(path)
+    if log is None:
+        raise ValueError(
+            f"{path} is not commit-logged; drift tracking needs the log "
+            "(write_ivf_pq_index(committed=True))"
+        )
+    v_train = None
+    for v in log.versions():
+        op = log.last_op(version=v) or ""
+        if op == "init" or op.startswith("overwrite"):
+            v_train = v
+    if v_train is None:
+        v_train = log.versions()[0]
+    _, cents, _ = read_ivf_pq_index(spark, path)
+    spine = spark.range(0, len(cents)).select(
+        F.col("id").cast("int").alias("list_id")
+    )
+    base = (
+        log.read(spark, version=v_train)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    head = log.latest_version()
+    j = spine.join(base, "list_id", "left")
+    if head > v_train:
+        adds = log.changes(
+            spark, v_train, head, key_cols=[id_col]
+        ).where(F.col("_change_type").isin("insert", "update_postimage"))
+        delta = adds.groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("n_d")
+        )
+        j = j.join(delta, "list_id", "left")
+    else:
+        j = j.withColumn("n_d", F.lit(None).cast("long"))
+    return j.select(
+        "list_id",
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_base"),
+        F.coalesce("n_d", F.lit(0)).cast("bigint").alias("n_delta"),
+    ).withColumn(
+        "delta_ppm",
+        F.expr(
+            "CAST(CASE WHEN n_base + n_delta = 0 THEN 0 "
+            "ELSE n_delta * 1000000 div (n_base + n_delta) END AS BIGINT)"
+        ),
+    )
+
+
+def ivf_pq_drift_retrain(
+    spark: SparkSession,
+    path: str,
+    corpus_df: DataFrame,
+    threshold_ppm: int = 300_000,
+    min_cells: int = 1,
+    iters: int = 2,
+    tag: str = "drift-rebuild",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Close the drift→retrain loop (VERDICT r11 next-round #5): read
+    the index's drift report; if at least ``min_cells`` cells exceed
+    ``threshold_ppm`` delta share, RETRAIN the coarse quantizer and
+    codebooks on the CURRENT corpus and publish the re-encoded index
+    through the commit log as one atomic ``overwrite@<tag>`` commit —
+    pinned probes keep their snapshot, a racing upsert surfaces as
+    ``CommitConflict``, and the sidecar meta is replaced atomically
+    after the commit lands. Below threshold, nothing is committed.
+
+    Idempotency: a head commit already carrying ``overwrite@<tag>``
+    means the rebuild landed and NOTHING drifted since (any later
+    upsert changes the head op) — the call returns without recommitting,
+    so a crash-and-rerun of the maintenance job rebuilds exactly once.
+    The next genuine drift cycle starts from the rebuild version
+    because the drift report anchors ``n_base`` at the newest
+    (re)build commit.
+
+    Scale: the report is k rows (one per cell, driver-collected —
+    bounded by n_lists); the retrain is the documented O(N·k·d)
+    scheduled cost this loop exists to trigger only when the
+    upsert-between-rebuilds trade has actually degraded; the re-encode
+    is one map-side pass. Recall recovery is measured in
+    ANN_RECALL.json (scripts/ann_recall_audit.py, drift section)."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+    from pathlib import Path as _Path
+
+    log = _index_log(path)
+    if log is None:
+        raise ValueError(f"{path} is not commit-logged")
+    if (log.last_op() or "") == f"overwrite@{tag}":
+        return {"rebuilt": False, "reason": "rebuild already at head"}
+    report = ivf_pq_drift_report(spark, path, id_col=id_col).collect()
+    drifted = [r for r in report if r["delta_ppm"] > threshold_ppm]
+    if len(drifted) < min_cells:
+        return {
+            "rebuilt": False,
+            "reason": "below threshold",
+            "n_drifted_cells": len(drifted),
+        }
+    _, cents, books = read_ivf_pq_index(spark, path)
+    n_lists = len(cents)
+    dim = len(cents[0])
+    m = len(books)
+    k_codes = len(books[0])
+    index_df, new_cents, new_books = ivf_pq_index(
+        corpus_df, n_lists=n_lists, iters=iters, m=m,
+        k_codes=k_codes, dim=dim, id_col=id_col, vec_col=vec_col,
+    )
+    out = log.overwrite(spark, index_df, tag=tag)
+    meta = {
+        "centroids": [[int(v) for v in c] for c in new_cents],
+        "books": [[[int(v) for v in cw] for cw in b] for b in new_books],
+    }
+    p = _Path(path) / "_ivf_pq_meta.json"
+    tmp = p.parent / f".meta-{_uuid.uuid4().hex[:8]}"
+    tmp.write_text(_json.dumps(meta))
+    _os.replace(tmp, p)
+    return {
+        "rebuilt": True,
+        "version": out["version"],
+        "n_rows": out["n_rows"],
+        "n_drifted_cells": len(drifted),
+    }

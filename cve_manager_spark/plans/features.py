@@ -4537,3 +4537,219 @@ FROM d WHERE doc_id % 17 = 0
 def timetravel_changes(spark: SparkSession, sf: str) -> DataFrame:
     log = _timetravel_log(spark, sf)
     return log.changes(spark, 0, 2, key_cols=["doc_id"])
+
+
+def _evolution_log(spark: SparkSession, sf: str):
+    """Materialize a small commit-logged table that LIVES THROUGH a
+    partition evolution, carved deterministically out of ``documents``:
+
+    - v0 ``init``: every doc as (doc_id, bucket = doc_id % 4,
+      digest = md5(text)), FLAT layout;
+    - v1 ``set-partitioning(['bucket'])``: metadata-only evolution —
+      zero data bytes move;
+    - v2 ``append``: docs with doc_id % 3 = 0 re-keyed to
+      doc_id + 1000000 and digested over text || ' evo', staged into
+      the NEW hive layout (bucket= dirs) — the manifest now mixes
+      flat and hive files;
+    - v3 ``delete``: doc_id % 5 = 0 purged — the COW rewrite spans
+      BOTH layouts (1000000 ≡ 0 mod 4 and mod 5, so old and new keys
+      share bucket and purge fate with their source doc).
+
+    Same scratch-dir reuse discipline as ``_timetravel_log``: a
+    completed build (v3 manifest present) is reused; a half-build is
+    rebuilt privately and published by atomic rename."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cve_manager_spark.commitlog import TableLog
+
+    slug = sf.strip("/").replace("/", "_").replace(".", "_")
+    tdir = Path(tempfile.gettempdir()) / f"cve_spark_pe_{slug}" / "docs_log"
+    if (tdir / "_commits" / f"v{3:012d}.json").exists():
+        return TableLog(str(tdir))
+
+    docs = load_table(spark, sf, "documents")
+    scratch = Path(tempfile.mkdtemp(prefix="cve_spark_pe_build_")) / "docs_log"
+    docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("bucket"),
+        F.md5("text").alias("digest"),
+    ).write.parquet(str(scratch))
+    log = TableLog(str(scratch))
+    log.init()
+    log.set_partitioning(spark, ["bucket"])
+    log.append(
+        spark,
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            (F.col("doc_id") % 4).cast("int").alias("bucket"),
+            F.md5(F.concat(F.col("text"), F.lit(" evo"))).alias("digest"),
+        ),
+    )
+    log.delete_where(spark, "doc_id % 5 = 0")
+
+    tdir.parent.mkdir(parents=True, exist_ok=True)
+    if tdir.exists():
+        shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.replace(scratch, tdir)
+    except OSError:
+        pass  # concurrent builder published a complete table first
+    shutil.rmtree(scratch.parent, ignore_errors=True)
+    return TableLog(str(tdir))
+
+
+_PARTITION_EVOLUTION_ORACLE = """
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS bucket,
+         md5(text) AS digest
+  FROM documents
+), evolved AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CAST(doc_id % 4 AS INTEGER) AS bucket,
+         md5(text || ' evo') AS digest
+  FROM documents WHERE doc_id % 3 = 0
+), allr AS (
+  SELECT * FROM base UNION ALL SELECT * FROM evolved
+)
+SELECT doc_id, bucket, digest FROM allr WHERE doc_id % 5 <> 0
+"""
+
+
+@_register(
+    "timetravel_partition_evolution",
+    _PARTITION_EVOLUTION_ORACLE,
+    doc="Partition evolution as a QUERY face: the final snapshot of a "
+    "commit-logged table that evolved flat→hive mid-history "
+    "(set_partitioning is a metadata-only commit; the later append "
+    "stages into bucket= dirs while the original flat files stay "
+    "byte-identical, and the delete's COW rewrite spans both "
+    "layouts). The read composes the MIXED manifest by grouping "
+    "files on their path-declared layout — hive groups recover the "
+    "partition column from directories, flat groups carry it in "
+    "data — and the oracle recomputes the logical rows straight "
+    "from documents, so layout composition hash-verifies end to "
+    "end. At 100 TB this is Iceberg-style partition evolution: "
+    "re-layout without rewriting history, migration deferred to "
+    "compaction.",
+    priority=8,
+)
+def timetravel_partition_evolution(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    log = _evolution_log(spark, sf)
+    return log.read(spark).select("doc_id", "bucket", "digest")
+
+
+def _two_stream_view_state(spark: SparkSession, sf: str) -> str:
+    """Build the two-stream join view's state ONCE per (tmpdir, sf) by
+    actually running both streaming sinks availableNow over chopped
+    sources carved from orders/customer, then reuse it: facts = orders
+    in 3 file-chops; dim CDC = every customer at upd_ts=1 plus a
+    second update (c_acctbal + 1000) at upd_ts=2 for c_custkey % 3 = 0,
+    in 2 chops delivered AFTER the facts drained — so the second
+    update exercises the back-join/rewrite path, not just initial
+    assembly. The drained view is a pure function of the inputs
+    whatever the chopping (the convergence theorem the streaming tests
+    prove); the oracle recomputes facts ⋈ newest-dim straight from the
+    tables, so the whole two-stream IVM pipeline hash-verifies end to
+    end. A completed build carries a ``_done`` marker; builders race
+    into private dirs and publish by atomic rename."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_ss_dim,
+        foreach_batch_ss_facts,
+    )
+
+    slug = sf.strip("/").replace("/", "_").replace(".", "_")
+    tdir = Path(tempfile.gettempdir()) / f"cve_spark_ss_{slug}" / "view"
+    if (tdir / "_done").exists():
+        return str(tdir)
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    dim1 = cust.withColumn("upd_ts", F.lit(1).cast("long"))
+    dim2 = (
+        cust.where(F.col("c_custkey") % 3 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0))
+        .withColumn("upd_ts", F.lit(2).cast("long"))
+    )
+    build = Path(tempfile.mkdtemp(prefix="cve_spark_ss_build_"))
+    fsrc, dsrc, out = build / "facts", build / "dim", build / "view"
+    orders.repartition(3).write.parquet(str(fsrc))
+    dim1.repartition(2).write.parquet(str(dsrc))
+
+    def run(side):
+        if side == "facts":
+            return foreach_batch_ss_facts(
+                spark.readStream.schema(orders.schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(fsrc)),
+                str(out), "o_orderkey", "o_custkey", "c_custkey",
+                n_buckets=16,
+            )
+        return foreach_batch_ss_dim(
+            spark.readStream.schema(dim1.schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(dsrc)),
+            str(out), "o_custkey", "c_custkey", "upd_ts",
+            n_buckets=16,
+        )
+
+    qf, qd = run("facts"), run("dim")
+    qf.awaitTermination()
+    qd.awaitTermination()
+    # late dim updates land AFTER the facts: the rewrite path
+    dim2.repartition(1).write.mode("append").parquet(str(dsrc))
+    run("dim").awaitTermination()
+    (out / "_done").write_text("ok")
+
+    tdir.parent.mkdir(parents=True, exist_ok=True)
+    if tdir.exists():
+        shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.replace(out, tdir)
+    except OSError:
+        pass  # concurrent builder won
+    shutil.rmtree(build, ignore_errors=True)
+    return str(tdir)
+
+
+_TWO_STREAM_VIEW_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderdate, o.o_orderpriority,
+       c.c_custkey, c.c_name, c.c_nationkey,
+       CASE WHEN c.c_custkey % 3 = 0 THEN c.c_acctbal + 1000
+            ELSE c.c_acctbal END AS c_acctbal,
+       c.c_mktsegment,
+       CAST(CASE WHEN c.c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+         AS upd_ts
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@_register(
+    "join_view_two_stream",
+    _TWO_STREAM_VIEW_ORACLE,
+    doc="The two-stream join view as a QUERY face: the drained state "
+    "of fact-stream ⋈ dim-stream IVM (foreach_batch_ss_facts / "
+    "foreach_batch_ss_dim run availableNow over chopped orders and a "
+    "two-version customer CDC, the second dim update delivered after "
+    "the facts so it exercises the back-join rewrite), read by "
+    "per-bucket-newest composition. The oracle recomputes facts ⋈ "
+    "newest-dim straight from the tables, so the convergence theorem "
+    "— the view is a pure function of the inputs, independent of "
+    "batch chopping and interleaving — hash-verifies end to end. At "
+    "100 TB this is the double-CDC join: per batch cost |delta| + "
+    "|touched buckets|, never |view|.",
+    priority=8,
+)
+def join_view_two_stream(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.streaming.sinks import read_stream_stream_join
+
+    state = _two_stream_view_state(spark, sf)
+    return read_stream_stream_join(spark, state)
