@@ -155,6 +155,11 @@ HEADLINE = [
     "kmv_set_ops_error",
     "seasonal_naive_backtest",
     "join_cardinality_audit",
+    # r12: the per-epoch deterministic reshuffle — a digest sort tiled
+    # into reader blocks, the one headline-worthy new face this round
+    # whose cost is pure query (the timetravel/two-stream faces build
+    # scratch state on first run, so they stay out per the r8 rule)
+    "epoch_shuffle_blocks",
 ]
 
 

@@ -4893,3 +4893,61 @@ def dedup_survivorship_bias(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(lost).cast("bigint").alias("n_lost"),
         F.sum(cross).cast("bigint").alias("n_lost_cross_source"),
     )
+
+
+_EPOCH_SHUFFLE_ORACLE = """
+WITH r0 AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('epoch-0:' || CAST(doc_id AS VARCHAR))
+         ) AS rk0,
+         COUNT(*) OVER () AS n
+  FROM documents
+), r1 AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('epoch-1:' || CAST(doc_id AS VARCHAR))
+         ) AS rk1
+  FROM documents
+)
+SELECT r0.doc_id,
+       CAST((r0.rk0 - 1) * 16 // r0.n AS INTEGER) AS block_e0,
+       CAST((r1.rk1 - 1) * 16 // r0.n AS INTEGER) AS block_e1
+FROM r0 JOIN r1 ON r0.doc_id = r1.doc_id
+"""
+
+
+@_register(
+    "epoch_shuffle_blocks",
+    _EPOCH_SHUFFLE_ORACLE,
+    doc="Per-epoch deterministic reshuffle — the 'shuffle every epoch "
+    "without materializing N copies' op of a training-data pipeline: "
+    "each epoch e orders the corpus by md5('epoch-e:' || doc_id) (a "
+    "seedless, engine-reproducible permutation, decorrelated across "
+    "epochs because the seed prefix changes the hash entirely) and "
+    "tiles it into 16 contiguous reader blocks; the face emits each "
+    "doc's block for epochs 0 and 1. Exactly the sample_hash/"
+    "pack_sequences md5 discipline applied to epoch ordering: same "
+    "corpus → bit-identical epoch plan on any cluster, rank "
+    "arithmetic all-integer. At 100 TB the rank is a sort on 16-byte "
+    "digests (range-partitioned, never a driver sort) computed once "
+    "per epoch, and readers consume block-pruned slices; the "
+    "decorrelation property (a doc's neighbors differ per epoch) is "
+    "what kills the repeated-batch-order pathology of epoch reuse.",
+    priority=8,
+)
+def epoch_shuffle_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+
+    def ranked(e: int, out: str) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            F.expr(
+                f"CAST((row_number() OVER (ORDER BY "
+                f"md5(concat('epoch-{e}:', CAST(doc_id AS STRING)))) - 1)"
+                f" * 16 div {n} AS INT)"
+            ).alias(out),
+        )
+
+    return ranked(0, "block_e0").join(ranked(1, "block_e1"), "doc_id")

@@ -2341,3 +2341,68 @@ def read_stream_stream_join(spark, out_dir: str) -> DataFrame | None:
     bucket column dropped."""
     df = _overlay_compose(spark, f"{out_dir}/view", "kb")
     return None if df is None else df.drop("kb")
+
+
+# ---------------------------------------------------------------------------
+# bottom-k sample state: the distributed reservoir
+# ---------------------------------------------------------------------------
+
+
+def foreach_batch_bottomk_sample(
+    stream_df: DataFrame,
+    out_dir: str,
+    id_expr: str = "cast(event_id as string)",
+    payload_cols: tuple[str, ...] = ("event_type", "value"),
+    k: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Streaming BOTTOM-K SAMPLE state — the distributed reservoir, and
+    the seventh member of the sketch-state family (CMS, Bloom,
+    occupancy, quantile-hist, KMV, Misra-Gries, this): keep the k rows
+    whose md5(id) digests are smallest, payload attached. Because the
+    sample is keyed on a deterministic hash rather than an RNG, it IS
+    a mergeable sketch: merging two states = bottom-k of their union —
+    idempotent, commutative, associative — so micro-batch chopping,
+    replay, and arbitrary merge trees all converge to the one sample
+    the batch engine computes (``hash_sample_quantile_error`` prices
+    exactly this estimator family's accuracy). Classic reservoir
+    sampling (Vitter's R) is sequential and order-dependent — useless
+    across executors; the bottom-k-by-hash formulation is the standard
+    distributed replacement and costs one TakeOrderedAndProject per
+    micro-batch over ≤ |batch| + k rows. State is k rows whatever the
+    stream volume; compatible with :func:`vacuum_snapshot_state`."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = batch_df.select(
+            F.md5(F.expr(id_expr)).alias("d"),
+            F.expr(id_expr).alias("id"),
+            *[F.col(c) for c in payload_cols],
+        ).dropDuplicates(["d"])
+        versions = [
+            v for v in _list_state_versions(spark, out_dir) if v < batch_id
+        ]
+        if versions:
+            prev = spark.read.parquet(
+                f"{out_dir}/{_STATE_PREFIX}{versions[-1]}"
+            )
+            part = prev.unionByName(part).dropDuplicates(["d"])
+        trimmed = part.orderBy("d").limit(k)
+        trimmed.write.mode("overwrite").parquet(
+            f"{out_dir}/{_STATE_PREFIX}{batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bottomk_sample_state(spark, out_dir: str) -> DataFrame | None:
+    """Newest bottom-k sample snapshot: (d, id, *payload)."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")

@@ -267,12 +267,16 @@ def main() -> None:
         write_ivf_pq_index,
     )
 
-    base = emb.where(F.col("vec_id") % 3 != 2)
+    base = emb.where(F.col("vec_id") % 3 != 2).select(
+        "vec_id", "embedding"
+    )
+    # negation preserves every pairwise cosine INSIDE the drifted set
+    # (so its exact top-10 stays as resolvable as the base corpus') but
+    # relocates it to the opposite orthant, where the frozen quantizer
+    # has no cells - the pure 'new region appeared' drift
     drifted = emb.where(F.col("vec_id") % 3 == 2).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x: x * F.lit(0.05) + F.lit(0.9)
-        ).alias("embedding"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
     )
     corpus2 = base.unionByName(drifted).persist()
     corpus2.count()

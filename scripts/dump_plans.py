@@ -103,6 +103,9 @@ FLAGSHIP = {
     "logbucket_quantile_error": "sketch side shuffles <=64 (type,bucket,count) triples per group (partial+final agg); exact side rides the domain-bounded value histogram; 5-row broadcast join-back",
     "t_closeness_audit": "one fact group-by; 5-row global distribution + 1-row total broadcast onto the dimension-bounded grid; EMD cumsum windows over groups x 5 rows, never facts",
     "timetravel_changes": "manifest-delta CDF: only files entering/leaving the manifest scan; keyed full-outer classify with rewritten-unchanged rows cancelled — cost rides changed data, never the table",
+    "timetravel_partition_evolution": "r12: mixed-layout snapshot read — one scan per path-declared layout group (hive group recovers bucket from directories, flat group from data), unioned and projected to manifest schema order",
+    "join_view_two_stream": "r12: drained two-stream IVM view — per-bucket-newest overlay composition; the streaming maintenance already paid the joins, the read is a pruned parquet scan",
+    "epoch_shuffle_blocks": "r12: per-epoch md5 rank — two digest sorts (range-partitioned at scale, never a driver sort) joined on doc_id; block arithmetic all-integer",
 }
 
 

@@ -2574,3 +2574,71 @@ def test_two_stream_join_watermark_bounds_dim_reordering(spark, tmp_path):
         for r in read_stream_stream_join(spark, out).collect()
     }
     assert got == {(1, "a@1000"), (2, "b@950"), (3, "c@1000")}
+
+
+def test_foreach_batch_bottomk_sample_equals_batch(spark, tmp_path):
+    """Streaming bottom-k sample state == the batch bottom-k over the
+    whole table (merge = bottom-k of the union — idempotent and
+    commutative, so chopping cannot change the sample), state is ≤ k
+    rows with payload attached, replay rebuilds identical state, and
+    vacuum keeps the resume invariant."""
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_bottomk_sample,
+        read_bottomk_sample_state,
+        vacuum_snapshot_state,
+    )
+
+    k = 32
+    src_dir = str(tmp_path / "events_bk_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+        )
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "bk_state")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_bottomk_sample(stream, out, k=k)
+
+    start().awaitTermination()
+    state = read_bottomk_sample_state(spark, out)
+    rows = state.collect()
+    assert len(rows) == min(k, events.count())
+
+    want = {
+        (r["d"], r["id"], r["event_type"], r["value"])
+        for r in events.select(
+            F.md5(F.expr("cast(event_id as string)")).alias("d"),
+            F.expr("cast(event_id as string)").alias("id"),
+            "event_type",
+            "value",
+        )
+        .orderBy("d")
+        .limit(k)
+        .collect()
+    }
+    got = {(r["d"], r["id"], r["event_type"], r["value"]) for r in rows}
+    assert got == want
+
+    pre_replay = sorted(got)
+    shutil.rmtree(f"{out}/_checkpoint")
+    start().awaitTermination()
+    state2 = read_bottomk_sample_state(spark, out)
+    assert sorted(
+        (r["d"], r["id"], r["event_type"], r["value"])
+        for r in state2.collect()
+    ) == pre_replay
+
+    # retention: only the trailing keep_last snapshots survive, reads
+    # and a further replayed run still work
+    rep = vacuum_snapshot_state(spark, out, keep_last=2)
+    assert rep["dropped"] >= 0
+    state3 = read_bottomk_sample_state(spark, out)
+    assert sorted(
+        (r["d"], r["id"], r["event_type"], r["value"])
+        for r in state3.collect()
+    ) == pre_replay
