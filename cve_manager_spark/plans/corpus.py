@@ -4941,13 +4941,47 @@ def epoch_shuffle_blocks(spark: SparkSession, sf: str) -> DataFrame:
     n = docs.count()
 
     def ranked(e: int, out: str) -> DataFrame:
-        return docs.select(
+        # exact distributed ranking, NOT row_number over an empty
+        # window (which moves the corpus to one partition): range-
+        # partition on the digest, rank locally per partition, then
+        # add driver-side prefix offsets (#partitions scalars) —
+        # the global rank is exact because the range partitioner
+        # guarantees inter-partition order and md5 keys are unique
+        key = F.md5(
+            F.concat(F.lit(f"epoch-{e}:"), F.col("doc_id").cast("string"))
+        )
+        parts = docs.select("doc_id", key.alias("k")).repartitionByRange(
+            32, "k"
+        ).withColumn("pid", F.spark_partition_id())
+        sizes = {
+            r["pid"]: r["c"]
+            for r in parts.groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+        off = F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for kv in sorted(offsets.items())
+                    for x in kv
+                ]
+            ),
+            F.col("pid"),
+        )
+        w = Window.partitionBy("pid").orderBy("k")
+        r16 = parts.select(
             "doc_id",
-            F.expr(
-                f"CAST((row_number() OVER (ORDER BY "
-                f"md5(concat('epoch-{e}:', CAST(doc_id AS STRING)))) - 1)"
-                f" * 16 div {n} AS INT)"
-            ).alias(out),
+            ((off + F.row_number().over(w) - 1) * 16)
+            .cast("long")
+            .alias("r16"),
+        )
+        return r16.select(
+            "doc_id", F.expr(f"CAST(r16 div {n} AS INT)").alias(out)
         )
 
     return ranked(0, "block_e0").join(ranked(1, "block_e1"), "doc_id")

@@ -1151,3 +1151,16 @@ def test_join_cardinality_audit_topk_and_broadcast_math(spark):
     assert "TakeOrderedAndProject" in tree
     assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_epoch_shuffle_ranks_without_single_partition_window(spark):
+    """The per-epoch rank must be the DISTRIBUTED ranking pattern —
+    range-partition on the digest, per-partition row_number, driver
+    prefix offsets — never row_number over an empty window, which
+    moves the corpus to one partition (the plan that dies first at
+    100 TB). No cartesian; blocks are integer arithmetic."""
+    plan = plan_of(spark, "epoch_shuffle_blocks")
+    tree = plan.split("\n\n")[0]
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in tree
+    assert "rangepartitioning" in plan.lower()
