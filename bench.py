@@ -344,6 +344,16 @@ def main() -> None:
         "n_passes": n_passes,
         "sf": sf,
         "notes": {
+            "r12_weak_flags_cleared": "both r11 weak flags structurally "
+            "resolved: dedup_image_phash 0.61s IN-SUITE (was 7.5-11.5 — "
+            "the pHash fingerprint relation is now a materialized "
+            "artifact, decode runs once per corpus snapshot; solo "
+            "steady-state 0.83s) and hash_sample_quantile_error 0.87s "
+            "in-suite (solo min-of-6 at near-zero steal 1.12s vs r10's "
+            "0.96 = 1.16x, under the 1.5x bar — the r11 2-3x drift was "
+            "suite interference from the phash decode kernels, gone "
+            "with the artifact). New headliner epoch_shuffle_blocks "
+            "~1.1s (two digest range-sorts + broadcast join).",
             "r11_head_run": "third full r11 run at final HEAD, 99.59s over 87 — under 100s with the full grown set (r10 committed: 118.14s over 82). The two newest audits price sub-second (seasonal_naive_backtest 0.39s, join_cardinality_audit 0.34s); kmv/logbucket/t_closeness hold at ~1s. Passes' steal 8.2/38.5/8.7 core-s (final 0.8% — no heal pass needed). Shared-85 vs the second r11 run: 98.87s vs 102.21s.",
             "r11_final_run": "second full r11 run, 102.21s over 85 (the "
             "82-set plus the three new round-11 capability headliners: "
