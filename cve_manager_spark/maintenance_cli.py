@@ -78,6 +78,54 @@ def main(argv: list[str] | None = None) -> int:
     )
     pa.add_argument("-master", dest="master", default="local[*]")
 
+    pp = sub.add_parser(
+        "set-partitioning",
+        help="Partition evolution on a commit-logged table: metadata-only "
+        "commit recording the new layout; new writes use it, readers "
+        "compose mixed layouts, compaction migrates.",
+    )
+    pp.add_argument("--path", required=True, help="Commit-logged table dir.")
+    pp.add_argument(
+        "--by",
+        required=True,
+        help="Comma-separated partition columns; empty string = flat.",
+    )
+    pp.add_argument("-master", dest="master", default="local[*]")
+
+    pt = sub.add_parser(
+        "cdf",
+        help="Change data feed of a commit-logged table between two "
+        "versions (insert/delete rows, or keyed update pre/post pairs).",
+    )
+    pt.add_argument("--path", required=True)
+    pt.add_argument("--from", dest="v_from", type=int, required=True)
+    pt.add_argument("--to", dest="v_to", type=int, default=None)
+    pt.add_argument(
+        "--keys", default=None,
+        help="Comma-separated key columns for Delta-style update pairs.",
+    )
+    pt.add_argument(
+        "--out", default=None,
+        help="Parquet dir to write the feed to (stdout JSON reports "
+        "counts either way).",
+    )
+    pt.add_argument("-master", dest="master", default="local[*]")
+
+    pr = sub.add_parser(
+        "drift-retrain",
+        help="Drift-triggered ANN index rebuild: read the committed "
+        "IVF-PQ index's CDF-derived per-cell drift report and, over "
+        "threshold, retrain + republish atomically.",
+    )
+    pr.add_argument("--path", required=True, help="Committed index dir.")
+    pr.add_argument(
+        "--corpus", required=True, help="Current corpus parquet dir "
+        "(vec_id + embedding columns).",
+    )
+    pr.add_argument("--threshold-ppm", type=int, default=300_000)
+    pr.add_argument("--min-cells", type=int, default=1)
+    pr.add_argument("-master", dest="master", default="local[*]")
+
     args = p.parse_args(argv)
 
     from cve_manager_spark import maintenance
@@ -104,6 +152,52 @@ def main(argv: list[str] | None = None) -> int:
         out = dict(
             maintenance.analyze_table(spark, args.table, columns=cols),
             table=args.table,
+        )
+    elif args.cmd == "set-partitioning":
+        from cve_manager_spark.commitlog import TableLog
+
+        pcols = [c for c in args.by.split(",") if c]
+        out = dict(
+            TableLog(args.path).set_partitioning(spark, pcols),
+            path=args.path,
+        )
+    elif args.cmd == "cdf":
+        from pyspark.sql import functions as F
+
+        from cve_manager_spark.commitlog import TableLog
+
+        keys = [c for c in args.keys.split(",") if c] if args.keys else None
+        ch = TableLog(args.path).changes(
+            spark, args.v_from, args.v_to, key_cols=keys
+        )
+        if args.out:
+            ch.write.mode("overwrite").parquet(args.out)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out = {
+            "path": args.path,
+            "v_from": args.v_from,
+            "v_to": args.v_to,
+            "changes_by_type": by_type,
+            "written_to": args.out,
+        }
+    elif args.cmd == "drift-retrain":
+        from cve_manager_spark.operators.similarity import (
+            ivf_pq_drift_retrain,
+        )
+
+        corpus = spark.read.parquet(args.corpus)
+        out = dict(
+            ivf_pq_drift_retrain(
+                spark, args.path, corpus,
+                threshold_ppm=args.threshold_ppm,
+                min_cells=args.min_cells,
+            ),
+            path=args.path,
         )
     elif args.cmd == "stats":
         rows = maintenance.file_stats(spark, args.path).collect()

@@ -4753,3 +4753,55 @@ def join_view_two_stream(spark: SparkSession, sf: str) -> DataFrame:
 
     state = _two_stream_view_state(spark, sf)
     return read_stream_stream_join(spark, state)
+
+
+_BFS_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_partkey AS u, l_suppkey + 1000000000 AS v FROM lineitem
+  UNION
+  SELECT DISTINCT l_suppkey + 1000000000 AS u, l_partkey AS v FROM lineitem
+), bfs(node, hop) AS (
+  SELECT DISTINCT l_partkey AS node, 0 AS hop
+  FROM lineitem WHERE l_partkey % 97 = 0
+  UNION
+  SELECT e.v, bfs.hop + 1 FROM bfs JOIN e ON e.u = bfs.node
+  WHERE bfs.hop < 3
+)
+SELECT node, CAST(MIN(hop) AS INTEGER) AS hop
+FROM bfs GROUP BY node
+"""
+
+
+@_register(
+    "graph_bfs_hops",
+    _BFS_ORACLE,
+    doc="Multi-source BFS over the part↔supplier shipment graph "
+    "(suppliers namespaced by +1e9): shortest hop count from the seed "
+    "set {parts with partkey % 97 = 0}, bounded at 3 hops — the "
+    "blast-radius / lineage-reach query ('everything within k hops of "
+    "these nodes'). Spark side is level-synchronous frontier "
+    "expansion (operators/graph.py bfs_hops): each round joins ONLY "
+    "the current frontier against the checkpointed edge relation and "
+    "anti-joins the visited set, so cost per round is |frontier ⋈ E| "
+    "hash joins and the round count is the hop bound, never the "
+    "diameter. The oracle is the recursive-CTE twin (WITH RECURSIVE "
+    "... MIN(hop)) — a NEW oracle class proving the iterative "
+    "DataFrame loop equals the fixpoint semantics SQL engines define "
+    "for recursion. Hop-0 = first reach = MIN(hop): set semantics "
+    "per level make the result identical under any partitioning.",
+    priority=8,
+)
+def graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1000000000).alias("dst"),
+    )
+    seeds = li.where(F.col("l_partkey") % 97 == 0).select(
+        F.col("l_partkey").alias("node")
+    )
+    return bfs_hops(edges, seeds, max_hops=3).select(
+        "node", F.col("hop").cast("int").alias("hop")
+    )

@@ -873,3 +873,45 @@ def test_merge_upsert_additive_schema_evolution(spark, tmp_path):
         maintenance.merge_upsert(
             spark, path, upd3, key_cols=["doc_id"], evolve_schema=True
         )
+
+
+def test_maintenance_cli_lake_commands_end_to_end(spark, tmp_path, capsys):
+    """CLI drive of the commit-log surface: set-partitioning evolves a
+    live table (metadata-only), cdf reports the change feed between two
+    versions (and writes it to parquet), each as one JSON line."""
+    import json
+
+    from cve_manager_spark import maintenance_cli
+    from cve_manager_spark.commitlog import TableLog
+
+    path = str(tmp_path / "cli_lake")
+    spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id % 4 AS INT) AS part", "id * 2 AS v"
+    ).write.parquet(path)
+    log = TableLog(path)
+    log.init()
+
+    assert (
+        maintenance_cli.main(
+            ["set-partitioning", "--path", path, "--by", "part"]
+        )
+        == 0
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["layout"] == ["part"]
+    assert log.layout_of() == ["part"]
+
+    log.delete_where(spark, "k % 10 = 3")
+    feed_dir = str(tmp_path / "cli_feed")
+    assert (
+        maintenance_cli.main(
+            [
+                "cdf", "--path", path, "--from", "0",
+                "--keys", "k", "--out", feed_dir,
+            ]
+        )
+        == 0
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["changes_by_type"] == {"delete": 10}
+    assert spark.read.parquet(feed_dir).count() == 10

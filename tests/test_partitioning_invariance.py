@@ -45,6 +45,14 @@ SAMPLE = [
     # CDF: full-outer joins over manifest-delta files must classify
     # identically whatever the scan/shuffle layout
     "timetravel_changes",
+    # r12: distributed ranking — rank = range-partition + local
+    # row_number + driver prefix offsets; the range partitioner's
+    # SAMPLED boundaries move under different input splits, so this
+    # asserts the rank is exact for ANY boundary placement
+    "epoch_shuffle_blocks",
+    # r12: level-synchronous BFS — per-level set semantics must make
+    # hop counts identical under any frontier partitioning
+    "graph_bfs_hops",
 ]
 
 # (conf, hostile value): primes defeat any accidental alignment with the
