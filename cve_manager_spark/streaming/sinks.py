@@ -344,6 +344,19 @@ def compact_keyset_state(spark, out_dir: str) -> dict[str, int]:
     takes the newest owner per day — a crash mid-cleanup just leaves
     superseded garbage the next compaction re-deletes.
     """
+    return _fold_state(
+        spark, out_dir, "day",
+        lambda upto: _keyset_compose(spark, out_dir, upto=upto),
+    )
+
+
+def _fold_state(spark, out_dir: str, col: str, compose) -> dict[str, int]:
+    """Shared fold-and-swap for every log-structured state family:
+    write ``compose(upto=newest)`` into a verified tmp dir, swap it in
+    as the base version (the newest FOLDED batch id), delete the older
+    folded dirs. The newest version is never folded (replay safety —
+    see :func:`compact_keyset_state`); crash at any point leaves either
+    the old layout or superseded garbage the next fold re-deletes."""
     import shutil
     from pathlib import Path
 
@@ -352,18 +365,18 @@ def compact_keyset_state(spark, out_dir: str) -> dict[str, int]:
         return {"folded": 0, "base": versions[-2] if len(versions) == 2 else -1}
     fold = versions[:-1]
     base_v = fold[-1]
-    folded = _keyset_compose(spark, out_dir, upto=versions[-1])
+    folded = compose(versions[-1])
     n_expect = folded.count()
     tmp = Path(out_dir) / "_compact_tmp"
     if tmp.exists():
         shutil.rmtree(tmp)
-    folded.write.partitionBy("day").parquet(str(tmp))
+    folded.write.partitionBy(col).parquet(str(tmp))
     n_got = spark.read.option("basePath", str(tmp)).parquet(str(tmp)).count()
     if n_got != n_expect:
         shutil.rmtree(tmp)
         raise RuntimeError(
-            f"keyset compaction verify failed: wrote {n_got} rows, "
-            f"expected {n_expect}; state untouched"
+            f"state compaction verify failed for {out_dir}: wrote {n_got} "
+            f"rows, expected {n_expect}; state untouched"
         )
     base_dir = Path(out_dir) / f"{_STATE_PREFIX}{base_v}"
     shutil.rmtree(base_dir)
@@ -371,6 +384,69 @@ def compact_keyset_state(spark, out_dir: str) -> dict[str, int]:
     for v in fold[:-1]:
         shutil.rmtree(Path(out_dir) / f"{_STATE_PREFIX}{v}")
     return {"folded": len(fold), "base": base_v}
+
+
+def compact_overlay_state(
+    spark, out_dir: str, col: str = "kb"
+) -> dict[str, int]:
+    """Fold a bucket-keyed OVERLAY state (the incrementally maintained
+    join views — dim-CDC, facts-CDF, and the two-stream dim/view
+    states) into one base version: compose is per-bucket-newest, so
+    the fold writes each bucket's current content once and the
+    superseded owners disappear. Same replay-safe swap as the DAU
+    key-set compaction, shared through :func:`_fold_state`."""
+    return _fold_state(
+        spark, out_dir, col,
+        lambda upto: _overlay_compose(spark, out_dir, col, upto=upto),
+    )
+
+
+def compact_union_state(
+    spark, out_dir: str, col: str = "kb"
+) -> dict[str, int]:
+    """Fold an INSERT-ONLY union state (the two-stream facts relation):
+    compose is the union of every version's rows, so the fold
+    concatenates them into one base version dir — reads shrink from
+    O(versions) file listings to two."""
+    return _fold_state(
+        spark, out_dir, col,
+        lambda upto: _union_compose_upto(spark, out_dir, col, upto),
+    )
+
+
+def _union_compose_upto(spark, out_dir, col, upto):
+    versions = [v for v in _list_state_versions(spark, out_dir) if v < upto]
+    parts = []
+    for v in versions:
+        ver_dir = f"{out_dir}/{_STATE_PREFIX}{v}"
+        days = _list_day_dirs(spark, ver_dir, col)
+        if not days:
+            continue
+        paths = [f"{ver_dir}/{col}={d}" for d in sorted(days)]
+        parts.append(spark.read.option("basePath", ver_dir).parquet(*paths))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def compact_two_stream_state(spark, out_dir: str) -> dict[str, dict]:
+    """Operational compaction for the two-stream join: fold the facts
+    union state and both overlay states (dim, view) — the maintenance
+    call a long-running double-CDC pipeline schedules so state reads
+    stay O(buckets), not O(batches). Take the same host-local lock the
+    sinks use, so compaction never interleaves with a live batch's
+    read-compute-write cycle."""
+    with _StateLock(out_dir):
+        return {
+            "facts_state": compact_union_state(
+                spark, f"{out_dir}/facts_state"
+            ),
+            "dim_state": compact_overlay_state(
+                spark, f"{out_dir}/dim_state"
+            ),
+            "view": compact_overlay_state(spark, f"{out_dir}/view"),
+        }
 
 
 def read_dau_state(spark, out_dir: str) -> DataFrame | None:
@@ -2406,3 +2482,148 @@ def read_bottomk_sample_state(spark, out_dir: str) -> DataFrame | None:
     if not versions:
         return None
     return spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+
+
+# ---------------------------------------------------------------------------
+# two-LOG join view: both sides commit-logged, synced from their CDFs
+# ---------------------------------------------------------------------------
+
+
+def apply_dim_changes(
+    spark,
+    out_dir: str,
+    changes_df: DataFrame,
+    facts_df: DataFrame,
+    facts_key: str,
+    dim_key: str,
+    n_buckets: int = 16,
+) -> dict:
+    """Apply a DIM-side change-data-feed to the maintained join view —
+    the mirror of :func:`apply_facts_changes`: every view row whose
+    ``dim_key`` appears in the changeset is dropped from its touched
+    bucket, then the CURRENT facts re-enter joined against the
+    surviving dim images ('insert' + 'update_postimage'); a deleted
+    dim row therefore takes its joined facts out of the view (inner
+    join), an updated one replaces their dim columns, and re-applying
+    the same changeset is idempotent. Cost: |changed dim rows ⋈ facts|
+    + |touched buckets|, never |view|."""
+    adds = changes_df.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type", "_change_count")
+    keys = changes_df.select(dim_key).distinct()
+    touched = {
+        str(r["kb"])
+        for r in keys.select(
+            _ss_kb(dim_key, n_buckets).alias("kb")
+        ).distinct().collect()
+    }
+    if not touched:
+        return {"version": None, "touched_buckets": 0}
+    vdir = out_dir
+    prev_view = _overlay_compose(spark, vdir, "kb", parts_filter=touched)
+    rebuilt = facts_df.join(
+        adds, facts_df[facts_key] == adds[dim_key]
+    ).withColumn("kb", _ss_kb(facts_key, n_buckets))
+    if prev_view is not None:
+        keep = prev_view.join(keys, on=dim_key, how="left_anti")
+        rebuilt = keep.unionByName(rebuilt)
+    versions = _list_state_versions(spark, vdir)
+    next_v = (versions[-1] + 1) if versions else 0
+    rebuilt.write.mode("overwrite").partitionBy("kb").parquet(
+        f"{vdir}/{_STATE_PREFIX}{next_v}"
+    )
+    return {"version": next_v, "touched_buckets": len(touched)}
+
+
+def bootstrap_join_view(
+    spark,
+    out_dir: str,
+    facts_log,
+    dim_log,
+    facts_cursor: str,
+    dim_cursor: str,
+    fact_id: str,
+    facts_key: str,
+    dim_key: str,
+    n_buckets: int = 16,
+) -> dict:
+    """Bootstrap the two-LOG join view: pin BOTH logs' current
+    versions, materialize facts ⋈ dim at exactly that pair as view
+    version 0, and park each cursor at its pinned version — so the
+    first :func:`sync_join_view` consumes only commits the bootstrap
+    did not see. The pin order is safe because the cursors record the
+    snapshot the view actually embodies, whatever commits land in
+    between."""
+    vf, _ = facts_log.snapshot()
+    vd, _ = dim_log.snapshot()
+    facts = facts_log.read(spark, version=vf)
+    dim = dim_log.read(spark, version=vd)
+    view = facts.join(
+        dim, facts[facts_key] == dim[dim_key]
+    ).withColumn("kb", _ss_kb(facts_key, n_buckets))
+    versions = _list_state_versions(spark, out_dir)
+    if versions:
+        raise ValueError(f"join view already exists under {out_dir}")
+    view.write.partitionBy("kb").parquet(f"{out_dir}/{_STATE_PREFIX}0")
+    # park both cursors at the pinned versions (consume-nothing inits)
+    facts_log.consume_changes(spark, facts_cursor, start_version=vf)
+    dim_log.consume_changes(spark, dim_cursor, start_version=vd)
+    return {"facts_version": vf, "dim_version": vd}
+
+
+def sync_join_view(
+    spark,
+    out_dir: str,
+    facts_log,
+    dim_log,
+    facts_cursor: str,
+    dim_cursor: str,
+    fact_id: str,
+    facts_key: str,
+    dim_key: str,
+    n_buckets: int = 16,
+    max_versions: int | None = None,
+) -> dict:
+    """Drain BOTH commit logs' change data feeds into the join view —
+    the fully self-syncing two-LOG IVM: facts and dim are each
+    ordinary commit-logged tables (merge/delete/append at will), and
+    one maintenance call brings the view to facts⋈dim at the two
+    current heads. Dim spans apply first (each rebuilds its touched
+    keys against CURRENT facts), then facts spans (each joins its
+    surviving images against CURRENT dim); the order is safe because
+    every applier drops-then-readds by its own key — a row reached
+    early through the other side's rebuild is dropped and re-added
+    exactly once, so any interleaving of commits on the two logs
+    converges. Each span acks only after its apply (at-least-once →
+    exactly-once effect through idempotent appliers); a crash mid-sync
+    resumes from the cursors."""
+    applied = {"dim_spans": 0, "facts_spans": 0}
+    while True:
+        res = dim_log.consume_changes(
+            spark, dim_cursor, key_cols=[dim_key],
+            max_versions=max_versions,
+        )
+        if res is None:
+            break
+        ch, ack = res
+        apply_dim_changes(
+            spark, out_dir, ch, facts_log.read(spark),
+            facts_key, dim_key, n_buckets=n_buckets,
+        )
+        ack()
+        applied["dim_spans"] += 1
+    while True:
+        res = facts_log.consume_changes(
+            spark, facts_cursor, key_cols=[fact_id],
+            max_versions=max_versions,
+        )
+        if res is None:
+            break
+        ch, ack = res
+        apply_facts_changes(
+            spark, out_dir, ch, dim_log.read(spark),
+            fact_id, facts_key, dim_key, n_buckets=n_buckets,
+        )
+        ack()
+        applied["facts_spans"] += 1
+    return applied

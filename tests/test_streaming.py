@@ -2642,3 +2642,153 @@ def test_foreach_batch_bottomk_sample_equals_batch(spark, tmp_path):
         (r["d"], r["id"], r["event_type"], r["value"])
         for r in state3.collect()
     ) == pre_replay
+
+
+def test_compact_two_stream_state_preserves_view_and_keeps_applying(
+    spark, tmp_path
+):
+    """State compaction for the two-stream join: folding the facts
+    union state and both overlays must leave the composed view
+    byte-for-row identical, shrink every state dir to ≤ 2 versions,
+    and later dim batches must keep applying correctly on top of the
+    folded base."""
+    from cve_manager_spark.streaming.sinks import (
+        _list_state_versions,
+        compact_two_stream_state,
+        foreach_batch_ss_dim,
+        read_stream_stream_join,
+    )
+
+    facts, dim, fsrc, dsrc, want = _ss_fixture(
+        spark, tmp_path, "cmp", n_fact_chunks=4, n_dim_chunks=4
+    )
+    out = str(tmp_path / "ss_out_cmp")
+    qf, qd = _ss_start(spark, fsrc, dsrc, out, facts.schema, dim.schema)
+    qf.awaitTermination()
+    qd.awaitTermination()
+
+    view = read_stream_stream_join(spark, out)
+    cols = sorted(view.columns)
+    before = _sorted_rows(view, cols)
+    assert len(_list_state_versions(spark, f"{out}/facts_state")) >= 3
+
+    rep = compact_two_stream_state(spark, out)
+    assert rep["facts_state"]["folded"] >= 2
+    for sub in ("facts_state", "dim_state", "view"):
+        assert len(_list_state_versions(spark, f"{out}/{sub}")) <= 2
+    assert _sorted_rows(read_stream_stream_join(spark, out), cols) == before
+
+    # a post-compaction dim update still rewrites the folded view
+    late = spark.createDataFrame(
+        [(0, "seg-late-0", 99, 0, "x", 9999)],
+        dim.schema,
+    ) if False else dim.where(F.col("d_cust") == 0).limit(1).select(
+        "d_cust",
+        F.lit("seg-late-0").alias("d_seg"),
+        F.lit(9999).cast("long").alias("upd_ts"),
+    )
+    late.repartition(1).write.mode("append").parquet(dsrc)
+    foreach_batch_ss_dim(
+        spark.readStream.schema(late.schema).parquet(dsrc),
+        out, "f_cust", "d_cust", "upd_ts", n_buckets=8,
+    ).awaitTermination()
+    got = read_stream_stream_join(spark, out)
+    segs = {r["d_seg"] for r in got.where(F.col("f_cust") == 0).collect()}
+    assert segs == {"seg-late-0"}
+    n_k0 = want.where(F.col("f_cust") == 0).count()
+    assert got.where(F.col("f_cust") == 0).count() == n_k0
+
+
+def test_sync_join_view_drains_both_logs_to_batch_recompute(
+    spark, tmp_path
+):
+    """Two-LOG IVM: facts and dim are both ordinary commit-logged
+    tables; after interleaved commits on each (reprice + purge + ingest
+    on facts, segment rewrite + customer erasure on dim), ONE
+    sync_join_view call brings the view to facts ⋈ dim at the two
+    heads — deleted dim keys take their facts out, updated ones carry
+    new images. A repeated sync is a no-op, and a crash before ack
+    re-delivers into the idempotent applier without double effect."""
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.streaming.sinks import (
+        apply_dim_changes,
+        bootstrap_join_view,
+        read_join_view,
+        sync_join_view,
+    )
+
+    fdir = str(tmp_path / "tl_facts")
+    ddir = str(tmp_path / "tl_dim")
+    load_table(spark, SF_SMALL, "orders").write.parquet(fdir)
+    load_table(spark, SF_SMALL, "customer").write.parquet(ddir)
+    flog, dlog = TableLog(fdir), TableLog(ddir)
+    flog.init()
+    dlog.init()
+
+    out = str(tmp_path / "tl_view")
+    fcur = str(tmp_path / "fcur.json")
+    dcur = str(tmp_path / "dcur.json")
+    bootstrap_join_view(
+        spark, out, flog, dlog, fcur, dcur,
+        "o_orderkey", "o_custkey", "c_custkey", n_buckets=32,
+    )
+
+    # interleaved commits on BOTH logs
+    upd = (
+        flog.read(spark)
+        .where(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    flog.merge_upsert(spark, upd, ["o_orderkey"])
+    dseg = (
+        dlog.read(spark)
+        .where(F.col("c_custkey") % 4 == 0)
+        .withColumn("c_mktsegment", F.lit("REWRITTEN"))
+    )
+    dlog.merge_upsert(spark, dseg, ["c_custkey"])
+    flog.delete_where(spark, "o_orderkey % 7 = 0")
+    dlog.delete_where(spark, "c_custkey % 11 = 0")  # erasure: orders drop
+
+    rep = sync_join_view(
+        spark, out, flog, dlog, fcur, dcur,
+        "o_orderkey", "o_custkey", "c_custkey", n_buckets=32,
+    )
+    assert rep["dim_spans"] >= 1 and rep["facts_spans"] >= 1
+
+    def expect():
+        return flog.read(spark).join(
+            dlog.read(spark), F.col("o_custkey") == F.col("c_custkey")
+        )
+
+    view = read_join_view(spark, out)
+    cols = sorted(view.columns)
+    want = _sorted_rows(expect(), cols)
+    assert _sorted_rows(view, cols) == want
+
+    # no-op on a second sync
+    rep2 = sync_join_view(
+        spark, out, flog, dlog, fcur, dcur,
+        "o_orderkey", "o_custkey", "c_custkey", n_buckets=32,
+    )
+    assert rep2 == {"dim_spans": 0, "facts_spans": 0}
+
+    # crash-before-ack: apply a dim span manually, never ack, re-sync
+    dlog.merge_upsert(
+        spark,
+        dlog.read(spark)
+        .where(F.col("c_custkey") % 5 == 1)
+        .withColumn("c_mktsegment", F.lit("AGAIN")),
+        ["c_custkey"],
+    )
+    ch, _ack = dlog.consume_changes(spark, dcur, key_cols=["c_custkey"])
+    apply_dim_changes(
+        spark, out, ch, flog.read(spark),
+        "o_custkey", "c_custkey", n_buckets=32,
+    )
+    sync_join_view(
+        spark, out, flog, dlog, fcur, dcur,
+        "o_orderkey", "o_custkey", "c_custkey", n_buckets=32,
+    )
+    assert _sorted_rows(read_join_view(spark, out), cols) == _sorted_rows(
+        expect(), cols
+    )
