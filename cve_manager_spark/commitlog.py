@@ -1151,3 +1151,173 @@ def _count_files(spark: SparkSession, root: Path, rel: list[str]) -> int:
     return spark.read.option("basePath", str(root)).parquet(
         *(str(root / r) for r in rel)
     ).count()
+
+
+def _footer_minmax(path: Path, columns: list[str]) -> dict:
+    """Per-column (min, max, has_nulls) from the parquet FOOTER alone —
+    no data pages read. Columns without statistics map to None (the
+    caller must keep such files)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(str(path)).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for c in columns:
+        i = idx.get(c)
+        if i is None:
+            out[c] = None  # hive-partitioned column: value lives in path
+            continue
+        lo = hi = None
+        nulls = False
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+            nulls = nulls or bool(st.null_count)
+        out[c] = {"min": lo, "max": hi, "nulls": nulls} if ok else None
+    return out
+
+
+class _ZoneMaps:
+    """File-level min/max sidecar for a commit-logged table — the
+    data-skipping index Delta keeps in its log and Iceberg in manifest
+    entries. Data files are IMMUTABLE, so a file's stats never
+    invalidate: the cache (`_commits/_filestats.json`) only ever gains
+    entries, is rebuilt from footers on miss, and a lost write in a
+    cache race costs a re-read of some footers, never correctness."""
+
+    def __init__(self, log: "TableLog"):
+        self.log = log
+        self.path = log.root / _LOG_DIR / "_filestats.json"
+
+    def _load(self) -> dict:
+        try:
+            with open(self.path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def stats_for(
+        self, rel_files: list[str], columns: list[str]
+    ) -> dict[str, dict]:
+        import tempfile
+
+        cache = self._load()
+        dirty = False
+        for rel in rel_files:
+            have = cache.get(rel, {})
+            missing = [c for c in columns if c not in have]
+            if not missing:
+                continue
+            have.update(
+                _footer_minmax(self.log.root / rel, missing)
+            )
+            cache[rel] = have
+            dirty = True
+        if dirty:
+            fd, tmp = tempfile.mkstemp(
+                dir=str(self.path.parent), prefix=".stats"
+            )
+            with os.fdopen(fd, "w") as f:
+                json.dump(cache, f, default=str)
+            os.replace(tmp, str(self.path))
+        return {r: cache[r] for r in rel_files}
+
+
+def _path_value(rel: str, column: str):
+    """The hive-encoded value of ``column`` in a file's path, parsed to
+    int/float when it looks numeric, else the raw string; None when the
+    path does not carry the column."""
+    for seg in rel.replace("\\", "/").split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if k == column:
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                for cast in (int, float):
+                    try:
+                        return cast(v)
+                    except ValueError:
+                        pass
+                return v
+    return None
+
+
+def read_pruned(
+    log: TableLog,
+    spark: SparkSession,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+):
+    """Zone-map data skipping over a commit-logged table: scan ONLY the
+    manifest files whose per-file [min, max] for ``column`` can
+    intersect [lo, hi] — the file-level stats pruning Delta keeps in
+    its log and Iceberg in manifest entries, here from parquet FOOTERS
+    cached in a sidecar (`_ZoneMaps`; data files are immutable, so
+    stats never invalidate). Hive-partitioned files prune on their
+    path-encoded value. Returns ``(df, report)`` where ``df`` is the
+    kept files' scan WITH the range filter still applied (pruning is
+    an optimization, never the filter itself — a file without footer
+    stats is kept, not dropped) and ``report`` counts total/read/
+    pruned files.
+
+    At 100 TB this composes with `maintenance.compact(sort_by=...)` /
+    `write_clustered`: range-clustering makes per-file ranges narrow
+    and disjoint, so a point or range predicate reads O(matching
+    files), and the driver-side prune costs one cached-footer pass —
+    no Spark job, no file listing beyond the manifest."""
+    v, files = log.snapshot(version)
+    schema = log.schema_of(v)
+    zm = _ZoneMaps(log)
+    data_files = [r for r in files if column not in _path_layout(r)]
+    stats = zm.stats_for(data_files, [column]) if data_files else {}
+
+    def overlaps(mn, mx) -> bool:
+        try:
+            if lo is not None and mx is not None and mx < lo:
+                return False
+            if hi is not None and mn is not None and mn > hi:
+                return False
+        except TypeError:
+            return True  # incomparable types: keep, never drop
+        return True
+
+    keep: list[str] = []
+    for rel in files:
+        if column in _path_layout(rel):
+            val = _path_value(rel, column)
+            if val is None or overlaps(val, val):
+                keep.append(rel)
+            continue
+        st = stats.get(rel, {}).get(column)
+        if st is None:
+            keep.append(rel)  # no stats: cannot prune safely
+            continue
+        if overlaps(st["min"], st["max"]):
+            keep.append(rel)
+    report = {
+        "files_total": len(files),
+        "files_read": len(keep),
+        "files_pruned": len(files) - len(keep),
+    }
+    if not keep:
+        if schema is None or isinstance(schema, str):
+            raise ValueError(
+                f"all files pruned and v{v} carries no schema"
+            )
+        df = spark.createDataFrame([], schema)
+    else:
+        df = log._read_files(spark, keep, schema)
+    cond = None
+    if lo is not None:
+        cond = F.col(column) >= F.lit(lo)
+    if hi is not None:
+        c2 = F.col(column) <= F.lit(hi)
+        cond = c2 if cond is None else (cond & c2)
+    return (df.where(cond) if cond is not None else df), report

@@ -1130,3 +1130,59 @@ def test_set_partitioning_rejects_unknown_column(spark, tmp_path):
     log = _mk_table(spark, tmp_path)
     with pytest.raises(ValueError, match="not in table columns"):
         log.set_partitioning(spark, ["nope"])
+
+
+def test_read_pruned_skips_files_by_zone_maps(spark, tmp_path):
+    """File-level data skipping: on a range-clustered committed table a
+    range predicate reads only the files whose footer [min,max]
+    intersects it — result identical to the full scan + filter, with
+    most files never opened; hive-partitioned files prune on their
+    path-encoded value; the footer cache is populated once."""
+    from cve_manager_spark.commitlog import read_pruned
+
+    path = tmp_path / "t_zonemap"
+    (
+        spark.range(0, 10_000)
+        .selectExpr("id AS k", "id * 3 AS v")
+        .orderBy("k")
+        .repartitionByRange(10, "k")
+        .sortWithinPartitions("k")
+        .write.parquet(str(path))
+    )
+    log = TableLog(str(path))
+    log.init()
+
+    df, rep = read_pruned(log, spark, "k", lo=2_000, hi=2_999)
+    assert rep["files_pruned"] > 0
+    assert rep["files_read"] < rep["files_total"]
+    want = sorted(
+        tuple(r)
+        for r in log.read(spark).where("k BETWEEN 2000 AND 2999").collect()
+    )
+    assert sorted(tuple(r) for r in df.collect()) == want
+    assert (log.root / "_commits" / "_filestats.json").exists()
+
+    # second call rides the cache (no new entries needed) and agrees
+    df2, rep2 = read_pruned(log, spark, "k", lo=2_000, hi=2_999)
+    assert rep2 == rep
+    assert sorted(tuple(r) for r in df2.collect()) == want
+
+    # open upper bound
+    df3, rep3 = read_pruned(log, spark, "k", lo=9_500)
+    assert rep3["files_pruned"] > 0
+    assert df3.count() == 500
+
+    # hive-partitioned table: pruning from path-encoded values alone
+    hpath = tmp_path / "t_zonemap_hive"
+    (
+        spark.range(0, 1_000)
+        .selectExpr("id AS k", "CAST(id % 4 AS INT) AS part", "id AS v")
+        .write.partitionBy("part")
+        .parquet(str(hpath))
+    )
+    hlog = TableLog(str(hpath))
+    hlog.init()
+    hdf, hrep = read_pruned(hlog, spark, "part", lo=2, hi=2)
+    assert hrep["files_pruned"] > 0
+    assert hdf.count() == 250
+    assert {r["part"] for r in hdf.collect()} == {2}
