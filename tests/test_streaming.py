@@ -2792,3 +2792,53 @@ def test_sync_join_view_drains_both_logs_to_batch_recompute(
     assert _sorted_rows(read_join_view(spark, out), cols) == _sorted_rows(
         expect(), cols
     )
+
+
+def test_stream_cdf_tail_follows_live_writers_in_processing_mode(
+    spark, tmp_path
+):
+    """Continuous mode: the tail consumer runs under a processingTime
+    trigger while a writer keeps committing — each new commit is
+    consumed within a few polls (cursor reaches head), and when the
+    writer stops, the view equals the batch recompute. The availableNow
+    tests prove drain semantics; this proves FOLLOW semantics."""
+    import json as _json
+    import time
+
+    from cve_manager_spark.streaming.sinks import stream_cdf_tail
+
+    log, dim, dim_path, out, cursor = _cdf_tail_fixture(
+        spark, tmp_path, "live"
+    )
+    log.consume_changes(
+        spark, cursor, key_cols=["o_orderkey"], start_version=0
+    )
+    q = stream_cdf_tail(
+        spark, str(log.root), cursor, out, dim_path,
+        "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=32, trigger_available_now=False,
+        processing_interval="1 second",
+    )
+    try:
+        log.delete_where(spark, "o_orderkey % 4 = 1")
+        time.sleep(1.0)
+        upd = (
+            log.read(spark)
+            .where(F.col("o_orderkey") % 6 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 2.0)
+        )
+        log.merge_upsert(spark, upd, ["o_orderkey"])
+        head = log.latest_version()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                cur = _json.loads(Path(cursor).read_text())["version"]
+            except (OSError, ValueError):
+                cur = -1
+            if cur >= head:
+                break
+            time.sleep(0.5)
+        assert cur >= head, f"consumer never caught up ({cur} < {head})"
+    finally:
+        q.stop()
+    _cdf_view_matches_batch(spark, log, dim, out)
