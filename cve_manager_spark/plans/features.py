@@ -4805,3 +4805,73 @@ def graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     return bfs_hops(edges, seeds, max_hops=3).select(
         "node", F.col("hop").cast("int").alias("hop")
     )
+
+
+def _zonemap_log(spark: SparkSession, sf: str):
+    """A range-CLUSTERED commit-logged table carved from documents
+    (doc_id-sorted files, ~10 disjoint ranges) — the layout whose
+    footer zone maps make range predicates prune to O(matching files).
+    Same completed-build reuse discipline as the other scratch logs."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cve_manager_spark.commitlog import TableLog
+
+    slug = sf.strip("/").replace("/", "_").replace(".", "_")
+    tdir = Path(tempfile.gettempdir()) / f"cve_spark_zm_{slug}" / "docs_log"
+    if (tdir / "_commits" / f"v{0:012d}.json").exists():
+        return TableLog(str(tdir))
+
+    docs = load_table(spark, sf, "documents")
+    scratch = Path(tempfile.mkdtemp(prefix="cve_spark_zm_build_")) / "docs_log"
+    (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .repartitionByRange(10, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.parquet(str(scratch))
+    )
+    log = TableLog(str(scratch))
+    log.init()
+    tdir.parent.mkdir(parents=True, exist_ok=True)
+    if tdir.exists():
+        shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.replace(scratch, tdir)
+    except OSError:
+        pass
+    shutil.rmtree(scratch.parent, ignore_errors=True)
+    return TableLog(str(tdir))
+
+
+_ZONEMAP_ORACLE = """
+SELECT doc_id, md5(text) AS digest
+FROM documents
+WHERE doc_id BETWEEN 100 AND 299
+"""
+
+
+@_register(
+    "timetravel_pruned_scan",
+    _ZONEMAP_ORACLE,
+    doc="Zone-map data skipping as a QUERY face: a range predicate over "
+    "a range-clustered commit-logged table goes through read_pruned — "
+    "the manifest's files are pruned DRIVER-SIDE on cached parquet-"
+    "footer [min,max] before Spark lists anything (the Delta/Iceberg "
+    "file-stats discipline), the kept files still carry the filter "
+    "(pruning is an optimization, never the predicate), and the "
+    "builder ASSERTS files were actually pruned so the face fails if "
+    "skipping ever regresses to a full scan. Oracle recomputes from "
+    "raw documents. At 100 TB: clustered writes + footer stats bound "
+    "a range query to O(matching files) with no Spark job spent "
+    "deciding.",
+    priority=8,
+)
+def timetravel_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.commitlog import read_pruned
+
+    log = _zonemap_log(spark, sf)
+    df, report = read_pruned(log, spark, "doc_id", lo=100, hi=299)
+    assert report["files_pruned"] > 0, report  # skipping must engage
+    return df.select("doc_id", "digest")
