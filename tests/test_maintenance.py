@@ -915,3 +915,54 @@ def test_maintenance_cli_lake_commands_end_to_end(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["changes_by_type"] == {"delete": 10}
     assert spark.read.parquet(feed_dir).count() == 10
+
+
+def test_maintenance_cli_drift_retrain_end_to_end(spark, tmp_path, capsys):
+    """CLI drive of the drift-retrain loop: a committed IVF-PQ index
+    that absorbed a geometry-shifted delta is rebuilt by one CLI call
+    (rebuilt=true JSON), and an immediate second call is a no-op."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from cve_manager_spark import maintenance_cli
+    from cve_manager_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_upsert,
+        write_ivf_pq_index,
+    )
+    from cve_manager_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") % 3 != 2)
+    idx, cents, books = ivf_pq_index(base, n_lists=8, m=8, k_codes=16)
+    path = str(tmp_path / "cli_ivf_idx")
+    write_ivf_pq_index(idx, cents, books, path, committed=True)
+    drifted = emb.where(F.col("vec_id") % 3 == 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    ivf_pq_upsert(spark, path, drifted)
+    corpus_dir = str(tmp_path / "cli_ivf_corpus")
+    base.unionByName(drifted).write.parquet(corpus_dir)
+
+    assert (
+        maintenance_cli.main(
+            ["drift-retrain", "--path", path, "--corpus", corpus_dir]
+        )
+        == 0
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rebuilt"] is True and rep["n_drifted_cells"] >= 1
+
+    assert (
+        maintenance_cli.main(
+            ["drift-retrain", "--path", path, "--corpus", corpus_dir]
+        )
+        == 0
+    )
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["rebuilt"] is False
