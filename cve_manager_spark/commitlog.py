@@ -1308,10 +1308,18 @@ def read_pruned(
     }
     if not keep:
         if schema is None or isinstance(schema, str):
-            raise ValueError(
-                f"all files pruned and v{v} carries no schema"
-            )
-        df = spark.createDataFrame([], schema)
+            # schemaless manifest (init-adopted v0): read one file so
+            # the result keeps the table shape; the filter below still
+            # makes it empty. One footer-sized read, not a failure.
+            if files:
+                keep = files[:1]
+                report["files_read"] = 1
+                report["files_pruned"] = len(files) - 1
+                df = log._read_files(spark, keep, schema)
+            else:
+                raise ValueError(f"v{v} is empty and carries no schema")
+        else:
+            df = spark.createDataFrame([], schema)
     else:
         df = log._read_files(spark, keep, schema)
     cond = None

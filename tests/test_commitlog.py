@@ -1186,3 +1186,26 @@ def test_read_pruned_skips_files_by_zone_maps(spark, tmp_path):
     assert hrep["files_pruned"] > 0
     assert hdf.count() == 250
     assert {r["part"] for r in hdf.collect()} == {2}
+
+
+def test_read_pruned_all_files_pruned_keeps_table_shape(spark, tmp_path):
+    """A predicate outside every file's range on a schemaless (v0,
+    init-adopted) manifest: the scan falls back to ONE file so the
+    empty result still carries the table's columns — never an error,
+    never a full scan."""
+    from cve_manager_spark.commitlog import read_pruned
+
+    path = tmp_path / "t_zm_empty"
+    (
+        spark.range(0, 1000)
+        .selectExpr("id AS k", "id AS v")
+        .repartitionByRange(5, "k")
+        .sortWithinPartitions("k")
+        .write.parquet(str(path))
+    )
+    log = TableLog(str(path))
+    log.init()
+    df, rep = read_pruned(log, spark, "k", lo=10_000)
+    assert rep["files_read"] == 1
+    assert df.count() == 0
+    assert set(df.columns) == {"k", "v"}
