@@ -106,6 +106,8 @@ FLAGSHIP = {
     "timetravel_partition_evolution": "r12: mixed-layout snapshot read — one scan per path-declared layout group (hive group recovers bucket from directories, flat group from data), unioned and projected to manifest schema order",
     "join_view_two_stream": "r12: drained two-stream IVM view — per-bucket-newest overlay composition; the streaming maintenance already paid the joins, the read is a pruned parquet scan",
     "epoch_shuffle_blocks": "r12: per-epoch md5 rank — two digest sorts (range-partitioned at scale, never a driver sort) joined on doc_id; block arithmetic all-integer",
+    "graph_bfs_hops": "r12: level-synchronous BFS — per round, frontier-only hash join against checkpointed edges + anti-join visited; round count = hop bound, never diameter",
+    "timetravel_pruned_scan": "r12: zone-map data skipping — manifest files pruned driver-side on cached footer [min,max] before any listing; kept files still carry the filter",
 }
 
 
