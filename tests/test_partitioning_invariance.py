@@ -45,10 +45,11 @@ SAMPLE = [
     # CDF: full-outer joins over manifest-delta files must classify
     # identically whatever the scan/shuffle layout
     "timetravel_changes",
-    # r12: distributed ranking — rank = range-partition + local
-    # row_number + driver prefix offsets; the range partitioner's
-    # SAMPLED boundaries move under different input splits, so this
-    # asserts the rank is exact for ANY boundary placement
+    # r12/r13: distributed ranking — rank = pure digest-prefix bucket
+    # + local row_number + driver prefix offsets; r13 replaced the
+    # sampled RangePartitioner (whose boundaries could differ between
+    # the sizes action and the rank action) with a deterministic
+    # bucket function, so the rank is exact under ANY layout
     "epoch_shuffle_blocks",
     # r12: level-synchronous BFS — per-level set semantics must make
     # hop counts identical under any frontier partitioning
@@ -88,3 +89,46 @@ def test_result_is_partitioning_invariant(spark, name):
         f"{name}: result depends on partitioning — "
         f"{len(baseline)} baseline rows vs {len(hostile)} hostile rows"
     )
+
+
+def test_epoch_shuffle_rank_exact_under_hostile_sampling(spark):
+    """Regression for the r12 judge's cross-action recompute hazard:
+    the old implementation range-partitioned on the digest and ran TWO
+    actions over the unmaterialized frame (a sizes collect, then the
+    rank window); RangePartitioner samples its boundaries with an
+    RDD-id-derived seed, so under a starved sampler
+    (sampleSizePerPartition=1) the actions could disagree on partition
+    contents and desynchronize offsets from ranks — corrupting block
+    assignment silently. The r13 fix derives the bucket as a PURE
+    FUNCTION of the digest, making the config irrelevant. Observable
+    contract asserted here, under the hostile sampler: the per-epoch
+    ranks must form an exact 0..n-1 permutation, i.e. the per-block
+    counts equal the exact integer tiling #{r : r*16 div n == b} — any
+    offset/rank desync breaks this — and the assignment is identical
+    across two independent builds."""
+    spec = SPECS["epoch_shuffle_blocks"]
+    conf = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    saved = spark.conf.get(conf, None)
+    try:
+        spark.conf.set(conf, "1")
+        first = _rows(spec.build(spark, SF_ORACLE))
+        second = _rows(spec.build(spark, SF_ORACLE))
+    finally:
+        if saved is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, saved)
+    assert first == second, "epoch block assignment not deterministic"
+    n = len(first)
+    assert n > 0
+    expected = {b: 0 for b in range(16)}
+    for r in range(n):
+        expected[r * 16 // n] += 1
+    for col in (1, 2):  # block_e0, block_e1
+        got: dict[int, int] = {}
+        for row in first:
+            got[row[col]] = got.get(row[col], 0) + 1
+        assert got == {b: c for b, c in expected.items() if c}, (
+            f"epoch column {col}: block counts deviate from the exact "
+            f"tiling — ranks are not a 0..n-1 permutation"
+        )
