@@ -337,7 +337,10 @@ class TableLog:
         return {"version": v, "layout": list(pcols)}
 
     def read(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Scan exactly the manifest's files. ``basePath`` pins the table
         root so hive partition-directory columns survive the explicit
@@ -346,7 +349,20 @@ class TableLog:
         schema (every committed write since schema evolution landed),
         the scan applies it explicitly: files written BEFORE an additive
         evolution lack the new columns and project NULL for them — the
-        Delta/Iceberg add-column semantics, no rewrite of old files."""
+        Delta/Iceberg add-column semantics, no rewrite of old files.
+
+        ``where`` — optional ``{column: (lo, hi)}`` range bounds (either
+        bound may be None for open intervals). When supplied, the read
+        consults the table's zone maps AUTOMATICALLY: files whose
+        committed per-file [min, max] cannot intersect the bounds are
+        never scanned (stats recorded at write time by ``_stage``; a
+        stat-less file is kept), and the bounds are still applied as a
+        real filter on the result — pruning is an optimization, never
+        the filter. Equivalent to :func:`read_pruned` without the
+        report."""
+        if where:
+            df, _ = _prune_snapshot(self, spark, where, version)
+            return df
         v, files = self.snapshot(version)
         schema = self.schema_of(v)
         if not files:
@@ -474,6 +490,21 @@ class TableLog:
             f.rename(dest)
             new_rel.append(str(dest.relative_to(self.root)))
         shutil.rmtree(tmp)
+        # zone maps at WRITE time: the writer knows exactly which files
+        # it produced, so it records their per-file min/max into the
+        # sidecar here — an O(files-this-commit) thread-pooled footer
+        # pass over just-written files (the parquet writer already
+        # computed the stats; this only copies them out of the footers)
+        # — so predicate reads never pay a table-wide footer sweep.
+        # Stats are an optimization: a failure here must never fail the
+        # write, and a conflict-aborted stage leaves only harmless
+        # orphan entries (fresh uuid stems are never reused).
+        try:
+            cols = _stat_columns(out.dtypes)
+            if cols and new_rel:
+                _ZoneMaps(self).stats_for(new_rel, cols)
+        except Exception:
+            pass
         return new_rel
 
     def _abort(self, new_rel: list[str]) -> None:
@@ -1182,13 +1213,127 @@ def _footer_minmax(path: Path, columns: list[str]) -> dict:
     return out
 
 
+_STAT_FMT = 2  # cache format: typed (tagged) stat values
+
+
+def _enc_stat(v):
+    """Encode one footer stat value for the JSON sidecar so it
+    ROUND-TRIPS TO A COMPARABLE TYPE — the r12 `default=str` dump
+    stringified dates/timestamps/decimals, so every warm-cache run
+    compared str against typed bounds, hit TypeError, and silently kept
+    every file (pruning degraded to a full scan for those column types
+    on the table's second process). Returns None for values that cannot
+    be encoded faithfully (the caller then records "no stats" for the
+    column — keep-the-file semantics, never a wrong prune). Long
+    strings are deliberately dropped: a documents-table commit must not
+    dump page-sized min/max values into the sidecar."""
+    import base64
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= 256 else None
+    if isinstance(v, datetime.datetime):
+        return {"$t": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"$d": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"$n": str(v)}
+    if isinstance(v, bytes):
+        return (
+            {"$b": base64.b64encode(v).decode("ascii")}
+            if len(v) <= 256
+            else None
+        )
+    return None
+
+
+def _dec_stat(v):
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(v, dict):
+        if "$t" in v:
+            return datetime.datetime.fromisoformat(v["$t"])
+        if "$d" in v:
+            return datetime.date.fromisoformat(v["$d"])
+        if "$n" in v:
+            return decimal.Decimal(v["$n"])
+        if "$b" in v:
+            return base64.b64decode(v["$b"])
+        return None
+    return v
+
+
+def _enc_entry(e: dict | None) -> dict | None:
+    if e is None:
+        return None
+    mn, mx = _enc_stat(e["min"]), _enc_stat(e["max"])
+    # an unencodable min/max degrades the COLUMN entry to "no stats"
+    # (keep the file), never to a wrong comparison
+    if (mn is None) != (e["min"] is None) or (mx is None) != (
+        e["max"] is None
+    ):
+        return None
+    return {"min": mn, "max": mx, "nulls": bool(e["nulls"])}
+
+
+def _dec_entry(e: dict | None) -> dict | None:
+    if e is None:
+        return None
+    return {
+        "min": _dec_stat(e["min"]),
+        "max": _dec_stat(e["max"]),
+        "nulls": e["nulls"],
+    }
+
+
+_STAT_TYPES = {
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "boolean",
+    "date",
+    "string",
+}
+
+
+def _stat_columns(dtypes: list[tuple[str, str]]) -> list[str]:
+    """Columns whose per-file min/max are worth recording at commit
+    time: atomic comparable types. Binary and nested types are skipped
+    (pruning on them is useless or bloats the sidecar)."""
+    return [
+        name
+        for name, t in dtypes
+        if t in _STAT_TYPES
+        or t.startswith("decimal")
+        or t.startswith("timestamp")
+    ]
+
+
 class _ZoneMaps:
     """File-level min/max sidecar for a commit-logged table — the
     data-skipping index Delta keeps in its log and Iceberg in manifest
     entries. Data files are IMMUTABLE, so a file's stats never
     invalidate: the cache (`_commits/_filestats.json`) only ever gains
-    entries, is rebuilt from footers on miss, and a lost write in a
-    cache race costs a re-read of some footers, never correctness."""
+    entries, and a lost write in a cache race costs a re-read of some
+    footers, never correctness.
+
+    Stats are recorded AT COMMIT TIME by the writer (`TableLog._stage`
+    calls :meth:`stats_for` on exactly the files it just wrote — an
+    O(files-this-commit) pass proportional to the write itself), so a
+    predicate read over a long-lived table consults the sidecar with
+    ZERO footer reads. The footer path remains only as the backfill for
+    init-adopted pre-existing files, and reads missing footers through
+    a thread pool, never one file at a time."""
 
     def __init__(self, log: "TableLog"):
         self.log = log
@@ -1197,35 +1342,59 @@ class _ZoneMaps:
     def _load(self) -> dict:
         try:
             with open(self.path) as f:
-                return json.load(f)
+                cache = json.load(f)
         except (OSError, ValueError):
-            return {}
+            return {"_fmt": _STAT_FMT}
+        if cache.get("_fmt") != _STAT_FMT:
+            # pre-typed (default=str) cache: discard — files are
+            # immutable, so a rebuild from footers is always safe
+            return {"_fmt": _STAT_FMT}
+        return cache
 
     def stats_for(
-        self, rel_files: list[str], columns: list[str]
+        self,
+        rel_files: list[str],
+        columns: list[str],
+        max_workers: int = 16,
     ) -> dict[str, dict]:
         import tempfile
+        from concurrent.futures import ThreadPoolExecutor
 
         cache = self._load()
-        dirty = False
+        todo: list[tuple[str, list[str]]] = []
         for rel in rel_files:
             have = cache.get(rel, {})
             missing = [c for c in columns if c not in have]
-            if not missing:
-                continue
-            have.update(
-                _footer_minmax(self.log.root / rel, missing)
-            )
-            cache[rel] = have
-            dirty = True
-        if dirty:
+            if missing:
+                todo.append((rel, missing))
+        if todo:
+
+            def one(item: tuple[str, list[str]]):
+                rel, missing = item
+                return rel, _footer_minmax(self.log.root / rel, missing)
+
+            if len(todo) == 1:
+                results = [one(todo[0])]
+            else:
+                with ThreadPoolExecutor(
+                    min(max_workers, len(todo))
+                ) as ex:
+                    results = list(ex.map(one, todo))
+            for rel, got in results:
+                have = cache.setdefault(rel, {})
+                have.update({c: _enc_entry(e) for c, e in got.items()})
             fd, tmp = tempfile.mkstemp(
                 dir=str(self.path.parent), prefix=".stats"
             )
             with os.fdopen(fd, "w") as f:
-                json.dump(cache, f, default=str)
+                json.dump(cache, f)
             os.replace(tmp, str(self.path))
-        return {r: cache[r] for r in rel_files}
+        return {
+            r: {
+                c: _dec_entry(e) for c, e in cache.get(r, {}).items()
+            }
+            for r in rel_files
+        }
 
 
 def _path_value(rel: str, column: str):
@@ -1247,60 +1416,49 @@ def _path_value(rel: str, column: str):
     return None
 
 
-def read_pruned(
+def _prune_snapshot(
     log: TableLog,
     spark: SparkSession,
-    column: str,
-    lo=None,
-    hi=None,
+    preds: dict[str, tuple],
     version: int | None = None,
 ):
-    """Zone-map data skipping over a commit-logged table: scan ONLY the
-    manifest files whose per-file [min, max] for ``column`` can
-    intersect [lo, hi] — the file-level stats pruning Delta keeps in
-    its log and Iceberg in manifest entries, here from parquet FOOTERS
-    cached in a sidecar (`_ZoneMaps`; data files are immutable, so
-    stats never invalidate). Hive-partitioned files prune on their
-    path-encoded value. Returns ``(df, report)`` where ``df`` is the
-    kept files' scan WITH the range filter still applied (pruning is
-    an optimization, never the filter itself — a file without footer
-    stats is kept, not dropped) and ``report`` counts total/read/
-    pruned files.
-
-    At 100 TB this composes with `maintenance.compact(sort_by=...)` /
-    `write_clustered`: range-clustering makes per-file ranges narrow
-    and disjoint, so a point or range predicate reads O(matching
-    files), and the driver-side prune costs one cached-footer pass —
-    no Spark job, no file listing beyond the manifest."""
+    """Shared zone-map prune core: scan ONLY the manifest files whose
+    per-file [min, max] can intersect each ``column: (lo, hi)`` bound
+    in ``preds``. Returns ``(df, report)`` — ``df`` WITH the range
+    filters still applied (pruning is an optimization, never the
+    filter itself: a file without stats is kept, not dropped)."""
     v, files = log.snapshot(version)
     schema = log.schema_of(v)
     zm = _ZoneMaps(log)
-    data_files = [r for r in files if column not in _path_layout(r)]
-    stats = zm.stats_for(data_files, [column]) if data_files else {}
+    keep = list(files)
+    for column, (lo, hi) in preds.items():
+        data_files = [r for r in keep if column not in _path_layout(r)]
+        stats = zm.stats_for(data_files, [column]) if data_files else {}
 
-    def overlaps(mn, mx) -> bool:
-        try:
-            if lo is not None and mx is not None and mx < lo:
-                return False
-            if hi is not None and mn is not None and mn > hi:
-                return False
-        except TypeError:
-            return True  # incomparable types: keep, never drop
-        return True
+        def overlaps(mn, mx, lo=lo, hi=hi) -> bool:
+            try:
+                if lo is not None and mx is not None and mx < lo:
+                    return False
+                if hi is not None and mn is not None and mn > hi:
+                    return False
+            except TypeError:
+                return True  # incomparable types: keep, never drop
+            return True
 
-    keep: list[str] = []
-    for rel in files:
-        if column in _path_layout(rel):
-            val = _path_value(rel, column)
-            if val is None or overlaps(val, val):
-                keep.append(rel)
-            continue
-        st = stats.get(rel, {}).get(column)
-        if st is None:
-            keep.append(rel)  # no stats: cannot prune safely
-            continue
-        if overlaps(st["min"], st["max"]):
-            keep.append(rel)
+        nxt: list[str] = []
+        for rel in keep:
+            if column in _path_layout(rel):
+                val = _path_value(rel, column)
+                if val is None or overlaps(val, val):
+                    nxt.append(rel)
+                continue
+            st = stats.get(rel, {}).get(column)
+            if st is None:
+                nxt.append(rel)  # no stats: cannot prune safely
+                continue
+            if overlaps(st["min"], st["max"]):
+                nxt.append(rel)
+        keep = nxt
     report = {
         "files_total": len(files),
         "files_read": len(keep),
@@ -1322,10 +1480,43 @@ def read_pruned(
             df = spark.createDataFrame([], schema)
     else:
         df = log._read_files(spark, keep, schema)
-    cond = None
-    if lo is not None:
-        cond = F.col(column) >= F.lit(lo)
-    if hi is not None:
-        c2 = F.col(column) <= F.lit(hi)
-        cond = c2 if cond is None else (cond & c2)
-    return (df.where(cond) if cond is not None else df), report
+    for column, (lo, hi) in preds.items():
+        if lo is not None:
+            df = df.where(F.col(column) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(column) <= F.lit(hi))
+    return df, report
+
+
+def read_pruned(
+    log: TableLog,
+    spark: SparkSession,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+):
+    """Zone-map data skipping over a commit-logged table: scan ONLY the
+    manifest files whose per-file [min, max] for ``column`` can
+    intersect [lo, hi] — the file-level stats pruning Delta keeps in
+    its log and Iceberg in manifest entries. Stats are recorded at
+    COMMIT time by the writing job (``_stage``), so this consults the
+    sidecar with zero footer reads on committed data; init-adopted
+    pre-existing files backfill from footers through a thread pool
+    once (immutable files — stats never invalidate). Hive-partitioned
+    files prune on their path-encoded value. Returns ``(df, report)``
+    where ``df`` is the kept files' scan WITH the range filter still
+    applied (pruning is an optimization, never the filter itself — a
+    file without footer stats is kept, not dropped) and ``report``
+    counts total/read/pruned files.
+
+    The same pruning runs automatically inside :meth:`TableLog.read`
+    when a ``where=`` bound is supplied; this explicit form
+    additionally returns the prune report.
+
+    At 100 TB this composes with `maintenance.compact(sort_by=...)` /
+    `write_clustered`: range-clustering makes per-file ranges narrow
+    and disjoint, so a point or range predicate reads O(matching
+    files), and the driver-side prune costs one sidecar pass —
+    no Spark job, no file listing beyond the manifest."""
+    return _prune_snapshot(log, spark, {column: (lo, hi)}, version)

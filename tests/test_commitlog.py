@@ -1188,6 +1188,139 @@ def test_read_pruned_skips_files_by_zone_maps(spark, tmp_path):
     assert {r["part"] for r in hdf.collect()} == {2}
 
 
+def test_zone_maps_recorded_at_commit_time_zero_footer_reads(
+    spark, tmp_path, monkeypatch
+):
+    """r13: stats are recorded AT COMMIT TIME by the writing job
+    (``_stage``), so a predicate read over committed data consults the
+    sidecar with ZERO post-hoc footer reads — the r12 gap was a
+    driver-serial O(table-files) footer sweep on the first
+    read_pruned. Sequence: backfill the init-adopted seed once, commit
+    appends, then poison the footer reader — the read must succeed and
+    still prune the out-of-range committed files."""
+    from cve_manager_spark import commitlog as cl
+    from cve_manager_spark.commitlog import read_pruned
+
+    path = tmp_path / "t_writestats"
+    (
+        spark.range(0, 100)
+        .selectExpr("id AS k", "id AS v")
+        .coalesce(1)
+        .write.parquet(str(path))
+    )
+    log = TableLog(str(path))
+    log.init()
+    # backfill the single init-adopted file (pre-existing data is the
+    # only footer-path client left)
+    read_pruned(log, spark, "k", lo=0, hi=0)
+
+    for base in (10_000, 20_000, 30_000):
+        rows = spark.range(base, base + 100).selectExpr(
+            "id AS k", "id AS v"
+        ).coalesce(1)
+        log.append(spark, rows)
+
+    def boom(path, columns):
+        raise AssertionError(
+            "footer read after commit-time stats were recorded"
+        )
+
+    monkeypatch.setattr(cl, "_footer_minmax", boom)
+    df, rep = read_pruned(log, spark, "k", lo=20_000, hi=20_099)
+    assert rep["files_total"] == 4
+    assert rep["files_read"] == 1  # only the matching appended file
+    assert rep["files_pruned"] == 3
+    assert df.count() == 100
+
+
+def test_zone_map_date_pruning_survives_process_restart(spark, tmp_path):
+    """r13 (ADVICE low): the r12 cache serialized stats with
+    ``default=str``, so date/timestamp/decimal min-max reloaded as
+    strings, every typed comparison hit TypeError, and pruning
+    silently degraded to a full scan on the table's second process.
+    Stats now round-trip through tagged typed encoding: EVERY consult
+    goes through the JSON round trip (even the first), a fresh
+    ``_ZoneMaps`` decodes real ``datetime.date`` objects, and pruning
+    holds across repeated (restart-equivalent) consults."""
+    import datetime
+
+    from cve_manager_spark.commitlog import _ZoneMaps, read_pruned
+
+    path = tmp_path / "t_datestats"
+    (
+        spark.range(0, 10)
+        .selectExpr(
+            "id AS k", "DATE'2024-01-15' AS d", "id AS v"
+        )
+        .coalesce(1)
+        .write.parquet(str(path))
+    )
+    log = TableLog(str(path))
+    log.init()
+    for month in (2, 3, 4):
+        rows = spark.range(0, 10).selectExpr(
+            "id + 100 AS k",
+            f"DATE'2024-{month:02d}-15' AS d",
+            "id AS v",
+        ).coalesce(1)
+        log.append(spark, rows)
+
+    lo, hi = datetime.date(2024, 3, 1), datetime.date(2024, 3, 31)
+    df, rep = read_pruned(log, spark, "d", lo=lo, hi=hi)
+    assert rep["files_pruned"] == 3  # jan seed, feb, apr all skipped
+    assert rep["files_read"] == 1
+    assert df.count() == 10
+
+    # restart-equivalent: a FRESH _ZoneMaps loads the JSON cache from
+    # disk; values must decode to comparable date objects, and the
+    # warm-cache consult must prune exactly as the first did
+    _, files = log.snapshot()
+    data_files = [f for f in files]
+    stats = _ZoneMaps(log).stats_for(data_files, ["d"])
+    mins = {s["d"]["min"] for s in stats.values() if s.get("d")}
+    assert all(isinstance(m, datetime.date) for m in mins)
+    df2, rep2 = read_pruned(log, spark, "d", lo=lo, hi=hi)
+    assert rep2 == rep
+    assert df2.count() == 10
+
+
+def test_read_where_auto_consults_zone_maps(spark, tmp_path):
+    """r13: ``TableLog.read(where={col: (lo, hi)})`` prunes
+    automatically — the caller no longer needs the explicit
+    ``read_pruned`` API to benefit from committed stats. The scan's
+    input files shrink to the overlapping subset, and the bounds are
+    still applied as a real filter (stat-less files kept, rows
+    outside the bounds dropped)."""
+    path = tmp_path / "t_readwhere"
+    (
+        spark.range(0, 100)
+        .selectExpr("id AS k", "id AS v")
+        .coalesce(1)
+        .write.parquet(str(path))
+    )
+    log = TableLog(str(path))
+    log.init()
+    for base in (10_000, 20_000):
+        rows = spark.range(base, base + 100).selectExpr(
+            "id AS k", "id % 100 AS v"
+        ).coalesce(1)
+        log.append(spark, rows)
+
+    full = log.read(spark)
+    assert len(full.inputFiles()) == 3
+    pruned = log.read(spark, where={"k": (10_000, 10_050)})
+    assert len(pruned.inputFiles()) == 1
+    want = sorted(
+        tuple(r)
+        for r in full.where("k BETWEEN 10000 AND 10050").collect()
+    )
+    assert sorted(tuple(r) for r in pruned.collect()) == want
+    # open bound + a second column predicate compose
+    both = log.read(spark, where={"k": (20_000, None), "v": (0, 10)})
+    assert both.count() == 11
+    assert len(both.inputFiles()) == 1
+
+
 def test_read_pruned_all_files_pruned_keeps_table_shape(spark, tmp_path):
     """A predicate outside every file's range on a schemaless (v0,
     init-adopted) manifest: the scan falls back to ONE file so the
