@@ -782,17 +782,49 @@ def _index_log(path: str):
     return None
 
 
-def read_ivf_pq_index(spark: SparkSession, path: str):
+def _meta_qid(op: str) -> str | None:
+    """Quantizer id carried in a rebuild commit's op string
+    (``overwrite@<tag>+q<hex>``), or None for init / legacy ops."""
+    import re as _re
+
+    m = _re.search(r"\+q([0-9a-f]+)$", op)
+    return m.group(1) if m else None
+
+
+def read_ivf_pq_index(
+    spark: SparkSession, path: str, version: int | None = None
+):
     """Load a persisted IVF×PQ index: ``(index_df, cents, books)`` —
     directly usable as :func:`ivf_pq_topk`'s prebuilt index. A
-    commit-logged table resolves through its latest manifest (the
-    directory itself accumulates superseded files until vacuum)."""
+    commit-logged table resolves through its manifest (the directory
+    itself accumulates superseded files until vacuum), and the
+    QUANTIZER resolves through the same version history: the newest
+    (re)build commit at or below the read version names its
+    centroids/codebooks sidecar (``_ivf_pq_meta-<qid>.json``, written
+    BEFORE that commit published — see :func:`ivf_pq_drift_retrain`),
+    so codes are always paired with the quantizer that produced them —
+    across time travel, mid-maintenance reads, and crash recovery.
+    Init-era and legacy commits fall back to ``_ivf_pq_meta.json``."""
     import json as _json
     from pathlib import Path as _Path
 
-    meta = _json.loads((_Path(path) / "_ivf_pq_meta.json").read_text())
     log = _index_log(path)
-    df = log.read(spark) if log is not None else spark.read.parquet(path)
+    if log is None:
+        meta = _json.loads(
+            (_Path(path) / "_ivf_pq_meta.json").read_text()
+        )
+        return spark.read.parquet(path), meta["centroids"], meta["books"]
+    v = version if version is not None else log.latest_version()
+    qid = None
+    for vv in log.versions():
+        if vv > v:
+            break
+        op = log.last_op(version=vv) or ""
+        if op == "init" or op.startswith("overwrite"):
+            qid = _meta_qid(op)
+    name = f"_ivf_pq_meta-{qid}.json" if qid else "_ivf_pq_meta.json"
+    meta = _json.loads((_Path(path) / name).read_text())
+    df = log.read(spark, version=v)
     return df, meta["centroids"], meta["books"]
 
 
@@ -1032,15 +1064,26 @@ def ivf_pq_drift_retrain(
     codebooks on the CURRENT corpus and publish the re-encoded index
     through the commit log as one atomic ``overwrite@<tag>`` commit —
     pinned probes keep their snapshot, a racing upsert surfaces as
-    ``CommitConflict``, and the sidecar meta is replaced atomically
-    after the commit lands. Below threshold, nothing is committed.
+    ``CommitConflict``. Below threshold, nothing is committed.
+
+    The quantizer is VERSIONED WITH THE DATA (r12 ADVICE): the new
+    centroids/codebooks are written to a content-addressed sidecar
+    (``_ivf_pq_meta-<qid>.json``) BEFORE the commit publishes, and the
+    commit op carries the qid (``overwrite@<tag>+q<qid>``), so
+    :func:`read_ivf_pq_index` always pairs codes with the quantizer
+    that produced them — no window where new codes read against old
+    centroids, and a crash anywhere leaves either the old index intact
+    (orphan sidecar, harmless) or the new commit with its sidecar
+    already durable. The init-era ``_ivf_pq_meta.json`` is never
+    rewritten — it stays the quantizer for time-travel reads of
+    pre-rebuild versions.
 
     Idempotency: a head commit already carrying ``overwrite@<tag>``
-    means the rebuild landed and NOTHING drifted since (any later
-    upsert changes the head op) — the call returns without recommitting,
-    so a crash-and-rerun of the maintenance job rebuilds exactly once.
-    The next genuine drift cycle starts from the rebuild version
-    because the drift report anchors ``n_base`` at the newest
+    (any qid) means the rebuild landed and NOTHING drifted since (any
+    later upsert changes the head op) — the call returns without
+    recommitting, so a crash-and-rerun of the maintenance job rebuilds
+    exactly once. The next genuine drift cycle starts from the rebuild
+    version because the drift report anchors ``n_base`` at the newest
     (re)build commit.
 
     Scale: the report is k rows (one per cell, driver-collected —
@@ -1057,7 +1100,7 @@ def ivf_pq_drift_retrain(
     log = _index_log(path)
     if log is None:
         raise ValueError(f"{path} is not commit-logged")
-    if (log.last_op() or "") == f"overwrite@{tag}":
+    if (log.last_op() or "").startswith(f"overwrite@{tag}"):
         return {"rebuilt": False, "reason": "rebuild already at head"}
     report = ivf_pq_drift_report(spark, path, id_col=id_col).collect()
     drifted = [r for r in report if r["delta_ppm"] > threshold_ppm]
@@ -1076,15 +1119,27 @@ def ivf_pq_drift_retrain(
         corpus_df, n_lists=n_lists, iters=iters, m=m,
         k_codes=k_codes, dim=dim, id_col=id_col, vec_col=vec_col,
     )
-    out = log.overwrite(spark, index_df, tag=tag)
     meta = {
         "centroids": [[int(v) for v in c] for c in new_cents],
         "books": [[[int(v) for v in cw] for cw in b] for b in new_books],
     }
-    p = _Path(path) / "_ivf_pq_meta.json"
-    tmp = p.parent / f".meta-{_uuid.uuid4().hex[:8]}"
-    tmp.write_text(_json.dumps(meta))
-    _os.replace(tmp, p)
+    meta_json = _json.dumps(meta)
+    import hashlib as _hashlib
+
+    qid = _hashlib.sha256(meta_json.encode("utf-8")).hexdigest()[:16]
+    # sidecar BEFORE the commit: a published rebuild must never point
+    # at a quantizer that is not already durable (content-addressed, so
+    # racing rebuilds with identical content collide harmlessly and a
+    # conflict-aborted attempt leaves only an orphan sidecar)
+    vp = _Path(path) / f"_ivf_pq_meta-{qid}.json"
+    tmp = vp.parent / f".meta-{_uuid.uuid4().hex[:8]}"
+    tmp.write_text(meta_json)
+    _os.replace(tmp, vp)
+    out = log.overwrite(spark, index_df, tag=f"{tag}+q{qid}")
+    # the base _ivf_pq_meta.json is deliberately NOT rewritten: it is
+    # the init-era quantizer, and time-travel reads of pre-rebuild
+    # versions resolve to it — mutating it would pair old codes with
+    # the new quantizer, the exact bug class this versioning removes
     return {
         "rebuilt": True,
         "version": out["version"],

@@ -620,7 +620,7 @@ def test_drift_retrain_rebuilds_exactly_once_and_recovers(spark, tmp_path):
     from cve_manager_spark.commitlog import TableLog
 
     log = TableLog(path)
-    assert log.last_op() == "overwrite@drift-rebuild"
+    assert (log.last_op() or "").startswith("overwrite@drift-rebuild+q")
     v_rebuild = log.latest_version()
 
     # exactly once: an immediate re-run commits nothing
@@ -654,3 +654,25 @@ def test_drift_retrain_rebuilds_exactly_once_and_recovers(spark, tmp_path):
         spark, path, corpus.unionByName(calm)
     )
     assert out3["rebuilt"] is False and out3["reason"] == "below threshold"
+
+    # Quantizer versioned WITH the data (r12 ADVICE): time travel to
+    # the pre-rebuild version pairs the OLD codes with the OLD
+    # centroids/books — never the new quantizer against old codes
+    oidx, ocents, obooks = read_ivf_pq_index(
+        spark, path, version=v_rebuild - 1
+    )
+    assert ocents == cents and obooks == books
+    assert oidx.count() == base.count() + n_delta
+
+    # ...and the head read resolves through the commit's qid sidecar,
+    # NOT the legacy base _ivf_pq_meta.json: corrupting the base meta
+    # (the old crash-between-commit-and-swap window) changes nothing
+    import json as _json
+    from pathlib import Path as _Path
+
+    base_meta = _Path(path) / "_ivf_pq_meta.json"
+    base_meta.write_text(
+        _json.dumps({"centroids": [[0] * 64], "books": [[[0] * 64]]})
+    )
+    hidx, hcents, hbooks = read_ivf_pq_index(spark, path)
+    assert hcents == fresh_cents and hbooks == fresh_books
