@@ -620,6 +620,7 @@ class TableLog:
         spark: SparkSession,
         rows: DataFrame,
         tag: str | None = None,
+        expected_version: int | None = None,
     ) -> dict[str, int]:
         """Committed REPLACE-ALL (Delta's overwrite mode): stage
         ``rows`` as fresh part files under the current layout and
@@ -630,8 +631,10 @@ class TableLog:
         until vacuum, like every COW op. ``tag`` stamps the op as
         ``overwrite@<tag>`` — the :meth:`last_op` idempotency hook the
         drift-retrain maintenance loop keys on (a rebuild that already
-        landed is skipped, not repeated)."""
-        version, _ = self.snapshot()
+        landed is skipped, not repeated). ``expected_version`` pins the
+        publish parent (strict serialization for transactional
+        callers)."""
+        version, _ = self.snapshot(expected_version)
         pcols = self._pcols(version)
         n_rows = rows.count()
         new_rel = self._stage(rows, "ovw", pcols)
@@ -681,14 +684,22 @@ class TableLog:
         return {"version": v, "n_files": len(files)}
 
     def delete_where(
-        self, spark: SparkSession, predicate: "F.Column | str"
+        self,
+        spark: SparkSession,
+        predicate: "F.Column | str",
+        expected_version: int | None = None,
+        tag: str | None = None,
     ) -> dict[str, int]:
         """Committed COW DELETE: same semantics as
         ``maintenance.delete_where`` (3VL — only predicate-TRUE rows go),
         but the swap is a manifest commit: no unlink, no window in which
-        survivor rows exist twice."""
+        survivor rows exist twice. ``expected_version`` pins the
+        snapshot read AND the publish parent (strict serialization, as
+        in :meth:`merge_upsert`); ``tag`` stamps the op as
+        ``delete@<tag>`` — the multi-table transaction coordinator uses
+        both to tie a table commit to its catalog transaction."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        version, files = self.snapshot()
+        version, files = self.snapshot(expected_version)
         pcols = self._pcols(version)
         # read the PINNED version, not the latest: a commit landing after
         # snapshot() must not leak its files into this rewrite (the publish
@@ -720,9 +731,10 @@ class TableLog:
                 f" deleted {n_deleted}, rewrote {n_new}; nothing committed"
             )
         out_files = [f for f in files if f not in set(touched_rel)] + new_rel
+        op = "delete" if tag is None else f"delete@{tag}"
         try:
             v = self._publish(
-                version, out_files, "delete", schema=_schema_json(df)
+                version, out_files, op, schema=_schema_json(df)
             )
         except CommitConflict:
             self._abort(new_rel)
@@ -736,6 +748,7 @@ class TableLog:
         updates: DataFrame,
         key_cols: list[str],
         expected_version: int | None = None,
+        tag: str | None = None,
     ) -> dict[str, int]:
         """Committed COW MERGE by key (exact-schema form of
         ``maintenance.merge_upsert``): matched keys replaced, unmatched
@@ -810,9 +823,10 @@ class TableLog:
                 " nothing committed"
             )
         out_files = [f for f in files if f not in set(touched_rel)] + new_rel
+        op = "merge" if tag is None else f"merge@{tag}"
         try:
             v = self._publish(
-                version, out_files, "merge", schema=_schema_json(df)
+                version, out_files, op, schema=_schema_json(df)
             )
         except CommitConflict:
             self._abort(new_rel)
@@ -1065,13 +1079,6 @@ class TableLog:
         head = self.latest_version()
         if head is None:
             raise ValueError(f"no commit log under {self.root}")
-        if cur.exists():
-            with open(cur) as f:
-                last = int(json.load(f)["version"])
-        elif start_version is not None:
-            last = int(start_version)
-        else:
-            last = None  # initialize to head, consume nothing
         cur.parent.mkdir(parents=True, exist_ok=True)
 
         def _write_cursor(v: int) -> None:
@@ -1082,17 +1089,29 @@ class TableLog:
                 json.dump({"version": v}, f)
             os.replace(tmp, str(cur))
 
+        if cur.exists():
+            with open(cur) as f:
+                last = int(json.load(f)["version"])
+        elif start_version is not None:
+            last = int(start_version)
+            # persist the explicit pin UNCONDITIONALLY, before any
+            # changes are returned (r12 ADVICE): the r12 code only
+            # wrote the cursor in the nothing-to-consume branch, so a
+            # commit landing between a caller's snapshot() and its
+            # park call meant the cursor never existed — the next
+            # consumer then initialized to the by-then head and the
+            # in-between commits were silently skipped. Writing the
+            # pin first means the worst a crash can do is re-deliver
+            # the span (at-least-once, which the idempotent appliers
+            # already absorb).
+            _write_cursor(last)
+        else:
+            last = None  # initialize to head, consume nothing
+
         if last is None:
             _write_cursor(head)
             return None
         if last >= head:
-            if not cur.exists():
-                # persist an explicit start_version pin even when there
-                # is nothing to consume yet, so a later call (possibly
-                # without start_version, e.g. the streaming tailer)
-                # resumes from the pin instead of re-initializing to
-                # whatever head is by then
-                _write_cursor(last)
             return None
         if max_versions is not None:
             if max_versions < 1:

@@ -2234,7 +2234,17 @@ def foreach_batch_ss_facts(
     sees a consistent (facts, dim, view) triple. Scale shape: per
     batch cost is |batch| + |touched buckets|, never |state|; all
     three states are log-structured partition overlays, and the fact
-    and dim columns must be disjoint (TPC-H prefixes)."""
+    and dim columns must be disjoint (TPC-H prefixes).
+
+    Crash safety (r12 ADVICE): a batch performs two non-atomic writes
+    (facts state, then view). Replay therefore derives each write's
+    delta INDEPENDENTLY from what that target is missing — the state
+    delta is the batch minus the facts state, the view extension is
+    the batch minus the VIEW (joined against current dim) — so a crash
+    between the two writes replays into a state no-op plus exactly the
+    missing view rows, and a fully-applied replay is a no-op on both.
+    The view is never keyed on the state delta, which is empty on
+    replay precisely when the view write is the one that was lost."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -2242,44 +2252,55 @@ def foreach_batch_ss_facts(
             fdir = f"{out_dir}/facts_state"
             ddir = f"{out_dir}/dim_state"
             vdir = f"{out_dir}/view"
-            fb = batch_df.withColumn("kb", _ss_kb(facts_key, n_buckets))
+            fb0 = batch_df.withColumn("kb", _ss_kb(facts_key, n_buckets))
             touched = {
-                str(r["kb"]) for r in fb.select("kb").distinct().collect()
+                str(r["kb"]) for r in fb0.select("kb").distinct().collect()
             }
             if not touched:
                 return
             prev_facts = _union_compose(
                 spark, fdir, "kb", parts_filter=touched
             )
+            new_facts = fb0
             if prev_facts is not None:
-                fb = fb.join(
+                new_facts = fb0.join(
                     prev_facts.select(fact_id), on=fact_id, how="left_anti"
                 )
-            # pin the delta NOW: it is defined against pre-batch state,
-            # and the writes below must not recompute it against
-            # themselves (the anti-join would otherwise erase the batch)
-            fb = fb.localCheckpoint(eager=True)
-            if fb.isEmpty():
-                return
-            fv = _list_state_versions(spark, fdir)
-            fb.write.partitionBy("kb").parquet(
-                f"{fdir}/{_STATE_PREFIX}{(fv[-1] + 1) if fv else 0}"
-            )
+            # pin the state delta NOW: it is defined against pre-batch
+            # state, and the write below must not recompute it against
+            # itself (the anti-join would otherwise erase the batch)
+            new_facts = new_facts.localCheckpoint(eager=True)
+            if not new_facts.isEmpty():
+                fv = _list_state_versions(spark, fdir)
+                new_facts.write.partitionBy("kb").parquet(
+                    f"{fdir}/{_STATE_PREFIX}{(fv[-1] + 1) if fv else 0}"
+                )
             dim_cur = _overlay_compose(
                 spark, ddir, "kb", parts_filter=touched
             )
             if dim_cur is None:
                 return  # no dim rows yet: the facts wait in state
-            add = fb.drop("kb").join(
-                dim_cur.drop("kb"), F.col(facts_key) == F.col(dim_key)
-            ).withColumn("kb", _ss_kb(facts_key, n_buckets))
             prev_view = _overlay_compose(
                 spark, vdir, "kb", parts_filter=touched
             )
+            cand = fb0
             if prev_view is not None:
-                add = prev_view.unionByName(add)
+                cand = fb0.join(
+                    prev_view.select(fact_id), on=fact_id, how="left_anti"
+                )
+            add = cand.drop("kb").join(
+                dim_cur.drop("kb"), F.col(facts_key) == F.col(dim_key)
+            ).withColumn("kb", _ss_kb(facts_key, n_buckets))
+            add = add.localCheckpoint(eager=True)
+            if add.isEmpty():
+                return  # nothing the view is missing: replay no-op
+            out = (
+                prev_view.unionByName(add)
+                if prev_view is not None
+                else add
+            )
             vv = _list_state_versions(spark, vdir)
-            add.write.partitionBy("kb").parquet(
+            out.write.partitionBy("kb").parquet(
                 f"{vdir}/{_STATE_PREFIX}{(vv[-1] + 1) if vv else 0}"
             )
 
@@ -2315,7 +2336,17 @@ def foreach_batch_ss_dim(
     Surviving updates rewrite their touched dim buckets and REJOIN the
     accumulated facts for exactly those keys: view rows carrying a
     replaced dim image are dropped and rebuilt from facts ⋈ new-image
-    — cost |delta| + |touched buckets|, never |view|."""
+    — cost |delta| + |touched buckets|, never |view|.
+
+    Crash safety (r12 ADVICE): the batch's writes are dim state, then
+    view, then watermark — and replay must repair whichever suffix was
+    lost. The view rebuild is keyed on the batch's KEYS against the
+    CURRENT merged images, not on the strictly-newer delta (which is
+    empty on replay exactly when the state write survived and the view
+    write didn't): a replayed batch finds its keys' images already in
+    state and rebuilds the stale view rows from them. The watermark is
+    persisted LAST, so a crash before it re-offers late rows instead
+    of dropping rows that were never applied."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -2326,78 +2357,124 @@ def foreach_batch_ss_dim(
             w = Window.partitionBy(dim_key).orderBy(
                 F.col(order_col).desc()
             )
-            delta = (
+            delta0 = (
                 batch_df.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)
                 .drop("__rn")
             )
             hw = _ss_read_watermark(out_dir)
             if watermark_delay is not None and hw is not None:
-                delta = delta.where(
+                delta0 = delta0.where(
                     F.col(order_col) >= F.lit(hw - watermark_delay)
                 )
-            delta = delta.withColumn("kb", _ss_kb(dim_key, n_buckets))
+            delta0 = delta0.withColumn("kb", _ss_kb(dim_key, n_buckets))
             touched = {
                 str(r["kb"])
-                for r in delta.select("kb").distinct().collect()
+                for r in delta0.select("kb").distinct().collect()
             }
             if not touched:
                 return
             prev_dim = _overlay_compose(
                 spark, ddir, "kb", parts_filter=touched
             )
+            delta_new = delta0
             if prev_dim is not None:
                 cur = prev_dim.groupBy(dim_key).agg(
                     F.max(order_col).alias("__cur_ord")
                 )
-                delta = (
-                    delta.join(cur, dim_key, "left")
+                delta_new = (
+                    delta0.join(cur, dim_key, "left")
                     .where(
                         F.col("__cur_ord").isNull()
                         | (F.col(order_col) > F.col("__cur_ord"))
                     )
                     .drop("__cur_ord")
                 )
-            delta = delta.localCheckpoint(eager=True)  # pin vs writes
-            if delta.isEmpty():
-                return
-            batch_max, = delta.agg(F.max(order_col)).head()
-            _ss_write_watermark(
-                out_dir, batch_max if hw is None else max(hw, batch_max)
-            )
-            keys = delta.select(dim_key)
-            new_dim = delta
-            if prev_dim is not None:
-                new_dim = prev_dim.join(
-                    keys, on=dim_key, how="left_anti"
-                ).unionByName(delta)
-            dv = _list_state_versions(spark, ddir)
-            new_dim.write.partitionBy("kb").parquet(
-                f"{ddir}/{_STATE_PREFIX}{(dv[-1] + 1) if dv else 0}"
-            )
+            delta_new = delta_new.localCheckpoint(eager=True)  # pin
+            applied = not delta_new.isEmpty()
+            if applied:
+                new_keys = delta_new.select(dim_key)
+                new_dim = delta_new
+                if prev_dim is not None:
+                    new_dim = prev_dim.join(
+                        new_keys, on=dim_key, how="left_anti"
+                    ).unionByName(delta_new)
+                dv = _list_state_versions(spark, ddir)
+                new_dim.write.partitionBy("kb").parquet(
+                    f"{ddir}/{_STATE_PREFIX}{(dv[-1] + 1) if dv else 0}"
+                )
+            # current image per batch key = strictly-newer delta over
+            # the pre-batch state restricted to the batch's keys
+            keys0 = delta0.select(dim_key).distinct()
+            if applied and prev_dim is not None:
+                img = (
+                    prev_dim.join(keys0, dim_key, "left_semi")
+                    .join(
+                        delta_new.select(dim_key), dim_key, "left_anti"
+                    )
+                    .unionByName(delta_new)
+                )
+            elif applied:
+                img = delta_new
+            elif prev_dim is not None:
+                img = prev_dim.join(keys0, dim_key, "left_semi")
+            else:
+                return  # no images anywhere for these keys
             prev_view = _overlay_compose(
                 spark, vdir, "kb", parts_filter=touched
             )
+            if applied:
+                rebuild_keys = keys0
+            else:
+                # pure replay/stale batch: rebuild only keys whose view
+                # rows trail the state image (the lost-view-write gap);
+                # none stale → full no-op, no version dir written
+                if prev_view is None:
+                    rebuild_keys = img.select(dim_key)
+                else:
+                    vord = prev_view.groupBy(dim_key).agg(
+                        F.max(order_col).alias("__v_ord")
+                    )
+                    rebuild_keys = (
+                        img.join(vord, dim_key, "left")
+                        .where(
+                            F.col("__v_ord").isNull()
+                            | (F.col("__v_ord") < F.col(order_col))
+                        )
+                        .select(dim_key)
+                    )
+                if rebuild_keys.isEmpty():
+                    return
+            img_r = img.join(rebuild_keys, dim_key, "left_semi")
             facts_rel = _union_compose(
                 spark, fdir, "kb", parts_filter=touched
             )
             rebuilt = None
             if facts_rel is not None:
                 rebuilt = facts_rel.drop("kb").join(
-                    delta.drop("kb"), F.col(facts_key) == F.col(dim_key)
+                    img_r.drop("kb"), F.col(facts_key) == F.col(dim_key)
                 ).withColumn("kb", _ss_kb(facts_key, n_buckets))
             if prev_view is not None:
-                keep = prev_view.join(keys, on=dim_key, how="left_anti")
+                keep = prev_view.join(
+                    rebuild_keys, on=dim_key, how="left_anti"
+                )
                 rebuilt = (
                     keep if rebuilt is None
                     else keep.unionByName(rebuilt)
                 )
-            if rebuilt is None:
-                return
-            vv = _list_state_versions(spark, vdir)
-            rebuilt.write.partitionBy("kb").parquet(
-                f"{vdir}/{_STATE_PREFIX}{(vv[-1] + 1) if vv else 0}"
-            )
+            if rebuilt is not None:
+                vv = _list_state_versions(spark, vdir)
+                rebuilt.write.partitionBy("kb").parquet(
+                    f"{vdir}/{_STATE_PREFIX}{(vv[-1] + 1) if vv else 0}"
+                )
+            if applied:
+                # watermark LAST: it must never claim an order the
+                # state/view writes did not survive to reflect
+                batch_max, = delta_new.agg(F.max(order_col)).head()
+                _ss_write_watermark(
+                    out_dir,
+                    batch_max if hw is None else max(hw, batch_max),
+                )
 
     return _ss_writer(stream_df, out_dir, "dim", apply,
                       trigger_available_now)
@@ -2484,6 +2561,77 @@ def read_bottomk_sample_state(spark, out_dir: str) -> DataFrame | None:
     return spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
 
 
+def foreach_batch_bottomk_stratified(
+    stream_df: DataFrame,
+    out_dir: str,
+    group_expr: str = "event_type",
+    id_expr: str = "cast(event_id as string)",
+    payload_cols: tuple[str, ...] = ("value",),
+    k: int = 16,
+    trigger_available_now: bool = True,
+):
+    """STRATIFIED bottom-k sample state — the eighth sketch state
+    (after CMS, Bloom, occupancy, quantile-hist, KMV, Misra-Gries and
+    the global bottom-k): one k-smallest-md5 reservoir PER GROUP, so a
+    skewed stream cannot starve rare strata of sample mass — the
+    training-data need the global reservoir cannot meet (a 99%-english
+    corpus yields a 99%-english sample; per-language strata keep k
+    docs of every language seen).
+
+    Merge law: per-group bottom-k of the union — idempotent,
+    commutative, associative per stratum, so micro-batch chopping,
+    replay, and arbitrary merge trees converge to the one sample the
+    batch engine computes over the whole table (the oracle-paired
+    ``sample_bottomk_stratified`` face is exactly that batch twin).
+    State is ≤ k × |groups| rows whatever the stream volume; the
+    per-batch trim is a window rank partitioned on the group key —
+    never a global sort — and the state read joins nothing. Snapshot
+    discipline (full state per version dir keyed on batch_id,
+    replay-idempotent) and :func:`vacuum_snapshot_state` compatibility
+    are shared with every sketch state here."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = batch_df.select(
+            F.expr(group_expr).alias("grp"),
+            F.md5(F.expr(id_expr)).alias("d"),
+            F.expr(id_expr).alias("id"),
+            *[F.col(c) for c in payload_cols],
+        ).dropDuplicates(["grp", "d"])
+        versions = [
+            v for v in _list_state_versions(spark, out_dir) if v < batch_id
+        ]
+        if versions:
+            prev = spark.read.parquet(
+                f"{out_dir}/{_STATE_PREFIX}{versions[-1]}"
+            )
+            part = prev.unionByName(part).dropDuplicates(["grp", "d"])
+        w = Window.partitionBy("grp").orderBy("d")
+        trimmed = (
+            part.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        trimmed.write.mode("overwrite").parquet(
+            f"{out_dir}/{_STATE_PREFIX}{batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bottomk_stratified_state(spark, out_dir: str) -> DataFrame | None:
+    """Newest stratified sample snapshot: (grp, d, id, *payload)."""
+    versions = _list_state_versions(spark, out_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{out_dir}/{_STATE_PREFIX}{versions[-1]}")
+
+
 # ---------------------------------------------------------------------------
 # two-LOG join view: both sides commit-logged, synced from their CDFs
 # ---------------------------------------------------------------------------
@@ -2551,9 +2699,13 @@ def bootstrap_join_view(
     versions, materialize facts ⋈ dim at exactly that pair as view
     version 0, and park each cursor at its pinned version — so the
     first :func:`sync_join_view` consumes only commits the bootstrap
-    did not see. The pin order is safe because the cursors record the
-    snapshot the view actually embodies, whatever commits land in
-    between."""
+    did not see. The pin order is safe because ``consume_changes``
+    persists an explicit ``start_version`` pin BEFORE returning any
+    changes (r13): even when commits land on either log between
+    ``snapshot()`` and the park call, the cursor durably records the
+    snapshot the view actually embodies, and the first sync picks the
+    in-between commits up (at-least-once, absorbed by the idempotent
+    appliers) instead of skipping them."""
     vf, _ = facts_log.snapshot()
     vd, _ = dim_log.snapshot()
     facts = facts_log.read(spark, version=vf)

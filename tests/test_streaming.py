@@ -2518,6 +2518,113 @@ def test_two_stream_join_converges_whichever_side_arrives_first(
         assert _sorted_rows(view, cols) == _sorted_rows(want, cols), order
 
 
+def test_two_stream_join_replay_repairs_lost_view_write(spark, tmp_path):
+    """r13 (ADVICE medium): each two-stream batch performs two
+    non-atomic writes (state, then view). The r12 code detected
+    replays with data-level filters on the STATE, so a crash between
+    the writes made the re-delivered batch a no-op — state already
+    applied — and the view permanently missed that batch's rows
+    (facts side) or kept stale dim images plus a watermark persisted
+    ahead of writes it never reflected (dim side). This test forges
+    exactly those crash states by hand (state version written, view
+    untouched) and asserts the replay REPAIRS the view on both
+    sides."""
+    from cve_manager_spark.streaming.sinks import (
+        _STATE_PREFIX,
+        _list_state_versions,
+        _ss_kb,
+        foreach_batch_ss_dim,
+        foreach_batch_ss_facts,
+        read_stream_stream_join,
+    )
+
+    out = str(tmp_path / "ss_crash")
+    NB = 4
+    facts1 = spark.range(0, 40).select(
+        F.col("id").alias("f_id"),
+        (F.col("id") % 8).alias("f_cust"),
+        (F.col("id") * 2).alias("f_val"),
+    )
+    dim1 = spark.range(0, 8).select(
+        F.col("id").alias("d_cust"),
+        F.concat(F.lit("old-"), F.col("id")).alias("d_seg"),
+        (F.col("id") + 10).alias("upd_ts"),
+    )
+    fsrc = str(tmp_path / "crash_fsrc")
+    dsrc = str(tmp_path / "crash_dsrc")
+    facts1.coalesce(1).write.parquet(fsrc)
+    dim1.coalesce(1).write.parquet(dsrc)
+
+    def run_facts():
+        foreach_batch_ss_facts(
+            spark.readStream.schema(facts1.schema).parquet(fsrc),
+            out, "f_id", "f_cust", "d_cust", n_buckets=NB,
+        ).awaitTermination()
+
+    def run_dim():
+        foreach_batch_ss_dim(
+            spark.readStream.schema(dim1.schema).parquet(dsrc),
+            out, "f_cust", "d_cust", "upd_ts", n_buckets=NB,
+        ).awaitTermination()
+
+    run_dim()
+    run_facts()
+    cols = None
+
+    # ---- facts side: state write survived the crash, view write lost
+    facts2 = spark.range(100, 120).select(
+        F.col("id").alias("f_id"),
+        (F.col("id") % 8).alias("f_cust"),
+        (F.col("id") * 2).alias("f_val"),
+    )
+    fv = _list_state_versions(spark, f"{out}/facts_state")
+    facts2.withColumn("kb", _ss_kb("f_cust", NB)).write.partitionBy(
+        "kb"
+    ).parquet(f"{out}/facts_state/{_STATE_PREFIX}{fv[-1] + 1}")
+    # (view deliberately NOT extended — the crash point)
+    facts2.coalesce(1).write.mode("append").parquet(fsrc)
+    shutil.rmtree(f"{out}/_checkpoint_facts")
+    run_facts()  # replay: state no-op, view gap must be filled
+    view = read_stream_stream_join(spark, out)
+    want = facts1.unionByName(facts2).join(
+        dim1, F.col("f_cust") == F.col("d_cust")
+    )
+    cols = sorted(view.columns)
+    assert _sorted_rows(view, cols) == _sorted_rows(want, cols)
+
+    # ---- dim side: merged state write survived, view + watermark lost
+    dim2 = spark.range(0, 8).select(
+        F.col("id").alias("d_cust"),
+        F.concat(F.lit("new-"), F.col("id")).alias("d_seg"),
+        (F.col("id") + 100).alias("upd_ts"),
+    )
+    dv = _list_state_versions(spark, f"{out}/dim_state")
+    # every key updated → the merged touched-bucket content IS dim2
+    dim2.withColumn("kb", _ss_kb("d_cust", NB)).write.partitionBy(
+        "kb"
+    ).parquet(f"{out}/dim_state/{_STATE_PREFIX}{dv[-1] + 1}")
+    # (view NOT rebuilt, watermark NOT advanced — the crash point)
+    dim2.coalesce(1).write.mode("append").parquet(dsrc)
+    shutil.rmtree(f"{out}/_checkpoint_dim")
+    run_dim()  # replay: strictly-newer delta empty; stale keys rebuilt
+    view = read_stream_stream_join(spark, out)
+    want2 = facts1.unionByName(facts2).join(
+        dim2, F.col("f_cust") == F.col("d_cust")
+    )
+    assert _sorted_rows(view, cols) == _sorted_rows(want2, cols)
+
+    # fully-applied replay stays a no-op: no new view version dir
+    nv = len(_list_state_versions(spark, f"{out}/view"))
+    shutil.rmtree(f"{out}/_checkpoint_dim")
+    run_dim()
+    shutil.rmtree(f"{out}/_checkpoint_facts")
+    run_facts()
+    assert len(_list_state_versions(spark, f"{out}/view")) == nv
+    assert _sorted_rows(
+        read_stream_stream_join(spark, out), cols
+    ) == _sorted_rows(want2, cols)
+
+
 def test_two_stream_join_watermark_bounds_dim_reordering(spark, tmp_path):
     """Watermark-bounded reordering: an out-of-order dim update WITHIN
     the delay applies (and rewrites the joined view rows); one trailing
@@ -2642,6 +2749,72 @@ def test_foreach_batch_bottomk_sample_equals_batch(spark, tmp_path):
         (r["d"], r["id"], r["event_type"], r["value"])
         for r in state3.collect()
     ) == pre_replay
+
+
+def test_foreach_batch_bottomk_stratified_equals_batch(spark, tmp_path):
+    """Stratified bottom-k state (the eighth sketch state) == the
+    registered batch face over the whole table: per-group k-smallest
+    md5 with payload, merge law = per-group bottom-k of the union, so
+    chopping cannot shift any stratum's sample; every group seen holds
+    ≤ k rows; replay rebuilds identical state; vacuum keeps the resume
+    invariant."""
+    from cve_manager_spark.plans.registry import collect
+    from cve_manager_spark.streaming.sinks import (
+        foreach_batch_bottomk_stratified,
+        read_bottomk_stratified_state,
+        vacuum_snapshot_state,
+    )
+
+    k = 16
+    src_dir = str(tmp_path / "events_bks_src")
+    events = load_table(spark, SF_SMALL, "events")
+    (
+        events.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+        )
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    out = str(tmp_path / "bks_state")
+
+    def start():
+        stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+        return foreach_batch_bottomk_stratified(stream, out, k=k)
+
+    start().awaitTermination()
+    state = read_bottomk_stratified_state(spark, out)
+    rows = {
+        (r["grp"], r["d"], r["id"], r["value"]) for r in state.collect()
+    }
+    per_group = {}
+    for grp, *_ in rows:
+        per_group[grp] = per_group.get(grp, 0) + 1
+    assert set(per_group) == {
+        r["event_type"]
+        for r in events.select("event_type").distinct().collect()
+    }
+    assert all(c <= k for c in per_group.values())
+
+    # == the oracle-paired batch face (same strata, same rows)
+    face = collect()["sample_bottomk_stratified"].build(spark, SF_SMALL)
+    want = {
+        (r["event_type"], r["d"], r["id"], r["value"])
+        for r in face.collect()
+    }
+    assert rows == want
+
+    # replay-idempotent + vacuum-compatible
+    shutil.rmtree(f"{out}/_checkpoint")
+    start().awaitTermination()
+    assert {
+        (r["grp"], r["d"], r["id"], r["value"])
+        for r in read_bottomk_stratified_state(spark, out).collect()
+    } == want
+    vacuum_snapshot_state(spark, out, keep_last=2)
+    assert {
+        (r["grp"], r["d"], r["id"], r["value"])
+        for r in read_bottomk_stratified_state(spark, out).collect()
+    } == want
 
 
 def test_compact_two_stream_state_preserves_view_and_keeps_applying(
@@ -2791,6 +2964,88 @@ def test_sync_join_view_drains_both_logs_to_batch_recompute(
     )
     assert _sorted_rows(read_join_view(spark, out), cols) == _sorted_rows(
         expect(), cols
+    )
+
+
+def test_bootstrap_pin_survives_interleaved_commit(spark, tmp_path):
+    """r13 (ADVICE medium): a commit landing between bootstrap's
+    snapshot() and its cursor park used to leave NO cursor file —
+    consume_changes only persisted the pin in the nothing-to-consume
+    branch, and bootstrap drops the (changes, ack) return — so the
+    next sync initialized the cursor to the by-then head and the
+    in-between commits were silently skipped: the view diverged from
+    facts ⋈ dim permanently. The pin is now persisted unconditionally
+    BEFORE any changes are returned. This test forges the race by
+    landing a dim commit inside the bootstrap's snapshot call, then
+    asserts the cursor pins the bootstrapped version and ONE sync
+    folds the interleaved commit into the view."""
+    import json as _json
+
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.streaming.sinks import (
+        bootstrap_join_view,
+        read_join_view,
+        sync_join_view,
+    )
+
+    fdir = str(tmp_path / "race_facts")
+    ddir = str(tmp_path / "race_dim")
+    load_table(spark, SF_SMALL, "orders").write.parquet(fdir)
+    load_table(spark, SF_SMALL, "customer").write.parquet(ddir)
+    flog, dlog = TableLog(fdir), TableLog(ddir)
+    flog.init()
+    dlog.init()
+
+    # land a dim commit the instant bootstrap takes its dim snapshot —
+    # i.e. between the snapshot and the cursor park
+    orig_snapshot = dlog.snapshot
+    state = {"injected": False}
+
+    def racy_snapshot(version=None):
+        res = orig_snapshot(version)
+        if not state["injected"]:
+            state["injected"] = True
+            upd = (
+                dlog.read(spark)
+                .where(F.col("c_custkey") % 3 == 0)
+                .withColumn("c_mktsegment", F.lit("RACED"))
+            )
+            dlog.merge_upsert(spark, upd, ["c_custkey"])
+        return res
+
+    dlog.snapshot = racy_snapshot
+    out = str(tmp_path / "race_view")
+    fcur = str(tmp_path / "race_fcur.json")
+    dcur = str(tmp_path / "race_dcur.json")
+    try:
+        pins = bootstrap_join_view(
+            spark, out, flog, dlog, fcur, dcur,
+            "o_orderkey", "o_custkey", "c_custkey", n_buckets=32,
+        )
+    finally:
+        dlog.snapshot = orig_snapshot
+    assert state["injected"]
+    # the cursor EXISTS and records the bootstrapped version, even
+    # though commits were pending at park time
+    with open(dcur) as f:
+        assert int(_json.load(f)["version"]) == pins["dim_version"]
+    assert dlog.latest_version() == pins["dim_version"] + 1
+
+    rep = sync_join_view(
+        spark, out, flog, dlog, fcur, dcur,
+        "o_orderkey", "o_custkey", "c_custkey", n_buckets=32,
+    )
+    assert rep["dim_spans"] == 1  # the interleaved commit, not skipped
+    view = read_join_view(spark, out)
+    cols = sorted(view.columns)
+    want = flog.read(spark).join(
+        dlog.read(spark), F.col("o_custkey") == F.col("c_custkey")
+    )
+    assert _sorted_rows(view, cols) == _sorted_rows(want, cols)
+    assert (
+        view.where(F.col("c_mktsegment") == "RACED").count()
+        == want.where(F.col("c_mktsegment") == "RACED").count()
+        > 0
     )
 
 
