@@ -1,0 +1,408 @@
+"""catalogtx.py: multi-table transactions over commit-logged tables.
+
+A Nessie-style CATALOG LOG closes the one structural gap single-table
+commit logs (ours, Delta's, Iceberg's) all share: a facts+dim+view
+triple cannot move atomically. The catalog is itself an append-only
+log of tiny JSON manifests, each atomically pinning ONE version per
+registered table — readers resolve every table through the catalog
+snapshot, so a group of table commits becomes visible all-at-once when
+(and only when) the catalog commit that pins them publishes.
+
+Reference parity note: the reference tool (cve_manager.py:362-384)
+refreshes multiple Postgres tables under client-side sequencing with
+no cross-table atomicity; this module is the engine-native upgrade the
+same workload needs once tables are commit-logged.
+
+Protocol (two-phase, crash-safe, no locks):
+
+1. ``begin()`` reads the catalog head and its pins. Every transactional
+   table write goes through :class:`TxnTable`, which (a) READS at the
+   catalog-pinned version and (b) COMMITS with
+   ``expected_version=<pin>`` and ``tag=txn-<id>`` — strict
+   serialization at the table level, so two transactions racing on the
+   SAME table resolve first-committer-wins (the loser's table commit
+   raises :class:`~cve_manager_spark.commitlog.CommitConflict` before
+   anything published; its staged files are aborted by TableLog).
+2. ``commit()`` writes an INTENT file (txn id + exact table→version
+   updates), then publishes catalog version k+1 via the same
+   hard-link-exclusive trick TableLog uses, then removes the intent.
+   Transactions touching DISJOINT tables race only on the catalog
+   version number: the loser rebases its pins onto the new head and
+   retries the one-JSON-write publish; overlapping pins raise
+   :class:`CatalogConflict`.
+3. A CRASH anywhere leaves readers at the old catalog snapshot —
+   table versions committed by the dead transaction exist in their
+   table logs but no catalog commit pins them, so no catalog reader
+   ever sees them. :func:`CatalogLog.reconcile` repairs the log
+   deterministically: a dangling txn WITH an intent file rolls
+   FORWARD (the intent records the complete update set — publish it);
+   dangling tagged table versions WITHOUT an intent roll BACK (a
+   content-restoring ``TableLog.rollback`` to the pinned content,
+   re-pinned by a ``reconcile`` catalog commit so the table is
+   unwedged for the next transaction).
+
+Scale: catalog manifests are O(#tables) JSON bytes — publish cost is
+independent of data size, and the catalog serializes only the commit
+POINT, never the staging work (table COW rewrites run fully parallel
+before the one hard-link). This is the same metadata/data split as the
+table log itself, one level up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cve_manager_spark.commitlog import CommitConflict, TableLog
+
+
+class CatalogConflict(Exception):
+    """Another transaction moved a table this transaction updated."""
+
+
+def _cat_manifest(root: Path, version: int) -> Path:
+    return root / f"cat-v{version:012d}.json"
+
+
+class CatalogTxn:
+    """Handle for one in-flight multi-table transaction."""
+
+    def __init__(self, catalog: "CatalogLog", base_version: int,
+                 pins: dict[str, int]):
+        self.catalog = catalog
+        self.base_version = base_version
+        self.pins = dict(pins)  # table -> version this txn reads/bases on
+        self.updates: dict[str, int] = {}  # table -> new committed version
+        self.txn_id = uuid.uuid4().hex[:16]
+
+    def table(self, name: str) -> "TxnTable":
+        if name not in self.pins:
+            raise KeyError(
+                f"table {name!r} not registered in catalog "
+                f"{self.catalog.root}"
+            )
+        return TxnTable(self, name)
+
+
+class TxnTable:
+    """Pinned write surface for one table inside a transaction: reads
+    see the catalog-pinned version (plus this txn's own writes), and
+    every commit is strictly serialized against that pin and tagged
+    with the txn id — the tie that lets :func:`CatalogLog.reconcile`
+    attribute dangling versions after a crash."""
+
+    def __init__(self, txn: CatalogTxn, name: str):
+        self.txn = txn
+        self.name = name
+        self.log = txn.catalog.table_log(name)
+
+    def _pin(self) -> int:
+        # later ops in the same txn chain on the txn's own writes
+        return self.txn.updates.get(self.name, self.txn.pins[self.name])
+
+    def _record(self, res: dict) -> dict:
+        self.txn.updates[self.name] = res["version"]
+        return res
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.log.read(spark, version=self._pin())
+
+    def append(self, spark: SparkSession, rows: DataFrame, **kw) -> dict:
+        return self._record(self.log.append(
+            spark, rows, expected_version=self._pin(),
+            tag=f"txn-{self.txn.txn_id}", **kw,
+        ))
+
+    def merge_upsert(self, spark: SparkSession, updates: DataFrame,
+                     key_cols: list[str]) -> dict:
+        return self._record(self.log.merge_upsert(
+            spark, updates, key_cols, expected_version=self._pin(),
+            tag=f"txn-{self.txn.txn_id}",
+        ))
+
+    def delete_where(self, spark: SparkSession, predicate) -> dict:
+        res = self.log.delete_where(
+            spark, predicate, expected_version=self._pin(),
+            tag=f"txn-{self.txn.txn_id}",
+        )
+        # a no-match delete commits nothing; only record real commits
+        if res["files_touched"] > 0:
+            self._record(res)
+        return res
+
+    def overwrite(self, spark: SparkSession, rows: DataFrame) -> dict:
+        return self._record(self.log.overwrite(
+            spark, rows, tag=f"txn-{self.txn.txn_id}",
+            expected_version=self._pin(),
+        ))
+
+
+class CatalogLog:
+    """The catalog: an append-only log of atomic multi-table pins."""
+
+    def __init__(self, path: str):
+        self.root = Path(path)
+
+    # -- log primitives --------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not self.root.exists():
+            return []
+        out = []
+        for p in self.root.iterdir():
+            n = p.name
+            if n.startswith("cat-v") and n.endswith(".json"):
+                out.append(int(n[len("cat-v"):-len(".json")]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(_cat_manifest(self.root, version)) as f:
+            return json.load(f)
+
+    def _publish(self, parent: int, pins: dict[str, dict], op: str,
+                 txn_id: str | None = None) -> int:
+        """Atomically publish catalog version ``parent+1`` (hard-link
+        exclusive, exactly the TableLog commit primitive)."""
+        version = parent + 1
+        target = _cat_manifest(self.root, version)
+        tmp = self.root / f".tmp-{uuid.uuid4().hex}.json"
+        body = {"version": version, "parent": parent, "op": op,
+                "pins": pins}
+        if txn_id is not None:
+            body["txn"] = txn_id
+        tmp.write_text(json.dumps(body, indent=1))
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise CommitConflict(
+                f"catalog version {version} of {self.root} was committed "
+                "by another writer"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
+        return version
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def init(self, tables: dict[str, "str | TableLog"]) -> int:
+        """Catalog version 0: pin every registered table at its current
+        version. Each table must already be commit-logged."""
+        if self.versions():
+            raise ValueError(f"catalog already exists under {self.root}")
+        self.root.mkdir(parents=True, exist_ok=True)
+        pins: dict[str, dict] = {}
+        for name, t in tables.items():
+            log = t if isinstance(t, TableLog) else TableLog(str(t))
+            v = log.latest_version()
+            if v is None:
+                raise ValueError(
+                    f"table {name!r} at {log.root} is not commit-logged "
+                    "(run TableLog.init())"
+                )
+            pins[name] = {"path": str(log.root), "version": v}
+        return self._publish(-1, pins, "init")
+
+    def table_log(self, name: str) -> TableLog:
+        head = self.latest_version()
+        if head is None:
+            raise ValueError(f"no catalog under {self.root}")
+        pins = self._read_manifest(head)["pins"]
+        if name not in pins:
+            raise KeyError(f"table {name!r} not in catalog {self.root}")
+        return TableLog(pins[name]["path"])
+
+    def snapshot(self, version: int | None = None) -> tuple[int, dict]:
+        """(catalog version, {table: pinned table version})."""
+        v = self.latest_version() if version is None else version
+        if v is None or not _cat_manifest(self.root, v).exists():
+            raise ValueError(
+                f"catalog version {version} not found under {self.root}"
+            )
+        pins = self._read_manifest(v)["pins"]
+        return v, {n: p["version"] for n, p in pins.items()}
+
+    def read(self, spark: SparkSession, name: str,
+             version: int | None = None) -> DataFrame:
+        """Read one table through the catalog snapshot — table versions
+        committed but not yet catalog-pinned are invisible."""
+        v, pins = self.snapshot(version)
+        if name not in pins:
+            raise KeyError(f"table {name!r} not in catalog {self.root}")
+        return self.table_log(name).read(spark, version=pins[name])
+
+    def read_all(self, spark: SparkSession,
+                 version: int | None = None) -> dict[str, DataFrame]:
+        """A CONSISTENT multi-table snapshot: every table at the pins of
+        one catalog version — the read face of atomicity."""
+        v, pins = self.snapshot(version)
+        return {
+            n: self.table_log(n).read(spark, version=pv)
+            for n, pv in pins.items()
+        }
+
+    # -- transactions ------------------------------------------------------
+
+    def begin(self) -> CatalogTxn:
+        v, pins = self.snapshot()
+        return CatalogTxn(self, v, pins)
+
+    def _intent_path(self, txn_id: str) -> Path:
+        return self.root / f"intent-{txn_id}.json"
+
+    def commit(self, txn: CatalogTxn, max_retries: int = 5) -> int:
+        """Publish the transaction: one atomic catalog commit pinning
+        every updated table's new version (and carrying every other
+        table's head pin forward). Writes the roll-forward INTENT
+        first, so a crash between intent and publish is repaired by
+        :meth:`reconcile` in the forward direction — the table commits
+        already exist and are exactly what the intent records.
+
+        :class:`CatalogConflict` here means a pin for one of this
+        transaction's tables was moved OUT-OF-BAND (``sync_table`` /
+        ``reconcile``) while it ran — racing transactions never get
+        this far, they lose at the table-level ``expected_version``
+        before anything publishes. The conflicting transaction's table
+        versions become debris for :meth:`reconcile` to roll back."""
+        if not txn.updates:
+            return txn.base_version  # nothing written: a no-op txn
+        intent = self._intent_path(txn.txn_id)
+        intent.write_text(json.dumps({
+            "txn": txn.txn_id,
+            "base_version": txn.base_version,
+            "base_pins": txn.pins,
+            "updates": txn.updates,
+        }))
+        try:
+            v = self._commit_pins(txn.txn_id, txn.pins, txn.updates,
+                                  max_retries)
+        finally:
+            # an intent must outlive only a CRASH (reconcile rolls it
+            # forward); success and a clean conflict abort both
+            # invalidate it
+            intent.unlink(missing_ok=True)
+        return v
+
+    def _commit_pins(self, txn_id: str, base_pins: dict[str, int],
+                     updates: dict[str, int], max_retries: int = 5) -> int:
+        for _ in range(max_retries):
+            head = self.latest_version()
+            m = self._read_manifest(head)
+            pins = {n: dict(p) for n, p in m["pins"].items()}
+            for name in updates:
+                if pins[name]["version"] != base_pins[name]:
+                    raise CatalogConflict(
+                        f"table {name!r} moved from pinned version "
+                        f"{base_pins[name]} to {pins[name]['version']} "
+                        "since this transaction began"
+                    )
+            for name, nv in updates.items():
+                pins[name]["version"] = nv
+            try:
+                return self._publish(head, pins, "txn", txn_id=txn_id)
+            except CommitConflict:
+                continue  # disjoint-table race: rebase onto new head
+        raise CommitConflict(
+            f"catalog {self.root}: gave up after {max_retries} rebases"
+        )
+
+    def sync_table(self, name: str) -> int:
+        """Adopt out-of-band (non-transactional) commits on one table:
+        a single-table catalog commit moving its pin to the table's
+        current latest. The escape hatch for mixing direct TableLog
+        writers with catalog readers."""
+        head = self.latest_version()
+        m = self._read_manifest(head)
+        pins = {n: dict(p) for n, p in m["pins"].items()}
+        if name not in pins:
+            raise KeyError(f"table {name!r} not in catalog {self.root}")
+        pins[name]["version"] = TableLog(
+            pins[name]["path"]
+        ).latest_version()
+        return self._publish(head, pins, "sync")
+
+    # -- crash repair --------------------------------------------------
+
+    def _txn_committed(self, txn_id: str) -> bool:
+        for v in self.versions():
+            if self._read_manifest(v).get("txn") == txn_id:
+                return True
+        return False
+
+    def _dangling_tagged(self, name: str, pin: int) -> dict[str, int]:
+        """txn_id -> newest version, for table versions ABOVE the pin
+        whose op carries a txn tag (crash debris of some transaction)."""
+        log = self.table_log(name)
+        out: dict[str, int] = {}
+        for v in log.versions():
+            if v <= pin:
+                continue
+            op = log.last_op(version=v) or ""
+            if "@txn-" in op:
+                out[op.split("@txn-", 1)[1]] = v
+        return out
+
+    def reconcile(self) -> dict:
+        """Repair crash debris, deterministically (metadata-only — no
+        Spark job: rollback and re-pin are manifest writes):
+
+        * an intent whose txn already has a catalog commit → delete the
+          intent (crash after publish, before cleanup);
+        * an intent without a catalog commit → ROLL FORWARD: the table
+          commits it records all exist (TxnTable commits before the
+          intent is ever written), so publish the catalog commit the
+          crashed process was about to write;
+        * tagged table versions above the pin with NO intent → ROLL
+          BACK: the transaction died mid-write and its full update set
+          is unknowable; restore the pinned content on top of the
+          orphan (``TableLog.rollback`` — versions are immutable, so
+          this is a new commit, not history rewriting) and RE-PIN the
+          table at the restoring version via a ``reconcile`` catalog
+          commit, unwedging strict-serialized future transactions.
+
+        Idempotent: a second call finds nothing to repair."""
+        report = {"rolled_forward": [], "rolled_back": [],
+                  "cleared_intents": []}
+        for p in sorted(self.root.glob("intent-*.json")):
+            intent = json.loads(p.read_text())
+            txn_id = intent["txn"]
+            if self._txn_committed(txn_id):
+                p.unlink(missing_ok=True)
+                report["cleared_intents"].append(txn_id)
+                continue
+            self._commit_pins(
+                txn_id,
+                {n: int(v) for n, v in intent["base_pins"].items()},
+                {n: int(v) for n, v in intent["updates"].items()},
+            )
+            p.unlink(missing_ok=True)
+            report["rolled_forward"].append(txn_id)
+        head = self.latest_version()
+        _, pins = self.snapshot(head)
+        repins: dict[str, int] = {}
+        for name, pin in pins.items():
+            for txn_id, newest in self._dangling_tagged(name, pin).items():
+                if self._txn_committed(txn_id):
+                    continue  # pinned by a txn commit: not debris
+                log = self.table_log(name)
+                res = log.rollback(to_version=pin)
+                repins[name] = res["version"]
+                report["rolled_back"].append(
+                    {"txn": txn_id, "table": name,
+                     "restored_as": res["version"]}
+                )
+                break  # one restore covers every dangling version
+        if repins:
+            m = self._read_manifest(self.latest_version())
+            new_pins = {n: dict(p) for n, p in m["pins"].items()}
+            for name, nv in repins.items():
+                new_pins[name]["version"] = nv
+            self._publish(self.latest_version(), new_pins, "reconcile")
+        return report

@@ -4643,6 +4643,44 @@ def timetravel_partition_evolution(
     return log.read(spark).select("doc_id", "bucket", "digest")
 
 
+_EVOLUTION_CDF_ORACLE = """
+WITH d AS (SELECT doc_id, text FROM documents)
+SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS bucket, md5(text) AS digest,
+       'delete' AS _change_type, CAST(1 AS BIGINT) AS _change_count
+FROM d WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 1000000, CAST(doc_id % 4 AS INTEGER),
+       md5(text || ' evo'), 'insert', CAST(1 AS BIGINT)
+FROM d WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+"""
+
+
+@_register(
+    "timetravel_evolution_cdf",
+    _EVOLUTION_CDF_ORACLE,
+    doc="Change data feed ACROSS a partition-evolution boundary "
+    "(VERDICT r12 next-round #4): TableLog.changes(v0, v3, "
+    "key_cols=[doc_id]) over the same evolved table as "
+    "timetravel_partition_evolution — the span straddles the "
+    "metadata-only set_partitioning commit, a hive-layout append, and "
+    "a COW delete whose rewrite crosses BOTH layouts. The from-side "
+    "files are all flat, the to-side mixes flat and hive, so the diff "
+    "must align rows across layout groups (hive files recover the "
+    "bucket column from directories); the keyed net diff shows the "
+    "purge as deletes and the surviving evolved rows as inserts, and "
+    "every row merely REWRITTEN by the cross-layout COW cancels — no "
+    "update pair leaks from the rewrite. The oracle recomputes the "
+    "expected change set straight from documents. At 100 TB this is "
+    "the guarantee that re-layout does not break incremental "
+    "consumers: a CDC reader tailing the table across an evolution "
+    "sees logical changes only, never the migration.",
+    priority=8,
+)
+def timetravel_evolution_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    log = _evolution_log(spark, sf)
+    return log.changes(spark, 0, 3, key_cols=["doc_id"])
+
+
 def _two_stream_view_state(spark: SparkSession, sf: str) -> str:
     """Build the two-stream join view's state ONCE per (tmpdir, sf) by
     actually running both streaming sinks availableNow over chopped

@@ -628,6 +628,55 @@ def sample_hash(spark: SparkSession, sf: str) -> DataFrame:
     return docs.where(bucket == 0).select("doc_id", "lang")
 
 
+_BOTTOMK_STRATIFIED_ORACLE = """
+SELECT event_type, d, id, value FROM (
+  SELECT event_type,
+         md5(CAST(event_id AS VARCHAR)) AS d,
+         CAST(event_id AS VARCHAR) AS id,
+         value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR))
+         ) AS rn
+  FROM events
+) t WHERE rn <= 16
+"""
+
+
+@_register(
+    "sample_bottomk_stratified",
+    _BOTTOMK_STRATIFIED_ORACLE,
+    doc="Stratified bottom-k sample (SURVEY r13 seed f): the k=16 rows "
+    "with the smallest md5(event_id) PER event_type — one "
+    "deterministic reservoir per stratum, so skewed traffic cannot "
+    "starve rare strata of sample mass (the per-language guarantee "
+    "a global hash sample cannot give). This is the batch twin of the "
+    "eighth sketch state (streaming/sinks.foreach_batch_bottomk_"
+    "stratified, merge law = per-group bottom-k of union, proven "
+    "stream==batch + replay-idempotent), so the estimator family is "
+    "hash-verified end to end. At 100 TB: one window rank partitioned "
+    "on the stratum key — a single hash exchange, never a global "
+    "sort; state ≤ k x |strata| rows.",
+    priority=8,
+)
+def sample_bottomk_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("d")
+    return (
+        ev.select(
+            "event_type",
+            F.md5(F.col("event_id").cast("string")).alias("d"),
+            F.col("event_id").cast("string").alias("id"),
+            "value",
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 16)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # r2 additions: sampling, masking, corpus stats, cohorts, multimodal oracles
 # ---------------------------------------------------------------------------

@@ -1,0 +1,302 @@
+"""Multi-table transactions (catalogtx.py): the properties a catalog
+log exists for, tested directly — atomic visibility of multi-table
+commits, snapshot-consistent multi-table reads, first-committer-wins
+for racing transactions with a clean retry, and deterministic crash
+repair in both directions (roll-forward with an intent, roll-back
+without one)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cve_manager_spark.catalogtx import CatalogConflict, CatalogLog
+from cve_manager_spark.commitlog import CommitConflict, TableLog
+
+
+def _mk_catalog(spark, tmp_path):
+    facts = spark.range(0, 100).select(
+        F.col("id").alias("f_id"),
+        (F.col("id") % 10).alias("f_cust"),
+        (F.col("id") * 2).alias("f_val"),
+    )
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("d_cust"),
+        F.concat(F.lit("seg-"), F.col("id")).alias("d_seg"),
+    )
+    fpath, dpath = tmp_path / "cat_facts", tmp_path / "cat_dim"
+    facts.coalesce(2).write.parquet(str(fpath))
+    dim.coalesce(1).write.parquet(str(dpath))
+    flog, dlog = TableLog(str(fpath)), TableLog(str(dpath))
+    flog.init()
+    dlog.init()
+    cat = CatalogLog(str(tmp_path / "cat_log"))
+    cat.init({"facts": flog, "dim": dlog})
+    return cat, flog, dlog
+
+
+def test_txn_moves_tables_atomically_and_snapshot_reads_hold(
+    spark, tmp_path
+):
+    """A facts+dim pair committed in one transaction becomes visible
+    all-at-once: mid-transaction (facts already table-committed),
+    catalog readers still see BOTH tables at the old pins; after
+    commit, both move; a read pinned at the old catalog version is
+    untouched."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    v0, pins0 = cat.snapshot()
+    before = {
+        n: sorted(tuple(r) for r in df.collect())
+        for n, df in cat.read_all(spark).items()
+    }
+
+    txn = cat.begin()
+    txn.table("facts").append(
+        spark,
+        spark.range(1000, 1010).select(
+            F.col("id").alias("f_id"),
+            (F.col("id") % 10).alias("f_cust"),
+            F.lit(0).cast("bigint").alias("f_val"),
+        ),
+    )
+    # facts table-committed, catalog NOT committed: catalog readers
+    # still see the old facts (and the old dim)
+    assert flog.latest_version() == pins0["facts"] + 1
+    mid = {
+        n: sorted(tuple(r) for r in df.collect())
+        for n, df in cat.read_all(spark).items()
+    }
+    assert mid == before
+
+    txn.table("dim").merge_upsert(
+        spark,
+        spark.range(0, 10).select(
+            F.col("id").alias("d_cust"), F.lit("moved").alias("d_seg")
+        ),
+        ["d_cust"],
+    )
+    v1 = cat.commit(txn)
+    assert v1 == v0 + 1
+    after = cat.read_all(spark)
+    assert after["facts"].count() == 110
+    assert after["dim"].where("d_seg = 'moved'").count() == 10
+    # pinned multi-table read at the OLD catalog version: consistent
+    old = {
+        n: sorted(tuple(r) for r in df.collect())
+        for n, df in cat.read_all(spark, version=v0).items()
+    }
+    assert old == before
+    # no intent debris after a clean commit
+    assert not list(cat.root.glob("intent-*.json"))
+
+
+def test_crash_between_table_publishes_leaves_readers_at_old_snapshot(
+    spark, tmp_path
+):
+    """A transaction that died after committing ONE table (no intent
+    written — the crash was mid-write): catalog readers never see the
+    half-applied state, reconcile() rolls the table back to the pinned
+    content and re-pins it, and the next transaction on that table
+    proceeds (unwedged) and commits normally."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    v0, pins0 = cat.snapshot()
+    want_facts = sorted(
+        tuple(r) for r in cat.read(spark, "facts").collect()
+    )
+
+    dead = cat.begin()
+    dead.table("facts").delete_where(spark, "f_id % 2 = 0")
+    # crash here: no dim write, no commit(), no intent
+    assert flog.latest_version() == pins0["facts"] + 1
+    assert sorted(
+        tuple(r) for r in cat.read(spark, "facts").collect()
+    ) == want_facts  # reader at the old snapshot
+
+    rep = cat.reconcile()
+    assert len(rep["rolled_back"]) == 1
+    assert rep["rolled_back"][0]["table"] == "facts"
+    assert rep["rolled_forward"] == []
+    # content restored, catalog re-pinned, reader unchanged
+    assert sorted(
+        tuple(r) for r in cat.read(spark, "facts").collect()
+    ) == want_facts
+    # idempotent: nothing left to repair
+    rep2 = cat.reconcile()
+    assert rep2 == {
+        "rolled_forward": [], "rolled_back": [], "cleared_intents": []
+    }
+
+    # unwedged: a fresh transaction on the same table commits fine
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id >= 90")
+    cat.commit(txn)
+    assert cat.read(spark, "facts").count() == 90
+
+
+def test_crash_after_intent_rolls_forward(spark, tmp_path):
+    """A transaction that died between writing its intent and
+    publishing the catalog commit: every table commit it recorded
+    exists, so reconcile() publishes the catalog commit it was about
+    to write — the transaction COMPLETES rather than aborts."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    v0, pins0 = cat.snapshot()
+
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id < 50")
+    txn.table("dim").delete_where(spark, "d_cust < 5")
+    # simulate commit() crashing right after the intent write
+    intent = cat.root / f"intent-{txn.txn_id}.json"
+    intent.write_text(json.dumps({
+        "txn": txn.txn_id,
+        "base_version": txn.base_version,
+        "base_pins": txn.pins,
+        "updates": txn.updates,
+    }))
+    assert cat.snapshot()[0] == v0  # nothing visible yet
+
+    rep = cat.reconcile()
+    assert rep["rolled_forward"] == [txn.txn_id]
+    assert rep["rolled_back"] == []
+    assert not intent.exists()
+    after = cat.read_all(spark)
+    assert after["facts"].count() == 50
+    assert after["dim"].count() == 5
+
+    # crash AFTER publish but before intent cleanup: reconcile just
+    # clears the stale intent, no new catalog commit
+    txn2 = cat.begin()
+    txn2.table("dim").append(
+        spark,
+        spark.range(100, 103).select(
+            F.col("id").alias("d_cust"), F.lit("late").alias("d_seg")
+        ),
+    )
+    v_before = cat.commit(txn2)
+    stale = cat.root / f"intent-{txn2.txn_id}.json"
+    stale.write_text(json.dumps({
+        "txn": txn2.txn_id,
+        "base_version": txn2.base_version,
+        "base_pins": txn2.pins,
+        "updates": txn2.updates,
+    }))
+    rep3 = cat.reconcile()
+    assert rep3["cleared_intents"] == [txn2.txn_id]
+    assert cat.latest_version() == v_before
+    assert not stale.exists()
+
+
+def test_racing_committers_one_winner_clean_retry(spark, tmp_path):
+    """Two transactions begun at the same catalog snapshot, both
+    updating the SAME table: the first table commit wins; the loser
+    gets CommitConflict before anything published (its staged files
+    aborted by TableLog), and a clean re-begin sees the winner's state
+    and commits on top."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+
+    t1, t2 = cat.begin(), cat.begin()
+    t1.table("dim").merge_upsert(
+        spark,
+        spark.range(0, 3).select(
+            F.col("id").alias("d_cust"), F.lit("winner").alias("d_seg")
+        ),
+        ["d_cust"],
+    )
+    with pytest.raises(CommitConflict):
+        t2.table("dim").merge_upsert(
+            spark,
+            spark.range(0, 3).select(
+                F.col("id").alias("d_cust"), F.lit("loser").alias("d_seg")
+            ),
+            ["d_cust"],
+        )
+    cat.commit(t1)
+    assert cat.read(spark, "dim").where("d_seg = 'winner'").count() == 3
+
+    # clean retry: re-begin from the fresh snapshot
+    t3 = cat.begin()
+    t3.table("dim").merge_upsert(
+        spark,
+        spark.range(0, 3).select(
+            F.col("id").alias("d_cust"), F.lit("retried").alias("d_seg")
+        ),
+        ["d_cust"],
+    )
+    cat.commit(t3)
+    dim = cat.read(spark, "dim")
+    assert dim.where("d_seg = 'retried'").count() == 3
+    assert dim.where("d_seg = 'winner'").count() == 0
+
+
+def test_disjoint_table_txns_rebase_and_both_commit(spark, tmp_path):
+    """Transactions on DISJOINT tables race only on the catalog version
+    number: the second commit rebases its pins onto the new head and
+    publishes — both transactions' effects land."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    t1, t2 = cat.begin(), cat.begin()  # same base version
+    t1.table("facts").delete_where(spark, "f_id >= 50")
+    t2.table("dim").merge_upsert(
+        spark,
+        spark.range(0, 2).select(
+            F.col("id").alias("d_cust"), F.lit("both").alias("d_seg")
+        ),
+        ["d_cust"],
+    )
+    v1 = cat.commit(t1)
+    v2 = cat.commit(t2)  # rebases: t1 moved the catalog under it
+    assert v2 == v1 + 1
+    after = cat.read_all(spark)
+    assert after["facts"].count() == 50
+    assert after["dim"].where("d_seg = 'both'").count() == 2
+
+
+def test_out_of_band_write_conflicts_then_sync_adopts(spark, tmp_path):
+    """A direct (non-transactional) TableLog write is invisible to
+    catalog readers, wedges the next transaction on that table at the
+    table level, and sync_table() adopts it — after which transactions
+    proceed."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    n0 = cat.read(spark, "dim").count()
+    dlog.append(
+        spark,
+        spark.range(500, 505).select(
+            F.col("id").alias("d_cust"), F.lit("oob").alias("d_seg")
+        ),
+    )
+    assert cat.read(spark, "dim").count() == n0  # invisible
+
+    txn = cat.begin()
+    with pytest.raises(CommitConflict):
+        txn.table("dim").append(
+            spark,
+            spark.range(600, 601).select(
+                F.col("id").alias("d_cust"), F.lit("x").alias("d_seg")
+            ),
+        )
+    cat.sync_table("dim")
+    assert cat.read(spark, "dim").count() == n0 + 5
+
+    txn2 = cat.begin()
+    txn2.table("dim").append(
+        spark,
+        spark.range(600, 601).select(
+            F.col("id").alias("d_cust"), F.lit("x").alias("d_seg")
+        ),
+    )
+    cat.commit(txn2)
+    assert cat.read(spark, "dim").count() == n0 + 6
+
+
+def test_catalog_conflict_on_out_of_band_repin(spark, tmp_path):
+    """commit() raises CatalogConflict when a pin for an updated table
+    moved out-of-band between begin() and commit() — and reconcile()
+    sweeps the conflicting transaction's table debris."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id = 0")
+    # out-of-band: someone re-pins facts (sync to the txn's own table
+    # commit is indistinguishable from any other repin at commit time)
+    cat.sync_table("facts")
+    with pytest.raises(CatalogConflict):
+        cat.commit(txn)
