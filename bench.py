@@ -160,6 +160,11 @@ HEADLINE = [
     # whose cost is pure query (the timetravel/two-stream faces build
     # scratch state on first run, so they stay out per the r8 rule)
     "epoch_shuffle_blocks",
+    # r13: the stratified reservoir's batch face — one window rank
+    # partitioned on the stratum key, the eighth sketch state's pure-
+    # query twin (timetravel_evolution_cdf stays out per the r8
+    # scratch-state rule)
+    "sample_bottomk_stratified",
 ]
 
 

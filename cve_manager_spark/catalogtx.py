@@ -207,8 +207,20 @@ class CatalogLog:
                     f"table {name!r} at {log.root} is not commit-logged "
                     "(run TableLog.init())"
                 )
-            pins[name] = {"path": str(log.root), "version": v}
+            # paths are stored RELATIVE to the catalog's parent dir, so
+            # a catalog + its tables move/rename as one tree (the same
+            # portability rule Delta/Iceberg follow with table-relative
+            # file paths); tables outside the tree fall back to their
+            # ..-relative form, which survives a whole-tree move too
+            pins[name] = {
+                "path": os.path.relpath(log.root, self.root.parent),
+                "version": v,
+            }
         return self._publish(-1, pins, "init")
+
+    def _resolve(self, path: str) -> Path:
+        p = Path(path)
+        return p if p.is_absolute() else (self.root.parent / p)
 
     def table_log(self, name: str) -> TableLog:
         head = self.latest_version()
@@ -217,7 +229,7 @@ class CatalogLog:
         pins = self._read_manifest(head)["pins"]
         if name not in pins:
             raise KeyError(f"table {name!r} not in catalog {self.root}")
-        return TableLog(pins[name]["path"])
+        return TableLog(str(self._resolve(pins[name]["path"])))
 
     def snapshot(self, version: int | None = None) -> tuple[int, dict]:
         """(catalog version, {table: pinned table version})."""
@@ -324,7 +336,7 @@ class CatalogLog:
         if name not in pins:
             raise KeyError(f"table {name!r} not in catalog {self.root}")
         pins[name]["version"] = TableLog(
-            pins[name]["path"]
+            str(self._resolve(pins[name]["path"]))
         ).latest_version()
         return self._publish(head, pins, "sync")
 

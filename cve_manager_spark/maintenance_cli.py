@@ -126,6 +126,31 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--min-cells", type=int, default=1)
     pr.add_argument("-master", dest="master", default="local[*]")
 
+    pg = sub.add_parser(
+        "catalog-status",
+        help="Multi-table catalog: current version, per-table pins, "
+        "per-table drift vs the tables' own heads, dangling intents.",
+    )
+    pg.add_argument("--catalog", required=True, help="Catalog log dir.")
+    pg.add_argument("-master", dest="master", default="local[*]")
+
+    pq = sub.add_parser(
+        "catalog-reconcile",
+        help="Repair multi-table-transaction crash debris: roll forward "
+        "intents, roll back orphaned table commits, re-pin.",
+    )
+    pq.add_argument("--catalog", required=True)
+    pq.add_argument("-master", dest="master", default="local[*]")
+
+    pz = sub.add_parser(
+        "catalog-sync",
+        help="Adopt out-of-band commits on one table into the catalog "
+        "(single-table pin advance).",
+    )
+    pz.add_argument("--catalog", required=True)
+    pz.add_argument("--table", required=True)
+    pz.add_argument("-master", dest="master", default="local[*]")
+
     args = p.parse_args(argv)
 
     from cve_manager_spark import maintenance
@@ -199,6 +224,42 @@ def main(argv: list[str] | None = None) -> int:
             ),
             path=args.path,
         )
+    elif args.cmd == "catalog-status":
+        from cve_manager_spark.catalogtx import CatalogLog
+
+        cat = CatalogLog(args.catalog)
+        v, pins = cat.snapshot()
+        tables = {}
+        for name, pin in pins.items():
+            head = cat.table_log(name).latest_version()
+            tables[name] = {
+                "pinned_version": pin,
+                "table_head": head,
+                "out_of_band_commits": head - pin,
+            }
+        out = {
+            "catalog": args.catalog,
+            "catalog_version": v,
+            "tables": tables,
+            "dangling_intents": sorted(
+                p.name for p in cat.root.glob("intent-*.json")
+            ),
+        }
+    elif args.cmd == "catalog-reconcile":
+        from cve_manager_spark.catalogtx import CatalogLog
+
+        out = dict(
+            CatalogLog(args.catalog).reconcile(), catalog=args.catalog
+        )
+    elif args.cmd == "catalog-sync":
+        from cve_manager_spark.catalogtx import CatalogLog
+
+        cat = CatalogLog(args.catalog)
+        out = {
+            "catalog": args.catalog,
+            "table": args.table,
+            "catalog_version": cat.sync_table(args.table),
+        }
     elif args.cmd == "stats":
         rows = maintenance.file_stats(spark, args.path).collect()
         counts = sorted(r.n_rows for r in rows)

@@ -409,6 +409,82 @@ def simhash_fingerprints(
     return g.select("id", fp.alias("fp"))
 
 
+def banded_self_pairs(
+    keys: DataFrame,
+    id_col: str = "id",
+    band_cols: tuple[str, ...] = ("band", "key"),
+    cap: int = 1024,
+    salt: int = 16,
+) -> DataFrame:
+    """SKEW-SAFE candidate pairs from a banded-keys relation: distinct
+    (id_a, id_b), id_a < id_b, for every pair colliding on at least one
+    band key — identical output to the naive self equi-join, without
+    its scale killer. A bucket of m ids contributes m²/2 pairs, and the
+    plain join lands ALL of them on the one task that owns the bucket's
+    key: one hot band key (boilerplate docs, tiny vocabularies,
+    near-constant fingerprints) turns the whole stage into a single
+    straggler — measured at sf1, where one bucket held the job for
+    minutes while 31 cores idled. The m² work is inherent to the
+    banding SEMANTICS (both engines compute it; the oracle mirrors it),
+    so the fix is distribution, not avoidance:
+
+    - bucket sizes come from one cheap aggregate over the keys
+      relation; buckets ≤ ``cap`` pair through the plain equi-join
+      (zero overhead for the common case);
+    - oversized buckets route through a ``salt × salt`` grid: each id
+      gets a deterministic cell coordinate crc32(id) % salt, the a-side
+      replicates across grid COLUMNS and the b-side across grid ROWS,
+      and the join key gains the (i, j) cell — every pair (x, y) meets
+      in exactly the cell (s(x), s(y)), so each task owns at most
+      (m/salt)² pairs instead of m². Replication cost is salt× the
+      OVERSIZED rows only, never the relation.
+
+    The closing distinct() collapses multi-band collisions exactly as
+    the naive form did. Deterministic: the cell assignment is a pure
+    function of the id, so results and the partitioning-invariance
+    gate are unaffected.
+
+    The keys relation is MATERIALIZED once on entry: it is referenced
+    five times below (sizes, small a/b, big a/b), and without pinning,
+    each reference replays the caller's whole signature pipeline —
+    measured at sf1 as 5 recomputed md5×num_hashes SortAggregates
+    dominating the query. The relation is tiny relative to the corpus
+    (|docs| × bands short rows — exactly what a 100 TB deployment
+    persists as its signature cache), so one eager materialization is
+    the right trade at every scale."""
+    keys = keys.localCheckpoint(eager=True)
+    bc = list(band_cols)
+    sizes = keys.groupBy(*bc).agg(F.count(F.lit(1)).alias("__m"))
+    big = sizes.where(F.col("__m") > cap).select(*bc)
+    small = keys.join(F.broadcast(big), bc, "left_anti")
+    a = small.select(F.col(id_col).alias("id_a"), *bc)
+    b = small.select(F.col(id_col).alias("id_b"), *bc)
+    cand = (
+        a.join(b, bc)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    kb = keys.join(F.broadcast(big), bc, "left_semi").withColumn(
+        "__s",
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(salt)).cast(
+            "int"
+        ),
+    )
+    grid = F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    ab = kb.select(
+        F.col(id_col).alias("id_a"), *bc, F.col("__s").alias("__i")
+    ).withColumn("__j", grid)
+    bb = kb.select(
+        F.col(id_col).alias("id_b"), *bc, F.col("__s").alias("__j")
+    ).withColumn("__i", grid)
+    big_cand = (
+        ab.join(bb, bc + ["__i", "__j"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return cand.unionByName(big_cand).distinct()
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -440,13 +516,19 @@ def simhash_near_dups(
             )
         ).alias("bk"),
     ).select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "key")
-    b = bands.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .distinct()
+    # skew-safe pairing (hot band keys — near-constant fingerprints —
+    # otherwise serialize the stage on one task); fps re-attached to the
+    # distinct id pairs afterwards, which is cheaper than carrying them
+    # through the salted grid
+    cand = banded_self_pairs(
+        bands.select("id", "band", "key"), id_col="id"
+    )
+    cand = cand.join(
+        fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a")),
+        "id_a",
+    ).join(
+        fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b")),
+        "id_b",
     )
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
@@ -553,14 +635,9 @@ def minhash_det_pairs(
     keys = sigs.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = keys.select(F.col("id").alias("id_a"), "band", "key")
-    b = keys.select(F.col("id").alias("id_b"), "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # skew-safe pairing: one hot band key (short docs over a small
+    # vocabulary share full signatures) must not serialize the stage
+    cand = banded_self_pairs(keys, id_col="id")
     pairs = cand.join(
         sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa")), "id_a"
     ).join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb")), "id_b")
@@ -730,14 +807,8 @@ def minhash_lcg_pairs(
     keys = sigs.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = keys.select(F.col("id").alias("id_a"), "band", "key")
-    b = keys.select(F.col("id").alias("id_b"), "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # skew-safe pairing: one hot band key must not serialize the stage
+    cand = banded_self_pairs(keys, id_col="id")
     pairs = cand.join(
         sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa")), "id_a"
     ).join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb")), "id_b")

@@ -18,7 +18,7 @@ from cve_manager_spark.plans.spec import Builder, QuerySpec
 # error: silently dropping a family would shrink queries()/oracle_sql() with
 # no signal and under-report coverage (numpy/pandas/pyspark.ml are baked into
 # the runtime, so an ImportError here is always a real defect).
-EXPECTED_QUERY_COUNT = 425
+EXPECTED_QUERY_COUNT = 426
 
 # Queries the round-1 driver gate hash-verified (CORRECTNESS_r01.json, all
 # green). The driver samples a PREFIX of the registry, so ordering is a
@@ -45,18 +45,30 @@ DRIVER_GREEN = frozenset({
     "array_set_ops",
     "attribution_last_touch",
     "basket_pairs",
+    "bigram_backoff_surprisal",
     "bigram_lift",
+    "bigram_surprisal_score",
+    "bloom_fp_audit",
     "bm25_topk",
+    "boilerplate_ngrams",
+    "boilerplate_segments_topk",
     "cast_date",
     "cast_to_string",
     "cdc_upsert",
+    "char_coverage_curve",
+    "char_window_source_leakage",
+    "char_window_xdoc",
     "chars_per_word_hist",
     "chunk_documents",
+    "cms_width_sweep",
+    "cohort_ltv_matrix",
     "corpus_clean",
     "corpus_profile",
     "corpus_quality_dup_matrix",
     "corr_regress",
+    "corr_surprisal_length",
     "cosine_threshold",
+    "countmin_estimate_error",
     "cumulative_unique_users",
     "customer_balance_band_profile",
     "customer_order_gap_stats",
@@ -64,6 +76,7 @@ DRIVER_GREEN = frozenset({
     "customer_repeat_rate",
     "customer_rfm",
     "customer_top_decile_concentration",
+    "dau_jaccard_consecutive",
     "dau_wau_stickiness",
     "decontam_source_summary",
     "decontaminate_ngram",
@@ -77,21 +90,26 @@ DRIVER_GREEN = frozenset({
     "dedup_incremental",
     "dedup_keyed",
     "dedup_minhash_det",
+    "dedup_modality_agreement",
     "dedup_ngram_jaccard",
     "dedup_normalized",
     "dedup_prefix",
     "dedup_savings_by_source",
     "dedup_simhash_det",
+    "dedup_survivorship_bias",
     "discount_band_revenue",
     "discount_tax_corr",
+    "distinct_bucket_occupancy",
     "doc_fingerprint",
     "doc_len_ttr_corr",
     "doc_length_histogram",
+    "doc_length_mass_bands",
     "doc_prefix_collision",
     "doc_sentence_stats",
     "dq_checks",
     "dq_freshness",
     "dq_quarantine",
+    "drift_escape_report",
     "dup_bigram_mass_by_source",
     "dup_cluster_length_stats",
     "dup_cluster_size_hist",
@@ -100,18 +118,24 @@ DRIVER_GREEN = frozenset({
     "embedding_centroid",
     "embedding_component_extremes",
     "embedding_dim_stats",
+    "embedding_drift_buckets",
     "embedding_kmeans",
     "embedding_norm_stats",
     "embedding_norm_zscore_outliers",
     "embedding_octant_occupancy",
+    "embedding_pca_power",
     "embedding_quantize",
     "embedding_sign_balance",
+    "epoch_shuffle_blocks",
     "error_rate_hourly",
+    "eval_overlap_score",
     "event_transitions",
     "event_type_share",
     "event_value_deciles_by_type",
+    "events_benford_first_digit",
     "events_burst_minutes",
     "events_churn_bands",
+    "events_cusum_extremes",
     "events_daily_new_vs_returning",
     "events_daily_top_user_share",
     "events_debounce",
@@ -122,6 +146,7 @@ DRIVER_GREEN = frozenset({
     "events_interarrival_hist",
     "events_lag1_value_autocorr",
     "events_lag_gap",
+    "events_markov_2step",
     "events_peak_hour_ratio",
     "events_retention",
     "events_session_gap_sweep",
@@ -132,6 +157,7 @@ DRIVER_GREEN = frozenset({
     "explode_conditional",
     "explode_nested",
     "explode_outer_nulls",
+    "fd_profile",
     "fill_gaps",
     "filter_conjunction",
     "filter_date_range",
@@ -142,24 +168,32 @@ DRIVER_GREEN = frozenset({
     "first_week_retention",
     "fuzzy_pairs_levenshtein",
     "gopher_quality_flags",
+    "graph_bfs_hops",
     "graph_degree_assortativity",
     "graph_degree_hist",
     "graph_kcore",
+    "graph_neighbor_jaccard",
     "group_sample_topn",
     "grouped_median_pandas",
+    "hard_negative_mining",
+    "hash_sample_quantile_error",
     "heavy_hitters",
     "histogram_fixed",
+    "hits_hubs_authorities",
     "image_dup_cluster_sizes",
     "image_phash",
     "image_phash_bit_balance",
     "image_phash_prevalence",
+    "interarrival_hazard",
     "inverted_index",
     "iqr_outliers",
     "ivf_assignments",
     "ivf_delta_assignments",
     "ivf_list_balance",
+    "ivm_rollup_delta",
     "join_anti",
     "join_asof",
+    "join_cardinality_audit",
     "join_full_reconcile",
     "join_inner_view",
     "join_interval",
@@ -169,33 +203,47 @@ DRIVER_GREEN = frozenset({
     "join_salted",
     "join_semi",
     "join_star_detail",
+    "join_view_two_stream",
     "json_extract",
     "json_schema_infer",
+    "k_anonymity_audit",
+    "kmv_set_ops_error",
     "knn_cosine",
     "knn_cosine_pandas",
     "knn_join_multi",
+    "knn_loo_accuracy",
     "knn_per_label",
+    "l_diversity_audit",
     "label_centroid_cosine",
     "label_collapse_rare",
     "label_pair_centroid_dist",
     "lang_confusion_audit",
     "lang_source_gini",
+    "langid_confusion",
     "late_data_audit",
+    "length_ks_by_source",
     "limit_1",
     "lines_per_order_hist",
+    "logbucket_quantile_error",
     "longest_doc_per_lang",
     "longest_streak",
+    "markov_conditional_entropy",
     "max_concurrency",
+    "max_trigram_repeat",
     "median_exact",
     "minhash_band_fp_rate",
     "minhash_band_stats",
+    "minhash_estimate_error",
+    "minhash_incremental_dups",
     "mix_budget",
+    "mix_temperature",
     "monthly_revenue_momentum",
     "multimodal_audio_energy",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_thumbnail",
     "nation_actor_presence",
+    "nation_balance_sheet",
     "nation_supplier_customer_ratio",
     "nation_top3_customers",
     "nation_trade_balance",
@@ -205,6 +253,7 @@ DRIVER_GREEN = frozenset({
     "null_fallback",
     "order_size_histogram",
     "order_value_band_matrix",
+    "order_value_gini_by_segment",
     "orders_backlog_aging",
     "orders_monthly_seasonality",
     "orders_monthly_yoy",
@@ -212,6 +261,7 @@ DRIVER_GREEN = frozenset({
     "orders_quarterly_priority_trend",
     "orders_status_priority_matrix",
     "pack_sequences",
+    "packing_utilization",
     "pagerank_links",
     "part_brand_size_stats",
     "part_min_price_per_type",
@@ -220,11 +270,19 @@ DRIVER_GREEN = frozenset({
     "part_supplier_degree_hist",
     "part_type_price_iqr",
     "part_type_share",
+    "pca_projection_by_label",
+    "pca_residual_norms",
+    "pca_topr_residual_norms",
+    "perplexity_filter_rate",
     "phash_hamming_hist",
     "pii_density_by_source",
     "posexplode_index",
     "pq_code_balance",
     "pq_codes",
+    "pq_reconstruction_error",
+    "pq_subspace_balance",
+    "prefix_bucket_sizes",
+    "prefix_source_flow",
     "price_band_discount_profile",
     "project_cols",
     "project_nested",
@@ -232,19 +290,34 @@ DRIVER_GREEN = frozenset({
     "quality_by_source_profile",
     "quality_classifier_score",
     "quality_flag_cooccurrence",
+    "quality_importance_sample",
     "quality_length_calibration",
     "quality_score_deciles",
+    "quality_threshold_sweep",
     "quantile_exact",
     "quantity_mode_by_flag",
+    "quasi_id_uniqueness",
     "regexp_extract_numbers",
     "retention_cohort",
     "returned_share_by_brand",
+    "rolling_7d_median_events",
     "rolling_active_users",
     "rollup_cascade",
     "sample_hash",
+    "sample_size_quantile_sweep",
+    "scd2_asof_lookup",
+    "scd2_asof_tolerance",
     "scd2_intervals",
+    "seasonal_decompose_dow",
+    "seasonal_naive_backtest",
+    "segment_dedup_savings",
     "segment_priority_mix",
+    "segment_value_profile",
+    "semantic_cell_drift",
+    "semantic_decontamination",
     "semantic_dedup",
+    "semantic_dedup_frozen_keep",
+    "semantic_dedup_incremental",
     "semantic_dedup_keep",
     "session_duration_hist",
     "sessionize_stats",
@@ -253,6 +326,7 @@ DRIVER_GREEN = frozenset({
     "shard_balance_audit",
     "shingle_containment",
     "shingle_novelty",
+    "shingle_size_sweep",
     "ship_delay_quartiles",
     "shipping_delay_stats",
     "slow_fulfillment_share",
@@ -260,10 +334,12 @@ DRIVER_GREEN = frozenset({
     "sort_topk",
     "source_lang_matrix",
     "source_ngram_novelty",
+    "source_unigram_kl",
     "source_vocab_overlap",
     "split_assign_3way",
     "split_drift_topwords",
     "split_dup_leakage",
+    "split_psi",
     "sql_tpch_q1",
     "sql_tpch_q10",
     "sql_tpch_q11",
@@ -288,6 +364,7 @@ DRIVER_GREEN = frozenset({
     "sql_tpch_q9",
     "stop_shingle_report",
     "stopword_profile",
+    "stopword_surprisal_split",
     "str_concat_fold",
     "str_isdigit",
     "str_replace",
@@ -296,7 +373,11 @@ DRIVER_GREEN = frozenset({
     "supplier_balance_decile",
     "supplier_balance_health",
     "supplier_coverage",
+    "supplier_hhi_by_nation",
     "supplier_nation_balance_share",
+    "surprisal_contamination_interaction",
+    "surprisal_quality_matrix",
+    "t_closeness_audit",
     "table_profile",
     "text_char_class_profile",
     "text_digit_density",
@@ -313,17 +394,27 @@ DRIVER_GREEN = frozenset({
     "text_top_terms",
     "text_ttr_by_source",
     "text_word_len_profile",
+    "timetravel_changes",
+    "timetravel_partition_evolution",
+    "timetravel_pruned_scan",
+    "timetravel_snapshot_diff",
+    "timetravel_version_counts",
     "token_budget_by_source",
     "token_count",
+    "token_gini_by_source",
     "token_len_histogram",
     "tokenizer_fertility",
+    "tokens_per_kchar_bands",
     "top_customer_by_priority",
     "top_ngram_per_lang",
     "top_word_mass_bands",
     "triangle_count",
+    "trigram_novelty_by_source",
     "unigram_entropy_by_lang",
+    "unigram_surprisal_bands",
     "union_all",
     "unpivot_melt",
+    "user_event_entropy",
     "user_inter_event_cv",
     "user_profile",
     "user_type_gini",
@@ -332,6 +423,7 @@ DRIVER_GREEN = frozenset({
     "vocab_growth_curve",
     "weekly_order_growth",
     "weighted_median",
+    "window_cume_dist",
     "window_first_last",
     "window_ntile",
     "window_percent_rank",
@@ -346,6 +438,7 @@ DRIVER_GREEN = frozenset({
     "word_df_zipf_buckets",
     "word_len_hist",
     "word_position_profile",
+    "zipf_band_slope_by_source",
 })
 
 

@@ -105,9 +105,13 @@ FLAGSHIP = {
     "timetravel_changes": "manifest-delta CDF: only files entering/leaving the manifest scan; keyed full-outer classify with rewritten-unchanged rows cancelled — cost rides changed data, never the table",
     "timetravel_partition_evolution": "r12: mixed-layout snapshot read — one scan per path-declared layout group (hive group recovers bucket from directories, flat group from data), unioned and projected to manifest schema order",
     "join_view_two_stream": "r12: drained two-stream IVM view — per-bucket-newest overlay composition; the streaming maintenance already paid the joins, the read is a pruned parquet scan",
-    "epoch_shuffle_blocks": "r12: per-epoch md5 rank — two digest sorts (range-partitioned at scale, never a driver sort) joined on doc_id; block arithmetic all-integer",
+    "epoch_shuffle_blocks": "r13: per-epoch md5 rank via PURE digest-prefix buckets (hashpartitioning(bkt), no sampled RangePartitioner — deterministic across actions/retries); per-bucket row_number + driver prefix offsets; block arithmetic all-integer",
     "graph_bfs_hops": "r12: level-synchronous BFS — per round, frontier-only hash join against checkpointed edges + anti-join visited; round count = hop bound, never diameter",
-    "timetravel_pruned_scan": "r12: zone-map data skipping — manifest files pruned driver-side on cached footer [min,max] before any listing; kept files still carry the filter",
+    "timetravel_pruned_scan": "r12: zone-map data skipping — manifest files pruned driver-side on commit-time [min,max] stats before any listing; kept files still carry the filter",
+    "dedup_minhash_det": "r13: skew-safe banded pair join — buckets ≤ cap through the plain equi-join, oversized buckets through a salt×salt grid (each task owns ≤ (m/salt)² pairs, never m²); exact-Jaccard verify on distinct candidates",
+    "sample_bottomk_stratified": "r13: per-stratum bottom-k-by-md5 — one window rank hash-partitioned on the stratum key, never a global sort; batch twin of the eighth sketch state",
+    "catalog_txn_snapshot": "r13: consistent multi-table read through the catalog log — each table scans exactly its pinned manifest's files; the join sees one atomic (facts, dim) version pair",
+    "timetravel_evolution_cdf": "r13: CDF across a partition-evolution boundary — flat from-side vs mixed-layout to-side aligned per path-declared layout group; keyed net diff, rewritten-unchanged rows cancel across layouts",
 }
 
 

@@ -288,6 +288,30 @@ def test_out_of_band_write_conflicts_then_sync_adopts(spark, tmp_path):
     assert cat.read(spark, "dim").count() == n0 + 6
 
 
+def test_catalog_survives_whole_tree_move(spark, tmp_path):
+    """Table paths are stored relative to the catalog's parent, so a
+    catalog + its tables move/rename as one tree — the portability
+    rule that lets scratch-built catalogs publish by atomic rename."""
+    import shutil
+
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id >= 50")
+    cat.commit(txn)
+    moved = tmp_path / "relocated"
+    moved.mkdir()
+    for p in ("cat_facts", "cat_dim", "cat_log"):
+        shutil.move(str(tmp_path / p), str(moved / p))
+    cat2 = CatalogLog(str(moved / "cat_log"))
+    assert cat2.read(spark, "facts").count() == 50
+    snap = cat2.read_all(spark)
+    assert set(snap) == {"facts", "dim"}
+    txn2 = cat2.begin()
+    txn2.table("dim").delete_where(spark, "d_cust >= 5")
+    cat2.commit(txn2)
+    assert cat2.read(spark, "dim").count() == 5
+
+
 def test_catalog_conflict_on_out_of_band_repin(spark, tmp_path):
     """commit() raises CatalogConflict when a pin for an updated table
     moved out-of-band between begin() and commit() — and reconcile()

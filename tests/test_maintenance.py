@@ -966,3 +966,60 @@ def test_maintenance_cli_drift_retrain_end_to_end(spark, tmp_path, capsys):
     )
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["rebuilt"] is False
+
+
+def test_maintenance_cli_catalog_commands_end_to_end(spark, tmp_path, capsys):
+    """CLI drive of the multi-table catalog: status reports pins and
+    out-of-band drift, reconcile repairs crash debris (one JSON line),
+    sync adopts a direct write."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from cve_manager_spark import maintenance_cli
+    from cve_manager_spark.catalogtx import CatalogLog
+    from cve_manager_spark.commitlog import TableLog
+
+    fpath, dpath = tmp_path / "cli_cat_f", tmp_path / "cli_cat_d"
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v").write.parquet(
+        str(fpath)
+    )
+    spark.range(0, 10).selectExpr(
+        "id AS dk", "concat('s', id) AS seg"
+    ).write.parquet(str(dpath))
+    flog, dlog = TableLog(str(fpath)), TableLog(str(dpath))
+    flog.init()
+    dlog.init()
+    cat = CatalogLog(str(tmp_path / "cli_cat_log"))
+    cat.init({"facts": flog, "dim": dlog})
+
+    # crash debris: a transaction table-commits then dies
+    dead = cat.begin()
+    dead.table("facts").delete_where(spark, "k % 2 = 0")
+
+    assert maintenance_cli.main(
+        ["catalog-status", "--catalog", str(cat.root)]
+    ) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["tables"]["facts"]["out_of_band_commits"] == 1
+    assert st["tables"]["dim"]["out_of_band_commits"] == 0
+
+    assert maintenance_cli.main(
+        ["catalog-reconcile", "--catalog", str(cat.root)]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["rolled_back"]) == 1
+    assert cat.read(spark, "facts").count() == 100  # debris rolled back
+
+    # out-of-band direct write, adopted by catalog-sync
+    dlog.append(
+        spark,
+        spark.range(10, 12).selectExpr("id AS dk", "concat('s', id) AS seg"),
+    )
+    assert cat.read(spark, "dim").count() == 10
+    assert maintenance_cli.main(
+        ["catalog-sync", "--catalog", str(cat.root), "--table", "dim"]
+    ) == 0
+    sy = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sy["table"] == "dim"
+    assert cat.read(spark, "dim").count() == 12

@@ -509,3 +509,45 @@ def test_pca_topr_deflation_and_drift_component(spark):
 
     assert var_of(v2) < var_of(v1)
     assert drift_projection(emb, mu1, got_v2).count() == emb.count()
+
+
+def test_banded_self_pairs_equals_naive_join_under_skew(spark):
+    """The skew-safe candidate generator must emit EXACTLY the naive
+    self-equi-join's pair set — on a relation with one hot bucket well
+    past the cap (the salted-grid path), several small buckets (the
+    plain path), and ids in both — and each pair exactly once."""
+    from pyspark.sql import functions as F
+
+    from cve_manager_spark.operators.dedup import banded_self_pairs
+
+    hot = spark.range(0, 300).select(
+        F.col("id"), F.lit(0).alias("band"), F.lit("HOT").alias("key")
+    )
+    cold = spark.range(200, 500).select(
+        F.col("id"),
+        F.lit(1).alias("band"),
+        F.concat(F.lit("c"), (F.col("id") % 40).cast("string")).alias(
+            "key"
+        ),
+    )
+    keys = hot.unionByName(cold)
+
+    a = keys.select(F.col("id").alias("id_a"), "band", "key")
+    b = keys.select(F.col("id").alias("id_b"), "band", "key")
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    got = [
+        (r["id_a"], r["id_b"])
+        for r in banded_self_pairs(keys, id_col="id", cap=64, salt=4)
+        .collect()
+    ]
+    assert len(got) == len(set(got))  # exactly once
+    assert set(got) == naive
+    # the hot bucket really exceeded the cap (salted path exercised)
+    assert 300 > 64 and len(naive) >= 300 * 299 // 2
