@@ -5034,3 +5034,26 @@ def timetravel_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     df, report = read_pruned(log, spark, "doc_id", lo=100, hi=299)
     assert report["files_pruned"] > 0, report  # skipping must engage
     return df.select("doc_id", "digest")
+
+
+@_register(
+    "timetravel_pruned_auto",
+    _ZONEMAP_ORACLE,
+    doc="r13 face of the same zone maps through the AUTOMATIC path: "
+    "TableLog.read(where={doc_id: (lo, hi)}) consults the commit-time "
+    "stats without the caller ever naming read_pruned — the builder "
+    "asserts the scan's input files shrank below the manifest's file "
+    "count, so the face fails if auto-consult regresses to a full "
+    "scan. Same oracle as timetravel_pruned_scan (the two paths must "
+    "agree with the raw recompute AND each other). At 100 TB this is "
+    "the difference between an optimization users must know about and "
+    "one the table applies for every bounded read.",
+    priority=8,
+)
+def timetravel_pruned_auto(spark: SparkSession, sf: str) -> DataFrame:
+    log = _zonemap_log(spark, sf)
+    df = log.read(spark, where={"doc_id": (100, 299)})
+    _, files = log.snapshot()
+    n_in = len(df.select("doc_id", "digest").inputFiles())
+    assert 0 < n_in < len(files), (n_in, len(files))
+    return df.select("doc_id", "digest")
