@@ -349,6 +349,18 @@ def main() -> None:
         "n_passes": n_passes,
         "sf": sf,
         "notes": {
+            "r13_run": "93.99s over 89 headliners (r12 committed: 97.76 "
+            "over 88); steal 7.9/2.9/3.1 core-s per pass (final ~0.1%), "
+            "no query regressed >1.5x vs r12. New headliner "
+            "sample_bottomk_stratified 0.37s (one stratum-keyed window "
+            "rank). epoch_shuffle_blocks 1.1->0.68s: the r13 "
+            "digest-prefix-bucket ranking drops the RangePartitioner's "
+            "sampling job along with its cross-action hazard. "
+            "hash_sample_quantile_error 0.81s and dedup_image_phash "
+            "0.56s in-suite (watchlist: healthy). sf1 pricing for the "
+            "dedup/graph/ANN families "
+            "lives in SF1_DIFFERENTIAL.json (20/20 hash-match at 10x "
+            "driver scale).",
             "r12_weak_flags_cleared": "both r11 weak flags structurally "
             "resolved: dedup_image_phash 0.61s IN-SUITE (was 7.5-11.5 — "
             "the pHash fingerprint relation is now a materialized "
