@@ -4687,22 +4687,26 @@ def _catalog_tx_scratch(spark: SparkSession, sf: str) -> str:
     multi-table protocol so the face hash-verifies it end to end:
 
     - facts = orders → (o_orderkey, o_custkey, total_cents BIGINT),
-      dim = customer → (c_custkey, c_mktsegment); both TableLog'd,
-      catalog v0 pins them;
-    - ONE transaction commits a facts purge (o_orderkey % 7 = 0) AND a
-      dim segment rewrite (c_custkey % 4 = 0 → 'REWRITTEN')
-      atomically;
+      dim = customer → (c_custkey, c_mktsegment), view = the
+      MATERIALIZED facts ⋈ dim; all three TableLog'd, catalog v0 pins
+      them;
+    - ONE transaction commits a facts purge (o_orderkey % 7 = 0), a
+      dim segment rewrite (c_custkey % 4 = 0 → 'REWRITTEN'), AND the
+      view re-materialized from the transaction's own reads —
+      sources and view move atomically;
     - a SECOND transaction table-commits a facts purge of every even
-      order, then 'crashes' (no catalog commit, no intent) — its rows
-      must never reach a catalog reader;
-    - reconcile() rolls the debris back and re-pins.
+      order and a matching view overwrite, then 'crashes' (no catalog
+      commit, no intent) — neither half may reach a catalog reader;
+    - reconcile() rolls the debris back AS A UNIT and re-pins.
 
-    The face reads through the final catalog snapshot; the oracle
-    recomputes from orders/customer with only the COMMITTED effects —
-    a reconcile bug (debris leaking, or rollback losing data) is a
-    hash mismatch, not just a failing unit test. Same scratch-dir
-    atomic-rename discipline as ``_evolution_log`` (catalog table
-    paths are parent-relative, so the whole tree renames as one)."""
+    Two faces read through the final catalog snapshot against ONE
+    oracle (the committed effects recomputed from orders/customer):
+    ``catalog_txn_snapshot`` joins facts ⋈ dim, ``catalog_view_atomic``
+    reads the materialized view — so view-vs-source divergence, debris
+    leaking, or a rollback losing data is a hash mismatch, not just a
+    failing unit test. Same scratch-dir atomic-rename discipline as
+    ``_evolution_log`` (catalog table paths are parent-relative, so
+    the whole tree renames as one)."""
     import os
     import shutil
     import tempfile
@@ -4720,21 +4724,26 @@ def _catalog_tx_scratch(spark: SparkSession, sf: str) -> str:
     cust = load_table(spark, sf, "customer")
     build = Path(tempfile.mkdtemp(prefix="cve_spark_cattx_build_")) / "tree"
     build.mkdir(parents=True)
-    orders.select(
+    facts_df = orders.select(
         "o_orderkey",
         "o_custkey",
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
             "total_cents"
         ),
-    ).write.parquet(str(build / "facts"))
-    cust.select("c_custkey", "c_mktsegment").write.parquet(
-        str(build / "dim")
     )
+    dim_df = cust.select("c_custkey", "c_mktsegment")
+    facts_df.write.parquet(str(build / "facts"))
+    dim_df.write.parquet(str(build / "dim"))
+    facts_df.join(
+        dim_df, F.col("o_custkey") == F.col("c_custkey")
+    ).write.parquet(str(build / "view"))
     flog, dlog = TableLog(str(build / "facts")), TableLog(str(build / "dim"))
+    vlog = TableLog(str(build / "view"))
     flog.init()
     dlog.init()
+    vlog.init()
     cat = CatalogLog(str(build / "catalog"))
-    cat.init({"facts": flog, "dim": dlog})
+    cat.init({"facts": flog, "dim": dlog, "view": vlog})
 
     txn = cat.begin()
     txn.table("facts").delete_where(spark, "o_orderkey % 7 = 0")
@@ -4745,11 +4754,25 @@ def _catalog_tx_scratch(spark: SparkSession, sf: str) -> str:
         .withColumn("c_mktsegment", F.lit("REWRITTEN")),
         ["c_custkey"],
     )
+    txn.table("view").overwrite(
+        spark,
+        txn.table("facts").read(spark).join(
+            txn.table("dim").read(spark),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ),
+    )
     cat.commit(txn)
 
     crashed = cat.begin()
     crashed.table("facts").delete_where(spark, "o_orderkey % 2 = 0")
-    # crash: no commit(), no intent — table debris only
+    crashed.table("view").overwrite(
+        spark,
+        crashed.table("facts").read(spark).join(
+            crashed.table("dim").read(spark),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ),
+    )
+    # crash: no commit(), no intent — two-table debris, one unit
     cat.reconcile()
     (build / "_done").write_text("ok")
 
@@ -4800,6 +4823,32 @@ def catalog_txn_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         snap["dim"],
         F.col("o_custkey") == F.col("c_custkey"),
     ).select("o_orderkey", "o_custkey", "total_cents", "c_mktsegment")
+
+
+@_register(
+    "catalog_view_atomic",
+    _CATALOG_TXN_ORACLE,
+    doc="The catalog's motivating scenario as its own face: a "
+    "MATERIALIZED VIEW registered as a third catalog table and "
+    "re-materialized IN THE SAME transaction as the source writes it "
+    "reflects — then a crashed facts+view transaction rolled back as "
+    "a unit by reconcile(). The face reads the VIEW through the final "
+    "catalog snapshot against the SAME oracle as catalog_txn_snapshot "
+    "(facts ⋈ dim with only the committed effects), so any atomicity "
+    "break — the view lagging its sources, half a crashed transaction "
+    "leaking, rollback losing rows — is a hash mismatch between the "
+    "view and the recompute. At 100 TB this is the materialized-view "
+    "refresh pattern: staging (the join) runs fully parallel, and "
+    "visibility is one O(#tables) catalog hard-link.",
+    priority=8,
+)
+def catalog_view_atomic(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.catalogtx import CatalogLog
+
+    cat = CatalogLog(_catalog_tx_scratch(spark, sf))
+    return cat.read(spark, "view").select(
+        "o_orderkey", "o_custkey", "total_cents", "c_mktsegment"
+    )
 
 
 def _two_stream_view_state(spark: SparkSession, sf: str) -> str:

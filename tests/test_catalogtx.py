@@ -312,6 +312,95 @@ def test_catalog_survives_whole_tree_move(spark, tmp_path):
     assert cat2.read(spark, "dim").count() == 5
 
 
+def test_facts_dim_view_move_atomically(spark, tmp_path):
+    """The motivating scenario for the catalog: a MATERIALIZED VIEW
+    registered as a third table moves in the SAME transaction as the
+    source writes it reflects — at every observable catalog version,
+    view == facts ⋈ dim of that same version. Mid-transaction (facts
+    and view table-committed, catalog not), readers still see the old
+    CONSISTENT triple; a crashed source+view transaction is rolled
+    back as a unit by reconcile()."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    join_cond = F.col("f_cust") == F.col("d_cust")
+
+    def recompute(txn=None):
+        src = txn if txn is not None else cat
+        if txn is not None:
+            f, d = txn.table("facts").read(spark), txn.table("dim").read(spark)
+        else:
+            snap = cat.read_all(spark)
+            f, d = snap["facts"], snap["dim"]
+        return f.join(d, join_cond)
+
+    # register the view as a third catalog table (initial materialize)
+    vpath = tmp_path / "cat_view"
+    recompute().write.parquet(str(vpath))
+    vlog = TableLog(str(vpath))
+    vlog.init()
+    cat2 = CatalogLog(str(tmp_path / "cat_log2"))
+    cat2.init({"facts": flog, "dim": dlog, "view": vlog})
+
+    def consistent(version=None):
+        snap = cat2.read_all(spark, version=version)
+        want = sorted(
+            tuple(r)
+            for r in snap["facts"].join(snap["dim"], join_cond).collect()
+        )
+        got = sorted(tuple(r) for r in snap["view"].collect())
+        assert got == want
+
+    consistent()
+    v0 = cat2.latest_version()
+
+    # one transaction: purge facts, rewrite dim, re-materialize view
+    txn = cat2.begin()
+    txn.table("facts").delete_where(spark, "f_id % 3 = 0")
+    txn.table("dim").merge_upsert(
+        spark,
+        txn.table("dim").read(spark)
+        .where("d_cust < 3")
+        .withColumn("d_seg", F.lit("moved")),
+        ["d_cust"],
+    )
+    fresh = txn.table("facts").read(spark).join(
+        txn.table("dim").read(spark), join_cond
+    )
+    # MID-TXN: facts+dim table-committed, view about to be — catalog
+    # readers still see the OLD consistent triple
+    consistent()
+    txn.table("view").overwrite(spark, fresh)
+    consistent()  # still the old triple: catalog not committed
+    cat2.commit(txn)
+    consistent()  # the new triple, atomically
+    assert cat2.read(spark, "view").where("d_seg = 'moved'").count() > 0
+    consistent(version=v0)  # time travel: the old triple stays intact
+
+    # crashed source+view transaction: rolled back AS A UNIT
+    dead = cat2.begin()
+    dead.table("facts").delete_where(spark, "f_id % 2 = 0")
+    dead.table("view").overwrite(
+        spark,
+        dead.table("facts").read(spark).join(
+            dead.table("dim").read(spark), join_cond
+        ),
+    )
+    consistent()  # nothing leaked
+    rep = cat2.reconcile()
+    assert {r["table"] for r in rep["rolled_back"]} == {"facts", "view"}
+    consistent()
+    # and the next transaction proceeds cleanly on both tables
+    txn3 = cat2.begin()
+    txn3.table("facts").delete_where(spark, "f_id >= 90")
+    txn3.table("view").overwrite(
+        spark,
+        txn3.table("facts").read(spark).join(
+            txn3.table("dim").read(spark), join_cond
+        ),
+    )
+    cat2.commit(txn3)
+    consistent()
+
+
 def test_catalog_conflict_on_out_of_band_repin(spark, tmp_path):
     """commit() raises CatalogConflict when a pin for an updated table
     moved out-of-band between begin() and commit() — and reconcile()
