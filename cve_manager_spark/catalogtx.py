@@ -340,6 +340,51 @@ class CatalogLog:
         ).latest_version()
         return self._publish(head, pins, "sync")
 
+    def vacuum(
+        self, keep_versions: int = 2, min_age_seconds: float = 600.0
+    ) -> dict:
+        """Catalog-aware retention — the ONLY safe way to vacuum tables
+        under a catalog: a direct ``TableLog.vacuum`` counts manifests
+        from the table's own head and can silently drop a version an
+        OLDER CATALOG SNAPSHOT still pins, breaking multi-table time
+        travel. This composition drops catalog manifests beyond the
+        newest ``keep_versions``, then vacuums each table keeping
+        every version at or above the MINIMUM pin across the
+        SURVIVING catalog manifests — so every readable catalog
+        snapshot keeps every table version it references. In-flight
+        transactions are safe: their table commits are newer than any
+        pin (always kept), and ``min_age_seconds`` guards staged files
+        exactly as in ``TableLog.vacuum``."""
+        vs = self.versions()
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        keep = vs[-keep_versions:]
+        dropped = 0
+        for v in vs:
+            if v not in keep:
+                _cat_manifest(self.root, v).unlink()
+                dropped += 1
+        floors: dict[str, int] = {}
+        paths: dict[str, str] = {}
+        for v in keep:
+            for name, p in self._read_manifest(v)["pins"].items():
+                floors[name] = min(
+                    floors.get(name, p["version"]), p["version"]
+                )
+                paths[name] = p["path"]
+        report: dict = {
+            "dropped_catalog_manifests": dropped,
+            "tables": {},
+        }
+        for name, floor in floors.items():
+            log = TableLog(str(self._resolve(paths[name])))
+            n_keep = len([x for x in log.versions() if x >= floor])
+            report["tables"][name] = log.vacuum(
+                keep_versions=max(n_keep, 1),
+                min_age_seconds=min_age_seconds,
+            )
+        return report
+
     # -- crash repair --------------------------------------------------
 
     def _txn_committed(self, txn_id: str) -> bool:

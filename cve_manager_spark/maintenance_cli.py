@@ -151,6 +151,18 @@ def main(argv: list[str] | None = None) -> int:
     pz.add_argument("--table", required=True)
     pz.add_argument("-master", dest="master", default="local[*]")
 
+    pv = sub.add_parser(
+        "catalog-vacuum",
+        help="Catalog-aware retention: drop old catalog versions, then "
+        "vacuum each table keeping every version a surviving catalog "
+        "snapshot still pins (the only safe table vacuum under a "
+        "catalog).",
+    )
+    pv.add_argument("--catalog", required=True)
+    pv.add_argument("--keep", type=int, default=2)
+    pv.add_argument("--min-age", type=float, default=600.0)
+    pv.add_argument("-master", dest="master", default="local[*]")
+
     args = p.parse_args(argv)
 
     from cve_manager_spark import maintenance
@@ -260,6 +272,15 @@ def main(argv: list[str] | None = None) -> int:
             "table": args.table,
             "catalog_version": cat.sync_table(args.table),
         }
+    elif args.cmd == "catalog-vacuum":
+        from cve_manager_spark.catalogtx import CatalogLog
+
+        out = dict(
+            CatalogLog(args.catalog).vacuum(
+                keep_versions=args.keep, min_age_seconds=args.min_age
+            ),
+            catalog=args.catalog,
+        )
     elif args.cmd == "stats":
         rows = maintenance.file_stats(spark, args.path).collect()
         counts = sorted(r.n_rows for r in rows)

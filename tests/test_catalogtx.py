@@ -401,6 +401,57 @@ def test_facts_dim_view_move_atomically(spark, tmp_path):
     consistent()
 
 
+def test_catalog_vacuum_preserves_surviving_snapshot_pins(spark, tmp_path):
+    """Catalog-aware retention: dropping old catalog versions vacuums
+    each table down to the MINIMUM pin the surviving catalog snapshots
+    still reference — every readable snapshot keeps every table
+    version it pins (full multi-table reads still collect), dropped
+    snapshots fail loudly, and the table versions BELOW the floor are
+    actually reclaimed (a direct TableLog.vacuum keyed on the table's
+    own head could not make that guarantee for pinned history)."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+
+    for i in range(3):
+        txn = cat.begin()
+        txn.table("facts").delete_where(spark, f"f_id % 17 = {i}")
+        txn.table("dim").merge_upsert(
+            spark,
+            spark.range(0, 2).select(
+                F.col("id").alias("d_cust"),
+                F.lit(f"gen{i}").alias("d_seg"),
+            ),
+            ["d_cust"],
+        )
+        cat.commit(txn)
+    vs = cat.versions()
+    assert len(vs) == 4  # init + 3 txns
+    want = {
+        v: {
+            n: sorted(tuple(r) for r in df.collect())
+            for n, df in cat.read_all(spark, version=v).items()
+        }
+        for v in vs[-2:]
+    }
+    f_floor = cat.snapshot(vs[-2])[1]["facts"]
+
+    rep = cat.vacuum(keep_versions=2, min_age_seconds=0)
+    assert rep["dropped_catalog_manifests"] == 2
+    assert cat.versions() == vs[-2:]
+    # surviving snapshots read back in full, bit-identical
+    for v in vs[-2:]:
+        got = {
+            n: sorted(tuple(r) for r in df.collect())
+            for n, df in cat.read_all(spark, version=v).items()
+        }
+        assert got == want[v]
+    # dropped snapshot: loud failure
+    with pytest.raises(ValueError):
+        cat.read_all(spark, version=vs[0])
+    # pre-floor table history actually reclaimed
+    assert min(flog.versions()) == f_floor
+    assert rep["tables"]["facts"]["dropped_manifests"] >= 1
+
+
 def test_catalog_conflict_on_out_of_band_repin(spark, tmp_path):
     """commit() raises CatalogConflict when a pin for an updated table
     moved out-of-band between begin() and commit() — and reconcile()

@@ -1023,3 +1023,35 @@ def test_maintenance_cli_catalog_commands_end_to_end(spark, tmp_path, capsys):
     sy = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert sy["table"] == "dim"
     assert cat.read(spark, "dim").count() == 12
+
+
+def test_maintenance_cli_catalog_vacuum(spark, tmp_path, capsys):
+    """CLI drive of catalog-aware retention: one JSON line with the
+    dropped catalog manifests and per-table reclaim counts; surviving
+    snapshot still reads."""
+    import json
+
+    from cve_manager_spark import maintenance_cli
+    from cve_manager_spark.catalogtx import CatalogLog
+    from cve_manager_spark.commitlog import TableLog
+
+    fpath = tmp_path / "cliv_f"
+    spark.range(0, 50).selectExpr("id AS k", "id AS v").write.parquet(
+        str(fpath)
+    )
+    flog = TableLog(str(fpath))
+    flog.init()
+    cat = CatalogLog(str(tmp_path / "cliv_log"))
+    cat.init({"facts": flog})
+    for i in range(2):
+        txn = cat.begin()
+        txn.table("facts").delete_where(spark, f"k % 10 = {i}")
+        cat.commit(txn)
+
+    assert maintenance_cli.main(
+        ["catalog-vacuum", "--catalog", str(cat.root), "--keep", "1",
+         "--min-age", "0"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["dropped_catalog_manifests"] == 2
+    assert cat.read(spark, "facts").count() == 40
