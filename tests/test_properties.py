@@ -310,3 +310,51 @@ def test_bpe_apply_prefix_monotonicity(spark, texts, n_merges):
         if prev is not None:
             assert all(counts[i] <= prev[i] for i in counts)
         prev = counts
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    buckets=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 120)),
+        min_size=1,
+        max_size=6,
+    ),
+    cap=st.integers(2, 64),
+    salt=st.sampled_from([2, 3, 4, 8]),
+)
+def test_banded_self_pairs_property_equals_naive(spark, buckets, cap, salt):
+    """Property: for ANY bucket structure (sizes spanning both sides of
+    the cap, ids shared across buckets), cap, and salt width,
+    banded_self_pairs emits exactly the naive self-equi-join's pair
+    set, each pair once."""
+    from pyspark.sql import functions as F
+
+    from cve_manager_spark.operators.dedup import banded_self_pairs
+
+    rows = []
+    next_id = 0
+    for i, (band, m) in enumerate(buckets):
+        ids = []
+        for j in range(m):
+            # overlap ids across buckets every third row
+            ids.append(next_id if j % 3 else max(0, next_id - 5))
+            next_id += 1
+        rows += [(x, band, f"k{i}") for x in ids]
+    keys = spark.createDataFrame(rows, "id long, band int, key string")
+    a = keys.select(F.col("id").alias("id_a"), "band", "key")
+    b = keys.select(F.col("id").alias("id_b"), "band", "key")
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    got = [
+        (r["id_a"], r["id_b"])
+        for r in banded_self_pairs(keys, id_col="id", cap=cap, salt=salt)
+        .collect()
+    ]
+    assert len(got) == len(set(got))
+    assert set(got) == naive
