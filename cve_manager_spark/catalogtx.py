@@ -231,8 +231,16 @@ class CatalogLog:
             raise KeyError(f"table {name!r} not in catalog {self.root}")
         return TableLog(str(self._resolve(pins[name]["path"])))
 
-    def snapshot(self, version: int | None = None) -> tuple[int, dict]:
-        """(catalog version, {table: pinned table version})."""
+    def snapshot(
+        self, version: int | None = None, tag: str | None = None
+    ) -> tuple[int, dict]:
+        """(catalog version, {table: pinned table version}). ``tag``
+        resolves a named snapshot (mutually exclusive with
+        ``version``)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self._tag_version(tag)
         v = self.latest_version() if version is None else version
         if v is None or not _cat_manifest(self.root, v).exists():
             raise ValueError(
@@ -241,20 +249,70 @@ class CatalogLog:
         pins = self._read_manifest(v)["pins"]
         return v, {n: p["version"] for n, p in pins.items()}
 
+    # -- tags: immutable named snapshots -----------------------------
+
+    def _tag_path(self, name: str) -> Path:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad tag name {name!r}")
+        return self.root / f"tag-{name}.json"
+
+    def _tag_version(self, name: str) -> int:
+        p = self._tag_path(name)
+        if not p.exists():
+            raise ValueError(
+                f"tag {name!r} not found under {self.root}"
+            )
+        return int(json.loads(p.read_text())["version"])
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a catalog snapshot (git-tag semantics: IMMUTABLE —
+        creating an existing name raises; delete then re-create to
+        move one). A tagged snapshot survives :meth:`vacuum`
+        regardless of age, so 'the eval-set release we trained
+        against' stays readable forever. One tiny JSON file,
+        hard-link-exclusive like every commit here."""
+        v, _ = self.snapshot(version)
+        target = self._tag_path(name)
+        tmp = self.root / f".tag-tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps({"tag": name, "version": v}))
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists (tags are immutable; "
+                "delete_tag first to move it)"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        return {
+            p.name[len("tag-"):-len(".json")]: int(
+                json.loads(p.read_text())["version"]
+            )
+            for p in sorted(self.root.glob("tag-*.json"))
+        }
+
+    def delete_tag(self, name: str) -> None:
+        self._tag_path(name).unlink(missing_ok=True)
+
     def read(self, spark: SparkSession, name: str,
-             version: int | None = None) -> DataFrame:
+             version: int | None = None,
+             tag: str | None = None) -> DataFrame:
         """Read one table through the catalog snapshot — table versions
         committed but not yet catalog-pinned are invisible."""
-        v, pins = self.snapshot(version)
+        v, pins = self.snapshot(version, tag=tag)
         if name not in pins:
             raise KeyError(f"table {name!r} not in catalog {self.root}")
         return self.table_log(name).read(spark, version=pins[name])
 
     def read_all(self, spark: SparkSession,
-                 version: int | None = None) -> dict[str, DataFrame]:
+                 version: int | None = None,
+                 tag: str | None = None) -> dict[str, DataFrame]:
         """A CONSISTENT multi-table snapshot: every table at the pins of
         one catalog version — the read face of atomicity."""
-        v, pins = self.snapshot(version)
+        v, pins = self.snapshot(version, tag=tag)
         return {
             n: self.table_log(n).read(spark, version=pv)
             for n, pv in pins.items()
@@ -351,14 +409,16 @@ class CatalogLog:
         newest ``keep_versions``, then vacuums each table keeping
         every version at or above the MINIMUM pin across the
         SURVIVING catalog manifests — so every readable catalog
-        snapshot keeps every table version it references. In-flight
-        transactions are safe: their table commits are newer than any
-        pin (always kept), and ``min_age_seconds`` guards staged files
-        exactly as in ``TableLog.vacuum``."""
+        snapshot keeps every table version it references. TAGGED
+        snapshots survive regardless of age (the point of a tag), and
+        their pins join the floor computation. In-flight transactions
+        are safe: their table commits are newer than any pin (always
+        kept), and ``min_age_seconds`` guards staged files exactly as
+        in ``TableLog.vacuum``."""
         vs = self.versions()
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
-        keep = vs[-keep_versions:]
+        keep = sorted(set(vs[-keep_versions:]) | set(self.tags().values()))
         dropped = 0
         for v in vs:
             if v not in keep:

@@ -151,6 +151,19 @@ def main(argv: list[str] | None = None) -> int:
     pz.add_argument("--table", required=True)
     pz.add_argument("-master", dest="master", default="local[*]")
 
+    py = sub.add_parser(
+        "catalog-tag",
+        help="Name the current (or a given) catalog snapshot; tags are "
+        "immutable, survive catalog-vacuum, and resolve in reads.",
+    )
+    py.add_argument("--catalog", required=True)
+    py.add_argument("--name", required=True)
+    py.add_argument("--version", type=int, default=None)
+    py.add_argument(
+        "--delete", action="store_true", help="Delete the tag instead."
+    )
+    py.add_argument("-master", dest="master", default="local[*]")
+
     pv = sub.add_parser(
         "catalog-vacuum",
         help="Catalog-aware retention: drop old catalog versions, then "
@@ -253,10 +266,24 @@ def main(argv: list[str] | None = None) -> int:
             "catalog": args.catalog,
             "catalog_version": v,
             "tables": tables,
+            "tags": cat.tags(),
             "dangling_intents": sorted(
                 p.name for p in cat.root.glob("intent-*.json")
             ),
         }
+    elif args.cmd == "catalog-tag":
+        from cve_manager_spark.catalogtx import CatalogLog
+
+        cat = CatalogLog(args.catalog)
+        if args.delete:
+            cat.delete_tag(args.name)
+            out = {"catalog": args.catalog, "deleted": args.name}
+        else:
+            out = {
+                "catalog": args.catalog,
+                "tag": args.name,
+                "version": cat.tag(args.name, version=args.version),
+            }
     elif args.cmd == "catalog-reconcile":
         from cve_manager_spark.catalogtx import CatalogLog
 

@@ -452,6 +452,46 @@ def test_catalog_vacuum_preserves_surviving_snapshot_pins(spark, tmp_path):
     assert rep["tables"]["facts"]["dropped_manifests"] >= 1
 
 
+def test_catalog_tags_name_snapshots_and_survive_vacuum(spark, tmp_path):
+    """Tags: immutable named multi-table snapshots. A tagged release
+    reads back bit-identical across later transactions AND across a
+    vacuum that drops every untagged contemporary (the tag joins the
+    keep set and its pins join the table-vacuum floors); creating an
+    existing tag raises; delete + retag moves it."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id % 5 = 0")
+    cat.commit(txn)
+    cat.tag("release-1")
+    want = {
+        n: sorted(tuple(r) for r in df.collect())
+        for n, df in cat.read_all(spark, tag="release-1").items()
+    }
+
+    for i in (1, 2):
+        t = cat.begin()
+        t.table("facts").delete_where(spark, f"f_id % 5 = {i}")
+        cat.commit(t)
+    with pytest.raises(ValueError, match="immutable"):
+        cat.tag("release-1")
+
+    rep = cat.vacuum(keep_versions=1, min_age_seconds=0)
+    assert rep["dropped_catalog_manifests"] >= 1
+    got = {
+        n: sorted(tuple(r) for r in df.collect())
+        for n, df in cat.read_all(spark, tag="release-1").items()
+    }
+    assert got == want  # the tagged release survives, bit-identical
+    assert cat.tags() == {"release-1": 1}
+
+    cat.delete_tag("release-1")
+    v = cat.tag("release-1")  # retag at head
+    assert v == cat.latest_version()
+    with pytest.raises(ValueError, match="not found"):
+        cat.read_all(spark, tag="nope")
+
+
 def test_catalog_conflict_on_out_of_band_repin(spark, tmp_path):
     """commit() raises CatalogConflict when a pin for an updated table
     moved out-of-band between begin() and commit() — and reconcile()
