@@ -1024,6 +1024,25 @@ def test_maintenance_cli_catalog_commands_end_to_end(spark, tmp_path, capsys):
     assert sy["table"] == "dim"
     assert cat.read(spark, "dim").count() == 12
 
+    # tag via CLI, visible in status, resolvable in reads, deletable
+    assert maintenance_cli.main(
+        ["catalog-tag", "--catalog", str(cat.root), "--name", "rel-a"]
+    ) == 0
+    tg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert tg["tag"] == "rel-a"
+    assert maintenance_cli.main(
+        ["catalog-status", "--catalog", str(cat.root)]
+    ) == 0
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["tags"] == {"rel-a": tg["version"]}
+    assert cat.read(spark, "dim", tag="rel-a").count() == 12
+    assert maintenance_cli.main(
+        ["catalog-tag", "--catalog", str(cat.root), "--name", "rel-a",
+         "--delete"]
+    ) == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cat.tags() == {}
+
 
 def test_maintenance_cli_catalog_vacuum(spark, tmp_path, capsys):
     """CLI drive of catalog-aware retention: one JSON line with the
