@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from pathlib import Path
 
@@ -322,10 +323,38 @@ class CatalogLog:
 
     def begin(self) -> CatalogTxn:
         v, pins = self.snapshot()
-        return CatalogTxn(self, v, pins)
+        txn = CatalogTxn(self, v, pins)
+        # a START MARKER distinguishes a LIVE transaction's tagged
+        # table commits from a dead one's crash debris: a live txn has
+        # no intent file until commit(), so without the marker a
+        # maintenance-cadence reconcile() would roll back an in-flight
+        # writer's already-committed table versions and doom its
+        # commit() to CatalogConflict. reconcile() skips debris whose
+        # marker is younger than its min_age_seconds and treats an
+        # OLD marker as a death certificate.
+        self._start_path(txn.txn_id).write_text(json.dumps({
+            "txn": txn.txn_id, "started": time.time(),
+        }))
+        return txn
 
     def _intent_path(self, txn_id: str) -> Path:
         return self.root / f"intent-{txn_id}.json"
+
+    def _start_path(self, txn_id: str) -> Path:
+        return self.root / f"start-{txn_id}.json"
+
+    def _start_age(self, txn_id: str) -> float | None:
+        """Seconds since the txn's start marker was written, or None
+        if no marker exists (a pre-marker-era or hand-cleaned txn)."""
+        p = self._start_path(txn_id)
+        if not p.exists():
+            return None
+        try:
+            return time.time() - float(
+                json.loads(p.read_text())["started"]
+            )
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return time.time() - p.stat().st_mtime
 
     def commit(self, txn: CatalogTxn, max_retries: int = 5) -> int:
         """Publish the transaction: one atomic catalog commit pinning
@@ -342,7 +371,9 @@ class CatalogLog:
         before anything publishes. The conflicting transaction's table
         versions become debris for :meth:`reconcile` to roll back."""
         if not txn.updates:
-            return txn.base_version  # nothing written: a no-op txn
+            # nothing written: a no-op txn — retire its start marker
+            self._start_path(txn.txn_id).unlink(missing_ok=True)
+            return txn.base_version
         intent = self._intent_path(txn.txn_id)
         intent.write_text(json.dumps({
             "txn": txn.txn_id,
@@ -356,8 +387,10 @@ class CatalogLog:
         finally:
             # an intent must outlive only a CRASH (reconcile rolls it
             # forward); success and a clean conflict abort both
-            # invalidate it
+            # invalidate it — and either outcome retires the start
+            # marker (a conflict's debris is attributable immediately)
             intent.unlink(missing_ok=True)
+            self._start_path(txn.txn_id).unlink(missing_ok=True)
         return v
 
     def _commit_pins(self, txn_id: str, base_pins: dict[str, int],
@@ -367,7 +400,20 @@ class CatalogLog:
             m = self._read_manifest(head)
             pins = {n: dict(p) for n, p in m["pins"].items()}
             for name in updates:
+                if name not in pins:
+                    raise CatalogConflict(
+                        f"table {name!r} was dropped from the catalog "
+                        "since this transaction began"
+                    )
                 if pins[name]["version"] != base_pins[name]:
+                    # idempotent publish: if THIS txn's catalog commit
+                    # already exists (a concurrent reconcile() rolled
+                    # the intent forward between our intent write and
+                    # publish), the commit succeeded — report it
+                    # rather than raising a false conflict
+                    for v in self.versions():
+                        if self._read_manifest(v).get("txn") == txn_id:
+                            return v
                     raise CatalogConflict(
                         f"table {name!r} moved from pinned version "
                         f"{base_pins[name]} to {pins[name]['version']} "
@@ -414,10 +460,31 @@ class CatalogLog:
         their pins join the floor computation. In-flight transactions
         are safe: their table commits are newer than any pin (always
         kept), and ``min_age_seconds`` guards staged files exactly as
-        in ``TableLog.vacuum``."""
+        in ``TableLog.vacuum``.
+
+        Two hardening rules close the reconcile interaction:
+
+        * vacuum REFUSES while any ``intent-*.json`` exists — an
+          intent's txn may have a catalog commit (crash after publish,
+          before cleanup) that vacuum would drop, after which
+          ``reconcile`` could no longer prove the txn committed. Run
+          :meth:`reconcile` first; it clears every intent it sees.
+        * per-table floors are passed to ``TableLog.vacuum`` as a
+          VERSION NUMBER (``keep_from_version``), not a count — a
+          table commit landing between the floor computation and the
+          table vacuum shifts a count window off the floor-pinned
+          manifest, silently breaking a surviving catalog snapshot."""
         vs = self.versions()
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
+        intents = sorted(p.name for p in self.root.glob("intent-*.json"))
+        if intents:
+            raise ValueError(
+                f"catalog {self.root} has unreconciled transaction "
+                f"intents {intents}: run reconcile() before vacuum() — "
+                "vacuum could drop the catalog commit that proves an "
+                "intent's transaction already published"
+            )
         keep = sorted(set(vs[-keep_versions:]) | set(self.tags().values()))
         dropped = 0
         for v in vs:
@@ -438,9 +505,9 @@ class CatalogLog:
         }
         for name, floor in floors.items():
             log = TableLog(str(self._resolve(paths[name])))
-            n_keep = len([x for x in log.versions() if x >= floor])
             report["tables"][name] = log.vacuum(
-                keep_versions=max(n_keep, 1),
+                keep_versions=1,
+                keep_from_version=floor,
                 min_age_seconds=min_age_seconds,
             )
         return report
@@ -466,16 +533,27 @@ class CatalogLog:
                 out[op.split("@txn-", 1)[1]] = v
         return out
 
-    def reconcile(self) -> dict:
+    def reconcile(self, min_age_seconds: float = 600.0) -> dict:
         """Repair crash debris, deterministically (metadata-only — no
         Spark job: rollback and re-pin are manifest writes):
 
         * an intent whose txn already has a catalog commit → delete the
           intent (crash after publish, before cleanup);
+        * an intent whose update versions are already AT OR BEHIND the
+          head pins → the commit published but its catalog manifest is
+          no longer findable (vacuumed), or ``sync_table`` adopted the
+          txn's table versions after the crash — either way the
+          effects are visible and a roll-forward could only regress or
+          conflict: clear the intent, report it ``superseded``;
         * an intent without a catalog commit → ROLL FORWARD: the table
           commits it records all exist (TxnTable commits before the
           intent is ever written), so publish the catalog commit the
-          crashed process was about to write;
+          crashed process was about to write. If the base pins moved
+          out-of-band since the crash the replay raises
+          :class:`CatalogConflict` — DEGRADE instead of wedging:
+          clear the intent, report it ``unrepairable``, and let the
+          rollback scan below treat its table versions as ordinary
+          debris, so one stuck intent never blocks repair of the rest;
         * tagged table versions above the pin with NO intent → ROLL
           BACK: the transaction died mid-write and its full update set
           is unknowable; restore the pinned content on top of the
@@ -483,43 +561,97 @@ class CatalogLog:
           this is a new commit, not history rewriting) and RE-PIN the
           table at the restoring version via a ``reconcile`` catalog
           commit, unwedging strict-serialized future transactions.
+          A LIVE transaction also has tagged versions and no intent —
+          ``begin()``'s start marker distinguishes it: debris whose
+          marker is younger than ``min_age_seconds`` is SKIPPED
+          (reported ``skipped_live``), so a maintenance-cadence
+          reconcile never rolls back an in-flight writer. Set
+          ``min_age_seconds`` above the longest expected transaction;
+          pass an explicit 0 only when no writer can be in flight.
 
-        Idempotent: a second call finds nothing to repair."""
-        report = {"rolled_forward": [], "rolled_back": [],
-                  "cleared_intents": []}
+        Idempotent and TERMINATING: a second call finds nothing to
+        repair, and no input state makes it raise out of the loop."""
+        report: dict = {"rolled_forward": [], "rolled_back": [],
+                        "cleared_intents": [], "superseded_intents": [],
+                        "unrepairable_intents": [], "skipped_live": [],
+                        "cleared_markers": []}
+
+        def _retire(txn_id: str, p: Path) -> None:
+            p.unlink(missing_ok=True)
+            self._start_path(txn_id).unlink(missing_ok=True)
+
         for p in sorted(self.root.glob("intent-*.json")):
             intent = json.loads(p.read_text())
             txn_id = intent["txn"]
+            updates = {n: int(v) for n, v in intent["updates"].items()}
             if self._txn_committed(txn_id):
-                p.unlink(missing_ok=True)
+                _retire(txn_id, p)
                 report["cleared_intents"].append(txn_id)
                 continue
-            self._commit_pins(
-                txn_id,
-                {n: int(v) for n, v in intent["base_pins"].items()},
-                {n: int(v) for n, v in intent["updates"].items()},
-            )
-            p.unlink(missing_ok=True)
+            _, head_pins = self.snapshot()
+            if all(head_pins.get(n, -1) >= v for n, v in updates.items()):
+                _retire(txn_id, p)
+                report["superseded_intents"].append(txn_id)
+                continue
+            try:
+                self._commit_pins(
+                    txn_id,
+                    {n: int(v) for n, v in intent["base_pins"].items()},
+                    updates,
+                )
+            except CatalogConflict as e:
+                _retire(txn_id, p)
+                report["unrepairable_intents"].append(
+                    {"txn": txn_id, "reason": str(e)}
+                )
+                continue
+            _retire(txn_id, p)
             report["rolled_forward"].append(txn_id)
         head = self.latest_version()
         _, pins = self.snapshot(head)
         repins: dict[str, int] = {}
         for name, pin in pins.items():
-            for txn_id, newest in self._dangling_tagged(name, pin).items():
-                if self._txn_committed(txn_id):
-                    continue  # pinned by a txn commit: not debris
-                log = self.table_log(name)
-                res = log.rollback(to_version=pin)
-                repins[name] = res["version"]
-                report["rolled_back"].append(
-                    {"txn": txn_id, "table": name,
-                     "restored_as": res["version"]}
+            dangling = {
+                t: v
+                for t, v in self._dangling_tagged(name, pin).items()
+                if not self._txn_committed(t)  # pinned txn: not debris
+            }
+            if not dangling:
+                continue
+            live = sorted(
+                t for t in dangling
+                if (a := self._start_age(t)) is not None
+                and a < min_age_seconds
+            )
+            if live:
+                # ANY live txn on the table blocks the restore — a
+                # rollback here would clobber its committed versions
+                # and doom its commit() to CatalogConflict
+                report["skipped_live"].append(
+                    {"table": name, "txns": live}
                 )
-                break  # one restore covers every dangling version
+                continue
+            log = self.table_log(name)
+            res = log.rollback(to_version=pin)
+            repins[name] = res["version"]
+            for t in sorted(dangling):
+                self._start_path(t).unlink(missing_ok=True)
+            report["rolled_back"].append(
+                {"txns": sorted(dangling), "table": name,
+                 "restored_as": res["version"]}
+            )
         if repins:
             m = self._read_manifest(self.latest_version())
             new_pins = {n: dict(p) for n, p in m["pins"].items()}
             for name, nv in repins.items():
                 new_pins[name]["version"] = nv
             self._publish(self.latest_version(), new_pins, "reconcile")
+        # retire stale start markers that left no debris at all (a txn
+        # that began, wrote nothing, and was abandoned)
+        for p in sorted(self.root.glob("start-*.json")):
+            txn_id = p.name[len("start-"):-len(".json")]
+            age = self._start_age(txn_id)
+            if age is not None and age >= min_age_seconds:
+                p.unlink(missing_ok=True)
+                report["cleared_markers"].append(txn_id)
         return report

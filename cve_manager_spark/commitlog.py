@@ -674,11 +674,15 @@ class TableLog:
             return {"version": latest, "n_files": len(files)}
         # carry the target version's recorded schema AND layout: a
         # rollback past an evolution restores the old shape too
-        # (schema and layout travel with data)
+        # (schema and layout travel with data); the op records the
+        # RESTORE TARGET so version-resolved sidecar state (the IVF-PQ
+        # quantizer id) can re-resolve at the restored content's
+        # version instead of pairing rolled-back data with post-target
+        # metadata
         with open(_manifest_path(self.root, to_version)) as f:
             m = json.load(f)
         v = self._publish(
-            latest, files, "rollback",
+            latest, files, f"rollback@to={to_version}",
             schema=m.get("schema"), layout=m.get("layout"),
         )
         return {"version": v, "n_files": len(files)}
@@ -1129,7 +1133,8 @@ class TableLog:
         return changes, ack
 
     def vacuum(
-        self, keep_versions: int = 1, min_age_seconds: float = 600.0
+        self, keep_versions: int = 1, min_age_seconds: float = 600.0,
+        keep_from_version: int | None = None,
     ) -> dict[str, int]:
         """Reclaim storage: drop all but the newest ``keep_versions``
         manifests, then unlink every part file no retained manifest
@@ -1148,13 +1153,25 @@ class TableLog:
         writer; raise it above the longest expected write duration in
         a slow-writer deployment, and pass an EXPLICIT 0 to opt into
         aggressive reclaim when no writer can be in flight (tests,
-        decommissioned tables)."""
+        decommissioned tables).
+
+        ``keep_from_version``: an ABSOLUTE retention floor — every
+        manifest at or above it survives regardless of
+        ``keep_versions``. This is the race-free contract a
+        coordinating catalog needs: a floor expressed as a COUNT
+        shifts when a commit lands between the caller's floor
+        computation and this call, silently dropping the floor-pinned
+        manifest; a floor expressed as a VERSION NUMBER cannot."""
         import time
 
         vs = self.versions()
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         keep = vs[-keep_versions:]
+        if keep_from_version is not None:
+            keep = sorted(
+                set(keep) | {v for v in vs if v >= keep_from_version}
+            )
         live: set[str] = set()
         for v in keep:
             with open(_manifest_path(self.root, v)) as f:

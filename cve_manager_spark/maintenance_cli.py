@@ -140,6 +140,13 @@ def main(argv: list[str] | None = None) -> int:
         "intents, roll back orphaned table commits, re-pin.",
     )
     pq.add_argument("--catalog", required=True)
+    pq.add_argument(
+        "--min-age", type=float, default=600.0,
+        help="Orphaned table commits whose transaction's start marker "
+        "is younger than this many seconds are SKIPPED (an in-flight "
+        "writer, not crash debris). Pass 0 only when no writer can be "
+        "in flight.",
+    )
     pq.add_argument("-master", dest="master", default="local[*]")
 
     pz = sub.add_parser(
@@ -288,7 +295,10 @@ def main(argv: list[str] | None = None) -> int:
         from cve_manager_spark.catalogtx import CatalogLog
 
         out = dict(
-            CatalogLog(args.catalog).reconcile(), catalog=args.catalog
+            CatalogLog(args.catalog).reconcile(
+                min_age_seconds=args.min_age
+            ),
+            catalog=args.catalog,
         )
     elif args.cmd == "catalog-sync":
         from cve_manager_spark.catalogtx import CatalogLog

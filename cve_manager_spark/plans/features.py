@@ -4772,8 +4772,10 @@ def _catalog_tx_scratch(spark: SparkSession, sf: str) -> str:
             F.col("o_custkey") == F.col("c_custkey"),
         ),
     )
-    # crash: no commit(), no intent — two-table debris, one unit
-    cat.reconcile()
+    # crash: no commit(), no intent — two-table debris, one unit;
+    # min_age=0 is the documented no-writer-in-flight opt-in (this
+    # builder is single-threaded, the 'crashed' txn is provably dead)
+    cat.reconcile(min_age_seconds=0)
     (build / "_done").write_text("ok")
 
     tdir.parent.mkdir(parents=True, exist_ok=True)

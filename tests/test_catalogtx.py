@@ -114,19 +114,30 @@ def test_crash_between_table_publishes_leaves_readers_at_old_snapshot(
         tuple(r) for r in cat.read(spark, "facts").collect()
     ) == want_facts  # reader at the old snapshot
 
-    rep = cat.reconcile()
+    # at the default min-age the debris looks like a LIVE writer (its
+    # start marker is seconds old) — reconcile must NOT roll it back
+    guarded = cat.reconcile()
+    assert guarded["rolled_back"] == []
+    assert guarded["skipped_live"] == [
+        {"table": "facts", "txns": [dead.txn_id]}
+    ]
+    rep = cat.reconcile(min_age_seconds=0)
     assert len(rep["rolled_back"]) == 1
     assert rep["rolled_back"][0]["table"] == "facts"
+    assert rep["rolled_back"][0]["txns"] == [dead.txn_id]
     assert rep["rolled_forward"] == []
     # content restored, catalog re-pinned, reader unchanged
     assert sorted(
         tuple(r) for r in cat.read(spark, "facts").collect()
     ) == want_facts
-    # idempotent: nothing left to repair
-    rep2 = cat.reconcile()
+    # idempotent: nothing left to repair, markers retired
+    rep2 = cat.reconcile(min_age_seconds=0)
     assert rep2 == {
-        "rolled_forward": [], "rolled_back": [], "cleared_intents": []
+        "rolled_forward": [], "rolled_back": [], "cleared_intents": [],
+        "superseded_intents": [], "unrepairable_intents": [],
+        "skipped_live": [], "cleared_markers": [],
     }
+    assert not list(cat.root.glob("start-*.json"))
 
     # unwedged: a fresh transaction on the same table commits fine
     txn = cat.begin()
@@ -385,7 +396,7 @@ def test_facts_dim_view_move_atomically(spark, tmp_path):
         ),
     )
     consistent()  # nothing leaked
-    rep = cat2.reconcile()
+    rep = cat2.reconcile(min_age_seconds=0)
     assert {r["table"] for r in rep["rolled_back"]} == {"facts", "view"}
     consistent()
     # and the next transaction proceeds cleanly on both tables
@@ -504,3 +515,145 @@ def test_catalog_conflict_on_out_of_band_repin(spark, tmp_path):
     cat.sync_table("facts")
     with pytest.raises(CatalogConflict):
         cat.commit(txn)
+
+
+def test_vacuum_refuses_while_intents_exist(spark, tmp_path):
+    """catalog vacuum while an intent file exists could drop the
+    catalog manifest that proves the intent's transaction committed,
+    after which reconcile() can no longer classify it — so vacuum
+    REFUSES loudly and points at reconcile()."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id < 10")
+    cat.commit(txn)
+    # forge the crash-after-publish state: intent survived the commit
+    stale = cat.root / f"intent-{txn.txn_id}.json"
+    stale.write_text(json.dumps({
+        "txn": txn.txn_id, "base_version": txn.base_version,
+        "base_pins": txn.pins, "updates": txn.updates,
+    }))
+    with pytest.raises(ValueError, match="reconcile"):
+        cat.vacuum(keep_versions=1, min_age_seconds=0)
+    # reconcile clears it (the txn's catalog commit exists), then
+    # vacuum proceeds
+    rep = cat.reconcile(min_age_seconds=0)
+    assert rep["cleared_intents"] == [txn.txn_id]
+    cat.vacuum(keep_versions=1, min_age_seconds=0)
+    assert cat.read(spark, "facts").count() == 90
+
+
+def test_stale_intent_outliving_vacuumed_catalog_commit(spark, tmp_path):
+    """The r13 wedge, closed: a crash after publish leaves an intent
+    whose txn HAS a catalog commit; if that manifest is later deleted
+    (a pre-guard vacuum, or external cleanup), reconcile() can no
+    longer prove the commit — but the head pins are at-or-past the
+    intent's update versions, so it is discharged as SUPERSEDED
+    instead of raising CatalogConflict out of the repair loop, and
+    OTHER debris in the same call is still processed."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id < 10")
+    v1 = cat.commit(txn)
+    stale = cat.root / f"intent-{txn.txn_id}.json"
+    stale.write_text(json.dumps({
+        "txn": txn.txn_id, "base_version": txn.base_version,
+        "base_pins": txn.pins, "updates": txn.updates,
+    }))
+    # another commit moves the head past v1, then v1's manifest is
+    # destroyed — exactly what a count-window vacuum used to do
+    txn2 = cat.begin()
+    txn2.table("dim").delete_where(spark, "d_cust = 9")
+    cat.commit(txn2)
+    (cat.root / f"cat-v{v1:012d}.json").unlink()
+    # plus an unrelated dead transaction's table debris
+    dead = cat.begin()
+    dead.table("dim").delete_where(spark, "d_cust < 5")
+    want_dim = sorted(tuple(r) for r in cat.read(spark, "dim").collect())
+
+    rep = cat.reconcile(min_age_seconds=0)
+    assert rep["superseded_intents"] == [txn.txn_id]
+    assert not stale.exists()
+    assert len(rep["rolled_back"]) == 1  # the dead txn, same call
+    assert rep["rolled_back"][0]["table"] == "dim"
+    assert sorted(
+        tuple(r) for r in cat.read(spark, "dim").collect()
+    ) == want_dim
+    # terminating + idempotent: a second call finds nothing
+    rep2 = cat.reconcile(min_age_seconds=0)
+    assert rep2["superseded_intents"] == []
+    assert rep2["rolled_back"] == []
+    assert rep2["unrepairable_intents"] == []
+
+
+def test_unreplayable_intent_degrades_instead_of_wedging(spark, tmp_path):
+    """An intent whose base pins no longer match and whose updates are
+    NOT at head (an unreplayable forgery / corrupted repair state):
+    reconcile() must not raise out of the loop — it clears the intent,
+    reports it unrepairable, and stays idempotent."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    bogus = cat.root / "intent-deadbeefdeadbeef.json"
+    bogus.write_text(json.dumps({
+        "txn": "deadbeefdeadbeef", "base_version": 0,
+        "base_pins": {"facts": 5, "dim": 0},
+        "updates": {"facts": 7},
+    }))
+    rep = cat.reconcile(min_age_seconds=0)
+    assert [r["txn"] for r in rep["unrepairable_intents"]] == [
+        "deadbeefdeadbeef"
+    ]
+    assert not bogus.exists()
+    rep2 = cat.reconcile(min_age_seconds=0)
+    assert rep2["unrepairable_intents"] == []
+    # the catalog still works
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id = 0")
+    cat.commit(txn)
+    assert cat.read(spark, "facts").count() == 99
+
+
+def test_reconcile_never_rolls_back_live_txn_and_commit_succeeds(
+    spark, tmp_path
+):
+    """The maintenance-cadence race from r13 ADVICE: reconcile()
+    running while a transaction is mid-flight must not roll back its
+    committed table versions — begin()'s start marker plus the
+    min-age guard protect it, and its commit() then succeeds."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id % 2 = 0")
+    rep = cat.reconcile()  # default min-age: the txn looks live
+    assert rep["rolled_back"] == []
+    assert rep["skipped_live"] == [{"table": "facts", "txns": [txn.txn_id]}]
+    v = cat.commit(txn)  # the live writer is unharmed
+    assert v == 1
+    assert cat.read(spark, "facts").count() == 50
+    assert not list(cat.root.glob("start-*.json"))
+
+
+def test_catalog_vacuum_floor_is_a_version_not_a_count(spark, tmp_path):
+    """r13 ADVICE (medium): the per-table retention floor must reach
+    TableLog.vacuum as a VERSION NUMBER — a count window shifts when a
+    commit lands between the floor computation and the table vacuum,
+    dropping the floor-pinned manifest. Direct unit on the new
+    TableLog.vacuum(keep_from_version=...) contract: extra commits
+    landing after the floor was computed cannot evict it."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id < 10")
+    cat.commit(txn)
+    floor = cat.snapshot()[1]["facts"]  # the pin a snapshot still needs
+    # a commit lands AFTER the floor computation (the race window)
+    flog.append(
+        spark,
+        spark.range(500, 510).select(
+            F.col("id").alias("f_id"), (F.col("id") % 10).alias("f_cust"),
+            F.lit(0).cast("bigint").alias("f_val"),
+        ),
+    )
+    rep = flog.vacuum(
+        keep_versions=1, keep_from_version=floor, min_age_seconds=0
+    )
+    assert floor in flog.versions()  # the pinned manifest survived
+    assert flog.latest_version() in flog.versions()
+    # and the catalog-pinned content is still bit-readable
+    assert cat.read(spark, "facts").count() == 90

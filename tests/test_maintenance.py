@@ -1004,8 +1004,18 @@ def test_maintenance_cli_catalog_commands_end_to_end(spark, tmp_path, capsys):
     assert st["tables"]["facts"]["out_of_band_commits"] == 1
     assert st["tables"]["dim"]["out_of_band_commits"] == 0
 
+    # default --min-age protects a possibly-live writer: the debris is
+    # young, so nothing is rolled back yet
     assert maintenance_cli.main(
         ["catalog-reconcile", "--catalog", str(cat.root)]
+    ) == 0
+    guarded = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert guarded["rolled_back"] == []
+    assert guarded["skipped_live"] == [
+        {"table": "facts", "txns": [dead.txn_id]}
+    ]
+    assert maintenance_cli.main(
+        ["catalog-reconcile", "--catalog", str(cat.root), "--min-age", "0"]
     ) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rep["rolled_back"]) == 1
