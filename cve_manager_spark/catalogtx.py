@@ -302,21 +302,34 @@ class CatalogLog:
              version: int | None = None,
              tag: str | None = None) -> DataFrame:
         """Read one table through the catalog snapshot — table versions
-        committed but not yet catalog-pinned are invisible."""
-        v, pins = self.snapshot(version, tag=tag)
+        committed but not yet catalog-pinned are invisible. Both path
+        AND version resolve from the snapshot's OWN manifest, so a
+        table dropped from the head catalog stays readable through any
+        older version or tag that still pins it."""
+        v, _ = self.snapshot(version, tag=tag)
+        pins = self._read_manifest(v)["pins"]
         if name not in pins:
-            raise KeyError(f"table {name!r} not in catalog {self.root}")
-        return self.table_log(name).read(spark, version=pins[name])
+            raise KeyError(
+                f"table {name!r} not in catalog {self.root} at v{v}"
+            )
+        log = TableLog(str(self._resolve(pins[name]["path"])))
+        return log.read(spark, version=pins[name]["version"])
 
     def read_all(self, spark: SparkSession,
                  version: int | None = None,
                  tag: str | None = None) -> dict[str, DataFrame]:
         """A CONSISTENT multi-table snapshot: every table at the pins of
-        one catalog version — the read face of atomicity."""
-        v, pins = self.snapshot(version, tag=tag)
+        one catalog version — the read face of atomicity. The table
+        SET is part of the snapshot too: a version before an
+        ``add_table`` excludes the newcomer, one before a
+        ``drop_table`` still includes the dropped table."""
+        v, _ = self.snapshot(version, tag=tag)
+        pins = self._read_manifest(v)["pins"]
         return {
-            n: self.table_log(n).read(spark, version=pv)
-            for n, pv in pins.items()
+            n: TableLog(str(self._resolve(p["path"]))).read(
+                spark, version=p["version"]
+            )
+            for n, p in pins.items()
         }
 
     # -- transactions ------------------------------------------------------
@@ -428,6 +441,62 @@ class CatalogLog:
         raise CommitConflict(
             f"catalog {self.root}: gave up after {max_retries} rebases"
         )
+
+    def add_table(self, name: str, table: "str | TableLog") -> int:
+        """Register a NEW table as a catalog commit — the table set is
+        data, not schema frozen at :meth:`init`: tomorrow's
+        ``embeddings_v2`` joins the catalog without rebuilding it or
+        losing history/tags. The table must already be commit-logged
+        (its content exists before the catalog pin, so a crash between
+        ``TableLog.init`` and this commit leaves the catalog CLEAN —
+        re-run ``add_table`` to finish). The added table participates
+        in the very next transaction: ``begin()`` snapshots head pins,
+        which now include it, and in-flight transactions that began
+        earlier are unaffected (their pins are frozen; the publish
+        rebase carries the new pin forward)."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError(f"no catalog under {self.root}")
+        log = table if isinstance(table, TableLog) else TableLog(str(table))
+        tv = log.latest_version()
+        if tv is None:
+            raise ValueError(
+                f"table {name!r} at {log.root} is not commit-logged "
+                "(run TableLog.init())"
+            )
+        m = self._read_manifest(head)
+        pins = {n: dict(p) for n, p in m["pins"].items()}
+        if name in pins:
+            raise ValueError(
+                f"table {name!r} already registered in catalog "
+                f"{self.root} (use sync_table to advance its pin)"
+            )
+        pins[name] = {
+            "path": os.path.relpath(log.root, self.root.parent),
+            "version": tv,
+        }
+        return self._publish(head, pins, "add_table")
+
+    def drop_table(self, name: str) -> int:
+        """Unregister a table as a catalog commit: the HEAD manifest
+        stops pinning it, so new transactions and head reads no longer
+        see it — but every OLDER catalog version (and every tag) that
+        pins it stays readable, because reads resolve the table's path
+        and version from the snapshot's own manifest, and
+        :meth:`vacuum` keeps the floor pin of every surviving
+        manifest, dropped tables included. Nothing is deleted: the
+        table's directory and log survive (re-``add_table`` to
+        re-register); a table no surviving catalog manifest mentions
+        simply stops being vacuumed through the catalog."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError(f"no catalog under {self.root}")
+        m = self._read_manifest(head)
+        pins = {n: dict(p) for n, p in m["pins"].items()}
+        if name not in pins:
+            raise KeyError(f"table {name!r} not in catalog {self.root}")
+        del pins[name]
+        return self._publish(head, pins, "drop_table")
 
     def sync_table(self, name: str) -> int:
         """Adopt out-of-band (non-transactional) commits on one table:

@@ -149,6 +149,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     pq.add_argument("-master", dest="master", default="local[*]")
 
+    pa = sub.add_parser(
+        "catalog-add-table",
+        help="Register a commit-logged table in the catalog (a catalog "
+        "commit pinning its current version; history and tags keep).",
+    )
+    pa.add_argument("--catalog", required=True)
+    pa.add_argument("--table", required=True, help="Name in the catalog.")
+    pa.add_argument("--path", required=True, help="Table log directory.")
+    pa.add_argument("-master", dest="master", default="local[*]")
+
+    pd = sub.add_parser(
+        "catalog-drop-table",
+        help="Unregister a table from the catalog head (older versions "
+        "and tags that pin it stay readable; nothing is deleted).",
+    )
+    pd.add_argument("--catalog", required=True)
+    pd.add_argument("--table", required=True)
+    pd.add_argument("-master", dest="master", default="local[*]")
+
     pz = sub.add_parser(
         "catalog-sync",
         help="Adopt out-of-band commits on one table into the catalog "
@@ -300,6 +319,24 @@ def main(argv: list[str] | None = None) -> int:
             ),
             catalog=args.catalog,
         )
+    elif args.cmd == "catalog-add-table":
+        from cve_manager_spark.catalogtx import CatalogLog
+
+        cat = CatalogLog(args.catalog)
+        out = {
+            "catalog": args.catalog,
+            "table": args.table,
+            "catalog_version": cat.add_table(args.table, args.path),
+        }
+    elif args.cmd == "catalog-drop-table":
+        from cve_manager_spark.catalogtx import CatalogLog
+
+        cat = CatalogLog(args.catalog)
+        out = {
+            "catalog": args.catalog,
+            "table": args.table,
+            "catalog_version": cat.drop_table(args.table),
+        }
     elif args.cmd == "catalog-sync":
         from cve_manager_spark.catalogtx import CatalogLog
 

@@ -4853,6 +4853,132 @@ def catalog_view_atomic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _catalog_adddrop_scratch(spark: SparkSession, sf: str) -> str:
+    """Materialize the catalog TABLE-LIFECYCLE story once per
+    (tmpdir, sf), deterministically, so ``catalog_add_drop_table``
+    hash-verifies it end to end:
+
+    - facts = supplier → (s_suppkey, s_nationkey, bal_cents BIGINT),
+      commit-logged; catalog v0 pins facts ONLY;
+    - ``add_table`` registers dims = nation → (n_nationkey, n_name)
+      as a catalog commit — no rebuild, history intact;
+    - ONE transaction then moves the added table atomically with the
+      original: facts purge (s_suppkey % 7 = 0) + dims rewrite
+      (n_nationkey % 5 = 0 → 'REWRITTEN');
+    - tag ``with-dims`` names that snapshot, ``drop_table`` removes
+      dims from the head, and a keep=1 catalog vacuum ages every
+      untagged pre-drop manifest out — the tag's floor is the only
+      thing keeping the dropped table's version alive.
+
+    The face reads facts through the HEAD and dims through the TAG
+    and joins them, so a lifecycle break anywhere — the added table
+    missing the transaction, the drop deleting data, vacuum dropping
+    the tag-pinned version, the tag resolving the wrong pins — is a
+    hash mismatch against an oracle that recomputes the committed
+    effects straight from supplier/nation. Same scratch-dir
+    atomic-rename discipline as ``_catalog_tx_scratch``."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cve_manager_spark.catalogtx import CatalogLog
+    from cve_manager_spark.commitlog import TableLog
+
+    slug = sf.strip("/").replace("/", "_").replace(".", "_")
+    tdir = Path(tempfile.gettempdir()) / f"cve_spark_catad_{slug}" / "tree"
+    if (tdir / "_done").exists():
+        return str(tdir / "catalog")
+
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    build = Path(tempfile.mkdtemp(prefix="cve_spark_catad_build_")) / "tree"
+    build.mkdir(parents=True)
+    supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.expr("CAST(ROUND(s_acctbal * 100) AS BIGINT)").alias(
+            "bal_cents"
+        ),
+    ).write.parquet(str(build / "facts"))
+    nat.select("n_nationkey", "n_name").write.parquet(str(build / "dims"))
+    flog = TableLog(str(build / "facts"))
+    flog.init()
+    cat = CatalogLog(str(build / "catalog"))
+    cat.init({"facts": flog})
+
+    dlog = TableLog(str(build / "dims"))
+    dlog.init()
+    cat.add_table("dims", dlog)
+
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "s_suppkey % 7 = 0")
+    txn.table("dims").merge_upsert(
+        spark,
+        txn.table("dims").read(spark)
+        .where("n_nationkey % 5 = 0")
+        .withColumn("n_name", F.lit("REWRITTEN")),
+        ["n_nationkey"],
+    )
+    cat.commit(txn)
+
+    cat.tag("with-dims")
+    cat.drop_table("dims")
+    cat.vacuum(keep_versions=1, min_age_seconds=0)
+    (build / "_done").write_text("ok")
+
+    tdir.parent.mkdir(parents=True, exist_ok=True)
+    if tdir.exists():
+        shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.replace(build, tdir)
+    except OSError:
+        pass  # concurrent builder published a complete tree first
+    shutil.rmtree(build.parent, ignore_errors=True)
+    return str(tdir / "catalog")
+
+
+_CATALOG_ADDDROP_ORACLE = """
+SELECT s.s_suppkey, s.s_nationkey,
+       CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS bal_cents,
+       CASE WHEN n.n_nationkey % 5 = 0 THEN 'REWRITTEN'
+            ELSE n.n_name END AS n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey % 7 <> 0
+"""
+
+
+@_register(
+    "catalog_add_drop_table",
+    _CATALOG_ADDDROP_ORACLE,
+    doc="Catalog table LIFECYCLE as a query face (VERDICT r13 "
+    "next-round #2): a table registered AFTER catalog init "
+    "(add_table is a catalog commit — history and tags keep) moves "
+    "atomically with an original table in the very next transaction, "
+    "is tagged, DROPPED from the head, and survives a keep=1 catalog "
+    "vacuum only through the tag's retention floor. The face joins "
+    "facts read at HEAD with the dropped table read through the TAG; "
+    "the oracle recomputes the committed effects from "
+    "supplier/nation, so a break anywhere in the "
+    "add→transact→tag→drop→vacuum chain is a hash mismatch. At "
+    "100 TB this is schema-registry-free table lifecycle: "
+    "registration cost is one O(#tables) JSON hard-link, and "
+    "retention floors travel as VERSION numbers so vacuum cannot "
+    "race a landing commit off a pinned manifest.",
+    priority=8,
+)
+def catalog_add_drop_table(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.catalogtx import CatalogLog
+
+    cat = CatalogLog(_catalog_adddrop_scratch(spark, sf))
+    facts = cat.read(spark, "facts")
+    dims = cat.read(spark, "dims", tag="with-dims")
+    return facts.join(
+        F.broadcast(dims),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "bal_cents", "n_name")
+
+
 def _two_stream_view_state(spark: SparkSession, sf: str) -> str:
     """Build the two-stream join view's state ONCE per (tmpdir, sf) by
     actually running both streaming sinks availableNow over chopped

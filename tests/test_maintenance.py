@@ -1053,6 +1053,27 @@ def test_maintenance_cli_catalog_commands_end_to_end(spark, tmp_path, capsys):
     json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert cat.tags() == {}
 
+    # register a new table via CLI, then unregister it; old snapshots
+    # keep reading it
+    npath = tmp_path / "cli_cat_n"
+    spark.range(0, 7).selectExpr("id AS nk").write.parquet(str(npath))
+    TableLog(str(npath)).init()
+    assert maintenance_cli.main(
+        ["catalog-add-table", "--catalog", str(cat.root),
+         "--table", "notes", "--path", str(npath)]
+    ) == 0
+    ad = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ad["table"] == "notes"
+    assert cat.read(spark, "notes").count() == 7
+    v_with = cat.latest_version()
+    assert maintenance_cli.main(
+        ["catalog-drop-table", "--catalog", str(cat.root),
+         "--table", "notes"]
+    ) == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "notes" not in cat.snapshot()[1]
+    assert cat.read(spark, "notes", version=v_with).count() == 7
+
 
 def test_maintenance_cli_catalog_vacuum(spark, tmp_path, capsys):
     """CLI drive of catalog-aware retention: one JSON line with the
