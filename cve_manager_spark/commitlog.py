@@ -889,6 +889,7 @@ class TableLog:
         v_from: int,
         v_to: int | None = None,
         key_cols: list[str] | None = None,
+        where: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Change data feed between two versions, computed from the
         manifests alone — the row-level face of time travel
@@ -914,13 +915,47 @@ class TableLog:
         Schema evolution between the versions is aligned Delta-style:
         columns absent on one side read as NULL there, so an additive
         evolution surfaces as updates only where values actually
-        appeared."""
+        appeared.
+
+        ``where``: ``{column: (lo, hi)}`` range bounds (either bound
+        None = open) giving the change feed OF THE PREDICATE-BOUNDED
+        SUBSET — both snapshots are filtered BEFORE diffing, so an
+        update that moves a row across the bound surfaces as an insert
+        (moved in) or delete (moved out), exactly as if the bounded
+        subset were its own table. The bounds prune via the same
+        commit-time zone maps as ``read(where=)``: entering/leaving
+        files whose [min, max] cannot intersect the bounds are never
+        opened, so a bounded CDC consumer ('changes where ts >= X')
+        reads O(matching changed files), not O(changed files) — on a
+        range-clustered table the usual case is one file per commit.
+        The filter itself still applies to the kept files (pruning is
+        an optimization); a bound on a column absent from one side's
+        schema makes that side empty there (NULL fails a range), the
+        consistent reading of 'the subset' across an evolution."""
         vf, files_f = self.snapshot(v_from)
         vt, files_t = self.snapshot(v_to)
         only_f = sorted(set(files_f) - set(files_t))
         only_t = sorted(set(files_t) - set(files_f))
         schema_f = self.schema_of(vf)
         schema_t = self.schema_of(vt)
+        if where:
+            pf, _ = _prune_files(self, only_f, where)
+            pt, _ = _prune_files(self, only_t, where)
+            if not (pf or pt) and (only_f or only_t):
+                readable = not (
+                    (schema_f is None or isinstance(schema_f, str))
+                    and (schema_t is None or isinstance(schema_t, str))
+                )
+                if not readable:
+                    # schemaless manifests: keep ONE file so the diff
+                    # keeps the table shape (the range filter below
+                    # still makes it empty) — one file read, not a
+                    # failure, mirroring _prune_snapshot's fallback
+                    if only_t:
+                        pt = only_t[:1]
+                    else:
+                        pf = only_f[:1]
+            only_f, only_t = pf, pt
 
         def side(rel, schema):
             if rel:
@@ -969,6 +1004,14 @@ class TableLog:
 
         a = align(a)
         b = align(b)
+        if where:
+            for column, (lo, hi) in where.items():
+                if lo is not None:
+                    a = a.where(F.col(column) >= F.lit(lo))
+                    b = b.where(F.col(column) >= F.lit(lo))
+                if hi is not None:
+                    a = a.where(F.col(column) <= F.lit(hi))
+                    b = b.where(F.col(column) <= F.lit(hi))
 
         if key_cols is None:
             ga = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__cf"))
@@ -1452,19 +1495,17 @@ def _path_value(rel: str, column: str):
     return None
 
 
-def _prune_snapshot(
-    log: TableLog,
-    spark: SparkSession,
-    preds: dict[str, tuple],
-    version: int | None = None,
-):
-    """Shared zone-map prune core: scan ONLY the manifest files whose
-    per-file [min, max] can intersect each ``column: (lo, hi)`` bound
-    in ``preds``. Returns ``(df, report)`` — ``df`` WITH the range
-    filters still applied (pruning is an optimization, never the
-    filter itself: a file without stats is kept, not dropped)."""
-    v, files = log.snapshot(version)
-    schema = log.schema_of(v)
+def _prune_files(
+    log: TableLog, files: list[str], preds: dict[str, tuple]
+) -> tuple[list[str], dict]:
+    """Zone-map prune of an ARBITRARY manifest-file list: keep only
+    files whose per-file [min, max] (commit-time sidecar stats, or the
+    path-encoded value for hive-layout columns) can intersect each
+    ``column: (lo, hi)`` bound. A file without stats is kept, never
+    dropped — pruning is an optimization, not the filter. Shared by
+    snapshot reads (:func:`_prune_snapshot`) and the CDF path
+    (:meth:`TableLog.changes` with ``where=``), which prunes the
+    entering/leaving file sets instead of a whole snapshot."""
     zm = _ZoneMaps(log)
     keep = list(files)
     for column, (lo, hi) in preds.items():
@@ -1500,6 +1541,23 @@ def _prune_snapshot(
         "files_read": len(keep),
         "files_pruned": len(files) - len(keep),
     }
+    return keep, report
+
+
+def _prune_snapshot(
+    log: TableLog,
+    spark: SparkSession,
+    preds: dict[str, tuple],
+    version: int | None = None,
+):
+    """Shared zone-map prune core: scan ONLY the manifest files whose
+    per-file [min, max] can intersect each ``column: (lo, hi)`` bound
+    in ``preds``. Returns ``(df, report)`` — ``df`` WITH the range
+    filters still applied (pruning is an optimization, never the
+    filter itself: a file without stats is kept, not dropped)."""
+    v, files = log.snapshot(version)
+    schema = log.schema_of(v)
+    keep, report = _prune_files(log, files, preds)
     if not keep:
         if schema is None or isinstance(schema, str):
             # schemaless manifest (init-adopted v0): read one file so

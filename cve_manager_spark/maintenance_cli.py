@@ -109,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
         help="Parquet dir to write the feed to (stdout JSON reports "
         "counts either way).",
     )
+    pt.add_argument(
+        "--where-col", default=None,
+        help="Bound the feed to rows where this column is in "
+        "[--lo, --hi] — entering/leaving files outside the range are "
+        "zone-map pruned, never opened.",
+    )
+    pt.add_argument("--lo", default=None, help="Lower bound (inclusive).")
+    pt.add_argument("--hi", default=None, help="Upper bound (inclusive).")
     pt.add_argument("-master", dest="master", default="local[*]")
 
     pr = sub.add_parser(
@@ -243,8 +251,24 @@ def main(argv: list[str] | None = None) -> int:
         from cve_manager_spark.commitlog import TableLog
 
         keys = [c for c in args.keys.split(",") if c] if args.keys else None
+
+        def _bound(s):
+            if s is None:
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(s)
+                except ValueError:
+                    continue
+            return s  # string bound (dates, ids) compares lexically
+
+        where = (
+            {args.where_col: (_bound(args.lo), _bound(args.hi))}
+            if args.where_col
+            else None
+        )
         ch = TableLog(args.path).changes(
-            spark, args.v_from, args.v_to, key_cols=keys
+            spark, args.v_from, args.v_to, key_cols=keys, where=where
         )
         if args.out:
             ch.write.mode("overwrite").parquet(args.out)

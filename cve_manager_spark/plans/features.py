@@ -5234,3 +5234,103 @@ def timetravel_pruned_auto(spark: SparkSession, sf: str) -> DataFrame:
     n_in = len(df.select("doc_id", "digest").inputFiles())
     assert 0 < n_in < len(files), (n_in, len(files))
     return df.select("doc_id", "digest")
+
+
+def _cdf_pruned_log(spark: SparkSession, sf: str):
+    """A commit-logged table whose HISTORY is range-clustered, so a
+    bounded change feed can prove zone-map pruning: v0 = documents
+    (doc_id, digest) clustered into ~10 doc_id ranges; v1 appends an
+    'evo' batch at doc_id+1e6 (4 clustered files); v2 appends a
+    'late' batch at doc_id+2e6 (4 clustered files); v3 COW-deletes
+    every base doc_id % 5 = 0 (rewrites base-range files only). Every
+    commit records per-file [min,max] at write time, so the three
+    id bands are disjoint at the FILE level. Same completed-build
+    reuse discipline as the other scratch logs."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cve_manager_spark.commitlog import TableLog
+
+    slug = sf.strip("/").replace("/", "_").replace(".", "_")
+    tdir = Path(tempfile.gettempdir()) / f"cve_spark_cdfp_{slug}" / "log"
+    if (tdir / "_commits" / f"v{3:012d}.json").exists():
+        return TableLog(str(tdir))
+
+    docs = load_table(spark, sf, "documents")
+    scratch = Path(tempfile.mkdtemp(prefix="cve_spark_cdfp_build_")) / "log"
+    base = docs.select("doc_id", F.md5("text").alias("digest"))
+    (
+        base.repartitionByRange(10, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.parquet(str(scratch))
+    )
+    log = TableLog(str(scratch))
+    log.init()
+    evo = docs.where("doc_id % 3 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" evo"))).alias("digest"),
+    )
+    log.append(
+        spark,
+        evo.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id"),
+    )
+    late = docs.where("doc_id % 4 = 0").select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" late"))).alias("digest"),
+    )
+    log.append(
+        spark,
+        late.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id"),
+    )
+    log.delete_where(spark, "doc_id % 5 = 0 AND doc_id < 1000000")
+    tdir.parent.mkdir(parents=True, exist_ok=True)
+    if tdir.exists():
+        shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.replace(scratch, tdir)
+    except OSError:
+        pass
+    shutil.rmtree(scratch.parent, ignore_errors=True)
+    return TableLog(str(tdir))
+
+
+_CDF_PRUNED_ORACLE = """
+SELECT doc_id + 2000000 AS doc_id, md5(text || ' late') AS digest,
+       'insert' AS _change_type, CAST(1 AS BIGINT) AS _change_count
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+@_register(
+    "timetravel_cdf_pruned",
+    _CDF_PRUNED_ORACLE,
+    doc="Zone maps meet the change data feed (VERDICT r13 next-round "
+    "#3): TableLog.changes(0, 3, key_cols, where={doc_id: (2e6, "
+    "None)}) over a history of two clustered appends and a COW "
+    "delete. The bound means 'the change feed of the doc_id >= 2e6 "
+    "subset', and the commit-time per-file stats prune every "
+    "entering/leaving file outside the band — the builder asserts "
+    "the bounded scan's input files shrank strictly below the full "
+    "feed's, so the face fails if bounded CDC ever regresses to "
+    "reading all changed files. The oracle recomputes the one "
+    "in-band batch from documents. At 100 TB this is the incremental "
+    "consumer's contract: 'changes where ts >= X' costs O(matching "
+    "changed files) — on a time-clustered table one file per commit "
+    "— never O(changed files), and the pruning is the SAME "
+    "_prune_files core the snapshot read path uses.",
+    priority=8,
+)
+def timetravel_cdf_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    log = _cdf_pruned_log(spark, sf)
+    full = log.changes(spark, 0, 3, key_cols=["doc_id"])
+    bounded = log.changes(
+        spark, 0, 3, key_cols=["doc_id"], where={"doc_id": (2000000, None)}
+    )
+    n_full = len(full.inputFiles())
+    n_bound = len(bounded.inputFiles())
+    assert 0 < n_bound < n_full, (n_bound, n_full)  # pruning engaged
+    return bounded.select(
+        "doc_id", "digest", "_change_type", "_change_count"
+    )

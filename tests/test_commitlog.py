@@ -1342,3 +1342,105 @@ def test_read_pruned_all_files_pruned_keeps_table_shape(spark, tmp_path):
     assert rep["files_read"] == 1
     assert df.count() == 0
     assert set(df.columns) == {"k", "v"}
+
+
+def test_changes_where_prunes_files_and_bounds_the_feed(spark, tmp_path):
+    """VERDICT r13 next-round #3: ``changes(where=...)`` is the change
+    feed OF THE BOUNDED SUBSET, and the bound prunes entering/leaving
+    files through the commit-time zone maps — the bounded feed's scan
+    must open strictly fewer files than the full feed's."""
+    d = tmp_path / "cdfw"
+    (
+        spark.range(0, 1000)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(10, "k")
+        .sortWithinPartitions("k")
+        .write.parquet(str(d))
+    )
+    log = TableLog(str(d))
+    log.init()
+    log.append(
+        spark,
+        spark.range(2000, 2100)
+        .selectExpr("id AS k", "CAST(0 AS BIGINT) AS v")
+        .coalesce(1),
+    )
+    log.append(
+        spark,
+        spark.range(3000, 3100)
+        .selectExpr("id AS k", "CAST(1 AS BIGINT) AS v")
+        .coalesce(1),
+    )
+    log.delete_where(spark, "k < 100")
+
+    full = log.changes(spark, 0, 3, key_cols=["k"])
+    bounded = log.changes(
+        spark, 0, 3, key_cols=["k"], where={"k": (3000, None)}
+    )
+    assert 0 < len(bounded.inputFiles()) < len(full.inputFiles())
+    got = sorted(tuple(r) for r in bounded.collect())
+    assert got == sorted(
+        (k, 1, "insert", 1) for k in range(3000, 3100)
+    )
+    # identical to filtering the full feed when no update crosses the
+    # bound; the multiset mode prunes too
+    want = sorted(tuple(r) for r in full.where("k >= 3000").collect())
+    assert got == want
+    mid = log.changes(spark, 0, 3, where={"k": (2000, 2999)})
+    assert mid.count() == 100
+    assert len(mid.inputFiles()) < len(full.inputFiles())
+    # an empty band is an empty feed, not an error
+    assert log.changes(spark, 0, 3, where={"k": (10**9, None)}).count() == 0
+
+
+def test_changes_where_update_crossing_the_bound(spark, tmp_path):
+    """An update that MOVES a row across the bound surfaces as an
+    insert (moved in) or delete (moved out) of the bounded subset —
+    the subset behaves exactly like its own table."""
+    d = tmp_path / "cdfx"
+    spark.createDataFrame(
+        [(1, 10), (2, 500), (3, 600)], "k int, v int"
+    ).coalesce(1).write.parquet(str(d))
+    log = TableLog(str(d))
+    log.init()
+    # v1: k=1 moves INTO [100,∞), k=3 moves OUT, k=2 updates in-band
+    log.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 400), (2, 501), (3, 50)], "k int, v int"
+        ),
+        ["k"],
+    )
+    ch = log.changes(spark, 0, 1, key_cols=["k"], where={"v": (100, None)})
+    got = sorted(tuple(r) for r in ch.collect())
+    assert got == [
+        (1, 400, "insert", 1),
+        (2, 500, "update_preimage", 1),
+        (2, 501, "update_postimage", 1),
+        (3, 600, "delete", 1),
+    ]
+
+
+def test_maintenance_cli_cdf_where_bounds(spark, tmp_path, capsys):
+    """CLI face of the bounded feed: --where-col/--lo/--hi flow into
+    changes(where=) and the JSON report counts only in-band changes."""
+    import json as _json
+
+    from cve_manager_spark import maintenance_cli
+
+    d = tmp_path / "clicdf"
+    spark.range(0, 100).selectExpr("id AS k", "id AS v").coalesce(
+        1
+    ).write.parquet(str(d))
+    log = TableLog(str(d))
+    log.init()
+    log.append(
+        spark,
+        spark.range(500, 520).selectExpr("id AS k", "id AS v").coalesce(1),
+    )
+    assert maintenance_cli.main(
+        ["cdf", "--path", str(d), "--from", "0", "--to", "1",
+         "--where-col", "k", "--lo", "500"]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["changes_by_type"] == {"insert": 20}
