@@ -359,7 +359,7 @@ def main() -> None:
             "hash_sample_quantile_error 0.81s and dedup_image_phash "
             "0.56s in-suite (watchlist: healthy). sf1 pricing for the "
             "dedup/graph/ANN families "
-            "lives in SF1_DIFFERENTIAL.json (20/20 hash-match at 10x "
+            "lives in SF1_DIFFERENTIAL.json (21/21 hash-match at 10x "
             "driver scale).",
             "r12_weak_flags_cleared": "both r11 weak flags structurally "
             "resolved: dedup_image_phash 0.61s IN-SUITE (was 7.5-11.5 — "

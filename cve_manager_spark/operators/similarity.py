@@ -791,6 +791,33 @@ def _meta_qid(op: str) -> str | None:
     return m.group(1) if m else None
 
 
+def _resolve_build(log, v: int) -> tuple[int | None, str | None]:
+    """(build-anchor version, quantizer id) in effect at version ``v``,
+    ROLLBACK-AWARE (r13 ADVICE): a ``rollback@to=<t>`` commit restores
+    the content of version ``t``, so the build anchor and quantizer in
+    effect after it are those of ``t`` — resolving the newest
+    (re)build op alone would pair restored pre-rebuild codes with the
+    rebuild's centroids/codebooks, the exact mispairing the qid
+    versioning exists to eliminate. Legacy bare ``rollback`` ops
+    (pre-r14) carry no target and are skipped, preserving their old
+    behavior. Metadata-only: one pass over the manifest ops."""
+    anchor: int | None = None
+    qid: str | None = None
+    for vv in log.versions():
+        if vv > v:
+            break
+        op = log.last_op(version=vv) or ""
+        if op == "init" or op.startswith("overwrite"):
+            anchor, qid = vv, _meta_qid(op)
+        elif op.startswith("rollback@to="):
+            try:
+                t = int(op.split("=", 1)[1])
+            except ValueError:
+                continue
+            anchor, qid = _resolve_build(log, min(t, vv - 1))
+    return anchor, qid
+
+
 def read_ivf_pq_index(
     spark: SparkSession, path: str, version: int | None = None
 ):
@@ -803,8 +830,12 @@ def read_ivf_pq_index(
     centroids/codebooks sidecar (``_ivf_pq_meta-<qid>.json``, written
     BEFORE that commit published — see :func:`ivf_pq_drift_retrain`),
     so codes are always paired with the quantizer that produced them —
-    across time travel, mid-maintenance reads, and crash recovery.
-    Init-era and legacy commits fall back to ``_ivf_pq_meta.json``."""
+    across time travel, mid-maintenance reads, crash recovery, AND
+    rollbacks: a ``rollback@to=<t>`` commit restores version ``t``'s
+    content, so the quantizer re-resolves at ``t`` (r13 ADVICE —
+    without this, a rollback past a drift-retrain paired restored
+    pre-rebuild codes with the rebuild's centroids). Init-era and
+    legacy commits fall back to ``_ivf_pq_meta.json``."""
     import json as _json
     from pathlib import Path as _Path
 
@@ -815,13 +846,7 @@ def read_ivf_pq_index(
         )
         return spark.read.parquet(path), meta["centroids"], meta["books"]
     v = version if version is not None else log.latest_version()
-    qid = None
-    for vv in log.versions():
-        if vv > v:
-            break
-        op = log.last_op(version=vv) or ""
-        if op == "init" or op.startswith("overwrite"):
-            qid = _meta_qid(op)
+    _, qid = _resolve_build(log, v)
     name = f"_ivf_pq_meta-{qid}.json" if qid else "_ivf_pq_meta.json"
     meta = _json.loads((_Path(path) / name).read_text())
     df = log.read(spark, version=v)
@@ -1006,11 +1031,9 @@ def ivf_pq_drift_report(
             f"{path} is not commit-logged; drift tracking needs the log "
             "(write_ivf_pq_index(committed=True))"
         )
-    v_train = None
-    for v in log.versions():
-        op = log.last_op(version=v) or ""
-        if op == "init" or op.startswith("overwrite"):
-            v_train = v
+    # rollback-aware: a restore past a rebuild re-anchors drift at the
+    # build the RESTORED content embeds, not the rolled-away rebuild
+    v_train, _ = _resolve_build(log, log.latest_version())
     if v_train is None:
         v_train = log.versions()[0]
     _, cents, _ = read_ivf_pq_index(spark, path)

@@ -676,3 +676,76 @@ def test_drift_retrain_rebuilds_exactly_once_and_recovers(spark, tmp_path):
     )
     hidx, hcents, hbooks = read_ivf_pq_index(spark, path)
     assert hcents == fresh_cents and hbooks == fresh_books
+
+
+def test_rollback_restores_the_matching_quantizer(spark, tmp_path):
+    """r13 ADVICE: a TableLog.rollback past a drift-retrain restores
+    the PRE-REBUILD codes, so the quantizer must re-resolve at the
+    restore target (rollback commits record ``rollback@to=<t>``) —
+    never pair rolled-back codes with the rebuild's centroids. The
+    drift report re-anchors at the restored build too, and a LATER
+    rebuild on top of the rollback resolves its own fresh qid."""
+    from cve_manager_spark.commitlog import TableLog
+    from cve_manager_spark.operators.similarity import (
+        ivf_pq_drift_report,
+        ivf_pq_drift_retrain,
+        ivf_pq_index,
+        ivf_pq_upsert,
+        read_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+    from cve_manager_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") % 3 != 2)
+    idx, cents, books = ivf_pq_index(base, n_lists=8, m=8, k_codes=16)
+    path = str(tmp_path / "ivf_pq_rb")
+    write_ivf_pq_index(idx, cents, books, path, committed=True)
+
+    delta = emb.where(F.col("vec_id") % 3 == 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(0.05) + F.lit(0.9)
+        ).alias("embedding"),
+    )
+    ivf_pq_upsert(spark, path, delta)
+    corpus = base.unionByName(delta)
+    assert ivf_pq_drift_retrain(spark, path, corpus)["rebuilt"] is True
+    log = TableLog(path)
+    v_rebuild = log.latest_version()
+    _, rb_cents, rb_books = read_ivf_pq_index(spark, path)
+    assert rb_cents != cents  # the rebuild really changed the quantizer
+
+    # rollback past the rebuild: codes AND quantizer revert together
+    log.rollback(to_version=v_rebuild - 1)
+    ridx, rcents, rbooks = read_ivf_pq_index(spark, path)
+    assert rcents == cents and rbooks == books
+    want = sorted(
+        (r[0], r[1], tuple(r[2]))
+        for r in log.read(spark, version=v_rebuild - 1)
+        .select("vec_id", "list_id", "pq_code").collect()
+    )
+    got = sorted(
+        (r[0], r[1], tuple(r[2]))
+        for r in ridx.select("vec_id", "list_id", "pq_code").collect()
+    )
+    assert got == want
+
+    # the drift report re-anchors at the restored build (init), so the
+    # delta that motivated the rolled-away rebuild is drift AGAIN
+    rep = ivf_pq_drift_report(spark, path).collect()
+    assert sum(r["n_base"] for r in rep) == base.count()
+    assert any(r["delta_ppm"] > 300_000 for r in rep)
+
+    # a later rebuild on top of the rollback pairs with ITS quantizer,
+    # and time travel to the rollback version still gives the old one
+    out = ivf_pq_drift_retrain(spark, path, corpus)
+    assert out["rebuilt"] is True
+    _, hcents, hbooks = read_ivf_pq_index(spark, path)
+    assert hcents == rb_cents and hbooks == rb_books  # deterministic trainer
+    _, ocents, obooks = read_ivf_pq_index(
+        spark, path, version=v_rebuild + 1
+    )
+    assert ocents == cents and obooks == books
