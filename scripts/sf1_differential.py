@@ -93,6 +93,64 @@ HEAVY = [
     "epoch_shuffle_blocks",
 ]
 
+def _kcore_oracle(con):
+    """Procedural oracle for graph_kcore at sf1 (VERDICT r13
+    next-round #4): the registered 4-peel CTE-chain oracle is correct
+    but DuckDB inlines CTEs, so each peel re-evaluates its predecessor
+    TWICE (one per semi-join side) — exponential re-computation that
+    spilled >65 GB at 6M edges without finishing. This twin runs the
+    SAME peel, one round = one materialized temp table (bounded memory,
+    each round evaluated exactly once), iterated to the true fixpoint —
+    which also upgrades the oracle from 'four unrolled rounds' to the
+    exact fixpoint semantics the Spark side implements. Returns
+    (rows, column names)."""
+    con.execute("DROP TABLE IF EXISTS kc_ud")
+    con.execute("""
+        CREATE TEMP TABLE kc_ud AS
+        WITH e AS (
+          SELECT DISTINCT l_partkey AS a, l_suppkey + 1000000000 AS b
+          FROM lineitem
+        )
+        SELECT a, b FROM e UNION SELECT b, a FROM e
+    """)
+    prev = -1
+    rounds = 0
+    while True:
+        n = con.execute("SELECT COUNT(*) FROM kc_ud").fetchone()[0]
+        if n == prev:
+            break
+        prev = n
+        rounds += 1
+        con.execute("""
+            CREATE TEMP TABLE kc_k AS
+            SELECT a FROM kc_ud GROUP BY a HAVING COUNT(*) >= 25
+        """)
+        con.execute("""
+            CREATE TEMP TABLE kc_ud2 AS
+            SELECT kc_ud.a, kc_ud.b FROM kc_ud
+            JOIN kc_k x ON kc_ud.a = x.a
+            JOIN kc_k y ON kc_ud.b = y.a
+        """)
+        con.execute("DROP TABLE kc_ud")
+        con.execute("ALTER TABLE kc_ud2 RENAME TO kc_ud")
+        con.execute("DROP TABLE kc_k")
+    print(f"  kcore oracle: fixpoint after {rounds} peel rounds",
+          file=sys.stderr)
+    res = con.execute(
+        "SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+        "FROM kc_ud GROUP BY a"
+    ).fetchall()
+    names = [d[0] for d in con.description]
+    con.execute("DROP TABLE kc_ud")
+    return res, names
+
+
+# specs whose REGISTERED oracle SQL is semantically right but
+# infeasible for DuckDB's evaluator at sf1; each procedural twin is an
+# independent re-implementation of the same definition, evaluated
+# round-by-round
+PROCEDURAL_ORACLES = {"graph_kcore": _kcore_oracle}
+
 specs = collect()
 out = {"sf_dir": SF, "specs": {}}
 fails = []
@@ -109,9 +167,13 @@ for name in todo:
     cols = sorted(sdf.columns)
     srows = sorted(tuple(norm(r[c]) for c in cols) for r in sdf.collect())
     spark_s = time.monotonic() - t0
-    res = con.execute(spec.oracle).fetchall()
-    ocols = sorted(d[0] for d in con.description)
-    idx = [list(d[0] for d in con.description).index(c) for c in ocols]
+    if name in PROCEDURAL_ORACLES:
+        res, names = PROCEDURAL_ORACLES[name](con)
+    else:
+        res = con.execute(spec.oracle).fetchall()
+        names = [d[0] for d in con.description]
+    ocols = sorted(names)
+    idx = [names.index(c) for c in ocols]
     orows = sorted(tuple(norm(r[i]) for i in idx) for r in res)
     ok = cols == ocols and srows == orows
     out["specs"][name] = {
@@ -119,6 +181,8 @@ for name in todo:
         "rows": len(srows),
         "spark_sec": round(spark_s, 2),
     }
+    if name in PROCEDURAL_ORACLES:
+        out["specs"][name]["oracle"] = "procedural (see harness)"
     if not ok:
         fails.append(name)
         out["specs"][name]["oracle_rows"] = len(orows)
