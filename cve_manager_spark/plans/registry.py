@@ -54,6 +54,8 @@ DRIVER_GREEN = frozenset({
     "boilerplate_segments_topk",
     "cast_date",
     "cast_to_string",
+    "catalog_txn_snapshot",
+    "catalog_view_atomic",
     "cdc_upsert",
     "char_coverage_curve",
     "char_window_source_leakage",
@@ -303,6 +305,7 @@ DRIVER_GREEN = frozenset({
     "rolling_7d_median_events",
     "rolling_active_users",
     "rollup_cascade",
+    "sample_bottomk_stratified",
     "sample_hash",
     "sample_size_quantile_sweep",
     "scd2_asof_lookup",
@@ -395,7 +398,9 @@ DRIVER_GREEN = frozenset({
     "text_ttr_by_source",
     "text_word_len_profile",
     "timetravel_changes",
+    "timetravel_evolution_cdf",
     "timetravel_partition_evolution",
+    "timetravel_pruned_auto",
     "timetravel_pruned_scan",
     "timetravel_snapshot_diff",
     "timetravel_version_counts",
