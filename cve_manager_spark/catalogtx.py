@@ -57,6 +57,7 @@ import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cve_manager_spark.commitlog import CommitConflict, TableLog
 
@@ -331,6 +332,78 @@ class CatalogLog:
             )
             for n, p in pins.items()
         }
+
+    def changes(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int | None = None,
+        key_cols: "dict[str, list[str]] | None" = None,
+        where: "dict[str, dict[str, tuple]] | None" = None,
+    ) -> dict[str, DataFrame]:
+        """Per-table change feeds between two CATALOG versions — the
+        row-level face of multi-table atomicity: because both
+        endpoints are catalog snapshots, the per-table feeds are
+        MUTUALLY CONSISTENT (each table diffs between the pins one
+        atomic commit published, so a facts feed can never show a
+        transaction's effect whose dim feed doesn't). Options are
+        per-table maps: ``key_cols={"facts": ["id"]}`` gives that
+        table Delta-style update pairs, ``where={"facts": {"ts":
+        (lo, hi)}}`` bounds that table's feed with zone-map pruning
+        (see :meth:`TableLog.changes`).
+
+        The TABLE SET diffs too: a table added between the versions
+        surfaces as an all-insert feed of its to-side pinned content,
+        a dropped table as an all-delete feed of its from-side
+        content — so a consumer replaying catalog history sees
+        registration and removal as data, not as KeyErrors.
+
+        Scale: each feed inherits the manifest-delta property (only
+        files entering/leaving between the pins are read), and a
+        reconcile rollback restores pinned content, so crash debris
+        cancels to an EMPTY feed here — leaked debris is a visible
+        row."""
+        vf, _ = self.snapshot(v_from)
+        vt, _ = self.snapshot(v_to)
+        pins_f = self._read_manifest(vf)["pins"]
+        pins_t = self._read_manifest(vt)["pins"]
+        out: dict[str, DataFrame] = {}
+        for name in sorted(set(pins_f) | set(pins_t)):
+            kc = (key_cols or {}).get(name)
+            wh = (where or {}).get(name)
+            in_f, in_t = name in pins_f, name in pins_t
+            entry = pins_t.get(name, pins_f.get(name))
+            log = TableLog(str(self._resolve(entry["path"])))
+            if in_f and in_t:
+                out[name] = log.changes(
+                    spark, pins_f[name]["version"],
+                    pins_t[name]["version"], key_cols=kc, where=wh,
+                )
+                continue
+            # added (insert feed of the to-pin) or dropped (delete
+            # feed of the from-pin): the snapshot content, change-typed
+            df = log.read(
+                spark,
+                version=(pins_t[name]["version"] if in_t
+                         else pins_f[name]["version"]),
+                where=wh,
+            )
+            ctype = F.lit("insert" if in_t else "delete")
+            if kc is None:
+                out[name] = (
+                    df.groupBy(*df.columns)
+                    .agg(F.count(F.lit(1)).cast("long")
+                         .alias("_change_count"))
+                    .withColumn("_change_type", ctype)
+                    .select(*df.columns, "_change_type", "_change_count")
+                )
+            else:
+                out[name] = df.select(
+                    *df.columns,
+                    ctype.alias("_change_type"),
+                    F.lit(1).cast("long").alias("_change_count"),
+                )
+        return out
 
     # -- transactions ------------------------------------------------------
 

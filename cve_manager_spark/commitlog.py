@@ -1096,6 +1096,7 @@ class TableLog:
         key_cols: list[str] | None = None,
         start_version: int | None = None,
         max_versions: int | None = None,
+        where: dict[str, tuple] | None = None,
     ):
         """Tail the log incrementally: return ``(changes_df, ack)`` for
         everything committed since the cursor's last-consumed version,
@@ -1119,7 +1120,15 @@ class TableLog:
         head and the call returns None; only future commits flow).
         Versions older than the vacuum retention window raise through
         ``snapshot()`` — the standard CDC-retention trade, surfaced
-        loudly instead of silently skipping."""
+        loudly instead of silently skipping.
+
+        ``where`` — optional ``{column: (lo, hi)}`` bounds forwarded to
+        :meth:`changes`: the consumer tails the change feed OF THE
+        BOUNDED SUBSET, with entering/leaving files outside the bounds
+        zone-map pruned. The cursor still advances over full versions
+        (acks are subset-independent), so different subscribers may
+        tail different slices of the same log with independent
+        cursors."""
         import tempfile
 
         cur = Path(cursor_path)
@@ -1167,7 +1176,14 @@ class TableLog:
             # span is the max_versions-th committed version above last
             upcoming = [v for v in self.versions() if v > last]
             head = upcoming[: max_versions][-1]
-        changes = self.changes(spark, last, head, key_cols=key_cols)
+        # ``where`` composes the cursor with the bounded feed: a
+        # subscriber tailing only its slice ('changes where region in
+        # range') pays O(matching changed files) per span — the
+        # zone-map pruning of changes(where=), under the same
+        # at-least-once ack contract
+        changes = self.changes(
+            spark, last, head, key_cols=key_cols, where=where
+        )
 
         def ack() -> int:
             _write_cursor(head)

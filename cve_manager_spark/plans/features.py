@@ -4979,6 +4979,46 @@ def catalog_add_drop_table(spark: SparkSession, sf: str) -> DataFrame:
     ).select("s_suppkey", "s_nationkey", "bal_cents", "n_name")
 
 
+_CATALOG_CDF_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+       'delete' AS _change_type, CAST(1 AS BIGINT) AS _change_count
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
+@_register(
+    "catalog_cdf_atomic",
+    _CATALOG_CDF_ORACLE,
+    doc="Multi-table CDC through the catalog: CatalogLog.changes(v0, "
+    "head) diffs every table between the pins two CATALOG snapshots "
+    "published, so per-table feeds are mutually consistent by "
+    "construction. Over the transaction scratch "
+    "(_catalog_tx_scratch), the facts feed between catalog v0 and "
+    "head must be EXACTLY the committed transaction's purge "
+    "(o_orderkey % 7 = 0 as keyed deletes): the crashed second "
+    "transaction's table commits were rolled back by reconcile() to "
+    "pinned content, which CANCELS in the manifest-delta diff — so "
+    "leaked crash debris, a lost rollback, or a rewritten-unchanged "
+    "row surfacing as an update is a hash mismatch here, at row "
+    "grain. At 100 TB this is the incremental-consumer face of "
+    "multi-table atomicity: each feed reads only files entering/"
+    "leaving between the pins, and a downstream join materializer "
+    "can consume facts+dim deltas that provably belong to the same "
+    "atomic history.",
+    priority=8,
+)
+def catalog_cdf_atomic(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.catalogtx import CatalogLog
+
+    cat = CatalogLog(_catalog_tx_scratch(spark, sf))
+    feeds = cat.changes(spark, 0, key_cols={"facts": ["o_orderkey"]})
+    return feeds["facts"].select(
+        "o_orderkey", "o_custkey", "total_cents",
+        "_change_type", "_change_count",
+    )
+
+
 def _two_stream_view_state(spark: SparkSession, sf: str) -> str:
     """Build the two-stream join view's state ONCE per (tmpdir, sf) by
     actually running both streaming sinks availableNow over chopped

@@ -753,3 +753,59 @@ def test_drop_table_conflicts_inflight_txn_on_that_table(
     # the table is out of the catalog, so reconcile has nothing to do
     rep = cat.reconcile(min_age_seconds=0)
     assert rep["rolled_back"] == []
+
+
+def test_catalog_changes_consistent_feeds_and_table_set_diff(
+    spark, tmp_path
+):
+    """CatalogLog.changes diffs every table between two CATALOG
+    snapshots: a committed transaction's effects appear in both
+    tables' feeds at once, crash debris rolled back by reconcile
+    cancels to an empty feed, and add/drop surface as all-insert /
+    all-delete feeds of the pinned content."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    v0 = cat.latest_version()
+
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id % 10 = 0")
+    txn.table("dim").merge_upsert(
+        spark,
+        spark.createDataFrame([(0, "zero")], "d_cust long, d_seg string"),
+        ["d_cust"],
+    )
+    cat.commit(txn)
+    # crashed txn debris, repaired: must NOT appear in any feed
+    dead = cat.begin()
+    dead.table("facts").delete_where(spark, "f_id % 2 = 1")
+    cat.reconcile(min_age_seconds=0)
+
+    feeds = cat.changes(
+        spark, v0, key_cols={"facts": ["f_id"], "dim": ["d_cust"]}
+    )
+    facts = sorted(tuple(r) for r in feeds["facts"].collect())
+    assert facts == sorted(
+        (k, k % 10, k * 2, "delete", 1) for k in range(0, 100, 10)
+    )
+    dim = sorted(tuple(r) for r in feeds["dim"].collect())
+    assert dim == [
+        (0, "seg-0", "update_preimage", 1),
+        (0, "zero", "update_postimage", 1),
+    ]
+
+    # added table: all-insert feed; dropped table: all-delete feed
+    npath = tmp_path / "chg_notes"
+    spark.range(0, 4).selectExpr("id AS n_id").coalesce(1).write.parquet(
+        str(npath)
+    )
+    nlog = TableLog(str(npath))
+    nlog.init()
+    v_before = cat.latest_version()
+    cat.add_table("notes", nlog)
+    cat.drop_table("dim")
+    feeds2 = cat.changes(spark, v_before)
+    notes = sorted(tuple(r) for r in feeds2["notes"].collect())
+    assert notes == [(i, "insert", 1) for i in range(4)]
+    gone = feeds2["dim"]
+    assert gone.where("_change_type <> 'delete'").count() == 0
+    assert gone.count() == 10  # keyless feed groups distinct rows
+    assert feeds2["facts"].count() == 0  # untouched table: empty feed

@@ -1444,3 +1444,36 @@ def test_maintenance_cli_cdf_where_bounds(spark, tmp_path, capsys):
     ) == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["changes_by_type"] == {"insert": 20}
+
+
+def test_consume_changes_where_bounded_subscriber(spark, tmp_path):
+    """A cursor-tailing subscriber can bound its slice: where= flows
+    into changes(), two subscribers tail different slices of the same
+    log with independent cursors, and acks stay subset-independent."""
+    d = tmp_path / "ccw"
+    spark.range(0, 10).selectExpr("id AS k", "id AS v").coalesce(
+        1
+    ).write.parquet(str(d))
+    log = TableLog(str(d))
+    log.init()
+    c_lo = str(tmp_path / "cur_lo.json")
+    c_hi = str(tmp_path / "cur_hi.json")
+    assert log.consume_changes(spark, c_lo, start_version=0,
+                               where={"k": (None, 99)}) is None
+    assert log.consume_changes(spark, c_hi, start_version=0,
+                               where={"k": (100, None)}) is None
+    log.append(
+        spark,
+        spark.range(50, 53).selectExpr("id AS k", "id AS v").coalesce(1),
+    )
+    log.append(
+        spark,
+        spark.range(150, 154).selectExpr("id AS k", "id AS v").coalesce(1),
+    )
+    ch, ack = log.consume_changes(spark, c_lo, where={"k": (None, 99)})
+    assert sorted(r["k"] for r in ch.collect()) == [50, 51, 52]
+    assert ack() == log.latest_version()
+    ch2, ack2 = log.consume_changes(spark, c_hi, where={"k": (100, None)})
+    assert sorted(r["k"] for r in ch2.collect()) == [150, 151, 152, 153]
+    ack2()
+    assert log.consume_changes(spark, c_lo, where={"k": (None, 99)}) is None
