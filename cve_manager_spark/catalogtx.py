@@ -405,6 +405,71 @@ class CatalogLog:
                 )
         return out
 
+    def consume_changes(
+        self,
+        spark: SparkSession,
+        cursor_path: str,
+        key_cols: "dict[str, list[str]] | None" = None,
+        where: "dict[str, dict[str, tuple]] | None" = None,
+        start_version: int | None = None,
+        max_versions: int | None = None,
+    ):
+        """Tail the CATALOG incrementally: ``(feeds, ack)`` where
+        ``feeds`` is :meth:`changes` between the cursor's last
+        consumed catalog version and the (possibly capped) head, or
+        None when already caught up. The cursor pins CATALOG versions,
+        so one ack moves every table's position at once and a
+        downstream multi-table applier (a join-view materializer
+        consuming facts+dim deltas) can never apply one table's delta
+        without the other's from the same atomic commit — the
+        consumer-side face of multi-table atomicity. Same contract as
+        ``TableLog.consume_changes``: apply-then-ack (at-least-once,
+        idempotent appliers make it exactly-once in effect), atomic
+        one-JSON cursor, ``start_version`` for backfill vs None for
+        Kafka-style latest, ``max_versions`` for bounded spans."""
+        import tempfile
+
+        cur = Path(cursor_path)
+        head = self.latest_version()
+        if head is None:
+            raise ValueError(f"no catalog under {self.root}")
+        cur.parent.mkdir(parents=True, exist_ok=True)
+
+        def _write_cursor(v: int) -> None:
+            fd, tmp = tempfile.mkstemp(
+                dir=str(cur.parent), prefix=cur.name, suffix=".tmp"
+            )
+            with os.fdopen(fd, "w") as f:
+                json.dump({"version": v}, f)
+            os.replace(tmp, str(cur))
+
+        if cur.exists():
+            last = int(json.loads(cur.read_text())["version"])
+        elif start_version is not None:
+            last = int(start_version)
+            # persist the pin before any changes are returned: a crash
+            # can only re-deliver, never skip (the TableLog rule)
+            _write_cursor(last)
+        else:
+            _write_cursor(head)
+            return None
+        if last >= head:
+            return None
+        if max_versions is not None:
+            if max_versions < 1:
+                raise ValueError("max_versions must be >= 1")
+            upcoming = [v for v in self.versions() if v > last]
+            head = upcoming[:max_versions][-1]
+        feeds = self.changes(
+            spark, last, head, key_cols=key_cols, where=where
+        )
+
+        def ack() -> int:
+            _write_cursor(head)
+            return head
+
+        return feeds, ack
+
     # -- transactions ------------------------------------------------------
 
     def begin(self) -> CatalogTxn:

@@ -91,6 +91,16 @@ HEAVY = [
     "ivf_assignments",
     "pq_codes",
     "epoch_shuffle_blocks",
+    # r14: the catalog/CDF lakehouse faces — scratch state built AT SF1,
+    # so the commit-log protocol (txn isolation, reconcile rollback,
+    # add/drop lifecycle, zone-map-pruned CDF) is differentially
+    # verified at 10x driver scale too
+    "catalog_txn_snapshot",
+    "catalog_view_atomic",
+    "catalog_add_drop_table",
+    "catalog_cdf_atomic",
+    "timetravel_cdf_pruned",
+    "timetravel_evolution_cdf",
 ]
 
 def _kcore_oracle(con):

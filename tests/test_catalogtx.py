@@ -809,3 +809,41 @@ def test_catalog_changes_consistent_feeds_and_table_set_diff(
     assert gone.where("_change_type <> 'delete'").count() == 0
     assert gone.count() == 10  # keyless feed groups distinct rows
     assert feeds2["facts"].count() == 0  # untouched table: empty feed
+
+
+def test_catalog_consume_changes_one_ack_moves_all_tables(
+    spark, tmp_path
+):
+    """The consumer-side face of multi-table atomicity: a catalog
+    cursor delivers every table's delta from the same atomic span,
+    one ack advances all positions at once, and a crash before the
+    ack re-delivers the whole span (at-least-once)."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    cur = str(tmp_path / "cat_cursor.json")
+    v0 = cat.latest_version()
+    assert cat.consume_changes(spark, cur, start_version=v0) is None
+
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id >= 95")
+    txn.table("dim").delete_where(spark, "d_cust = 9")
+    cat.commit(txn)
+
+    got = cat.consume_changes(
+        spark, cur, key_cols={"facts": ["f_id"], "dim": ["d_cust"]}
+    )
+    assert got is not None
+    feeds, ack = got
+    assert sorted(r["f_id"] for r in feeds["facts"].collect()) == [
+        95, 96, 97, 98, 99
+    ]
+    assert [r["d_cust"] for r in feeds["dim"].collect()] == [9]
+    assert all(
+        r["_change_type"] == "delete" for r in feeds["facts"].collect()
+    )
+    # crash before ack: the span re-delivers identically
+    feeds2, ack2 = cat.consume_changes(
+        spark, cur, key_cols={"facts": ["f_id"], "dim": ["d_cust"]}
+    )
+    assert feeds2["facts"].count() == 5
+    assert ack2() == cat.latest_version()
+    assert cat.consume_changes(spark, cur) is None
