@@ -349,6 +349,17 @@ def main() -> None:
         "n_passes": n_passes,
         "sf": sf,
         "notes": {
+            "r14_run": "87.62s over the same 89 headliners (r13 "
+            "committed: 93.99) — no headline-set change this round; the "
+            "round's new faces (catalog_add_drop_table, "
+            "timetravel_cdf_pruned, catalog_cdf_atomic) build scratch "
+            "commit-log state on first run, so they stay OUT of the "
+            "headline set per the r8 build-vs-query rule; their sf1 "
+            "pricing is in SF1_DIFFERENTIAL.json (28/28 hash-match, "
+            "graph_kcore's oracle exception closed via the procedural "
+            "fixpoint peel). Steal 1.2/0.4/0.9 core-s per pass "
+            "(~0.03%). agg_groupby (r13 watch) 1.03s min — the r13 "
+            "1.28x was noise as suspected.",
             "r13_run": "93.99s over 89 headliners (r12 committed: 97.76 "
             "over 88); steal 7.9/2.9/3.1 core-s per pass (final ~0.1%), "
             "no query regressed >1.5x vs r12. New headliner "
