@@ -336,6 +336,27 @@ class TableLog:
         )
         return {"version": v, "layout": list(pcols)}
 
+    def enable_bloom(
+        self, column: str, bits: int = 131072, k: int = 5
+    ) -> dict:
+        """Enable POINT-LOOKUP data skipping on ``column``: every
+        committed write from now on records a per-file bloom sidecar
+        (see :class:`_BloomIndex`), and EQUALITY bounds —
+        ``read(where={column: (v, v)})``, ``read_pruned(lo=v, hi=v)``,
+        ``changes(where=...)`` — prune files the bloom proves empty of
+        ``v``, after the zone-map pass. This is the skipping index for
+        the case range stats can't touch: a digest / id column whose
+        per-file [min, max] spans the whole domain. String and
+        integral columns only (their Spark string cast is bit-exact
+        with Python ``str()``, so a false negative is impossible);
+        files written BEFORE enablement have no sidecar and are always
+        kept — rewrite via ``compact()`` to backfill. Maintenance
+        setting, not versioned table state: like the stats cache it
+        lives in ``_commits`` and affects scan cost only, never
+        results. Size ``bits`` ≈ 10 × rows-per-file for ~1% false
+        positives at k=5 (a false positive reads one extra file)."""
+        return _BloomIndex(self).enable(column, bits=bits, k=k)
+
     def read(
         self,
         spark: SparkSession,
@@ -503,6 +524,20 @@ class TableLog:
             cols = _stat_columns(out.dtypes)
             if cols and new_rel:
                 _ZoneMaps(self).stats_for(new_rel, cols)
+        except Exception:
+            pass
+        # bloom sidecars, same write-time discipline (see _BloomIndex):
+        # only for enabled columns of bloom-safe type present in this
+        # write and not hive-encoded into the path
+        try:
+            bl = _BloomIndex(self)
+            cfg = bl.config()
+            bcols = [
+                c for c, t in out.dtypes
+                if c in cfg and c not in pcols and t in _BLOOM_TYPES
+            ]
+            if bcols and new_rel:
+                bl.build_for(out.sparkSession, new_rel, bcols)
         except Exception:
             pass
         return new_rel
@@ -1414,6 +1449,185 @@ def _stat_columns(dtypes: list[tuple[str, str]]) -> list[str]:
     ]
 
 
+_BLOOM_TYPES = ("string", "bigint", "int", "smallint", "tinyint", "long")
+
+
+def _bloom_positions_py(value, k: int, bits: int) -> list[int]:
+    """The k bloom bit positions of ``value`` — PURE PYTHON twin of the
+    Spark-side expression in ``_BloomIndex.build_for`` (md5 of
+    '<string form>:<i>', first 15 hex chars as an int, mod bits), so
+    the driver-side probe needs no Spark job and cannot diverge from
+    what the writer recorded. Only string/integral columns are bloom-
+    indexed: their Spark CAST(... AS STRING) form equals Python
+    ``str()`` exactly, which makes a false NEGATIVE (pruning a file
+    that holds the value) impossible by construction."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{value}:{i}".encode()).hexdigest()[:15], 16
+        ) % bits
+        for i in range(k)
+    ]
+
+
+class _BloomIndex:
+    """Per-file bloom-filter sidecars for POINT-LOOKUP data skipping —
+    the complement of :class:`_ZoneMaps`: range stats prune nothing on
+    a high-cardinality unclustered column (every file's [min, max]
+    spans the whole domain — digests, ids after a shuffle), which is
+    exactly where a membership filter shines. Delta calls this the
+    bloom filter index; Parquet has footer blooms, but keeping ours in
+    commit-scoped sidecars preserves the engine's rule that committed
+    reads never re-open footers.
+
+    Enabled per column via :meth:`TableLog.enable_bloom`; from then on
+    every committed write records one sidecar per (new file, column)
+    in ``_commits/_blooms/`` — an O(files-this-commit) pass over the
+    just-written rows, JVM-side (md5 + conv inside codegen, one
+    explode + collect_set per file whose set is capped at ``bits``).
+    Data files are immutable, so sidecars never invalidate; a
+    conflict-aborted stage leaves orphan sidecars (harmless, the
+    zone-map discipline); files predating enablement simply have no
+    sidecar and are always kept. Sizing: ~1% false-positive rate at
+    bits ≈ 10 × rows-per-file with k=5 — and a false positive only
+    costs reading one extra file, never correctness."""
+
+    def __init__(self, log: "TableLog"):
+        self.log = log
+        self.dir = log.root / _LOG_DIR / "_blooms"
+        self.cfg_path = log.root / _LOG_DIR / "_bloomconfig.json"
+
+    def config(self) -> dict:
+        try:
+            return json.loads(self.cfg_path.read_text())
+        except (OSError, ValueError):
+            return {}
+
+    def enable(self, column: str, bits: int = 131072, k: int = 5) -> dict:
+        import tempfile
+
+        if bits < 8 or k < 1:
+            raise ValueError("need bits >= 8 and k >= 1")
+        cfg = self.config()
+        cfg[column] = {"bits": int(bits), "k": int(k)}
+        self.cfg_path.parent.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=str(self.cfg_path.parent), prefix=".bloomcfg"
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump(cfg, f)
+        os.replace(tmp, str(self.cfg_path))
+        return cfg
+
+    def _sidecar(self, rel: str, column: str) -> Path:
+        import hashlib
+
+        name = hashlib.md5(f"{rel}::{column}".encode()).hexdigest()
+        return self.dir / f"{name}.json"
+
+    def build_for(
+        self, spark: SparkSession, rel_files: list[str],
+        columns: list[str],
+    ) -> None:
+        """Record bloom sidecars for just-written files (writer-side,
+        called by ``_stage``)."""
+        import base64
+        import tempfile
+        from urllib.parse import unquote, urlparse
+
+        import numpy as np
+
+        cfg = self.config()
+        todo = [
+            (r, c) for r in rel_files for c in columns
+            if not self._sidecar(r, c).exists()
+        ]
+        if not todo:
+            return
+        paths = sorted({str(self.log.root / r) for r, _ in todo})
+        df = spark.read.option(
+            "basePath", str(self.log.root)
+        ).parquet(*paths)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        root = str(self.log.root.resolve())
+        for column in columns:
+            bits, k = cfg[column]["bits"], cfg[column]["k"]
+            pos = F.array(*[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(
+                                F.col(column).cast("string"),
+                                F.lit(f":{i}"),
+                            )),
+                            1, 15,
+                        ),
+                        16, 10,
+                    ).cast("long") % bits
+                )
+                for i in range(k)
+            ])
+            rows = (
+                df.select(
+                    F.input_file_name().alias("__f"),
+                    F.explode(pos).alias("__p"),
+                )
+                .where(F.col("__p").isNotNull())
+                .groupBy("__f")
+                .agg(F.collect_set("__p").alias("__ps"))
+                .collect()
+            )
+            by_rel: dict[str, list[int]] = {}
+            for r in rows:
+                p = unquote(urlparse(r["__f"]).path)
+                if p.startswith(root):
+                    by_rel[p[len(root):].lstrip("/")] = r["__ps"]
+            for rel in rel_files:
+                target = self._sidecar(rel, column)
+                if target.exists():
+                    continue
+                arr = np.zeros(bits, dtype=bool)
+                ps = by_rel.get(rel)
+                if ps:
+                    arr[np.asarray(ps, dtype=np.int64)] = True
+                body = {
+                    "file": rel, "column": column, "bits": bits,
+                    "k": k,
+                    "b64": base64.b64encode(
+                        np.packbits(arr).tobytes()
+                    ).decode(),
+                }
+                fd, tmp = tempfile.mkstemp(
+                    dir=str(self.dir), prefix=".bloom"
+                )
+                with os.fdopen(fd, "w") as f:
+                    json.dump(body, f)
+                os.replace(tmp, str(target))
+
+    def might_contain(self, rel: str, column: str, value) -> bool | None:
+        """False = the file provably lacks ``value`` (safe to prune);
+        True = maybe present; None = no sidecar / unprobeable value
+        (caller must keep the file)."""
+        import base64
+
+        import numpy as np
+
+        if not isinstance(value, (str, int)) or isinstance(value, bool):
+            return None
+        try:
+            d = json.loads(self._sidecar(rel, column).read_text())
+        except (OSError, ValueError):
+            return None
+        arr = np.unpackbits(
+            np.frombuffer(base64.b64decode(d["b64"]), dtype=np.uint8)
+        )
+        for h in _bloom_positions_py(value, d["k"], d["bits"]):
+            if not arr[h]:
+                return False
+        return True
+
+
 class _ZoneMaps:
     """File-level min/max sidecar for a commit-logged table — the
     data-skipping index Delta keeps in its log and Iceberg in manifest
@@ -1552,6 +1766,22 @@ def _prune_files(
             if overlaps(st["min"], st["max"]):
                 nxt.append(rel)
         keep = nxt
+    # EQUALITY bounds additionally consult bloom sidecars: on a
+    # high-cardinality unclustered column every file's [min, max]
+    # spans the domain (zone maps prune nothing), which is the case
+    # membership filters exist for. might_contain() returning False is
+    # a proof of absence (see _bloom_positions_py); None (no sidecar,
+    # unprobeable type) keeps the file.
+    bl = _BloomIndex(log)
+    cfg = bl.config()
+    for column, (lo, hi) in preds.items():
+        if lo is None or lo != hi or column not in cfg:
+            continue
+        keep = [
+            rel for rel in keep
+            if column in _path_layout(rel)
+            or bl.might_contain(rel, column, lo) is not False
+        ]
     report = {
         "files_total": len(files),
         "files_read": len(keep),

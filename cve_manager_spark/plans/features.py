@@ -5336,6 +5336,95 @@ def _cdf_pruned_log(spark: SparkSession, sf: str):
     return TableLog(str(tdir))
 
 
+def _bloom_log(spark: SparkSession, sf: str):
+    """A commit-logged table whose lookup column (md5 digest) is
+    UNCLUSTERED — every file's [min, max] spans the whole hex domain,
+    so zone maps prune nothing and point lookups are the bloom
+    sidecars' job: even doc_ids form the init snapshot (PRE-enablement,
+    no sidecars — the always-kept case), blooms are enabled, and odd
+    doc_ids land via committed appends in 4 files, each recording its
+    digest bloom at write time. Same completed-build reuse discipline
+    as the other scratch logs."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cve_manager_spark.commitlog import TableLog
+
+    slug = sf.strip("/").replace("/", "_").replace(".", "_")
+    tdir = Path(tempfile.gettempdir()) / f"cve_spark_blm_{slug}" / "log"
+    if (tdir / "_commits" / f"v{1:012d}.json").exists():
+        return TableLog(str(tdir))
+
+    docs = load_table(spark, sf, "documents")
+    scratch = Path(tempfile.mkdtemp(prefix="cve_spark_blm_build_")) / "log"
+    (
+        docs.where("doc_id % 2 = 0")
+        .select("doc_id", F.md5("text").alias("digest"))
+        .coalesce(2)
+        .write.parquet(str(scratch))
+    )
+    log = TableLog(str(scratch))
+    log.init()
+    log.enable_bloom("digest", bits=16384, k=5)
+    log.append(
+        spark,
+        docs.where("doc_id % 2 = 1")
+        .select("doc_id", F.md5("text").alias("digest"))
+        .repartition(4, "doc_id"),
+    )
+    tdir.parent.mkdir(parents=True, exist_ok=True)
+    if tdir.exists():
+        shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.replace(scratch, tdir)
+    except OSError:
+        pass
+    shutil.rmtree(scratch.parent, ignore_errors=True)
+    return TableLog(str(tdir))
+
+
+_BLOOM_LOOKUP_ORACLE = """
+SELECT doc_id, md5(text) AS digest
+FROM documents
+WHERE md5(text) = (SELECT md5(text) FROM documents WHERE doc_id = 321)
+"""
+
+
+@_register(
+    "timetravel_bloom_lookup",
+    _BLOOM_LOOKUP_ORACLE,
+    doc="Bloom-sidecar POINT-LOOKUP data skipping: an equality read "
+    "(read(where={digest: (v, v)})) on an md5-distributed column, "
+    "where every file's [min, max] spans the whole domain — zone "
+    "maps prune NOTHING, and the per-file blooms recorded at commit "
+    "time (TableLog.enable_bloom) prove absence instead. The builder "
+    "asserts the scan's input files shrank strictly below the "
+    "manifest's count; pre-enablement files carry no sidecar and are "
+    "always kept (the never-drop rule), so the face also proves "
+    "mixed-era manifests read correctly. The oracle recomputes the "
+    "digest match from documents — planted duplicate texts share the "
+    "digest, so the result is every copy, found through the blooms. "
+    "At 100 TB this is the skipping index for needle queries on "
+    "digests/ids: O(1 + fpp × files) file opens instead of O(files), "
+    "with the probe fully driver-side (pure-Python md5 twin of the "
+    "JVM expression — no Spark job to decide the scan).",
+    priority=8,
+)
+def timetravel_bloom_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    log = _bloom_log(spark, sf)
+    docs = load_table(spark, sf, "documents")
+    target = docs.where("doc_id = 321").select(
+        F.md5("text").alias("d")
+    ).collect()[0]["d"]
+    df = log.read(spark, where={"digest": (target, target)})
+    _, files = log.snapshot()
+    n_in = len(df.select("doc_id", "digest").inputFiles())
+    assert 0 < n_in < len(files), (n_in, len(files))
+    return df.select("doc_id", "digest")
+
+
 _CDF_PRUNED_ORACLE = """
 SELECT doc_id + 2000000 AS doc_id, md5(text || ' late') AS digest,
        'insert' AS _change_type, CAST(1 AS BIGINT) AS _change_count

@@ -1477,3 +1477,100 @@ def test_consume_changes_where_bounded_subscriber(spark, tmp_path):
     assert sorted(r["k"] for r in ch2.collect()) == [150, 151, 152, 153]
     ack2()
     assert log.consume_changes(spark, c_lo, where={"k": (None, 99)}) is None
+
+
+def test_bloom_sidecars_prune_equality_lookups(spark, tmp_path):
+    """Point-lookup data skipping: commit-time bloom sidecars prune
+    files an equality bound provably misses — on a digest column
+    where zone maps prune nothing — while pre-enablement files (no
+    sidecar) are always kept, range bounds ignore blooms, and a probe
+    for ANY present value never prunes its file (no false negatives,
+    exhaustively checked)."""
+    import hashlib
+
+    from cve_manager_spark.commitlog import read_pruned
+
+    d = tmp_path / "bloom"
+    base = spark.range(0, 400).selectExpr(
+        "id AS k", "md5(CAST(id AS STRING)) AS digest"
+    )
+    base.coalesce(1).write.parquet(str(d))
+    log = TableLog(str(d))
+    log.init()
+    log.enable_bloom("digest", bits=16384, k=5)
+    for lo in (400, 600, 800):
+        log.append(
+            spark,
+            spark.range(lo, lo + 200).selectExpr(
+                "id AS k", "md5(CAST(id AS STRING)) AS digest"
+            ).coalesce(2),
+        )
+    n_files = len(log.snapshot()[1])
+    assert n_files == 7  # 1 pre-enable + 3 appends x 2
+
+    # present value in one bloomed file: that file + the sidecar-less
+    # base file are read, everything else pruned
+    t = hashlib.md5(b"650").hexdigest()
+    df, rep = read_pruned(log, spark, "digest", lo=t, hi=t)
+    assert rep["files_pruned"] >= 4
+    assert [r["k"] for r in df.collect()] == [650]
+
+    # absent value: every bloomed file pruned, base kept (never drop
+    # without proof), result empty through the real filter
+    miss = hashlib.md5(b"absent").hexdigest()
+    df2, rep2 = read_pruned(log, spark, "digest", lo=miss, hi=miss)
+    assert rep2["files_read"] == 1 and df2.count() == 0
+
+    # range bounds never consult blooms (membership can't serve a
+    # range): the pruned read equals the full-scan filter exactly
+    df3, rep3 = read_pruned(log, spark, "digest", lo="0", hi="2")
+    want3 = log.read(spark).where(
+        "digest >= '0' AND digest <= '2'"
+    ).count()
+    assert df3.count() == want3 > 0
+
+    # NO FALSE NEGATIVES: every present value's file survives its probe
+    rows = log.read(spark).select("k", "digest").collect()
+    for r in rows:
+        dfp, _ = read_pruned(log, spark, "digest", lo=r["digest"],
+                             hi=r["digest"])
+        assert r["k"] in [x["k"] for x in dfp.collect()], r
+
+    # the bounded CDF path composes with blooms too (shared prune core)
+    ch = log.changes(spark, 0, 3, where={"digest": (t, t)})
+    assert len(ch.inputFiles()) <= 2
+    assert [r["k"] for r in ch.collect()] == [650]
+
+
+def test_bloom_ignores_unsafe_types_and_unconfigured_columns(
+    spark, tmp_path
+):
+    """Blooms build only for string/integral columns (the types whose
+    Spark string cast equals Python str() bit-exactly); doubles and
+    unconfigured columns fall back to zone maps alone."""
+    d = tmp_path / "bloom2"
+    spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) / 7 AS x"
+    ).coalesce(1).write.parquet(str(d))
+    log = TableLog(str(d))
+    log.init()
+    log.enable_bloom("x")  # double: silently no sidecars at write
+    log.enable_bloom("k")
+    log.append(
+        spark,
+        spark.range(100, 200).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) / 7 AS x"
+        ).coalesce(1),
+    )
+    from cve_manager_spark.commitlog import _BloomIndex, read_pruned
+
+    bl = _BloomIndex(log)
+    _, files = log.snapshot()
+    newest = [f for f in files if f.startswith("part-app-")]
+    assert newest and all(
+        not bl._sidecar(f, "x").exists() for f in newest
+    )
+    assert all(bl._sidecar(f, "k").exists() for f in newest)
+    # an equality probe on the double column is correct via the filter
+    df, _ = read_pruned(log, spark, "x", lo=150 / 7, hi=150 / 7)
+    assert [r["k"] for r in df.collect()] == [150]
