@@ -357,6 +357,20 @@ class TableLog:
         positives at k=5 (a false positive reads one extra file)."""
         return _BloomIndex(self).enable(column, bits=bits, k=k)
 
+    def row_count(self, version: int | None = None) -> int:
+        """EXACT row count of a snapshot from metadata alone — no
+        Spark job, no data pages: per-file counts are recorded into
+        the stats sidecar at write time (``_stage``) and summed
+        driver-side; init-adopted files backfill once from footers
+        through the thread pool (files are immutable, counts never
+        invalidate). The Delta ``numRecords`` discipline: COUNT(*) on
+        a 100 TB table is O(#files) sidecar lookups, and
+        ``catalog-status``-style monitoring never touches data."""
+        _, files = self.snapshot(version)
+        if not files:
+            return 0
+        return sum(_ZoneMaps(self).rows_for(files).values())
+
     def read(
         self,
         spark: SparkSession,
@@ -522,8 +536,11 @@ class TableLog:
         # orphan entries (fresh uuid stems are never reused).
         try:
             cols = _stat_columns(out.dtypes)
-            if cols and new_rel:
-                _ZoneMaps(self).stats_for(new_rel, cols)
+            if new_rel:
+                zm = _ZoneMaps(self)
+                if cols:
+                    zm.stats_for(new_rel, cols)
+                zm.rows_for(new_rel)  # exact counts, same sidecar
         except Exception:
             pass
         # bloom sidecars, same write-time discipline (see _BloomIndex):
@@ -1343,6 +1360,16 @@ def _footer_minmax(path: Path, columns: list[str]) -> dict:
     return out
 
 
+def _footer_nrows(path: Path) -> int:
+    """Exact row count from the parquet footer alone — no data read."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(str(path)).metadata.num_rows)
+
+
+_NROWS_KEY = "#rows"  # reserved sidecar key ('#' can't be a column name
+# in these tables); per-file exact row counts, same cache as the stats
+
 _STAT_FMT = 2  # cache format: typed (tagged) stat values
 
 
@@ -1700,10 +1727,49 @@ class _ZoneMaps:
             os.replace(tmp, str(self.path))
         return {
             r: {
-                c: _dec_entry(e) for c, e in cache.get(r, {}).items()
+                c: _dec_entry(e)
+                for c, e in cache.get(r, {}).items()
+                if c != _NROWS_KEY
             }
             for r in rel_files
         }
+
+    def rows_for(
+        self, rel_files: list[str], max_workers: int = 16
+    ) -> dict[str, int]:
+        """Per-file EXACT row counts, cached under ``#rows`` in the
+        same sidecar — recorded at write time by ``_stage`` (footer
+        read of just-written files), backfilled through the thread
+        pool for init-adopted files. Files are immutable, so a count
+        never invalidates."""
+        import tempfile
+        from concurrent.futures import ThreadPoolExecutor
+
+        cache = self._load()
+        todo = [
+            r for r in rel_files if _NROWS_KEY not in cache.get(r, {})
+        ]
+        if todo:
+
+            def one(rel: str):
+                return rel, _footer_nrows(self.log.root / rel)
+
+            if len(todo) == 1:
+                results = [one(todo[0])]
+            else:
+                with ThreadPoolExecutor(
+                    min(max_workers, len(todo))
+                ) as ex:
+                    results = list(ex.map(one, todo))
+            for rel, n in results:
+                cache.setdefault(rel, {})[_NROWS_KEY] = n
+            fd, tmp = tempfile.mkstemp(
+                dir=str(self.path.parent), prefix=".stats"
+            )
+            with os.fdopen(fd, "w") as f:
+                json.dump(cache, f)
+            os.replace(tmp, str(self.path))
+        return {r: int(cache[r][_NROWS_KEY]) for r in rel_files}
 
 
 def _path_value(rel: str, column: str):

@@ -306,11 +306,14 @@ def main(argv: list[str] | None = None) -> int:
         v, pins = cat.snapshot()
         tables = {}
         for name, pin in pins.items():
-            head = cat.table_log(name).latest_version()
+            tlog = cat.table_log(name)
+            head = tlog.latest_version()
             tables[name] = {
                 "pinned_version": pin,
                 "table_head": head,
                 "out_of_band_commits": head - pin,
+                # exact, metadata-only (write-time sidecar counts)
+                "rows_at_pin": tlog.row_count(version=pin),
             }
         out = {
             "catalog": args.catalog,

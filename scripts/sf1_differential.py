@@ -101,6 +101,7 @@ HEAVY = [
     "catalog_cdf_atomic",
     "timetravel_cdf_pruned",
     "timetravel_evolution_cdf",
+    "timetravel_bloom_lookup",
 ]
 
 def _kcore_oracle(con):

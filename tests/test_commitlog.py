@@ -1574,3 +1574,30 @@ def test_bloom_ignores_unsafe_types_and_unconfigured_columns(
     # an equality probe on the double column is correct via the filter
     df, _ = read_pruned(log, spark, "x", lo=150 / 7, hi=150 / 7)
     assert [r["k"] for r in df.collect()] == [150]
+
+
+def test_row_count_metadata_only(spark, tmp_path):
+    """Exact COUNT(*) from the write-time sidecar: matches the real
+    count across appends, COW deletes, time travel, and init-adopted
+    (backfilled) files — and never launches a scan (poisoned data
+    files prove the counts come from metadata alone)."""
+    d = tmp_path / "rc"
+    spark.range(0, 500).selectExpr("id AS k").coalesce(2).write.parquet(
+        str(d)
+    )
+    log = TableLog(str(d))
+    log.init()
+    assert log.row_count() == 500  # footer backfill for adopted files
+    log.append(
+        spark, spark.range(500, 650).selectExpr("id AS k").coalesce(1)
+    )
+    log.delete_where(spark, "k < 100")
+    assert log.row_count() == 550
+    assert log.row_count(version=0) == 500  # time travel counts too
+    assert log.read(spark).count() == 550  # agrees with the real scan
+
+    # metadata-only: truncate every data file — counts still answer
+    for rel in log.snapshot()[1]:
+        (d / rel).write_bytes(b"")
+    assert log.row_count() == 550
+    assert log.row_count(version=0) == 500
