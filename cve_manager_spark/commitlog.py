@@ -935,6 +935,103 @@ class TableLog:
         return {"n_rows": n_rows, "files_before": len(files),
                 "files_after": len(new_rel), "version": v}
 
+    def zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        target_rows_per_file: int,
+        bits_per_col: int = 8,
+    ) -> dict[str, int]:
+        """Committed Z-ORDER rewrite (the OPTIMIZE ZORDER maintenance
+        op): recluster the snapshot along a space-filling curve over
+        ``cols`` so the per-file [min, max] recorded at commit time is
+        narrow in EVERY listed dimension at once — single-column range
+        clustering makes zone maps selective on one column and useless
+        on the rest; Z-ordering splits the selectivity across all of
+        them (each of k dimensions prunes roughly to
+        files^(1 - 1/k)).
+
+        Mechanics, all scale-shaped: per column, 2^bits-1 quantile
+        cutpoints are computed once (``approxQuantile`` — one
+        aggregate, driver gets a few hundred scalars; quantile buckets
+        make the curve robust to skew where fixed-width buckets
+        collapse), each row's bucket is found by an in-row
+        higher-order ``aggregate`` over the broadcast cutpoint array
+        (no join, stays in codegen), buckets interleave bitwise into
+        the Z-value, and the rewrite is exactly :meth:`compact`'s
+        committed COW path range-partitioned on the Z-value. Numeric
+        columns only (quantiles need an ordering DuckDB/Spark agree
+        on); the Z-value is a transient sort key, never stored. The
+        ordering is an OPTIMIZATION: content is byte-identical as a
+        multiset, so a concurrent reader or a differential oracle sees
+        no change — only the file-level stats get sharper."""
+        version, files = self.snapshot()
+        pcols = self._pcols(version)
+        df = self.read(spark, version=version)
+        for c in cols:
+            t = dict(df.dtypes).get(c)
+            if t is None:
+                raise ValueError(f"zorder: no column {c!r}")
+            if t in ("string", "boolean") or t.startswith(
+                ("array", "map", "struct", "binary")
+            ):
+                raise ValueError(
+                    f"zorder: column {c!r} of type {t} is not "
+                    "numeric/temporal (quantile bucketing needs one)"
+                )
+        n_rows = df.count()
+        if n_rows == 0:
+            return {"n_rows": 0, "files_before": len(files),
+                    "files_after": len(files), "version": version}
+        n_bkt = 2 ** bits_per_col
+        probs = [i / n_bkt for i in range(1, n_bkt)]
+        z = F.lit(0).cast("long")
+        ncols = len(cols)
+        for ci, c in enumerate(cols):
+            cuts = df.select(
+                F.col(c).cast("double").alias("__q")
+            ).stat.approxQuantile("__q", probs, 0.001)
+            arr = F.array(*[F.lit(x) for x in cuts])
+            bucket = F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(F.col(c).cast("double") >= x, 1).otherwise(0),
+            )
+            for i in range(bits_per_col):
+                z = z + F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)).cast(
+                        "long"
+                    ),
+                    i * ncols + ci,
+                )
+        n_files = plan_target_files(n_rows, target_rows_per_file)
+        out = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, *pcols, "__z")
+            .sortWithinPartitions(*pcols, "__z")
+            .drop("__z")
+        )
+        new_rel = self._stage(
+            out, "zord", pcols, max_records=target_rows_per_file
+        )
+        n_new = _count_files(spark, self.root, new_rel)
+        if n_new != n_rows:
+            self._abort(new_rel)
+            raise RuntimeError(
+                f"zorder row mismatch for {self.root}: {n_rows} -> "
+                f"{n_new}; nothing committed"
+            )
+        try:
+            v = self._publish(
+                version, new_rel, "zorder", schema=_schema_json(df)
+            )
+        except CommitConflict:
+            self._abort(new_rel)
+            raise
+        return {"n_rows": n_rows, "files_before": len(files),
+                "files_after": len(new_rel), "version": v}
+
     def changes(
         self,
         spark: SparkSession,

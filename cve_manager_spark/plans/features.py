@@ -5385,6 +5385,94 @@ def _bloom_log(spark: SparkSession, sf: str):
     return TableLog(str(tdir))
 
 
+def _zorder_log(spark: SparkSession, sf: str):
+    """A commit-logged events slice Z-ORDERED on (user_id, day): the
+    initial write is time-ordered (user_id scattered across every
+    file), then ``TableLog.zorder`` reclusters along the interleaved
+    quantile-bucket curve so commit-time zone maps are narrow in BOTH
+    dimensions. Same completed-build reuse discipline as the other
+    scratch logs."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cve_manager_spark.commitlog import TableLog
+
+    slug = sf.strip("/").replace("/", "_").replace(".", "_")
+    tdir = Path(tempfile.gettempdir()) / f"cve_spark_zo_{slug}" / "log"
+    if (tdir / "_commits" / f"v{1:012d}.json").exists():
+        return TableLog(str(tdir))
+
+    ev = load_table(spark, sf, "events")
+    scratch = Path(tempfile.mkdtemp(prefix="cve_spark_zo_build_")) / "log"
+    (
+        ev.select(
+            "event_id", "user_id",
+            F.dayofmonth("ts").alias("day"),
+            F.col("event_type").alias("etype"),
+        )
+        .repartitionByRange(4, "event_id")  # time-ordered initial load
+        .write.parquet(str(scratch))
+    )
+    log = TableLog(str(scratch))
+    log.init()
+    log.zorder(spark, ["user_id", "day"], target_rows_per_file=250)
+    tdir.parent.mkdir(parents=True, exist_ok=True)
+    if tdir.exists():
+        shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.replace(scratch, tdir)
+    except OSError:
+        pass
+    shutil.rmtree(scratch.parent, ignore_errors=True)
+    return TableLog(str(tdir))
+
+
+_ZORDER_BOX_ORACLE = """
+SELECT event_id, user_id, CAST(EXTRACT(day FROM ts) AS INT) AS day
+FROM events
+WHERE user_id BETWEEN 0 AND 4
+  AND EXTRACT(day FROM ts) BETWEEN 10 AND 12
+"""
+
+
+@_register(
+    "timetravel_zorder_box",
+    _ZORDER_BOX_ORACLE,
+    doc="Z-ORDER clustering as a query face (the OPTIMIZE ZORDER "
+    "maintenance op): TableLog.zorder reclusters events along an "
+    "interleaved quantile-bucket curve over (user_id, day), so the "
+    "write-time zone maps prune on EITHER dimension — single-column "
+    "range clustering would leave the other dimension unprunable. "
+    "The builder asserts both single-dimension reads prune files AND "
+    "the 2-D box read opens strictly fewer files than the manifest "
+    "holds; the box rows themselves hash-match a recompute from raw "
+    "events (reclustering is content-neutral — only file stats "
+    "sharpen). At 100 TB this is the standard lakehouse answer to "
+    "multi-dimension needle queries: k dimensions each prune to "
+    "~files^(1-1/k), quantile buckets keep the curve balanced under "
+    "skew, and the Z-value is a transient sort key computed in-row "
+    "(one approxQuantile pass per column, no join, no stored "
+    "column).",
+    priority=8,
+)
+def timetravel_zorder_box(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.commitlog import read_pruned
+
+    log = _zorder_log(spark, sf)
+    _, files = log.snapshot()
+    _, r_u = read_pruned(log, spark, "user_id", lo=0, hi=4)
+    _, r_d = read_pruned(log, spark, "day", lo=10, hi=12)
+    assert r_u["files_pruned"] > 0 and r_d["files_pruned"] > 0, (r_u, r_d)
+    box = log.read(
+        spark, where={"user_id": (0, 4), "day": (10, 12)}
+    ).select("event_id", "user_id", "day")
+    n_in = len(box.inputFiles())
+    assert 0 < n_in < len(files), (n_in, len(files))
+    return box
+
+
 _BLOOM_LOOKUP_ORACLE = """
 SELECT doc_id, md5(text) AS digest
 FROM documents

@@ -1601,3 +1601,49 @@ def test_row_count_metadata_only(spark, tmp_path):
         (d / rel).write_bytes(b"")
     assert log.row_count() == 550
     assert log.row_count(version=0) == 500
+
+
+def test_zorder_multi_dimension_pruning_content_neutral(spark, tmp_path):
+    """Z-order rewrite: content is multiset-identical (a committed COW
+    compaction), and the write-time zone maps afterwards prune on
+    EVERY curve dimension — including a 2-D box that opens a small
+    fraction of the files — where the time-ordered original pruned
+    only the insertion dimension."""
+    from cve_manager_spark.commitlog import read_pruned
+
+    d = tmp_path / "zo"
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 199).alias("u"),
+        ((F.col("id") * 7919) % 20000).alias("t"),
+        F.col("id").alias("payload"),
+    )
+    df.coalesce(2).write.parquet(str(d))
+    log = TableLog(str(d))
+    log.init()
+    before = sorted(tuple(r) for r in log.read(spark).collect())
+
+    rep = log.zorder(spark, ["u", "t"], target_rows_per_file=2000)
+    assert rep["n_rows"] == 20000 and rep["version"] == 1
+    assert log.last_op() == "zorder"
+    after = sorted(tuple(r) for r in log.read(spark).collect())
+    assert after == before  # reclustering is content-neutral
+
+    _, files = log.snapshot()
+    _, ru = read_pruned(log, spark, "u", lo=10, hi=20)
+    _, rt = read_pruned(log, spark, "t", lo=1000, hi=2500)
+    assert ru["files_pruned"] > 0 and rt["files_pruned"] > 0
+    box = log.read(spark, where={"u": (10, 20), "t": (1000, 2500)})
+    assert 0 < len(box.inputFiles()) <= max(1, len(files) // 2)
+    want = [r for r in before if 10 <= r[0] <= 20 and 1000 <= r[1] <= 2500]
+    assert sorted(tuple(r) for r in box.collect()) == want
+
+    # guard rails: non-numeric columns refuse; empty table is a no-op
+    with pytest.raises(ValueError, match="no column"):
+        TableLog(str(d)).zorder(spark, ["u", "missing"], 100)
+    d2 = tmp_path / "zo_str"
+    spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS s") \
+        .coalesce(1).write.parquet(str(d2))
+    slog = TableLog(str(d2))
+    slog.init()
+    with pytest.raises(ValueError, match="numeric"):
+        slog.zorder(spark, ["s"], 100)
