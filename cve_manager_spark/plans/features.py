@@ -5417,7 +5417,13 @@ def _zorder_log(spark: SparkSession, sf: str):
     )
     log = TableLog(str(scratch))
     log.init()
-    log.zorder(spark, ["user_id", "day"], target_rows_per_file=250)
+    # ~40 files at any scale (>=4 at the smallest sf): file-count is
+    # the pruning granularity, not a function of row count
+    n = log.row_count()
+    log.zorder(
+        spark, ["user_id", "day"],
+        target_rows_per_file=max(250, n // 40),
+    )
     tdir.parent.mkdir(parents=True, exist_ok=True)
     if tdir.exists():
         shutil.rmtree(tdir, ignore_errors=True)

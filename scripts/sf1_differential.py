@@ -102,6 +102,7 @@ HEAVY = [
     "timetravel_cdf_pruned",
     "timetravel_evolution_cdf",
     "timetravel_bloom_lookup",
+    "timetravel_zorder_box",
 ]
 
 def _kcore_oracle(con):
