@@ -935,6 +935,78 @@ class TableLog:
         return {"n_rows": n_rows, "files_before": len(files),
                 "files_after": len(new_rel), "version": v}
 
+    def clone(self, dest: str, version: int | None = None) -> "TableLog":
+        """ZERO-COPY CLONE: materialize one snapshot as an independent,
+        fully writable table — every data file HARD-LINKED into
+        ``dest`` (same filesystem: O(files) metadata ops, zero data
+        bytes; silent copy fallback across devices), a fresh v0
+        manifest carrying the snapshot's schema and layout, and the
+        commit-time stats/bloom sidecars for the linked files copied
+        over so the clone's data skipping is warm from the first read.
+
+        Hard links are exactly the right primitive for immutable data
+        files: both tables' COW ops only ever write NEW files, and
+        each side's vacuum unlinks its OWN directory entries — the
+        shared inode survives until every link drops, so neither
+        side's retention can break the other. This is Delta's shallow
+        clone use case (a writable dev/eval copy of a production
+        snapshot, paying metadata only) with deep-clone safety: no
+        reference from the clone back into the source directory
+        exists at all, so even deleting the source table wholesale
+        leaves the clone intact."""
+        v, files = self.snapshot(version)
+        droot = Path(dest)
+        if (droot / _LOG_DIR).exists() or (
+            droot.exists() and any(droot.rglob("*.parquet"))
+        ):
+            raise ValueError(
+                f"clone destination {droot} already holds a table"
+            )
+        for rel in files:
+            src, dst = self.root / rel, droot / rel
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+        with open(_manifest_path(self.root, v)) as f:
+            m = json.load(f)
+        dlog = TableLog(str(droot))
+        (droot / _LOG_DIR).mkdir(parents=True, exist_ok=True)
+        dlog._publish(
+            -1, files, f"clone@from-v{v}",
+            schema=m.get("schema"), layout=m.get("layout"),
+        )
+        # warm the clone's skipping state: stats cache entries and
+        # bloom sidecars are keyed by relative path, which the clone
+        # preserves; the bloom CONFIG carries too, so future writes to
+        # the clone keep recording sidecars
+        src_cache = _ZoneMaps(self)._load()
+        dst_zm = _ZoneMaps(dlog)
+        dst_cache = {"_fmt": src_cache.get("_fmt", _STAT_FMT)}
+        for rel in files:
+            if rel in src_cache:
+                dst_cache[rel] = src_cache[rel]
+        if len(dst_cache) > 1:
+            dst_zm.path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = dst_zm.path.with_name(".stats-clone-tmp")
+            tmp.write_text(json.dumps(dst_cache))
+            os.replace(tmp, dst_zm.path)
+        sbl, dbl = _BloomIndex(self), _BloomIndex(dlog)
+        if sbl.cfg_path.exists():
+            dbl.cfg_path.parent.mkdir(parents=True, exist_ok=True)
+            dbl.cfg_path.write_text(sbl.cfg_path.read_text())
+            for rel in files:
+                for column in sbl.config():
+                    sp = sbl._sidecar(rel, column)
+                    if sp.exists():
+                        dbl.dir.mkdir(parents=True, exist_ok=True)
+                        try:
+                            os.link(sp, dbl._sidecar(rel, column))
+                        except OSError:
+                            shutil.copy2(sp, dbl._sidecar(rel, column))
+        return dlog
+
     def zorder(
         self,
         spark: SparkSession,

@@ -5435,6 +5435,72 @@ def _zorder_log(spark: SparkSession, sf: str):
     return TableLog(str(tdir))
 
 
+def _clone_log(spark: SparkSession, sf: str):
+    """A zero-copy CLONE of the zonemap scratch table, then divergent:
+    the clone COW-deletes every doc_id % 7 = 0 row while the source
+    stays byte-identical — hard-linked immutable data files make the
+    clone O(files) metadata with zero data bytes copied. Same
+    completed-build reuse discipline as the other scratch logs."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cve_manager_spark.commitlog import TableLog
+
+    slug = sf.strip("/").replace("/", "_").replace(".", "_")
+    tdir = Path(tempfile.gettempdir()) / f"cve_spark_cl_{slug}" / "log"
+    if (tdir / "_commits" / f"v{1:012d}.json").exists():
+        return TableLog(str(tdir))
+
+    src = _zonemap_log(spark, sf)
+    build = Path(tempfile.mkdtemp(prefix="cve_spark_cl_build_")) / "log"
+    clone = src.clone(str(build))
+    clone.delete_where(spark, "doc_id % 7 = 0")
+    tdir.parent.mkdir(parents=True, exist_ok=True)
+    if tdir.exists():
+        shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.replace(build, tdir)
+    except OSError:
+        pass
+    shutil.rmtree(build.parent, ignore_errors=True)
+    return TableLog(str(tdir))
+
+
+_CLONE_ORACLE = """
+SELECT doc_id, md5(text) AS digest
+FROM documents
+WHERE doc_id % 7 <> 0
+"""
+
+
+@_register(
+    "timetravel_clone_divergent",
+    _CLONE_ORACLE,
+    doc="Zero-copy table CLONE as a query face: TableLog.clone "
+    "hard-links one snapshot's immutable data files into an "
+    "independent table (O(files) metadata, zero data bytes; stats and "
+    "bloom sidecars carried so skipping is warm from the first read), "
+    "then the clone DIVERGES with a COW delete. The face reads the "
+    "clone and ASSERTS the source's metadata row count is untouched — "
+    "so isolation failure (the clone's delete leaking into shared "
+    "files) is both a hash mismatch against the oracle's recompute "
+    "and a loud assert. At 100 TB this is the dev/eval-copy "
+    "primitive: a writable copy of a production snapshot costs "
+    "directory entries, and either side's vacuum only drops its own "
+    "links (the inode survives until the last one).",
+    priority=8,
+)
+def timetravel_clone_divergent(spark: SparkSession, sf: str) -> DataFrame:
+    clone = _clone_log(spark, sf)
+    src = _zonemap_log(spark, sf)
+    # isolation: the clone's COW delete never touched the source
+    assert src.row_count() == clone.row_count(version=0)
+    assert clone.row_count() < clone.row_count(version=0)
+    return clone.read(spark).select("doc_id", "digest")
+
+
 _ZORDER_BOX_ORACLE = """
 SELECT event_id, user_id, CAST(EXTRACT(day FROM ts) AS INT) AS day
 FROM events

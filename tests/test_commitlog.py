@@ -1647,3 +1647,83 @@ def test_zorder_multi_dimension_pruning_content_neutral(spark, tmp_path):
     slog.init()
     with pytest.raises(ValueError, match="numeric"):
         slog.zorder(spark, ["s"], 100)
+
+
+def test_clone_zero_copy_isolated_and_warm(spark, tmp_path):
+    """Zero-copy clone: hard-linked snapshot, fully independent
+    history (divergent writes on either side are invisible to the
+    other), vacuum on one side never breaks the other (shared inodes
+    survive until the last link drops), and the clone's zone
+    maps/blooms are warm (pruning works with the SOURCE's sidecars
+    copied, no footer re-reads needed)."""
+    from cve_manager_spark.commitlog import read_pruned
+
+    d = tmp_path / "src"
+    (
+        spark.range(0, 1000)
+        .selectExpr("id AS k", "md5(CAST(id AS STRING)) AS digest")
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+        .write.parquet(str(d))
+    )
+    log = TableLog(str(d))
+    log.init()
+    log.enable_bloom("digest", bits=16384)
+    log.append(
+        spark,
+        spark.range(1000, 1200).selectExpr(
+            "id AS k", "md5(CAST(id AS STRING)) AS digest"
+        ).coalesce(1),
+    )
+    v1 = log.latest_version()
+
+    clone = log.clone(str(tmp_path / "dev"), version=v1)
+    assert clone.latest_version() == 0
+    assert (clone.last_op() or "").startswith("clone@from-v1")
+    want = sorted(tuple(r) for r in log.read(spark).collect())
+    assert sorted(tuple(r) for r in clone.read(spark).collect()) == want
+
+    # divergence is isolated both ways
+    clone.delete_where(spark, "k < 500")
+    log.append(
+        spark, spark.range(2000, 2100).selectExpr(
+            "id AS k", "md5(CAST(id AS STRING)) AS digest"
+        ).coalesce(1),
+    )
+    assert clone.read(spark).count() == 700
+    assert log.read(spark).count() == 1300
+
+    # warm skipping on the clone: range prune via copied stats, point
+    # prune via copied bloom sidecars
+    import hashlib
+
+    _, rep = read_pruned(clone, spark, "k", lo=600, hi=650)
+    assert rep["files_pruned"] > 0
+    t = hashlib.md5(b"1100").hexdigest()
+    dfb, repb = read_pruned(clone, spark, "digest", lo=t, hi=t)
+    assert repb["files_pruned"] > 0
+    assert [r["k"] for r in dfb.collect()] == [1100]
+    # ...and the clone keeps RECORDING blooms (config carried)
+    clone.append(
+        spark, spark.range(3000, 3050).selectExpr(
+            "id AS k", "md5(CAST(id AS STRING)) AS digest"
+        ).coalesce(1),
+    )
+    t3 = hashlib.md5(b"3025").hexdigest()
+    df3, rep3 = read_pruned(clone, spark, "digest", lo=t3, hi=t3)
+    assert [r["k"] for r in df3.collect()] == [3025]
+    # pre-enablement base files (no sidecar) are rightly kept; the
+    # other bloomed append is pruned
+    assert rep3["files_pruned"] >= 1
+
+    # vacuum the SOURCE aggressively: the clone's files survive (the
+    # inode keeps the clone's link even when the source drops its own)
+    log.vacuum(keep_versions=1, min_age_seconds=0)
+    assert clone.read(spark).count() == 750
+    # and vacuuming the clone leaves the source intact
+    clone.vacuum(keep_versions=1, min_age_seconds=0)
+    assert log.read(spark).count() == 1300
+
+    # refuse to clone onto an existing table
+    with pytest.raises(ValueError, match="already holds"):
+        log.clone(str(tmp_path / "dev"))
