@@ -103,6 +103,7 @@ HEAVY = [
     "timetravel_evolution_cdf",
     "timetravel_bloom_lookup",
     "timetravel_zorder_box",
+    "timetravel_clone_divergent",
 ]
 
 def _kcore_oracle(con):
