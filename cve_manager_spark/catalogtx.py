@@ -142,6 +142,17 @@ class TxnTable:
             expected_version=self._pin(),
         ))
 
+    def adopt(self, rel_files: list[str], schema: "str | None" = None,
+              layout: "list[str] | None" = None) -> dict:
+        """Adopt already-present files as this transaction's snapshot
+        of the table (the branch-merge primitive — see
+        :meth:`TableLog.adopt_files`)."""
+        return self._record(self.log.adopt_files(
+            rel_files, schema=schema, layout=layout,
+            expected_version=self._pin(),
+            tag=f"txn-{self.txn.txn_id}",
+        ))
+
 
 class CatalogLog:
     """The catalog: an append-only log of atomic multi-table pins."""
@@ -170,7 +181,8 @@ class CatalogLog:
             return json.load(f)
 
     def _publish(self, parent: int, pins: dict[str, dict], op: str,
-                 txn_id: str | None = None) -> int:
+                 txn_id: str | None = None,
+                 extra: dict | None = None) -> int:
         """Atomically publish catalog version ``parent+1`` (hard-link
         exclusive, exactly the TableLog commit primitive)."""
         version = parent + 1
@@ -178,6 +190,8 @@ class CatalogLog:
         tmp = self.root / f".tmp-{uuid.uuid4().hex}.json"
         body = {"version": version, "parent": parent, "op": op,
                 "pins": pins}
+        if extra:
+            body.update(extra)
         if txn_id is not None:
             body["txn"] = txn_id
         tmp.write_text(json.dumps(body, indent=1))
@@ -650,6 +664,143 @@ class CatalogLog:
             str(self._resolve(pins[name]["path"]))
         ).latest_version()
         return self._publish(head, pins, "sync")
+
+    # -- branches: writable divergent histories -----------------------
+
+    def branch(self, dest: str, version: int | None = None,
+               tag: str | None = None) -> "CatalogLog":
+        """Fork a WRITABLE BRANCH of one catalog snapshot — the model
+        the round-14 design note chose (forked manifests, shared data
+        files): every pinned table is zero-copy CLONED (hard-linked
+        immutable data files, fresh linear history) into a
+        self-contained tree under ``dest`` (one dir per table plus
+        ``catalog/``), and a new catalog is initialized over the
+        clones with the fork point recorded (``upstream`` = the source
+        pins). Every existing invariant — strict ``expected_version``
+        serialization, intent/start-marker repair, tags, vacuum
+        floors, zone-map/bloom sidecars — holds on the branch
+        verbatim, because the branch IS an ordinary catalog over
+        ordinary tables; there is no cross-branch write contention at
+        all, and either side's vacuum only unlinks its own directory
+        entries (the shared inode survives until the last link drops —
+        hard links make the design note's cross-branch liveness union
+        automatic). Fork cost: O(#manifests + #files) metadata ops,
+        zero data bytes."""
+        v, _ = self.snapshot(version, tag=tag)
+        pins = self._read_manifest(v)["pins"]
+        tree = Path(dest)
+        if tree.exists() and any(tree.iterdir()):
+            raise ValueError(f"branch destination {tree} is not empty")
+        tree.mkdir(parents=True, exist_ok=True)
+        new_pins: dict[str, dict] = {}
+        for name, p in pins.items():
+            src = TableLog(str(self._resolve(p["path"])))
+            src.clone(str(tree / name), version=p["version"])
+            new_pins[name] = {"path": name, "version": 0}
+        br = CatalogLog(str(tree / "catalog"))
+        br.root.mkdir(parents=True, exist_ok=True)
+        upstream = {
+            "catalog_version": v,
+            "pins": {n: p["version"] for n, p in pins.items()},
+        }
+        br._publish(-1, new_pins, "branch", extra={"upstream": upstream})
+        # the fork point also lives in an IMMUTABLE sidecar: the v0
+        # manifest ages out of the branch's own vacuum retention, but
+        # merge needs the upstream pins for as long as the branch
+        # exists (the tag-file discipline — survives vacuum by not
+        # being a manifest)
+        (br.root / "upstream.json").write_text(json.dumps(upstream))
+        return br
+
+    def merge_branch(self, branch: "CatalogLog") -> dict:
+        """Merge a branch back: SNAPSHOT CHERRY-PICK per the design
+        note — for every table the branch changed, the branch head's
+        file list is hard-linked into the main table dir and adopted
+        as one transactional commit, and ONE atomic catalog commit
+        publishes all merged tables together (the full intent /
+        reconcile crash protocol applies: a crash mid-merge leaves
+        main readers at the old snapshot and the tagged debris
+        repairable). First-committer-wins ACROSS branches, checked at
+        merge time: a changed table whose main pin moved since the
+        fork raises :class:`CatalogConflict` — resolution is rebase
+        (re-branch from current main and re-apply), never content
+        merge. v1 scope, documented in the design note: table
+        add/drop on the branch does not merge; content changes only.
+        Merged files arrive without their stats/bloom sidecars — the
+        zone-map footer backfill covers them once, lazily."""
+        import shutil
+
+        up_path = branch.root / "upstream.json"
+        if not up_path.exists():
+            raise ValueError(
+                f"{branch.root} was not created by branch() — no "
+                "upstream fork point recorded"
+            )
+        up = json.loads(up_path.read_text())
+        up_pins = {n: int(x) for n, x in up["pins"].items()}
+        bv, bpins = branch.snapshot()
+        if set(bpins) != set(up_pins):
+            raise ValueError(
+                "branch added or dropped tables since the fork; merge "
+                "supports content changes only (v1 scope — see the "
+                "design note)"
+            )
+        changed = {n: v for n, v in bpins.items() if v > 0}
+        if not changed:
+            return {"merged": [], "catalog_version": self.latest_version()}
+        txn = self.begin()
+        try:
+            for name, bver in sorted(changed.items()):
+                if name not in txn.pins:
+                    raise CatalogConflict(
+                        f"table {name!r} was dropped from main since "
+                        "the fork"
+                    )
+                if txn.pins[name] != up_pins[name]:
+                    # 'moved' means CONTENT moved: a reconcile rollback
+                    # (crashed earlier merge) advances the pin while
+                    # restoring the fork content bit-for-bit — that
+                    # must not force a rebase. If the fork manifest was
+                    # vacuumed on main we can no longer prove equality
+                    # and conflict loudly.
+                    try:
+                        mlog = self.table_log(name)
+                        _, fork_files = mlog.snapshot(up_pins[name])
+                        _, cur_files = mlog.snapshot(txn.pins[name])
+                        unmoved = set(fork_files) == set(cur_files)
+                    except Exception:
+                        unmoved = False
+                    if not unmoved:
+                        raise CatalogConflict(
+                            f"table {name!r} moved on main "
+                            f"(v{up_pins[name]} -> v{txn.pins[name]}) "
+                            "since the fork: rebase the branch "
+                            "(re-branch and re-apply)"
+                        )
+                t = txn.table(name)
+                blog = branch.table_log(name)
+                _, bfiles = blog.snapshot(bver)
+                with open(blog.root / "_commits" /
+                          f"v{bver:012d}.json") as f:
+                    bman = json.load(f)
+                for rel in bfiles:
+                    dst = t.log.root / rel
+                    if dst.exists():
+                        continue  # fork-era file: same inode already
+                    dst.parent.mkdir(parents=True, exist_ok=True)
+                    try:
+                        os.link(blog.root / rel, dst)
+                    except OSError:
+                        shutil.copy2(blog.root / rel, dst)
+                t.adopt(bfiles, schema=bman.get("schema"),
+                        layout=bman.get("layout"))
+        except Exception:
+            # abandoned merge txn: retire its start marker; any table
+            # commits already made are tagged debris for reconcile()
+            self._start_path(txn.txn_id).unlink(missing_ok=True)
+            raise
+        cv = self.commit(txn)
+        return {"merged": sorted(changed), "catalog_version": cv}
 
     def vacuum(
         self, keep_versions: int = 2, min_age_seconds: float = 600.0

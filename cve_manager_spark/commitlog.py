@@ -935,6 +935,45 @@ class TableLog:
         return {"n_rows": n_rows, "files_before": len(files),
                 "files_after": len(new_rel), "version": v}
 
+    def adopt_files(
+        self,
+        rel_files: list[str],
+        schema: str | None = None,
+        layout: list[str] | None = None,
+        expected_version: int | None = None,
+        tag: str | None = None,
+    ) -> dict[str, int]:
+        """Commit a manifest listing files ALREADY PRESENT in the table
+        directory — the metadata-only adoption primitive branch merge
+        is built on (the merged snapshot's files were hard-linked in
+        beforehand; this publishes them as one atomic commit). Same
+        strict serialization as every committed write:
+        ``expected_version`` pins the publish parent, ``tag`` stamps
+        the op (``adopt@<tag>``) so a crashed multi-table merge's
+        debris is attributable to its transaction by
+        :func:`~cve_manager_spark.catalogtx.CatalogLog.reconcile`.
+        Refuses files that do not exist — adoption never invents
+        state."""
+        missing = [r for r in rel_files if not (self.root / r).exists()]
+        if missing:
+            raise ValueError(
+                f"adopt_files: {len(missing)} files not present under "
+                f"{self.root} (first: {missing[0]!r})"
+            )
+        parent = self.latest_version()
+        if parent is None:
+            raise ValueError(f"no commit log under {self.root}")
+        if expected_version is not None and parent != expected_version:
+            raise CommitConflict(
+                f"{self.root} is at v{parent}, expected "
+                f"v{expected_version}"
+            )
+        op = f"adopt@{tag}" if tag else "adopt"
+        v = self._publish(
+            parent, sorted(rel_files), op, schema=schema, layout=layout
+        )
+        return {"version": v, "n_files": len(rel_files)}
+
     def clone(self, dest: str, version: int | None = None) -> "TableLog":
         """ZERO-COPY CLONE: materialize one snapshot as an independent,
         fully writable table — every data file HARD-LINKED into

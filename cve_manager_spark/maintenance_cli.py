@@ -198,6 +198,33 @@ def main(argv: list[str] | None = None) -> int:
     )
     py.add_argument("-master", dest="master", default="local[*]")
 
+    pb = sub.add_parser(
+        "catalog-branch",
+        help="Fork a writable branch of a catalog snapshot (zero-copy: "
+        "hard-linked data files, forked manifests, fork point "
+        "recorded for merge).",
+    )
+    pb.add_argument("--catalog", required=True)
+    pb.add_argument(
+        "--dest", required=True,
+        help="Branch tree directory (one dir per table + catalog/).",
+    )
+    pb.add_argument("--version", type=int, default=None)
+    pb.add_argument("--tag", default=None)
+    pb.add_argument("-master", dest="master", default="local[*]")
+
+    pm = sub.add_parser(
+        "catalog-merge",
+        help="Merge a branch back into its upstream catalog: snapshot "
+        "cherry-pick of every changed table as one atomic catalog "
+        "commit; conflicts (a table moved on main since the fork) "
+        "exit loudly with a rebase instruction.",
+    )
+    pm.add_argument("--catalog", required=True, help="The MAIN catalog.")
+    pm.add_argument("--branch", required=True,
+                    help="The branch's catalog dir (…/catalog).")
+    pm.add_argument("-master", dest="master", default="local[*]")
+
     pv = sub.add_parser(
         "catalog-vacuum",
         help="Catalog-aware retention: drop old catalog versions, then "
@@ -373,6 +400,27 @@ def main(argv: list[str] | None = None) -> int:
             "table": args.table,
             "catalog_version": cat.sync_table(args.table),
         }
+    elif args.cmd == "catalog-branch":
+        from cve_manager_spark.catalogtx import CatalogLog
+
+        br = CatalogLog(args.catalog).branch(
+            args.dest, version=args.version, tag=args.tag
+        )
+        out = {
+            "catalog": args.catalog,
+            "branch": str(br.root),
+            "tables": sorted(br.snapshot()[1]),
+        }
+    elif args.cmd == "catalog-merge":
+        from cve_manager_spark.catalogtx import CatalogLog
+
+        out = dict(
+            CatalogLog(args.catalog).merge_branch(
+                CatalogLog(args.branch)
+            ),
+            catalog=args.catalog,
+            branch=args.branch,
+        )
     elif args.cmd == "catalog-vacuum":
         from cve_manager_spark.catalogtx import CatalogLog
 

@@ -5019,6 +5019,108 @@ def catalog_cdf_atomic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _catalog_branch_scratch(spark: SparkSession, sf: str) -> str:
+    """Materialize the BRANCH→diverge→MERGE story once per (tmpdir,
+    sf): facts/dim catalog, a zero-copy branch, a facts purge
+    committed ON THE BRANCH while main independently rewrites dim,
+    then a snapshot cherry-pick merge — so the final main catalog
+    carries BOTH effects and reads against the same oracle as the
+    single-catalog transaction face (the two protocols must agree on
+    the committed state). Same atomic-rename build discipline as
+    ``_catalog_tx_scratch``."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cve_manager_spark.catalogtx import CatalogLog
+    from cve_manager_spark.commitlog import TableLog
+
+    slug = sf.strip("/").replace("/", "_").replace(".", "_")
+    tdir = Path(tempfile.gettempdir()) / f"cve_spark_catbr_{slug}" / "tree"
+    if (tdir / "_done").exists():
+        return str(tdir / "catalog")
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    build = Path(tempfile.mkdtemp(prefix="cve_spark_catbr_build_")) / "tree"
+    build.mkdir(parents=True)
+    orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+            "total_cents"
+        ),
+    ).write.parquet(str(build / "facts"))
+    cust.select("c_custkey", "c_mktsegment").write.parquet(
+        str(build / "dim")
+    )
+    flog, dlog = TableLog(str(build / "facts")), TableLog(str(build / "dim"))
+    flog.init()
+    dlog.init()
+    cat = CatalogLog(str(build / "catalog"))
+    cat.init({"facts": flog, "dim": dlog})
+
+    br = cat.branch(str(build / "feature"))
+    btxn = br.begin()
+    btxn.table("facts").delete_where(spark, "o_orderkey % 7 = 0")
+    br.commit(btxn)
+    # main moves a DIFFERENT table while the branch is out
+    mtxn = cat.begin()
+    mtxn.table("dim").merge_upsert(
+        spark,
+        mtxn.table("dim").read(spark)
+        .where("c_custkey % 4 = 0")
+        .withColumn("c_mktsegment", F.lit("REWRITTEN")),
+        ["c_custkey"],
+    )
+    cat.commit(mtxn)
+    cat.merge_branch(br)
+    (build / "_done").write_text("ok")
+
+    tdir.parent.mkdir(parents=True, exist_ok=True)
+    if tdir.exists():
+        shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.replace(build, tdir)
+    except OSError:
+        pass
+    shutil.rmtree(build.parent, ignore_errors=True)
+    return str(tdir / "catalog")
+
+
+@_register(
+    "catalog_branch_merge",
+    _CATALOG_TXN_ORACLE,
+    doc="Catalog BRANCHES, implemented per the round-14 design note "
+    "(forked manifests via zero-copy clone, shared data files, every "
+    "invariant per-branch verbatim): a facts purge committed ON A "
+    "BRANCH while main independently rewrites dim, then merged back "
+    "as a snapshot cherry-pick — one atomic catalog commit through "
+    "the full intent/reconcile protocol, first-committer-wins across "
+    "branches checked against CONTENT (a reconcile rollback's "
+    "pin-move doesn't force a rebase). The face reads the merged "
+    "main against the SAME oracle as catalog_txn_snapshot: the "
+    "branch protocol and the single-catalog transaction protocol "
+    "must agree bit-for-bit on the committed state, so isolation "
+    "leaks, a lost merge, or a half-merged crash all hash-mismatch. "
+    "At 100 TB: fork cost is O(manifests) hard links, merge cost is "
+    "O(changed files) links + one manifest per changed table, and "
+    "cross-branch file liveness is automatic (an inode survives "
+    "until its last directory entry drops).",
+    priority=8,
+)
+def catalog_branch_merge(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.catalogtx import CatalogLog
+
+    cat = CatalogLog(_catalog_branch_scratch(spark, sf))
+    snap = cat.read_all(spark)
+    return snap["facts"].join(
+        F.broadcast(snap["dim"]),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("o_orderkey", "o_custkey", "total_cents", "c_mktsegment")
+
+
 def _two_stream_view_state(spark: SparkSession, sf: str) -> str:
     """Build the two-stream join view's state ONCE per (tmpdir, sf) by
     actually running both streaming sinks availableNow over chopped

@@ -847,3 +847,164 @@ def test_catalog_consume_changes_one_ack_moves_all_tables(
     assert feeds2["facts"].count() == 5
     assert ack2() == cat.latest_version()
     assert cat.consume_changes(spark, cur) is None
+
+
+def test_branch_isolated_writes_and_snapshot_cherry_pick_merge(
+    spark, tmp_path
+):
+    """The round-14 design note, implemented: a branch is a zero-copy
+    fork (hard-linked data, forked manifests) with every invariant
+    holding per-branch; writes on either side are invisible to the
+    other; merge cherry-picks the branch's changed-table snapshots
+    into main as ONE atomic catalog commit."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feature"))
+    assert br.snapshot()[1] == {"facts": 0, "dim": 0}
+    before_main = {
+        n: sorted(tuple(r) for r in df.collect())
+        for n, df in cat.read_all(spark).items()
+    }
+
+    # branch txn: facts purge — main sees nothing
+    btxn = br.begin()
+    btxn.table("facts").delete_where(spark, "f_id % 7 = 0")
+    br.commit(btxn)
+    assert {
+        n: sorted(tuple(r) for r in df.collect())
+        for n, df in cat.read_all(spark).items()
+    } == before_main
+    assert br.read(spark, "facts").count() == 85
+
+    # main moves a DIFFERENT table concurrently: no conflict at merge
+    mtxn = cat.begin()
+    mtxn.table("dim").merge_upsert(
+        spark,
+        spark.createDataFrame([(3, "mainside")], "d_cust long, d_seg string"),
+        ["d_cust"],
+    )
+    cat.commit(mtxn)
+
+    rep = cat.merge_branch(br)
+    assert rep["merged"] == ["facts"]
+    after = cat.read_all(spark)
+    assert after["facts"].count() == 85  # branch change landed
+    assert after["dim"].where("d_seg = 'mainside'").count() == 1
+    got = sorted(tuple(r) for r in after["facts"].collect())
+    want = sorted(t for t in before_main["facts"] if t[0] % 7 != 0)
+    assert got == want
+    # the branch itself is unaffected by the merge and still readable
+    assert br.read(spark, "facts").count() == 85
+    # no debris: intents and markers all retired
+    assert not list(cat.root.glob("intent-*.json"))
+    assert not list(cat.root.glob("start-*.json"))
+
+
+def test_branch_merge_conflict_first_committer_wins(spark, tmp_path):
+    """A changed table whose main pin moved since the fork refuses to
+    merge (rebase, never content-merge) — and the refused merge
+    leaves main clean after reconcile."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feat2"))
+    btxn = br.begin()
+    btxn.table("facts").delete_where(spark, "f_id % 2 = 0")
+    br.commit(btxn)
+    # main ALSO moves facts
+    mtxn = cat.begin()
+    mtxn.table("facts").delete_where(spark, "f_id = 1")
+    cat.commit(mtxn)
+    with pytest.raises(CatalogConflict, match="rebase"):
+        cat.merge_branch(br)
+    # main unchanged by the refused merge; repair finds nothing or
+    # rolls back any staged adopt debris
+    cat.reconcile(min_age_seconds=0)
+    assert cat.read(spark, "facts").count() == 99
+    # rebase: re-branch from current main and re-apply, then merge
+    br2 = cat.branch(str(tmp_path / "feat2-rebased"))
+    b2 = br2.begin()
+    b2.table("facts").delete_where(spark, "f_id % 2 = 0")
+    br2.commit(b2)
+    rep = cat.merge_branch(br2)
+    assert rep["merged"] == ["facts"]
+    # 100 - {f_id=1 on main} - {50 evens on the rebased branch} = 49
+    assert cat.read(spark, "facts").count() == 49
+
+
+def test_branch_vacuum_independence_and_scope_guards(spark, tmp_path):
+    """Either side's vacuum never breaks the other (hard links), and
+    the v1 scope guards hold: merging a branch that added a table
+    refuses; merging a no-change branch is a no-op."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feat3"))
+
+    # no-change merge: no-op
+    assert cat.merge_branch(br)["merged"] == []
+
+    btxn = br.begin()
+    btxn.table("facts").delete_where(spark, "f_id >= 50")
+    br.commit(btxn)
+
+    # main vacuums aggressively: branch still reads its fork snapshot
+    for i in range(2):
+        t = cat.begin()
+        t.table("facts").delete_where(spark, f"f_id = {i}")
+        cat.commit(t)
+    cat.vacuum(keep_versions=1, min_age_seconds=0)
+    assert br.read(spark, "facts").count() == 50
+    # branch vacuums: main unharmed
+    br.vacuum(keep_versions=1, min_age_seconds=0)
+    assert cat.read(spark, "facts").count() == 98
+
+    # added table on the branch: out of v1 merge scope, loud
+    npath = tmp_path / "br_notes"
+    spark.range(3).selectExpr("id AS n").coalesce(1).write.parquet(
+        str(npath)
+    )
+    nlog = TableLog(str(npath))
+    nlog.init()
+    br.add_table("notes", nlog)
+    with pytest.raises(ValueError, match="content changes only"):
+        cat.merge_branch(br)
+
+
+def test_branch_merge_crash_repairs_through_reconcile(spark, tmp_path):
+    """A merge that crashes between its table adopts and the catalog
+    commit is ordinary transaction debris: main readers stay at the
+    old snapshot, reconcile rolls the tagged adopts back, and the
+    merge succeeds when re-run."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feat4"))
+    btxn = br.begin()
+    btxn.table("facts").delete_where(spark, "f_id % 5 = 0")
+    br.commit(btxn)
+
+    # forge the crash: perform the merge's table half by hand (link +
+    # tagged adopt), then 'die' before the catalog commit
+    txn = cat.begin()
+    t = txn.table("facts")
+    blog = br.table_log("facts")
+    bver = br.snapshot()[1]["facts"]
+    _, bfiles = blog.snapshot(bver)
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    with open(blog.root / "_commits" / f"v{bver:012d}.json") as f:
+        bman = _json.load(f)
+    for rel in bfiles:
+        dst = t.log.root / rel
+        if not dst.exists():
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                _os.link(blog.root / rel, dst)
+            except OSError:
+                _shutil.copy2(blog.root / rel, dst)
+    t.adopt(bfiles, schema=bman.get("schema"), layout=bman.get("layout"))
+    # crash: no commit(). main readers see the old snapshot
+    assert cat.read(spark, "facts").count() == 100
+    rep = cat.reconcile(min_age_seconds=0)
+    assert len(rep["rolled_back"]) == 1
+    assert cat.read(spark, "facts").count() == 100
+    # re-run the real merge: lands cleanly
+    rep2 = cat.merge_branch(br)
+    assert rep2["merged"] == ["facts"]
+    assert cat.read(spark, "facts").count() == 80

@@ -1105,3 +1105,42 @@ def test_maintenance_cli_catalog_vacuum(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["dropped_catalog_manifests"] == 2
     assert cat.read(spark, "facts").count() == 40
+
+
+def test_maintenance_cli_catalog_branch_merge(spark, tmp_path, capsys):
+    """CLI drive of branch/merge: fork, diverge on the branch, merge
+    back — one JSON line each."""
+    import json
+
+    from cve_manager_spark import maintenance_cli
+    from cve_manager_spark.catalogtx import CatalogLog
+    from cve_manager_spark.commitlog import TableLog
+
+    fpath = tmp_path / "clibr_f"
+    spark.range(0, 100).selectExpr("id AS k", "id AS v").coalesce(
+        1
+    ).write.parquet(str(fpath))
+    flog = TableLog(str(fpath))
+    flog.init()
+    cat = CatalogLog(str(tmp_path / "clibr_log"))
+    cat.init({"facts": flog})
+
+    dest = str(tmp_path / "clibr_branch")
+    assert maintenance_cli.main(
+        ["catalog-branch", "--catalog", str(cat.root), "--dest", dest]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"] == ["facts"]
+    br = CatalogLog(rep["branch"])
+    txn = br.begin()
+    txn.table("facts").delete_where(spark, "k >= 60")
+    br.commit(txn)
+    assert cat.read(spark, "facts").count() == 100  # main untouched
+
+    assert maintenance_cli.main(
+        ["catalog-merge", "--catalog", str(cat.root),
+         "--branch", str(br.root)]
+    ) == 0
+    mrep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mrep["merged"] == ["facts"]
+    assert cat.read(spark, "facts").count() == 60
