@@ -104,6 +104,7 @@ HEAVY = [
     "timetravel_bloom_lookup",
     "timetravel_zorder_box",
     "timetravel_clone_divergent",
+    "catalog_branch_merge",
 ]
 
 def _kcore_oracle(con):
