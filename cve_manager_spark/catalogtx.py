@@ -136,6 +136,19 @@ class TxnTable:
             self._record(res)
         return res
 
+    def delete_where_mor(self, spark: SparkSession, predicate) -> dict:
+        """Merge-on-read delete inside the transaction: position
+        deletes, zero data files rewritten (see
+        :meth:`TableLog.delete_where_mor`) — same strict serialization
+        and txn stamping as the COW form."""
+        res = self.log.delete_where_mor(
+            spark, predicate, expected_version=self._pin(),
+            tag=f"txn-{self.txn.txn_id}",
+        )
+        if res["n_deleted"] > 0:
+            self._record(res)
+        return res
+
     def overwrite(self, spark: SparkSession, rows: DataFrame) -> dict:
         return self._record(self.log.overwrite(
             spark, rows, tag=f"txn-{self.txn.txn_id}",
@@ -143,12 +156,15 @@ class TxnTable:
         ))
 
     def adopt(self, rel_files: list[str], schema: "str | None" = None,
-              layout: "list[str] | None" = None) -> dict:
+              layout: "list[str] | None" = None,
+              dv: "dict | None" = None) -> dict:
         """Adopt already-present files as this transaction's snapshot
         of the table (the branch-merge primitive — see
-        :meth:`TableLog.adopt_files`)."""
+        :meth:`TableLog.adopt_files`). ``dv`` carries the adopted
+        snapshot's deletion-vector block, so a branch's merge-on-read
+        deletes merge with the same fidelity as its data files."""
         return self._record(self.log.adopt_files(
-            rel_files, schema=schema, layout=layout,
+            rel_files, schema=schema, layout=layout, dv=dv,
             expected_version=self._pin(),
             tag=f"txn-{self.txn.txn_id}",
         ))
@@ -767,7 +783,14 @@ class CatalogLog:
                         mlog = self.table_log(name)
                         _, fork_files = mlog.snapshot(up_pins[name])
                         _, cur_files = mlog.snapshot(txn.pins[name])
-                        unmoved = set(fork_files) == set(cur_files)
+                        # content identity = same file set AND same
+                        # deletion-vector block (a MOR delete moves
+                        # content without moving a single file)
+                        unmoved = (
+                            set(fork_files) == set(cur_files)
+                            and mlog._dv_of(up_pins[name])
+                            == mlog._dv_of(txn.pins[name])
+                        )
                     except Exception:
                         unmoved = False
                     if not unmoved:
@@ -783,7 +806,8 @@ class CatalogLog:
                 with open(blog.root / "_commits" /
                           f"v{bver:012d}.json") as f:
                     bman = json.load(f)
-                for rel in bfiles:
+                bdv = bman.get("dv") or {}
+                for rel in list(bfiles) + list(bdv.get("files", [])):
                     dst = t.log.root / rel
                     if dst.exists():
                         continue  # fork-era file: same inode already
@@ -793,7 +817,8 @@ class CatalogLog:
                     except OSError:
                         shutil.copy2(blog.root / rel, dst)
                 t.adopt(bfiles, schema=bman.get("schema"),
-                        layout=bman.get("layout"))
+                        layout=bman.get("layout"),
+                        dv=bman.get("dv"))
         except Exception:
             # abandoned merge txn: retire its start marker; any table
             # commits already made are tagged debris for reconcile()

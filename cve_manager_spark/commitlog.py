@@ -62,6 +62,19 @@ from cve_manager_spark.maintenance import (
 )
 
 _LOG_DIR = "_commits"
+_DV_DIR = "_deletes"
+
+# sentinel for _publish: "carry the parent manifest's deletion-vector
+# block forward unchanged" — the fail-safe default, so a publish path
+# that never thinks about DVs (append, set-partitioning, schema
+# evolution) cannot silently resurrect deleted rows by dropping the
+# block. Ops that rewrite or replace data files pass an explicit value.
+_DV_INHERIT = object()
+
+# a deletion-vector relation at or below this many rows is broadcast
+# into the anti-join (driver knows the exact count from the manifest's
+# counts map — no size estimation involved)
+_DV_BROADCAST_ROWS = 4_000_000
 
 
 class CommitConflict(Exception):
@@ -366,10 +379,14 @@ class TableLog:
         invalidate). The Delta ``numRecords`` discipline: COUNT(*) on
         a 100 TB table is O(#files) sidecar lookups, and
         ``catalog-status``-style monitoring never touches data."""
-        _, files = self.snapshot(version)
+        v, files = self.snapshot(version)
         if not files:
             return 0
-        return sum(_ZoneMaps(self).rows_for(files).values())
+        total = sum(_ZoneMaps(self).rows_for(files).values())
+        # merge-on-read deletes subtract from the manifest's counts
+        # map — still zero data reads (counts keys are maintained to
+        # be exactly the live files with live deletes)
+        return total - sum(self._dv_of(v).get("counts", {}).values())
 
     def read(
         self,
@@ -404,9 +421,53 @@ class TableLog:
             if schema is None:
                 raise ValueError(f"v{v} is empty and carries no schema")
             return spark.createDataFrame([], schema)
-        return self._read_files(spark, files, schema)
+        return self._read_files(
+            spark, files, schema, dv=self._dv_of(v) or None
+        )
 
-    def _read_files(self, spark: SparkSession, rel: list[str], schema):
+    def _dv_of(self, version: int | None = None) -> dict:
+        """The manifest's deletion-vector block at ``version`` —
+        ``{"files": [dv_rel...], "counts": {data_rel: n}}`` — or ``{}``
+        for a snapshot with no live merge-on-read deletes. The counts
+        map's keys are exactly the CURRENT manifest's data files that
+        have live deletes (ops that replace a data file drop its
+        entry), so ``sum(counts.values())`` is the live deleted-row
+        count with zero data reads."""
+        v, _ = self.snapshot(version)
+        with open(_manifest_path(self.root, v)) as f:
+            return json.load(f).get("dv") or {}
+
+    def _dv_df(self, spark: SparkSession, dv_files: list[str]) -> DataFrame:
+        """Scan position-delete files into the canonical DV relation:
+        ``(__dv_file string, __dv_pos long)`` — Iceberg v2's position
+        delete file shape (file path + row ordinal), with the path
+        stored RELATIVE to the table root so clones, branches, and
+        moved tables keep their vectors valid."""
+        return spark.read.parquet(
+            *(str(self.root / r) for r in dv_files)
+        ).select(
+            F.col("__dv_file").cast("string").alias("__dv_file"),
+            F.col("__dv_pos").cast("long").alias("__dv_pos"),
+        )
+
+    def _lineage_cols(self):
+        """(rel-path expr, row-position expr) of the scanned file —
+        parquet metadata columns resolved AT THE SCAN, so they stay
+        correct through any downstream join (``input_file_name()`` does
+        not: it reads task state and is undefined after a join mixes
+        streams). ``row_index`` is the row's ordinal within its
+        immutable file — the stable row identity position deletes key
+        on."""
+        prefix = str(self.root).rstrip("/") + "/"
+        return (
+            F.substring_index(
+                F.col("_metadata.file_path"), prefix, -1
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+
+    def _read_files(self, spark: SparkSession, rel: list[str], schema,
+                    dv: dict | None = None, lineage: bool = False):
         """Scan an explicit relative-file subset under the table's
         recorded schema — the affected-file re-read inside COW ops must
         see the SAME shape as the snapshot read (pre-evolution files
@@ -420,23 +481,54 @@ class TableLog:
         recover their partition columns from directories, flat groups
         carry them in data), and the groups unioned by name. With a
         recorded schema the result is projected into schema field
-        order, so every layout reads identically."""
+        order, so every layout reads identically.
+
+        ``dv``: a manifest deletion-vector block — rows whose
+        (file, position) appear in the position-delete relation are
+        ANTI-JOINED away (merge-on-read). The DV side's exact row
+        count is known from the manifest's counts map, so the
+        broadcast decision is driver-side arithmetic, not estimation;
+        entries for files outside ``rel`` simply never match. A table
+        without DVs takes the original plan untouched — no metadata
+        columns, no join. ``lineage=True`` keeps ``__file``/``__pos``
+        on the result (reserved names; table columns never start with
+        a double underscore)."""
         groups: dict[tuple[str, ...], list[str]] = {}
         for r in rel:
             groups.setdefault(_path_layout(r), []).append(r)
+        want_pos = bool(dv) or lineage
 
         def scan(files: list[str]) -> DataFrame:
             reader = spark.read.option("basePath", str(self.root))
             if schema is not None and not isinstance(schema, str):
                 reader = reader.schema(schema)
-            return reader.parquet(*(str(self.root / r) for r in files))
+            df = reader.parquet(*(str(self.root / r) for r in files))
+            if want_pos:
+                df = df.select("*", *self._lineage_cols())
+            return df
 
         dfs = [scan(groups[lay]) for lay in sorted(groups)]
         df = dfs[0]
         for d in dfs[1:]:
             df = df.unionByName(d)
         if schema is not None and not isinstance(schema, str):
-            df = df.select(*[f.name for f in schema.fields])
+            cols = [f.name for f in schema.fields]
+            if want_pos:
+                cols += ["__file", "__pos"]
+            df = df.select(*cols)
+        if dv:
+            dvdf = self._dv_df(spark, dv["files"])
+            n_dv = sum(dv.get("counts", {}).values())
+            if 0 < n_dv <= _DV_BROADCAST_ROWS:
+                dvdf = F.broadcast(dvdf)
+            df = df.join(
+                dvdf,
+                (df["__file"] == dvdf["__dv_file"])
+                & (df["__pos"] == dvdf["__dv_pos"]),
+                "left_anti",
+            )
+        if want_pos and not lineage:
+            df = df.drop("__file", "__pos")
         return df
 
     # -- the commit primitive ------------------------------------------
@@ -448,21 +540,39 @@ class TableLog:
         op: str,
         schema: str | None = None,
         layout: list[str] | None = None,
+        dv=_DV_INHERIT,
     ) -> int:
         """Atomically publish version ``parent+1``. Raises
         :class:`CommitConflict` if that version already exists.
         ``layout=None`` carries the PARENT's recorded layout forward
         (layout, like schema, travels with the version history);
-        committed ops pass the layout they actually staged under."""
+        committed ops pass the layout they actually staged under.
+
+        ``dv`` is the manifest's deletion-vector block
+        (``{"files": [dv_rel...], "counts": {data_rel: n}}`` — see
+        :meth:`delete_where_mor`). The default CARRIES the parent's
+        block forward unchanged: losing the block silently resurrects
+        merge-on-read-deleted rows, so inheritance is the only safe
+        default. Ops that replace data files pass an explicit value
+        (``None`` clears it; a dict with an empty counts map is
+        normalized to cleared)."""
         version = parent + 1
         target = _manifest_path(self.root, version)
         tmp = target.parent / f".tmp-{uuid.uuid4().hex}.json"
-        if layout is None and parent >= 0:
+        if (layout is None or dv is _DV_INHERIT) and parent >= 0:
             try:
                 with open(_manifest_path(self.root, parent)) as f:
-                    layout = json.load(f).get("layout")
+                    pm = json.load(f)
             except FileNotFoundError:
-                layout = None
+                pm = {}
+            if layout is None:
+                layout = pm.get("layout")
+            if dv is _DV_INHERIT:
+                dv = pm.get("dv")
+        if dv is _DV_INHERIT:
+            dv = None
+        if dv and not dv.get("counts"):
+            dv = None
         body = {
             "version": version,
             "parent": parent,
@@ -473,6 +583,11 @@ class TableLog:
             body["schema"] = schema
         if layout is not None:
             body["layout"] = layout
+        if dv:
+            body["dv"] = {
+                "files": sorted(dv["files"]),
+                "counts": dict(sorted(dv["counts"].items())),
+            }
         tmp.write_text(json.dumps(body, indent=1))
         try:
             # hard link = atomic + exclusive: EEXIST is the conflict signal
@@ -562,6 +677,49 @@ class TableLog:
     def _abort(self, new_rel: list[str]) -> None:
         for rel in new_rel:
             (self.root / rel).unlink(missing_ok=True)
+
+    def _stage_dv(self, hits: DataFrame, n_rows: int) -> list[str]:
+        """Write a position-delete relation (``__dv_file``,
+        ``__dv_pos``) as parquet under ``_deletes/`` and return the new
+        files' relative paths. Same staging discipline as ``_stage``:
+        fresh uuid names, invisible until a manifest references them,
+        reclaimed by vacuum if the commit never lands. File count
+        scales with the DELETE size, never the table (one file per few
+        million positions); no stats/bloom sidecars — DV files are
+        protocol metadata, never data-scan candidates."""
+        tmp = self.root.with_name(
+            self.root.name + f".dv-tmp-{uuid.uuid4().hex[:8]}"
+        )
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        n_files = max(1, min(32, n_rows // 2_000_000 + 1))
+        hits.repartition(n_files).write.parquet(str(tmp))
+        stem = _fresh_stem("dvd")
+        dest_dir = self.root / _DV_DIR
+        dest_dir.mkdir(parents=True, exist_ok=True)
+        new_rel: list[str] = []
+        for i, f in enumerate(sorted(tmp.rglob("*.parquet"))):
+            dest = dest_dir / f"{stem}-{i:05d}.snappy.parquet"
+            f.rename(dest)
+            new_rel.append(str(dest.relative_to(self.root)))
+        shutil.rmtree(tmp)
+        return new_rel
+
+    def _dv_minus(self, dv: dict, replaced: "set[str]"):
+        """The deletion-vector block carried forward by an op that
+        REPLACED the data files in ``replaced``: their counts entries
+        drop (the rewrite materialized those deletes), the delete
+        files stay while any live entry remains (stale positions for
+        replaced files can never match — the file left the manifest).
+        Returns ``None`` when nothing live remains, which clears the
+        block and lets vacuum reclaim the delete files."""
+        counts = {
+            k: n for k, n in dv.get("counts", {}).items()
+            if k not in replaced
+        }
+        if not counts:
+            return None
+        return {"files": list(dv["files"]), "counts": counts}
 
     def append(
         self,
@@ -699,8 +857,9 @@ class TableLog:
             )
         op = "overwrite" if tag is None else f"overwrite@{tag}"
         try:
+            # full replace: any deletion vectors die with the data
             v = self._publish(
-                version, new_rel, op, schema=_schema_json(rows)
+                version, new_rel, op, schema=_schema_json(rows), dv=None
             )
         except CommitConflict:
             self._abort(new_rel)
@@ -736,6 +895,7 @@ class TableLog:
         v = self._publish(
             latest, files, f"rollback@to={to_version}",
             schema=m.get("schema"), layout=m.get("layout"),
+            dv=m.get("dv"),
         )
         return {"version": v, "n_files": len(files)}
 
@@ -757,25 +917,44 @@ class TableLog:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         version, files = self.snapshot(expected_version)
         pcols = self._pcols(version)
+        schema = self.schema_of(version)
+        dv = self._dv_of(version)
         # read the PINNED version, not the latest: a commit landing after
         # snapshot() must not leak its files into this rewrite (the publish
         # below would still conflict on parent, but the abort is cheaper
         # and the row-count guard stays meaningful)
-        df = self.read(spark, version=version)
-        hits = (
-            df.withColumn("__f", F.input_file_name())
-            .where(pred)
-            .groupBy("__f")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        if dv:
+            # merge-on-read deletes already applied: a DV-deleted row
+            # can neither re-match the predicate nor be resurrected
+            # into the rewrite; lineage columns give the file identity
+            # (input_file_name is undefined through the anti-join)
+            df = self._read_files(spark, files, schema, dv=dv,
+                                  lineage=True)
+            hits = (
+                df.where(pred)
+                .groupBy("__file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            touched_rel = sorted(r["__file"] for r in hits)
+        else:
+            df = self.read(spark, version=version)
+            hits = (
+                df.withColumn("__f", F.input_file_name())
+                .where(pred)
+                .groupBy("__f")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            touched_rel = sorted(
+                str(_local_path(r["__f"]).relative_to(self.root))
+                for r in hits
+            )
         if not hits:
             return {"n_deleted": 0, "files_touched": 0, "version": version}
         n_deleted = sum(r["n"] for r in hits)
-        touched_rel = sorted(
-            str(_local_path(r["__f"]).relative_to(self.root)) for r in hits
-        )
-        affected = self._read_files(spark, touched_rel, self.schema_of(version))
+        affected = self._read_files(spark, touched_rel, schema,
+                                    dv=dv or None)
         n_affected = affected.count()
         survivors = affected.where(~pred.eqNullSafe(F.lit(True)))
         new_rel = self._stage(survivors, "del", pcols)
@@ -790,13 +969,99 @@ class TableLog:
         op = "delete" if tag is None else f"delete@{tag}"
         try:
             v = self._publish(
-                version, out_files, op, schema=_schema_json(df)
+                version, out_files, op, schema=_schema_json(affected),
+                dv=self._dv_minus(dv, set(touched_rel)) if dv
+                else _DV_INHERIT,
             )
         except CommitConflict:
             self._abort(new_rel)
             raise
         return {"n_deleted": n_deleted, "files_touched": len(touched_rel),
                 "version": v}
+
+    def delete_where_mor(
+        self,
+        spark: SparkSession,
+        predicate: "F.Column | str",
+        expected_version: int | None = None,
+        tag: str | None = None,
+    ) -> dict[str, int]:
+        """Committed MERGE-ON-READ DELETE: same row semantics as
+        :meth:`delete_where` (3VL — only predicate-TRUE rows go), but
+        instead of rewriting the touched data files it writes POSITION
+        DELETE files (Iceberg v2 position deletes / Delta deletion
+        vectors): ``(__dv_file, __dv_pos)`` pairs staged under
+        ``_deletes/`` and recorded in the manifest's ``dv`` block.
+        Readers anti-join the vectors at scan time.
+
+        The scale contract is the point: a COW delete of k rows costs
+        O(bytes of every touched file) — at 100 TB, deleting a few
+        thousand rows scattered across the table rewrites terabytes.
+        Merge-on-read costs O(k) write (the positions) plus an
+        anti-join at read whose small side is exactly k rows (broadcast
+        while k stays under :data:`_DV_BROADCAST_ROWS`). ``compact()``
+        / ``zorder()`` materialize the vectors back into clean files
+        when read amplification accumulates — the standard MOR
+        maintenance trade.
+
+        Deletes COMPOSE: the predicate is evaluated on the DV-applied
+        snapshot, so an already-deleted row can never re-match and
+        per-file counts stay exact (``row_count()`` subtracts them
+        metadata-only). ``expected_version``/``tag`` carry the same
+        strict-serialization / transaction-stamp semantics as every
+        committed write."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        version, files = self.snapshot(expected_version)
+        if not files:
+            return {"n_deleted": 0, "files_touched": 0, "version": version}
+        schema = self.schema_of(version)
+        dv = self._dv_of(version)
+        df = self._read_files(spark, files, schema, dv=dv or None,
+                              lineage=True)
+        hits = df.where(pred).select(
+            F.col("__file").alias("__dv_file"),
+            F.col("__pos").alias("__dv_pos"),
+        )
+        n_deleted = hits.count()
+        if n_deleted == 0:
+            return {"n_deleted": 0, "files_touched": 0, "version": version}
+        new_dv_rel = self._stage_dv(hits, n_deleted)
+        n_staged = _count_files(spark, self.root, new_dv_rel)
+        if n_staged != n_deleted:
+            self._abort(new_dv_rel)
+            raise RuntimeError(
+                f"delete-mor row mismatch for {self.root}: matched "
+                f"{n_deleted}, staged {n_staged}; nothing committed"
+            )
+        # per-file counts off the just-staged (tiny) relation — keeps
+        # the manifest's counts map exact without re-running the scan
+        per_file = {
+            r["__dv_file"]: r["n"]
+            for r in spark.read.parquet(
+                *(str(self.root / r) for r in new_dv_rel)
+            ).groupBy("__dv_file").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        counts = dict(dv.get("counts", {}))
+        for k, n in per_file.items():
+            counts[k] = counts.get(k, 0) + n
+        new_dv = {
+            "files": list(dv.get("files", [])) + new_dv_rel,
+            "counts": counts,
+        }
+        with open(_manifest_path(self.root, version)) as f:
+            raw_schema = json.load(f).get("schema")
+        op = "delete-mor" if tag is None else f"delete-mor@{tag}"
+        try:
+            v = self._publish(
+                version, files, op, schema=raw_schema, dv=new_dv
+            )
+        except CommitConflict:
+            self._abort(new_dv_rel)
+            raise
+        return {"n_deleted": n_deleted, "files_touched": len(per_file),
+                "dv_files": len(new_dv_rel), "version": v}
 
     def merge_upsert(
         self,
@@ -822,6 +1087,8 @@ class TableLog:
         and recomputes against the fresh snapshot."""
         version, files = self.snapshot(expected_version)
         pcols = self._pcols(version)
+        schema = self.schema_of(version)
+        dv = self._dv_of(version)
         df = self.read(spark, version=version)
         if sorted(df.columns) != sorted(updates.columns):
             raise ValueError(
@@ -847,20 +1114,36 @@ class TableLog:
         keys = updates.select(*key_cols).distinct()
         if keys.count() != n_updates:
             raise ValueError("merge_upsert: duplicate keys in updates")
-        hits = (
-            df.withColumn("__f", F.input_file_name())
-            .join(F.broadcast(keys), key_cols)
-            .groupBy("__f")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        if dv:
+            # DV-applied lineage read: a merge-on-read-deleted row
+            # must not match (its key inserts as new), and file
+            # identity must not go through input_file_name (undefined
+            # through the DV anti-join)
+            dfl = self._read_files(spark, files, schema, dv=dv,
+                                   lineage=True)
+            hits = (
+                dfl.join(F.broadcast(keys), key_cols)
+                .groupBy("__file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            touched_rel = sorted(r["__file"] for r in hits)
+        else:
+            hits = (
+                df.withColumn("__f", F.input_file_name())
+                .join(F.broadcast(keys), key_cols)
+                .groupBy("__f")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            touched_rel = sorted(
+                str(_local_path(r["__f"]).relative_to(self.root))
+                for r in hits
+            )
         n_matched = sum(r["n"] for r in hits)
-        touched_rel = sorted(
-            str(_local_path(r["__f"]).relative_to(self.root)) for r in hits
-        )
         if touched_rel:
             affected = self._read_files(
-                spark, touched_rel, self.schema_of(version)
+                spark, touched_rel, schema, dv=dv or None
             )
             n_affected = affected.count()
             out = affected.join(
@@ -882,7 +1165,9 @@ class TableLog:
         op = "merge" if tag is None else f"merge@{tag}"
         try:
             v = self._publish(
-                version, out_files, op, schema=_schema_json(df)
+                version, out_files, op, schema=_schema_json(df),
+                dv=self._dv_minus(dv, set(touched_rel)) if dv
+                else _DV_INHERIT,
             )
         except CommitConflict:
             self._abort(new_rel)
@@ -926,8 +1211,13 @@ class TableLog:
                 f"{n_new}; nothing committed"
             )
         try:
+            # compaction MATERIALIZES merge-on-read deletes: the
+            # rewrite read was DV-applied, so the new files carry no
+            # deleted rows and the dv block clears (vacuum reclaims
+            # the delete files once no retained manifest lists them)
             v = self._publish(
-                version, new_rel, "compact", schema=_schema_json(df)
+                version, new_rel, "compact", schema=_schema_json(df),
+                dv=None,
             )
         except CommitConflict:
             self._abort(new_rel)
@@ -942,6 +1232,7 @@ class TableLog:
         layout: list[str] | None = None,
         expected_version: int | None = None,
         tag: str | None = None,
+        dv: dict | None = None,
     ) -> dict[str, int]:
         """Commit a manifest listing files ALREADY PRESENT in the table
         directory — the metadata-only adoption primitive branch merge
@@ -953,8 +1244,15 @@ class TableLog:
         debris is attributable to its transaction by
         :func:`~cve_manager_spark.catalogtx.CatalogLog.reconcile`.
         Refuses files that do not exist — adoption never invents
-        state."""
+        state. ``dv``: the adopted snapshot's deletion-vector block
+        (its delete files must be present too — an adopted snapshot
+        is COMPLETE, so the default is explicitly no-DV, never
+        inherit)."""
         missing = [r for r in rel_files if not (self.root / r).exists()]
+        missing += [
+            r for r in (dv or {}).get("files", [])
+            if not (self.root / r).exists()
+        ]
         if missing:
             raise ValueError(
                 f"adopt_files: {len(missing)} files not present under "
@@ -970,7 +1268,8 @@ class TableLog:
             )
         op = f"adopt@{tag}" if tag else "adopt"
         v = self._publish(
-            parent, sorted(rel_files), op, schema=schema, layout=layout
+            parent, sorted(rel_files), op, schema=schema, layout=layout,
+            dv=dv,
         )
         return {"version": v, "n_files": len(rel_files)}
 
@@ -1001,20 +1300,25 @@ class TableLog:
             raise ValueError(
                 f"clone destination {droot} already holds a table"
             )
-        for rel in files:
+        with open(_manifest_path(self.root, v)) as f:
+            m = json.load(f)
+        dv = m.get("dv") or {}
+        # deletion-vector files travel with the snapshot: same
+        # hard-link discipline (immutable, rel-path-keyed, so the
+        # vectors stay valid against the linked data files)
+        for rel in list(files) + list(dv.get("files", [])):
             src, dst = self.root / rel, droot / rel
             dst.parent.mkdir(parents=True, exist_ok=True)
             try:
                 os.link(src, dst)
             except OSError:
                 shutil.copy2(src, dst)  # cross-device fallback
-        with open(_manifest_path(self.root, v)) as f:
-            m = json.load(f)
         dlog = TableLog(str(droot))
         (droot / _LOG_DIR).mkdir(parents=True, exist_ok=True)
         dlog._publish(
             -1, files, f"clone@from-v{v}",
             schema=m.get("schema"), layout=m.get("layout"),
+            dv=m.get("dv"),
         )
         # warm the clone's skipping state: stats cache entries and
         # bloom sidecars are keyed by relative path, which the clone
@@ -1134,8 +1438,11 @@ class TableLog:
                 f"{n_new}; nothing committed"
             )
         try:
+            # full rewrite off the DV-applied read: merge-on-read
+            # deletes materialize here too, same as compact()
             v = self._publish(
-                version, new_rel, "zorder", schema=_schema_json(df)
+                version, new_rel, "zorder", schema=_schema_json(df),
+                dv=None,
             )
         except CommitConflict:
             self._abort(new_rel)
@@ -1198,6 +1505,7 @@ class TableLog:
         only_t = sorted(set(files_t) - set(files_f))
         schema_f = self.schema_of(vf)
         schema_t = self.schema_of(vt)
+        dv_f, dv_t = self._dv_of(vf), self._dv_of(vt)
         if where:
             pf, _ = _prune_files(self, only_f, where)
             pt, _ = _prune_files(self, only_t, where)
@@ -1217,15 +1525,95 @@ class TableLog:
                         pf = only_f[:1]
             only_f, only_t = pf, pt
 
-        def side(rel, schema):
+        def side(rel, schema, dv):
             if rel:
-                return self._read_files(spark, rel, schema)
+                # each side reads DV-APPLIED AS OF ITS OWN VERSION: a
+                # row already merge-on-read-deleted at v_from was not
+                # part of that snapshot's content, so a file leaving
+                # the manifest must not surface it as a delete (dv
+                # entries for files outside the subset never match)
+                return self._read_files(spark, rel, schema,
+                                        dv=dv or None)
             if schema is None or isinstance(schema, str):
                 return None
             return spark.createDataFrame([], schema)
 
-        a = side(only_f, schema_f)  # rows leaving
-        b = side(only_t, schema_t)  # rows entering
+        a = side(only_f, schema_f, dv_f)  # rows leaving
+        b = side(only_t, schema_t, dv_t)  # rows entering
+
+        # merge-on-read deletes change CONTENT without changing the
+        # file list: for files present in BOTH manifests, diff the
+        # position-delete sets. Positions deleted at v_to but not at
+        # v_from are rows that LEFT (append to the from-side); the
+        # reverse direction (a rollback past a MOR delete) is rows
+        # that RETURNED. Cost stays O(changed): the dv relations are
+        # O(deleted rows), and only common files with differing
+        # entries are opened — never the whole snapshot.
+        common = set(files_f) & set(files_t)
+        if common and (dv_f or dv_t):
+            cdf = spark.createDataFrame(
+                [(r,) for r in sorted(common)], "__cf string"
+            )
+
+            def dv_common(dv):
+                if not dv or not dv.get("files"):
+                    return None
+                d = self._dv_df(spark, dv["files"])
+                # restrict to common files: stale entries for replaced
+                # files and entries for one-sided files are not part
+                # of this diff
+                return d.join(
+                    F.broadcast(cdf),
+                    d["__dv_file"] == cdf["__cf"], "left_semi",
+                )
+
+            da, db = dv_common(dv_f), dv_common(dv_t)
+
+            def dv_minus(x, y):
+                if x is None:
+                    return None
+                if y is None:
+                    return x
+                return x.join(y, ["__dv_file", "__dv_pos"], "left_anti")
+
+            def dv_rows(entries, schema):
+                """Content of the rows at the given (file, position)
+                entries — reads only the files the entries name."""
+                if entries is None:
+                    return None
+                touched = sorted(
+                    r["__dv_file"]
+                    for r in entries.select("__dv_file")
+                    .distinct().collect()
+                )
+                if not touched:
+                    return None
+                if where:
+                    touched, _ = _prune_files(self, touched, where)
+                    if not touched:
+                        return None
+                rows = self._read_files(spark, touched, schema,
+                                        lineage=True)
+                rows = rows.join(
+                    entries,
+                    (rows["__file"] == entries["__dv_file"])
+                    & (rows["__pos"] == entries["__dv_pos"]),
+                    "left_semi",
+                )
+                return rows.drop("__file", "__pos")
+
+            gone = dv_rows(dv_minus(db, da), schema_f)   # newly deleted
+            back = dv_rows(dv_minus(da, db), schema_t)   # resurrected
+
+            def add_side(base, extra):
+                if extra is None:
+                    return base
+                if base is None:
+                    return extra
+                return base.unionByName(extra, allowMissingColumns=True)
+
+            a = add_side(a, gone)
+            b = add_side(b, back)
         if a is None and b is None:
             raise ValueError(
                 f"neither v{vf} nor v{vt} carries a readable schema"
@@ -1494,7 +1882,11 @@ class TableLog:
         live: set[str] = set()
         for v in keep:
             with open(_manifest_path(self.root, v)) as f:
-                live.update(json.load(f)["files"])
+                m = json.load(f)
+            live.update(m["files"])
+            # position-delete files are live while any retained
+            # manifest's dv block lists them
+            live.update((m.get("dv") or {}).get("files", []))
         dropped_manifests = 0
         for v in vs:
             if v not in keep:
@@ -2077,6 +2469,7 @@ def _prune_snapshot(
     filter itself: a file without stats is kept, not dropped)."""
     v, files = log.snapshot(version)
     schema = log.schema_of(v)
+    dv = log._dv_of(v) or None
     keep, report = _prune_files(log, files, preds)
     if not keep:
         if schema is None or isinstance(schema, str):
@@ -2087,13 +2480,16 @@ def _prune_snapshot(
                 keep = files[:1]
                 report["files_read"] = 1
                 report["files_pruned"] = len(files) - 1
-                df = log._read_files(spark, keep, schema)
+                df = log._read_files(spark, keep, schema, dv=dv)
             else:
                 raise ValueError(f"v{v} is empty and carries no schema")
         else:
             df = spark.createDataFrame([], schema)
     else:
-        df = log._read_files(spark, keep, schema)
+        # merge-on-read deletes apply AFTER pruning: DVs remove rows,
+        # never files, so file-level skipping is unaffected — the
+        # anti-join runs over the kept files only
+        df = log._read_files(spark, keep, schema, dv=dv)
     for column, (lo, hi) in preds.items():
         if lo is not None:
             df = df.where(F.col(column) >= F.lit(lo))

@@ -1008,3 +1008,80 @@ def test_branch_merge_crash_repairs_through_reconcile(spark, tmp_path):
     rep2 = cat.merge_branch(br)
     assert rep2["merged"] == ["facts"]
     assert cat.read(spark, "facts").count() == 80
+
+
+def test_txn_mor_delete_moves_atomically(spark, tmp_path):
+    """A merge-on-read delete inside a transaction: the delete is
+    invisible until the catalog commit (table version moved but pin
+    did not), atomic with the other table's write afterwards."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    txn = cat.begin()
+    res = txn.table("facts").delete_where_mor(spark, "f_id < 20")
+    assert res["n_deleted"] == 20
+    txn.table("dim").delete_where(spark, "d_cust = 9")
+    # pre-commit: catalog readers still at the old snapshot
+    assert cat.read(spark, "facts").count() == 100
+    assert cat.read(spark, "dim").count() == 10
+    cat.commit(txn)
+    assert cat.read(spark, "facts").count() == 80
+    assert cat.read(spark, "dim").count() == 9
+    # data files of facts untouched by the MOR half
+    m0 = flog.snapshot(0)[1]
+    assert flog.snapshot()[1] == m0
+
+
+def test_txn_mor_crash_debris_rolls_back(spark, tmp_path):
+    """A crashed transaction's MOR-delete commit is ordinary tagged
+    debris: reconcile rolls it back (rollback carries the dv block,
+    restoring the PRE-delete content) and the table reads full."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    txn = cat.begin()
+    txn.table("facts").delete_where_mor(spark, "f_id % 2 = 0")
+    # crash before commit(): table version moved, catalog pin did not
+    assert flog.read(spark).count() == 50  # direct table read sees it
+    assert cat.read(spark, "facts").count() == 100  # catalog does not
+    rep = cat.reconcile(min_age_seconds=0)
+    assert len(rep["rolled_back"]) == 1
+    assert cat.read(spark, "facts").count() == 100
+    assert flog.read(spark).count() == 100
+
+
+def test_branch_mor_delete_merges_into_main(spark, tmp_path):
+    """Branch isolation and merge carry deletion vectors: a MOR delete
+    on the branch stays invisible on main until merge_branch, then
+    main sees exactly the branch's DV-applied content — without the
+    merge copying or rewriting a single data file's bytes."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feat-dv"))
+    btxn = br.begin()
+    res = btxn.table("facts").delete_where_mor(spark, "f_id % 4 = 0")
+    assert res["n_deleted"] == 25
+    br.commit(btxn)
+    assert br.read(spark, "facts").count() == 75
+    assert cat.read(spark, "facts").count() == 100  # main untouched
+    rep = cat.merge_branch(br)
+    assert rep["merged"] == ["facts"]
+    got = cat.read(spark, "facts")
+    assert got.count() == 75
+    assert got.where("f_id % 4 = 0").count() == 0
+    # the merged manifest carries the dv block (metadata-only merge)
+    v, pins = cat.snapshot()
+    assert sum(flog._dv_of(pins["facts"]).get("counts", {}).values()) == 25
+
+
+def test_branch_merge_unmoved_check_sees_mor_content(spark, tmp_path):
+    """The first-committer-wins content check must treat a MOR delete
+    on main as MOVED content (same file set, different dv) — merging
+    a stale branch over it would silently undelete main's rows."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feat-dv2"))
+    btxn = br.begin()
+    btxn.table("facts").delete_where(spark, "f_id = 7")
+    br.commit(btxn)
+    # main MOR-deletes AFTER the fork: file set unchanged, content not
+    mtxn = cat.begin()
+    mtxn.table("facts").delete_where_mor(spark, "f_id < 10")
+    cat.commit(mtxn)
+    with pytest.raises(CatalogConflict, match="rebase"):
+        cat.merge_branch(br)
+    assert cat.read(spark, "facts").count() == 90

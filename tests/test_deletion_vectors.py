@@ -1,0 +1,306 @@
+"""Merge-on-read deletion vectors (Iceberg v2 position deletes /
+Delta deletion vectors) on the commit log.
+
+The scale contract under test: ``delete_where_mor`` deletes k rows for
+O(k) write cost — ZERO data files rewritten (byte-identical, manifest
+file list unchanged) — and every reader surface (read, pruned read,
+row_count, CDF, clone, branch merge) observes exactly the COW-delete
+semantics. ``compact()``/``zorder()`` materialize the vectors; vacuum
+reclaims delete files once no retained manifest lists them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cve_manager_spark.commitlog import CommitConflict, TableLog
+
+
+def _mk(spark, tmp_path, name="t", partitioned=False) -> TableLog:
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("part"),
+        (F.col("id") * 7).alias("v"),
+    )
+    path = tmp_path / name
+    w = df.repartition(4, "k").write
+    if partitioned:
+        w = w.partitionBy("part")
+    w.parquet(str(path))
+    log = TableLog(str(path))
+    log.init()
+    return log
+
+
+def _manifest(log: TableLog, v: int) -> dict:
+    with open(log.root / "_commits" / f"v{v:012d}.json") as f:
+        return json.load(f)
+
+
+def _digests(log: TableLog) -> dict[str, str]:
+    return {
+        str(p.relative_to(log.root)):
+            hashlib.sha256(p.read_bytes()).hexdigest()
+        for p in log.root.rglob("*.parquet")
+        if "_deletes" not in p.parts[:-1]
+        and str(p.relative_to(log.root)).split("/")[0] != "_deletes"
+    }
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("k", "part", "v").collect())
+
+
+def test_mor_delete_rewrites_zero_data_files(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    before = _digests(log)
+    m0 = _manifest(log, 0)
+    out = log.delete_where_mor(spark, F.col("k") % 10 == 3)
+    assert out["n_deleted"] == 30
+    assert out["version"] == 1
+    m1 = _manifest(log, 1)
+    # the whole point: same data files, untouched bytes
+    assert m1["files"] == m0["files"]
+    after = _digests(log)
+    for rel, dig in before.items():
+        assert after[rel] == dig, f"MOR delete mutated data file {rel}"
+    # readers see the delete; time travel does not
+    got = log.read(spark)
+    assert got.count() == 270
+    assert got.where(F.col("k") % 10 == 3).count() == 0
+    assert log.read(spark, version=0).count() == 300
+    # manifest bookkeeping: counts sum to the delete size
+    assert sum(m1["dv"]["counts"].values()) == 30
+    assert all(f.startswith("_deletes/") for f in m1["dv"]["files"])
+
+
+def test_mor_matches_cow_delete_semantics_exactly(spark, tmp_path):
+    cow = _mk(spark, tmp_path, "cow")
+    mor = _mk(spark, tmp_path, "mor")
+    pred = (F.col("v") > 500) & (F.col("part") != 1)
+    cow.delete_where(spark, pred)
+    mor.delete_where_mor(spark, pred)
+    assert _rows(cow.read(spark)) == _rows(mor.read(spark))
+    assert cow.row_count() == mor.row_count() == mor.read(spark).count()
+
+
+def test_mor_deletes_compose_and_cannot_rematch(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    r1 = log.delete_where_mor(spark, F.col("k") < 100)
+    assert r1["n_deleted"] == 100
+    # overlapping predicate: the 100 already-gone rows must not
+    # re-match (counts would double-subtract if they did)
+    r2 = log.delete_where_mor(spark, F.col("k") < 150)
+    assert r2["n_deleted"] == 50
+    assert log.read(spark).count() == 150
+    assert log.row_count() == 150
+    # a no-op predicate commits nothing
+    r3 = log.delete_where_mor(spark, F.col("k") < 0)
+    assert r3["n_deleted"] == 0 and r3["version"] == r2["version"]
+
+
+def test_row_count_stays_metadata_only_with_dvs(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k") % 4 == 0)
+    expect = log.read(spark).count()
+    log.row_count()  # warm the sidecar for the init-adopted files
+    # truncate every data AND delete file: a metadata-only count
+    # never opens them (the proof discipline of the row-count test)
+    for p in log.root.rglob("*.parquet"):
+        p.write_bytes(b"")
+    assert log.row_count() == expect
+
+
+def test_cow_delete_after_mor_does_not_resurrect(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k").between(0, 49))
+    out = log.delete_where(spark, F.col("k").between(25, 74))
+    assert out["n_deleted"] == 25  # 25..49 already gone via DV
+    got = log.read(spark)
+    assert got.count() == 225
+    assert got.where(F.col("k") < 75).count() == 0
+    # counts entries for rewritten files dropped; totals stay exact
+    assert log.row_count() == 225
+
+
+def test_merge_upsert_on_dv_table(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k") < 10)
+    upd = spark.createDataFrame(
+        [(5, 2, 999), (20, 2, 888)], "k long, part int, v long"
+    )
+    out = log.merge_upsert(spark, upd, ["k"])
+    # k=5 was MOR-deleted -> inserts as new; k=20 matches
+    assert out["n_matched"] == 1 and out["n_inserted"] == 1
+    got = {r["k"]: r["v"] for r in log.read(spark).collect()}
+    assert got[5] == 999 and got[20] == 888
+    assert len(got) == 291  # 300 - 10 deleted + 1 reinserted
+    assert log.row_count() == 291
+
+
+def test_compact_materializes_dvs_and_vacuum_reclaims(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k") % 5 == 0)
+    expect = _rows(log.read(spark))
+    out = log.compact(spark, target_rows_per_file=100)
+    assert out["n_rows"] == 240
+    m = _manifest(log, out["version"])
+    assert "dv" not in m
+    assert _rows(log.read(spark)) == expect
+    # drop history: the delete files are now referenced by no retained
+    # manifest and get reclaimed
+    assert any((log.root / "_deletes").glob("*.parquet"))
+    log.vacuum(keep_versions=1, min_age_seconds=0)
+    assert not list((log.root / "_deletes").glob("*.parquet"))
+    assert _rows(log.read(spark)) == expect
+
+
+def test_vacuum_keeps_dv_files_while_referenced(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k") < 30)
+    expect = _rows(log.read(spark))
+    log.vacuum(keep_versions=1, min_age_seconds=0)
+    assert _rows(log.read(spark)) == expect
+
+
+def test_changes_multiset_across_mor_delete(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    out = log.delete_where_mor(spark, F.col("k") < 25)
+    ch = log.changes(spark, 0, out["version"])
+    rows = ch.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sum(r["_change_count"] for r in rows) == 25
+    assert sorted(r["k"] for r in rows) == list(range(25))
+    # reverse direction: the deletes come back as inserts
+    rch = log.changes(spark, out["version"], 0)
+    assert {r["_change_type"] for r in rch.collect()} == {"insert"}
+
+
+def test_changes_keyed_across_mor_and_rollback_resurrection(
+    spark, tmp_path
+):
+    log = _mk(spark, tmp_path)
+    v1 = log.delete_where_mor(spark, F.col("k") < 10)["version"]
+    ch = log.changes(spark, 0, v1, key_cols=["k"])
+    got = {(r["k"], r["_change_type"]) for r in ch.collect()}
+    assert got == {(k, "delete") for k in range(10)}
+    # rollback past the MOR delete: CDF sees the rows return
+    v2 = log.rollback(0)["version"]
+    assert log.read(spark).count() == 300
+    rch = log.changes(spark, v1, v2, key_cols=["k"])
+    got = {(r["k"], r["_change_type"]) for r in rch.collect()}
+    assert got == {(k, "insert") for k in range(10)}
+
+
+def test_changes_compaction_after_mor_diffs_empty(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    v1 = log.delete_where_mor(spark, F.col("k") % 2 == 0)["version"]
+    v2 = log.compact(spark, target_rows_per_file=100)["version"]
+    # same content, different physical form: rewritten-unchanged rows
+    # cancel AND materialized deletes cancel against the dv entries
+    assert log.changes(spark, v1, v2).count() == 0
+
+
+def test_changes_bounded_where_with_dv(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    v1 = log.delete_where_mor(spark, F.col("k").between(40, 59))["version"]
+    ch = log.changes(spark, 0, v1, where={"k": (50, 200)})
+    rows = ch.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(50, 60))
+
+
+def test_read_where_prunes_and_applies_dv(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k").between(10, 19))
+    got = log.read(spark, where={"k": (0, 49)})
+    ks = sorted(r["k"] for r in got.collect())
+    assert ks == list(range(0, 10)) + list(range(20, 50))
+
+
+def test_append_carries_dv_forward(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k") < 50)
+    extra = spark.createDataFrame([(1000, 0, 1)], "k long, part int, v long")
+    out = log.append(spark, extra)
+    m = _manifest(log, out["version"])
+    assert sum(m["dv"]["counts"].values()) == 50
+    assert log.read(spark).count() == 251
+    assert log.row_count() == 251
+
+
+def test_mor_on_partitioned_table(spark, tmp_path):
+    log = _mk(spark, tmp_path, partitioned=True)
+    out = log.delete_where_mor(
+        spark, (F.col("part") == 1) & (F.col("k") < 100)
+    )
+    assert out["n_deleted"] == 33  # k % 3 == 1 in [0,100)
+    got = log.read(spark)
+    assert got.count() == 267
+    assert got.where((F.col("part") == 1) & (F.col("k") < 100)).count() == 0
+
+
+def test_mor_stale_expected_version_conflicts_and_cleans_up(
+    spark, tmp_path
+):
+    log = _mk(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k") < 10)  # now at v1
+    n_dv = len(list((log.root / "_deletes").glob("*.parquet")))
+    with pytest.raises(CommitConflict):
+        log.delete_where_mor(
+            spark, F.col("k") < 20, expected_version=0
+        )
+    # loser unlinked its staged delete files
+    assert len(list((log.root / "_deletes").glob("*.parquet"))) == n_dv
+    assert log.read(spark).count() == 290
+
+
+def test_orphan_dv_staging_is_invisible_and_vacuumed(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    # forge a crashed MOR delete: a delete file on disk, no manifest
+    orphan_dir = log.root / "_deletes"
+    orphan_dir.mkdir(exist_ok=True)
+    df = spark.createDataFrame(
+        [("nope.parquet", 0)], "__dv_file string, __dv_pos long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orphan"))
+    src = next((tmp_path / "orphan").glob("*.parquet"))
+    src.rename(orphan_dir / "part-dvd-deadbeef-00000.snappy.parquet")
+    assert log.read(spark).count() == 300  # invisible
+    log.vacuum(keep_versions=1, min_age_seconds=0)
+    assert not list(orphan_dir.glob("*.parquet"))
+
+
+def test_clone_carries_deletion_vectors(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k") < 40)
+    clone = log.clone(str(tmp_path / "c"))
+    assert _rows(clone.read(spark)) == _rows(log.read(spark))
+    assert clone.row_count() == 260
+    # divergence is isolated both directions
+    clone.delete_where_mor(spark, F.col("k") < 80)
+    assert clone.read(spark).count() == 220
+    assert log.read(spark).count() == 260
+    log.delete_where_mor(spark, F.col("k") >= 250)
+    assert clone.read(spark).count() == 220
+
+
+def test_zorder_materializes_dvs(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k") % 3 == 0)
+    expect = _rows(log.read(spark))
+    out = log.zorder(spark, ["k", "v"], target_rows_per_file=100)
+    m = _manifest(log, out["version"])
+    assert "dv" not in m
+    assert _rows(log.read(spark)) == expect
+
+
+def test_dv_read_plan_broadcasts_small_vectors(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k") < 5)
+    plan = log.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
