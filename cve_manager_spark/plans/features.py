@@ -5725,3 +5725,114 @@ def timetravel_cdf_pruned(spark: SparkSession, sf: str) -> DataFrame:
     return bounded.select(
         "doc_id", "digest", "_change_type", "_change_count"
     )
+
+
+def _dv_log(spark: SparkSession, sf: str):
+    """A commit-logged documents table with two MERGE-ON-READ deletes
+    on top (delete_where_mor — Iceberg v2 position deletes): v0 init,
+    v1 deletes doc_id % 7 = 3, v2 deletes doc_id % 11 = 5 of the
+    remainder. Deterministic version chain, same completed-build
+    reuse discipline as the other scratch logs."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cve_manager_spark.commitlog import TableLog
+
+    slug = sf.strip("/").replace("/", "_").replace(".", "_")
+    tdir = Path(tempfile.gettempdir()) / f"cve_spark_dv_{slug}" / "docs_log"
+    if (tdir / "_commits" / f"v{2:012d}.json").exists():
+        return TableLog(str(tdir))
+
+    docs = load_table(spark, sf, "documents")
+    build = Path(tempfile.mkdtemp(prefix="cve_spark_dv_build_")) / "docs_log"
+    (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .repartition(8, "doc_id")
+        .write.parquet(str(build))
+    )
+    log = TableLog(str(build))
+    log.init()
+    log.delete_where_mor(spark, "doc_id % 7 = 3")
+    log.delete_where_mor(spark, "doc_id % 11 = 5")
+    tdir.parent.mkdir(parents=True, exist_ok=True)
+    if tdir.exists():
+        shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.replace(build, tdir)
+    except OSError:
+        pass
+    shutil.rmtree(build.parent, ignore_errors=True)
+    return TableLog(str(tdir))
+
+
+_DV_DELETE_ORACLE = """
+SELECT doc_id, md5(text) AS digest
+FROM documents
+WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
+"""
+
+
+@_register(
+    "timetravel_dv_delete",
+    _DV_DELETE_ORACLE,
+    doc="MERGE-ON-READ deletion vectors as a query face (Iceberg v2 "
+    "position deletes / Delta deletion vectors): two stacked "
+    "delete_where_mor commits write (file, row_index) position-delete "
+    "files under _deletes/ and a dv block in the manifest — the "
+    "builder ASSERTS the data-file list is IDENTICAL across all three "
+    "versions (zero bytes rewritten) and that the metadata-only "
+    "row_count agrees with the scan, then returns the DV-applied "
+    "read, which must hash-match the oracle's recompute from raw "
+    "documents. Composition is part of the contract: the second "
+    "delete's predicate is evaluated on the first delete's applied "
+    "snapshot, so counts stay exact. At 100 TB this is the difference "
+    "between deleting k rows for O(k) write (positions only, "
+    "anti-joined at scan — broadcast while small, the exact count "
+    "known from the manifest) and rewriting every touched file's "
+    "terabytes; compact()/zorder() materialize the vectors back when "
+    "read amplification accumulates. Cites reference semantics: COW "
+    "delete parity is timetravel_delete's face; this face is the "
+    "same content through the MOR path.",
+    priority=8,
+)
+def timetravel_dv_delete(spark: SparkSession, sf: str) -> DataFrame:
+    log = _dv_log(spark, sf)
+    m0, f0 = log.snapshot(0)
+    _, f2 = log.snapshot(2)
+    assert f0 == f2, "MOR delete must rewrite zero data files"
+    df = log.read(spark)
+    assert log.row_count() == log.row_count(2)
+    return df.select("doc_id", "digest")
+
+
+_DV_CDF_ORACLE = """
+SELECT doc_id, md5(text) AS digest,
+       'delete' AS _change_type, CAST(1 AS BIGINT) AS _change_count
+FROM documents
+WHERE doc_id % 7 = 3 OR (doc_id % 7 <> 3 AND doc_id % 11 = 5)
+"""
+
+
+@_register(
+    "timetravel_dv_cdf",
+    _DV_CDF_ORACLE,
+    doc="The change data feed ACROSS merge-on-read deletes: between "
+    "v0 and v2 not one data file entered or left the manifest — the "
+    "content change lives entirely in the position-delete sets, and "
+    "changes() diffs those per common file (entries added -> the "
+    "deleted rows' content surfaces as 'delete'), reading ONLY the "
+    "files the added entries name. The oracle recomputes both "
+    "deletes' row sets from raw documents; a CDF that missed "
+    "DV-only commits would return an empty feed and hash-mismatch "
+    "loudly. At 100 TB the cost contract is the same O(changed) as "
+    "file-diff CDF: the dv relations are O(deleted rows) and the "
+    "content reads touch O(files-with-new-entries), never the "
+    "snapshot.",
+    priority=8,
+)
+def timetravel_dv_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    log = _dv_log(spark, sf)
+    ch = log.changes(spark, 0, 2, key_cols=["doc_id"])
+    return ch.select("doc_id", "digest", "_change_type", "_change_count")
