@@ -119,6 +119,26 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--hi", default=None, help="Upper bound (inclusive).")
     pt.add_argument("-master", dest="master", default="local[*]")
 
+    pl = sub.add_parser(
+        "log-delete",
+        help="Committed DELETE on a commit-logged table: copy-on-write "
+        "by default; --mor writes merge-on-read position deletes "
+        "instead (zero data files rewritten — the O(deleted-rows) "
+        "path for small deletes on huge tables; compact materializes "
+        "them later).",
+    )
+    pl.add_argument("--path", required=True, help="Commit-logged table dir.")
+    pl.add_argument(
+        "--where", required=True,
+        help="SQL predicate; rows where it is TRUE are deleted.",
+    )
+    pl.add_argument(
+        "--mor", action="store_true",
+        help="Merge-on-read: record position deletes instead of "
+        "rewriting the touched files.",
+    )
+    pl.add_argument("-master", dest="master", default="local[*]")
+
     pr = sub.add_parser(
         "drift-retrain",
         help="Drift-triggered ANN index rebuild: read the committed "
@@ -312,6 +332,16 @@ def main(argv: list[str] | None = None) -> int:
             "changes_by_type": by_type,
             "written_to": args.out,
         }
+    elif args.cmd == "log-delete":
+        from cve_manager_spark.commitlog import TableLog
+
+        log = TableLog(args.path)
+        res = (
+            log.delete_where_mor(spark, args.where)
+            if args.mor
+            else log.delete_where(spark, args.where)
+        )
+        out = dict(res, path=args.path, mode="mor" if args.mor else "cow")
     elif args.cmd == "drift-retrain":
         from cve_manager_spark.operators.similarity import (
             ivf_pq_drift_retrain,

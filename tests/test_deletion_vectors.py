@@ -304,3 +304,43 @@ def test_dv_read_plan_broadcasts_small_vectors(spark, tmp_path):
     log.delete_where_mor(spark, F.col("k") < 5)
     plan = log.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_maintenance_cli_log_delete_mor(spark, tmp_path, capsys):
+    """CLI face of merge-on-read delete: log-delete --mor records
+    position deletes (mode reported, data files untouched), and the
+    cdf CLI counts the DV-only commit's deletes."""
+    import json as _json
+
+    from cve_manager_spark import maintenance_cli
+
+    log = _mk(spark, tmp_path, "clidv")
+    files0 = log.snapshot()[1]
+    assert maintenance_cli.main(
+        ["log-delete", "--path", str(log.root), "--where", "k < 30",
+         "--mor"]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "mor" and rep["n_deleted"] == 30
+    assert log.snapshot()[1] == files0  # zero data files rewritten
+    assert maintenance_cli.main(
+        ["cdf", "--path", str(log.root), "--from", "0", "--to", "1"]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["changes_by_type"] == {"delete": 30}
+
+
+def test_consume_changes_tails_across_mor_delete(spark, tmp_path):
+    """The cursor subscriber sees MOR deletes: a consume_changes tail
+    across a DV-only commit yields the deleted rows and the ack moves
+    the cursor past it."""
+    log = _mk(spark, tmp_path, "taildv")
+    cur = tmp_path / "cursor.json"
+    assert log.consume_changes(spark, str(cur)) is None  # init at head
+    log.delete_where_mor(spark, F.col("k") >= 250)
+    ch, ack = log.consume_changes(spark, str(cur))
+    rows = ch.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(250, 300))
+    ack()
+    assert log.consume_changes(spark, str(cur)) is None
