@@ -1063,6 +1063,123 @@ class TableLog:
         return {"n_deleted": n_deleted, "files_touched": len(per_file),
                 "dv_files": len(new_dv_rel), "version": v}
 
+    def update_where_mor(
+        self,
+        spark: SparkSession,
+        predicate: "F.Column | str",
+        set_exprs: "dict[str, F.Column | str]",
+        expected_version: int | None = None,
+        tag: str | None = None,
+    ) -> dict[str, int]:
+        """Committed MERGE-ON-READ UPDATE (predicate-based ``UPDATE …
+        SET``): one atomic commit that marks the matched rows' old
+        images deleted via POSITION DELETES and appends their new
+        images as fresh part files — no touched data file is
+        rewritten. ``set_exprs`` maps column name → replacement
+        expression (a Column or SQL string, evaluated against the old
+        image, so ``{"v": "v + 1"}`` increments).
+
+        Cost is O(k) for k matched rows (positions + new images) — the
+        MOR counterpart of rewriting every touched file's bytes, same
+        trade as :meth:`delete_where_mor`. The new images stage under
+        the table's partition layout, so an update that MOVES a row
+        across partitions routes it correctly (the old image's
+        position delete covers the source partition). In the keyed
+        change feed an update surfaces as the standard
+        pre/post-image pair — the position-set diff yields the old
+        image as leaving and the entering file the new one, exactly
+        as a COW update would.
+
+        Updating a partition-layout or type-changing expression is
+        refused: the new images must carry the table schema
+        bit-for-bit (a silent cast would fork the schema across
+        files)."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        version, files = self.snapshot(expected_version)
+        if not files:
+            return {"n_updated": 0, "version": version}
+        pcols = self._pcols(version)
+        schema = self.schema_of(version)
+        dv = self._dv_of(version)
+        df = self._read_files(spark, files, schema, dv=dv or None,
+                              lineage=True)
+        known = [c for c in df.columns if c not in ("__file", "__pos")]
+        unknown = sorted(c for c in set_exprs if c not in known)
+        if unknown:
+            raise ValueError(
+                f"update_where_mor: {unknown} not in table "
+                f"columns {known}"
+            )
+        matched = df.where(pred)
+        n_matched = matched.count()
+        if n_matched == 0:
+            return {"n_updated": 0, "version": version}
+        hits = matched.select(
+            F.col("__file").alias("__dv_file"),
+            F.col("__pos").alias("__dv_pos"),
+        )
+        new_dv_rel = self._stage_dv(hits, n_matched)
+        old_cols = [c for c in df.columns if c not in ("__file", "__pos")]
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in set_exprs.items()
+        }
+        images = matched.select(*[
+            exprs[c].alias(c) if c in exprs else F.col(c)
+            for c in old_cols
+        ])
+        base = self._read_files(spark, files, schema)
+        type_clash = {
+            c: (dict(base.dtypes)[c], dict(images.dtypes)[c])
+            for c in dict(base.dtypes)
+            if dict(base.dtypes)[c] != dict(images.dtypes)[c]
+        }
+        if type_clash:
+            self._abort(new_dv_rel)
+            raise ValueError(
+                "update_where_mor: set expressions change column types "
+                f"{type_clash} — a silent widen would fork the table "
+                "schema across files"
+            )
+        new_rel = self._stage(images, "upd", pcols)
+        n_new = _count_files(spark, self.root, new_rel)
+        n_dv = _count_files(spark, self.root, new_dv_rel)
+        if n_new != n_matched or n_dv != n_matched:
+            self._abort(new_rel)
+            self._abort(new_dv_rel)
+            raise RuntimeError(
+                f"update-mor row mismatch for {self.root}: matched "
+                f"{n_matched}, staged images {n_new}, staged positions "
+                f"{n_dv}; nothing committed"
+            )
+        per_file = {
+            r["__dv_file"]: r["n"]
+            for r in spark.read.parquet(
+                *(str(self.root / r) for r in new_dv_rel)
+            ).groupBy("__dv_file").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        counts = dict(dv.get("counts", {}))
+        for k, n in per_file.items():
+            counts[k] = counts.get(k, 0) + n
+        new_dv = {
+            "files": list(dv.get("files", [])) + new_dv_rel,
+            "counts": counts,
+        }
+        op = "update-mor" if tag is None else f"update-mor@{tag}"
+        try:
+            v = self._publish(
+                version, list(files) + new_rel, op,
+                schema=_schema_json(images), dv=new_dv,
+            )
+        except CommitConflict:
+            self._abort(new_rel)
+            self._abort(new_dv_rel)
+            raise
+        return {"n_updated": n_matched, "files_touched": len(per_file),
+                "version": v}
+
     def merge_upsert(
         self,
         spark: SparkSession,

@@ -5802,8 +5802,11 @@ def timetravel_dv_delete(spark: SparkSession, sf: str) -> DataFrame:
     m0, f0 = log.snapshot(0)
     _, f2 = log.snapshot(2)
     assert f0 == f2, "MOR delete must rewrite zero data files"
-    df = log.read(spark)
-    assert log.row_count() == log.row_count(2)
+    # pinned at v2: the update face extends the same chain past it
+    df = log.read(spark, version=2)
+    assert log.row_count(2) == log.row_count(0) - sum(
+        log._dv_of(2)["counts"].values()
+    )
     return df.select("doc_id", "digest")
 
 
@@ -5836,3 +5839,45 @@ def timetravel_dv_cdf(spark: SparkSession, sf: str) -> DataFrame:
     log = _dv_log(spark, sf)
     ch = log.changes(spark, 0, 2, key_cols=["doc_id"])
     return ch.select("doc_id", "digest", "_change_type", "_change_count")
+
+
+_DV_UPDATE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 1 THEN upper(md5(text))
+            ELSE md5(text) END AS digest
+FROM documents
+WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
+"""
+
+
+@_register(
+    "timetravel_dv_update",
+    _DV_UPDATE_ORACLE,
+    doc="MERGE-ON-READ UPDATE as a query face (UPDATE ... SET through "
+    "position deletes + appended new images, one atomic commit): "
+    "update_where_mor marks the matched rows' old positions deleted "
+    "and stages their transformed images as fresh part files — the "
+    "builder ASSERTS every pre-update data file is still listed "
+    "byte-identical in the new manifest (the update rewrote nothing) "
+    "and cardinality is preserved, then returns the read, which must "
+    "hash-match the oracle's CASE recompute over raw documents — on "
+    "top of the two earlier MOR deletes, so the update predicate is "
+    "proven to evaluate on the DV-applied snapshot (a deleted row "
+    "must not be updated back to life). At 100 TB this completes the "
+    "MOR DML triad: UPDATE k rows costs O(k) positions + O(k) new "
+    "images instead of rewriting every touched file, and the keyed "
+    "change feed still classifies it as the standard "
+    "pre/post-image pair.",
+    priority=8,
+)
+def timetravel_dv_update(spark: SparkSession, sf: str) -> DataFrame:
+    log = _dv_log(spark, sf)
+    if not (log.root / "_commits" / f"v{3:012d}.json").exists():
+        log.update_where_mor(
+            spark, "doc_id % 13 = 1", {"digest": "upper(digest)"}
+        )
+    _, f2 = log.snapshot(2)
+    _, f3 = log.snapshot(3)
+    assert set(f2) < set(f3), "update must keep every old data file"
+    assert log.row_count(3) == log.row_count(2)
+    return log.read(spark, version=3).select("doc_id", "digest")

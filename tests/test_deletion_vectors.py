@@ -344,3 +344,91 @@ def test_consume_changes_tails_across_mor_delete(spark, tmp_path):
     assert sorted(r["k"] for r in rows) == list(range(250, 300))
     ack()
     assert log.consume_changes(spark, str(cur)) is None
+
+
+def test_update_where_mor_basic_and_atomic(spark, tmp_path):
+    """MOR UPDATE: matched rows get new images, old positions die, no
+    touched file rewritten, one atomic commit."""
+    log = _mk(spark, tmp_path, "upd")
+    files0 = log.snapshot()[1]
+    before = _digests(log)
+    out = log.update_where_mor(
+        spark, F.col("k") < 20, {"v": F.col("v") + 1000}
+    )
+    assert out["n_updated"] == 20
+    got = log.read(spark)
+    assert got.count() == 300  # updates never change cardinality
+    assert log.row_count() == 300
+    assert got.where("k < 20").agg(
+        F.min("v"), F.max("v")
+    ).first() == (1000, 19 * 7 + 1000)
+    # every ORIGINAL data file is byte-identical and still listed
+    _, files1 = log.snapshot()
+    assert set(files0) <= set(files1)
+    after = _digests(log)
+    for rel, dig in before.items():
+        assert after[rel] == dig
+    # time travel: old images pre-update (v was k*7 < 140 for k < 20)
+    assert log.read(spark, version=0).where(
+        "k < 20 AND v >= 1000"
+    ).count() == 0
+
+
+def test_update_where_mor_sql_exprs_and_composition(spark, tmp_path):
+    log = _mk(spark, tmp_path, "upd2")
+    log.delete_where_mor(spark, "k < 10")
+    out = log.update_where_mor(spark, "k < 30", {"v": "v * 2"})
+    assert out["n_updated"] == 20  # 0..9 already deleted
+    got = {r["k"]: r["v"] for r in log.read(spark).collect()}
+    assert len(got) == 290
+    assert got[10] == 140 and got[29] == 406 and got[30] == 210
+    # a second update composes on the first's images
+    log.update_where_mor(spark, "k = 10", {"v": "v + 1"})
+    assert log.read(spark).where("k = 10").first()["v"] == 141
+    assert log.row_count() == 290
+
+
+def test_update_where_mor_keyed_cdf_is_update_pair(spark, tmp_path):
+    log = _mk(spark, tmp_path, "upd3")
+    v1 = log.update_where_mor(spark, "k = 5", {"v": "v + 1"})["version"]
+    ch = log.changes(spark, 0, v1, key_cols=["k"])
+    got = {(r["k"], r["_change_type"], r["v"]) for r in ch.collect()}
+    assert got == {
+        (5, "update_preimage", 35),
+        (5, "update_postimage", 36),
+    }
+
+
+def test_update_where_mor_moves_row_across_partitions(spark, tmp_path):
+    log = _mk(spark, tmp_path, "upd4", partitioned=True)
+    out = log.update_where_mor(
+        spark, "k = 7", {"part": F.lit(0).cast("int")}
+    )
+    assert out["n_updated"] == 1
+    got = log.read(spark).where("k = 7").collect()
+    assert len(got) == 1 and got[0]["part"] == 0
+    assert log.read(spark).count() == 300
+
+
+def test_update_where_mor_refuses_type_change(spark, tmp_path):
+    log = _mk(spark, tmp_path, "upd5")
+    with pytest.raises(ValueError, match="column types"):
+        log.update_where_mor(spark, "k = 1", {"v": "CAST(v AS STRING)"})
+    with pytest.raises(ValueError, match="not in table"):
+        log.update_where_mor(spark, "k = 1", {"nope": "1"})
+    assert log.latest_version() == 0
+    # staged debris cleaned up on the type refusal
+    assert not list((log.root / "_deletes").glob("*.parquet"))
+
+
+def test_update_where_mor_conflict_cleans_up(spark, tmp_path):
+    log = _mk(spark, tmp_path, "upd6")
+    log.delete_where_mor(spark, "k = 0")  # v1
+    with pytest.raises(CommitConflict):
+        log.update_where_mor(
+            spark, "k < 5", {"v": "v + 1"}, expected_version=0
+        )
+    assert not [
+        p for p in log.root.rglob("part-upd-*.parquet")
+    ], "loser left staged image files"
+    assert log.read(spark).count() == 299
