@@ -205,6 +205,7 @@ class CatalogLog:
         target = _cat_manifest(self.root, version)
         tmp = self.root / f".tmp-{uuid.uuid4().hex}.json"
         body = {"version": version, "parent": parent, "op": op,
+                "ts": time.time(),  # AS OF TIMESTAMP resolution
                 "pins": pins}
         if extra:
             body.update(extra)
@@ -262,6 +263,36 @@ class CatalogLog:
         if name not in pins:
             raise KeyError(f"table {name!r} not in catalog {self.root}")
         return TableLog(str(self._resolve(pins[name]["path"])))
+
+    def version_at(self, ts: float) -> int:
+        """The newest CATALOG version committed at or before wall-clock
+        ``ts`` — multi-table ``AS OF TIMESTAMP``: resolving the catalog
+        (not each table separately) yields a MUTUALLY CONSISTENT pin
+        set, because one catalog commit moved all its tables together.
+        Manifests predating timestamp recording fall back to file
+        mtime (the hard link is created at commit time). Raises when
+        ``ts`` precedes the oldest retained catalog commit."""
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"no catalog under {self.root}")
+
+        def cts(v: int) -> float:
+            p = _cat_manifest(self.root, v)
+            t = self._read_manifest(v).get("ts")
+            return float(t) if t is not None else p.stat().st_mtime
+
+        best = None
+        for v in vs:
+            if cts(v) <= ts:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts} precedes the oldest retained catalog "
+                f"commit of {self.root} (v{vs[0]})"
+            )
+        return best
 
     def snapshot(
         self, version: int | None = None, tag: str | None = None

@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from pathlib import Path
 
@@ -282,6 +283,42 @@ class TableLog:
             m = json.load(f)
         return v, list(m["files"])
 
+    def commit_ts_of(self, version: int) -> float:
+        """Wall-clock commit time of a version: the manifest's ``ts``
+        (recorded at publish), falling back to the manifest FILE's
+        mtime for manifests that predate timestamp recording — the
+        hard link is created at commit, so its mtime IS the commit
+        time, just at filesystem precision."""
+        p = _manifest_path(self.root, version)
+        with open(p) as f:
+            ts = json.load(f).get("ts")
+        return float(ts) if ts is not None else p.stat().st_mtime
+
+    def version_at(self, ts: float) -> int:
+        """The newest version committed AT OR BEFORE wall-clock ``ts``
+        — Delta/Iceberg's ``AS OF TIMESTAMP`` resolution. Commit
+        timestamps are monotone in version by construction (versions
+        publish serially through the exclusive link), so this is a
+        predecessor lookup over the retained manifests; a timestamp
+        older than the oldest retained commit raises (that history is
+        vacuumed — same loud contract as reading a dropped version).
+        O(#retained versions) driver-side JSON reads, no Spark job."""
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"no commit log under {self.root}")
+        best = None
+        for v in vs:
+            if self.commit_ts_of(v) <= ts:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts} precedes the oldest retained commit "
+                f"of {self.root} (v{vs[0]} at {self.commit_ts_of(vs[0])})"
+            )
+        return best
+
     def schema_of(self, version: int | None = None):
         """The table schema recorded in a manifest (``StructType``), or
         None for manifests that predate schema recording (init-adopted
@@ -393,6 +430,7 @@ class TableLog:
         spark: SparkSession,
         version: int | None = None,
         where: dict[str, tuple] | None = None,
+        timestamp: float | None = None,
     ) -> DataFrame:
         """Scan exactly the manifest's files. ``basePath`` pins the table
         root so hive partition-directory columns survive the explicit
@@ -411,7 +449,17 @@ class TableLog:
         stat-less file is kept), and the bounds are still applied as a
         real filter on the result — pruning is an optimization, never
         the filter. Equivalent to :func:`read_pruned` without the
-        report."""
+        report.
+
+        ``timestamp``: wall-clock ``AS OF TIMESTAMP`` time travel —
+        resolved to a version via :meth:`version_at` (mutually
+        exclusive with ``version``)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "read: pass version or timestamp, not both"
+                )
+            version = self.version_at(timestamp)
         if where:
             df, _ = _prune_snapshot(self, spark, where, version)
             return df
@@ -577,6 +625,7 @@ class TableLog:
             "version": version,
             "parent": parent,
             "op": op,
+            "ts": time.time(),  # commit wall clock: AS OF TIMESTAMP
             "files": sorted(files),
         }
         if schema is not None:

@@ -1085,3 +1085,28 @@ def test_branch_merge_unmoved_check_sees_mor_content(spark, tmp_path):
     with pytest.raises(CatalogConflict, match="rebase"):
         cat.merge_branch(br)
     assert cat.read(spark, "facts").count() == 90
+
+
+def test_catalog_timestamp_travel_is_mutually_consistent(spark, tmp_path):
+    """Catalog AS OF TIMESTAMP: resolving the CATALOG at a wall-clock
+    instant yields the atomic pin set that was live then — both
+    tables together, never a half-applied transaction."""
+    import time as _time
+
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    v0 = cat.latest_version()
+    _time.sleep(0.05)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id < 10")
+    txn.table("dim").delete_where(spark, "d_cust = 0")
+    cat.commit(txn)
+    assert cat.version_at(t_mid) == v0
+    cv = cat.version_at(_time.time())
+    assert cv == cat.latest_version()
+    _, pins_then = cat.snapshot(version=cat.version_at(t_mid))
+    assert flog.read(spark, version=pins_then["facts"]).count() == 100
+    assert dlog.read(spark, version=pins_then["dim"]).count() == 10
+    with pytest.raises(ValueError, match="precedes"):
+        cat.version_at(0.0)

@@ -1727,3 +1727,52 @@ def test_clone_zero_copy_isolated_and_warm(spark, tmp_path):
     # refuse to clone onto an existing table
     with pytest.raises(ValueError, match="already holds"):
         log.clone(str(tmp_path / "dev"))
+
+
+def test_timestamp_time_travel_resolves_versions(spark, tmp_path):
+    """AS OF TIMESTAMP: commit timestamps are recorded at publish and
+    version_at does predecessor resolution — reads at midpoints see
+    exactly the snapshot that was live then."""
+    import time as _time
+
+    log = _mk_table(spark, tmp_path)
+    t0 = log.commit_ts_of(0)
+    _time.sleep(0.05)
+    log.delete_where(spark, F.col("k") < 50)  # v1
+    t1 = log.commit_ts_of(1)
+    _time.sleep(0.05)
+    log.append(
+        spark,
+        spark.range(900, 910).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS part", "id * 10 AS v"
+        ),
+    )  # v2
+    t2 = log.commit_ts_of(2)
+    assert t0 < t1 < t2  # monotone by construction
+    assert log.version_at((t0 + t1) / 2) == 0
+    assert log.version_at((t1 + t2) / 2) == 1
+    assert log.version_at(t2 + 100.0) == 2  # future -> head
+    assert log.read(spark, timestamp=(t1 + t2) / 2).count() == 150
+    assert log.read(spark, timestamp=t0).count() == 200
+    with pytest.raises(ValueError, match="precedes the oldest"):
+        log.version_at(t0 - 1.0)
+    with pytest.raises(ValueError, match="not both"):
+        log.read(spark, version=1, timestamp=t1)
+
+
+def test_timestamp_travel_mtime_fallback_for_legacy_manifests(
+    spark, tmp_path
+):
+    """A manifest written before timestamp recording (no ``ts`` key)
+    resolves through the manifest file's mtime — the hard link is
+    created at commit, so its mtime IS the commit time."""
+    import json as _json
+
+    log = _mk_table(spark, tmp_path)
+    p = log.root / "_commits" / f"v{0:012d}.json"
+    m = _json.loads(p.read_text())
+    ts = m.pop("ts")
+    p.write_text(_json.dumps(m))
+    got = log.commit_ts_of(0)
+    assert abs(got - ts) < 60.0  # mtime, same commit moment
+    assert log.version_at(got) == 0
