@@ -1229,6 +1229,49 @@ class TableLog:
         return {"n_updated": n_matched, "files_touched": len(per_file),
                 "version": v}
 
+    def consolidate_deletes(self, spark: SparkSession) -> dict[str, int]:
+        """Maintenance twin of Iceberg's rewrite-position-deletes: a
+        long run of small MOR deletes leaves one tiny delete file per
+        commit, and every read pays an open per file. This rewrites
+        the LIVE delete entries (those whose data file is still in the
+        manifest) into a handful of fresh delete files and republishes
+        the SAME data file list — metadata-only from the data's point
+        of view, O(live deleted rows) work, zero data bytes moved.
+        Superseded delete files become vacuum-reclaimable. Counts are
+        preserved exactly (entries for departed data files are
+        dropped, and they were already excluded from counts)."""
+        version, files = self.snapshot()
+        dv = self._dv_of(version)
+        if not dv or len(dv.get("files", [])) <= 1:
+            return {"dv_files_before": len((dv or {}).get("files", [])),
+                    "dv_files_after": len((dv or {}).get("files", [])),
+                    "version": version}
+        live = set(files)
+        entries = self._dv_df(spark, dv["files"]).where(
+            F.col("__dv_file").isin(*sorted(live & set(dv["counts"])))
+        )
+        n_live = sum(dv["counts"].values())
+        new_rel = self._stage_dv(entries, n_live)
+        n_staged = _count_files(spark, self.root, new_rel)
+        if n_staged != n_live:
+            self._abort(new_rel)
+            raise RuntimeError(
+                f"consolidate-deletes row mismatch for {self.root}: live "
+                f"{n_live}, staged {n_staged}; nothing committed"
+            )
+        with open(_manifest_path(self.root, version)) as f:
+            raw_schema = json.load(f).get("schema")
+        try:
+            v = self._publish(
+                version, files, "consolidate-deletes", schema=raw_schema,
+                dv={"files": new_rel, "counts": dict(dv["counts"])},
+            )
+        except CommitConflict:
+            self._abort(new_rel)
+            raise
+        return {"dv_files_before": len(dv["files"]),
+                "dv_files_after": len(new_rel), "version": v}
+
     def merge_upsert(
         self,
         spark: SparkSession,

@@ -432,3 +432,64 @@ def test_update_where_mor_conflict_cleans_up(spark, tmp_path):
         p for p in log.root.rglob("part-upd-*.parquet")
     ], "loser left staged image files"
     assert log.read(spark).count() == 299
+
+
+def test_consolidate_deletes_rewrites_vectors_not_data(spark, tmp_path):
+    """Ten tiny MOR deletes -> ten delete files; consolidation
+    rewrites them into one without touching a data file, counts and
+    content exact, superseded vectors vacuum-reclaimable."""
+    log = _mk(spark, tmp_path, "cons")
+    for i in range(10):
+        log.delete_where_mor(spark, f"k = {i * 17}")
+    m = _manifest(log, 10)
+    assert len(m["dv"]["files"]) == 10
+    expect = _rows(log.read(spark))
+    files_before = m["files"]
+    out = log.consolidate_deletes(spark)
+    assert out["dv_files_before"] == 10 and out["dv_files_after"] < 10
+    m2 = _manifest(log, out["version"])
+    assert m2["files"] == files_before  # data untouched
+    assert sum(m2["dv"]["counts"].values()) == 10
+    assert _rows(log.read(spark)) == expect
+    assert log.row_count() == 290
+    n_dv_disk = len(list((log.root / "_deletes").glob("*.parquet")))
+    log.vacuum(keep_versions=1, min_age_seconds=0)
+    assert len(list((log.root / "_deletes").glob("*.parquet"))) < n_dv_disk
+    assert _rows(log.read(spark)) == expect
+
+
+def test_consolidate_drops_entries_for_departed_files(spark, tmp_path):
+    """Entries whose data file left the manifest (materialized by a
+    COW rewrite) are dropped by consolidation, not resurrected."""
+    log = _mk(spark, tmp_path, "cons2", partitioned=True)
+    log.delete_where_mor(spark, "k < 50")
+    log.delete_where_mor(spark, "k >= 250")
+    # COW delete of one partition rewrites ONLY its files -> their
+    # entries materialize and die; other partitions' entries live on
+    log.delete_where(spark, "part = 2")
+    expect = _rows(log.read(spark))
+    m3 = _manifest(log, 3)
+    assert 0 < sum(m3["dv"]["counts"].values()) < 100
+    out = log.consolidate_deletes(spark)
+    assert _rows(log.read(spark)) == expect
+    m = _manifest(log, out["version"])
+    assert sum(m["dv"]["counts"].values()) == sum(
+        m3["dv"]["counts"].values()
+    )
+
+
+def test_schema_evolution_on_dv_table(spark, tmp_path):
+    """An additive append on a DV'd table: the dv block carries, the
+    new column reads NULL for pre-evolution files, and the deleted
+    rows stay deleted under the evolved schema."""
+    log = _mk(spark, tmp_path, "evo")
+    log.delete_where_mor(spark, "k < 100")
+    extra = spark.createDataFrame(
+        [(500, 0, 1, "tagged")], "k long, part int, v long, note string"
+    )
+    log.append(spark, extra, allow_evolution=True)
+    got = log.read(spark)
+    assert got.count() == 201
+    assert got.where("k < 100").count() == 0
+    assert got.where("note IS NOT NULL").count() == 1
+    assert log.row_count() == 201
