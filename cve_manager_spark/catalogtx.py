@@ -79,6 +79,12 @@ class CatalogTxn:
         self.base_version = base_version
         self.pins = dict(pins)  # table -> version this txn reads/bases on
         self.updates: dict[str, int] = {}  # table -> new committed version
+        # table-set changes riding the SAME atomic catalog commit:
+        # adds = {name: {"path": rel, "version": v}} pins to create,
+        # drops = names whose pin the commit removes (first-committer
+        # checked against the base pin at publish)
+        self.adds: dict[str, dict] = {}
+        self.drops: list[str] = []
         self.txn_id = uuid.uuid4().hex[:16]
 
     def table(self, name: str) -> "TxnTable":
@@ -88,6 +94,58 @@ class CatalogTxn:
                 f"{self.catalog.root}"
             )
         return TxnTable(self, name)
+
+    def add_table(self, name: str, table: "str | TableLog") -> None:
+        """Register ``table`` under ``name`` AS PART OF this
+        transaction: the pin appears in the same atomic catalog commit
+        as every other table the txn moves — a reader can never see
+        the new table without the writes it arrived with (the
+        backfill-then-register pattern, and the primitive branch merge
+        uses for tables created on the branch). The table must already
+        be commit-logged; conflicts (name registered concurrently)
+        surface at commit."""
+        if name in self.pins or name in self.adds:
+            raise ValueError(
+                f"table {name!r} already in this transaction's catalog "
+                "view"
+            )
+        log = table if isinstance(table, TableLog) else TableLog(str(table))
+        tv = log.latest_version()
+        if tv is None:
+            raise ValueError(
+                f"table {name!r} at {log.root} is not commit-logged "
+                "(run TableLog.init())"
+            )
+        self.adds[name] = {
+            "path": os.path.relpath(log.root, self.catalog.root.parent),
+            "version": tv,
+        }
+        self.pins[name] = tv  # txn-local view; commit publishes it
+
+    def drop_table(self, name: str) -> None:
+        """Remove ``name``'s pin AS PART OF this transaction — atomic
+        with the rest of the commit, first-committer-wins against the
+        base pin (a concurrent writer moving the table makes the drop
+        conflict instead of silently discarding its work). Older
+        catalog snapshots and tags keep the table readable, exactly as
+        :meth:`CatalogLog.drop_table`."""
+        if name in self.adds:
+            raise ValueError(
+                f"table {name!r} was added by this transaction; "
+                "dropping it again is contradictory"
+            )
+        if name not in self.pins:
+            raise KeyError(
+                f"table {name!r} not registered in catalog "
+                f"{self.catalog.root}"
+            )
+        if name in self.updates:
+            raise ValueError(
+                f"table {name!r} has writes in this transaction; "
+                "dropping it would discard them"
+            )
+        if name not in self.drops:
+            self.drops.append(name)
 
 
 class TxnTable:
@@ -100,7 +158,14 @@ class TxnTable:
     def __init__(self, txn: CatalogTxn, name: str):
         self.txn = txn
         self.name = name
-        self.log = txn.catalog.table_log(name)
+        if name in txn.adds:
+            # txn-added table: not in the head manifest yet — resolve
+            # through the add's recorded path
+            self.log = TableLog(str(
+                txn.catalog._resolve(txn.adds[name]["path"])
+            ))
+        else:
+            self.log = txn.catalog.table_log(name)
 
     def _pin(self) -> int:
         # later ops in the same txn chain on the txn's own writes
@@ -582,7 +647,7 @@ class CatalogLog:
         this far, they lose at the table-level ``expected_version``
         before anything publishes. The conflicting transaction's table
         versions become debris for :meth:`reconcile` to roll back."""
-        if not txn.updates:
+        if not (txn.updates or txn.adds or txn.drops):
             # nothing written: a no-op txn — retire its start marker
             self._start_path(txn.txn_id).unlink(missing_ok=True)
             return txn.base_version
@@ -592,10 +657,13 @@ class CatalogLog:
             "base_version": txn.base_version,
             "base_pins": txn.pins,
             "updates": txn.updates,
+            "adds": txn.adds,
+            "drops": txn.drops,
         }))
         try:
             v = self._commit_pins(txn.txn_id, txn.pins, txn.updates,
-                                  max_retries)
+                                  max_retries, adds=txn.adds,
+                                  drops=txn.drops)
         finally:
             # an intent must outlive only a CRASH (reconcile rolls it
             # forward); success and a clean conflict abort both
@@ -606,33 +674,74 @@ class CatalogLog:
         return v
 
     def _commit_pins(self, txn_id: str, base_pins: dict[str, int],
-                     updates: dict[str, int], max_retries: int = 5) -> int:
+                     updates: dict[str, int], max_retries: int = 5,
+                     adds: dict[str, dict] | None = None,
+                     drops: list[str] | None = None) -> int:
+        adds, drops = adds or {}, drops or []
+
+        def _already_committed() -> int | None:
+            # idempotent publish: if THIS txn's catalog commit already
+            # exists (a concurrent reconcile() rolled the intent
+            # forward between our intent write and publish), the
+            # commit succeeded — report it rather than raising a
+            # false conflict
+            for v in self.versions():
+                if self._read_manifest(v).get("txn") == txn_id:
+                    return v
+            return None
+
+        def _conflict(msg: str) -> int:
+            done = _already_committed()
+            if done is not None:
+                return done
+            raise CatalogConflict(msg)
+
         for _ in range(max_retries):
             head = self.latest_version()
             m = self._read_manifest(head)
             pins = {n: dict(p) for n, p in m["pins"].items()}
             for name in updates:
+                if name in adds:
+                    # pin created by THIS txn's add: no head pin to
+                    # check against (the table-level expected_version
+                    # chain already serialized the writes)
+                    continue
                 if name not in pins:
-                    raise CatalogConflict(
+                    return _conflict(
                         f"table {name!r} was dropped from the catalog "
                         "since this transaction began"
                     )
                 if pins[name]["version"] != base_pins[name]:
-                    # idempotent publish: if THIS txn's catalog commit
-                    # already exists (a concurrent reconcile() rolled
-                    # the intent forward between our intent write and
-                    # publish), the commit succeeded — report it
-                    # rather than raising a false conflict
-                    for v in self.versions():
-                        if self._read_manifest(v).get("txn") == txn_id:
-                            return v
-                    raise CatalogConflict(
+                    return _conflict(
                         f"table {name!r} moved from pinned version "
                         f"{base_pins[name]} to {pins[name]['version']} "
                         "since this transaction began"
                     )
+            for name in adds:
+                if name in pins:
+                    return _conflict(
+                        f"table {name!r} was registered concurrently; "
+                        "the transaction's add conflicts"
+                    )
+            for name in drops:
+                if name not in pins:
+                    return _conflict(
+                        f"table {name!r} is already gone from the "
+                        "catalog; the transaction's drop conflicts"
+                    )
+                if pins[name]["version"] != base_pins.get(name):
+                    return _conflict(
+                        f"table {name!r} moved since this transaction "
+                        "began; dropping it would discard that work"
+                    )
+            for name, spec in adds.items():
+                pins[name] = dict(spec)
             for name, nv in updates.items():
+                # after adds: a txn that wrote to its own added table
+                # moves the fresh pin to the written version
                 pins[name]["version"] = nv
+            for name in drops:
+                del pins[name]
             try:
                 return self._publish(head, pins, "txn", txn_id=txn_id)
             except CommitConflict:
@@ -771,10 +880,20 @@ class CatalogLog:
         merge time: a changed table whose main pin moved since the
         fork raises :class:`CatalogConflict` — resolution is rebase
         (re-branch from current main and re-apply), never content
-        merge. v1 scope, documented in the design note: table
-        add/drop on the branch does not merge; content changes only.
-        Merged files arrive without their stats/bloom sidecars — the
-        zone-map footer backfill covers them once, lazily."""
+        merge. Merged files arrive without their stats/bloom sidecars
+        — the zone-map footer backfill covers them once, lazily.
+
+        Table-set changes merge too (v2, lifting the design note's v1
+        refusal): a table CREATED on the branch is zero-copy cloned
+        beside the catalog and its pin ADDED in the same atomic
+        catalog commit (conflict if main registered the name since
+        the fork; a crashed merge's staged clone is reused iff its
+        content matches the branch head, else refused loudly); a
+        table DROPPED on the branch has its main pin removed in that
+        commit, first-committer-checked so a table main kept writing
+        is never silently dropped (rebase instead). The adds/drops
+        ride the transaction's intent, so the crash protocol covers
+        them the same as content moves."""
         import shutil
 
         up_path = branch.root / "upstream.json"
@@ -786,14 +905,11 @@ class CatalogLog:
         up = json.loads(up_path.read_text())
         up_pins = {n: int(x) for n, x in up["pins"].items()}
         bv, bpins = branch.snapshot()
-        if set(bpins) != set(up_pins):
-            raise ValueError(
-                "branch added or dropped tables since the fork; merge "
-                "supports content changes only (v1 scope — see the "
-                "design note)"
-            )
-        changed = {n: v for n, v in bpins.items() if v > 0}
-        if not changed:
+        added_names = sorted(set(bpins) - set(up_pins))
+        dropped_names = sorted(set(up_pins) - set(bpins))
+        changed = {n: v for n, v in bpins.items()
+                   if n in up_pins and v > 0}
+        if not (changed or added_names or dropped_names):
             return {"merged": [], "catalog_version": self.latest_version()}
         txn = self.begin()
         try:
@@ -850,13 +966,72 @@ class CatalogLog:
                 t.adopt(bfiles, schema=bman.get("schema"),
                         layout=bman.get("layout"),
                         dv=bman.get("dv"))
+            for name in added_names:
+                if name in txn.pins:
+                    raise CatalogConflict(
+                        f"table {name!r} was created on the branch but "
+                        "main registered the same name since the fork: "
+                        "rebase the branch"
+                    )
+                blog = branch.table_log(name)
+                bver = bpins[name]
+                dest = self.root.parent / name
+                if (dest / "_commits").exists():
+                    # a crashed earlier merge staged the clone: reuse
+                    # iff content is the branch head bit-for-bit,
+                    # refuse loudly otherwise (never adopt unknown
+                    # state into the catalog)
+                    dlog = TableLog(str(dest))
+                    _, dfiles = dlog.snapshot()
+                    _, bfiles = blog.snapshot(bver)
+                    if (set(dfiles) != set(bfiles)
+                            or dlog._dv_of() != blog._dv_of(bver)):
+                        raise CatalogConflict(
+                            f"merge destination {dest} already holds a "
+                            "table whose content is not the branch "
+                            "head; move it aside before merging"
+                        )
+                elif dest.exists() and any(dest.iterdir()):
+                    raise CatalogConflict(
+                        f"merge destination {dest} is not empty and "
+                        "not a table; move it aside before merging"
+                    )
+                else:
+                    blog.clone(str(dest), version=bver)
+                txn.add_table(name, TableLog(str(dest)))
+            for name in dropped_names:
+                if name not in txn.pins:
+                    continue  # main already dropped it: nothing to do
+                if txn.pins[name] != up_pins[name]:
+                    # same content-identity grace as the update path:
+                    # only a REAL content move blocks the drop
+                    try:
+                        mlog = self.table_log(name)
+                        _, fork_files = mlog.snapshot(up_pins[name])
+                        _, cur_files = mlog.snapshot(txn.pins[name])
+                        unmoved = (
+                            set(fork_files) == set(cur_files)
+                            and mlog._dv_of(up_pins[name])
+                            == mlog._dv_of(txn.pins[name])
+                        )
+                    except Exception:
+                        unmoved = False
+                    if not unmoved:
+                        raise CatalogConflict(
+                            f"table {name!r} was dropped on the branch "
+                            f"but moved on main (v{up_pins[name]} -> "
+                            f"v{txn.pins[name]}) since the fork: "
+                            "rebase the branch"
+                        )
+                txn.drop_table(name)
         except Exception:
             # abandoned merge txn: retire its start marker; any table
             # commits already made are tagged debris for reconcile()
             self._start_path(txn.txn_id).unlink(missing_ok=True)
             raise
         cv = self.commit(txn)
-        return {"merged": sorted(changed), "catalog_version": cv}
+        return {"merged": sorted(changed), "added": added_names,
+                "dropped": dropped_names, "catalog_version": cv}
 
     def vacuum(
         self, keep_versions: int = 2, min_age_seconds: float = 600.0
@@ -998,12 +1173,21 @@ class CatalogLog:
             intent = json.loads(p.read_text())
             txn_id = intent["txn"]
             updates = {n: int(v) for n, v in intent["updates"].items()}
+            adds = intent.get("adds") or {}
+            drops = intent.get("drops") or []
             if self._txn_committed(txn_id):
                 _retire(txn_id, p)
                 report["cleared_intents"].append(txn_id)
                 continue
             _, head_pins = self.snapshot()
-            if all(head_pins.get(n, -1) >= v for n, v in updates.items()):
+            if (
+                all(head_pins.get(n, -1) >= v for n, v in updates.items())
+                and all(n in head_pins for n in adds)
+                and all(n not in head_pins for n in drops)
+                # a pure table-set intent with nothing at head to show
+                # for it is NOT superseded (all() over empties is True)
+                and (updates or adds or drops)
+            ):
                 _retire(txn_id, p)
                 report["superseded_intents"].append(txn_id)
                 continue
@@ -1012,6 +1196,8 @@ class CatalogLog:
                     txn_id,
                     {n: int(v) for n, v in intent["base_pins"].items()},
                     updates,
+                    adds=adds,
+                    drops=drops,
                 )
             except CatalogConflict as e:
                 _retire(txn_id, p)

@@ -930,9 +930,11 @@ def test_branch_merge_conflict_first_committer_wins(spark, tmp_path):
 
 
 def test_branch_vacuum_independence_and_scope_guards(spark, tmp_path):
-    """Either side's vacuum never breaks the other (hard links), and
-    the v1 scope guards hold: merging a branch that added a table
-    refuses; merging a no-change branch is a no-op."""
+    """Either side's vacuum never breaks the other (hard links);
+    merging a no-change branch is a no-op; and a diverged branch —
+    content moved on main since the fork — refuses with the rebase
+    conflict even when it also carries a table add (first-committer
+    holds across the whole merge)."""
     cat, flog, dlog = _mk_catalog(spark, tmp_path)
     br = cat.branch(str(tmp_path / "feat3"))
 
@@ -954,7 +956,9 @@ def test_branch_vacuum_independence_and_scope_guards(spark, tmp_path):
     br.vacuum(keep_versions=1, min_age_seconds=0)
     assert cat.read(spark, "facts").count() == 98
 
-    # added table on the branch: out of v1 merge scope, loud
+    # the branch also adds a table, but main moved facts since the
+    # fork: the whole merge refuses (rebase), the add included —
+    # never a half-merged catalog
     npath = tmp_path / "br_notes"
     spark.range(3).selectExpr("id AS n").coalesce(1).write.parquet(
         str(npath)
@@ -962,8 +966,9 @@ def test_branch_vacuum_independence_and_scope_guards(spark, tmp_path):
     nlog = TableLog(str(npath))
     nlog.init()
     br.add_table("notes", nlog)
-    with pytest.raises(ValueError, match="content changes only"):
+    with pytest.raises(CatalogConflict, match="rebase"):
         cat.merge_branch(br)
+    assert "notes" not in cat.snapshot()[1]
 
 
 def test_branch_merge_crash_repairs_through_reconcile(spark, tmp_path):
@@ -1110,3 +1115,190 @@ def test_catalog_timestamp_travel_is_mutually_consistent(spark, tmp_path):
     assert dlog.read(spark, version=pins_then["dim"]).count() == 10
     with pytest.raises(ValueError, match="precedes"):
         cat.version_at(0.0)
+
+
+def _new_table(spark, tmp_path, name, n=20):
+    df = spark.range(0, n).selectExpr("id AS x", "id * 3 AS y")
+    p = tmp_path / name
+    df.coalesce(1).write.parquet(str(p))
+    log = TableLog(str(p))
+    log.init()
+    return log
+
+
+def test_txn_add_table_is_atomic_with_writes(spark, tmp_path):
+    """A table registered inside a transaction appears in the SAME
+    atomic catalog commit as the other tables' writes — a reader can
+    never see the new table without the writes it arrived with."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    nlog = _new_table(spark, tmp_path, "metrics")
+    txn = cat.begin()
+    txn.add_table("metrics", nlog)
+    # write through the txn to BOTH the new and an old table
+    txn.table("metrics").delete_where(spark, "x >= 15")
+    txn.table("facts").delete_where(spark, "f_id < 5")
+    # pre-commit: head knows nothing
+    assert "metrics" not in cat.snapshot()[1]
+    assert cat.read(spark, "facts").count() == 100
+    cat.commit(txn)
+    v, pins = cat.snapshot()
+    assert pins["metrics"] == 1  # the txn's delete landed on the pin
+    assert cat.read(spark, "metrics").count() == 15
+    assert cat.read(spark, "facts").count() == 95
+    # older snapshots never see it
+    assert "metrics" not in cat.snapshot(version=v - 1)[1]
+
+
+def test_txn_drop_table_first_committer_wins(spark, tmp_path):
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    txn = cat.begin()
+    txn.drop_table("dim")
+    # concurrent writer moves dim before the drop commits
+    other = cat.begin()
+    other.table("dim").delete_where(spark, "d_cust = 1")
+    cat.commit(other)
+    with pytest.raises(CatalogConflict, match="moved"):
+        cat.commit(txn)
+    assert "dim" in cat.snapshot()[1]  # drop lost, work kept
+    # a clean drop commits atomically with other writes
+    txn2 = cat.begin()
+    txn2.drop_table("dim")
+    txn2.table("facts").delete_where(spark, "f_id = 0")
+    cat.commit(txn2)
+    v, pins = cat.snapshot()
+    assert "dim" not in pins
+    assert cat.read(spark, "facts").count() == 99
+    # history keeps the dropped table readable
+    assert cat.read(spark, "dim", version=v - 1).count() == 9
+
+
+def test_txn_drop_guards(spark, tmp_path):
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    txn = cat.begin()
+    txn.table("dim").delete_where(spark, "d_cust = 2")
+    with pytest.raises(ValueError, match="writes in this transaction"):
+        txn.drop_table("dim")
+    nlog = _new_table(spark, tmp_path, "tmp_t")
+    txn.add_table("tmp_t", nlog)
+    with pytest.raises(ValueError, match="added by this transaction"):
+        txn.drop_table("tmp_t")
+    cat.commit(txn)
+
+
+def test_merge_branch_with_added_table(spark, tmp_path):
+    """A table created on the branch merges: cloned beside the main
+    catalog, pinned in the same atomic commit as the branch's content
+    changes."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feat-add"))
+    nlog = _new_table(spark, tmp_path / "feat-add", "scores", n=30)
+    br.add_table("scores", nlog)
+    btxn = br.begin()
+    btxn.table("facts").delete_where(spark, "f_id % 10 = 0")
+    btxn.table("scores").delete_where(spark, "x = 29")
+    br.commit(btxn)
+    rep = cat.merge_branch(br)
+    assert rep["merged"] == ["facts"] and rep["added"] == ["scores"]
+    _, pins = cat.snapshot()
+    assert "scores" in pins
+    assert cat.read(spark, "scores").count() == 29
+    assert cat.read(spark, "facts").count() == 90
+    # the clone is independent of the branch tree
+    assert (tmp_path / "scores" / "_commits").exists() or (
+        cat.root.parent / "scores" / "_commits"
+    ).exists()
+
+
+def test_merge_branch_added_name_collision_conflicts(spark, tmp_path):
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feat-add2"))
+    nlog = _new_table(spark, tmp_path / "feat-add2", "scores2", n=10)
+    br.add_table("scores2", nlog)
+    # main registers the SAME name after the fork
+    mlog = _new_table(spark, tmp_path, "scores2_main", n=5)
+    cat.add_table("scores2", mlog)
+    with pytest.raises(CatalogConflict, match="registered the same name"):
+        cat.merge_branch(br)
+    assert cat.read(spark, "scores2").count() == 5  # main's wins
+
+
+def test_merge_branch_with_dropped_table(spark, tmp_path):
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feat-drop"))
+    br.drop_table("dim")
+    btxn = br.begin()
+    btxn.table("facts").delete_where(spark, "f_id < 50")
+    br.commit(btxn)
+    rep = cat.merge_branch(br)
+    assert rep["merged"] == ["facts"] and rep["dropped"] == ["dim"]
+    v, pins = cat.snapshot()
+    assert "dim" not in pins
+    assert cat.read(spark, "facts").count() == 50
+    # pre-merge snapshot still reads dim
+    assert cat.read(spark, "dim", version=v - 1).count() == 10
+
+
+def test_merge_branch_drop_vs_main_move_conflicts(spark, tmp_path):
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feat-drop2"))
+    br.drop_table("dim")
+    # main keeps writing dim after the fork
+    mtxn = cat.begin()
+    mtxn.table("dim").delete_where(spark, "d_cust = 3")
+    cat.commit(mtxn)
+    with pytest.raises(CatalogConflict, match="moved on main"):
+        cat.merge_branch(br)
+    assert "dim" in cat.snapshot()[1]
+
+
+def test_merge_crash_with_added_table_reruns_cleanly(spark, tmp_path):
+    """A merge that crashed after cloning the branch-created table but
+    before the catalog commit leaves main clean (the clone is
+    referenced by nothing); the re-run REUSES the staged clone iff
+    its content matches the branch head."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feat-crash"))
+    nlog = _new_table(spark, tmp_path / "feat-crash", "ext", n=12)
+    br.add_table("ext", nlog)
+    # forge the crash: clone staged by hand, no catalog commit
+    blog = br.table_log("ext")
+    blog.clone(str(cat.root.parent / "ext"))
+    assert "ext" not in cat.snapshot()[1]
+    cat.reconcile(min_age_seconds=0)  # nothing to repair, nothing broken
+    assert "ext" not in cat.snapshot()[1]
+    rep = cat.merge_branch(br)
+    assert rep["added"] == ["ext"]
+    assert cat.read(spark, "ext").count() == 12
+
+
+def test_reconcile_rolls_forward_intent_with_adds_and_drops(
+    spark, tmp_path
+):
+    """An intent recording adds+drops that crashed between intent
+    write and catalog publish rolls FORWARD through reconcile —
+    the table set moves exactly as the transaction intended."""
+    import json as _json
+
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    nlog = _new_table(spark, tmp_path, "fwd_t", n=7)
+    txn = cat.begin()
+    txn.add_table("fwd_t", nlog)
+    txn.drop_table("dim")
+    # forge the crash: write the intent exactly as commit() would,
+    # then 'die' before _commit_pins
+    cat._intent_path(txn.txn_id).write_text(_json.dumps({
+        "txn": txn.txn_id,
+        "base_version": txn.base_version,
+        "base_pins": txn.pins,
+        "updates": txn.updates,
+        "adds": txn.adds,
+        "drops": txn.drops,
+    }))
+    rep = cat.reconcile(min_age_seconds=0)
+    assert txn.txn_id in rep["rolled_forward"]
+    _, pins = cat.snapshot()
+    assert "fwd_t" in pins and "dim" not in pins
+    assert cat.read(spark, "fwd_t").count() == 7
+    # idempotent: a second reconcile finds nothing
+    rep2 = cat.reconcile(min_age_seconds=0)
+    assert not rep2["rolled_forward"]
