@@ -139,6 +139,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     pl.add_argument("-master", dest="master", default="local[*]")
 
+    pu = sub.add_parser(
+        "log-update",
+        help="Committed merge-on-read UPDATE ... SET on a commit-logged "
+        "table: position deletes for the old images + appended new "
+        "images, one atomic commit, zero files rewritten.",
+    )
+    pu.add_argument("--path", required=True, help="Commit-logged table dir.")
+    pu.add_argument(
+        "--where", required=True,
+        help="SQL predicate selecting the rows to update.",
+    )
+    pu.add_argument(
+        "--set", required=True, dest="set_exprs",
+        help="Comma-separated col=SQL-expression assignments, e.g. "
+        "\"score=score*2,flag=true\" (split on the FIRST '=' of each).",
+    )
+    pu.add_argument("-master", dest="master", default="local[*]")
+
     pr = sub.add_parser(
         "drift-retrain",
         help="Drift-triggered ANN index rebuild: read the committed "
@@ -342,6 +360,22 @@ def main(argv: list[str] | None = None) -> int:
             else log.delete_where(spark, args.where)
         )
         out = dict(res, path=args.path, mode="mor" if args.mor else "cow")
+    elif args.cmd == "log-update":
+        from cve_manager_spark.commitlog import TableLog
+
+        sets = {}
+        for part in args.set_exprs.split(","):
+            col, _, expr = part.partition("=")
+            if not col.strip() or not expr:
+                raise SystemExit(
+                    f"--set: malformed assignment {part!r} "
+                    "(want col=expression)"
+                )
+            sets[col.strip()] = expr
+        res = TableLog(args.path).update_where_mor(
+            spark, args.where, sets
+        )
+        out = dict(res, path=args.path)
     elif args.cmd == "drift-retrain":
         from cve_manager_spark.operators.similarity import (
             ivf_pq_drift_retrain,

@@ -5881,3 +5881,44 @@ def timetravel_dv_update(spark: SparkSession, sf: str) -> DataFrame:
     assert set(f2) < set(f3), "update must keep every old data file"
     assert log.row_count(3) == log.row_count(2)
     return log.read(spark, version=3).select("doc_id", "digest")
+
+
+_ASOF_TS_ORACLE = """
+SELECT doc_id, md5(text) AS digest
+FROM documents
+WHERE doc_id % 7 <> 3
+"""
+
+
+@_register(
+    "timetravel_asof_ts",
+    _ASOF_TS_ORACLE,
+    doc="AS OF TIMESTAMP time travel: every manifest records its "
+    "publish wall clock, and version_at() resolves an instant to the "
+    "newest commit at-or-before it (predecessor lookup over the "
+    "retained manifests — timestamps are monotone in version because "
+    "versions publish serially through the exclusive hard link). The "
+    "face reads the DV scratch table at the MIDPOINT between commit "
+    "1's and commit 2's recorded clocks — deterministically the "
+    "post-first-delete snapshot regardless of when the table was "
+    "built — and must hash-match the oracle's single-predicate "
+    "recompute; resolving past the second delete instead would "
+    "mismatch on every doc_id % 11 = 5 row. Also asserts the "
+    "too-early timestamp fails loudly (vacuumed-history contract). "
+    "At 100 TB this is the ops-facing face of time travel ('what did "
+    "the table look like before last night's job'): O(#retained "
+    "manifests) driver-side JSON reads, no Spark job to resolve.",
+    priority=8,
+)
+def timetravel_asof_ts(spark: SparkSession, sf: str) -> DataFrame:
+    log = _dv_log(spark, sf)
+    t1, t2 = log.commit_ts_of(1), log.commit_ts_of(2)
+    assert t1 < t2
+    mid = (t1 + t2) / 2
+    assert log.version_at(mid) == 1
+    try:
+        log.version_at(log.commit_ts_of(0) - 1.0)
+        raise AssertionError("pre-history timestamp must fail loudly")
+    except ValueError:
+        pass
+    return log.read(spark, timestamp=mid).select("doc_id", "digest")

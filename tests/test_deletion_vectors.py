@@ -493,3 +493,22 @@ def test_schema_evolution_on_dv_table(spark, tmp_path):
     assert got.where("k < 100").count() == 0
     assert got.where("note IS NOT NULL").count() == 1
     assert log.row_count() == 201
+
+
+def test_maintenance_cli_log_update_mor(spark, tmp_path, capsys):
+    import json as _json
+
+    from cve_manager_spark import maintenance_cli
+
+    log = _mk(spark, tmp_path, "cliupd")
+    files0 = log.snapshot()[1]
+    assert maintenance_cli.main(
+        ["log-update", "--path", str(log.root), "--where", "k < 3",
+         "--set", "v=v+1,part=CAST(0 AS INT)"]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_updated"] == 3
+    got = {r["k"]: (r["part"], r["v"]) for r in
+           log.read(spark).where("k < 3").collect()}
+    assert got == {0: (0, 1), 1: (0, 8), 2: (0, 15)}
+    assert set(files0) <= set(log.snapshot()[1])
