@@ -214,6 +214,27 @@ class TxnTable:
             self._record(res)
         return res
 
+    def update_where_mor(self, spark: SparkSession, predicate,
+                         set_exprs: dict) -> dict:
+        """Merge-on-read UPDATE inside the transaction (see
+        :meth:`TableLog.update_where_mor`)."""
+        res = self.log.update_where_mor(
+            spark, predicate, set_exprs, expected_version=self._pin(),
+            tag=f"txn-{self.txn.txn_id}",
+        )
+        if res["n_updated"] > 0:
+            self._record(res)
+        return res
+
+    def merge_upsert_mor(self, spark: SparkSession, updates: DataFrame,
+                         key_cols: list[str]) -> dict:
+        """Merge-on-read keyed MERGE inside the transaction (see
+        :meth:`TableLog.merge_upsert_mor`)."""
+        return self._record(self.log.merge_upsert_mor(
+            spark, updates, key_cols, expected_version=self._pin(),
+            tag=f"txn-{self.txn.txn_id}",
+        ))
+
     def overwrite(self, spark: SparkSession, rows: DataFrame) -> dict:
         return self._record(self.log.overwrite(
             spark, rows, tag=f"txn-{self.txn.txn_id}",

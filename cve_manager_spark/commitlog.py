@@ -1229,6 +1229,116 @@ class TableLog:
         return {"n_updated": n_matched, "files_touched": len(per_file),
                 "version": v}
 
+    def merge_upsert_mor(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        expected_version: int | None = None,
+        tag: str | None = None,
+    ) -> dict[str, int]:
+        """Committed MERGE-ON-READ MERGE by key: same row semantics as
+        :meth:`merge_upsert` (matched keys replaced, unmatched
+        appended), but matched OLD images die by position delete and
+        the updates land as fresh part files — one atomic commit,
+        zero touched files rewritten. This is the CDC-apply shape for
+        huge tables: a nightly batch of k upserts costs one scan (to
+        locate the matched positions) plus O(k) writes, instead of
+        rewriting every file any key touches; read amplification is
+        one anti-join, reclaimed by ``compact()`` on maintenance
+        cadence. Same strict serialization, schema identity, and
+        duplicate-key refusal as the COW form."""
+        version, files = self.snapshot(expected_version)
+        pcols = self._pcols(version)
+        schema = self.schema_of(version)
+        dv = self._dv_of(version)
+        df = self.read(spark, version=version)
+        if sorted(df.columns) != sorted(updates.columns):
+            raise ValueError(
+                f"merge schema mismatch: table {sorted(df.columns)} vs "
+                f"updates {sorted(updates.columns)}"
+            )
+        tab_types, upd_types = dict(df.dtypes), dict(updates.dtypes)
+        type_clash = {
+            c: (tab_types[c], upd_types[c])
+            for c in tab_types
+            if tab_types[c] != upd_types[c]
+        }
+        if type_clash:
+            raise ValueError(
+                "merge schema mismatch: column types diverge "
+                f"{type_clash} — a silent widen would fork the table "
+                "schema across rewritten files"
+            )
+        n_updates = updates.count()
+        if n_updates == 0:
+            return {"n_matched": 0, "n_inserted": 0, "version": version}
+        keys = updates.select(*key_cols).distinct()
+        if keys.count() != n_updates:
+            raise ValueError("merge_upsert_mor: duplicate keys in updates")
+        if not files:
+            out = updates.select(*df.columns)
+            new_rel = self._stage(out, "mrg", pcols)
+            try:
+                v = self._publish(
+                    version, new_rel,
+                    "merge-mor" if tag is None else f"merge-mor@{tag}",
+                    schema=_schema_json(df),
+                )
+            except CommitConflict:
+                self._abort(new_rel)
+                raise
+            return {"n_matched": 0, "n_inserted": n_updates, "version": v}
+        dfl = self._read_files(spark, files, schema, dv=dv or None,
+                               lineage=True)
+        matched = dfl.join(F.broadcast(keys), key_cols, "left_semi")
+        n_matched = matched.count()
+        hits = matched.select(
+            F.col("__file").alias("__dv_file"),
+            F.col("__pos").alias("__dv_pos"),
+        )
+        new_dv_rel = self._stage_dv(hits, n_matched) if n_matched else []
+        new_rel = self._stage(updates.select(*df.columns), "mrg", pcols)
+        n_new = _count_files(spark, self.root, new_rel)
+        n_dv = _count_files(spark, self.root, new_dv_rel) if new_dv_rel else 0
+        if n_new != n_updates or n_dv != n_matched:
+            self._abort(new_rel)
+            self._abort(new_dv_rel)
+            raise RuntimeError(
+                f"merge-mor row mismatch for {self.root}: updates "
+                f"{n_updates}, staged {n_new}, matched {n_matched}, "
+                f"staged positions {n_dv}; nothing committed"
+            )
+        counts = dict(dv.get("counts", {}))
+        if new_dv_rel:
+            per_file = {
+                r["__dv_file"]: r["n"]
+                for r in spark.read.parquet(
+                    *(str(self.root / r) for r in new_dv_rel)
+                ).groupBy("__dv_file").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+            for k, n in per_file.items():
+                counts[k] = counts.get(k, 0) + n
+        new_dv = (
+            {"files": list(dv.get("files", [])) + new_dv_rel,
+             "counts": counts}
+            if counts else None
+        )
+        op = "merge-mor" if tag is None else f"merge-mor@{tag}"
+        try:
+            v = self._publish(
+                version, list(files) + new_rel, op,
+                schema=_schema_json(df), dv=new_dv,
+            )
+        except CommitConflict:
+            self._abort(new_rel)
+            self._abort(new_dv_rel)
+            raise
+        return {"n_matched": n_matched,
+                "n_inserted": n_updates - n_matched, "version": v}
+
     def consolidate_deletes(self, spark: SparkSession) -> dict[str, int]:
         """Maintenance twin of Iceberg's rewrite-position-deletes: a
         long run of small MOR deletes leaves one tiny delete file per

@@ -512,3 +512,79 @@ def test_maintenance_cli_log_update_mor(spark, tmp_path, capsys):
            log.read(spark).where("k < 3").collect()}
     assert got == {0: (0, 1), 1: (0, 8), 2: (0, 15)}
     assert set(files0) <= set(log.snapshot()[1])
+
+
+def test_merge_upsert_mor_matches_cow_merge(spark, tmp_path):
+    """MOR merge == COW merge row-for-row; the MOR side rewrites zero
+    touched files (original files all still listed, bytes intact)."""
+    cow = _mk(spark, tmp_path, "mcow")
+    mor = _mk(spark, tmp_path, "mmor")
+    upd = spark.createDataFrame(
+        [(0, 0, 111), (150, 0, 222), (999, 0, 333)],
+        "k long, part int, v long",
+    )
+    a = cow.merge_upsert(spark, upd, ["k"])
+    before = _digests(mor)
+    files0 = mor.snapshot()[1]
+    b = mor.merge_upsert_mor(spark, upd, ["k"])
+    assert (a["n_matched"], a["n_inserted"]) == (2, 1)
+    assert (b["n_matched"], b["n_inserted"]) == (2, 1)
+    assert _rows(cow.read(spark)) == _rows(mor.read(spark))
+    assert set(files0) <= set(mor.snapshot()[1])
+    after = _digests(mor)
+    for rel, dig in before.items():
+        assert after[rel] == dig
+    assert mor.row_count() == 301
+
+
+def test_merge_upsert_mor_composes_with_dvs(spark, tmp_path):
+    """A MOR merge over an already-DV'd table: a previously deleted
+    key inserts (its DV'd old image must not count as a match), and a
+    second merge updates the first's appended image."""
+    log = _mk(spark, tmp_path, "mmor2")
+    log.delete_where_mor(spark, "k = 7")
+    out = log.merge_upsert_mor(
+        spark,
+        spark.createDataFrame([(7, 0, 70)], "k long, part int, v long"),
+        ["k"],
+    )
+    assert out["n_matched"] == 0 and out["n_inserted"] == 1
+    out2 = log.merge_upsert_mor(
+        spark,
+        spark.createDataFrame([(7, 0, 71)], "k long, part int, v long"),
+        ["k"],
+    )
+    assert out2["n_matched"] == 1 and out2["n_inserted"] == 0
+    got = log.read(spark).where("k = 7").collect()
+    assert len(got) == 1 and got[0]["v"] == 71
+    assert log.row_count() == 300
+
+
+def test_merge_upsert_mor_duplicate_keys_refused(spark, tmp_path):
+    log = _mk(spark, tmp_path, "mmor3")
+    dup = spark.createDataFrame(
+        [(1, 0, 5), (1, 0, 6)], "k long, part int, v long"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        log.merge_upsert_mor(spark, dup, ["k"])
+    assert log.latest_version() == 0
+
+
+def test_txn_mor_update_and_merge(spark, tmp_path):
+    """The txn surface covers the whole MOR DML triad."""
+    from cve_manager_spark.catalogtx import CatalogLog
+
+    log = _mk(spark, tmp_path, "txnm")
+    cat = CatalogLog(str(tmp_path / "cat"))
+    cat.init({"t": log})
+    txn = cat.begin()
+    txn.table("t").update_where_mor(spark, "k = 1", {"v": "v + 1"})
+    txn.table("t").merge_upsert_mor(
+        spark,
+        spark.createDataFrame([(1, 0, 1000)], "k long, part int, v long"),
+        ["k"],
+    )
+    assert cat.read(spark, "t").where("k = 1").first()["v"] == 7
+    cat.commit(txn)
+    assert cat.read(spark, "t").where("k = 1").first()["v"] == 1000
+    assert cat.read(spark, "t").count() == 300
