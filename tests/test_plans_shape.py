@@ -1169,3 +1169,39 @@ def test_epoch_shuffle_ranks_without_single_partition_window(spark):
     low = plan.lower()
     assert "rangepartitioning" not in low  # no sampled partitioner
     assert "hashpartitioning(bkt" in low  # pure-function bucket exchange
+
+
+def test_dv_read_is_broadcast_anti_join_over_pruned_scan(spark):
+    """The merge-on-read read path: the deletion-vector anti-join must
+    be a BROADCAST hash join (the DV side's exact row count is known
+    from the manifest — driver arithmetic, not estimation) in LeftAnti
+    mode, with NO shuffle of the data side and no sort-merge join —
+    the shape that keeps a 100 TB scan pipelined. The data scan still
+    carries the explicit manifest file list; a plan that sort-merges
+    or exchanges the corpus to apply k deleted positions dies first at
+    scale."""
+    plan = plan_of(spark, "timetravel_dv_delete")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree and "LeftAnti" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    # the data side stays unshuffled: the only exchange feeds the
+    # broadcast of the (tiny) position-delete relation
+    assert "Exchange hashpartitioning" not in tree
+
+
+def test_dv_cdf_reads_only_entry_diff_files(spark):
+    """The DV-aware change feed opens ONLY the files named by the
+    position-set diff — never the whole snapshot. At driver scale
+    every file carries deletes so the file-count assert lives in the
+    unit suite; here the plan gate is shape: no cartesian, the
+    position-entry semi-joins broadcast (their size is the delete
+    count, manifest-known), and the only sort-merge in the tree is
+    the keyed diff's own FullOuter classifier — the correct
+    distributed shape for a key-grained diff."""
+    plan = plan_of(spark, "timetravel_dv_cdf")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    smj = [ln for ln in tree.splitlines() if "SortMergeJoin" in ln]
+    assert all("FullOuter" in ln for ln in smj), smj
+    assert "LeftSemi" in tree and "BroadcastHashJoin" in tree
