@@ -243,14 +243,17 @@ class TxnTable:
 
     def adopt(self, rel_files: list[str], schema: "str | None" = None,
               layout: "list[str] | None" = None,
-              dv: "dict | None" = None) -> dict:
+              dv: "dict | None" = None,
+              constraints: "dict | None" = None) -> dict:
         """Adopt already-present files as this transaction's snapshot
         of the table (the branch-merge primitive — see
         :meth:`TableLog.adopt_files`). ``dv`` carries the adopted
         snapshot's deletion-vector block, so a branch's merge-on-read
-        deletes merge with the same fidelity as its data files."""
+        deletes merge with the same fidelity as its data files;
+        ``constraints`` likewise carries its CHECK-constraint set."""
         return self._record(self.log.adopt_files(
             rel_files, schema=schema, layout=layout, dv=dv,
+            constraints=constraints,
             expected_version=self._pin(),
             tag=f"txn-{self.txn.txn_id}",
         ))
@@ -986,7 +989,12 @@ class CatalogLog:
                         shutil.copy2(blog.root / rel, dst)
                 t.adopt(bfiles, schema=bman.get("schema"),
                         layout=bman.get("layout"),
-                        dv=bman.get("dv"))
+                        dv=bman.get("dv"),
+                        # the branch's constraint set merges with its
+                        # content ({} reflects a drop-on-branch; the
+                        # adopted snapshot replaces main's rows, so
+                        # carrying its constraints is content-safe)
+                        constraints=bman.get("constraints") or {})
             for name in added_names:
                 if name in txn.pins:
                     raise CatalogConflict(

@@ -386,6 +386,99 @@ class TableLog:
         )
         return {"version": v, "layout": list(pcols)}
 
+    def constraints_of(self, version: int | None = None) -> dict:
+        """The CHECK constraints recorded at ``version`` —
+        ``{name: sql_expr}`` — versioned with the data like schema and
+        layout (time travel sees the constraints that held then)."""
+        v, _ = self.snapshot(version)
+        with open(_manifest_path(self.root, v)) as f:
+            return json.load(f).get("constraints") or {}
+
+    def set_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> dict:
+        """Add a CHECK constraint as a metadata-only commit (Delta's
+        ``ALTER TABLE ADD CONSTRAINT``): the EXISTING data is validated
+        first (one counting scan — a constraint that does not hold is
+        refused, nothing committed), then every future committed write
+        validates its NEW rows only (O(batch), never O(table)) and
+        refuses the whole commit on any violation. SQL CHECK
+        semantics: a row violates only when the expression is FALSE —
+        NULL/unknown passes, so ``col IS NOT NULL`` is how NOT NULL is
+        spelled."""
+        version, files = self.snapshot()
+        cons = dict(self.constraints_of(version))
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists on {self.root} "
+                f"({cons[name]!r}); drop it first"
+            )
+        n_bad = (
+            self.read(spark, version=version)
+            .where(F.expr(expr).eqNullSafe(F.lit(False)))
+            .count()
+        ) if files else 0
+        if n_bad:
+            raise ValueError(
+                f"constraint {name!r} ({expr!r}) does not hold on "
+                f"{self.root}: {n_bad} existing rows violate it; "
+                "nothing committed"
+            )
+        cons[name] = expr
+        with open(_manifest_path(self.root, version)) as f:
+            raw_schema = json.load(f).get("schema")
+        v = self._publish(
+            version, files, f"set-constraint@{name}",
+            schema=raw_schema, constraints=cons,
+        )
+        return {"version": v, "constraints": cons}
+
+    def drop_constraint(self, name: str) -> dict:
+        """Remove a CHECK constraint (metadata-only commit). Older
+        versions keep it — constraints are versioned with the data."""
+        version, files = self.snapshot()
+        cons = dict(self.constraints_of(version))
+        if name not in cons:
+            raise KeyError(
+                f"constraint {name!r} not set on {self.root}"
+            )
+        del cons[name]
+        with open(_manifest_path(self.root, version)) as f:
+            raw_schema = json.load(f).get("schema")
+        v = self._publish(
+            version, files, f"drop-constraint@{name}",
+            schema=raw_schema,
+            # explicit {} clears; None would inherit the dropped set
+            constraints=cons if cons else {},
+        )
+        return {"version": v, "constraints": cons}
+
+    def _enforce_constraints(
+        self, rows: DataFrame, version: int, what: str
+    ) -> None:
+        """Refuse a write whose NEW rows violate any recorded CHECK
+        constraint — called by every committed op that introduces rows
+        (append/overwrite/merge/update images), BEFORE staging, so a
+        refused batch costs one counting aggregate and writes nothing.
+        Existing data was validated when the constraint was set;
+        deletes cannot create violations."""
+        cons = self.constraints_of(version)
+        if not cons:
+            return
+        checks = [
+            F.sum(
+                F.when(F.expr(e).eqNullSafe(F.lit(False)), 1).otherwise(0)
+            ).alias(n)
+            for n, e in sorted(cons.items())
+        ]
+        bad = rows.agg(*checks).first()
+        viol = {n: bad[n] for n in sorted(cons) if (bad[n] or 0) > 0}
+        if viol:
+            raise ValueError(
+                f"{what} on {self.root} violates CHECK constraints "
+                f"{viol} (violating-row counts); nothing committed"
+            )
+
     def enable_bloom(
         self, column: str, bits: int = 131072, k: int = 5
     ) -> dict:
@@ -589,6 +682,7 @@ class TableLog:
         schema: str | None = None,
         layout: list[str] | None = None,
         dv=_DV_INHERIT,
+        constraints: dict | None = None,
     ) -> int:
         """Atomically publish version ``parent+1``. Raises
         :class:`CommitConflict` if that version already exists.
@@ -607,7 +701,8 @@ class TableLog:
         version = parent + 1
         target = _manifest_path(self.root, version)
         tmp = target.parent / f".tmp-{uuid.uuid4().hex}.json"
-        if (layout is None or dv is _DV_INHERIT) and parent >= 0:
+        if (layout is None or dv is _DV_INHERIT
+                or constraints is None) and parent >= 0:
             try:
                 with open(_manifest_path(self.root, parent)) as f:
                     pm = json.load(f)
@@ -617,6 +712,8 @@ class TableLog:
                 layout = pm.get("layout")
             if dv is _DV_INHERIT:
                 dv = pm.get("dv")
+            if constraints is None:
+                constraints = pm.get("constraints")
         if dv is _DV_INHERIT:
             dv = None
         if dv and not dv.get("counts"):
@@ -637,6 +734,11 @@ class TableLog:
                 "files": sorted(dv["files"]),
                 "counts": dict(sorted(dv["counts"].items())),
             }
+        if constraints:
+            # CHECK constraints travel with the version history like
+            # schema and layout; {} (explicit empty, from
+            # drop_constraint) clears, None inherits — mirrored above
+            body["constraints"] = dict(sorted(constraints.items()))
         tmp.write_text(json.dumps(body, indent=1))
         try:
             # hard link = atomic + exclusive: EEXIST is the conflict signal
@@ -840,6 +942,7 @@ class TableLog:
         if n_rows == 0:
             return {"n_appended": 0, "version": version}
         out_cols = list(df.columns) + added
+        self._enforce_constraints(rows, version, "append")
         new_rel = self._stage(rows.select(*out_cols), "app", pcols)
         n_new = _count_files(spark, self.root, new_rel)
         if n_new != n_rows:
@@ -896,6 +999,7 @@ class TableLog:
         version, _ = self.snapshot(expected_version)
         pcols = self._pcols(version)
         n_rows = rows.count()
+        self._enforce_constraints(rows, version, "overwrite")
         new_rel = self._stage(rows, "ovw", pcols)
         n_new = _count_files(spark, self.root, new_rel)
         if n_new != n_rows:
@@ -945,6 +1049,9 @@ class TableLog:
             latest, files, f"rollback@to={to_version}",
             schema=m.get("schema"), layout=m.get("layout"),
             dv=m.get("dv"),
+            # restore the target's constraint set too ({} explicitly
+            # clears when rolling back past a set-constraint)
+            constraints=m.get("constraints") or {},
         )
         return {"version": v, "n_files": len(files)}
 
@@ -1190,6 +1297,11 @@ class TableLog:
                 f"{type_clash} — a silent widen would fork the table "
                 "schema across files"
             )
+        try:
+            self._enforce_constraints(images, version, "update")
+        except ValueError:
+            self._abort(new_dv_rel)
+            raise
         new_rel = self._stage(images, "upd", pcols)
         n_new = _count_files(spark, self.root, new_rel)
         n_dv = _count_files(spark, self.root, new_dv_rel)
@@ -1276,6 +1388,7 @@ class TableLog:
         keys = updates.select(*key_cols).distinct()
         if keys.count() != n_updates:
             raise ValueError("merge_upsert_mor: duplicate keys in updates")
+        self._enforce_constraints(updates, version, "merge")
         if not files:
             out = updates.select(*df.columns)
             new_rel = self._stage(out, "mrg", pcols)
@@ -1433,6 +1546,7 @@ class TableLog:
         keys = updates.select(*key_cols).distinct()
         if keys.count() != n_updates:
             raise ValueError("merge_upsert: duplicate keys in updates")
+        self._enforce_constraints(updates, version, "merge")
         if dv:
             # DV-applied lineage read: a merge-on-read-deleted row
             # must not match (its key inserts as new), and file
@@ -1552,6 +1666,7 @@ class TableLog:
         expected_version: int | None = None,
         tag: str | None = None,
         dv: dict | None = None,
+        constraints: dict | None = None,
     ) -> dict[str, int]:
         """Commit a manifest listing files ALREADY PRESENT in the table
         directory — the metadata-only adoption primitive branch merge
@@ -1588,7 +1703,7 @@ class TableLog:
         op = f"adopt@{tag}" if tag else "adopt"
         v = self._publish(
             parent, sorted(rel_files), op, schema=schema, layout=layout,
-            dv=dv,
+            dv=dv, constraints=constraints,
         )
         return {"version": v, "n_files": len(rel_files)}
 
@@ -1637,7 +1752,7 @@ class TableLog:
         dlog._publish(
             -1, files, f"clone@from-v{v}",
             schema=m.get("schema"), layout=m.get("layout"),
-            dv=m.get("dv"),
+            dv=m.get("dv"), constraints=m.get("constraints"),
         )
         # warm the clone's skipping state: stats cache entries and
         # bloom sidecars are keyed by relative path, which the clone

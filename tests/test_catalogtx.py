@@ -1302,3 +1302,22 @@ def test_reconcile_rolls_forward_intent_with_adds_and_drops(
     # idempotent: a second reconcile finds nothing
     rep2 = cat.reconcile(min_age_seconds=0)
     assert not rep2["rolled_forward"]
+
+
+def test_branch_merge_carries_constraints(spark, tmp_path):
+    """A constraint set on the branch merges with its content; a
+    post-merge violating write on main refuses."""
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    br = cat.branch(str(tmp_path / "feat-cons"))
+    br.table_log("facts").set_constraint(spark, "val_pos", "f_val >= 0")
+    br.sync_table("facts")  # adopt the out-of-band metadata commit
+    btxn = br.begin()
+    btxn.table("facts").delete_where(spark, "f_id = 99")
+    br.commit(btxn)
+    cat.merge_branch(br)
+    mlog = cat.table_log("facts")
+    assert mlog.constraints_of() == {"val_pos": "f_val >= 0"}
+    with pytest.raises(ValueError, match="violates CHECK"):
+        mlog.append(spark, spark.createDataFrame(
+            [(500, 0, -2)], "f_id long, f_cust long, f_val long"
+        ))

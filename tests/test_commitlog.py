@@ -1776,3 +1776,68 @@ def test_timestamp_travel_mtime_fallback_for_legacy_manifests(
     got = log.commit_ts_of(0)
     assert abs(got - ts) < 60.0  # mtime, same commit moment
     assert log.version_at(got) == 0
+
+
+def test_check_constraints_enforced_at_commit(spark, tmp_path):
+    """Delta-style CHECK constraints: validated on existing data when
+    set (refused if violated), then enforced on every write's NEW rows
+    — the whole commit refuses, nothing staged survives. SQL CHECK
+    semantics: only FALSE violates; NULL passes."""
+    import json as _json
+
+    log = _mk_table(spark, tmp_path)
+    # existing data violates -> refused, nothing committed
+    with pytest.raises(ValueError, match="does not hold"):
+        log.set_constraint(spark, "v_small", "v < 100")
+    assert log.latest_version() == 0
+    out = log.set_constraint(spark, "v_nonneg", "v >= 0")
+    assert out["version"] == 1
+    with pytest.raises(ValueError, match="already exists"):
+        log.set_constraint(spark, "v_nonneg", "v >= 1")
+    # violating append refused, no files staged
+    bad = spark.createDataFrame(
+        [(9000, 0, -5)], "k long, part int, v long"
+    )
+    n_files = len(list(log.root.rglob("*.parquet")))
+    with pytest.raises(ValueError, match="violates CHECK"):
+        log.append(spark, bad)
+    assert len(list(log.root.rglob("*.parquet"))) == n_files
+    assert log.latest_version() == 1
+    # NULL passes (SQL CHECK three-valued logic)
+    nul = spark.createDataFrame(
+        [(9001, 0, None)], "k long, part int, v long"
+    )
+    log.append(spark, nul)
+    assert log.read(spark).count() == 201
+    # merge and MOR update enforce on their new images too
+    with pytest.raises(ValueError, match="violates CHECK"):
+        log.merge_upsert(
+            spark,
+            spark.createDataFrame([(0, 0, -1)], "k long, part int, v long"),
+            ["k"],
+        )
+    with pytest.raises(ValueError, match="violates CHECK"):
+        log.update_where_mor(spark, "k = 1", {"v": "-v - 1"})
+    # the refused MOR update left no delete-file debris in the manifest
+    with open(log.root / "_commits" / f"v{log.latest_version():012d}.json") as f:
+        assert "dv" not in _json.load(f)
+    # constraints are versioned: travel + rollback restore the old set
+    assert log.constraints_of(0) == {}
+    assert log.constraints_of() == {"v_nonneg": "v >= 0"}
+    log.drop_constraint("v_nonneg")
+    assert log.constraints_of() == {}
+    log.append(spark, bad)  # now legal
+    assert log.read(spark).count() == 202
+    rb = log.rollback(1)
+    assert log.constraints_of(rb["version"]) == {"v_nonneg": "v >= 0"}
+
+
+def test_constraints_carry_through_clone(spark, tmp_path):
+    log = _mk_table(spark, tmp_path)
+    log.set_constraint(spark, "k_pos", "k >= 0")
+    clone = log.clone(str(tmp_path / "ccons"))
+    assert clone.constraints_of() == {"k_pos": "k >= 0"}
+    with pytest.raises(ValueError, match="violates CHECK"):
+        clone.append(spark, spark.createDataFrame(
+            [(-1, 0, 0)], "k long, part int, v long"
+        ))
