@@ -157,6 +157,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     pu.add_argument("-master", dest="master", default="local[*]")
 
+    pk = sub.add_parser(
+        "log-constraint",
+        help="CHECK constraints on a commit-logged table: --add "
+        "name=expr validates existing data then enforces on every "
+        "future write; --drop name removes; no flags lists.",
+    )
+    pk.add_argument("--path", required=True, help="Commit-logged table dir.")
+    pk.add_argument(
+        "--add", default=None,
+        help="name=SQL-expression (split on the first '='), e.g. "
+        "\"score_pos=score >= 0\".",
+    )
+    pk.add_argument("--drop", default=None, help="Constraint name to drop.")
+    pk.add_argument("-master", dest="master", default="local[*]")
+
     pr = sub.add_parser(
         "drift-retrain",
         help="Drift-triggered ANN index rebuild: read the committed "
@@ -376,6 +391,24 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.where, sets
         )
         out = dict(res, path=args.path)
+    elif args.cmd == "log-constraint":
+        from cve_manager_spark.commitlog import TableLog
+
+        log = TableLog(args.path)
+        if args.add and args.drop:
+            raise SystemExit("log-constraint: pass --add or --drop, not both")
+        if args.add:
+            cname, _, cexpr = args.add.partition("=")
+            if not cname.strip() or not cexpr:
+                raise SystemExit(
+                    f"--add: malformed {args.add!r} (want name=expression)"
+                )
+            out = dict(log.set_constraint(spark, cname.strip(), cexpr),
+                       path=args.path)
+        elif args.drop:
+            out = dict(log.drop_constraint(args.drop), path=args.path)
+        else:
+            out = {"path": args.path, "constraints": log.constraints_of()}
     elif args.cmd == "drift-retrain":
         from cve_manager_spark.operators.similarity import (
             ivf_pq_drift_retrain,

@@ -1841,3 +1841,27 @@ def test_constraints_carry_through_clone(spark, tmp_path):
         clone.append(spark, spark.createDataFrame(
             [(-1, 0, 0)], "k long, part int, v long"
         ))
+
+
+def test_maintenance_cli_log_constraint(spark, tmp_path, capsys):
+    import json as _json
+
+    from cve_manager_spark import maintenance_cli
+
+    log = _mk_table(spark, tmp_path)
+    assert maintenance_cli.main(
+        ["log-constraint", "--path", str(log.root),
+         "--add", "v_big=v >= 0"]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["constraints"] == {"v_big": "v >= 0"}
+    assert maintenance_cli.main(
+        ["log-constraint", "--path", str(log.root)]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["constraints"] == {"v_big": "v >= 0"}
+    assert maintenance_cli.main(
+        ["log-constraint", "--path", str(log.root), "--drop", "v_big"]
+    ) == 0
+    capsys.readouterr()
+    assert log.constraints_of() == {}
