@@ -965,6 +965,21 @@ class TableLog:
                     self._abort(new_rel)
                     raise
                 parent, base = self.snapshot()
+                # a blind retry is only sound against commits the
+                # append COMMUTES with; a concurrently added/changed
+                # CHECK constraint is not one — these rows were
+                # validated against the begin-pinned set, so blindly
+                # re-publishing could land rows the new constraint
+                # forbids (Delta's MetadataChangedException case)
+                if self.constraints_of(parent) != self.constraints_of(
+                    version
+                ):
+                    self._abort(new_rel)
+                    raise CommitConflict(
+                        f"{self.root}: CHECK constraints changed while "
+                        "this append ran; re-run to validate against "
+                        "the new set"
+                    ) from None
                 # the interleaved commit may have evolved the schema;
                 # merge its recorded fields into ours so the retried
                 # manifest doesn't shadow the concurrently added column

@@ -1865,3 +1865,42 @@ def test_maintenance_cli_log_constraint(spark, tmp_path, capsys):
     ) == 0
     capsys.readouterr()
     assert log.constraints_of() == {}
+
+
+def test_blind_append_refuses_retry_past_constraint_change(
+    spark, tmp_path
+):
+    """A blind append validated against the begin-pinned constraint
+    set must NOT retry past an interleaved set-constraint — the rows
+    could violate the new rule (Delta's MetadataChangedException
+    case). Conflict instead; a re-run validates against the new set."""
+    log = _mk_table(spark, tmp_path)
+    rows = spark.createDataFrame(
+        [(5000, 0, -1)], "k long, part int, v long"
+    )
+    # forge the race: another writer claims v1 with a constraint the
+    # staged rows violate, exactly between this append's validation
+    # and its publish attempt
+    orig = log._publish
+    fired = {"done": False}
+
+    def racy(parent, files, op, **kw):
+        if not fired["done"] and op == "append":
+            fired["done"] = True
+            TableLog(str(log.root)).set_constraint(
+                spark, "v_pos", "v >= 0"
+            )
+        return orig(parent, files, op, **kw)
+
+    log._publish = racy
+    with pytest.raises(CommitConflict, match="constraints changed"):
+        log.append(spark, rows, max_retries=3)
+    log._publish = orig
+    # nothing landed; the loser unlinked its staged files
+    assert log.read(spark).where("v < 0").count() == 0
+    assert log.latest_version() == 1
+    # a compliant row appends fine through the same path
+    log.append(spark, spark.createDataFrame(
+        [(5001, 0, 1)], "k long, part int, v long"
+    ))
+    assert log.read(spark).count() == 201
