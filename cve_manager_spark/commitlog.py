@@ -1467,6 +1467,58 @@ class TableLog:
         return {"n_matched": n_matched,
                 "n_inserted": n_updates - n_matched, "version": v}
 
+    def dv_status(
+        self,
+        version: int | None = None,
+        materialize_fraction: float = 0.10,
+        consolidate_files: int = 8,
+    ) -> dict:
+        """Metadata-only merge-on-read health report — the advisor the
+        maintenance cadence keys on instead of a blind timer. From the
+        manifest's dv block and the row-count sidecar alone (zero data
+        reads): total deleted rows, deleted fraction of the table,
+        per-file worst deleted fraction, and delete-file count; plus
+        two recommendations — ``materialize`` (run :meth:`compact` /
+        :meth:`zorder`) when the deleted fraction crosses
+        ``materialize_fraction`` (the anti-join's small side has grown
+        into real read tax and the wasted scan of dead rows compounds
+        every query), and ``consolidate`` (run
+        :meth:`consolidate_deletes`) when delete FILES exceed
+        ``consolidate_files`` (per-file open cost, not row volume).
+        Thresholds mirror the Delta deletion-vector maintenance
+        guidance; tune per deployment."""
+        v, files = self.snapshot(version)
+        dv = self._dv_of(v)
+        n_files = len(files)
+        if not dv:
+            return {"version": v, "deleted_rows": 0,
+                    "deleted_fraction": 0.0, "dv_files": 0,
+                    "files_with_deletes": 0, "data_files": n_files,
+                    "max_file_deleted_fraction": 0.0,
+                    "materialize": False, "consolidate": False}
+        counts = dv.get("counts", {})
+        deleted = sum(counts.values())
+        rows = _ZoneMaps(self).rows_for(files)
+        total = sum(rows.values()) or 1
+        worst = max(
+            (n / r for f, n in counts.items()
+             if (r := rows.get(f)) is not None and r > 0),
+            default=0.0,
+        )
+        frac = deleted / total
+        return {
+            "version": v,
+            "deleted_rows": deleted,
+            "deleted_fraction": round(frac, 4),
+            "dv_files": len(dv.get("files", [])),
+            "files_with_deletes": len(counts),
+            "data_files": n_files,
+            "max_file_deleted_fraction": round(worst, 4),
+            "materialize": frac >= materialize_fraction
+            or worst >= 2 * materialize_fraction,
+            "consolidate": len(dv.get("files", [])) > consolidate_files,
+        }
+
     def consolidate_deletes(self, spark: SparkSession) -> dict[str, int]:
         """Maintenance twin of Iceberg's rewrite-position-deletes: a
         long run of small MOR deletes leaves one tiny delete file per

@@ -157,6 +157,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     pu.add_argument("-master", dest="master", default="local[*]")
 
+    pv = sub.add_parser(
+        "log-dv-status",
+        help="Merge-on-read health report (metadata-only): deleted "
+        "fraction, delete-file count, and whether to compact "
+        "(materialize) or consolidate-deletes.",
+    )
+    pv.add_argument("--path", required=True, help="Commit-logged table dir.")
+    pv.add_argument(
+        "--apply", action="store_true",
+        help="Act on the recommendations: consolidate and/or compact "
+        "(compact target 1M rows/file unless --target-rows).",
+    )
+    pv.add_argument("--target-rows", type=int, default=1_000_000)
+    pv.add_argument("-master", dest="master", default="local[*]")
+
     pk = sub.add_parser(
         "log-constraint",
         help="CHECK constraints on a commit-logged table: --add "
@@ -391,6 +406,23 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.where, sets
         )
         out = dict(res, path=args.path)
+    elif args.cmd == "log-dv-status":
+        from cve_manager_spark.commitlog import TableLog
+
+        log = TableLog(args.path)
+        status = log.dv_status()
+        actions = []
+        if args.apply:
+            if status["consolidate"]:
+                actions.append(dict(
+                    log.consolidate_deletes(spark), action="consolidate"
+                ))
+            if status["materialize"]:
+                actions.append(dict(
+                    log.compact(spark, args.target_rows),
+                    action="compact",
+                ))
+        out = dict(status, path=args.path, applied=actions)
     elif args.cmd == "log-constraint":
         from cve_manager_spark.commitlog import TableLog
 
