@@ -3097,3 +3097,28 @@ def test_stream_cdf_tail_follows_live_writers_in_processing_mode(
     finally:
         q.stop()
     _cdf_view_matches_batch(spark, log, dim, out)
+
+
+def test_stream_cdf_tail_across_mor_delete(spark, tmp_path):
+    """The self-driving CDC loop consumes a merge-on-read delete the
+    same as a COW one: the DV-only commit (no file entered or left
+    the manifest) surfaces as keyed deletes, the streaming tail
+    applies them to the join view, and the view equals the batch
+    recompute of the DV-applied snapshot."""
+    from cve_manager_spark.streaming.sinks import stream_cdf_tail
+
+    log, dim, dim_path, out, cursor = _cdf_tail_fixture(
+        spark, tmp_path, "mor"
+    )
+    assert log.consume_changes(
+        spark, cursor, key_cols=["o_orderkey"], start_version=0
+    ) is None
+    files0 = log.snapshot()[1]
+    log.delete_where_mor(spark, "o_orderkey % 4 = 1")
+    assert log.snapshot()[1] == files0  # genuinely DV-only
+    stream_cdf_tail(
+        spark, str(log.root), cursor, out, dim_path,
+        "o_orderkey", "o_custkey", "c_custkey",
+        n_buckets=32,
+    ).awaitTermination()
+    _cdf_view_matches_batch(spark, log, dim, out)
