@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from pathlib import Path
@@ -890,7 +891,71 @@ class CatalogLog:
         # exists (the tag-file discipline — survives vacuum by not
         # being a manifest)
         (br.root / "upstream.json").write_text(json.dumps(upstream))
+        # register the fork in MAIN's dir for discoverability
+        # (branches(), CLI listing, delete_branch) — pure metadata, a
+        # branch whose registration file is lost still merges fine
+        reg = self.root / f"branch-{uuid.uuid4().hex[:12]}.json"
+        reg.write_text(json.dumps({
+            "dest": os.path.relpath(tree, self.root.parent),
+            "forked_at_catalog_version": v,
+            "ts": time.time(),
+        }))
         return br
+
+    def branches(self) -> list[dict]:
+        """Registered branches of this catalog: dest path (resolved),
+        fork point, whether the branch tree still exists, and its
+        current head if readable. O(#branches) JSON reads."""
+        out = []
+        for p in sorted(self.root.glob("branch-*.json")):
+            body = json.loads(p.read_text())
+            dest = self._resolve(body["dest"])
+            alive = (dest / "catalog").is_dir()
+            head = None
+            if alive:
+                try:
+                    head = CatalogLog(str(dest / "catalog")).latest_version()
+                except Exception:
+                    alive = False
+            out.append({
+                "dest": str(dest),
+                "forked_at_catalog_version":
+                    body["forked_at_catalog_version"],
+                "alive": alive,
+                "head": head,
+                "registration": p.name,
+            })
+        return out
+
+    def delete_branch(self, dest: str) -> dict:
+        """Delete a branch TREE and retire its registration. Safe by
+        construction: branch data files are hard links, so removing
+        the branch's directory entries never touches main's bytes (the
+        shared inodes survive until main's own links drop). Refuses a
+        path that is not a registered branch of THIS catalog — this
+        method never becomes a generic rm -rf."""
+        target = Path(dest).resolve()
+        reg_hit = None
+        for p in self.root.glob("branch-*.json"):
+            body = json.loads(p.read_text())
+            if self._resolve(body["dest"]).resolve() == target:
+                reg_hit = p
+                break
+        if reg_hit is None:
+            raise ValueError(
+                f"{dest} is not a registered branch of {self.root}"
+            )
+        existed = target.exists()
+        if existed:
+            up = target / "catalog" / "upstream.json"
+            if not up.exists():
+                raise ValueError(
+                    f"{target} does not look like a branch tree (no "
+                    "catalog/upstream.json); refusing to delete"
+                )
+            shutil.rmtree(target)
+        reg_hit.unlink()
+        return {"deleted": str(target), "existed": existed}
 
     def merge_branch(self, branch: "CatalogLog") -> dict:
         """Merge a branch back: SNAPSHOT CHERRY-PICK per the design

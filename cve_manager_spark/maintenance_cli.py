@@ -274,11 +274,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     pb.add_argument("--catalog", required=True)
     pb.add_argument(
-        "--dest", required=True,
-        help="Branch tree directory (one dir per table + catalog/).",
+        "--dest", default=None,
+        help="Branch tree directory (one dir per table + catalog/). "
+        "Omit with --list / --delete-branch.",
     )
     pb.add_argument("--version", type=int, default=None)
     pb.add_argument("--tag", default=None)
+    pb.add_argument(
+        "--list", action="store_true", dest="list_branches",
+        help="List registered branches instead of forking.",
+    )
+    pb.add_argument(
+        "--delete-branch", default=None, metavar="DEST",
+        help="Delete a registered branch tree (hard links make this "
+        "safe for main's data) and retire its registration.",
+    )
     pb.add_argument("-master", dest="master", default="local[*]")
 
     pm = sub.add_parser(
@@ -532,14 +542,24 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "catalog-branch":
         from cve_manager_spark.catalogtx import CatalogLog
 
-        br = CatalogLog(args.catalog).branch(
-            args.dest, version=args.version, tag=args.tag
-        )
-        out = {
-            "catalog": args.catalog,
-            "branch": str(br.root),
-            "tables": sorted(br.snapshot()[1]),
-        }
+        cat = CatalogLog(args.catalog)
+        if args.list_branches:
+            out = {"catalog": args.catalog, "branches": cat.branches()}
+        elif args.delete_branch:
+            out = dict(cat.delete_branch(args.delete_branch),
+                       catalog=args.catalog)
+        else:
+            if not args.dest:
+                raise SystemExit(
+                    "catalog-branch: --dest required (or --list / "
+                    "--delete-branch)"
+                )
+            br = cat.branch(args.dest, version=args.version, tag=args.tag)
+            out = {
+                "catalog": args.catalog,
+                "branch": str(br.root),
+                "tables": sorted(br.snapshot()[1]),
+            }
     elif args.cmd == "catalog-merge":
         from cve_manager_spark.catalogtx import CatalogLog
 

@@ -1321,3 +1321,49 @@ def test_branch_merge_carries_constraints(spark, tmp_path):
         mlog.append(spark, spark.createDataFrame(
             [(500, 0, -2)], "f_id long, f_cust long, f_val long"
         ))
+
+
+def test_branch_registry_list_and_safe_delete(spark, tmp_path, capsys):
+    """branches() discovers forks; delete_branch removes a branch tree
+    without touching main's bytes (hard links), refuses paths that are
+    not registered branches, and the registration retires."""
+    import json as _json
+
+    from cve_manager_spark import maintenance_cli
+
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    before = sorted(
+        tuple(r) for r in cat.read(spark, "facts").collect()
+    )
+    br = cat.branch(str(tmp_path / "feat-reg"))
+    btxn = br.begin()
+    btxn.table("facts").delete_where(spark, "f_id < 90")
+    br.commit(btxn)
+    bl = cat.branches()
+    assert len(bl) == 1 and bl[0]["alive"] and bl[0]["head"] == 1
+    assert bl[0]["dest"].endswith("feat-reg")
+    with pytest.raises(ValueError, match="not a registered branch"):
+        cat.delete_branch(str(tmp_path / "cat_facts"))  # a TABLE dir
+    rep = cat.delete_branch(str(tmp_path / "feat-reg"))
+    assert rep["existed"]
+    assert not (tmp_path / "feat-reg").exists()
+    assert cat.branches() == []
+    # main's data survived the branch deletion bit-for-bit
+    assert sorted(
+        tuple(r) for r in cat.read(spark, "facts").collect()
+    ) == before
+    # CLI round trip
+    assert maintenance_cli.main(
+        ["catalog-branch", "--catalog", str(cat.root),
+         "--dest", str(tmp_path / "feat-reg2")]
+    ) == 0
+    capsys.readouterr()
+    assert maintenance_cli.main(
+        ["catalog-branch", "--catalog", str(cat.root), "--list"]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["branches"]) == 1
+    assert maintenance_cli.main(
+        ["catalog-branch", "--catalog", str(cat.root),
+         "--delete-branch", str(tmp_path / "feat-reg2")]
+    ) == 0
