@@ -112,6 +112,9 @@ FLAGSHIP = {
     "sample_bottomk_stratified": "r13: per-stratum bottom-k-by-md5 — one window rank hash-partitioned on the stratum key, never a global sort; batch twin of the eighth sketch state",
     "catalog_txn_snapshot": "r13: consistent multi-table read through the catalog log — each table scans exactly its pinned manifest's files; the join sees one atomic (facts, dim) version pair",
     "timetravel_evolution_cdf": "r13: CDF across a partition-evolution boundary — flat from-side vs mixed-layout to-side aligned per path-declared layout group; keyed net diff, rewritten-unchanged rows cancel across layouts",
+    "timetravel_dv_delete": "r14: merge-on-read read — broadcast LeftAnti of the position-delete relation (size manifest-known) over the pruned manifest scan; no data-side exchange, no sort-merge",
+    "timetravel_dv_cdf": "r14: DV-aware CDF — position-set diff per common file, content read only for files the added entries name; keyed full-outer classifier is the sole sort-merge",
+    "timetravel_dv_update": "r14: MOR UPDATE read — old images anti-joined away by position, new images unioned from fresh part files; one broadcast anti-join over the scan",
 }
 
 
