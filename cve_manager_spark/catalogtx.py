@@ -354,6 +354,15 @@ class CatalogLog:
             raise KeyError(f"table {name!r} not in catalog {self.root}")
         return TableLog(str(self._resolve(pins[name]["path"])))
 
+    def commit_ts_of(self, version: int) -> float:
+        """Wall-clock commit time of a catalog version (manifest
+        ``ts``; pre-recording manifests fall back to file mtime — the
+        hard link is created at commit time)."""
+        t = self._read_manifest(version).get("ts")
+        if t is not None:
+            return float(t)
+        return _cat_manifest(self.root, version).stat().st_mtime
+
     def version_at(self, ts: float) -> int:
         """The newest CATALOG version committed at or before wall-clock
         ``ts`` — multi-table ``AS OF TIMESTAMP``: resolving the catalog
@@ -365,15 +374,9 @@ class CatalogLog:
         vs = self.versions()
         if not vs:
             raise ValueError(f"no catalog under {self.root}")
-
-        def cts(v: int) -> float:
-            p = _cat_manifest(self.root, v)
-            t = self._read_manifest(v).get("ts")
-            return float(t) if t is not None else p.stat().st_mtime
-
         best = None
         for v in vs:
-            if cts(v) <= ts:
+            if self.commit_ts_of(v) <= ts:
                 best = v
             else:
                 break
@@ -452,12 +455,21 @@ class CatalogLog:
 
     def read(self, spark: SparkSession, name: str,
              version: int | None = None,
-             tag: str | None = None) -> DataFrame:
+             tag: str | None = None,
+             timestamp: float | None = None) -> DataFrame:
         """Read one table through the catalog snapshot — table versions
         committed but not yet catalog-pinned are invisible. Both path
         AND version resolve from the snapshot's OWN manifest, so a
         table dropped from the head catalog stays readable through any
-        older version or tag that still pins it."""
+        older version or tag that still pins it. ``timestamp``
+        resolves through :meth:`version_at` (mutually exclusive with
+        ``version``/``tag``)."""
+        if timestamp is not None:
+            if version is not None or tag is not None:
+                raise ValueError(
+                    "read: pass one of version / tag / timestamp"
+                )
+            version = self.version_at(timestamp)
         v, _ = self.snapshot(version, tag=tag)
         pins = self._read_manifest(v)["pins"]
         if name not in pins:

@@ -5922,3 +5922,46 @@ def timetravel_asof_ts(spark: SparkSession, sf: str) -> DataFrame:
     except ValueError:
         pass
     return log.read(spark, timestamp=mid).select("doc_id", "digest")
+
+
+_CATALOG_ASOF_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@_register(
+    "catalog_asof_ts",
+    _CATALOG_ASOF_ORACLE,
+    doc="Multi-table AS OF TIMESTAMP: CatalogLog.version_at resolves "
+    "one wall-clock instant to one catalog version, whose pin set is "
+    "MUTUALLY CONSISTENT by construction (one catalog commit moved "
+    "all its tables together) — per-table timestamp resolution could "
+    "land facts and dim on opposite sides of a transaction; the "
+    "catalog cannot. The face reads facts AS OF the midpoint between "
+    "catalog v0's and v1's recorded clocks — deterministically the "
+    "PRE-transaction snapshot — and joins the same instant's dim, so "
+    "it must hash-match the UN-purged, UN-rewritten recompute from "
+    "raw orders/customer; resolving even one table at the post-"
+    "transaction pin would mismatch on every purged order or "
+    "rewritten segment. At 100 TB this is the audit/repro face of "
+    "multi-table time travel ('rebuild the training batch exactly as "
+    "the pipeline saw it at 02:00'): resolution is O(#retained "
+    "catalog manifests) driver-side JSON reads, no Spark job.",
+    priority=8,
+)
+def catalog_asof_ts(spark: SparkSession, sf: str) -> DataFrame:
+    from cve_manager_spark.catalogtx import CatalogLog
+
+    cat = CatalogLog(_catalog_tx_scratch(spark, sf))
+    t0, t1 = cat.commit_ts_of(0), cat.commit_ts_of(1)
+    assert t0 < t1
+    mid = (t0 + t1) / 2
+    assert cat.version_at(mid) == 0
+    facts = cat.read(spark, "facts", timestamp=mid)
+    dim = cat.read(spark, "dim", timestamp=mid)
+    return facts.join(
+        dim, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_custkey", "total_cents", "c_mktsegment")
