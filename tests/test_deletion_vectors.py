@@ -635,3 +635,34 @@ def test_dv_status_advisor_is_metadata_only(spark, tmp_path, capsys):
     s = log.dv_status()
     assert s["deleted_rows"] == 0 and not s["materialize"]
     assert sorted(r["k"] for r in log.read(spark).collect()) == expect
+
+
+def test_blind_append_retry_inherits_interleaved_dv(spark, tmp_path):
+    """A blind append racing a MOR delete: the retry re-publishes its
+    staged files against the NEW parent and must inherit THAT parent's
+    deletion vectors — dropping them would silently resurrect the
+    interleaved delete's rows."""
+    log = _mk(spark, tmp_path, "race")
+    orig = log._publish
+    fired = {"done": False}
+
+    def racy(parent, files, op, **kw):
+        if not fired["done"] and op == "append":
+            fired["done"] = True
+            TableLog(str(log.root)).delete_where_mor(
+                spark, F.col("k") < 50
+            )
+        return orig(parent, files, op, **kw)
+
+    log._publish = racy
+    out = log.append(spark, spark.createDataFrame(
+        [(900, 0, 1)], "k long, part int, v long"
+    ))
+    log._publish = orig
+    assert out["version"] == 2  # delete won v1, append landed v2
+    got = log.read(spark)
+    assert got.count() == 251  # 300 - 50 deleted + 1 appended
+    assert got.where("k < 50").count() == 0  # no resurrection
+    assert sum(
+        _manifest(log, 2)["dv"]["counts"].values()
+    ) == 50
