@@ -107,6 +107,49 @@ assert out["cow"]["n_deleted"] == out["mor"]["n_deleted"]
 out["bytes_ratio_cow_over_mor"] = round(
     out["cow"]["bytes_written"] / max(1, out["mor"]["bytes_written"]), 1
 )
+
+# -- keyed MERGE twins: COW merge_upsert vs MOR merge_upsert_mor ------
+# Each side is the other's oracle: identical updates applied both
+# ways must produce hash-identical content; the MOR side must do it
+# without rewriting a single pre-existing data file.
+cow_log = build(Path("/tmp/mor_scaling/merge_cow"))
+mor_log = build(Path("/tmp/mor_scaling/merge_mor"))
+upd = (
+    spark.read.parquet(f"{SF}/events.parquet")
+    .where("event_id % 97 = 3")
+    .withColumn("value", F.col("value") + 1000)
+)
+n_upd = upd.count()
+merge_out = {"n_updates": n_upd}
+for name, log, fn in (
+    ("cow", cow_log, lambda l, u: l.merge_upsert(spark, u, ["event_id"])),
+    ("mor", mor_log, lambda l, u: l.merge_upsert_mor(
+        spark, u, ["event_id"])),
+):
+    b0 = tree_bytes(log.root)
+    files0 = set(log.snapshot()[1])
+    t0 = time.monotonic()
+    res = fn(log, upd)
+    dt = time.monotonic() - t0
+    merge_out[name] = {
+        "merge_sec": round(dt, 2),
+        "n_matched": res["n_matched"],
+        "bytes_written": tree_bytes(log.root) - b0,
+        "pre_files_rewritten": len(files0 - set(log.snapshot()[1])),
+    }
+digest = lambda log: (  # noqa: E731
+    log.read(spark)
+    .select(F.md5(F.concat_ws("|", *sorted(
+        log.read(spark).columns))).alias("h"))
+    .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10)
+               .cast("decimal(38,0)")).alias("s"))
+    .first()["s"]
+)
+d_cow, d_mor = digest(cow_log), digest(mor_log)
+merge_out["content_hash_match"] = bool(d_cow == d_mor)
+assert merge_out["content_hash_match"], (d_cow, d_mor)
+assert merge_out["mor"]["pre_files_rewritten"] == 0
+out["merge_twins"] = merge_out
 print(json.dumps(out))
 try:
     Path("/root/repo/MOR_SCALING.json").write_text(
