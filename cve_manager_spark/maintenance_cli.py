@@ -98,8 +98,17 @@ def main(argv: list[str] | None = None) -> int:
         "versions (insert/delete rows, or keyed update pre/post pairs).",
     )
     pt.add_argument("--path", required=True)
-    pt.add_argument("--from", dest="v_from", type=int, required=True)
+    pt.add_argument("--from", dest="v_from", type=int, default=None)
     pt.add_argument("--to", dest="v_to", type=int, default=None)
+    pt.add_argument(
+        "--from-ts", dest="ts_from", type=float, default=None,
+        help="Resolve the FROM side from a unix timestamp instead "
+        "(AS OF TIMESTAMP; exclusive with --from).",
+    )
+    pt.add_argument(
+        "--to-ts", dest="ts_to", type=float, default=None,
+        help="Resolve the TO side from a unix timestamp.",
+    )
     pt.add_argument(
         "--keys", default=None,
         help="Comma-separated key columns for Delta-style update pairs.",
@@ -372,8 +381,20 @@ def main(argv: list[str] | None = None) -> int:
             if args.where_col
             else None
         )
-        ch = TableLog(args.path).changes(
-            spark, args.v_from, args.v_to, key_cols=keys, where=where
+        log = TableLog(args.path)
+        v_from, v_to = args.v_from, args.v_to
+        if args.ts_from is not None:
+            if v_from is not None:
+                raise SystemExit("cdf: pass --from or --from-ts, not both")
+            v_from = log.version_at(args.ts_from)
+        if args.ts_to is not None:
+            if v_to is not None:
+                raise SystemExit("cdf: pass --to or --to-ts, not both")
+            v_to = log.version_at(args.ts_to)
+        if v_from is None:
+            raise SystemExit("cdf: --from or --from-ts is required")
+        ch = log.changes(
+            spark, v_from, v_to, key_cols=keys, where=where
         )
         if args.out:
             ch.write.mode("overwrite").parquet(args.out)
@@ -385,8 +406,8 @@ def main(argv: list[str] | None = None) -> int:
         }
         out = {
             "path": args.path,
-            "v_from": args.v_from,
-            "v_to": args.v_to,
+            "v_from": v_from,
+            "v_to": v_to,
             "changes_by_type": by_type,
             "written_to": args.out,
         }

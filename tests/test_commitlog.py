@@ -1904,3 +1904,28 @@ def test_blind_append_refuses_retry_past_constraint_change(
         [(5001, 0, 1)], "k long, part int, v long"
     ))
     assert log.read(spark).count() == 201
+
+
+def test_maintenance_cli_cdf_timestamp_bounds(spark, tmp_path, capsys):
+    """CLI AS OF TIMESTAMP on the change feed: --from-ts resolves
+    through version_at and the feed matches the version-addressed
+    one."""
+    import json as _json
+    import time as _time
+
+    from cve_manager_spark import maintenance_cli
+
+    log = _mk_table(spark, tmp_path)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    log.delete_where_mor(spark, F.col("k") < 40)
+    assert maintenance_cli.main(
+        ["cdf", "--path", str(log.root), "--from-ts", str(t_mid)]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["v_from"] == 0 and rep["changes_by_type"] == {"delete": 40}
+    with pytest.raises(SystemExit, match="not both"):
+        maintenance_cli.main(
+            ["cdf", "--path", str(log.root), "--from", "0",
+             "--from-ts", str(t_mid)]
+        )
