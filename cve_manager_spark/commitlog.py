@@ -386,6 +386,27 @@ class TableLog:
         )
         return {"version": v, "layout": list(pcols)}
 
+    def to_view(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        timestamp: float | None = None,
+        where: dict | None = None,
+    ) -> DataFrame:
+        """Expose one snapshot to ``spark.sql`` as a temp view: the
+        view's plan IS the manifest-resolved (and DV-applied,
+        zone-map-prunable) read, so SQL users get the commit log's
+        correctness without touching the API — the same reason Delta
+        registers tables instead of letting users read the directory.
+        The view pins the snapshot AT CREATION: later commits don't
+        leak in until re-registered (re-run to follow the head).
+        Returns the underlying DataFrame."""
+        df = self.read(spark, version=version, timestamp=timestamp,
+                       where=where)
+        df.createOrReplaceTempView(name)
+        return df
+
     def constraints_of(self, version: int | None = None) -> dict:
         """The CHECK constraints recorded at ``version`` —
         ``{name: sql_expr}`` — versioned with the data like schema and

@@ -1929,3 +1929,26 @@ def test_maintenance_cli_cdf_timestamp_bounds(spark, tmp_path, capsys):
             ["cdf", "--path", str(log.root), "--from", "0",
              "--from-ts", str(t_mid)]
         )
+
+
+def test_to_view_exposes_snapshot_to_sql(spark, tmp_path):
+    """spark.sql over a committed table through to_view: DV-applied,
+    snapshot-pinned at creation (later commits invisible until
+    re-registered), time-travel variants register too."""
+    log = _mk_table(spark, tmp_path)
+    log.delete_where_mor(spark, F.col("k") < 50)
+    log.to_view(spark, "lake_t")
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, MIN(k) AS mn FROM lake_t"
+    ).first()
+    assert (got["n"], got["mn"]) == (150, 50)
+    # pinned: a later commit doesn't leak into the registered view
+    log.delete_where_mor(spark, F.col("k") >= 150)
+    assert spark.sql("SELECT COUNT(*) AS n FROM lake_t").first()["n"] == 150
+    # time travel registers too
+    log.to_view(spark, "lake_t0", version=0)
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM lake_t0"
+    ).first()["n"] == 200
+    spark.catalog.dropTempView("lake_t")
+    spark.catalog.dropTempView("lake_t0")
