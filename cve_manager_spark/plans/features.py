@@ -5792,9 +5792,10 @@ WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
     "anti-joined at scan — broadcast while small, the exact count "
     "known from the manifest) and rewriting every touched file's "
     "terabytes; compact()/zorder() materialize the vectors back when "
-    "read amplification accumulates. Cites reference semantics: COW "
-    "delete parity is timetravel_delete's face; this face is the "
-    "same content through the MOR path.",
+    "read amplification accumulates. COW-delete parity is proven "
+    "row-for-row by test_mor_matches_cow_delete_semantics_exactly "
+    "(tests/test_deletion_vectors.py); this face is the same content "
+    "through the MOR path.",
     priority=8,
 )
 def timetravel_dv_delete(spark: SparkSession, sf: str) -> DataFrame:
