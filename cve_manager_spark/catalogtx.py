@@ -481,12 +481,21 @@ class CatalogLog:
 
     def read_all(self, spark: SparkSession,
                  version: int | None = None,
-                 tag: str | None = None) -> dict[str, DataFrame]:
+                 tag: str | None = None,
+                 timestamp: float | None = None) -> dict[str, DataFrame]:
         """A CONSISTENT multi-table snapshot: every table at the pins of
         one catalog version — the read face of atomicity. The table
         SET is part of the snapshot too: a version before an
         ``add_table`` excludes the newcomer, one before a
-        ``drop_table`` still includes the dropped table."""
+        ``drop_table`` still includes the dropped table. ``timestamp``
+        resolves through :meth:`version_at` (exclusive with
+        ``version``/``tag``) — the whole-pipeline AS OF."""
+        if timestamp is not None:
+            if version is not None or tag is not None:
+                raise ValueError(
+                    "read_all: pass one of version / tag / timestamp"
+                )
+            version = self.version_at(timestamp)
         v, _ = self.snapshot(version, tag=tag)
         pins = self._read_manifest(v)["pins"]
         return {

@@ -1367,3 +1367,27 @@ def test_branch_registry_list_and_safe_delete(spark, tmp_path, capsys):
         ["catalog-branch", "--catalog", str(cat.root),
          "--delete-branch", str(tmp_path / "feat-reg2")]
     ) == 0
+
+
+def test_read_all_as_of_timestamp(spark, tmp_path):
+    """read_all(timestamp=) returns the whole pipeline's mutually
+    consistent table set as of one instant — including the table SET
+    (a later add is absent from the earlier instant)."""
+    import time as _time
+
+    cat, flog, dlog = _mk_catalog(spark, tmp_path)
+    _time.sleep(0.05)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    txn = cat.begin()
+    txn.table("facts").delete_where(spark, "f_id < 30")
+    txn.add_table("late_t", _new_table(spark, tmp_path, "late_t", n=4))
+    cat.commit(txn)
+    then = cat.read_all(spark, timestamp=t_mid)
+    assert set(then) == {"facts", "dim"}
+    assert then["facts"].count() == 100
+    now = cat.read_all(spark, timestamp=_time.time())
+    assert set(now) == {"facts", "dim", "late_t"}
+    assert now["facts"].count() == 70
+    with pytest.raises(ValueError, match="one of"):
+        cat.read_all(spark, version=0, timestamp=t_mid)
