@@ -666,3 +666,77 @@ def test_blind_append_retry_inherits_interleaved_dv(spark, tmp_path):
     assert sum(
         _manifest(log, 2)["dv"]["counts"].values()
     ) == 50
+
+
+# -- model-based fuzz: arbitrary DML sequences vs a dict model --------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("mor_del"), st.integers(0, 9)),
+        st.tuples(st.just("cow_del"), st.integers(0, 9)),
+        st.tuples(st.just("mor_upd"), st.integers(0, 9)),
+        st.tuples(st.just("append"), st.integers(0, 9)),
+        st.tuples(st.just("merge_mor"), st.integers(0, 9)),
+        st.tuples(st.just("compact"), st.integers(0, 0)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ops=_OPS)
+def test_dml_sequences_match_dict_model(spark, tmp_path_factory, ops):
+    """Protocol fuzz: an arbitrary interleaving of MOR deletes, COW
+    deletes, MOR updates, appends, MOR merges, and compactions must
+    leave the table equal to a plain-Python dict model applying the
+    same operations — AND the metadata-only row_count equal to the
+    scan, whatever the dv/materialization state the sequence left."""
+    tmp_path = tmp_path_factory.mktemp("dmlfuzz")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("int").alias("g"),
+        (F.col("id") * 3).alias("v"),
+    )
+    df.repartition(3, "k").write.parquet(str(tmp_path / "t"))
+    log = TableLog(str(tmp_path / "t"))
+    log.init()
+    model = {k: (int(k % 10), k * 3) for k in range(60)}
+    next_k = 1000
+    for op, arg in ops:
+        if op == "mor_del":
+            log.delete_where_mor(spark, f"g = {arg}")
+            model = {k: r for k, r in model.items() if r[0] != arg}
+        elif op == "cow_del":
+            log.delete_where(spark, f"g = {arg}")
+            model = {k: r for k, r in model.items() if r[0] != arg}
+        elif op == "mor_upd":
+            log.update_where_mor(spark, f"g = {arg}", {"v": "v + 1"})
+            model = {
+                k: (r[0], r[1] + 1) if r[0] == arg else r
+                for k, r in model.items()
+            }
+        elif op == "append":
+            log.append(spark, spark.createDataFrame(
+                [(next_k, arg, next_k * 3)], "k long, g int, v long"
+            ))
+            model[next_k] = (arg, next_k * 3)
+            next_k += 1
+        elif op == "merge_mor":
+            # upsert one existing-or-new key per group value
+            key = arg  # k in [0,10) may or may not survive prior dels
+            log.merge_upsert_mor(spark, spark.createDataFrame(
+                [(key, arg, 777)], "k long, g int, v long"
+            ), ["k"])
+            model[key] = (arg, 777)
+        elif op == "compact":
+            log.compact(spark, target_rows_per_file=50)
+    got = {
+        r["k"]: (r["g"], r["v"]) for r in log.read(spark).collect()
+    }
+    assert got == model
+    assert log.row_count() == len(model)
