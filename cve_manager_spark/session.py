@@ -50,12 +50,31 @@ def get_session(app_name: str = "cve_manager_spark", master: str | None = None) 
     return tune(spark)
 
 
+# Sessions already tuned, by py4j target id of the underlying Java session
+# (an attribute read, no JVM round trip). tune() is called on every
+# load_table — ~9 py4j conf round trips per call (~8 ms measured) that a
+# query path pays once per table it touches; with ~150 table loads per
+# bench pass that was ~1 s/pass of pure driver chatter re-setting values
+# that never change (optimization guide §5: the driver should do almost no
+# per-query work). A fresh Python wrapper over the same JVM session just
+# pays one redundant tune; a stopped-and-recreated session gets a new
+# target id and is tuned from scratch.
+_TUNED: set[str] = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine confs to an existing session.
+    """Apply runtime-settable engine confs to an existing session (once).
 
     Used on the driver-provided session so query semantics (timezone,
-    AQE, pruning) do not depend on who built the session.
+    AQE, pruning) do not depend on who built the session. Idempotent and
+    memoized: repeated calls on the same live session are a no-op.
     """
+    try:
+        key = spark._jsparkSession._target_id
+    except Exception:
+        key = None  # Spark Connect: no JVM handle; apply unconditionally
+    if key is not None and key in _TUNED:
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
@@ -63,4 +82,6 @@ def tune(spark: SparkSession) -> SparkSession:
             # Non-runtime-settable in this deployment — keep going; every
             # conf above is runtime-settable on stock Spark 3.5/4.x.
             pass
+    if key is not None:
+        _TUNED.add(key)
     return spark
