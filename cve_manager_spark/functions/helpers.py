@@ -188,6 +188,85 @@ def fan_out(df, target: int | None = None):
 KMV_POW60 = 1152921504606846976  # 2^60
 
 
+def long_array_lit(vals) -> Column:
+    """``array<bigint>`` literal built as ONE parsed SQL expression.
+
+    ``F.lit(list)`` / ``F.array(*[F.lit(v) for v in vals])`` cross the
+    py4j boundary once per element (measured: ~34 ms for a 64-wide array,
+    ~150 ms for the per-element form) — pure DRIVER time paid every time
+    a query embeds a frozen vector (centroids, PCA directions, drift
+    stats). One ``F.expr`` string is a single round trip (~7 ms); the
+    optimizer constant-folds the parsed CreateArray of foldable literals
+    into the exact same Literal node, so physical plans are unchanged.
+    """
+    if not vals:
+        return F.lit([]).cast("array<bigint>")
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
+def long_matrix_lit(rows) -> Column:
+    """``array<array<bigint>>`` literal via ONE parsed expression — the
+    2-D companion of :func:`long_array_lit` (a k x d centroid table via
+    ``F.lit`` measured ~390 ms of py4j chatter; this form is ~60 ms)."""
+    if not rows:
+        return F.lit([]).cast("array<array<bigint>>")
+    inner = ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in r) + ")" for r in rows
+    )
+    return F.expr(f"array({inner})")
+
+
+def double_array_lit(vals) -> Column:
+    """``array<double>`` literal via ONE parsed expression (see
+    :func:`long_array_lit`). ``repr`` round-trips IEEE doubles exactly
+    and the SQL parser's correctly-rounded parse restores the same bits;
+    non-finite values fall back to the per-element path."""
+    import math
+
+    fs = [float(v) for v in vals]
+    if not fs or not all(math.isfinite(v) for v in fs):
+        return F.array(*[F.lit(v) for v in fs])
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in fs) + ")")
+
+
+def values_relation(spark, rows, colspec: str):
+    """Tiny literal relation as a pure-JVM ``VALUES`` LocalRelation.
+
+    ``spark.createDataFrame(small_list)`` parallelizes pickled rows over
+    ``defaultParallelism`` partitions, so every ACTION that touches the
+    3-row spine spawns a Python worker per core just to deserialize it —
+    measured ~7 core-s / 32 mostly-empty tasks per run on local[32], and
+    the worker-fork storm is what made those queries degrade first under
+    host load. ``VALUES`` parses in one py4j call and scans as a
+    LocalTableScan: zero Python workers, zero tasks for the spine.
+
+    ``colspec`` is the same "name type, ..." DDL string createDataFrame
+    took; values are rendered as typed SQL literals (int/long/double/
+    string/bool/None).
+    """
+    def render(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return str(v) if -2147483648 <= v <= 2147483647 else f"{v}L"
+        if isinstance(v, float):
+            return f"{v!r}D"
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    cols = [c.strip().split()[0] for c in colspec.split(",")]
+    types = [c.strip().split(None, 1)[1] for c in colspec.split(",")]
+    body = ",".join("(" + ",".join(render(v) for v in r) + ")" for r in rows)
+    df = spark.sql(f"SELECT * FROM VALUES {body} AS t({','.join(cols)})")
+    from pyspark.sql import functions as FF
+
+    return df.select(
+        *[FF.col(c).cast(t).alias(c) for c, t in zip(cols, types)]
+    )
+
+
 def kmv_hash60(elem: Column) -> Column:
     """60-bit uniform hash of an element expression for KMV sketches."""
     from pyspark.sql import functions as F

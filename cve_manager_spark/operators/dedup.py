@@ -91,18 +91,37 @@ def _hashed_shingle_relation(
     ex = sh.select(
         "id", *carry, "n_sh", F.explode("shingles").alias("shingle")
     ).select("id", *carry, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
-    raw = None
-    if persist_shingles and max_doc_freq_frac is not None:
-        # The shingle scan is read by the doc-frequency statistics pass
-        # AND the capped-relation build; without an explicit
-        # materialization Spark computes it once per consumer (~2-3× the
-        # query time measured). At cluster scale this is "write the shingle
-        # index once, join against it" — persist is the local analogue.
+    if persist_shingles:
+        # ONE materialization, hash-partitioned + sorted on the join key:
+        # every downstream pair join keys on shingle_h, so paying the
+        # exchange ONCE here lets a sort-merge pair join read both
+        # branches from the cache with zero further exchanges and zero
+        # sorts (asserted in tests/test_plans_shape.py with broadcast
+        # joins disabled — locally AQE broadcasts the small side instead,
+        # which is also exchange-free on the big side). At cluster scale
+        # this is "write the shingle index once, join against it".
+        #
+        # r14: the index is persisted UNCAPPED and the stop-shingle
+        # filter below rides every read as a broadcast anti-join. The
+        # previous shape materialized twice (a raw copy for the
+        # doc-frequency statistics, then a second exchange + persist of
+        # the capped copy); since the statistics aggregate keys on
+        # shingle_h too, it reads this cache's layout exchange-free — one
+        # barrier and one shuffle instead of two of each, with identical
+        # capped content (the anti-join is map-side on both pair-join
+        # branches).
         from pyspark import StorageLevel
 
-        raw = ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        ex = (
+            ex.repartition("shingle_h")
+            .sortWithinPartitions("shingle_h")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         # Materialization barrier: without it the consumers race the cold
-        # cache and each computes the scan anyway.
+        # cache and each computes the scan anyway — and planning the
+        # consumers AFTER the cache is final is what lets them see its
+        # hashpartitioning (an unmaterialized AQE cache reports unknown
+        # partitioning and the join would re-exchange it).
         ex.count()
     if max_doc_freq_frac is not None:
         # Stop-shingle filter as a broadcast ANTI-join: the STOP set
@@ -110,9 +129,9 @@ def _hashed_shingle_relation(
         # at most (total shingle instances)/(frac·N) ≈ avg_sh/frac distinct
         # shingles — so instead of shuffling the full relation against the
         # huge KEEP set, broadcast the tiny complement and filter in place.
-        # The df statistics are one map-side-combined aggregation over the
-        # persisted relation; the corpus count joins as a broadcast 1-row
-        # relation (no driver-side scalar).
+        # The df statistics are one aggregation over the persisted relation
+        # (exchange-free on its cached layout); the corpus count joins as a
+        # broadcast 1-row relation (no driver-side scalar).
         total = sh.agg(F.count(F.lit(1)).alias("__n_docs"))
         stop = (
             ex.groupBy("shingle_h")
@@ -122,26 +141,6 @@ def _hashed_shingle_relation(
             .select("shingle_h")
         )
         ex = ex.join(F.broadcast(stop), "shingle_h", "left_anti")
-    if persist_shingles:
-        # Re-persist hash-partitioned + sorted on the join key: every
-        # downstream pair join keys on shingle_h, so paying the exchange
-        # ONCE here lets a sort-merge pair join read both branches from
-        # the cache with zero further exchanges and zero sorts (asserted
-        # in tests/test_plans_shape.py with broadcast joins disabled —
-        # locally AQE broadcasts the small side instead, which is also
-        # exchange-free on the big side). The raw unpartitioned cache
-        # only backed the statistics pass; drop it once the capped
-        # partitioned copy is materialized.
-        from pyspark import StorageLevel
-
-        ex = (
-            ex.repartition("shingle_h")
-            .sortWithinPartitions("shingle_h")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        ex.count()
-        if raw is not None and raw is not ex:
-            raw.unpersist()
     return ex
 
 
@@ -497,7 +496,14 @@ def simhash_near_dups(
     least one band (pigeonhole guarantees recall for small Hamming
     distance), then verify with exact bit_count.
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
+    # Three consumers (band keys + both verify join-backs) — persist so
+    # the 64-bit-sum fingerprint aggregate runs once, not per branch.
+    from pyspark import StorageLevel
+
+    fp = simhash_fingerprints(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    fp.count()
     n_bands = 64 // band_bits
     bands = fp.select(
         "id",
@@ -889,7 +895,19 @@ def simhash_det_pairs(
         )
         .where(F.size("shingles") > 0)
     )
-    fp = sh.select("id", simhash_det_fingerprint(F.col("shingles")).alias("f"))
+    # Persist the fingerprint relation: both sides of the band self-join
+    # read it, and without a materialization barrier each branch evaluates
+    # the Arrow fingerprint kernel over the whole corpus again (the plan
+    # carried TWO ArrowEvalPython subtrees; profiled at sf0.1 the two UDF
+    # stages were ~21 of the query's ~22 core-s). At corpus scale this is
+    # "write the fingerprint index once, join against it" — the shingle
+    # cache's argument applied to the signature pass.
+    from pyspark import StorageLevel
+
+    fp = sh.select(
+        "id", simhash_det_fingerprint(F.col("shingles")).alias("f")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fp.count()
     keys = fp.select(
         "id",
         "f",

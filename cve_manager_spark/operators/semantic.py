@@ -40,6 +40,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cve_manager_spark.functions.helpers import (
+    long_array_lit,
+    long_matrix_lit,
+    values_relation,
+)
+
 QUANT_SCALE = 1_000_000
 
 
@@ -62,7 +68,7 @@ def dot_lit(q: Column, cvec: list[int]) -> Column:
     per-element ``F.array(*[F.lit(v) ...])`` form puts k·d literal nodes
     in the tree and the analysis/codegen time of that tree dominated the
     whole query at small scale (measured: ~40% of embedding_kmeans)."""
-    arr = F.lit([int(v) for v in cvec])
+    arr = long_array_lit(cvec)
     return F.aggregate(
         F.zip_with(q, arr, lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -87,10 +93,8 @@ def assign_clusters(qdf: DataFrame, cents: list[list[int]]) -> DataFrame:
     limit. Integer math is unchanged: same products, same fold order,
     same struct ordering for the tie-break.
     """
-    cents_lit = F.lit([[int(v) for v in c] for c in cents]).cast(
-        "array<array<bigint>>"
-    )
-    cc_lit = F.lit([sum(v * v for v in c) for c in cents]).cast("array<bigint>")
+    cents_lit = long_matrix_lit(cents)
+    cc_lit = long_array_lit([sum(v * v for v in c) for c in cents])
     structs = F.transform(
         cents_lit,
         lambda c, i: F.struct(
@@ -248,14 +252,14 @@ def pca_power_top(
     n = sums["n"]
     mu = [math.floor(sums[f"s{j}"] / n) for j in range(d)]
 
-    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    mu_lit = long_array_lit(mu)
     x = q.select(F.zip_with("q", mu_lit, lambda a, b: a - b).alias("x"))
 
     v = _power_iterate(x, d, iters)
 
     spark = df.sparkSession
-    return spark.createDataFrame(
-        [(j, int(v[j])) for j in range(d)], "dim int, loading bigint"
+    return values_relation(
+        spark, [(j, int(v[j])) for j in range(d)], "dim int, loading bigint"
     )
 
 
@@ -265,7 +269,7 @@ def _power_iterate(x: DataFrame, d: int, iters: int) -> list[int]:
     centered), returns the direction as d ints scaled to max 1e6."""
     v = [1 if j == 0 else 0 for j in range(d)]
     for it in range(iters):
-        v_lit = F.array(*[F.lit(int(vj)).cast("long") for vj in v])
+        v_lit = long_array_lit(v)
         y = F.aggregate(
             F.zip_with("x", v_lit, lambda a, b: a * b),
             F.lit(0).cast("long"),
@@ -325,7 +329,7 @@ def pca_deflate_expr(x_col: str, p_col: str, v: list[int]):
     with truncation-toward-zero on the rescale (Java ``%`` keeps the
     dividend's sign, so (val − val%1e6)/1e6 is the exact truncating
     quotient DuckDB's ``//`` computes — the pca_residual_norms recipe)."""
-    v_lit = F.array(*[F.lit(int(vj)).cast("long") for vj in v])
+    v_lit = long_array_lit(v)
 
     def rd(a, b):
         val = a * F.lit(1000000) - F.col(p_col) * b
@@ -340,7 +344,7 @@ def proj_expr(x_col: str, v: list[int]):
     """In-row projection p = floor(<x, v>/1e6) onto a direction literal
     (scale 1e6) — exact: |<x,v>|/1e6 < 2^27 so the double quotient sits
     far from any integer boundary (the drift_projection argument)."""
-    v_lit = F.array(*[F.lit(int(vj)).cast("long") for vj in v])
+    v_lit = long_array_lit(v)
     dot = F.aggregate(
         F.zip_with(x_col, v_lit, lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -387,7 +391,7 @@ def pca_power_topr(
     ).head()
     n = sums["n"]
     mu = [math.floor(sums[f"s{j}"] / n) for j in range(d)]
-    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    mu_lit = long_array_lit(mu)
     x = q.select(F.zip_with("q", mu_lit, lambda a, b: a - b).alias("x"))
 
     vs: list[list[int]] = []
@@ -537,8 +541,8 @@ def drift_projection(
     rescale by floor(·/1e6) — (id, p BIGINT), no join, no shuffle.
     Exact-integer throughout, so batch and stream evaluations agree
     bit-for-bit (the embedding_drift_buckets oracle recipe)."""
-    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
-    v_lit = F.array(*[F.lit(int(vj)).cast("long") for vj in v])
+    mu_lit = long_array_lit(mu)
+    v_lit = long_array_lit(v)
     q = df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("q"))
     x = q.select(
         id_col, F.zip_with("q", mu_lit, lambda a, b: a - b).alias("x")

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cve_manager_spark.functions.helpers import double_array_lit
+
 
 def as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -101,7 +103,7 @@ def hyperplane_lsh_buckets(
     v = as_double(F.col(vec_col))
     bucket = F.lit(0)
     for i, plane in enumerate(_planes(dim, n_planes, seed)):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = double_array_lit(plane)
         bucket = bucket + F.when(dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return df.withColumn("bucket", bucket)
 

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cve_manager_spark.functions.helpers import fan_out
+from cve_manager_spark.functions.helpers import fan_out, values_relation
 
 # A small English stopword core; enough for ratio features.
 STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
@@ -231,8 +231,10 @@ def bpe_train(
 
     spark = df.sparkSession
     vocab.unpersist()
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    return values_relation(
+        spark,
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
     )
 
 

@@ -34,7 +34,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cve_manager_spark.functions.helpers import dec, dec_sum, fan_out
+from cve_manager_spark.functions.helpers import dec, dec_sum, fan_out, values_relation
 from cve_manager_spark.plans.spec import QuerySpec
 from cve_manager_spark.plans.corpus import _GINI_DOC
 from cve_manager_spark.sources.testdata import load_table, register_views
@@ -2888,8 +2888,8 @@ def hash_sample_quantile_error(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("v", "rn", "ns")
     )
-    qs = spark.createDataFrame(
-        [(500000,), (900000,), (990000,)], "q_ppm int"
+    qs = values_relation(
+        spark, [(500000,), (900000,), (990000,)], "q_ppm int"
     )
     est = (
         qs.join(
@@ -2988,7 +2988,7 @@ def sample_size_quantile_sweep(spark: SparkSession, sf: str) -> DataFrame:
     samp = samp.withColumn("rs", F.row_number().over(ws)).select(
         "event_id", "v", "rs"
     )
-    ks = spark.createDataFrame([(64,), (256,), (1024,)], "k int")
+    ks = values_relation(spark, [(64,), (256,), (1024,)], "k int")
     r = samp.crossJoin(F.broadcast(ks)).where(F.col("rs") <= F.col("k"))
     wk = Window.partitionBy("k").orderBy("v", "event_id")
     r = r.withColumn("rn", F.row_number().over(wk)).withColumn(
@@ -2999,8 +2999,8 @@ def sample_size_quantile_sweep(spark: SparkSession, sf: str) -> DataFrame:
             )
         ),
     )
-    qs = spark.createDataFrame(
-        [(500000,), (900000,), (990000,)], "q_ppm int"
+    qs = values_relation(
+        spark, [(500000,), (900000,), (990000,)], "q_ppm int"
     )
     est = (
         r.crossJoin(F.broadcast(qs))

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cve_manager_spark.functions.helpers import dec, dec_sum, fan_out
+from cve_manager_spark.functions.helpers import dec, dec_sum, fan_out, values_relation
 from cve_manager_spark.operators import dedup as D
 from cve_manager_spark.operators import similarity as S
 from cve_manager_spark.operators import text as T
@@ -1076,7 +1076,8 @@ GROUP BY th.threshold
 def quality_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf, "documents"))
     s = _quality_scored(docs).select("doc_id", "score")
-    th = spark.createDataFrame(
+    th = values_relation(
+        spark,
         [(t,) for t in (200000, 300000, 400000, 500000, 600000)],
         "threshold int",
     )

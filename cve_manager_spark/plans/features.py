@@ -1585,9 +1585,21 @@ def triangle_count(spark: SparkSession, sf: str) -> DataFrame:
 
     li = load_table(spark, sf, "lineitem")
     # per-order pairs in-row: sorted distinct part set -> u<v pairs via
-    # nested transform/slice (k parts -> k(k-1)/2 rows, no self-join)
-    ps = li.groupBy(F.col("l_orderkey").alias("o")).agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    # nested transform/slice (k parts -> k(k-1)/2 rows, no self-join).
+    # The explicit repartition pins the aggregate's exchange at full
+    # parallelism: the k(k-1)/2 pair GENERATE runs in the stage right
+    # after this exchange, and AQE's byte-based coalescer — blind to
+    # per-row CPU — folded it onto 4 tasks at sf0.1 (5 MB of partials /
+    # 1 MB min size) while 28 cores idled (guide §2.5: the coalescer
+    # can't see compute-heavy small-byte stages). A user repartition on
+    # the SAME key satisfies the aggregate's distribution requirement, so
+    # the plan still has ONE exchange here — just a non-coalescible one.
+    n_fan = spark.sparkContext.defaultParallelism
+    ps = (
+        li.select(F.col("l_orderkey").alias("o"), "l_partkey")
+        .repartition(n_fan, "o")
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
     pairs = ps.select(
         F.explode(

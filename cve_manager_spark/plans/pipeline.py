@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from cve_manager_spark.operators import dedup as D
 from cve_manager_spark.operators import similarity as S
-from cve_manager_spark.functions.helpers import fan_out
+from cve_manager_spark.functions.helpers import fan_out, values_relation
 from cve_manager_spark.operators import text as T
 from cve_manager_spark.plans.spec import QuerySpec
 from cve_manager_spark.sources.testdata import load_table
@@ -752,8 +752,8 @@ WHERE ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) % 20 < r.pct
 )
 def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    rates = spark.createDataFrame(
-        [("en", 2), ("de", 5), ("fr", 10), ("es", 20)], "lang string, pct int"
+    rates = values_relation(
+        spark, [("en", 2), ("de", 5), ("fr", 10), ("es", 20)], "lang string, pct int"
     )
     bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 20
     return (

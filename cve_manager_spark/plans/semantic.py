@@ -32,7 +32,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cve_manager_spark.operators.semantic import kmeans_quantized
-from cve_manager_spark.functions.helpers import dec, dec_sum, fan_out
+from cve_manager_spark.functions.helpers import (
+    dec,
+    dec_sum,
+    fan_out,
+    long_array_lit,
+    long_matrix_lit,
+)
 from cve_manager_spark.plans.spec import QuerySpec
 from cve_manager_spark.sources.testdata import load_table
 
@@ -538,8 +544,8 @@ def pca_projection_by_label(spark: SparkSession, sf: str) -> DataFrame:
     ).head()
     n = sums["n"]
     mu = [math.floor(sums[f"s{j}"] / n) for j in range(len(v))]
-    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
-    v_lit = F.array(*[F.lit(int(vj)).cast("long") for vj in v])
+    mu_lit = long_array_lit(mu)
+    v_lit = long_array_lit(v)
     x = q.select(
         "vec_id",
         "label",
@@ -990,8 +996,8 @@ def pca_residual_norms(spark: SparkSession, sf: str) -> DataFrame:
     ).head()
     n = sums["n"]
     mu = [math.floor(sums[f"s{j}"] / n) for j in range(len(v))]
-    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
-    v_lit = F.array(*[F.lit(int(vj)).cast("long") for vj in v])
+    mu_lit = long_array_lit(mu)
+    v_lit = long_array_lit(v)
     x = q.select(
         "vec_id", "label", F.zip_with("q", mu_lit, lambda a, b: a - b).alias("x")
     )
@@ -2336,9 +2342,7 @@ def pq_reconstruction_error(spark: SparkSession, sf: str) -> DataFrame:
     cols = []
     for j in range(m):
         sub = F.slice("__q", j * w + 1, w)
-        book_lit = F.lit([[int(v) for v in cw] for cw in books[j]]).cast(
-            "array<array<bigint>>"
-        )
+        book_lit = long_matrix_lit(books[j])
         cw = F.element_at(book_lit, F.element_at("pq_code", j + 1) + 1)
         err = F.aggregate(
             F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
@@ -2511,7 +2515,7 @@ def pca_topr_residual_norms(spark: SparkSession, sf: str) -> DataFrame:
             emb, vec_col="embedding", id_col="vec_id", r=3, iters=2
         ),
     )
-    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    mu_lit = long_array_lit(mu)
     q = emb.select(
         "vec_id", "label", quantize_vec(F.col("embedding")).alias("q")
     )

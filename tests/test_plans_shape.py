@@ -659,10 +659,17 @@ def test_shingle_pair_join_reads_partitioned_cache_without_exchange(spark):
         )
         tree = plan.split("\n\n")[0]
         assert "SortMergeJoin" in tree
-        # Drop every InMemoryRelation subtree (the cached BUILD plan,
-        # by indentation depth); what remains is the live execution
-        # plan, which must contain no Exchange and no Sort — the cache
-        # supplies both the partitioning and the ordering.
+        # The r14 single-materialization shape applies the stop-shingle
+        # cap as a broadcast anti-join riding each read, so both pair
+        # branches must carry it map-side (cache scan -> anti-join ->
+        # SMJ, no exchange in between).
+        assert tree.count("BroadcastHashJoin LeftAnti") >= 2
+        # Drop every InMemoryRelation subtree (the cached BUILD plan) and
+        # every BroadcastExchange subtree (the bounded stop-set build —
+        # its own tiny aggregate legitimately exchanges ≤ avg_sh/frac
+        # rows), by indentation depth; what remains is the data-sized
+        # live plan, which must contain no Exchange and no Sort — the
+        # cache supplies both the partitioning and the ordering.
         live: list[str] = []
         skip_deeper_than: int | None = None
         for ln in tree.splitlines():
@@ -670,8 +677,13 @@ def test_shingle_pair_join_reads_partitioned_cache_without_exchange(spark):
             if skip_deeper_than is not None and indent > skip_deeper_than:
                 continue
             skip_deeper_than = None
-            if "InMemoryRelation" in ln:
+            if "InMemoryRelation" in ln or "BroadcastExchange" in ln:
                 skip_deeper_than = indent
+                continue
+            if "ReusedExchange" in ln:
+                # a reuse of the dropped broadcast build; a reused DATA
+                # shuffle would require its original Exchange elsewhere
+                # in the live plan, which the assertion below catches
                 continue
             live.append(ln)
         live_plan = "\n".join(live)
