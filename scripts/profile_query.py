@@ -99,6 +99,7 @@ def main() -> None:
                 f"sr={s.get('shuffleReadBytes',0)/1e6:8.2f}MB "
                 f"sw={s.get('shuffleWriteBytes',0)/1e6:8.2f}MB "
                 f"in={s.get('inputBytes',0)/1e6:8.2f}MB "
+                f"gc={s.get('jvmGcTime',0)/1000.0:5.1f}cs "
                 f"spill={s.get('diskBytesSpilled',0)/1e6:6.1f}MB "
                 f"t0={first} "
                 f"{(s.get('description') or s.get('name') or '')[:60]}"
