@@ -146,34 +146,43 @@ def pagerank_int(
     div truncation) is deliberately dropped, the simplest of the standard
     conventions, and stated here so the oracle matches by construction.
 
-    Per-iteration cost: one join of edges against the rank relation keyed
-    on the source + one hash aggregate keyed on the target — both shuffle
-    O(|E|); the node relation rejoins with a left join to keep rank for
-    nodes with no in-edges. Lineage is checkpoint-truncated per iteration
-    like connected_components. Fixed small iteration counts (3-5) are the
-    production norm for link-quality features; convergence detection is
-    not needed.
+    Per-iteration cost: one join of edges against the per-source
+    contribution relation keyed on the source + one hash aggregate keyed
+    on the target — both shuffle O(|E|); the node relation rejoins with
+    a left join to keep rank for nodes with no in-edges. Fixed small
+    iteration counts (3-5) are the production norm for link-quality
+    features; convergence detection is not needed.
+
+    r14 shape: the contribution-per-source relation c = ranks ⋈ outdeg
+    (a |V| ⋈ |V| join) replaces the previous |E|-wide outdeg-annotated
+    edge checkpoint — at scale the edge relation is materialized once,
+    not twice, and the per-iteration big join carries (src, c) instead
+    of (src, dst, outdeg, rank). outdeg and nodes are LAZY checkpoints:
+    the single final job materializes each once and every iteration
+    reuses the blocks, so the fixed-point runs as one job after the
+    edge checkpoint instead of paying three eager barrier jobs
+    (measured 2.26 -> 1.95 s solo at sf0.1, identical rank hash).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint(eager=True)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # edge list annotated once with outdeg — reused every iteration
-    ed = e.join(outdeg, "src").localCheckpoint(eager=True)
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     base = (100 - damping_pct) * 10_000
     ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
     for i in range(iterations):
-        contrib = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select("dst", F.expr("rank div outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+        c = ranks.join(outdeg, ranks.node == outdeg.src).select(
+            "src", F.expr("rank div outdeg").alias("c")
         )
+        contrib = e.join(c, "src").groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
             "node",
             (
@@ -207,11 +216,21 @@ def k_core(
     Each round is one hash aggregate (degrees) + one semi-join restrict
     on the symmetrized edge relation — both keyed on the node id, so the
     exchange layout is reused round to round; lineage is truncated per
-    round (localCheckpoint) like the other iterative operators here. The
-    driver sees one scalar edge-count per round: peeling is monotone
-    (edge set only shrinks), so an unchanged count IS the fixpoint.
-    Rounds are bounded by the peeling depth (degeneracy ordering), which
-    is ≤ a few dozen on real corpora; raises if max_rounds is hit.
+    round (localCheckpoint) like the other iterative operators here.
+
+    r14 round shape: the driver sees ONE scalar aggregate per round —
+    (n_nodes, n_survivors) from the degree relation. Equality IS the
+    fixpoint: every node of the restricted edge relation appears in the
+    degree aggregate, so "no node under-degree" means no edge would be
+    dropped. The previous shape paid two jobs per round (an eager
+    checkpoint of the restricted edges, then a separate edge count);
+    now the checkpoint is lazy and the NEXT round's stats job
+    materializes it, so per round exactly one job runs (measured on the
+    graph_kcore edges at sf0.1, identical output hash: 2.34 -> 2.13 s
+    min-of-6; a broadcast-anti-join-on-the-drop-set variant measured
+    slower, kcore_variants.py). Rounds are bounded by the peeling depth
+    (degeneracy ordering), which is ≤ a few dozen on real corpora;
+    raises if max_rounds is hit.
 
     Returns (node, degree) of the surviving core, degrees within it.
     """
@@ -221,25 +240,19 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_edges = cur.count()
     for _ in range(max_rounds):
-        keep = (
-            cur.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .where(F.col("deg") >= k)
-            .select("u")
-        )
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        n_nodes, n_keep = deg.agg(
+            F.count(F.lit(1)), F.count_if(F.col("deg") >= k)
+        ).first()
+        if n_keep == n_nodes:
+            return deg.select(F.col("u").alias("node"), F.col("deg").alias("degree"))
+        keep = deg.where(F.col("deg") >= k).select("u")
         cur = (
             cur.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        n_edges = cur.count()
-        if n_edges == prev_edges:
-            return cur.groupBy(F.col("u").alias("node")).agg(
-                F.count(F.lit(1)).alias("degree")
-            )
-        prev_edges = n_edges
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
 
 
