@@ -186,12 +186,19 @@ def main() -> None:
     # like the per-executor memory a real cluster would give this core
     # count; SPARK_GRAFT_MEM overrides.
     mem = os.environ.get("SPARK_GRAFT_MEM", "16g")
-    spark = tune(
+    from cve_manager_spark.session import STATIC_CONF
+
+    builder = (
         SparkSession.builder.appName("cve_manager_spark-bench")
         .master(f"local[{cpus}]")
         .config("spark.driver.memory", mem)
-        .getOrCreate()
     )
+    # static (builder-only) engine confs — r14: PySpark's per-call
+    # DataFrame-debugging call-site capture costs ~3 py4j round trips per
+    # API call of pure driver time (see session.STATIC_CONF)
+    for k, v in STATIC_CONF.items():
+        builder = builder.config(k, v)
+    spark = tune(builder.getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     q = queries()
 

@@ -188,6 +188,13 @@ def fan_out(df, target: int | None = None):
 KMV_POW60 = 1152921504606846976  # 2^60
 
 
+def long_array_sql(vals) -> str:
+    """SQL text of an ``array<bigint>`` literal — for callers that embed
+    the array inside a larger single F.expr string (one py4j round trip
+    for the WHOLE expression, see :func:`long_array_lit`)."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
 def long_array_lit(vals) -> Column:
     """``array<bigint>`` literal built as ONE parsed SQL expression.
 

@@ -348,6 +348,38 @@ def incremental_near_dups_tagged(
     ).where(F.col("jaccard") >= threshold)
 
 
+def _md5_sig_aggs(num_hashes: int, shingle_col: str = "sh") -> list[Column]:
+    """min-of-digests MinHash signature aggregates as parsed expressions.
+
+    The Column form (min(md5(concat(lit, col))) per hash) is ~5 py4j
+    round trips per hash of pure driver time per query build (guide §5);
+    one F.expr string per aggregate analyzes identically."""
+    return [
+        F.expr(f"min(md5(concat('{s}:', {shingle_col})))").alias(f"s{s}")
+        for s in range(num_hashes)
+    ]
+
+
+def _band_key_explode(sigs: DataFrame, rows_per_band: int, bands: int) -> DataFrame:
+    """(id, band, key) relation from a signature row — the banding step
+    shared by the MinHash faces, as ONE parsed explode expression (the
+    per-struct Column form was pure py4j driver chatter, guide §5).
+    band is an INT literal and key the '|'-joined band rows, exactly as
+    the previous Column form built them."""
+    bands_sql = ",".join(
+        "struct({b} AS band, concat_ws('|', {cols}) AS key)".format(
+            b=b,
+            cols=", ".join(
+                f"s{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sigs.select(
+        "id", F.expr(f"explode(array({bands_sql}))").alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def simhash64(text: Column, n: int = 2) -> Column:
     """64-bit SimHash over word n-gram shingles, fully JVM-side.
 
@@ -623,24 +655,9 @@ def minhash_det_pairs(
         raise ValueError("bands must divide num_hashes")
 
     ex = sh.select("id", F.explode("shingles").alias("sh"))
-    sig_aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
-        for s in range(num_hashes)
-    ]
-    sigs = ex.groupBy("id").agg(*sig_aggs)
+    sigs = ex.groupBy("id").agg(*_md5_sig_aggs(num_hashes))
 
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|", *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    keys = sigs.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    keys = _band_key_explode(sigs, rows_per_band, bands)
     # skew-safe pairing: one hot band key (short docs over a small
     # vocabulary share full signatures) must not serialize the stage
     cand = banded_self_pairs(keys, id_col="id")
@@ -748,10 +765,14 @@ def minhash_lcg_signatures(
         shingle_base31(F.col(shingle_col), 1).alias("__b31a"),
         shingle_base31(F.col(shingle_col), 16).alias("__b31b"),
     )
+    # one parsed expression per aggregate: the Column form (lit*col+lit
+    # % lit, ~8 py4j round trips per hash) cost ~0.6 s of driver time at
+    # 32 hashes per query build (guide §5); F.expr is one round trip and
+    # analyzes to the identical expression (int literals < 2^31 parse as
+    # INT exactly like F.lit(int), promotion to BIGINT unchanged)
     aggs = [
-        F.min(
-            (F.lit(a) * F.col("__b31a" if s % 2 == 0 else "__b31b") + F.lit(b))
-            % F.lit(LCG_P)
+        F.expr(
+            f"min(({a} * {'__b31a' if s % 2 == 0 else '__b31b'} + {b}) % {LCG_P})"
         ).alias(f"s{s}")
         for s, (a, b) in enumerate(lcg_constants(num_hashes))
     ]
@@ -801,18 +822,7 @@ def minhash_lcg_pairs(
     ex = sh.select("id", F.explode("shingles").alias("sh"))
     sigs = minhash_lcg_signatures(ex, num_hashes=num_hashes)
 
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|", *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    keys = sigs.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    keys = _band_key_explode(sigs, rows_per_band, bands)
     # skew-safe pairing: one hot band key must not serialize the stage
     cand = banded_self_pairs(keys, id_col="id")
     pairs = cand.join(
@@ -964,24 +974,8 @@ def minhash_encode(
         word_shingles(F.col(text_col), n).alias("shingles"),
     ).where(F.size("shingles") > 0)
     ex = sh.select("id", F.explode("shingles").alias("sh"))
-    sig_aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"s{s}")
-        for s in range(num_hashes)
-    ]
-    sigs = ex.groupBy("id").agg(*sig_aggs)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|",
-                *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    keys = sigs.select(
-        "id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sigs = ex.groupBy("id").agg(*_md5_sig_aggs(num_hashes))
+    keys = _band_key_explode(sigs, rows_per_band, bands)
     return sh, keys
 
 

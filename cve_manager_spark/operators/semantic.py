@@ -92,26 +92,27 @@ def assign_clusters(qdf: DataFrame, cents: list[list[int]]) -> DataFrame:
     caps how far k can grow before the generated method exceeds the JIT
     limit. Integer math is unchanged: same products, same fold order,
     same struct ordering for the tie-break.
+
+    r14: the whole argmin is ONE parsed SQL expression. The
+    Column-and-lambda form of the same tree cost ~0.2 s of py4j round
+    trips per call on the driver (each higher-order lambda is several
+    JVM calls), paid at every training iteration and once more for the
+    final assignment; the parsed string is a single round trip and
+    analyzes to the identical expression (guide §5: the driver should
+    do almost no per-query work).
     """
-    cents_lit = long_matrix_lit(cents)
-    cc_lit = long_array_lit([sum(v * v for v in c) for c in cents])
-    structs = F.transform(
-        cents_lit,
-        lambda c, i: F.struct(
-            (
-                F.col("qq")
-                - 2
-                * F.aggregate(
-                    F.zip_with(F.col("q"), c, lambda a, b: a * b),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                + F.element_at(cc_lit, i + F.lit(1))
-            ).alias("dist"),
-            i.cast("int").alias("cid"),
-        ),
+    cents_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in c) + ")" for c in cents
+    ) + ")"
+    cc_sql = "array(" + ",".join(
+        f"{sum(int(v) * int(v) for v in c)}L" for c in cents
+    ) + ")"
+    best = F.expr(
+        f"array_min(transform({cents_sql}, (c, i) -> "
+        "struct(qq - 2 * aggregate(zip_with(q, c, (a, b) -> a * b), 0L, "
+        f"(acc, x) -> acc + x) + element_at({cc_sql}, i + 1) AS dist, "
+        "CAST(i AS INT) AS cid)))"
     )
-    best = F.array_min(structs)
     return qdf.withColumn("cluster", best["cid"]).withColumn("dist_q", best["dist"])
 
 
@@ -328,29 +329,32 @@ def pca_deflate_expr(x_col: str, p_col: str, v: list[int]):
     (scale 1e6) from a centered row — r_j = (x_j·1e6 − p·v_j) div 1e6
     with truncation-toward-zero on the rescale (Java ``%`` keeps the
     dividend's sign, so (val − val%1e6)/1e6 is the exact truncating
-    quotient DuckDB's ``//`` computes — the pca_residual_norms recipe)."""
-    v_lit = long_array_lit(v)
+    quotient DuckDB's ``//`` computes — the pca_residual_norms recipe).
 
-    def rd(a, b):
-        val = a * F.lit(1000000) - F.col(p_col) * b
-        return (
-            (val - val % F.lit(1000000)).cast("double") / F.lit(1000000.0)
-        ).cast("long")
+    ONE parsed expression (r14): the Column-lambda form cost ~0.1 s of
+    py4j driver time per call (guide §5); 1000000.0D is the DOUBLE
+    literal F.lit(1000000.0) was (a bare 1000000.0 parses as DECIMAL)."""
+    from cve_manager_spark.functions.helpers import long_array_sql
 
-    return F.zip_with(x_col, v_lit, rd)
+    val = f"(a * 1000000 - {p_col} * b)"
+    return F.expr(
+        f"zip_with({x_col}, {long_array_sql(v)}, (a, b) -> "
+        f"CAST(CAST({val} - {val} % 1000000 AS DOUBLE) / 1000000.0D AS BIGINT))"
+    )
 
 
 def proj_expr(x_col: str, v: list[int]):
     """In-row projection p = floor(<x, v>/1e6) onto a direction literal
     (scale 1e6) — exact: |<x,v>|/1e6 < 2^27 so the double quotient sits
-    far from any integer boundary (the drift_projection argument)."""
-    v_lit = long_array_lit(v)
-    dot = F.aggregate(
-        F.zip_with(x_col, v_lit, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, e: acc + e,
+    far from any integer boundary (the drift_projection argument).
+    One parsed expression (see pca_deflate_expr)."""
+    from cve_manager_spark.functions.helpers import long_array_sql
+
+    return F.expr(
+        f"CAST(floor(CAST(aggregate(zip_with({x_col}, {long_array_sql(v)}, "
+        "(a, b) -> a * b), CAST(0 AS BIGINT), (acc, e) -> acc + e) AS DOUBLE) "
+        "/ 1000000.0D) AS BIGINT)"
     )
-    return F.floor(dot.cast("double") / F.lit(1000000.0)).cast("long")
 
 
 def pca_power_topr(

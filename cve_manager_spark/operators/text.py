@@ -48,10 +48,11 @@ def stopword_count(text: Column) -> Column:
 
 
 def _is_stopword(tok: Column) -> Column:
-    cond = tok == F.lit(STOPWORDS[0])
-    for s in STOPWORDS[1:]:
-        cond = cond | (tok == F.lit(s))
-    return cond
+    # isin = ONE py4j call (In expression); the chained-OR form crossed
+    # the boundary twice per stopword and its driver build time showed
+    # up in every quality-feature query (guide §5). Same nulls/semantics
+    # (tokens from split are never null; In == the OR chain otherwise).
+    return tok.isin(*STOPWORDS)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1152,18 +1152,17 @@ def minhash_band_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).where(F.size("shingles") > 0)
     ex = sh.select("id", F.explode("shingles").alias("sh"))
     sigs = minhash_lcg_signatures(ex, num_hashes=32)
-    band_structs = [
-        F.struct(
-            F.lit(b).cast("long").alias("band"),
-            F.concat_ws("|", F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")).alias(
-                "bkey"
-            ),
-        )
+    # the 16 band structs as ONE parsed expression: the per-struct Column
+    # form cost ~0.5 s of py4j round trips per build (guide §5); same
+    # explode, same types (CAST(b AS BIGINT) == F.lit(b).cast("long"))
+    bands_sql = ",".join(
+        f"struct(CAST({b} AS BIGINT) AS band, "
+        f"concat_ws('|', s{2 * b}, s{2 * b + 1}) AS bkey)"
         for b in range(16)
-    ]
-    keys = sigs.select(F.explode(F.array(*band_structs)).alias("bk")).select(
-        F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    keys = sigs.select(
+        F.expr(f"explode(array({bands_sql}))").alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     buckets = keys.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("n"))
     return buckets.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_buckets"),

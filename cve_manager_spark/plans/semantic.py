@@ -2515,14 +2515,17 @@ def pca_topr_residual_norms(spark: SparkSession, sf: str) -> DataFrame:
             emb, vec_col="embedding", id_col="vec_id", r=3, iters=2
         ),
     )
-    mu_lit = long_array_lit(mu)
+    from cve_manager_spark.functions.helpers import long_array_sql
+
     q = emb.select(
         "vec_id", "label", quantize_vec(F.col("embedding")).alias("q")
     )
+    # centering + the per-array squared-norm folds as parsed expressions
+    # (the Column-lambda forms were pure py4j driver chatter, guide §5)
     x = q.select(
         "vec_id",
         "label",
-        F.zip_with("q", mu_lit, lambda a, b: a - b).alias("c0"),
+        F.expr(f"zip_with(q, {long_array_sql(mu)}, (a, b) -> a - b)").alias("c0"),
     )
     cur = "c0"
     for k, v in enumerate(vs):
@@ -2532,8 +2535,8 @@ def pca_topr_residual_norms(spark: SparkSession, sf: str) -> DataFrame:
         cur = f"c{k + 1}"
 
     def sq(c: str):
-        return F.aggregate(
-            F.col(c), F.lit(0).cast("long"), lambda acc, e: acc + e * e
+        return F.expr(
+            f"aggregate({c}, CAST(0 AS BIGINT), (acc, e) -> acc + e * e)"
         )
 
     per = x.select(

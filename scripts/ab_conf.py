@@ -44,13 +44,15 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from cve_manager_spark.plans.registry import queries
-    from cve_manager_spark.session import tune
+    from cve_manager_spark.session import STATIC_CONF, tune
 
     b = (
         SparkSession.builder.appName("ab_conf")
         .master(f"local[{cpus}]")
         .config("spark.driver.memory", mem)
     )
+    for kk, vv in STATIC_CONF.items():
+        b = b.config(kk, vv)
     for kk, vv in confs.items():
         b = b.config(kk, vv)
     spark = tune(b.getOrCreate())

@@ -38,12 +38,16 @@ def main() -> None:
     from cve_manager_spark.plans.registry import queries
     from cve_manager_spark.session import tune
 
-    spark = tune(
+    from cve_manager_spark.session import STATIC_CONF
+
+    builder = (
         SparkSession.builder.appName("profile")
         .master(f"local[{cpus}]")
         .config("spark.driver.memory", mem)
-        .getOrCreate()
     )
+    for kk, vv in STATIC_CONF.items():
+        builder = builder.config(kk, vv)
+    spark = tune(builder.getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     q = queries()
 
