@@ -136,11 +136,20 @@ def kmeans_fit(
     from cve_manager_spark.functions.helpers import fan_out
 
     # fan_out: a small embeddings parquet scans as ONE partition, and the
-    # per-row work here (k×d higher-order exprs per assignment) is exactly
-    # the compute-heavy narrow shape that must not run single-threaded;
-    # no-op at real scale where the input carries enough partitions.
+    # per-row work here (k×d higher-order exprs per assignment) must not
+    # run single-threaded; no-op at real scale where the input carries
+    # enough partitions. r14: target is CAPPED at 8 — the assignment is
+    # ~k·d integer ops per row (~1 µs), so splitting a small input
+    # across every core buys scheduling overhead, not parallelism
+    # (measured: the full fit 1.48 s at 32 partitions vs 1.02 s at 8,
+    # identical centroids; the cap binds only when the input is small
+    # enough for fan_out to act at all — a large input keeps its own
+    # partitioning and the cap is moot).
     q = (
-        fan_out(df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("q")))
+        fan_out(
+            df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("q")),
+            target=8,
+        )
         .withColumn("qq", dot_self(F.col("q")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
