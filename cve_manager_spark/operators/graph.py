@@ -101,7 +101,11 @@ def connected_components(
             cur = cur.join(parent, cur.label == parent.p_node).select(
                 "node", F.col("p_label").alias("label")
             )
-        labels = cur.localCheckpoint(eager=True)
+        # lazy: the label-sum action below materializes the checkpoint,
+        # so each round runs as ONE job instead of checkpoint + sum
+        # (same trick as k_core's stats job; measured 3.15 -> 3.00 s on
+        # the dedup_clusters chains, identical component hash)
+        labels = cur.localCheckpoint(eager=False)
 
         new_sum = label_sum(labels)
         if new_sum == prev_sum:
