@@ -154,21 +154,38 @@ def audio_frame_energy(
     decode = real_decoder if real_decoder is not None else (lambda b: b)
 
     def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # only the variable-length decode runs per row; the output
+        # columns assemble as numpy repeats/concats, not per-frame
+        # Python-int appends (guide §4.2: vectorize the whole batch)
         for pdf in batches:
-            ids, idxs, es = [], [], []
-            for i, b in zip(pdf[id_col], pdf[data_col]):
+            sums_l: list = []
+            counts: list = []
+            for b in pdf[data_col]:
                 a = np.frombuffer(decode(bytes(b)), dtype=np.uint8).astype(np.int64)
                 if len(a) == 0:
+                    counts.append(0)
                     continue
-                sq = a * a
-                offs = np.arange(0, len(a), frame_bytes)
-                sums = np.add.reduceat(sq, offs)
-                ids.extend([i] * len(offs))
-                idxs.extend(range(len(offs)))
-                es.extend(int(x) for x in sums)
+                sums_l.append(
+                    np.add.reduceat(a * a, np.arange(0, len(a), frame_bytes))
+                )
+                counts.append(len(sums_l[-1]))
+            n = np.asarray(counts, dtype=np.int64)
+            if n.sum() == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array([], dtype=np.int64),
+                        "frame_idx": np.array([], dtype=np.int32),
+                        "energy": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
+            ids = np.repeat(pdf[id_col].to_numpy(), n)
+            # frame_idx restarts at 0 per doc: global arange minus each
+            # frame's doc-start offset
+            starts = np.repeat(np.cumsum(n) - n, n)
+            idxs = (np.arange(int(n.sum())) - starts).astype(np.int32)
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "energy": es},
-                columns=["doc_id", "frame_idx", "energy"],
+                {"doc_id": ids, "frame_idx": idxs, "energy": np.concatenate(sums_l)}
             )
 
     return df.mapInPandas(

@@ -713,27 +713,18 @@ FROM g GROUP BY doc_id
     "with position fidelity added.",
 )
 def decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
-    from cve_manager_spark.operators.text import words
+    from cve_manager_spark.operators.dedup import word_ngram_windows
 
     docs = fan_out(load_table(spark, sf, "documents"))
-    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
-    sh = toks.where(F.size("w") >= 3).select(
+    # r14: all-window trigrams WITH positions via posexplode of the
+    # one-pass lookahead regex — array index i is the 0-based word
+    # position of the window start, exactly the pos the interpreted
+    # struct/filter/transform form computed ~20x slower (word_shingles
+    # lesson; guide §1.2)
+    sh = docs.select(
         "doc_id",
-        F.explode(
-            F.filter(
-                F.transform(
-                    F.col("w"),
-                    lambda x, i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(" ", F.slice(F.col("w"), i + F.lit(1), 3)).alias(
-                            "s"
-                        ),
-                    ),
-                ),
-                lambda st: st["pos"] <= F.size(F.col("w")) - 3,
-            )
-        ).alias("u"),
-    ).select("doc_id", F.col("u.pos").alias("pos"), F.col("u.s").alias("s"))
+        F.posexplode(word_ngram_windows(F.col("text"), 3)).alias("pos", "s"),
+    )
     ev = sh.where(F.col("doc_id") % 97 == 0).select("s").distinct()
     hits = (
         sh.where(F.col("doc_id") % 97 != 0)
@@ -4142,17 +4133,12 @@ GROUP BY is_contaminated
 def surprisal_contamination_interaction(
     spark: SparkSession, sf: str
 ) -> DataFrame:
-    from cve_manager_spark.operators.text import words
+    from cve_manager_spark.operators.dedup import word_ngram_windows
 
     docs = fan_out(load_table(spark, sf, "documents"))
     sc = _doc_surprisal(docs)
-    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
-    grams = F.transform(
-        F.slice(F.col("w"), 1, F.size("w") - 2),
-        lambda x, i: F.concat_ws(" ", F.slice(F.col("w"), i + F.lit(1), 3)),
-    )
-    ex = toks.where(F.size("w") >= 3).select(
-        "doc_id", F.explode(grams).alias("s")
+    ex = docs.select(
+        "doc_id", F.explode(word_ngram_windows(F.col("text"), 3)).alias("s")
     )
     ev = (
         ex.where(F.col("doc_id") % 97 == 0)
@@ -4377,17 +4363,13 @@ GROUP BY tri.source
     priority=2,
 )
 def trigram_novelty_by_source(spark: SparkSession, sf: str) -> DataFrame:
-    from cve_manager_spark.operators.text import words
+    from cve_manager_spark.operators.dedup import word_ngram_windows
 
     docs = fan_out(load_table(spark, sf, "documents"))
-    toks = docs.select("source", words(F.lower(F.col("text"))).alias("w"))
-    grams = F.transform(
-        F.slice(F.col("w"), 1, F.size("w") - 2),
-        lambda x, i: F.concat_ws(" ", F.slice(F.col("w"), i + F.lit(1), 3)),
-    )
     tri = (
-        toks.where(F.size("w") >= 3)
-        .select("source", F.explode(grams).alias("s"))
+        docs.select(
+            "source", F.explode(word_ngram_windows(F.col("text"), 3)).alias("s")
+        )
         .select("source", F.md5("s").alias("g"))
         .distinct()
     )
@@ -4446,16 +4428,16 @@ GROUP BY e.doc_id
     priority=2,
 )
 def eval_overlap_score(spark: SparkSession, sf: str) -> DataFrame:
-    from cve_manager_spark.operators.text import words
+    from cve_manager_spark.operators.dedup import word_ngram_windows
 
     docs = fan_out(load_table(spark, sf, "documents"))
-    toks = docs.select("doc_id", words(F.lower(F.col("text"))).alias("w"))
-    grams = F.transform(
-        F.slice(F.col("w"), 1, F.size("w") - 2),
-        lambda x, i: F.concat_ws(" ", F.slice(F.col("w"), i + F.lit(1), 3)),
-    )
-    ex = toks.where(F.size("w") >= 3).select(
-        "doc_id", F.explode(grams).alias("s")
+    # r14: all-window trigrams via the one-pass lookahead regex (same
+    # strings, same order; explode of the empty array drops short docs
+    # exactly like the old size(w) >= 3 guard) — the interpreted
+    # transform/slice/concat_ws form measured ~20x slower per the
+    # word_shingles lesson (guide §1.2: per-task work)
+    ex = docs.select(
+        "doc_id", F.explode(word_ngram_windows(F.col("text"), 3)).alias("s")
     )
     ev = (
         ex.where(F.col("doc_id") % 97 == 0)

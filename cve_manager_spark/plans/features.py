@@ -1476,15 +1476,25 @@ FROM r2 GROUP BY event_type
 )
 def value_mad(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
+    # r14: the deviation pass rides the (type, value) HISTOGRAM, not the
+    # raw rows — count(dev = |x − med|) is Σ of the value-counts at the
+    # two mirrored x positions, so after the first histogram aggregate
+    # nothing row-grain is scanned, joined or re-aggregated (the
+    # previous shape re-scanned events and row-joined 100k rows against
+    # the medians). The explicit not-null filter makes every consumer's
+    # histogram subtree canonically identical (the med branches get
+    # IsNotNull(event_type) pushed by their joins, the window branch
+    # does not — the assortativity reuse lesson), so AQE materializes
+    # the histogram exchange once. Guide §2.3/§2.4.
     v = ev.select(
         "event_type",
         F.floor(F.col("value") * 1000).cast("long").alias("x"),
-    )
+    ).where(F.col("event_type").isNotNull())
+    h1 = v.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("c"))
 
-    def hist_median(df, col):
-        """Lower median of ``col`` per event_type via (type, value) counts +
-        running sum over the tiny histogram; returns (event_type, med, n)."""
-        h = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
+    def hist_median(h, col):
+        """Lower median of ``col`` per event_type over a pre-counted
+        (event_type, col, c) histogram; returns (event_type, med, n)."""
         wrun = (
             Window.partitionBy("event_type")
             .orderBy(col)
@@ -1503,14 +1513,13 @@ def value_mad(spark: SparkSession, sf: str) -> DataFrame:
             "event_type", F.col(col).alias("med"), F.col("n")
         )
 
-    med = hist_median(v, "x")
-    d = v.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        F.col("med"),
-        F.col("n"),
-        F.abs(F.col("x") - F.col("med")).alias("dev"),
+    med = hist_median(h1, "x")
+    h2 = (
+        h1.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("x") - F.col("med")).alias("dev"))
+        .agg(F.sum("c").alias("c"))
     )
-    mad = hist_median(d.select("event_type", "dev"), "dev").select(
+    mad = hist_median(h2, "dev").select(
         "event_type", F.col("med").alias("mad")
     )
     return (
