@@ -278,6 +278,18 @@ def main() -> None:
             # its solo min matched r3 exactly). Clearing sits OUTSIDE the
             # timed region.
             spark.catalog.clearCache()
+            # r14 NOTE (measured, decision documented in
+            # OPTIMIZATION_r14.md): JVM garbage from earlier queries
+            # (checkpoint blocks, heap churn) inflates later in-suite
+            # numbers (triangle_count 3.9 fresh -> 5.5 after two heavy
+            # passes; one System.gc() restores 3.25). A per-query
+            # System.gc() here was tried and REJECTED: it made most
+            # queries ~0.25 s slower (full GC evicts warm generated-code
+            # state, so the timed region recompiles) and the suite total
+            # worse (80.6 vs 73.3 s at equal steal) — and it would break
+            # cross-round methodology comparability. Kept identical to
+            # r13; the production-side mitigation is
+            # spark.cleaner.periodicGC.interval=5min in STATIC_CONF.
             watermark = _max_stage_id() if pass_i == 0 else -1
             t0 = time.perf_counter()
             q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -52,6 +52,13 @@ STATIC_CONF = {
     # only nicer error call-sites; a throughput driver turns it off
     # (guide §5: the driver should do almost no per-query work).
     "spark.python.sql.dataFrameDebugging.enabled": "false",
+    # ContextCleaner only reclaims out-of-scope RDD/broadcast/checkpoint
+    # blocks when a JVM GC runs, and with a large driver heap that can
+    # lag far behind: measured locally, localCheckpoint blocks from
+    # earlier queries inflated later ones by 1-2+ s until a GC. The
+    # periodic-GC safety net drops from its 30-min default to 5 min so
+    # a long-running driver's storage memory tracks live state.
+    "spark.cleaner.periodicGC.interval": "5min",
 }
 
 
