@@ -265,8 +265,21 @@ def values_relation(spark, rows, colspec: str):
 
     cols = [c.strip().split()[0] for c in colspec.split(",")]
     types = [c.strip().split(None, 1)[1] for c in colspec.split(",")]
-    body = ",".join("(" + ",".join(render(v) for v in r) + ")" for r in rows)
-    df = spark.sql(f"SELECT * FROM VALUES {body} AS t({','.join(cols)})")
+    rows = list(rows)
+    if not rows:
+        # `VALUES` needs at least one tuple; an all-NULL dummy filtered
+        # back out keeps the zero-row relation a pure-JVM LocalRelation
+        # (degenerate inputs — e.g. a BPE merge table trained on an
+        # empty-token corpus — reach here)
+        body = "(" + ",".join("NULL" for _ in cols) + ")"
+        df = spark.sql(
+            f"SELECT * FROM VALUES {body} AS t({','.join(cols)}) WHERE 1=0"
+        )
+    else:
+        body = ",".join(
+            "(" + ",".join(render(v) for v in r) + ")" for r in rows
+        )
+        df = spark.sql(f"SELECT * FROM VALUES {body} AS t({','.join(cols)})")
     from pyspark.sql import functions as FF
 
     return df.select(

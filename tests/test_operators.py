@@ -551,3 +551,18 @@ def test_banded_self_pairs_equals_naive_join_under_skew(spark):
     assert set(got) == naive
     # the hot bucket really exceeded the cap (salted path exercised)
     assert 300 > 64 and len(naive) >= 300 * 299 // 2
+
+
+def test_values_relation_empty_rows(spark):
+    """Zero-row spine: `VALUES` needs at least one tuple, so the empty
+    case must fall back to a filtered dummy row (r14 regression — a BPE
+    merge table trained on an empty-token corpus produced
+    `SELECT * FROM VALUES  AS t(...)`, a parse error)."""
+    from cve_manager_spark.functions.helpers import values_relation
+
+    df = values_relation(spark, [], "rank INT, pair STRING, w DOUBLE")
+    assert df.count() == 0
+    assert df.schema.simpleString() == "struct<rank:int,pair:string,w:double>"
+    # non-empty path unchanged
+    one = values_relation(spark, [(0, "a b", 1.5)], "rank INT, pair STRING, w DOUBLE")
+    assert one.collect() == [(0, "a b", 1.5)]
