@@ -59,6 +59,17 @@ STATIC_CONF = {
     # periodic-GC safety net drops from its 30-min default to 5 min so
     # a long-running driver's storage memory tracks live state.
     "spark.cleaner.periodicGC.interval": "5min",
+    # The generated-class cache (WholeStageCodegen fragments, unsafe
+    # projections, orderings — every Janino compile) holds 100 entries by
+    # default; a driver cycling through this engine's ~90-query headline
+    # set creates ~1500 compiles per 3-pass bench where ~470 classes are
+    # distinct (CodegenMetrics, scripts/ab_conf.py telemetry) — pure LRU
+    # thrash, each evicted class recompiled at next use (~5-40 ms each,
+    # on the critical path of whatever query triggers it). Sized to hold
+    # every distinct unit of a large query portfolio; memory cost is a
+    # few KB of bytecode per class. Scale-independent: this is a
+    # driver/executor JVM compile cache, not a data-sized structure.
+    "spark.sql.codegen.cache.maxEntries": "4096",
 }
 
 

@@ -56,9 +56,13 @@ def main() -> None:
     for kk, vv in confs.items():
         b = b.config(kk, vv)
     spark = tune(b.getOrCreate())
-    # re-assert A/B confs in case tune() overlaps
+    # re-assert A/B confs in case tune() overlaps (static confs raise
+    # CANNOT_MODIFY_STATIC_CONFIG here — the builder already applied them)
     for kk, vv in confs.items():
-        spark.conf.set(kk, vv)
+        try:
+            spark.conf.set(kk, vv)
+        except Exception:
+            pass
     spark.sparkContext.setLogLevel("ERROR")
     q = queries()
     q["limit_1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -77,6 +81,24 @@ def main() -> None:
             q[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials[n].append(time.perf_counter() - t0)
     wall = time.perf_counter() - t_all
+    # Janino compile-cache telemetry (guide §1: attribute before changing):
+    # METRIC_COMPILATION_TIME is a histogram of per-compile milliseconds;
+    # count × mean ≈ total generated-class compile wall. A 100-entry
+    # generated-class cache (spark.sql.codegen.cache.maxEntries default)
+    # thrashes across a many-query pass, so later passes recompile what
+    # pass 1 already compiled — visible here as count >> distinct units.
+    compile_ms = None
+    try:
+        cm = getattr(
+            spark._jvm.org.apache.spark.metrics.source, "CodegenMetrics$"
+        )
+        hist = getattr(cm, "MODULE$").METRIC_COMPILATION_TIME()
+        compile_ms = {
+            "n_compiles": hist.getCount(),
+            "total_ms": round(hist.getCount() * hist.getSnapshot().getMean(), 1),
+        }
+    except Exception:
+        pass
     out = {
         "confs": confs,
         "k": k,
@@ -85,6 +107,7 @@ def main() -> None:
         "total_min": round(sum(min(ts) for ts in trials.values()), 3),
         "steal_core_s": round((steal() - s0) / 100.0, 1),
         "wall": round(wall, 1),
+        "codegen": compile_ms,
     }
     print(json.dumps(out, separators=(",", ":")))
 
