@@ -282,8 +282,13 @@ def hits_int(
 
     Per-iteration cost: two edge⋈rank joins + two hash aggregates, both
     shuffle O(|E|); the 1-row max rides a broadcast. Lineage is
-    checkpoint-truncated per iteration. Returns (node, hub, auth);
-    hub starts at 1e6, sinks/sources settle at 0 on their dead side.
+    checkpoint-truncated per half-iteration ON THE RAW SUMS, lazily: the
+    checkpoint sits BEFORE block-float normalization, so the broadcast-max
+    job materializes it and the main branch reuses the stored blocks —
+    one job per half-step instead of an eager serialize-all barrier whose
+    O(|E|) join+aggregate subtree feeds two consumers. Returns (node,
+    hub, auth); hub starts at 1e6, sinks/sources settle at 0 on their
+    dead side.
     """
     if iterations < 1:
         raise ValueError("hits_int needs at least one iteration")
@@ -293,7 +298,7 @@ def hits_int(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def normalize(rel: DataFrame, col: str) -> DataFrame:
@@ -320,7 +325,7 @@ def hits_int(
         auth = nodes.join(raw_a, "node", "left").select(
             "node", F.coalesce("auth", F.lit(0)).cast("long").alias("auth")
         )
-        auth = normalize(auth, "auth").localCheckpoint(eager=True)
+        auth = normalize(auth.localCheckpoint(eager=False), "auth")
         raw_h = (
             e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
             .groupBy(F.col("src").alias("node"))
@@ -329,7 +334,7 @@ def hits_int(
         hub = nodes.join(raw_h, "node", "left").select(
             "node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub")
         )
-        hub = normalize(hub, "hub").localCheckpoint(eager=True)
+        hub = normalize(hub.localCheckpoint(eager=False), "hub")
     return hub.join(auth, "node").select("node", "hub", "auth")
 
 
@@ -379,6 +384,9 @@ def bfs_hops(
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # Lazy: the NEXT hop's anti-join (or the caller's action)
+        # materializes the union — one frontier job per hop instead of
+        # an extra serialize-the-whole-visited-set barrier per hop.
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
