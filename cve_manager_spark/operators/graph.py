@@ -25,6 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cve_manager_spark.functions.blocks import (
+    persistent_rdd_ids as _persistent_rdd_ids,
+    unpersist_rdd_ids as _unpersist_rdd_ids,
+)
+
 
 def connected_components(
     edges: DataFrame,
@@ -65,6 +70,7 @@ def connected_components(
     on the just-checkpointed relation instead of a join against the
     previous round.
     """
+    spark = edges.sparkSession
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -74,7 +80,9 @@ def connected_components(
     undirected = sym.where(F.col("u") != F.col("v")).unionByName(
         nodes.select("u", F.col("u").alias("v"))
     )
+    snap = _persistent_rdd_ids(spark)
     undirected = undirected.localCheckpoint(eager=True)
+    edge_ids = _persistent_rdd_ids(spark) - snap
 
     # the self-edges ARE the node set — one filter on the checkpointed
     # relation instead of a second distinct aggregate
@@ -86,6 +94,7 @@ def connected_components(
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
     prev_sum = label_sum(labels)
+    prev_ids: set[int] = set()
     for _ in range(max_iter):
         cur = (
             undirected.join(labels, undirected.v == labels.node)
@@ -105,10 +114,20 @@ def connected_components(
         # so each round runs as ONE job instead of checkpoint + sum
         # (same trick as k_core's stats job; measured 3.15 -> 3.00 s on
         # the dedup_clusters chains, identical component hash)
+        snap = _persistent_rdd_ids(spark)
         labels = cur.localCheckpoint(eager=False)
+        new_ids = _persistent_rdd_ids(spark) - snap
 
         new_sum = label_sum(labels)
+        # this round's labels are materialized now, so the previous
+        # round's checkpoint blocks are dead — free them instead of
+        # waiting for a driver GC
+        _unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
         if new_sum == prev_sum:
+            # the returned relation reads only its own checkpoint blocks;
+            # the edge relation is dead too
+            _unpersist_rdd_ids(spark, edge_ids)
             return labels.select("node", F.col("label").alias("component"))
         prev_sum = new_sum
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
@@ -181,7 +200,9 @@ def pagerank_int(
         .localCheckpoint(eager=False)
     )
     base = (100 - damping_pct) * 10_000
+    spark = edges.sparkSession
     ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
+    prev_ids: set[int] = set()
     for i in range(iterations):
         c = ranks.join(outdeg, ranks.node == outdeg.src).select(
             "src", F.expr("rank div outdeg").alias("c")
@@ -200,7 +221,11 @@ def pagerank_int(
         # fixed-point run as ONE job (each checkpoint is a serialize-all
         # barrier). Deep runs still truncate lineage periodically.
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            snap = _persistent_rdd_ids(spark)
             ranks = ranks.localCheckpoint(eager=True)
+            # eager, so the previous periodic checkpoint is dead now
+            _unpersist_rdd_ids(spark, prev_ids)
+            prev_ids = _persistent_rdd_ids(spark) - snap
     return ranks
 
 
@@ -238,25 +263,36 @@ def k_core(
 
     Returns (node, degree) of the surviving core, degrees within it.
     """
+    spark = edges.sparkSession
+    snap = _persistent_rdd_ids(spark)
     cur = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    cur_ids = _persistent_rdd_ids(spark) - snap
+    old_ids: set[int] = set()
     for _ in range(max_rounds):
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         n_nodes, n_keep = deg.agg(
             F.count(F.lit(1)), F.count_if(F.col("deg") >= k)
         ).first()
+        # the stats job materialized this round's (lazy) checkpoint, so
+        # the round it was restricted FROM is dead — free its blocks
+        # instead of holding O(rounds) superseded edge relations
+        _unpersist_rdd_ids(spark, old_ids)
+        old_ids = set()
         if n_keep == n_nodes:
             return deg.select(F.col("u").alias("node"), F.col("deg").alias("degree"))
         keep = deg.where(F.col("deg") >= k).select("u")
+        snap = _persistent_rdd_ids(spark)
         cur = (
             cur.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .localCheckpoint(eager=False)
         )
+        old_ids, cur_ids = cur_ids, _persistent_rdd_ids(spark) - snap
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
 
 
@@ -360,18 +396,29 @@ def bfs_hops(
     hop = first round a node is reached, identical under any
     partitioning (set semantics per level). Matches the recursive-CTE
     formulation SELECT node, MIN(hop) ... of the SQL twin exactly."""
+    spark = edges.sparkSession
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not directed:
         e = e.unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
+    snap = _persistent_rdd_ids(spark)
     e = e.distinct().localCheckpoint(eager=True)
+    e_ids = _persistent_rdd_ids(spark) - snap
+    snap = _persistent_rdd_ids(spark)
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0))
         .localCheckpoint(eager=True)
     )
+    # generation bookkeeping: visited(h-1) is materialized by hop h's
+    # frontier job, at which point visited(h-2)'s and frontier(h-1)'s
+    # blocks are dead — free them instead of holding every superseded
+    # visited union for the length of the walk
+    visited_prev_ids: set[int] = set()
+    visited_cur_ids = _persistent_rdd_ids(spark) - snap
+    frontier_prev_ids: set[int] = set()
     frontier = visited
     for h in range(1, max_hops + 1):
         nxt = (
@@ -381,12 +428,30 @@ def bfs_hops(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h))
         )
+        snap = _persistent_rdd_ids(spark)
         nxt = nxt.localCheckpoint(eager=True)
+        nxt_ids = _persistent_rdd_ids(spark) - snap
+        # this eager job read visited(h-1), materializing its lazy
+        # checkpoint, so the generation before it (and the previous
+        # frontier, whose rows visited(h-1) contains) is dead
+        _unpersist_rdd_ids(spark, visited_prev_ids | frontier_prev_ids)
+        visited_prev_ids, frontier_prev_ids = set(), set()
         if nxt.isEmpty():
+            _unpersist_rdd_ids(spark, nxt_ids)  # empty, never referenced
             break
         # Lazy: the NEXT hop's anti-join (or the caller's action)
         # materializes the union — one frontier job per hop instead of
         # an extra serialize-the-whole-visited-set barrier per hop.
+        snap = _persistent_rdd_ids(spark)
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        visited_prev_ids, visited_cur_ids = (
+            visited_cur_ids,
+            _persistent_rdd_ids(spark) - snap,
+        )
+        frontier_prev_ids = nxt_ids
         frontier = nxt
+    # every frontier is eagerly checkpointed, so the edge relation is only
+    # ever read inside the loop — its blocks are dead at return on both
+    # the break and bounded-completion paths
+    _unpersist_rdd_ids(spark, e_ids)
     return visited

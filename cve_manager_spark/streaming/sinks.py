@@ -13,6 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cve_manager_spark.functions.blocks import (
+    scoped_checkpoint_blocks as _scoped_checkpoint_blocks,
+)
+
 _STATE_PREFIX = "_state_v"
 
 
@@ -2248,7 +2252,10 @@ def foreach_batch_ss_facts(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        with _StateLock(out_dir):
+        # the batch's pinned deltas (localCheckpoint below) are dead once
+        # this batch's writes complete — free them at scope exit instead
+        # of accreting one pinned delta per micro-batch until a driver GC
+        with _StateLock(out_dir), _scoped_checkpoint_blocks(spark):
             fdir = f"{out_dir}/facts_state"
             ddir = f"{out_dir}/dim_state"
             vdir = f"{out_dir}/view"
@@ -2350,7 +2357,9 @@ def foreach_batch_ss_dim(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        with _StateLock(out_dir):
+        # free this batch's pinned delta blocks at scope exit (see the
+        # facts-side sink above)
+        with _StateLock(out_dir), _scoped_checkpoint_blocks(spark):
             fdir = f"{out_dir}/facts_state"
             ddir = f"{out_dir}/dim_state"
             vdir = f"{out_dir}/view"

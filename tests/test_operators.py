@@ -566,3 +566,52 @@ def test_values_relation_empty_rows(spark):
     # non-empty path unchanged
     one = values_relation(spark, [(0, "a b", 1.5)], "rank INT, pair STRING, w DOUBLE")
     assert one.collect() == [(0, "a b", 1.5)]
+
+
+def test_iterative_graph_ops_free_superseded_checkpoint_blocks(spark):
+    """r14 optimization contract: the iterative graph operators unpersist
+    the checkpoint blocks of SUPERSEDED rounds (and edge relations that
+    can no longer be read) as soon as the successor round materializes,
+    instead of leaving them for ContextCleaner to find after a driver GC.
+    Storage stays O(1) rounds — and the returned relation must still be
+    fully readable (an unpersisted local checkpoint fails loudly, so a
+    wrong id set here is a crash, not a slow leak)."""
+    from cve_manager_spark.operators.graph import (
+        _persistent_rdd_ids,
+        bfs_hops,
+        connected_components,
+        k_core,
+    )
+
+    def run(fn):
+        before = _persistent_rdd_ids(spark)
+        out = fn()
+        rows = out.collect()
+        leftover = _persistent_rdd_ids(spark) - before
+        assert out.count() == len(rows)  # re-read: live blocks intact
+        return rows, leftover
+
+    # 41-node chain + pair: converges via pointer jumping over >1 round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(100, 101)],
+        "id_a: bigint, id_b: bigint",
+    )
+    rows, left = run(lambda: connected_components(edges))
+    assert {r["component"] for r in rows} == {0, 100}
+    # only the final labels checkpoint survives the call
+    assert len(left) <= 1, left
+
+    # path peels end-in over several rounds, ends empty
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    rows, left = run(lambda: k_core(path, k=2))
+    assert rows == []
+    assert len(left) <= 1, left
+
+    # bfs: walk ends by frontier exhaustion (break path) — the edge
+    # checkpoint and all superseded visited unions are freed
+    seeds = spark.createDataFrame([(0,)], "node long")
+    rows, left = run(lambda: bfs_hops(path, seeds, max_hops=20))
+    assert {r["node"]: r["hop"] for r in rows} == {i: i for i in range(10)}
+    assert len(left) <= 2, left

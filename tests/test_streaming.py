@@ -3122,3 +3122,27 @@ def test_stream_cdf_tail_across_mor_delete(spark, tmp_path):
         n_buckets=32,
     ).awaitTermination()
     _cdf_view_matches_batch(spark, log, dim, out)
+
+
+def test_two_stream_sink_batches_free_their_pinned_delta_blocks(
+    spark, tmp_path
+):
+    """r14 optimization contract: each micro-batch's pinned delta
+    (localCheckpoint) is unpersisted when the batch's writes complete —
+    a long-running stream must not accrete one pinned block set per
+    batch until a driver GC. The view still converges (the pins are
+    scope-local by design)."""
+    from cve_manager_spark.functions.blocks import persistent_rdd_ids
+    from cve_manager_spark.streaming.sinks import read_stream_stream_join
+
+    facts, dim, fsrc, dsrc, want = _ss_fixture(spark, tmp_path, "noleak")
+    out = str(tmp_path / "ss_out_noleak")
+    before = persistent_rdd_ids(spark)
+    qf, qd = _ss_start(spark, fsrc, dsrc, out, facts.schema, dim.schema)
+    qf.awaitTermination()
+    qd.awaitTermination()
+    leaked = persistent_rdd_ids(spark) - before
+    assert leaked == set(), leaked
+    view = read_stream_stream_join(spark, out)
+    cols = sorted(view.columns)
+    assert _sorted_rows(view, cols) == _sorted_rows(want, cols)
