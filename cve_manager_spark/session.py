@@ -36,6 +36,18 @@ RUNTIME_CONF = {
     # events.parquet stores TIMESTAMP(NANOS); read as long + explicit
     # conversion in sources.testdata.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The SQL in-memory cache compresses each column batch on encode
+    # (dictionary/RLE per type) — CPU spent on the critical path of every
+    # operator that persists an intermediate (shingle index, fingerprint
+    # and adjacency relations). This engine's persisted intermediates are
+    # digest/id-grain BY DESIGN (documents and payloads never cross a
+    # shuffle or a cache), so the uncompressed footprint stays small
+    # relative to the corpus and MEMORY_AND_DISK spills gracefully if a
+    # cluster is memory-tight. Order-balanced ABBA on the persist-heavy
+    # family measured compression-off at 0.75x (r14,
+    # OPTIMIZATION_r14.md); re-enable on deployments that cache wide or
+    # highly-compressible relations.
+    "spark.sql.inMemoryColumnarStorage.compressed": "false",
 }
 
 
