@@ -1610,19 +1610,23 @@ def triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    pairs = ps.select(
+    # r14 kernel shape (scripts/tri_variants.py, identical stats row):
+    # explode TWICE — position first, then the sorted tail slice — so
+    # pair emission allocates only primitive tail arrays (k²/2 longs
+    # per order in total). The previous single-explode built the full
+    # k(k-1)/2 array of two-field STRUCTS per order row and flattened
+    # it before the first pair came out: 3.03 -> 2.55 s min-of-5 on the
+    # whole query. (Replacing the closure's array_intersect with
+    # allocation-free linear scans measured 1.4x WORSE — the per-row
+    # hash set beats O(|na|·|nb|) comparisons at these forward-degree
+    # sizes — so that kernel stays.)
+    t = ps.select(F.posexplode("ps").alias("i", "u"), "ps")
+    pairs = t.select(
+        "u",
         F.explode(
-            F.flatten(
-                F.transform(
-                    "ps",
-                    lambda x, i: F.transform(
-                        F.slice("ps", i + F.lit(2), F.size("ps")),
-                        lambda y: F.struct(x.alias("u"), y.alias("v")),
-                    ),
-                )
-            )
-        ).alias("e")
-    ).select("e.u", "e.v")
+            F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))
+        ).alias("v"),
+    )
     e = pairs.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     # degrees persist at |V| rows: the union shuffle that builds them runs
     # ONCE, then feeds the node/edge stats (n_nodes = row count, n_edges =

@@ -48,7 +48,7 @@ FLAGSHIP = {
     "sessionize_stats": "gap sessionization: every window and the session aggregate share one user-keyed exchange",
     "vocab_coverage": "rank window and coverage aggregate both over the vocabulary-sized count relation",
     "sql_tpch_q1": "raw ANSI SQL through spark.sql — Catalyst plans the same partial+final hash aggregate as the DataFrame twin",
-    "triangle_count": "r5: per-order pairs via in-row HOF (no self-join); exploded adjacency joins adj once; degree-ordered intersect — wedges never materialized",
+    "triangle_count": "r5/r14: per-order pairs via double explode over the sorted part set (no self-join, no struct-array flatten); exploded adjacency joins adj once; degree-ordered intersect — wedges never materialized",
     "shingle_containment": "asymmetric containment via shingle-hash equi-join buckets; r5: df ≤ 10% stop-shingle cap ahead of the pair join (oracle-mirrored) — hot-bucket blowup bounded at (0.1N)²",
     "sql_tpch_q3": "3-way star + top-10: filtered customer broadcast, both date filters pushed, TakeOrderedAndProject (no global sort)",
     "sql_tpch_q5": "6-way join with non-key equality (c_nationkey=s_nationkey): region filter pruned through the broadcast chain before the fact join",
