@@ -74,6 +74,19 @@ STATIC_CONF = {
     # periodic-GC safety net drops from its 30-min default to 5 min so
     # a long-running driver's storage memory tracks live state.
     "spark.cleaner.periodicGC.interval": "5min",
+    # Batch throughput wants the throughput collector: G1 (the JDK
+    # default) optimizes pause times with region scanning/concurrent
+    # marking overhead that a pure-batch engine never cashes in, while
+    # ParallelGC compacts the young generation's short-lived allocation
+    # storm (UnsafeRow copies, codegen scratch, Arrow buffers) with the
+    # highest throughput. Order-balanced ABBA over 7 fresh-process runs
+    # on 8 heavy headliners: 0.81× min-over-runs, all 8 queries faster,
+    # the ParallelGC side under systematically worse host steal
+    # (OPTIMIZATION_r14.md). Applied to both roles so a real cluster's
+    # executors behave like the local[] executor threads measured here;
+    # latency-sensitive serving deployments should keep G1.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
     # The generated-class cache (WholeStageCodegen fragments, unsafe
     # projections, orderings — every Janino compile) holds 100 entries by
     # default; a driver cycling through this engine's ~90-query headline
