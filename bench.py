@@ -368,17 +368,26 @@ def main() -> None:
         "n_passes": n_passes,
         "sf": sf,
         "notes": {
-            "r14_run": "87.62s over the same 89 headliners (r13 "
-            "committed: 93.99) — no headline-set change this round; the "
-            "round's new faces (catalog_add_drop_table, "
+            "r14_run": "65.67s over the same 89 headliners at final "
+            "r14-optimization HEAD (r13 committed: 93.99; mid-build r14 "
+            "reference: 86.77; earlier optimization-window runs at "
+            "~zero steal: 73.29 then 68.16). The final window's host "
+            "was chronically stolen (this run: 272.5/468.1/18.5 core-s "
+            "per pass — min-of-3 rides the one clean pass; six sibling "
+            "runs at 63.5-79.9 track steal, not code), so per-change "
+            "attribution lives in OPTIMIZATION_r14.md's order-balanced "
+            "fresh-process ABBAs: checkpoint-block cleanup 0.82x, "
+            "cache-compression-off 0.75x, ParallelGC 0.81x, triangle "
+            "pair-gen kernel 0.84x — each measured faster under "
+            "equal-or-worse steal. No headline-set change this round; "
+            "the round's new faces (catalog_add_drop_table, "
             "timetravel_cdf_pruned, catalog_cdf_atomic) build scratch "
-            "commit-log state on first run, so they stay OUT of the "
-            "headline set per the r8 build-vs-query rule; their sf1 "
-            "pricing is in SF1_DIFFERENTIAL.json (28/28 hash-match, "
-            "graph_kcore's oracle exception closed via the procedural "
-            "fixpoint peel). Steal 1.2/0.4/0.9 core-s per pass "
-            "(~0.03%). agg_groupby (r13 watch) 1.03s min — the r13 "
-            "1.28x was noise as suspected.",
+            "commit-log state on first run, so they stay OUT per the "
+            "r8 build-vs-query rule; sf1 pricing in "
+            "SF1_DIFFERENTIAL.json (28/28 hash-match, graph_kcore's "
+            "oracle exception closed via the procedural fixpoint "
+            "peel). agg_groupby (r13 watch) 1.03s min in the 68.16 "
+            "run — the r13 1.28x was noise as suspected.",
             "r13_run": "93.99s over 89 headliners (r12 committed: 97.76 "
             "over 88); steal 7.9/2.9/3.1 core-s per pass (final ~0.1%), "
             "no query regressed >1.5x vs r12. New headliner "
