@@ -259,6 +259,16 @@ def values_relation(spark, rows, colspec: str):
         if isinstance(v, int):
             return str(v) if -2147483648 <= v <= 2147483647 else f"{v}L"
         if isinstance(v, float):
+            # repr of a non-finite float ('nan'/'inf') is not a SQL
+            # literal — it parsed as a bare identifier and failed loudly.
+            # Spark's string→double cast accepts these spellings exactly
+            # (same values double_array_lit guards against).
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            if v == float("-inf"):
+                return "CAST('-Infinity' AS DOUBLE)"
             return f"{v!r}D"
         s = str(v).replace("\\", "\\\\").replace("'", "\\'")
         return f"'{s}'"

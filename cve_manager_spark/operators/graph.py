@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cve_manager_spark.functions.blocks import (
-    persistent_rdd_ids as _persistent_rdd_ids,
+    checkpoint_rdd_ids as _checkpoint_rdd_ids,
     unpersist_rdd_ids as _unpersist_rdd_ids,
 )
 
@@ -80,9 +80,11 @@ def connected_components(
     undirected = sym.where(F.col("u") != F.col("v")).unionByName(
         nodes.select("u", F.col("u").alias("v"))
     )
-    snap = _persistent_rdd_ids(spark)
     undirected = undirected.localCheckpoint(eager=True)
-    edge_ids = _persistent_rdd_ids(spark) - snap
+    # ids captured from the checkpointed DataFrame itself (r15, ADVICE
+    # r14): a global before/after diff would capture a concurrent
+    # query's blocks on a shared session and freeing those crashes it
+    edge_ids = _checkpoint_rdd_ids(undirected)
 
     # the self-edges ARE the node set — one filter on the checkpointed
     # relation instead of a second distinct aggregate
@@ -114,9 +116,8 @@ def connected_components(
         # so each round runs as ONE job instead of checkpoint + sum
         # (same trick as k_core's stats job; measured 3.15 -> 3.00 s on
         # the dedup_clusters chains, identical component hash)
-        snap = _persistent_rdd_ids(spark)
         labels = cur.localCheckpoint(eager=False)
-        new_ids = _persistent_rdd_ids(spark) - snap
+        new_ids = _checkpoint_rdd_ids(labels)
 
         new_sum = label_sum(labels)
         # this round's labels are materialized now, so the previous
@@ -221,11 +222,10 @@ def pagerank_int(
         # fixed-point run as ONE job (each checkpoint is a serialize-all
         # barrier). Deep runs still truncate lineage periodically.
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
-            snap = _persistent_rdd_ids(spark)
             ranks = ranks.localCheckpoint(eager=True)
             # eager, so the previous periodic checkpoint is dead now
             _unpersist_rdd_ids(spark, prev_ids)
-            prev_ids = _persistent_rdd_ids(spark) - snap
+            prev_ids = _checkpoint_rdd_ids(ranks)
     return ranks
 
 
@@ -264,14 +264,13 @@ def k_core(
     Returns (node, degree) of the surviving core, degrees within it.
     """
     spark = edges.sparkSession
-    snap = _persistent_rdd_ids(spark)
     cur = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    cur_ids = _persistent_rdd_ids(spark) - snap
+    cur_ids = _checkpoint_rdd_ids(cur)
     old_ids: set[int] = set()
     for _ in range(max_rounds):
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -286,13 +285,12 @@ def k_core(
         if n_keep == n_nodes:
             return deg.select(F.col("u").alias("node"), F.col("deg").alias("degree"))
         keep = deg.where(F.col("deg") >= k).select("u")
-        snap = _persistent_rdd_ids(spark)
         cur = (
             cur.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .localCheckpoint(eager=False)
         )
-        old_ids, cur_ids = cur_ids, _persistent_rdd_ids(spark) - snap
+        old_ids, cur_ids = cur_ids, _checkpoint_rdd_ids(cur)
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
 
 
@@ -402,10 +400,8 @@ def bfs_hops(
         e = e.unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
-    snap = _persistent_rdd_ids(spark)
     e = e.distinct().localCheckpoint(eager=True)
-    e_ids = _persistent_rdd_ids(spark) - snap
-    snap = _persistent_rdd_ids(spark)
+    e_ids = _checkpoint_rdd_ids(e)
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
@@ -417,7 +413,7 @@ def bfs_hops(
     # blocks are dead — free them instead of holding every superseded
     # visited union for the length of the walk
     visited_prev_ids: set[int] = set()
-    visited_cur_ids = _persistent_rdd_ids(spark) - snap
+    visited_cur_ids = _checkpoint_rdd_ids(visited)
     frontier_prev_ids: set[int] = set()
     frontier = visited
     for h in range(1, max_hops + 1):
@@ -428,9 +424,8 @@ def bfs_hops(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h))
         )
-        snap = _persistent_rdd_ids(spark)
         nxt = nxt.localCheckpoint(eager=True)
-        nxt_ids = _persistent_rdd_ids(spark) - snap
+        nxt_ids = _checkpoint_rdd_ids(nxt)
         # this eager job read visited(h-1), materializing its lazy
         # checkpoint, so the generation before it (and the previous
         # frontier, whose rows visited(h-1) contains) is dead
@@ -442,11 +437,10 @@ def bfs_hops(
         # Lazy: the NEXT hop's anti-join (or the caller's action)
         # materializes the union — one frontier job per hop instead of
         # an extra serialize-the-whole-visited-set barrier per hop.
-        snap = _persistent_rdd_ids(spark)
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         visited_prev_ids, visited_cur_ids = (
             visited_cur_ids,
-            _persistent_rdd_ids(spark) - snap,
+            _checkpoint_rdd_ids(visited),
         )
         frontier_prev_ids = nxt_ids
         frontier = nxt

@@ -14,10 +14,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cve_manager_spark.functions.blocks import (
-    scoped_checkpoint_blocks as _scoped_checkpoint_blocks,
+    checkpoint_rdd_ids as _checkpoint_rdd_ids,
+    scoped_checkpoint_ids as _scoped_checkpoint_ids,
 )
 
 _STATE_PREFIX = "_state_v"
+
+
+def _sized(df: DataFrame, pcol: str | None = None) -> DataFrame:
+    """REBALANCE a state delta/snapshot before writing it (guide §6:
+    sensible output file sizing). A plain ``partitionBy`` write emits
+    one file per (task × touched partition dir), so a micro-batch
+    append of a few thousand rows across a 256-value bucket column was
+    writing hundreds-to-thousands of KB-sized files PER BATCH — and
+    every subsequent state read pays the file listing (measured: a gate
+    state reached 13k files for 55 MB, and each per-batch read ran a
+    6622-path listing job). REBALANCE shuffles to one AQE-sized
+    partition per bucket value (splitting skewed buckets at scale), so
+    an append writes one right-sized file per touched dir; an
+    unpartitioned snapshot gets advisory-sized files instead of one per
+    upstream task."""
+    return df.hint("rebalance", pcol) if pcol else df.hint("rebalance")
 
 
 def foreach_batch_parquet(stream_df: DataFrame, out_dir: str, trigger_available_now: bool = True):
@@ -100,7 +117,9 @@ def foreach_batch_upsert(
             .where(F.col("__rn") == 1)
             .drop("__rn", "__src")
         )
-        snap.write.mode("overwrite").parquet(f"{out_dir}/{_STATE_PREFIX}{batch_id}")
+        _sized(snap).write.mode("overwrite").parquet(
+            f"{out_dir}/{_STATE_PREFIX}{batch_id}"
+        )
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", f"{out_dir}/_checkpoint"
@@ -163,7 +182,9 @@ def foreach_batch_rollup(
                     F.sum("sv").cast("decimal(38,4)").alias("sv"),
                 )
             )
-        part.write.mode("overwrite").parquet(f"{out_dir}/{_STATE_PREFIX}{batch_id}")
+        _sized(part).write.mode("overwrite").parquet(
+            f"{out_dir}/{_STATE_PREFIX}{batch_id}"
+        )
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", f"{out_dir}/_checkpoint"
@@ -307,7 +328,7 @@ def foreach_batch_distinct_rollup(
         if prev is not None:
             part = prev.unionByName(part).distinct()
         (
-            part.write.mode("overwrite")
+            _sized(part, "day").write.mode("overwrite")
             .partitionBy("day")
             .parquet(f"{out_dir}/{_STATE_PREFIX}{batch_id}")
         )
@@ -374,7 +395,7 @@ def _fold_state(spark, out_dir: str, col: str, compose) -> dict[str, int]:
     tmp = Path(out_dir) / "_compact_tmp"
     if tmp.exists():
         shutil.rmtree(tmp)
-    folded.write.partitionBy(col).parquet(str(tmp))
+    _sized(folded, col).write.partitionBy(col).parquet(str(tmp))
     n_got = spark.read.option("basePath", str(tmp)).parquet(str(tmp)).count()
     if n_got != n_expect:
         shutil.rmtree(tmp)
@@ -574,7 +595,7 @@ def _gated_dedup_sink(
         return table_dir if name == "" else str(Path(table_dir) / name)
 
     def _write(df: DataFrame, d: str, pcol: "str | None", mode: str) -> None:
-        w = df.write
+        w = _sized(df, pcol).write
         if pcol:
             w = w.partitionBy(pcol)
         w.mode(mode).parquet(d)
@@ -618,7 +639,10 @@ def _gated_dedup_sink(
                 for name, _pcol in reversed(relations):
                     log = TableLog(rel_dir(name))
                     if log.last_op() != f"append@{tag}":
-                        log.append(spark, outs[name], tag=tag)
+                        # same file-sizing discipline as the plain-parquet
+                        # path: the log stages exactly the partitions the
+                        # rebalanced delta carries
+                        log.append(spark, _sized(outs[name], _pcol), tag=tag)
             else:
                 mode = "append" if boot_complete else "overwrite"
                 for name, pcol in relations:
@@ -1303,7 +1327,7 @@ def foreach_batch_cms(
                 .groupBy("r", "b")
                 .agg(F.sum("c").cast("bigint").alias("c"))
             )
-        part.write.mode("overwrite").parquet(
+        _sized(part).write.mode("overwrite").parquet(
             f"{out_dir}/{_STATE_PREFIX}{batch_id}"
         )
 
@@ -1388,7 +1412,7 @@ def foreach_batch_bloom(
                 f"{out_dir}/{_STATE_PREFIX}{versions[-1]}"
             )
             part = prev.unionByName(part).distinct()
-        part.write.mode("overwrite").parquet(
+        _sized(part).write.mode("overwrite").parquet(
             f"{out_dir}/{_STATE_PREFIX}{batch_id}"
         )
 
@@ -1466,7 +1490,7 @@ def foreach_batch_occupancy(
                 f"{out_dir}/{_STATE_PREFIX}{versions[-1]}"
             )
             part = prev.unionByName(part).distinct()
-        part.write.mode("overwrite").parquet(
+        _sized(part).write.mode("overwrite").parquet(
             f"{out_dir}/{_STATE_PREFIX}{batch_id}"
         )
 
@@ -1552,7 +1576,7 @@ def foreach_batch_quantile_hist(
                 .groupBy("g", "b")
                 .agg(F.sum("c").cast("bigint").alias("c"))
             )
-        part.write.mode("overwrite").parquet(
+        _sized(part).write.mode("overwrite").parquet(
             f"{out_dir}/{_STATE_PREFIX}{batch_id}"
         )
 
@@ -1698,7 +1722,7 @@ def foreach_batch_kmv(
             .where(F.col("__rn") <= k)
             .drop("__rn")
         )
-        trimmed.write.mode("overwrite").parquet(
+        _sized(trimmed).write.mode("overwrite").parquet(
             f"{out_dir}/{_STATE_PREFIX}{batch_id}"
         )
 
@@ -1973,7 +1997,7 @@ def foreach_batch_heavy_hitters(
             ).where(F.col("c") > 0)
         part.withColumn(
             "n_total", F.lit(int(n_prev) + int(n_batch)).cast("long")
-        ).write.mode("overwrite").parquet(
+).hint("rebalance").write.mode("overwrite").parquet(
             f"{out_dir}/{_STATE_PREFIX}{batch_id}"
         )
 
@@ -2254,8 +2278,11 @@ def foreach_batch_ss_facts(
         spark = batch_df.sparkSession
         # the batch's pinned deltas (localCheckpoint below) are dead once
         # this batch's writes complete — free them at scope exit instead
-        # of accreting one pinned delta per micro-batch until a driver GC
-        with _StateLock(out_dir), _scoped_checkpoint_blocks(spark):
+        # of accreting one pinned delta per micro-batch until a driver GC.
+        # Ids are captured from each pinned DataFrame itself (r15,
+        # ADVICE r14): a global before/after diff would grab a concurrent
+        # query's blocks on a shared session.
+        with _StateLock(out_dir), _scoped_checkpoint_ids(spark) as _pins:
             fdir = f"{out_dir}/facts_state"
             ddir = f"{out_dir}/dim_state"
             vdir = f"{out_dir}/view"
@@ -2277,9 +2304,10 @@ def foreach_batch_ss_facts(
             # state, and the write below must not recompute it against
             # itself (the anti-join would otherwise erase the batch)
             new_facts = new_facts.localCheckpoint(eager=True)
+            _pins |= _checkpoint_rdd_ids(new_facts)
             if not new_facts.isEmpty():
                 fv = _list_state_versions(spark, fdir)
-                new_facts.write.partitionBy("kb").parquet(
+                _sized(new_facts, "kb").write.partitionBy("kb").parquet(
                     f"{fdir}/{_STATE_PREFIX}{(fv[-1] + 1) if fv else 0}"
                 )
             dim_cur = _overlay_compose(
@@ -2299,6 +2327,7 @@ def foreach_batch_ss_facts(
                 dim_cur.drop("kb"), F.col(facts_key) == F.col(dim_key)
             ).withColumn("kb", _ss_kb(facts_key, n_buckets))
             add = add.localCheckpoint(eager=True)
+            _pins |= _checkpoint_rdd_ids(add)
             if add.isEmpty():
                 return  # nothing the view is missing: replay no-op
             out = (
@@ -2307,7 +2336,7 @@ def foreach_batch_ss_facts(
                 else add
             )
             vv = _list_state_versions(spark, vdir)
-            out.write.partitionBy("kb").parquet(
+            _sized(out, "kb").write.partitionBy("kb").parquet(
                 f"{vdir}/{_STATE_PREFIX}{(vv[-1] + 1) if vv else 0}"
             )
 
@@ -2359,7 +2388,7 @@ def foreach_batch_ss_dim(
         spark = batch_df.sparkSession
         # free this batch's pinned delta blocks at scope exit (see the
         # facts-side sink above)
-        with _StateLock(out_dir), _scoped_checkpoint_blocks(spark):
+        with _StateLock(out_dir), _scoped_checkpoint_ids(spark) as _pins:
             fdir = f"{out_dir}/facts_state"
             ddir = f"{out_dir}/dim_state"
             vdir = f"{out_dir}/view"
@@ -2400,6 +2429,7 @@ def foreach_batch_ss_dim(
                     .drop("__cur_ord")
                 )
             delta_new = delta_new.localCheckpoint(eager=True)  # pin
+            _pins |= _checkpoint_rdd_ids(delta_new)
             applied = not delta_new.isEmpty()
             if applied:
                 new_keys = delta_new.select(dim_key)
@@ -2409,7 +2439,7 @@ def foreach_batch_ss_dim(
                         new_keys, on=dim_key, how="left_anti"
                     ).unionByName(delta_new)
                 dv = _list_state_versions(spark, ddir)
-                new_dim.write.partitionBy("kb").parquet(
+                _sized(new_dim, "kb").write.partitionBy("kb").parquet(
                     f"{ddir}/{_STATE_PREFIX}{(dv[-1] + 1) if dv else 0}"
                 )
             # current image per batch key = strictly-newer delta over
@@ -2473,7 +2503,7 @@ def foreach_batch_ss_dim(
                 )
             if rebuilt is not None:
                 vv = _list_state_versions(spark, vdir)
-                rebuilt.write.partitionBy("kb").parquet(
+                _sized(rebuilt, "kb").write.partitionBy("kb").parquet(
                     f"{vdir}/{_STATE_PREFIX}{(vv[-1] + 1) if vv else 0}"
                 )
             if applied:
@@ -2550,7 +2580,7 @@ def foreach_batch_bottomk_sample(
             )
             part = prev.unionByName(part).dropDuplicates(["d"])
         trimmed = part.orderBy("d").limit(k)
-        trimmed.write.mode("overwrite").parquet(
+        _sized(trimmed).write.mode("overwrite").parquet(
             f"{out_dir}/{_STATE_PREFIX}{batch_id}"
         )
 
@@ -2621,7 +2651,7 @@ def foreach_batch_bottomk_stratified(
             .where(F.col("__rn") <= k)
             .drop("__rn")
         )
-        trimmed.write.mode("overwrite").parquet(
+        _sized(trimmed).write.mode("overwrite").parquet(
             f"{out_dir}/{_STATE_PREFIX}{batch_id}"
         )
 
@@ -2725,7 +2755,9 @@ def bootstrap_join_view(
     versions = _list_state_versions(spark, out_dir)
     if versions:
         raise ValueError(f"join view already exists under {out_dir}")
-    view.write.partitionBy("kb").parquet(f"{out_dir}/{_STATE_PREFIX}0")
+    _sized(view, "kb").write.partitionBy("kb").parquet(
+        f"{out_dir}/{_STATE_PREFIX}0"
+    )
     # park both cursors at the pinned versions (consume-nothing inits)
     facts_log.consume_changes(spark, facts_cursor, start_version=vf)
     dim_log.consume_changes(spark, dim_cursor, start_version=vd)

@@ -568,6 +568,56 @@ def test_values_relation_empty_rows(spark):
     assert one.collect() == [(0, "a b", 1.5)]
 
 
+def test_values_relation_non_finite_floats(spark):
+    """r15 (VERDICT r14 #7): repr of nan/inf is not a SQL literal — the
+    spine must render them as CAST('NaN'/'Infinity' AS DOUBLE), exactly
+    like double_array_lit's guard."""
+    import math
+
+    from cve_manager_spark.functions.helpers import values_relation
+
+    rows = [
+        (0, float("nan")),
+        (1, float("inf")),
+        (2, float("-inf")),
+        (3, 2.5),
+        (4, None),
+    ]
+    got = values_relation(spark, rows, "k INT, v DOUBLE").orderBy("k").collect()
+    assert math.isnan(got[0]["v"])
+    assert got[1]["v"] == float("inf")
+    assert got[2]["v"] == float("-inf")
+    assert got[3]["v"] == 2.5
+    assert got[4]["v"] is None
+
+
+def test_checkpoint_rdd_ids_scoped_to_the_dataframe(spark):
+    """r15 (ADVICE r14): cleanup bookkeeping reads the checkpointed
+    DataFrame's OWN RDD id — a concurrent query's checkpoint must never
+    appear in the captured set (the global-diff race), and a
+    non-checkpoint plan yields the empty set."""
+    from cve_manager_spark.functions.blocks import (
+        checkpoint_rdd_ids,
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    other = spark.range(10).localCheckpoint(eager=True)  # the "concurrent" pin
+    mine_lazy = spark.range(5).localCheckpoint(eager=False)
+    mine_eager = spark.range(7).localCheckpoint(eager=True)
+    ids_lazy = checkpoint_rdd_ids(mine_lazy)
+    ids_eager = checkpoint_rdd_ids(mine_eager)
+    assert len(ids_lazy) == 1 and len(ids_eager) == 1
+    assert ids_lazy != ids_eager
+    assert checkpoint_rdd_ids(other) not in (ids_lazy, ids_eager)
+    assert checkpoint_rdd_ids(spark.range(3)) == set()  # not a checkpoint
+    # freeing mine leaves the concurrent pin intact and readable
+    unpersist_rdd_ids(spark, ids_lazy | ids_eager)
+    assert checkpoint_rdd_ids(other) <= persistent_rdd_ids(spark)
+    assert other.count() == 10
+    other.unpersist()
+
+
 def test_iterative_graph_ops_free_superseded_checkpoint_blocks(spark):
     """r14 optimization contract: the iterative graph operators unpersist
     the checkpoint blocks of SUPERSEDED rounds (and edge relations that
@@ -576,8 +626,10 @@ def test_iterative_graph_ops_free_superseded_checkpoint_blocks(spark):
     Storage stays O(1) rounds — and the returned relation must still be
     fully readable (an unpersisted local checkpoint fails loudly, so a
     wrong id set here is a crash, not a slow leak)."""
+    from cve_manager_spark.functions.blocks import (
+        persistent_rdd_ids as _persistent_rdd_ids,
+    )
     from cve_manager_spark.operators.graph import (
-        _persistent_rdd_ids,
         bfs_hops,
         connected_components,
         k_core,
